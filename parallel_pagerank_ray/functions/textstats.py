@@ -1,0 +1,72 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language ID, fingerprinting.
+
+Implemented as vectorized pandas/pyarrow kernels inside a single
+map_batches stage (``TextStats``), with regexes compiled once per actor.
+The token regex is explicitly ``[A-Za-z0-9_]+`` (not ``\\w`` — Python
+and RE2/DuckDB disagree on unicode word chars) so the DuckDB oracle SQL
+can reproduce every number exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+TOKEN_RE = r"[A-Za-z0-9_]+"
+PUNCT_RE = r"[.,;:!?]"
+# tiny fixed stopword list — shared verbatim with the DuckDB oracle
+STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"]
+
+
+class TextStats:
+    """documents batch -> per-doc stats (stateless, vectorized).
+
+    Output columns (doc_id, n_chars, n_tokens, n_punct, stop_ratio,
+    quality, lang_pred, fingerprint):
+
+    - n_tokens: count of ``[A-Za-z0-9_]+`` matches
+    - stop_ratio: lowercase-token stopword fraction (0 when no tokens)
+    - quality: mean of three [0,1] signals — length (chars/1000 capped),
+      stopword ratio capped at 0.5 and rescaled, punctuation presence
+    - lang_pred: 'en' if stop_ratio >= 0.08 else 'other' (n-gram-free
+      stopword heuristic, reproducible in SQL)
+    - fingerprint: md5 hex of the text (content hash — same function as
+      DuckDB's md5())
+    """
+
+    def __init__(self) -> None:
+        import re
+
+        self.token = re.compile(TOKEN_RE)
+        self.punct = re.compile(PUNCT_RE)
+        self.stop = set(STOPWORDS)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].astype(str)
+        n_chars = text.str.len().astype(np.int64)
+        n_tokens = text.str.count(TOKEN_RE).astype(np.int64)
+        n_punct = text.str.count(PUNCT_RE).astype(np.int64)
+        toks = text.str.lower().str.findall(TOKEN_RE)
+        n_stop = toks.map(lambda ws: sum(w in self.stop for w in ws)).astype(np.int64)
+        stop_ratio = np.where(n_tokens > 0, n_stop / np.maximum(n_tokens, 1), 0.0)
+        len_sig = np.minimum(n_chars / 1000.0, 1.0)
+        stop_sig = np.minimum(stop_ratio, 0.5) * 2.0
+        punct_sig = (n_punct > 0).astype(np.float64)
+        quality = (len_sig + stop_sig + punct_sig) / 3.0
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "n_chars": n_chars,
+                "n_tokens": n_tokens,
+                "n_punct": n_punct,
+                "stop_ratio": stop_ratio,
+                "quality": quality,
+                "lang_pred": np.where(stop_ratio >= 0.08, "en", "other"),
+                "fingerprint": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest() for t in text
+                ],
+            }
+        )

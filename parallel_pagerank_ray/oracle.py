@@ -1,0 +1,168 @@
+"""Single-process NumPy oracles for the graph algorithms.
+
+These replicate, in dense NumPy, the exact arithmetic the distributed
+engine must match:
+
+- ``pagerank``: the reference MPI power iteration
+  (``/root/reference/pagerank_mpi/pagerank_mpi.c:132-231``): uniform init
+  ``1/N`` (Random_P_E, pagerank_mpi.c:44-54), dangling-mass sum
+  (pagerank_mpi.c:166-174), per-edge contribution scatter
+  (pagerank_mpi.c:178-192), the normative update operand order
+  ``p1 = d*(contrib + dangling/N) + (1-d)/N`` (pagerank_mpi.c:195), and the
+  dual stop rule (loop-top ``max_error <= tol`` at pagerank_mpi.c:141 plus
+  in-loop ``l1 < tol`` break at pagerank_mpi.c:221-226).
+- ``connected_components``: union-find over the undirected closure
+  (component id = min vid in component).
+- ``label_propagation``: synchronous LPA over undirected neighbors,
+  most-frequent-label update with min-label tie-break (the reference has
+  no LPA; this defines the engine's semantics).
+- ``triangle_count``: exact triangle count of the undirected simple graph.
+
+Used only by tests/bench as the golden reference; the engine never calls
+these in its distributed path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class PageRankTrace:
+    ranks: np.ndarray
+    iterations: int
+    exit_reason: str  # "l1" | "max_err" | "max_iters"
+    # per-iteration rows: (iter, l1, max_err, dangling)
+    history: list[tuple[int, float, float, float]] = field(default_factory=list)
+
+
+def out_degrees(n: int, edges: np.ndarray) -> np.ndarray:
+    """Out-degree per vertex; edges is an (E,2) int array (deduplicated)."""
+    deg = np.zeros(n, dtype=np.int64)
+    if len(edges):
+        np.add.at(deg, edges[:, 0], 1)
+    return deg
+
+
+def pagerank(
+    n: int,
+    edges: np.ndarray,
+    d: float = 0.85,
+    tol: float = 1e-6,
+    max_iters: int = 1000,
+) -> PageRankTrace:
+    """Dense power-iteration PageRank with the reference's arithmetic."""
+    edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    deg = out_degrees(n, edges)
+    dangling_mask = deg == 0
+    src, dst = edges[:, 0], edges[:, 1]
+    inv_deg = np.zeros(n, dtype=np.float64)
+    nz = deg > 0
+    inv_deg[nz] = 1.0 / deg[nz]
+
+    p1 = np.full(n, 1.0 / n, dtype=np.float64)
+    max_err = np.inf
+    it = 0
+    hist: list[tuple[int, float, float, float]] = []
+    exit_reason = "max_iters"
+    # loop-top guard: pagerank_mpi.c:141 (`while max_error > threshold`)
+    while max_err > tol and it < max_iters:
+        p0 = p1
+        dangling = float(p0[dangling_mask].sum())  # pagerank_mpi.c:166-174
+        contrib = np.zeros(n, dtype=np.float64)
+        if len(edges):
+            np.add.at(contrib, dst, p0[src] * inv_deg[src])  # c:178-192
+        # normative operand order — pagerank_mpi.c:195
+        p1 = d * (contrib + dangling / n) + (1.0 - d) / n
+        err = np.abs(p1 - p0)  # pagerank_mpi.c:203-209
+        l1 = float(err.sum())
+        max_err = float(err.max())
+        it += 1
+        hist.append((it, l1, max_err, dangling))
+        if l1 < tol:  # pagerank_mpi.c:221-226
+            exit_reason = "l1"
+            break
+    else:
+        if max_err <= tol:
+            exit_reason = "max_err"
+    return PageRankTrace(ranks=p1, iterations=it, exit_reason=exit_reason, history=hist)
+
+
+def connected_components(n: int, edges: np.ndarray) -> np.ndarray:
+    """Weakly connected components via union-find; comp id = min vid."""
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in np.asarray(edges, dtype=np.int64).reshape(-1, 2):
+        ru, rv = find(int(u)), find(int(v))
+        if ru != rv:
+            # union by min id keeps the invariant root == min of its tree
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    return np.array([find(i) for i in range(n)], dtype=np.int64)
+
+
+def _undirected_adj(n: int, edges: np.ndarray) -> list[np.ndarray]:
+    und = set()
+    for u, v in np.asarray(edges, dtype=np.int64).reshape(-1, 2):
+        u, v = int(u), int(v)
+        if u != v:
+            und.add((min(u, v), max(u, v)))
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for u, v in und:
+        adj[u].append(v)
+        adj[v].append(u)
+    return [np.array(sorted(a), dtype=np.int64) for a in adj]
+
+
+def label_propagation(
+    n: int, edges: np.ndarray, max_iters: int = 10
+) -> tuple[np.ndarray, int]:
+    """Synchronous LPA, undirected neighbors, min-label tie-break.
+
+    Each round every vertex simultaneously adopts the most frequent label
+    among its neighbors (ties -> smallest label); isolated vertices keep
+    their own label. Stops when no label changes or after ``max_iters``.
+    Returns (labels, rounds_run).
+    """
+    adj = _undirected_adj(n, edges)
+    labels = np.arange(n, dtype=np.int64)
+    for rnd in range(1, max_iters + 1):
+        new = labels.copy()
+        for v in range(n):
+            if len(adj[v]) == 0:
+                continue
+            neigh = labels[adj[v]]
+            vals, counts = np.unique(neigh, return_counts=True)
+            # max count, then min label: vals is sorted so argmax picks min
+            new[v] = vals[np.argmax(counts)]
+        if np.array_equal(new, labels):
+            return labels, rnd - 1
+        labels = new
+    return labels, max_iters
+
+
+def triangle_count(n: int, edges: np.ndarray) -> int:
+    """Exact triangles in the undirected simple closure of the digraph."""
+    adj = _undirected_adj(n, edges)
+    sets = [set(a.tolist()) for a in adj]
+    count = 0
+    for u in range(n):
+        for v in adj[u]:
+            if v <= u:
+                continue
+            for w in adj[v]:
+                if w > v and w in sets[u]:
+                    count += 1
+    return count

@@ -1,0 +1,108 @@
+"""Weakly connected components via distributed min-label propagation.
+
+Semantics = union-find over the undirected closure (component id = the
+minimum vid in the component) — the exact-match oracle in
+``parallel_pagerank_ray.oracle.connected_components``. The reference has
+no CC implementation; this reuses the PageRank superstep shape
+(scatter over CSR shards -> groupby-min gather) on the same harness
+(SURVEY.md §7.6):
+
+    scatter  comps.map_batches(MinLabelScatter)   # candidates = comp[src]
+    gather   .groupby("dst").aggregate(Min comp, Min old)
+    update   changed = comp != old; loop until Σ changed == 0
+
+Integer min-propagation is order-independent, so results are exact at
+any parallelism / partition count.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import ray.data as rd
+from ray.data.aggregate import Min, Sum
+
+from parallel_pagerank_ray.pipelines.graph_build import Graph, undirected_edges
+from parallel_pagerank_ray.stages.csr_store import EdgeShardStore, MinLabelScatter
+from parallel_pagerank_ray.state.checkpoint import CheckpointManager
+
+
+@dataclass
+class ComponentsRun:
+    components: rd.Dataset  # (vid, comp)
+    iterations: int
+    history: list[dict] = field(default_factory=list)
+
+
+def connected_components(
+    graph: Graph,
+    num_parts: int | None = None,
+    max_iters: int = 10_000,
+    workdir: str | None = None,
+    checkpoint_every: int = 5,
+) -> ComponentsRun:
+    n = graph.n
+    if n == 0:
+        return ComponentsRun(components=rd.from_items([]), iterations=0)
+    if num_parts is None:
+        num_parts = max(4, min(256, n // 100_000 + 4))
+    und = undirected_edges(graph.edges)
+    store = EdgeShardStore.build(und, n=n, num_parts=num_parts)
+    scatter_fn = MinLabelScatter(store)
+
+    ckpt: CheckpointManager | None = None
+    it = 0
+    history: list[dict] = []
+    comps: rd.Dataset | None = None
+    if workdir is not None:
+        ckpt = CheckpointManager(
+            workdir=workdir,
+            algo="components",
+            fingerprint={"n": n, "num_edges": store.num_edges},
+        )
+        got = ckpt.latest()
+        if got is not None:
+            it, comps, meta = got
+            comps = comps.materialize()
+            history = [dict(meta, iter=it)]
+            if meta.get("converged"):
+                return ComponentsRun(components=comps, iterations=it, history=history)
+
+    if comps is None:
+        comps = (
+            rd.range(n)
+            .map_batches(
+                lambda b: {"vid": b["id"], "comp": b["id"].astype(np.int64)},
+                batch_format="numpy",
+            )
+            .materialize()
+        )
+
+    def update(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        comp = batch["comp"]
+        old = batch["old"]
+        return {
+            "vid": batch["dst"],
+            "comp": comp,
+            "changed": (comp != old).astype(np.int64),
+        }
+
+    while it < max_iters:
+        new = (
+            comps.map_batches(scatter_fn, batch_format="numpy", batch_size=None)
+            .groupby("dst")
+            .aggregate(Min("comp", alias_name="comp"), Min("old", alias_name="old"))
+            .map_batches(update, batch_format="numpy")
+            .materialize()
+        )
+        changed = int(new.aggregate(Sum("changed", alias_name="c"))["c"] or 0)
+        it += 1
+        comps = new.select_columns(["vid", "comp"]).materialize()
+        metrics = {"iter": it, "changed": changed, "converged": changed == 0}
+        history.append(metrics)
+        if ckpt is not None and (changed == 0 or it % checkpoint_every == 0):
+            ckpt.save_iter(it, comps, metrics)
+        if changed == 0:
+            break
+    return ComponentsRun(components=comps, iterations=it, history=history)

@@ -1,0 +1,233 @@
+"""links -> vertices -> deduplicated edges -> degrees (SURVEY.md §2.4/2.5).
+
+The reference builds a CSR straight from an integer edge-list file with
+``N = max_node_id + 1`` (/root/reference/pagerank_mpi/csr_graph.c:20-27).
+Here the graph is built as Ray Data shuffles:
+
+- vertex set = union of src and dst urls (SURVEY.md J4), dense vids
+  assigned per hash bucket (deterministic, no global sort bottleneck);
+- ``links ⋈ vertices`` hash joins resolve urls to int64 vids (J1/J4);
+- exact edge dedup via groupby on (src, dst) (A10 — note the reference
+  keeps duplicates; the north rule demands a deduplicated edge table);
+- out-degrees via groupby on src (M4).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Max
+
+from parallel_pagerank_ray.functions.extract import ExtractLinks
+from parallel_pagerank_ray.util import drop_empty_blocks, safe_join
+
+_HASH_KEY = "0123456789123456"  # pandas default; fixed -> deterministic across runs
+
+
+def stable_bucket(urls: pd.Series, num_buckets: int) -> np.ndarray:
+    """Deterministic (process-independent) hash bucket per url."""
+    h = pd.util.hash_pandas_object(urls, index=False, hash_key=_HASH_KEY)
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
+def links_from_pages(pages: rd.Dataset, concurrency: int | None = None) -> rd.Dataset:
+    """pages (url, html, ...) -> links (src_url, dst_url). Flat-map stage.
+
+    Runs as stateless tasks (callable INSTANCE): the extractor has no
+    per-worker state worth amortizing, and a fixed-size actor pool can
+    reserve every CPU of a small cluster and starve the read stage.
+    ``concurrency`` caps concurrent tasks when set.
+    """
+    kwargs = {} if concurrency is None else {"concurrency": concurrency}
+    return pages.select_columns(["url", "html"]).map_batches(
+        ExtractLinks(), batch_format="pyarrow", **kwargs
+    )
+
+
+def assign_vertex_ids(links: rd.Dataset, num_buckets: int = 64) -> rd.Dataset:
+    """Distinct urls (src ∪ dst) -> vertices (url, vid) with dense vid 0..N-1.
+
+    Dense enumeration without a global sort: bucket urls by stable hash,
+    count per bucket (small shuffle), prefix-sum offsets on the driver,
+    then per-bucket sorted enumeration offset by the bucket's base. The
+    vid<->url bijection is deterministic for a given url set.
+    """
+    urls = (
+        links.select_columns(["src_url"])
+        .rename_columns({"src_url": "url"})
+        .union(links.select_columns(["dst_url"]).rename_columns({"dst_url": "url"}))
+        .groupby("url")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["url"])
+    )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = stable_bucket(df["url"], num_buckets)
+        return df
+
+    urls = urls.map_batches(add_bucket, batch_format="pandas").materialize()
+    counts = urls.groupby("bucket").aggregate(Count(alias_name="n")).take_all()
+    counts_by_bucket = {int(r["bucket"]): int(r["n"]) for r in counts}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(counts_by_bucket):
+        offsets[b] = acc
+        acc += counts_by_bucket[b]
+
+    def enumerate_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        b = int(group["bucket"].iloc[0])
+        g = group.sort_values("url").reset_index(drop=True)
+        g["vid"] = offsets[b] + np.arange(len(g), dtype=np.int64)
+        return g[["url", "vid"]]
+
+    out = urls.groupby("bucket").map_groups(enumerate_bucket, batch_format="pandas")
+    # map_groups emits schema-less empty blocks that break joins downstream
+    return drop_empty_blocks(out)
+
+
+def resolve_edges(
+    links: rd.Dataset, vertices: rd.Dataset, num_partitions: int = 8
+) -> rd.Dataset:
+    """links (src_url, dst_url) ⋈ vertices twice -> int edges (src, dst)."""
+    e = safe_join(
+        links,
+        vertices,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("src_url",),
+        right_on=("url",),
+    ).rename_columns({"vid": "src"})
+    e = e.select_columns(["src", "dst_url"])
+    e = safe_join(
+        e,
+        vertices,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("dst_url",),
+        right_on=("url",),
+    ).rename_columns({"vid": "dst"})
+    return e.select_columns(["src", "dst"])
+
+
+def dedup_edges(edges: rd.Dataset) -> rd.Dataset:
+    """Exact (src, dst) dedup — groupby hash shuffle (A10)."""
+    return (
+        edges.groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["src", "dst"])
+    )
+
+
+def out_degrees(edges: rd.Dataset) -> rd.Dataset:
+    """(vid, out_deg) for vids that have at least one out-edge."""
+    return (
+        edges.groupby("src")
+        .aggregate(Count(alias_name="out_deg"))
+        .rename_columns({"src": "vid"})
+    )
+
+
+def undirected_edges(edges: rd.Dataset) -> rd.Dataset:
+    """Symmetric closure without self-loops, deduplicated (CC/LPA input)."""
+
+    def swap(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t.column("dst"), "dst": t.column("src")})
+
+    def drop_self(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.invert(pc.equal(t.column("src"), t.column("dst"))))
+
+    sym = edges.union(edges.map_batches(swap, batch_format="pyarrow"))
+    return dedup_edges(sym.map_batches(drop_self, batch_format="pyarrow"))
+
+
+@dataclass
+class Graph:
+    """A built graph: materialized deduplicated int edges + vertex count.
+
+    ``vertices`` (url<->vid) is present only when built from pages/links.
+    """
+
+    n: int
+    edges: rd.Dataset
+    vertices: rd.Dataset | None = None
+
+    @classmethod
+    def from_int_edges(cls, edges: rd.Dataset, dedup: bool = True) -> "Graph":
+        """Reference semantics: N = max node id + 1 (csr_graph.c:27);
+        ids not present in the file are isolated dangling vertices."""
+        if dedup:
+            edges = dedup_edges(edges)
+        edges = edges.materialize()
+        if edges.count() == 0:
+            return cls(n=0, edges=edges)
+        m = edges.aggregate(Max("src"), Max("dst"))
+        n = int(max(m["max(src)"], m["max(dst)"])) + 1
+        return cls(n=n, edges=edges)
+
+    @classmethod
+    def from_links(
+        cls, links: rd.Dataset, num_buckets: int = 64, num_partitions: int = 8
+    ) -> "Graph":
+        links = links.materialize()
+        if links.count() == 0:
+            empty = pa.table(
+                {
+                    "src": pa.array([], type=pa.int64()),
+                    "dst": pa.array([], type=pa.int64()),
+                }
+            )
+            return cls(n=0, edges=rd.from_arrow(empty), vertices=None)
+        vertices = assign_vertex_ids(links, num_buckets=num_buckets).materialize()
+        n = vertices.count()
+        edges = dedup_edges(
+            resolve_edges(links, vertices, num_partitions=num_partitions)
+        ).materialize()
+        return cls(n=n, edges=edges, vertices=vertices)
+
+    @classmethod
+    def from_pages(
+        cls,
+        pages: rd.Dataset,
+        concurrency: int = 4,
+        num_buckets: int = 64,
+        num_partitions: int = 8,
+    ) -> "Graph":
+        return cls.from_links(
+            links_from_pages(pages, concurrency=concurrency),
+            num_buckets=num_buckets,
+            num_partitions=num_partitions,
+        )
+
+    def init_vertex_table(self) -> rd.Dataset:
+        """(vid, out_deg) for EVERY vid 0..n-1 (dangling rows have 0).
+
+        Uses range(n) ⋈ degrees left-outer so isolated ids (present in
+        neither src nor dst of any edge after dedup) still get rows —
+        mirrors the reference treating gaps in the id space as real
+        dangling nodes (csr_graph.c:27).
+        """
+        deg = out_degrees(self.edges)
+        allv = rd.range(self.n).rename_columns({"id": "vid"})
+        num_parts = max(2, min(64, math.ceil(self.n / 500_000)))
+        joined = safe_join(
+            allv,
+            deg,
+            join_type="left_outer",
+            num_partitions=num_parts,
+            on=("vid",),
+        )
+
+        def fill(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            d = pc.fill_null(pc.cast(t.column("out_deg"), pa.int64()), 0)
+            return pa.table({"vid": t.column("vid"), "out_deg": d})
+
+        return joined.map_batches(fill, batch_format="pyarrow")

@@ -1,0 +1,207 @@
+"""Distributed power-iteration PageRank as Ray Data supersteps.
+
+Semantics replicate the reference's ``Distributed_PageRank_csr``
+(/root/reference/pagerank_mpi/pagerank_mpi.c:132-231) exactly:
+
+- uniform init ``1/N`` (Random_P_E, pagerank_mpi.c:44-54);
+- per-superstep dangling mass ``Σ p0[out_deg==0]`` redistributed
+  uniformly (pagerank_mpi.c:166-174);
+- update ``p1 = d*(contrib + dangling/N) + (1-d)/N`` with the normative
+  operand order (pagerank_mpi.c:195);
+- dual stop rule: loop-top ``max_err <= tol`` (pagerank_mpi.c:141) plus
+  in-loop ``l1 < tol`` break (pagerank_mpi.c:221-226).
+
+The execution shape is the opposite of the reference's replicated dense
+vector + Allgatherv (pagerank_mpi.c:143-160): ranks live in a Dataset of
+(vid, rank, out_deg) rows; each superstep is
+
+    scatter  ranks.map_batches(PageRankScatter actor pool)   # O(E) local
+    gather   .groupby("dst").aggregate(Sum contrib/p0/deg)   # the shuffle
+    update   .map_batches(vectorized rank update)            # O(N) local
+
+Metrics (l1, max_err, next dangling mass) come from one cheap aggregate
+pass over the materialized new ranks — the Allreduce equivalents at
+pagerank_mpi.c:159,174,212-213. Nothing is ever globally replicated.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import ray.data as rd
+from ray.data.aggregate import Max, Sum
+
+from parallel_pagerank_ray.pipelines.graph_build import Graph
+from parallel_pagerank_ray.stages.csr_store import EdgeShardStore, PageRankScatter
+from parallel_pagerank_ray.state.checkpoint import CheckpointManager
+
+
+@dataclass
+class PageRankRun:
+    ranks: rd.Dataset  # (vid, rank) — also carries out_deg
+    iterations: int
+    exit_reason: str  # "l1" | "max_err" | "max_iters"
+    history: list[dict[str, float]] = field(default_factory=list)
+
+
+def _init_ranks(graph: Graph) -> rd.Dataset:
+    n = graph.n
+
+    def add_rank(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        return {
+            "vid": batch["vid"],
+            "rank": np.full(len(batch["vid"]), 1.0 / n, dtype=np.float64),
+            "out_deg": batch["out_deg"].astype(np.int64),
+        }
+
+    return graph.init_vertex_table().map_batches(add_rank, batch_format="numpy")
+
+
+def _dangling_mass(ranks: rd.Dataset) -> float:
+    def partial(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        m = batch["out_deg"] == 0
+        return {"dangling_rank": np.array([batch["rank"][m].sum()])}
+
+    agg = ranks.map_batches(partial, batch_format="numpy").aggregate(
+        Sum("dangling_rank", alias_name="s")
+    )
+    return float(agg["s"] or 0.0)
+
+
+def pagerank(
+    graph: Graph,
+    d: float = 0.85,
+    tol: float = 1e-6,
+    max_iters: int = 1000,
+    num_parts: int | None = None,
+    workdir: str | None = None,
+    checkpoint_every: int = 1,
+    store: EdgeShardStore | None = None,
+) -> PageRankRun:
+    """Run PageRank to convergence; optionally checkpoint + resume.
+
+    ``workdir`` enables per-iteration Parquet checkpoints with lineage;
+    if a matching checkpoint exists the loop resumes from it and the
+    final ranks are identical to an uninterrupted run (float64
+    round-trips exactly through Parquet).
+    """
+    n = graph.n
+    if n == 0:
+        return PageRankRun(ranks=rd.from_items([]), iterations=0, exit_reason="l1")
+    if num_parts is None:
+        num_parts = max(4, min(256, n // 100_000 + 4))
+    if store is None:
+        store = EdgeShardStore.build(graph.edges, n=n, num_parts=num_parts)
+
+    ckpt: CheckpointManager | None = None
+    it = 0
+    history: list[dict[str, float]] = []
+    ranks: rd.Dataset | None = None
+    dangling: float | None = None
+    max_err = np.inf
+
+    if workdir is not None:
+        ckpt = CheckpointManager(
+            workdir=workdir,
+            algo="pagerank",
+            fingerprint={
+                "n": n,
+                "num_edges": store.num_edges,
+                "d": d,
+                "tol": tol,
+                "max_iters": max_iters,
+            },
+        )
+        got = ckpt.latest()
+        if got is not None:
+            it, ranks, meta = got
+            ranks = ranks.materialize()
+            dangling = float(meta["dangling_next"])
+            max_err = float(meta["max_err"])
+            history = [dict(meta, iter=it)]
+            if meta.get("converged"):
+                return PageRankRun(
+                    ranks=ranks,
+                    iterations=it,
+                    exit_reason=str(meta["exit_reason"]),
+                    history=history,
+                )
+
+    if ranks is None:
+        ranks = _init_ranks(graph).materialize()
+        dangling = _dangling_mass(ranks)
+
+    # Stateless-task scatter: per-superstep executions re-create actor
+    # pools, so a callable instance (tasks) is much lower latency; shard
+    # fetches stay zero-copy/cached per worker process (see csr_store).
+    scatter_fn = PageRankScatter(store)
+    exit_reason = "max_iters"
+    # loop-top guard: pagerank_mpi.c:141
+    while max_err > tol and it < max_iters:
+        dang = float(dangling)
+
+        def update(batch: dict[str, np.ndarray], _dang=dang) -> dict[str, np.ndarray]:
+            contrib = batch["contrib"]
+            p0 = batch["p0"]
+            out_deg = batch["out_deg"]
+            # normative operand order — pagerank_mpi.c:195
+            p1 = d * (contrib + _dang / n) + (1.0 - d) / n
+            err = np.abs(p1 - p0)  # pagerank_mpi.c:203-209
+            return {
+                "vid": batch["dst"],
+                "rank": p1,
+                "out_deg": out_deg,
+                "err": err,
+                "dangling_rank": np.where(out_deg == 0, p1, 0.0),
+            }
+
+        new = (
+            ranks.map_batches(
+                scatter_fn,
+                batch_format="numpy",
+                batch_size=None,
+            )
+            .groupby("dst")
+            .aggregate(
+                Sum("contrib", alias_name="contrib"),
+                Sum("p0", alias_name="p0"),
+                Sum("deg", alias_name="out_deg"),
+            )
+            .map_batches(update, batch_format="numpy")
+            .materialize()
+        )
+        agg = new.aggregate(
+            Sum("err", alias_name="l1"),
+            Max("err", alias_name="mx"),
+            Sum("dangling_rank", alias_name="dangling_next"),
+        )
+        l1 = float(agg["l1"])
+        max_err = float(agg["mx"])
+        dangling = float(agg["dangling_next"] or 0.0)
+        it += 1
+        converged = l1 < tol or max_err <= tol
+        if l1 < tol:
+            exit_reason = "l1"  # pagerank_mpi.c:221-226
+        elif max_err <= tol:
+            exit_reason = "max_err"
+        metrics: dict[str, Any] = {
+            "iter": it,
+            "l1": l1,
+            "max_err": max_err,
+            "dangling": dang,
+            "dangling_next": dangling,
+            "converged": converged,
+            "exit_reason": exit_reason if converged else "",
+        }
+        history.append(metrics)
+        ranks = new.select_columns(["vid", "rank", "out_deg"]).materialize()
+        if ckpt is not None and (converged or it % checkpoint_every == 0):
+            ckpt.save_iter(it, ranks, metrics)
+        if l1 < tol:
+            break
+
+    return PageRankRun(
+        ranks=ranks, iterations=it, exit_reason=exit_reason, history=history
+    )

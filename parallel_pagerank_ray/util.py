@@ -1,0 +1,56 @@
+"""Small Dataset utilities."""
+
+from __future__ import annotations
+
+import ray
+import ray.data as rd
+
+
+def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
+    """Materialize and drop zero-row blocks.
+
+    ``groupby().map_groups()`` emits one schema-less empty block per
+    empty sort partition; ``Dataset.join`` (hash shuffle) rejects such
+    blocks on the build side ("No match ... for key field"). This keeps
+    only non-empty blocks without moving any rows (refs only; metadata
+    is inspected via the developer API, falling back to fetching blocks
+    if it changes shape across Ray versions).
+    """
+    mat = ds.materialize()
+    refs: list = []
+    try:
+        for bundle in mat.iter_internal_ref_bundles():
+            for block_ref, meta in zip(bundle.block_refs, bundle.metadata):
+                if meta.num_rows is None or meta.num_rows > 0:
+                    refs.append(block_ref)
+    except AttributeError:  # developer API moved; fall back to fetching
+        all_refs = mat.to_arrow_refs()
+        refs = [r for r, t in zip(all_refs, ray.get(all_refs)) if t.num_rows > 0]
+    if not refs:
+        return mat
+    return rd.from_arrow_refs(refs)
+
+
+def safe_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    join_type: str,
+    num_partitions: int,
+    on: tuple,
+    right_on: tuple | None = None,
+) -> rd.Dataset:
+    """``Dataset.join`` with empty-block compaction on both sides.
+
+    Ray 2.49's hash-shuffle join raises ``ArrowInvalid: No match ... for
+    key field`` when a side contains a zero-row block with an empty
+    schema (produced by map_groups / flat-map stages that emit nothing
+    for some partitions). Compacting refs first costs one
+    materialization per side but no row movement.
+    """
+    return drop_empty_blocks(left).join(
+        drop_empty_blocks(right),
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=on,
+        right_on=right_on,
+    )

@@ -1,0 +1,65 @@
+"""pages -> links -> vertices -> dedup edges -> degrees (SURVEY.md §7.2-3)."""
+
+import numpy as np
+import ray.data as rd
+
+from parallel_pagerank_ray.pipelines.graph_build import Graph, undirected_edges
+from parallel_pagerank_ray.sources.edge_list import edges_dataset, read_edge_list
+from parallel_pagerank_ray.sources.pages import page_url
+
+
+def vid_map(graph: Graph, name: str, n: int) -> dict[int, int]:
+    """reference-vid -> engine-vid via the url bijection."""
+    verts = graph.vertices.to_pandas()
+    url_to_vid = dict(zip(verts["url"], verts["vid"]))
+    return {v: url_to_vid[page_url(name, v)] for v in range(n)}
+
+
+def test_graph_from_pages_matches_edge_set(pages_dir, graphs):
+    for name in ("small", "dangling4", "two_comps"):
+        n, edges = graphs[name]
+        g = Graph.from_pages(rd.read_parquet(str(pages_dir / f"{name}.parquet")))
+        assert g.n == n
+        m = vid_map(g, name, n)
+        got = {(r["src"], r["dst"]) for r in g.edges.take_all()}
+        want = {(m[int(u)], m[int(v)]) for u, v in edges}
+        assert got == want
+
+
+def test_dedup_and_reference_n_semantics():
+    # duplicate edges collapse; N = max id + 1 even with id gaps
+    ds = edges_dataset([(0, 1), (0, 1), (0, 1), (5, 1)])
+    g = Graph.from_int_edges(ds)
+    assert g.n == 6
+    assert sorted((r["src"], r["dst"]) for r in g.edges.take_all()) == [(0, 1), (5, 1)]
+
+
+def test_init_vertex_table_has_all_vids_and_degrees():
+    g = Graph.from_int_edges(edges_dataset([(0, 1), (0, 2), (3, 0)]))
+    rows = {r["vid"]: r["out_deg"] for r in g.init_vertex_table().take_all()}
+    assert rows == {0: 2, 1: 0, 2: 0, 3: 1}
+
+
+def test_read_edge_list_skips_comments(tmp_path):
+    p = tmp_path / "g.txt"
+    p.write_text("# header\n0\t1\n\n2 3\n# tail\n1 2\n")
+    ds = read_edge_list(str(p))
+    assert sorted((r["src"], r["dst"]) for r in ds.take_all()) == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_undirected_closure():
+    und = undirected_edges(edges_dataset([(0, 1), (1, 0), (1, 2), (2, 2)]))
+    got = sorted((r["src"], r["dst"]) for r in und.take_all())
+    assert got == [(0, 1), (1, 0), (1, 2), (2, 1)]
+
+
+def test_vertex_ids_dense_and_deterministic(pages_dir):
+    ds = rd.read_parquet(str(pages_dir / "medium.parquet"))
+    g1 = Graph.from_pages(ds)
+    g2 = Graph.from_pages(ds.repartition(4))
+    v1 = sorted((r["url"], r["vid"]) for r in g1.vertices.take_all())
+    v2 = sorted((r["url"], r["vid"]) for r in g2.vertices.take_all())
+    assert v1 == v2  # same bijection at any parallelism
+    vids = sorted(v for _, v in v1)
+    assert vids == list(range(g1.n))  # dense 0..N-1
+    assert np.int64(g1.n) == 10
