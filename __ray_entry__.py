@@ -1,16 +1,21 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data link-graph + training-data engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (pages -> extract links -> graph
+build -> PageRank) on sf0.001. ``queries()`` exposes one callable per
+implemented operator/pipeline (SURVEY.md §2 + the training-data suite);
+``oracle_sql()`` gives the exact DuckDB equivalent where the operator is
+SQL-expressible (iterative graph algorithms and hash-based sketches are
+rows-only by design and are value-checked against NumPy oracles in
+tests/ instead).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
+
+Float-determinism policy for oracle-matched queries: outputs are
+integers, strings, or single IEEE-754 divisions/compositions of
+integers (identical bit patterns in NumPy and DuckDB); distributed
+float *accumulations* (rank sums, cosine sums) are either excluded from
+matched outputs or reduced to integer/id columns.
 """
 
 from __future__ import annotations
@@ -18,27 +23,582 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+STOPWORD_SQL = "('the','and','of','to','a','in','is','that','it','for')"
+TOKEN_SQL = "[A-Za-z0-9_]+"
+PUNCT_SQL = "[.,;:!?]"
+
+_SUPP_PART_SQL = "SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem"
+_COPURCHASE_SQL = """
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# pages pipeline (extractor byte-identity surface)
+# ---------------------------------------------------------------------------
+
+
+def _pages(sf_dir: str):
+    from parallel_pagerank_ray.sources.docpages import pages_from_documents
+
+    return pages_from_documents(sf_dir, links_per_page=3)
+
+
+def q_pages_extract_text(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.functions.extract import ExtractPages
+
+    pages, _ = _pages(sf_dir)
+    return pages.map_batches(ExtractPages(), batch_format="pyarrow")
+
+
+def q_pages_links(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.pipelines.graph_build import links_from_pages
+
+    pages, _ = _pages(sf_dir)
+    return links_from_pages(pages)
+
+
+def q_link_edges(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.pipelines.graph_build import links_from_pages
+
+    from parallel_pagerank_ray.stages.agg import distinct
+
+    pages, _ = _pages(sf_dir)
+    return distinct(links_from_pages(pages), ["src_url", "dst_url"])
+
+
+def q_pagerank_pages_top20(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.pipelines.graph_build import Graph, links_from_pages
+    from parallel_pagerank_ray.pipelines.pagerank import pagerank
+    from parallel_pagerank_ray.util import safe_join
+
+    pages, _ = _pages(sf_dir)
+    graph = Graph.from_links(links_from_pages(pages))
+    run = pagerank(graph, d=0.85, tol=1e-3, max_iters=100)
+    joined = safe_join(
+        run.ranks.select_columns(["vid", "rank"]),
+        graph.vertices,
+        join_type="inner",
+        num_partitions=4,
+        on=("vid",),
+    )
+    return (
+        joined.select_columns(["url", "rank"])
+        .sort(["rank", "url"], descending=[True, False])
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# table-derived graphs
+# ---------------------------------------------------------------------------
+
+
+def q_edges_supplier_part(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.pipelines.relational import supplier_part_edges
+
+    return supplier_part_edges(sf_dir)
+
+
+def q_out_degrees(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.pipelines.graph_build import out_degrees
+    from parallel_pagerank_ray.pipelines.relational import supplier_part_edges
+
+    return out_degrees(supplier_part_edges(sf_dir))
+
+
+def q_dangling_vertices(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.relational import supplier_part_edges
+
+    g = Graph.from_int_edges(supplier_part_edges(sf_dir), dedup=False)
+
+    def dangling(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        m = batch["out_deg"] == 0
+        return {"vid": batch["vid"][m]}
+
+    return g.init_vertex_table().map_batches(dangling, batch_format="numpy")
+
+
+def q_graph_stats(sf_dir: str) -> pd.DataFrame:
+    from parallel_pagerank_ray.pipelines.graph_build import out_degrees
+    from parallel_pagerank_ray.pipelines.relational import supplier_part_edges
+
+    from parallel_pagerank_ray.stages.agg import global_agg
+
+    edges = supplier_part_edges(sf_dir).materialize()
+    m = global_agg(
+        edges,
+        {"ms": ("src", "max"), "md": ("dst", "max"), "n_edges": ("src", "count")},
+    )
+    n_vertices = int(max(m["ms"], m["md"])) + 1
+    n_edges = int(m["n_edges"])
+    n_src = out_degrees(edges).count()
+    return pd.DataFrame(
+        {
+            "n_vertices": np.array([n_vertices], dtype=np.int64),
+            "n_edges": np.array([n_edges], dtype=np.int64),
+            "n_dangling": np.array([n_vertices - n_src], dtype=np.int64),
+            "avg_out_deg": np.array([n_edges / n_vertices], dtype=np.float64),
+        }
+    )
+
+
+def q_pagerank_supplier_part_top20(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.pagerank import pagerank
+    from parallel_pagerank_ray.pipelines.relational import supplier_part_edges
+
+    g = Graph.from_int_edges(supplier_part_edges(sf_dir), dedup=False)
+    run = pagerank(g, d=0.85, tol=1e-3, max_iters=100)
+    return (
+        run.ranks.select_columns(["vid", "rank"])
+        .sort(["rank", "vid"], descending=[True, False])
+        .limit(20)
+    )
+
+
+def q_components_copurchase(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.pipelines.components import connected_components
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.relational import copurchase_edges
+
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    g = Graph.from_int_edges(copurchase_edges(sf_dir), dedup=False)
+    run = connected_components(g)
+    return grouped_agg(
+        run.components, ["comp"], {"size": ("vid", "count")}, num_buckets=8
+    )
+
+
+def q_labelprop_copurchase(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.label_prop import label_propagation
+    from parallel_pagerank_ray.pipelines.relational import copurchase_edges
+
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    g = Graph.from_int_edges(copurchase_edges(sf_dir), dedup=False)
+    run = label_propagation(g, max_iters=3)
+    return grouped_agg(
+        run.labels, ["label"], {"size": ("vid", "count")}, num_buckets=8
+    )
+
+
+def q_triangles_copurchase(sf_dir: str) -> pd.DataFrame:
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.relational import copurchase_edges
+    from parallel_pagerank_ray.pipelines.triangles import triangle_count
+
+    g = Graph.from_int_edges(copurchase_edges(sf_dir), dedup=False)
+    return pd.DataFrame({"triangles": np.array([triangle_count(g)], dtype=np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# documents: text analysis + dedup
+# ---------------------------------------------------------------------------
+
+
+def _documents(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def q_text_stats(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.functions.textstats import TextStats
+
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        TextStats, batch_format="pandas", concurrency=4
+    )
+
+
+def q_dedup_exact(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.pipelines.dedup import exact_dedup
+
+    return exact_dedup(_documents(sf_dir, ["doc_id", "text"]))
+
+
+def q_dedup_shingle_jaccard(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.pipelines.dedup import shingle_jaccard_pairs
+
+    return shingle_jaccard_pairs(
+        _documents(sf_dir, ["doc_id", "text", "source"]), k=5, group_col="source"
+    )
+
+
+def q_dedup_minhash_lsh(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.pipelines.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_documents(sf_dir, ["doc_id", "text"]))
+
+
+def q_dedup_simhash(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.pipelines.dedup import simhash_candidates
+
+    return simhash_candidates(_documents(sf_dir, ["doc_id", "text"]), max_hamming=3)
+
+
+def q_payload_meta(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.functions.multimodal import PayloadMeta
+
+    def to_payload(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "payload": [t.encode("utf-8") for t in df["text"]],
+            }
+        )
+
+    return (
+        _documents(sf_dir, ["doc_id", "text"])
+        .map_batches(to_payload, batch_format="pandas")
+        .map_batches(
+            PayloadMeta,
+            fn_constructor_kwargs={"id_col": "doc_id", "payload_col": "payload"},
+            batch_format="pyarrow",
+            concurrency=4,
+        )
+    )
+
+
+def q_decode_image_fake(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.functions.multimodal import DecodeImage
+
+    def to_payload(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "payload": [t.encode("utf-8") for t in df["text"]],
+            }
+        )
+
+    return (
+        _documents(sf_dir, ["doc_id", "text"])
+        .map_batches(to_payload, batch_format="pandas")
+        .map_batches(
+            DecodeImage,
+            fn_constructor_kwargs={
+                "id_col": "doc_id",
+                "payload_col": "payload",
+                "fake": True,
+            },
+            batch_format="pyarrow",
+            concurrency=4,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search + near-dup
+# ---------------------------------------------------------------------------
+
+
+def q_knn_cosine(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.pipelines.similarity import knn_brute, load_queries
+
+    embs = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    queries = load_queries(f"{sf_dir}/embeddings.parquet", set(range(10)))
+    return knn_brute(embs, queries, k=5)
+
+
+def q_knn_lsh(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.pipelines.similarity import knn_lsh, load_queries
+
+    embs = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    queries = load_queries(f"{sf_dir}/embeddings.parquet", set(range(10)))
+    dim = queries[1].shape[1]
+    return knn_lsh(embs, queries, dim=dim, k=5, bits=10, probe_hamming=3)
+
+
+def q_embedding_near_dup(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.pipelines.dedup import embedding_near_dup
+
+    embs = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup(embs, threshold=0.3, bucket_col="label")
+
+
+# ---------------------------------------------------------------------------
+# events + relational
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.pipelines.events import hourly_rollup
+    from parallel_pagerank_ray.pipelines.relational import read_table
+
+    rolled = hourly_rollup(read_table(sf_dir, "events"))
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["hour"] = df["hour"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        return df
+
+    return rolled.map_batches(fmt, batch_format="pandas")
+
+
+def q_sessionize(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.pipelines.events import sessionize
+    from parallel_pagerank_ray.pipelines.relational import read_table
+
+    return sessionize(read_table(sf_dir, "events"), gap_minutes=30)
+
+
+def q_pricing_summary(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.pipelines.relational import pricing_summary, read_table
+
+    return pricing_summary(read_table(sf_dir, "lineitem"))
+
+
+def q_top_customers(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.pipelines.relational import read_table, top_customers
+
+    return top_customers(
+        read_table(sf_dir, "orders"), read_table(sf_dir, "customer"), k=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: pages -> extract links -> graph build -> PageRank ->
+    (url, rank) on sf0.001."""
+    from parallel_pagerank_ray.pipelines.graph_build import Graph, links_from_pages
+    from parallel_pagerank_ray.pipelines.pagerank import pagerank
+    from parallel_pagerank_ray.util import safe_join
+
+    pages, _ = _pages(SF_SMALL)
+    graph = Graph.from_links(links_from_pages(pages))
+    run = pagerank(graph, d=0.85, tol=1e-3, max_iters=100)
+    joined = safe_join(
+        run.ranks.select_columns(["vid", "rank"]),
+        graph.vertices,
+        join_type="inner",
+        num_partitions=4,
+        on=("vid",),
+    )
+    return joined.select_columns(["url", "rank"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pages_extract_text": q_pages_extract_text,
+        "pages_links": q_pages_links,
+        "link_edges": q_link_edges,
+        "pagerank_pages_top20": q_pagerank_pages_top20,
+        "edges_supplier_part": q_edges_supplier_part,
+        "out_degrees": q_out_degrees,
+        "dangling_vertices": q_dangling_vertices,
+        "graph_stats": q_graph_stats,
+        "pagerank_supplier_part_top20": q_pagerank_supplier_part_top20,
+        "components_copurchase": q_components_copurchase,
+        "labelprop_copurchase": q_labelprop_copurchase,
+        "triangles_copurchase": q_triangles_copurchase,
+        "text_stats": q_text_stats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_shingle_jaccard": q_dedup_shingle_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "payload_meta": q_payload_meta,
+        "decode_image_fake": q_decode_image_fake,
+        "knn_cosine": q_knn_cosine,
+        "knn_lsh": q_knn_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
+        "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_ratio = "CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END"
+    return {
+        "pages_extract_text": """
+            SELECT 'https://docs.example/p' || doc_id AS url,
+                   'doc ' || doc_id || chr(10) || text || chr(10) ||
+                   'link 0' || chr(10) || 'link 1' || chr(10) || 'link 2' AS text
+            FROM documents
+        """,
+        "pages_links": """
+            SELECT 'https://docs.example/p' || doc_id AS src_url,
+                   'https://docs.example/p' ||
+                   ((doc_id * 7 + k.range + 1) % (SELECT count(*) FROM documents))
+                   AS dst_url
+            FROM documents, range(3) k
+        """,
+        "link_edges": """
+            SELECT DISTINCT
+                   'https://docs.example/p' || doc_id AS src_url,
+                   'https://docs.example/p' ||
+                   ((doc_id * 7 + k.range + 1) % (SELECT count(*) FROM documents))
+                   AS dst_url
+            FROM documents, range(3) k
+        """,
+        "edges_supplier_part": _SUPP_PART_SQL,
+        "out_degrees": f"""
+            WITH e AS ({_SUPP_PART_SQL})
+            SELECT src AS vid, count(*) AS out_deg FROM e GROUP BY 1
+        """,
+        "dangling_vertices": f"""
+            WITH RECURSIVE e AS ({_SUPP_PART_SQL}),
+                 n AS (SELECT max(greatest(src, dst)) + 1 AS n FROM e),
+                 v(vid) AS (
+                   SELECT 0
+                   UNION ALL
+                   SELECT vid + 1 FROM v WHERE vid + 1 < (SELECT n FROM n)
+                 )
+            SELECT vid FROM v WHERE vid NOT IN (SELECT src FROM e)
+        """,
+        "graph_stats": f"""
+            WITH e AS ({_SUPP_PART_SQL}),
+                 n AS (SELECT max(greatest(src, dst)) + 1 AS n FROM e),
+                 s AS (SELECT count(*) AS n_edges,
+                              count(DISTINCT src) AS n_src FROM e)
+            SELECT (SELECT n FROM n) AS n_vertices,
+                   n_edges,
+                   (SELECT n FROM n) - n_src AS n_dangling,
+                   n_edges / CAST((SELECT n FROM n) AS DOUBLE) AS avg_out_deg
+            FROM s
+        """,
+        "triangles_copurchase": f"""
+            WITH und AS ({_COPURCHASE_SQL})
+            SELECT count(*) AS triangles
+            FROM und e1
+            JOIN und e2 ON e1.dst = e2.src
+            JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        """,
+        "text_stats": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     length(regexp_extract_all(text, '{TOKEN_SQL}')) AS n_tokens,
+                     length(regexp_extract_all(text, '{PUNCT_SQL}')) AS n_punct,
+                     length(list_filter(
+                         regexp_extract_all(lower(text), '{TOKEN_SQL}'),
+                         w -> w IN {STOPWORD_SQL})) AS n_stop,
+                     md5(text) AS fingerprint
+              FROM documents
+            )
+            SELECT doc_id, n_chars, n_tokens, n_punct,
+                   {stop_ratio} AS stop_ratio,
+                   (least(n_chars / 1000.0, 1.0)
+                    + least({stop_ratio}, 0.5) * 2.0
+                    + CASE WHEN n_punct > 0 THEN 1.0 ELSE 0.0 END) / 3.0 AS quality,
+                   CASE WHEN ({stop_ratio}) >= 0.08 THEN 'en' ELSE 'other' END
+                     AS lang_pred,
+                   fingerprint
+            FROM t
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS fingerprint,
+                   min(doc_id) AS keeper,
+                   count(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "dedup_shingle_jaccard": """
+            WITH sh AS (
+              SELECT DISTINCT doc_id, source,
+                     unnest([substr(text, x, 5)
+                             for x in range(1, greatest(length(text) - 3, 2))]) AS s
+              FROM documents
+            ),
+            docs AS (SELECT DISTINCT doc_id, source FROM documents),
+            pairs AS (
+              SELECT a.doc_id AS da, b.doc_id AS db
+              FROM docs a JOIN docs b
+                ON a.source = b.source AND a.doc_id < b.doc_id
+            ),
+            inter AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n
+              FROM sh a JOIN sh b
+                ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+            SELECT p.da AS doc_a, p.db AS doc_b,
+                   coalesce(i.n, 0) /
+                   CAST(sa.n + sb.n - coalesce(i.n, 0) AS DOUBLE) AS jaccard
+            FROM pairs p
+            JOIN sizes sa ON sa.doc_id = p.da
+            JOIN sizes sb ON sb.doc_id = p.db
+            LEFT JOIN inter i ON i.da = p.da AND i.db = p.db
+        """,
+        "payload_meta": """
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   md5(text) AS payload_md5
+            FROM documents
+        """,
+        "knn_cosine": """
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
+            FROM embeddings q JOIN embeddings n
+              ON q.vec_id < 10 AND n.vec_id <> q.vec_id
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
+                         n.vec_id) <= 5
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN ts - lag(ts) OVER (
+                              PARTITION BY user_id ORDER BY ts)
+                            > INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+            )
+            SELECT user_id, count(*) AS n_events,
+                   CAST(1 + sum(new_sess) AS BIGINT) AS n_sessions
+            FROM g GROUP BY 1
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_qty_cents,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_price_cents,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2
+        """,
+        "top_customers": """
+            SELECT c.c_custkey, c.c_name,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     AS revenue_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+            ORDER BY revenue_cents DESC, c.c_custkey
+            LIMIT 10
+        """,
+    }

@@ -28,14 +28,16 @@ def char_shingles(text: str, k: int = 5) -> np.ndarray:
 
 
 def token_hashes(tokens: list[str]) -> np.ndarray:
-    """uint64 FNV-1a hash per token (SimHash features)."""
+    """uint64 hash per token (SimHash features): blake2b-8 digest —
+    C-speed per token, deterministic across processes (unlike built-in
+    ``hash`` under PYTHONHASHSEED)."""
+    import hashlib
+
     out = np.empty(len(tokens), dtype=np.uint64)
     for j, t in enumerate(tokens):
-        h = _FNV_OFFSET
-        with np.errstate(over="ignore"):
-            for byte in t.encode("utf-8"):
-                h = (h ^ np.uint64(byte)) * _FNV_PRIME
-        out[j] = h
+        out[j] = int.from_bytes(
+            hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little"
+        )
     return out
 
 

@@ -21,7 +21,6 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import ray.data as rd
-from ray.data.aggregate import Min, Sum
 
 from parallel_pagerank_ray.pipelines.graph_build import Graph, undirected_edges
 from parallel_pagerank_ray.stages.csr_store import EdgeShardStore, MinLabelScatter
@@ -79,26 +78,36 @@ def connected_components(
             .materialize()
         )
 
-    def update(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
-        comp = batch["comp"]
-        old = batch["old"]
-        return {
-            "vid": batch["dst"],
-            "comp": comp,
-            "changed": (comp != old).astype(np.int64),
-        }
+    def gather_min(g: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        # integer min is order-independent — no pre-sort needed
+        u, inv = np.unique(g["dst"], return_inverse=True)
+        comp = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+        old = comp.copy()
+        np.minimum.at(comp, inv, g["comp"])
+        np.minimum.at(old, inv, g["old"])
+        return {"vid": u, "comp": comp, "changed": (comp != old).astype(np.int64)}
 
     while it < max_iters:
         new = (
             comps.map_batches(scatter_fn, batch_format="numpy", batch_size=None)
-            .groupby("dst")
-            .aggregate(Min("comp", alias_name="comp"), Min("old", alias_name="old"))
-            .map_batches(update, batch_format="numpy")
+            .groupby("bucket")
+            .map_groups(gather_min, batch_format="numpy")
             .materialize()
         )
-        changed = int(new.aggregate(Sum("changed", alias_name="c"))["c"] or 0)
+
+        def changed_partial(b: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+            return {"c": np.array([b["changed"].sum()], dtype=np.int64)}
+
+        changed = int(
+            sum(
+                r["c"]
+                for r in new.map_batches(
+                    changed_partial, batch_format="numpy"
+                ).take_all()
+            )
+        )
         it += 1
-        comps = new.select_columns(["vid", "comp"]).materialize()
+        comps = new  # scatter reads vid/comp; extra column is harmless
         metrics = {"iter": it, "changed": changed, "converged": changed == 0}
         history.append(metrics)
         if ckpt is not None and (changed == 0 or it % checkpoint_every == 0):

@@ -1,0 +1,317 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond-reference capabilities (the reference keeps duplicate edges,
+/root/reference/pagerank_mpi/csr_graph.c:49-57, and has no document
+dedup at all). Five methods over a ``documents``-shaped table
+(``doc_id:int64, text:string, ...``):
+
+- ``exact_dedup``        — content-hash groupby: one shuffle keyed by
+                           md5(text); keeper = min doc_id per group.
+- ``shingle_jaccard_pairs`` — exact k-char-shingle Jaccard for every
+                           pair inside a partition key (``group_col``),
+                           i.e. blocked pairwise dedup. At 100 TB the
+                           block key is the LSH bucket / domain / shard;
+                           only in-block pairs are ever materialized.
+- ``minhash_lsh_candidates`` — shingle -> MinHash(num_perm) -> band
+                           fold -> groupby(band, key) -> in-bucket
+                           pairs. The standard near-dup scale path: one
+                           shuffle of (bands x docs) small rows, never
+                           O(n^2).
+- ``simhash_candidates`` — 64-bit SimHash, banded by 16-bit prefix
+                           chunks (a Hamming-<=k lookup must collide on
+                           at least one of 4 bands when k <= 3; larger k
+                           is a recall heuristic), verified in-bucket by
+                           exact Hamming distance.
+- ``embedding_near_dup`` — cosine >= threshold pairs inside a bucket
+                           column (cluster / LSH bucket), vectorized
+                           numpy matmul per group.
+
+Partitioning assumptions are explicit: blocked methods only compare
+within ``group_col`` — the caller picks a key whose blocks fit one
+worker (source/domain at test scale, LSH bucket at web scale).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from parallel_pagerank_ray.functions import hashing as H
+from parallel_pagerank_ray.stages.agg import distinct, grouped_agg
+from parallel_pagerank_ray.util import drop_empty_blocks
+
+
+def add_fingerprint(docs: rd.Dataset) -> rd.Dataset:
+    """(doc_id, fingerprint=md5(text)) — the exact-dedup shuffle key."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fingerprint": pa.array(
+                    [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    return docs.map_batches(fp, batch_format="pyarrow")
+
+
+def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
+    """Hash-partition by content hash; keep min doc_id per group.
+
+    Output: (fingerprint, keeper, n_dups). Single groupby shuffle on the
+    16-byte hash — at 100 TB this moves only (hash, id) pairs, never the
+    text.
+    """
+    return grouped_agg(
+        add_fingerprint(docs),
+        ["fingerprint"],
+        {"keeper": ("doc_id", "min"), "n_dups": ("doc_id", "count")},
+    )
+
+
+def _distinct_shingles(text: str, k: int) -> set[str]:
+    if len(text) < k:
+        return {text} if text else set()
+    return {text[i : i + k] for i in range(len(text) - k + 1)}
+
+
+def shingle_jaccard_pairs(
+    docs: rd.Dataset, k: int = 5, group_col: str = "source"
+) -> rd.Dataset:
+    """Exact k-char-shingle Jaccard for every in-block pair.
+
+    Output: (doc_a, doc_b, jaccard) for doc_a < doc_b sharing
+    ``group_col``. Blocked pairwise comparison — the all-pairs cost is
+    bounded per block, and blocks shuffle independently.
+    """
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("doc_id").reset_index(drop=True)
+        ids = g["doc_id"].to_numpy()
+        sets = [_distinct_shingles(t, k) for t in g["text"]]
+        a_out: list[int] = []
+        b_out: list[int] = []
+        j_out: list[float] = []
+        for i in range(len(ids)):
+            for jx in range(i + 1, len(ids)):
+                inter = len(sets[i] & sets[jx])
+                union = len(sets[i]) + len(sets[jx]) - inter
+                a_out.append(int(ids[i]))
+                b_out.append(int(ids[jx]))
+                j_out.append(inter / union if union else 1.0)
+        return pd.DataFrame(
+            {
+                "doc_a": np.array(a_out, dtype=np.int64),
+                "doc_b": np.array(b_out, dtype=np.int64),
+                "jaccard": np.array(j_out, dtype=np.float64),
+            }
+        )
+
+    out = (
+        docs.select_columns(["doc_id", "text", group_col])
+        .groupby(group_col)
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return drop_empty_blocks(out)
+
+
+class _SignatureStage:
+    """Actor-pool stage: per-doc MinHash signature + LSH band keys.
+
+    MinHash permutation params are built ONCE in __init__ (per actor /
+    worker process), not per batch.
+    """
+
+    def __init__(self, num_perm: int, bands: int, k: int, seed: int = 42) -> None:
+        self.a, self.b = H.minhash_params(num_perm, seed=seed)
+        self.bands = bands
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        band_col: list[int] = []
+        key_col: list[int] = []
+        id_col: list[int] = []
+        for i, t in enumerate(texts):
+            sig = H.minhash_signature(H.char_shingles(t, self.k), self.a, self.b)
+            keys = H.band_keys(sig, self.bands)
+            for b in range(self.bands):
+                band_col.append(b)
+                key_col.append(int(keys[b].astype(np.int64)))  # view as int64
+                id_col.append(int(ids[i]))
+        return pa.table(
+            {
+                "band": pa.array(band_col, type=pa.int32()),
+                "key": pa.array(key_col, type=pa.int64()),
+                "doc_id": pa.array(id_col, type=pa.int64()),
+            }
+        )
+
+
+def minhash_lsh_candidates(
+    docs: rd.Dataset,
+    num_perm: int = 128,
+    bands: int = 16,
+    k: int = 5,
+    concurrency: int = 4,
+) -> rd.Dataset:
+    """MinHash + LSH near-dup candidate pairs: (doc_a, doc_b), doc_a < doc_b.
+
+    shingle -> signature (map_batches, params built once per worker) ->
+    explode to (band, key, doc_id) rows -> groupby bucket -> in-bucket
+    pairs -> global pair dedup (second groupby). Both shuffles move only
+    small integer rows.
+    """
+    sig_rows = docs.select_columns(["doc_id", "text"]).map_batches(
+        _SignatureStage,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(group["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {
+                    "doc_a": np.array([], dtype=np.int64),
+                    "doc_b": np.array([], dtype=np.int64),
+                }
+            )
+        i, j = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[i], "doc_b": ids[j]})
+
+    pairs = (
+        sig_rows.groupby(["band", "key"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    return distinct(drop_empty_blocks(pairs), ["doc_a", "doc_b"])
+
+
+class _SimhashStage:
+    """Actor-pool stage: 64-bit SimHash per doc, exploded into 16-bit
+    prefix-band rows for Hamming-bucketed candidate generation."""
+
+    def __init__(self, num_bands: int = 4) -> None:
+        import re
+
+        from parallel_pagerank_ray.functions.textstats import TOKEN_RE
+
+        self.token = re.compile(TOKEN_RE)
+        self.num_bands = num_bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        band_col: list[int] = []
+        key_col: list[int] = []
+        id_col: list[int] = []
+        sim_col: list[int] = []
+        for i, t in enumerate(texts):
+            sh = H.simhash(H.token_hashes(self.token.findall(t.lower())))
+            sim_i64 = int(np.uint64(sh).astype(np.int64))
+            for b in range(self.num_bands):
+                band_col.append(b)
+                key_col.append(int((int(sh) >> (16 * b)) & 0xFFFF))
+                id_col.append(int(ids[i]))
+                sim_col.append(sim_i64)
+        return pa.table(
+            {
+                "band": pa.array(band_col, type=pa.int32()),
+                "key": pa.array(key_col, type=pa.int64()),
+                "doc_id": pa.array(id_col, type=pa.int64()),
+                "simhash": pa.array(sim_col, type=pa.int64()),
+            }
+        )
+
+
+def simhash_candidates(
+    docs: rd.Dataset, max_hamming: int = 8, concurrency: int = 4
+) -> rd.Dataset:
+    """SimHash near-dup pairs: (doc_a, doc_b, hamming), hamming <= max.
+
+    Bucketing: docs colliding on any 16-bit prefix band are compared by
+    exact Hamming distance (complete for hamming <= 3 by pigeonhole over
+    4 bands; a recall heuristic above that). Pair dedup keeps min
+    hamming (identical for all copies of a pair).
+    """
+    rows = docs.select_columns(["doc_id", "text"]).map_batches(
+        _SimhashStage, batch_format="pyarrow", concurrency=concurrency
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sims = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        empty = {
+            "doc_a": np.array([], dtype=np.int64),
+            "doc_b": np.array([], dtype=np.int64),
+            "hamming": np.array([], dtype=np.int64),
+        }
+        if len(ids) < 2:
+            return pd.DataFrame(empty)
+        i, j = np.triu_indices(len(ids), k=1)
+        ham = H.hamming64(sims[i], sims[j]).astype(np.int64)
+        keep = ham <= max_hamming
+        if not keep.any():
+            return pd.DataFrame(empty)
+        return pd.DataFrame(
+            {"doc_a": ids[i][keep], "doc_b": ids[j][keep], "hamming": ham[keep]}
+        )
+
+    pairs = rows.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas")
+    return grouped_agg(
+        drop_empty_blocks(pairs),
+        ["doc_a", "doc_b"],
+        {"hamming": ("hamming", "min")},
+    )
+
+
+def embedding_near_dup(
+    embs: rd.Dataset,
+    threshold: float,
+    bucket_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Cosine-similarity >= threshold pairs inside each bucket.
+
+    Output: (vec_a, vec_b) with vec_a < vec_b. Pairwise work is blocked
+    by ``bucket_col`` (a cluster id / LSH bucket at scale); within a
+    bucket it is one float64 matmul, not a Python loop.
+    """
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        empty = {
+            "vec_a": np.array([], dtype=np.int64),
+            "vec_b": np.array([], dtype=np.int64),
+        }
+        if len(ids) < 2:
+            return pd.DataFrame(empty)
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ (mat / norms).T
+        i, j = np.triu_indices(len(ids), k=1)
+        keep = sims[i, j] >= threshold
+        if not keep.any():
+            return pd.DataFrame(empty)
+        return pd.DataFrame({"vec_a": ids[i][keep], "vec_b": ids[j][keep]})
+
+    out = (
+        embs.select_columns([id_col, vec_col, bucket_col])
+        .groupby(bucket_col)
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return drop_empty_blocks(out)

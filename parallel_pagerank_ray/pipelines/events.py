@@ -1,0 +1,98 @@
+"""Event-stream operators: tumbling-window rollups and gap sessionization.
+
+The reference has no streaming/windowed semantics (SURVEY.md §2.9); these
+are the windowed-aggregate operators a training-data pipeline needs over
+an ``events``-shaped table (event_id, ts, user_id, event_type, value).
+
+Monetary sums are carried as integer cents (``round(value*100)``) so the
+distributed sum is exact and order-independent — float accumulation
+order across partitions is not reproducible, integer sums are.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from parallel_pagerank_ray.stages.agg import grouped_agg
+from parallel_pagerank_ray.util import drop_empty_blocks
+
+
+def hourly_rollup(events: rd.Dataset) -> rd.Dataset:
+    """Tumbling 1-hour window x event_type: (hour, event_type, n_events,
+    value_cents). One groupby shuffle; the window key is computed
+    vectorized in the map stage (pre-aggregation happens map-side inside
+    Ray Data's groupby)."""
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "hour": df["ts"].dt.floor("h"),
+                "event_type": df["event_type"],
+                "cents": np.round(df["value"].to_numpy() * 100.0).astype(np.int64),
+            }
+        )
+
+    return grouped_agg(
+        events.select_columns(["ts", "event_type", "value"]).map_batches(
+            keyed, batch_format="pandas"
+        ),
+        ["hour", "event_type"],
+        {
+            "n_events": ("cents", "count"),
+            "value_cents": ("cents", "sum"),
+        },
+        num_buckets=16,
+    )
+
+
+def sessionize(events: rd.Dataset, gap_minutes: int = 30) -> rd.Dataset:
+    """Gap-based sessions per user: (user_id, n_events, n_sessions).
+
+    groupby(user_id) co-locates each user's events; the per-group kernel
+    sorts by ts and counts gaps > ``gap_minutes`` — vectorized numpy, no
+    cross-user state. Partitioning assumption: one user's events fit one
+    worker (true at any realistic skew; salt by day for pathological
+    users).
+    """
+    gap_us = np.int64(gap_minutes * 60 * 1_000_000)
+    num_buckets = 32
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "ts": df["ts"],
+                "bucket": df["user_id"].to_numpy() % num_buckets,
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized over every user in the bucket: sort (user, ts), a
+        # session break is a >gap diff that is not a user boundary
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        gap = np.concatenate(([False], np.diff(ts) > gap_us)) & ~new_user
+        users = uid[new_user]
+        run_id = np.cumsum(new_user) - 1
+        n_events = np.bincount(run_id)
+        n_sessions = 1 + np.bincount(run_id, weights=gap).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": users,
+                "n_events": n_events.astype(np.int64),
+                "n_sessions": n_sessions,
+            }
+        )
+
+    out = (
+        events.select_columns(["user_id", "ts"])
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return drop_empty_blocks(out)

@@ -21,8 +21,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Count, Max
-
 from parallel_pagerank_ray.functions.extract import ExtractLinks
 from parallel_pagerank_ray.util import drop_empty_blocks, safe_join
 
@@ -52,42 +50,70 @@ def links_from_pages(pages: rd.Dataset, concurrency: int | None = None) -> rd.Da
 def assign_vertex_ids(links: rd.Dataset, num_buckets: int = 64) -> rd.Dataset:
     """Distinct urls (src ∪ dst) -> vertices (url, vid) with dense vid 0..N-1.
 
-    Dense enumeration without a global sort: bucket urls by stable hash,
-    count per bucket (small shuffle), prefix-sum offsets on the driver,
-    then per-bucket sorted enumeration offset by the bucket's base. The
-    vid<->url bijection is deterministic for a given url set.
+    Dense enumeration without a global sort: per-batch distinct + stable
+    hash bucket, one bucket shuffle, per-bucket sorted dedup with a
+    local index (map_groups, vectorized), then prefix-sum bucket offsets
+    on the driver and a final offset-add map. The vid<->url bijection is
+    deterministic for a given url set at any parallelism.
     """
-    urls = (
-        links.select_columns(["src_url"])
-        .rename_columns({"src_url": "url"})
-        .union(links.select_columns(["dst_url"]).rename_columns({"dst_url": "url"}))
-        .groupby("url")
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["url"])
+    urls = links.select_columns(["src_url"]).rename_columns({"src_url": "url"}).union(
+        links.select_columns(["dst_url"]).rename_columns({"dst_url": "url"})
     )
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df["bucket"] = stable_bucket(df["url"], num_buckets)
-        return df
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame()
+        r = df[["url"]].drop_duplicates()
+        r = r.copy()
+        r["bucket"] = stable_bucket(r["url"], num_buckets)
+        return r
 
-    urls = urls.map_batches(add_bucket, batch_format="pandas").materialize()
-    counts = urls.groupby("bucket").aggregate(Count(alias_name="n")).take_all()
-    counts_by_bucket = {int(r["bucket"]): int(r["n"]) for r in counts}
+    def enumerate_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset="url").sort_values("url")
+        return pd.DataFrame(
+            {
+                "url": g["url"].to_numpy(),
+                "bucket": g["bucket"].to_numpy(),
+                "local_idx": np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    per_bucket = drop_empty_blocks(
+        urls.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(enumerate_bucket, batch_format="pandas")
+    ).materialize()
+
+    counts = (
+        per_bucket.map_batches(
+            lambda df: df.groupby("bucket", sort=False).size().reset_index(name="n")
+            if len(df)
+            else pd.DataFrame(),
+            batch_format="pandas",
+        ).take_all()
+    )
+    counts_by_bucket: dict[int, int] = {}
+    for r in counts:
+        counts_by_bucket[int(r["bucket"])] = (
+            counts_by_bucket.get(int(r["bucket"]), 0) + int(r["n"])
+        )
     offsets: dict[int, int] = {}
     acc = 0
     for b in sorted(counts_by_bucket):
         offsets[b] = acc
         acc += counts_by_bucket[b]
 
-    def enumerate_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        b = int(group["bucket"].iloc[0])
-        g = group.sort_values("url").reset_index(drop=True)
-        g["vid"] = offsets[b] + np.arange(len(g), dtype=np.int64)
-        return g[["url", "vid"]]
+    def add_offset(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame()
+        base = df["bucket"].map(offsets).to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"url": df["url"], "vid": base + df["local_idx"].to_numpy()}
+        )
 
-    out = urls.groupby("bucket").map_groups(enumerate_bucket, batch_format="pandas")
-    # map_groups emits schema-less empty blocks that break joins downstream
-    return drop_empty_blocks(out)
+    return drop_empty_blocks(
+        per_bucket.map_batches(add_offset, batch_format="pandas")
+    )
 
 
 def resolve_edges(
@@ -114,22 +140,21 @@ def resolve_edges(
     return e.select_columns(["src", "dst"])
 
 
-def dedup_edges(edges: rd.Dataset) -> rd.Dataset:
-    """Exact (src, dst) dedup — groupby hash shuffle (A10)."""
-    return (
-        edges.groupby(["src", "dst"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["src", "dst"])
-    )
+def dedup_edges(edges: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
+    """Exact (src, dst) dedup — bucketed hash shuffle + vectorized
+    per-bucket drop_duplicates (A10)."""
+    from parallel_pagerank_ray.stages.agg import distinct
+
+    return distinct(edges, ["src", "dst"], num_buckets=num_buckets)
 
 
-def out_degrees(edges: rd.Dataset) -> rd.Dataset:
+def out_degrees(edges: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
     """(vid, out_deg) for vids that have at least one out-edge."""
-    return (
-        edges.groupby("src")
-        .aggregate(Count(alias_name="out_deg"))
-        .rename_columns({"src": "vid"})
-    )
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    return grouped_agg(
+        edges, ["src"], {"out_deg": ("dst", "count")}, num_buckets=num_buckets
+    ).rename_columns({"src": "vid"})
 
 
 def undirected_edges(edges: rd.Dataset) -> rd.Dataset:
@@ -167,8 +192,12 @@ class Graph:
         edges = edges.materialize()
         if edges.count() == 0:
             return cls(n=0, edges=edges)
-        m = edges.aggregate(Max("src"), Max("dst"))
-        n = int(max(m["max(src)"], m["max(dst)"])) + 1
+        from parallel_pagerank_ray.stages.agg import global_agg
+
+        m = global_agg(
+            edges, {"ms": ("src", "max"), "md": ("dst", "max")}
+        )
+        n = int(max(m["ms"], m["md"])) + 1
         return cls(n=n, edges=edges)
 
     @classmethod

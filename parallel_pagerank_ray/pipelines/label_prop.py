@@ -17,9 +17,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 import numpy as np
-import pandas as pd
 import ray.data as rd
-from ray.data.aggregate import Max, Sum
 
 from parallel_pagerank_ray.pipelines.graph_build import Graph, undirected_edges
 from parallel_pagerank_ray.stages.csr_store import EdgeShardStore, LabelCountScatter
@@ -32,22 +30,47 @@ class LabelPropRun:
     history: list[dict] = field(default_factory=list)
 
 
-def _pick(group: pd.DataFrame) -> pd.DataFrame:
-    own = int(group["own"].max())  # ownership row carries the current label
-    votes = group[group["cnt"] > 0]
-    if len(votes) == 0:
-        chosen = own  # isolated vertex keeps its label
-    else:
-        # max count, then min label (deterministic tie-break)
-        votes = votes.sort_values(["cnt", "label"], ascending=[False, True])
-        chosen = int(votes["label"].iloc[0])
-    return pd.DataFrame(
-        {
-            "vid": [int(group["dst"].iloc[0])],
-            "label": np.array([chosen], dtype=np.int64),
-            "changed": np.array([int(chosen != own)], dtype=np.int64),
+def _make_gather_pick(nbig: int):
+    """Vectorized per-bucket LPA step: combine (dst,label) vote counts,
+    then argmax per dst with the (max count, min label) tie-break.
+
+    Integer counts + total-order tie-break -> order-independent, exact
+    at any parallelism. Replaces a per-vertex map_groups (Python call
+    per vertex) with three lexsorts per bucket.
+    """
+
+    def gather_pick(g: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        dst, lab, cnt, own = g["dst"], g["label"], g["cnt"], g["own"]
+        # current label per dst (exactly one ownership row per vertex)
+        om = own >= 0
+        odst, oown = dst[om], own[om]
+        oorder = np.argsort(odst, kind="stable")
+        odst, oown = odst[oorder], oown[oorder]
+
+        # combined vote counts per (dst, label)
+        key = dst * np.int64(nbig) + lab
+        u, inv = np.unique(key, return_inverse=True)
+        cnts = np.bincount(inv, weights=cnt).astype(np.int64)
+        m = cnts > 0
+        d2 = (u[m] // nbig).astype(np.int64)
+        l2 = (u[m] % nbig).astype(np.int64)
+        c2 = cnts[m]
+        # per-dst argmax: sort (dst asc, cnt desc, label asc), take first
+        order = np.lexsort((l2, -c2, d2))
+        d2s, l2s = d2[order], l2[order]
+        first = np.concatenate(([True], d2s[1:] != d2s[:-1])) if len(d2s) else np.array([], dtype=bool)
+        win_dst, win_lab = d2s[first], l2s[first]
+
+        chosen = oown.copy()  # isolated vertices keep their label
+        pos = np.searchsorted(odst, win_dst)
+        chosen[pos] = win_lab
+        return {
+            "vid": odst,
+            "label": chosen,
+            "changed": (chosen != oown).astype(np.int64),
         }
-    )
+
+    return gather_pick
 
 
 def label_propagation(
@@ -74,20 +97,30 @@ def label_propagation(
         .materialize()
     )
 
+    gather_pick = _make_gather_pick(n)
     it = 0
     history: list[dict] = []
     while it < max_iters:
         new = (
             labels.map_batches(scatter_fn, batch_format="numpy", batch_size=None)
-            .groupby(["dst", "label"])
-            .aggregate(Sum("cnt", alias_name="cnt"), Max("own", alias_name="own"))
-            .groupby("dst")
-            .map_groups(_pick, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(gather_pick, batch_format="numpy")
             .materialize()
         )
-        changed = int(new.aggregate(Sum("changed", alias_name="c"))["c"] or 0)
+
+        def changed_partial(b: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+            return {"c": np.array([b["changed"].sum()], dtype=np.int64)}
+
+        changed = int(
+            sum(
+                r["c"]
+                for r in new.map_batches(
+                    changed_partial, batch_format="numpy"
+                ).take_all()
+            )
+        )
         it += 1
-        labels = new.select_columns(["vid", "label"]).materialize()
+        labels = new  # scatter reads vid/label; extra column harmless
         history.append({"iter": it, "changed": changed})
         if changed == 0:
             it -= 1  # oracle counts rounds that changed something

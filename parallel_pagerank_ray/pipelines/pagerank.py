@@ -31,7 +31,6 @@ from typing import Any
 
 import numpy as np
 import ray.data as rd
-from ray.data.aggregate import Max, Sum
 
 from parallel_pagerank_ray.pipelines.graph_build import Graph
 from parallel_pagerank_ray.stages.csr_store import EdgeShardStore, PageRankScatter
@@ -59,15 +58,36 @@ def _init_ranks(graph: Graph) -> rd.Dataset:
     return graph.init_vertex_table().map_batches(add_rank, batch_format="numpy")
 
 
+def _gather_combine(g: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Vectorized per-bucket gather: sum contrib/p0/deg per dst.
+
+    Rows are lexsorted before accumulation so per-dst float sums are
+    order-deterministic at any parallelism (SURVEY.md §4 determinism).
+    """
+    order = np.lexsort((g["contrib"], g["dst"]))
+    dst = g["dst"][order]
+    u, inv = np.unique(dst, return_inverse=True)
+    return {
+        "dst": u,
+        "contrib": np.bincount(inv, weights=g["contrib"][order]),
+        "p0": np.bincount(inv, weights=g["p0"][order]),
+        "out_deg": np.bincount(inv, weights=g["deg"][order]).astype(np.int64),
+    }
+
+
 def _dangling_mass(ranks: rd.Dataset) -> float:
     def partial(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         m = batch["out_deg"] == 0
-        return {"dangling_rank": np.array([batch["rank"][m].sum()])}
+        return {
+            "dangling_rank": np.array([batch["rank"][m].sum()]),
+            "k": np.array([batch["vid"].min() if len(batch["vid"]) else -1]),
+        }
 
-    agg = ranks.map_batches(partial, batch_format="numpy").aggregate(
-        Sum("dangling_rank", alias_name="s")
+    rows = sorted(
+        ranks.map_batches(partial, batch_format="numpy").take_all(),
+        key=lambda r: r["k"],
     )
-    return float(agg["s"] or 0.0)
+    return float(sum(r["dangling_rank"] for r in rows))
 
 
 def pagerank(
@@ -163,23 +183,28 @@ def pagerank(
                 batch_format="numpy",
                 batch_size=None,
             )
-            .groupby("dst")
-            .aggregate(
-                Sum("contrib", alias_name="contrib"),
-                Sum("p0", alias_name="p0"),
-                Sum("deg", alias_name="out_deg"),
-            )
+            .groupby("bucket")  # ~num_parts distinct values, the only shuffle
+            .map_groups(_gather_combine, batch_format="numpy")
             .map_batches(update, batch_format="numpy")
             .materialize()
         )
-        agg = new.aggregate(
-            Sum("err", alias_name="l1"),
-            Max("err", alias_name="mx"),
-            Sum("dangling_rank", alias_name="dangling_next"),
+
+        def metrics_partial(b: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+            return {
+                "l1": np.array([b["err"].sum()]),
+                "mx": np.array([b["err"].max() if len(b["err"]) else 0.0]),
+                "dng": np.array([b["dangling_rank"].sum()]),
+                "k": np.array([b["vid"].min() if len(b["vid"]) else -1]),
+            }
+
+        # per-block partials combined in sorted order -> deterministic sums
+        rows = sorted(
+            new.map_batches(metrics_partial, batch_format="numpy").take_all(),
+            key=lambda r: r["k"],
         )
-        l1 = float(agg["l1"])
-        max_err = float(agg["mx"])
-        dangling = float(agg["dangling_next"] or 0.0)
+        l1 = float(sum(r["l1"] for r in rows))
+        max_err = float(max((r["mx"] for r in rows), default=0.0))
+        dangling = float(sum(r["dng"] for r in rows))
         it += 1
         converged = l1 < tol or max_err <= tol
         if l1 < tol:
@@ -196,9 +221,13 @@ def pagerank(
             "exit_reason": exit_reason if converged else "",
         }
         history.append(metrics)
-        ranks = new.select_columns(["vid", "rank", "out_deg"]).materialize()
+        # `new` carries (vid, rank, out_deg, err, dangling_rank); the next
+        # scatter reads only the first three — no second materialization.
+        ranks = new
         if ckpt is not None and (converged or it % checkpoint_every == 0):
-            ckpt.save_iter(it, ranks, metrics)
+            ckpt.save_iter(
+                it, new.select_columns(["vid", "rank", "out_deg"]), metrics
+            )
         if l1 < tol:
             break
 

@@ -1,0 +1,154 @@
+"""Relational operator parity: filter -> groupby-agg, join -> top-k, and
+the table-derived edge lists the graph pipelines run on.
+
+These exercise the generic Dataset operators (read-with-column-pruning,
+filter, groupby-aggregate, hash join, sort+limit) against the TPC-H-ish
+test tables; every query has an exact DuckDB oracle in __ray_entry__.
+
+Monetary aggregates use integer cents (exact, order-independent) — see
+pipelines/events.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from parallel_pagerank_ray.pipelines.graph_build import dedup_edges
+from parallel_pagerank_ray.util import safe_join
+
+
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
+    """Column-pruned parquet read of one test table."""
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def pricing_summary(lineitem: rd.Dataset, cutoff: str = "1998-09-02") -> rd.Dataset:
+    """TPC-H Q1 shape: shipdate filter -> groupby(flag, status) sums.
+
+    Output: (l_returnflag, l_linestatus, sum_qty_cents, sum_price_cents,
+    n_rows), integer-exact.
+    """
+    cut = np.datetime64(cutoff + "T00:00:00", "us")
+
+    def keyed(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), pa.scalar(cut)))
+        qty = pc.cast(pc.round(pc.multiply(t.column("l_quantity"), 100.0)), pa.int64())
+        price = pc.cast(
+            pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty_cents": qty,
+                "price_cents": price,
+            }
+        )
+
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    return grouped_agg(
+        lineitem.select_columns(
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"]
+        ).map_batches(keyed, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty_cents": ("qty_cents", "sum"),
+            "sum_price_cents": ("price_cents", "sum"),
+            "n_rows": ("qty_cents", "count"),
+        },
+        num_buckets=8,
+    )
+
+
+def top_customers(
+    orders: rd.Dataset, customer: rd.Dataset, k: int = 10, num_partitions: int = 8
+) -> rd.Dataset:
+    """orders ⋈ customer -> revenue per customer -> top-k.
+
+    Output: (c_custkey, c_name, n_orders, revenue_cents), sorted by
+    (revenue desc, custkey asc) — deterministic tie-break — limited to k.
+    """
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    rev = grouped_agg(
+        orders.select_columns(["o_custkey", "o_totalprice"]).map_batches(
+            cents, batch_format="pyarrow"
+        ),
+        ["o_custkey"],
+        {
+            "n_orders": ("cents", "count"),
+            "revenue_cents": ("cents", "sum"),
+        },
+        num_buckets=16,
+    )
+    joined = safe_join(
+        rev,
+        customer.select_columns(["c_custkey", "c_name"]),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    out = joined.sort(["revenue_cents", "o_custkey"], descending=[True, False]).limit(k)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": df["o_custkey"].astype(np.int64),
+                "c_name": df["c_name"],
+                "n_orders": df["n_orders"].astype(np.int64),
+                "revenue_cents": df["revenue_cents"].astype(np.int64),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+def supplier_part_edges(sf_dir: str) -> rd.Dataset:
+    """Directed bipartite edge table (src=l_suppkey, dst=l_partkey),
+    deduplicated. Parts have no out-edges -> heavy dangling mass, the
+    PageRank dangling-redistribution path under load."""
+    li = read_table(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+    edges = li.rename_columns({"l_suppkey": "src", "l_partkey": "dst"})
+    return dedup_edges(edges)
+
+
+def copurchase_edges(sf_dir: str, num_partitions: int = 8) -> rd.Dataset:
+    """Undirected-canonical co-purchase graph: parts appearing in the
+    same order, (src < dst), deduplicated. Self-join on the order key —
+    a genuine Dataset hash join — then canonical-pair dedup. Market-
+    basket graphs are hub-skewed: popular parts touch many orders."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    left = li.rename_columns({"l_partkey": "pa_"})
+    right = li.rename_columns({"l_partkey": "pb_"})
+    pairs = safe_join(
+        left,
+        right,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+    )
+
+    def canon(t: pa.Table) -> pa.Table:
+        a, b = t.column("pa_"), t.column("pb_")
+        keep = pc.less(a, b)
+        t2 = pa.table({"src": a, "dst": b}).filter(keep)
+        return t2
+
+    return dedup_edges(pairs.map_batches(canon, batch_format="pyarrow"))

@@ -1,0 +1,256 @@
+"""Approximate/exact nearest-neighbor search over an embedding column.
+
+Two paths over an ``embeddings``-shaped table
+(``vec_id:int64, embedding:list<float>, ...``):
+
+- ``knn_brute``: exact top-k cosine. The (small) query matrix is placed
+  in the object store ONCE (``ray.put``) and read zero-copy inside every
+  map task — broadcast join, not a shuffle. Each batch does one float64
+  matmul and emits only its local top-k rows per query; a final
+  per-query reduce (groupby + map_groups) merges partials. Traffic is
+  O(num_queries * k * num_blocks), never O(n).
+- ``knn_lsh``: the scale path — random-hyperplane LSH buckets built by a
+  stateful actor stage (projection matrix constructed once per worker),
+  probing only buckets within ``probe_hamming`` of the query's code.
+  Recall < 1 by design; tested against ``knn_brute`` in pytest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from parallel_pagerank_ray.util import drop_empty_blocks
+
+
+def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> column -> (n, dim) float64 matrix, zero-copy values."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    n = len(col)
+    return flat.reshape(n, -1).astype(np.float64, copy=False)
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+class _BruteScore:
+    """Stateless scoring task: batch x broadcast-queries matmul -> local
+    top-k rows (query_id, neighbor_id, sim). The query matrix ref is
+    resolved via ray.get per task — plasma keeps one copy per node."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str) -> None:
+        self.queries_ref = queries_ref
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q_ids, q_mat = ray.get(self.queries_ref)
+        ids = batch.column(self.id_col).to_numpy()
+        mat = _normalize(_to_matrix(batch.column(self.vec_col)))
+        sims = q_mat @ mat.T  # (Q, B)
+        # mask self-matches
+        self_m = q_ids[:, None] == ids[None, :]
+        sims[self_m] = -np.inf
+        k = min(self.k, sims.shape[1])
+        # partial top-k per query within this batch
+        part = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        rows_q: list[int] = []
+        rows_n: list[int] = []
+        rows_s: list[float] = []
+        for qi in range(len(q_ids)):
+            for col in part[qi]:
+                if np.isfinite(sims[qi, col]):
+                    rows_q.append(int(q_ids[qi]))
+                    rows_n.append(int(ids[col]))
+                    rows_s.append(float(sims[qi, col]))
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q, type=pa.int64()),
+                "neighbor_id": pa.array(rows_n, type=pa.int64()),
+                "sim": pa.array(rows_s, type=pa.float64()),
+            }
+        )
+
+
+def knn_brute(
+    embs: rd.Dataset,
+    queries: rd.Dataset | tuple[np.ndarray, np.ndarray],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_sim: bool = False,
+) -> rd.Dataset:
+    """Exact cosine top-k of every query against the full embedding table.
+
+    ``queries``: small Dataset (same schema) or a prefetched
+    (ids, matrix) pair; it is broadcast once via ``ray.put``.
+    Deterministic tie-break: (sim desc, neighbor_id asc).
+    """
+    if not isinstance(queries, tuple):
+        raise TypeError("pass queries as a prefetched (ids, matrix) tuple")
+    q_ids, q_mat = queries
+    q_mat = _normalize(np.asarray(q_mat, dtype=np.float64))
+    q_ids = np.asarray(q_ids, dtype=np.int64)
+    queries_ref = ray.put((q_ids, q_mat))
+
+    partials = embs.select_columns([id_col, vec_col]).map_batches(
+        _BruteScore(queries_ref, k, id_col, vec_col), batch_format="pyarrow"
+    )
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        out = g[["query_id", "neighbor_id"]].reset_index(drop=True)
+        if include_sim:
+            out["sim"] = g["sim"].to_numpy()
+        return out
+
+    out = partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return drop_empty_blocks(out)
+
+
+def load_queries(
+    embs_path: str, where_ids: set[int], id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side fetch of a small query set (filter pushed to the read)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(embs_path, columns=[id_col, vec_col])
+    ids = t.column(id_col).to_numpy()
+    mask = np.isin(ids, list(where_ids))
+    idx = np.nonzero(mask)[0]
+    mat = _to_matrix(t.column(vec_col))[idx]
+    order = np.argsort(ids[idx])
+    return ids[idx][order], mat[order]
+
+
+class _LSHCode:
+    """Stateful stage: sign-random-projection bucket code per vector.
+
+    The (dim x bits) Gaussian projection is built once per actor from a
+    fixed seed — identical codes on every worker.
+    """
+
+    def __init__(self, dim: int, bits: int, seed: int, id_col: str, vec_col: str):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, bits))
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch.column(self.vec_col))
+        bits = (mat @ self.planes) > 0
+        codes = (bits * (1 << np.arange(bits.shape[1], dtype=np.int64))).sum(axis=1)
+        return pa.table(
+            {
+                "vec_id": batch.column(self.id_col),
+                "code": pa.array(codes, type=pa.int64()),
+            }
+        )
+
+
+def lsh_codes(
+    embs: rd.Dataset,
+    dim: int,
+    bits: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 4,
+) -> rd.Dataset:
+    """(vec_id, code) — the bucket assignment for LSH-blocked ANN."""
+    return embs.select_columns([id_col, vec_col]).map_batches(
+        _LSHCode,
+        fn_constructor_kwargs={
+            "dim": dim,
+            "bits": bits,
+            "seed": seed,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def knn_lsh(
+    embs: rd.Dataset,
+    queries: tuple[np.ndarray, np.ndarray],
+    dim: int,
+    k: int = 5,
+    bits: int = 10,
+    probe_hamming: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """ANN: score only vectors whose LSH code is within ``probe_hamming``
+    of the query's code. Same output schema as ``knn_brute``; recall < 1.
+
+    The candidate filter runs inside the scoring stage (code recompute is
+    one tiny matmul) so no join materializes the candidate set.
+    """
+    q_ids, q_mat = queries
+    q_mat64 = _normalize(np.asarray(q_mat, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, bits))
+    q_codes = (
+        ((np.asarray(q_mat, dtype=np.float64) @ planes) > 0)
+        * (1 << np.arange(bits, dtype=np.int64))
+    ).sum(axis=1)
+    queries_ref = ray.put(
+        (np.asarray(q_ids, dtype=np.int64), q_mat64, q_codes, planes)
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        qi, qm, qc, pl = ray.get(queries_ref)
+        ids = batch.column(id_col).to_numpy()
+        raw = _to_matrix(batch.column(vec_col))
+        codes = (((raw @ pl) > 0) * (1 << np.arange(pl.shape[1], dtype=np.int64))).sum(
+            axis=1
+        )
+        mat = _normalize(raw)
+        xor = qc[:, None] ^ codes[None, :]
+        ham = np.zeros_like(xor)
+        for b in range(pl.shape[1]):
+            ham += (xor >> b) & 1
+        cand = ham <= probe_hamming
+        sims = qm @ mat.T
+        sims[~cand] = -np.inf
+        sims[qi[:, None] == ids[None, :]] = -np.inf
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+        rows_q, rows_n, rows_s = [], [], []
+        for r in range(len(qi)):
+            for col in part[r]:
+                if np.isfinite(sims[r, col]):
+                    rows_q.append(int(qi[r]))
+                    rows_n.append(int(ids[col]))
+                    rows_s.append(float(sims[r, col]))
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q, type=pa.int64()),
+                "neighbor_id": pa.array(rows_n, type=pa.int64()),
+                "sim": pa.array(rows_s, type=pa.float64()),
+            }
+        )
+
+    partials = embs.select_columns([id_col, vec_col]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        return g[["query_id", "neighbor_id"]].reset_index(drop=True)
+
+    out = partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return drop_empty_blocks(out)

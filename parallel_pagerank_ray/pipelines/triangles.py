@@ -5,26 +5,26 @@ the endpoint with smaller (degree, vid) to the larger — bounding every
 oriented out-degree at O(sqrt(E)), the skew-taming step (SURVEY.md §7.6,
 "heaviest shuffle, needs skew salting") — then
 
-    wedges   groupby(src).map_groups: all ordered pairs of out-neighbors
-    closure  wedges ∪ oriented-edges -> groupby((a,b)).sum: a wedge
+    wedges   bucket(u) -> vectorized all-pairs of each u's out-neighbors
+    closure  wedges ∪ oriented-edges -> bucketed (a,b) sum: a wedge
              (a,b) closes a triangle iff oriented edge (a,b) exists
 
-Everything is Dataset-native (three groupby shuffles + one join); the
-count is exact and parallelism-independent (integer arithmetic only).
-Matches ``oracle.triangle_count``.
+All wide steps run on the bucketed vectorized shuffle (stages/agg.py) —
+Ray Data's groupby().aggregate() per-row path is avoided throughout.
+The count is exact and parallelism-independent (integer arithmetic
+only). Matches ``oracle.triangle_count``.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
 
 from parallel_pagerank_ray.pipelines.graph_build import Graph, dedup_edges
-from parallel_pagerank_ray.util import safe_join
+from parallel_pagerank_ray.stages.agg import grouped_agg
+from parallel_pagerank_ray.util import drop_empty_blocks, safe_join
 
 
 def _simple_undirected(edges: rd.Dataset) -> rd.Dataset:
@@ -40,7 +40,43 @@ def _simple_undirected(edges: rd.Dataset) -> rd.Dataset:
     return dedup_edges(edges.map_batches(canon, batch_format="pyarrow"))
 
 
-def triangle_count(graph: Graph, num_partitions: int | None = None) -> int:
+def _pairs_within_groups(
+    sort_keys: tuple[np.ndarray, np.ndarray], values: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """All ordered pairs (values[i], values[j]) with i<j inside each run
+    of equal sort_keys[0] — fully vectorized (no per-group Python).
+
+    sort_keys = (group, order_within_group); pairs follow the
+    within-group order.
+    """
+    group, sub = sort_keys
+    order = np.lexsort((sub, group))
+    gs, vs = group[order], values[order]
+    n = len(gs)
+    if n == 0:
+        e = np.array([], dtype=values.dtype)
+        return e, e
+    # run lengths per group
+    new_run = np.concatenate(([True], gs[1:] != gs[:-1]))
+    run_id = np.cumsum(new_run) - 1
+    run_len = np.bincount(run_id)
+    start = np.concatenate(([0], np.cumsum(run_len)[:-1]))
+    local = np.arange(n) - start[run_id]
+    rep = run_len[run_id] - local - 1  # each row pairs with the rows after it
+    total = int(rep.sum())
+    if total == 0:
+        e = np.array([], dtype=values.dtype)
+        return e, e
+    a_pos = np.repeat(np.arange(n), rep)
+    csum = np.concatenate(([0], np.cumsum(rep)[:-1]))
+    b_off = np.arange(total) - np.repeat(csum, rep) + 1
+    b_pos = a_pos + b_off
+    return vs[a_pos], vs[b_pos]
+
+
+def triangle_count(
+    graph: Graph, num_partitions: int | None = None, num_buckets: int = 32
+) -> int:
     n = graph.n
     if n == 0:
         return 0
@@ -56,14 +92,14 @@ def triangle_count(graph: Graph, num_partitions: int | None = None) -> int:
         )
         return pa.table({"vid": v})
 
-    deg = (
-        und.map_batches(both_dirs, batch_format="pyarrow")
-        .groupby("vid")
-        .aggregate(Count(alias_name="deg"))
-    )
+    deg = grouped_agg(
+        und.map_batches(both_dirs, batch_format="pyarrow"),
+        ["vid"],
+        {"deg": ("vid", "count")},
+        num_buckets=num_buckets,
+    ).materialize()
 
     # attach degree to both endpoints (hash joins), orient by (deg, vid)
-    deg = deg.materialize()
     e = safe_join(
         und,
         deg,
@@ -88,47 +124,42 @@ def triangle_count(graph: Graph, num_partitions: int | None = None) -> int:
         ks = batch["deg_src"].astype(np.int64) * nbig + s
         kd = batch["deg_dst"].astype(np.int64) * nbig + d
         fwd = ks < kd
+        u = np.where(fwd, s, d)
         return {
-            "u": np.where(fwd, s, d),
+            "u": u,
             "v": np.where(fwd, d, s),
             "kv": np.where(fwd, kd, ks),  # orientation key of the head
+            "bucket": u % num_buckets,
         }
 
     oriented = e.map_batches(orient, batch_format="numpy").materialize()
 
-    def wedges(group: pd.DataFrame) -> pa.Table:
-        # returns Arrow so the union below sees one block type throughout
-        nb = group.sort_values("kv")["v"].to_numpy()
-        m = len(nb)
-        if m < 2:
-            empty = np.array([], dtype=np.int64)
-            return pa.table({"a": empty, "b": empty, "w": empty, "is_edge": empty})
-        i, j = np.triu_indices(m, k=1)
-        return pa.table(
-            {
-                "a": nb[i],
-                "b": nb[j],
-                "w": np.ones(len(i), dtype=np.int64),
-                "is_edge": np.zeros(len(i), dtype=np.int64),
-            }
-        )
+    def wedges(g: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        # neighbor lists ordered by kv -> emitted pairs (a,b) satisfy
+        # k(a) < k(b), i.e. b is the "far" endpoint of the wedge
+        a, b = _pairs_within_groups((g["u"], g["kv"]), g["v"])
+        z = np.zeros(len(a), dtype=np.int64)
+        return {"a": a, "b": b, "w": z + 1, "is_edge": z}
 
-    wedge_ds = oriented.groupby("u").map_groups(wedges, batch_format="pandas")
+    wedge_ds = oriented.groupby("bucket").map_groups(wedges, batch_format="numpy")
 
     def edge_rows(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         z = np.zeros(len(batch["u"]), dtype=np.int64)
         return {"a": batch["u"], "b": batch["v"], "w": z, "is_edge": z + 1}
 
-    closure = wedge_ds.union(oriented.map_batches(edge_rows, batch_format="numpy"))
-    per_pair = closure.groupby(["a", "b"]).aggregate(
-        Sum("w", alias_name="w"), Sum("is_edge", alias_name="is_edge")
+    closure = drop_empty_blocks(wedge_ds).union(
+        oriented.map_batches(edge_rows, batch_format="numpy")
+    )
+    per_pair = grouped_agg(
+        closure,
+        ["a", "b"],
+        {"w": ("w", "sum"), "is_edge": ("is_edge", "sum")},
+        num_buckets=num_buckets,
     )
 
     def matched(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         tri = np.where(batch["is_edge"] > 0, batch["w"], 0)
         return {"tri": np.array([tri.sum()], dtype=np.int64)}
 
-    agg = per_pair.map_batches(matched, batch_format="numpy").aggregate(
-        Sum("tri", alias_name="t")
-    )
-    return int(agg["t"] or 0)
+    parts = per_pair.map_batches(matched, batch_format="numpy").take_all()
+    return int(sum(r["tri"] for r in parts))

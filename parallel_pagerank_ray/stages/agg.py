@@ -1,0 +1,161 @@
+"""Bucketed vectorized aggregation — the engine's shuffle workhorse.
+
+Ray Data 2.49's ``groupby(keys).aggregate(...)`` materializes each key
+group through a per-row Python path: measured locally, a 100k-row
+single-key Sum takes ~24 s and grows with both rows and group count,
+while a hash-bucket shuffle (``groupby(bucket)`` over ~32 distinct
+values) followed by a vectorized pandas/numpy combine inside each
+bucket handles 1M rows / 200k distinct keys in <1 s. Every
+high-cardinality aggregation in this engine therefore runs as:
+
+    map_batches: per-batch partial combine (map-side combiner)
+               + deterministic hash bucket of the key columns
+    groupby("__b"): the only wide shuffle — ~num_buckets groups
+    map_groups:  vectorized final combine per bucket
+
+This is also the explicit-partitioning story for 100 TB: the bucket
+count is the partition count, the bucket function is stable across
+stages (reuse one key -> co-partitioned stages), and a hot key only
+ever costs one bucket (salt by appending a secondary column to
+``keys`` when a single key group itself overflows a worker).
+
+``global_agg`` does the same for whole-dataset scalars: per-batch
+partial rows -> driver-side combine of a handful of rows (replacing
+``Dataset.aggregate``'s per-row path). Partials are combined in sorted
+order so results are independent of block arrival order.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from parallel_pagerank_ray.util import drop_empty_blocks
+
+_HASH_KEY = "0123456789123456"  # fixed -> deterministic across processes
+
+# spec: out_col -> (in_col, how); how in {"sum", "min", "max", "count"}
+Spec = Mapping[str, tuple[str | None, str]]
+
+
+def bucket_of(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarray:
+    h = pd.util.hash_pandas_object(df[keys], index=False, hash_key=_HASH_KEY)
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
+def _combine(df: pd.DataFrame, keys: list[str], specs: Spec) -> pd.DataFrame:
+    gb = df.groupby(keys, sort=False)
+    pieces: dict[str, pd.Series] = {}
+    for out, (col, how) in specs.items():
+        if how == "count":
+            pieces[out] = gb.size()
+        else:
+            pieces[out] = getattr(gb[col], how)()
+    return pd.DataFrame(pieces).reset_index()
+
+
+def grouped_agg(
+    ds: rd.Dataset,
+    keys: Iterable[str],
+    specs: Spec,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Distributed groupby-aggregate, vectorized end to end.
+
+    Output: one row per distinct key combo with the spec'd columns.
+    ``count`` partials are summed in the final combine (algebraic
+    aggregates only — sum/min/max/count).
+    """
+    keys = list(keys)
+    final_specs: Spec = {
+        out: (out, "sum" if how == "count" else how)
+        for out, (_c, how) in specs.items()
+    }
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame()
+        r = _combine(df, keys, specs)
+        r["__b"] = bucket_of(r, keys, num_buckets)
+        return r
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        # Arrow out: downstream Dataset ops (rename/select/join) expect
+        # Arrow blocks
+        return pa.Table.from_pandas(
+            _combine(g.drop(columns="__b"), keys, final_specs), preserve_index=False
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )
+    return drop_empty_blocks(out)
+
+
+def distinct(ds: rd.Dataset, keys: Iterable[str], num_buckets: int = 32) -> rd.Dataset:
+    """Distinct key combos (exact dedup) via the bucketed path."""
+    keys = list(keys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame()
+        r = df[keys].drop_duplicates()
+        r = r.copy()
+        r["__b"] = bucket_of(r, keys, num_buckets)
+        return r
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(
+            g.drop(columns="__b").drop_duplicates(), preserve_index=False
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )
+    return drop_empty_blocks(out)
+
+
+def global_agg(ds: rd.Dataset, specs: Spec) -> dict[str, float | int]:
+    """Whole-dataset scalar aggregates: per-batch partial rows combined
+    driver-side in sorted order (deterministic w.r.t. block order).
+
+    Returns {out_col: value}; sums of empty input are 0, min/max None.
+    """
+    cols = list(specs)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame()
+        row: dict[str, list] = {}
+        for out, (col, how) in specs.items():
+            if how == "count":
+                row[out] = [len(df)]
+            else:
+                row[out] = [getattr(df[col], how)()]
+        return pd.DataFrame(row)
+
+    parts = ds.map_batches(partial, batch_format="pandas").take_all()
+    if not parts:
+        return {
+            out: (0 if how in ("sum", "count") else None)
+            for out, (_c, how) in specs.items()
+        }
+    pdf = pd.DataFrame(parts).sort_values(cols, kind="stable")
+    result: dict[str, float | int] = {}
+    for out, (_col, how) in specs.items():
+        s = pdf[out]
+        if how in ("sum", "count"):
+            result[out] = s.sum()
+        elif how == "min":
+            result[out] = s.min()
+        else:
+            result[out] = s.max()
+    return result

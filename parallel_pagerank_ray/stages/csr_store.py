@@ -174,12 +174,14 @@ class PageRankScatter(_ShardedScatter):
         vids = batch["vid"]
         ranks = batch["rank"]
         deg = batch["out_deg"]
+        ps = self.store.part_size
         z = np.zeros(len(vids), dtype=np.float64)
         yield {
             "dst": vids,
             "contrib": z,
             "p0": ranks,
             "deg": deg.astype(np.int64),
+            "bucket": vids // ps,  # gather shuffle key == CSR partition
         }
         for owner, odeg, dsts in self._iter_adj(vids):
             w = ranks[owner] / odeg  # p0[src]/out_deg[src], pagerank_mpi.c:181
@@ -190,6 +192,7 @@ class PageRankScatter(_ShardedScatter):
                 "contrib": sums,
                 "p0": np.zeros(len(u), dtype=np.float64),
                 "deg": np.zeros(len(u), dtype=np.int64),
+                "bucket": u // ps,
             }
 
 
@@ -205,7 +208,8 @@ class MinLabelScatter(_ShardedScatter):
     def __call__(self, batch: dict[str, np.ndarray]) -> Iterator[dict]:
         vids = batch["vid"]
         comp = batch["comp"]
-        yield {"dst": vids, "comp": comp, "old": comp}
+        ps = self.store.part_size
+        yield {"dst": vids, "comp": comp, "old": comp, "bucket": vids // ps}
         for owner, _odeg, dsts in self._iter_adj(vids):
             u, inv = np.unique(dsts, return_inverse=True)
             mins = np.full(len(u), INT64_MAX, dtype=np.int64)
@@ -214,6 +218,7 @@ class MinLabelScatter(_ShardedScatter):
                 "dst": u,
                 "comp": mins,
                 "old": np.full(len(u), INT64_MAX, dtype=np.int64),
+                "bucket": u // ps,
             }
 
 
@@ -230,20 +235,24 @@ class LabelCountScatter(_ShardedScatter):
         vids = batch["vid"]
         labels = batch["label"]
         nbig = np.int64(self.store.n)
+        ps = self.store.part_size
         yield {
             "dst": vids,
             "label": labels,
             "cnt": np.zeros(len(vids), dtype=np.int64),
             "own": labels,
+            "bucket": vids // ps,
         }
         for owner, _odeg, dsts in self._iter_adj(vids):
             lab = labels[owner]
             key = dsts * nbig + lab  # composite (dst,label); n^2 < 2^63 guard at build
             u, inv = np.unique(key, return_inverse=True)
             cnt = np.bincount(inv)
+            d = (u // nbig).astype(np.int64)
             yield {
-                "dst": (u // nbig).astype(np.int64),
+                "dst": d,
                 "label": (u % nbig).astype(np.int64),
                 "cnt": cnt.astype(np.int64),
                 "own": np.full(len(u), -1, dtype=np.int64),
+                "bucket": d // ps,
             }
