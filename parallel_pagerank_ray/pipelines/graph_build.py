@@ -234,17 +234,19 @@ class Graph:
             num_partitions=num_partitions,
         )
 
-    def init_vertex_table(self) -> rd.Dataset:
+    def init_vertex_table(self, num_parts: int | None = None) -> rd.Dataset:
         """(vid, out_deg) for EVERY vid 0..n-1 (dangling rows have 0).
 
         Uses range(n) ⋈ degrees left-outer so isolated ids (present in
         neither src nor dst of any edge after dedup) still get rows —
         mirrors the reference treating gaps in the id space as real
-        dangling nodes (csr_graph.c:27).
+        dangling nodes (csr_graph.c:27). ``num_parts`` controls the join
+        partition count (= downstream scatter parallelism).
         """
         deg = out_degrees(self.edges)
         allv = rd.range(self.n).rename_columns({"id": "vid"})
-        num_parts = max(2, min(64, math.ceil(self.n / 500_000)))
+        if num_parts is None:
+            num_parts = max(2, min(64, math.ceil(self.n / 500_000)))
         joined = safe_join(
             allv,
             deg,

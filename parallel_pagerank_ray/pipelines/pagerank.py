@@ -33,8 +33,16 @@ import numpy as np
 import ray.data as rd
 
 from parallel_pagerank_ray.pipelines.graph_build import Graph
-from parallel_pagerank_ray.stages.csr_store import EdgeShardStore, PageRankScatter
+from parallel_pagerank_ray.stages.csr_store import (
+    EdgeShardStore,
+    PageRankDenseScatter,
+    PageRankScatter,
+)
 from parallel_pagerank_ray.state.checkpoint import CheckpointManager
+
+# dense-segment gather when a bucket's float segment fits comfortably in
+# a worker heap (32 MiB); the row-based path is the sparse/huge-n fallback
+DENSE_SEGMENT_MAX_BYTES = 32 << 20
 
 
 @dataclass
@@ -45,7 +53,7 @@ class PageRankRun:
     history: list[dict[str, float]] = field(default_factory=list)
 
 
-def _init_ranks(graph: Graph) -> rd.Dataset:
+def _init_ranks(graph: Graph, num_parts: int | None = None) -> rd.Dataset:
     n = graph.n
 
     def add_rank(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
@@ -55,7 +63,56 @@ def _init_ranks(graph: Graph) -> rd.Dataset:
             "out_deg": batch["out_deg"].astype(np.int64),
         }
 
-    return graph.init_vertex_table().map_batches(add_rank, batch_format="numpy")
+    return graph.init_vertex_table(num_parts=num_parts).map_batches(
+        add_rank, batch_format="numpy"
+    )
+
+
+def _make_dense_gather_update(d: float, n: int, ps: int, dang: float):
+    """Fused per-bucket gather + rank update for the dense-segment path.
+
+    Segment rows (kind=0) are summed in ``origin`` order (deterministic);
+    ownership rows (kind=1) carry each vertex's p0/out_deg so no join is
+    needed. Update arithmetic is the normative pagerank_mpi.c:195 form.
+    """
+
+    def gather_update(g: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        order = np.argsort(g["origin"], kind="stable")
+        kinds = g["kind"][order]
+        a, b, c = g["a"][order], g["b"][order], g["c"][order]
+        base = int(g["bucket"][0]) * ps
+        contrib: np.ndarray | None = None
+        vid_parts: list[np.ndarray] = []
+        p0_parts: list[np.ndarray] = []
+        deg_parts: list[np.ndarray] = []
+        for i in range(len(kinds)):
+            if kinds[i] == 0:
+                seg = np.frombuffer(a[i], dtype=np.float64)
+                contrib = seg.copy() if contrib is None else contrib + seg
+            else:
+                vid_parts.append(np.frombuffer(a[i], dtype=np.int64))
+                p0_parts.append(np.frombuffer(b[i], dtype=np.float64))
+                deg_parts.append(np.frombuffer(c[i], dtype=np.int64))
+        vids = np.concatenate(vid_parts)
+        p0 = np.concatenate(p0_parts)
+        deg = np.concatenate(deg_parts)
+        cv = (
+            contrib[vids - base]
+            if contrib is not None
+            else np.zeros(len(vids), dtype=np.float64)
+        )
+        # normative operand order — pagerank_mpi.c:195
+        p1 = d * (cv + dang / n) + (1.0 - d) / n
+        err = np.abs(p1 - p0)  # pagerank_mpi.c:203-209
+        return {
+            "vid": vids,
+            "rank": p1,
+            "out_deg": deg,
+            "err": err,
+            "dangling_rank": np.where(deg == 0, p1, 0.0),
+        }
+
+    return gather_update
 
 
 def _gather_combine(g: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
@@ -111,7 +168,16 @@ def pagerank(
     if n == 0:
         return PageRankRun(ranks=rd.from_items([]), iterations=0, exit_reason="l1")
     if num_parts is None:
-        num_parts = max(4, min(256, n // 100_000 + 4))
+        # Dense-gather traffic is num_parts * n * 8 bytes per superstep, so
+        # fewer/larger parts win until scatter tasks starve CPUs (~cpus/4)
+        # or a segment outgrows the worker heap (part <= 4M vertices).
+        import math as _math
+
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+        num_parts = max(4, cpus // 4, _math.ceil(n / 4_000_000))
+        num_parts = min(num_parts, 256)
     if store is None:
         store = EdgeShardStore.build(graph.edges, n=n, num_parts=num_parts)
 
@@ -150,13 +216,16 @@ def pagerank(
                 )
 
     if ranks is None:
-        ranks = _init_ranks(graph).materialize()
+        ranks = _init_ranks(graph, num_parts=num_parts).materialize()
         dangling = _dangling_mass(ranks)
 
     # Stateless-task scatter: per-superstep executions re-create actor
     # pools, so a callable instance (tasks) is much lower latency; shard
     # fetches stay zero-copy/cached per worker process (see csr_store).
-    scatter_fn = PageRankScatter(store)
+    use_dense = store.part_size * 8 <= DENSE_SEGMENT_MAX_BYTES
+    scatter_fn = (
+        PageRankDenseScatter(store) if use_dense else PageRankScatter(store)
+    )
     exit_reason = "max_iters"
     # loop-top guard: pagerank_mpi.c:141
     while max_err > tol and it < max_iters:
@@ -177,17 +246,25 @@ def pagerank(
                 "dangling_rank": np.where(out_deg == 0, p1, 0.0),
             }
 
-        new = (
-            ranks.map_batches(
-                scatter_fn,
-                batch_format="numpy",
-                batch_size=None,
-            )
-            .groupby("bucket")  # ~num_parts distinct values, the only shuffle
-            .map_groups(_gather_combine, batch_format="numpy")
-            .map_batches(update, batch_format="numpy")
-            .materialize()
+        scattered = ranks.map_batches(
+            scatter_fn, batch_format="numpy", batch_size=None
         )
+        if use_dense:
+            new = (
+                scattered.groupby("bucket")
+                .map_groups(
+                    _make_dense_gather_update(d, n, store.part_size, dang),
+                    batch_format="numpy",
+                )
+                .materialize()
+            )
+        else:
+            new = (
+                scattered.groupby("bucket")  # ~num_parts values, the only shuffle
+                .map_groups(_gather_combine, batch_format="numpy")
+                .map_batches(update, batch_format="numpy")
+                .materialize()
+            )
 
         def metrics_partial(b: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
             return {

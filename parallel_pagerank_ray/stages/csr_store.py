@@ -196,6 +196,59 @@ class PageRankScatter(_ShardedScatter):
             }
 
 
+class PageRankDenseScatter(_ShardedScatter):
+    """Dense-segment scatter: per (input block, destination bucket) emit
+    ONE row carrying a dense float64 contribution segment (as bytes)
+    plus per-bucket ownership arrays (vids, p0, out_deg as bytes).
+
+    The gather then shuffles O(blocks x parts) small rows instead of
+    O(E) per-edge rows and sums segments vectorized — at web scale this
+    is the regime where E/blocks >= n (each block touches most of a
+    bucket's vertex range); the row-based ``PageRankScatter`` remains
+    the sparse-regime fallback. Accumulation order is fixed by the
+    ``origin`` column (min vid of the producing block), so per-vertex
+    float sums are deterministic at any parallelism.
+    """
+
+    def __call__(self, batch: dict[str, np.ndarray]) -> Iterator[dict]:
+        vids = batch["vid"]
+        ranks = batch["rank"]
+        deg = batch["out_deg"].astype(np.int64)
+        if len(vids) == 0:
+            return
+        ps = self.store.part_size
+        origin = int(vids.min())
+        ob = vids // ps
+        for p in np.unique(ob):
+            m = ob == p
+            yield {
+                "bucket": np.array([int(p)], dtype=np.int64),
+                "kind": np.array([1], dtype=np.int64),
+                "origin": np.array([origin], dtype=np.int64),
+                "a": [vids[m].astype(np.int64).tobytes()],
+                "b": [ranks[m].astype(np.float64).tobytes()],
+                "c": [deg[m].tobytes()],
+            }
+        acc: dict[int, np.ndarray] = {}
+        for owner, odeg, dsts in self._iter_adj(vids):
+            w = ranks[owner] / odeg  # pagerank_mpi.c:181
+            pb = dsts // ps
+            for p in np.unique(pb):
+                m = pb == p
+                add = np.bincount(dsts[m] - p * ps, weights=w[m], minlength=ps)
+                seg = acc.get(int(p))
+                acc[int(p)] = add if seg is None else seg + add
+        for p, seg in acc.items():
+            yield {
+                "bucket": np.array([p], dtype=np.int64),
+                "kind": np.array([0], dtype=np.int64),
+                "origin": np.array([origin], dtype=np.int64),
+                "a": [seg.tobytes()],
+                "b": [b""],
+                "c": [b""],
+            }
+
+
 class MinLabelScatter(_ShardedScatter):
     """Connected components / min-label propagation scatter.
 
