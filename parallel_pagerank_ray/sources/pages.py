@@ -25,14 +25,25 @@ def page_url(graph_name: str, vid: int) -> str:
     return f"https://{graph_name}.example/p{vid}"
 
 
-def page_html(graph_name: str, vid: int, outlinks: list[str]) -> str:
-    """Exact HTML template from FIXTURES.md §1 (normative, byte-checkable)."""
+def page_html(
+    graph_name: str, vid: int, outlinks: list[str], filler_paras: int = 0
+) -> str:
+    """Exact HTML template from FIXTURES.md §1 (normative, byte-checkable).
+
+    ``filler_paras`` appends deterministic <p> filler to approximate
+    real Common-Crawl page weight (bench corpora only; fixtures use 0).
+    """
     anchors = "".join(
         f'<a href="{dst}">link {j}</a>\n' for j, dst in enumerate(outlinks)
+    )
+    filler = "".join(
+        f"<p>para {k} of page {vid} " + "lorem ipsum dolor sit amet " * 5 + "</p>\n"
+        for k in range(filler_paras)
     )
     return (
         f"<html><head><title>page {vid}</title></head><body>\n"
         f"<p>doc {vid} of graph {graph_name}</p>\n"
+        f"{filler}"
         f"{anchors}"
         f"</body></html>"
     )
@@ -45,7 +56,9 @@ def page_text(graph_name: str, vid: int, n_links: int) -> str:
     return "\n".join(parts)
 
 
-def pages_table(graph_name: str, n: int, edges: np.ndarray | list) -> pa.Table:
+def pages_table(
+    graph_name: str, n: int, edges: np.ndarray | list, filler_paras: int = 0
+) -> pa.Table:
     """Build the pages table for a graph: one row per vertex 0..n-1.
 
     Outlink order per page = edge-list order within each src (mirrors the
@@ -58,7 +71,9 @@ def pages_table(graph_name: str, n: int, edges: np.ndarray | list) -> pa.Table:
     for vid in range(n):
         urls.append(page_url(graph_name, vid))
         tss.append(EPOCH + _dt.timedelta(seconds=vid))
-        htmls.append(page_html(graph_name, vid, out[vid]).encode("utf-8"))
+        htmls.append(
+            page_html(graph_name, vid, out[vid], filler_paras).encode("utf-8")
+        )
         texts.append(page_text(graph_name, vid, len(out[vid])))
     return pa.table(
         {

@@ -1,0 +1,92 @@
+"""Dedup suite: planted exact/near duplicates must be found."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from parallel_pagerank_ray.pipelines import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the band plays "
+    "a long tune about rivers and maps and the old stone bridge"
+)
+
+
+@pytest.fixture(scope="module")
+def docs_ds():
+    rng = np.random.default_rng(7)
+    words = BASE.split()
+    texts, sources = [], []
+    for i in range(40):
+        texts.append(" ".join(rng.permutation(words)))
+        sources.append(f"s{i % 4}")
+    # planted: 40+41 exact dups; 42 near-dup of 0 (one word changed)
+    texts.append(texts[0])
+    sources.append(sources[0])
+    texts.append(texts[0])
+    sources.append(sources[0])
+    near = texts[1].split()
+    near[3] = "NEAR"
+    texts.append(" ".join(near))
+    sources.append(sources[1])
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+            "source": pa.array(sources),
+        }
+    )
+    return rd.from_arrow(t)
+
+
+def test_exact_dedup_groups(docs_ds):
+    df = dedup.exact_dedup(docs_ds).to_pandas()
+    dups = df[df["n_dups"] > 1]
+    assert len(dups) == 1
+    assert int(dups["keeper"].iloc[0]) == 0
+    assert int(dups["n_dups"].iloc[0]) == 3  # docs 0, 40, 41
+
+
+def test_shingle_jaccard_finds_near_dup(docs_ds):
+    pairs = dedup.shingle_jaccard_pairs(docs_ds, k=5, group_col="source").to_pandas()
+    exact = pairs[(pairs.doc_a == 0) & (pairs.doc_b == 40)]
+    assert len(exact) == 1 and exact["jaccard"].iloc[0] == 1.0
+    near = pairs[(pairs.doc_a == 1) & (pairs.doc_b == 42)]
+    assert len(near) == 1 and near["jaccard"].iloc[0] > 0.8
+
+
+def test_minhash_lsh_recalls_planted_pairs(docs_ds):
+    cand = dedup.minhash_lsh_candidates(docs_ds, num_perm=128, bands=32).to_pandas()
+    got = set(zip(cand.doc_a, cand.doc_b))
+    assert (0, 40) in got and (0, 41) in got and (40, 41) in got
+    assert (1, 42) in got  # near-dup caught by at least one band
+
+
+def test_simhash_candidates(docs_ds):
+    cand = dedup.simhash_candidates(docs_ds, max_hamming=3).to_pandas()
+    got = set(zip(cand.doc_a, cand.doc_b))
+    assert (0, 40) in got and (0, 41) in got
+    ham0 = cand[(cand.doc_a == 0) & (cand.doc_b == 40)]["hamming"].iloc[0]
+    assert ham0 == 0  # identical text -> identical simhash
+
+
+def test_embedding_near_dup_planted():
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((30, 16)).astype(np.float32)
+    vecs[17] = vecs[4] + rng.standard_normal(16).astype(np.float32) * 0.01
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(30), type=pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs]),
+            "label": pa.array([i % 2 for i in range(30)], type=pa.int32()),
+        }
+    )
+    # 4 and 17 share label parity (both even? 4%2=0, 17%2=1) -> force same bucket
+    labels = [0] * 30
+    t = t.set_column(2, "label", pa.array(labels, type=pa.int32()))
+    out = dedup.embedding_near_dup(rd.from_arrow(t), threshold=0.98).to_pandas()
+    got = set(zip(out.vec_a, out.vec_b))
+    assert (4, 17) in got

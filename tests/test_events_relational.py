@@ -1,0 +1,149 @@
+"""Events windows/sessionization, relational aggregates vs DuckDB, and
+multimodal stage plumbing."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from parallel_pagerank_ray.functions.multimodal import DecodeImage, PayloadMeta
+from parallel_pagerank_ray.pipelines.events import hourly_rollup, sessionize
+from parallel_pagerank_ray.pipelines.relational import (
+    pricing_summary,
+    read_table,
+    top_customers,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_df():
+    rng = np.random.default_rng(5)
+    n = 500
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        np.sort(rng.integers(0, 86400 * 3, n)), unit="s"
+    )
+    return pd.DataFrame(
+        {
+            "ts": ts,
+            "user_id": rng.integers(0, 20, n).astype(np.int64),
+            "event_type": np.array(["a", "b", "c"])[rng.integers(0, 3, n)],
+            "value": np.round(rng.random(n) * 100, 2),
+        }
+    )
+
+
+def test_hourly_rollup_matches_pandas():
+    df = _events_df()
+    got = (
+        hourly_rollup(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values(["hour", "event_type"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.assign(
+            hour=df["ts"].dt.floor("h"),
+            cents=np.round(df["value"].to_numpy() * 100).astype(np.int64),
+        )
+        .groupby(["hour", "event_type"])
+        .agg(n_events=("cents", "size"), value_cents=("cents", "sum"))
+        .reset_index()
+        .sort_values(["hour", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
+    assert (got["value_cents"].to_numpy() == exp["value_cents"].to_numpy()).all()
+
+
+def test_sessionize_matches_reference():
+    df = _events_df()
+    got = sessionize(rd.from_pandas(df), gap_minutes=30).to_pandas()
+    got = got.sort_values("user_id").reset_index(drop=True)
+    exp_rows = []
+    for uid, g in df.groupby("user_id"):
+        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        n_sessions = 1 + int((np.diff(ts) > 30 * 60 * 1_000_000).sum())
+        exp_rows.append((uid, len(g), n_sessions))
+    exp = pd.DataFrame(exp_rows, columns=["user_id", "n_events", "n_sessions"])
+    assert got.to_dict("records") == exp.to_dict("records")
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in ["lineitem", "orders", "customer"]:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def test_pricing_summary_vs_duckdb(ddb):
+    got = (
+        pricing_summary(read_table(SF, "lineitem"))
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    exp = ddb.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+               count(*) AS n_rows
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    for c in ["sum_qty_cents", "sum_price_cents", "n_rows"]:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all()
+
+
+def test_top_customers_vs_duckdb(ddb):
+    got = top_customers(
+        read_table(SF, "orders"), read_table(SF, "customer"), k=10
+    ).to_pandas()
+    exp = ddb.sql(
+        """
+        SELECT c.c_custkey, count(*) AS n_orders,
+               CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1 ORDER BY revenue_cents DESC, c.c_custkey LIMIT 10
+        """
+    ).df()
+    assert got["c_custkey"].tolist() == exp["c_custkey"].tolist()
+    assert got["revenue_cents"].tolist() == exp["revenue_cents"].tolist()
+
+
+def test_multimodal_stages():
+    payloads = [b"\x00\x01binary-ish" * 50, b"tiny", b""]
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+    ds = rd.from_arrow(t)
+    meta = (
+        ds.map_batches(PayloadMeta(), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert meta["n_bytes"].tolist() == [len(p) for p in payloads]
+
+    fake = (
+        ds.map_batches(DecodeImage(fake=True), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert set(fake.columns) == {"doc_id", "height", "width", "mean_luma"}
+    assert (fake["height"] >= 1).all() and (fake["width"] >= 1).all()
+
+    with pytest.raises((NotImplementedError, Exception)):
+        ds.map_batches(DecodeImage(fake=False), batch_format="pyarrow").materialize()

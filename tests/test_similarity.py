@@ -1,0 +1,57 @@
+"""Similarity search: brute-force exactness + LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from parallel_pagerank_ray.pipelines.similarity import knn_brute, knn_lsh
+
+N, DIM, K, Q = 200, 32, 5, 8
+
+
+def _embs():
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((N, DIM))
+    ids = np.arange(N, dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([list(map(float, v)) for v in mat]),
+        }
+    )
+    return rd.from_arrow(t).repartition(4), ids, mat
+
+
+def _numpy_topk(ids, mat, q_ids, k):
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = set()
+    for qi in q_ids:
+        sims = norm[qi] @ norm.T
+        sims[qi] = -np.inf
+        order = np.lexsort((ids, -sims))[:k]
+        for nb in order:
+            out.add((int(qi), int(ids[nb])))
+    return out
+
+
+def test_knn_brute_exact():
+    ds, ids, mat = _embs()
+    q_ids = np.arange(Q, dtype=np.int64)
+    got = knn_brute(ds, (q_ids, mat[:Q]), k=K).to_pandas()
+    got_set = set(zip(got.query_id, got.neighbor_id))
+    assert got_set == _numpy_topk(ids, mat, q_ids, K)
+
+
+def test_knn_lsh_recall():
+    ds, ids, mat = _embs()
+    q_ids = np.arange(Q, dtype=np.int64)
+    truth = _numpy_topk(ids, mat, q_ids, K)
+    got = knn_lsh(
+        ds, (q_ids, mat[:Q]), dim=DIM, k=K, bits=8, probe_hamming=3
+    ).to_pandas()
+    got_set = set(zip(got.query_id, got.neighbor_id))
+    recall = len(got_set & truth) / len(truth)
+    assert recall >= 0.4  # approximate by design; bucketing must not collapse
+    assert len(got) <= Q * K
