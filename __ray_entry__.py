@@ -154,11 +154,13 @@ def q_graph_stats(sf_dir: str) -> pd.DataFrame:
 
 def q_pagerank_supplier_part_top20(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.graph_build import Graph
-    from parallel_pagerank_ray.pipelines.pagerank import pagerank
+    from parallel_pagerank_ray.pipelines.pagerank_actors import pagerank_bsp
     from parallel_pagerank_ray.pipelines.relational import supplier_part_edges
 
+    # BSP actor engine here; the pages query uses the Dataset engine —
+    # the driver gate exercises both (results identical, tests/test_bsp.py)
     g = Graph.from_int_edges(supplier_part_edges(sf_dir), dedup=False)
-    run = pagerank(g, d=0.85, tol=1e-3, max_iters=100)
+    run = pagerank_bsp(g, d=0.85, tol=1e-3, max_iters=100)
     return (
         run.ranks.select_columns(["vid", "rank"])
         .sort(["rank", "vid"], descending=[True, False])
