@@ -1,0 +1,176 @@
+"""CLI entry point — the engine's user-extension surface (SURVEY.md
+§2.10 replaces the reference's ``pagerank_mpi <file> <N> <threshold> <d>``
+argv interface and the Python drivers' subprocess plumbing).
+
+    python -m parallel_pagerank_ray run pagerank --pages pages.parquet \
+        --workdir /tmp/out --tol 1e-4 --damping 0.85 --engine bsp
+    python -m parallel_pagerank_ray run components --edges edges.txt
+    python -m parallel_pagerank_ray build --pages pages.parquet --workdir g/
+
+Inputs: ``--pages`` (Parquet, input_hint schema), ``--edges`` (Parquet
+with src/dst int64 columns, or a reference-format text edge list), or
+``--graph`` (a directory written by ``build``). Outputs: result Parquet
+under ``--workdir`` plus a metrics JSON per run. The CLI owns the Ray
+session (guarded init); library code never calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+
+def _load_graph(args):
+    import ray.data as rd
+
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+
+    if args.graph:
+        return Graph.load(args.graph)
+    if args.pages:
+        return Graph.from_pages(rd.read_parquet(args.pages))
+    if args.edges:
+        if args.edges.endswith((".txt", ".tsv", ".edges")):
+            from parallel_pagerank_ray.sources.edge_list import read_edge_list
+
+            return Graph.from_int_edges(read_edge_list(args.edges))
+        return Graph.from_int_edges(rd.read_parquet(args.edges))
+    raise SystemExit("one of --pages / --edges / --graph is required")
+
+
+def _write_result(ds, workdir: str, name: str, metrics: dict) -> None:
+    os.makedirs(workdir, exist_ok=True)
+    ds.write_parquet(os.path.join(workdir, name))
+    with open(os.path.join(workdir, f"{name}_metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=1, sort_keys=True)
+
+
+def cmd_run(args) -> int:
+    g = _load_graph(args)
+    t0 = time.time()
+    if args.algo == "pagerank":
+        if args.engine == "bsp":
+            from parallel_pagerank_ray.pipelines.pagerank_actors import pagerank_bsp
+
+            run = pagerank_bsp(
+                g, d=args.damping, tol=args.tol, max_iters=args.max_iters,
+                workdir=args.workdir if args.checkpoint else None,
+                checkpoint_every=1 if args.checkpoint else 0,
+            )
+        else:
+            from parallel_pagerank_ray.pipelines.pagerank import pagerank
+
+            run = pagerank(
+                g, d=args.damping, tol=args.tol, max_iters=args.max_iters,
+                workdir=args.workdir if args.checkpoint else None,
+            )
+        metrics = {
+            "algo": "pagerank", "engine": args.engine,
+            "iterations": run.iterations, "exit_reason": run.exit_reason,
+            "history": run.history, "secs": round(time.time() - t0, 3),
+        }
+        _write_result(
+            run.ranks.select_columns(["vid", "rank"]), args.workdir, "ranks", metrics
+        )
+    elif args.algo == "components":
+        if args.engine == "bsp":
+            from parallel_pagerank_ray.pipelines.components_actors import (
+                connected_components_bsp,
+            )
+
+            run = connected_components_bsp(g)
+        else:
+            from parallel_pagerank_ray.pipelines.components import (
+                connected_components,
+            )
+
+            run = connected_components(
+                g, workdir=args.workdir if args.checkpoint else None
+            )
+        metrics = {
+            "algo": "components", "engine": args.engine,
+            "iterations": run.iterations, "secs": round(time.time() - t0, 3),
+        }
+        _write_result(run.components, args.workdir, "components", metrics)
+    elif args.algo == "labelprop":
+        from parallel_pagerank_ray.pipelines.label_prop import label_propagation
+
+        run = label_propagation(g, max_iters=args.max_iters)
+        metrics = {
+            "algo": "labelprop", "iterations": run.iterations,
+            "secs": round(time.time() - t0, 3),
+        }
+        _write_result(run.labels, args.workdir, "labels", metrics)
+    elif args.algo == "triangles":
+        from parallel_pagerank_ray.pipelines.triangles import triangle_count
+
+        tri = triangle_count(g)
+        os.makedirs(args.workdir, exist_ok=True)
+        with open(os.path.join(args.workdir, "triangles.json"), "w") as f:
+            json.dump(
+                {"triangles": tri, "secs": round(time.time() - t0, 3)}, f
+            )
+        print(f"triangles: {tri}")
+        return 0
+    else:  # pragma: no cover
+        raise SystemExit(f"unknown algo {args.algo}")
+    print(json.dumps({k: metrics[k] for k in metrics if k != "history"}))
+    return 0
+
+
+def cmd_build(args) -> int:
+    g = _load_graph(args)
+    g.write(args.workdir)
+    print(json.dumps({"n": g.n, "edges": g.edges.count(), "workdir": args.workdir}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="parallel_pagerank_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add_io(sp):
+        sp.add_argument("--pages")
+        sp.add_argument("--edges")
+        sp.add_argument("--graph")
+        sp.add_argument("--workdir", default="/tmp/ppr_out")
+
+    run = sub.add_parser("run")
+    run.add_argument("algo", choices=["pagerank", "components", "labelprop", "triangles"])
+    add_io(run)
+    run.add_argument("--tol", type=float, default=1e-6)
+    run.add_argument("--damping", type=float, default=0.85)
+    run.add_argument("--max-iters", type=int, default=1000)
+    run.add_argument("--engine", choices=["dataset", "bsp"], default="dataset")
+    run.add_argument("--checkpoint", action="store_true")
+    run.set_defaults(fn=cmd_run)
+
+    build = sub.add_parser("build")
+    add_io(build)
+    build.set_defaults(fn=cmd_build)
+
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            logging_level=logging.ERROR,
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        return args.fn(args)
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

@@ -1,0 +1,111 @@
+"""BSP actor-pool connected components: min-label fixed point on
+stateful shards (same harness shape as pipelines/pagerank_actors.py).
+
+Each of P shards holds its slice of the undirected closure's edges and
+its label slice; a superstep is scatter (per-shard elementwise
+``np.minimum``-combined dense int64 candidate vector, one plasma put)
+followed by gather (min over incoming vectors + own labels, count
+changes). Integer min is order-independent, so results are exact at any
+parallelism — identical to ``oracle.connected_components``.
+
+Full-vector mode only (n * 8 bytes <= 256 MiB per put); larger graphs
+fall back to the Dataset engine (pipelines/components.py), whose
+per-bucket row gather has bounded memory.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+from parallel_pagerank_ray.pipelines.components import (
+    ComponentsRun,
+    connected_components,
+)
+from parallel_pagerank_ray.pipelines.graph_build import Graph, undirected_edges
+from parallel_pagerank_ray.stages.csr_store import EdgeShardStore
+
+_FULL_VEC_MAX = 256 << 20
+INT64_MAX = np.iinfo(np.int64).max
+
+
+@ray.remote
+class _CompShard:
+    def __init__(self, part: int, part_refs: list, n: int, part_size: int) -> None:
+        self.n = n
+        self.base = part * part_size
+        self.size = max(0, min(part_size, n - self.base))
+        if part_refs:
+            chunks = ray.get(part_refs)
+            self.src = np.concatenate([c[0] for c in chunks]) - self.base
+            self.dst = np.concatenate([c[1] for c in chunks])
+        else:
+            self.src = np.array([], dtype=np.int64)
+            self.dst = np.array([], dtype=np.int64)
+        self.comp = self.base + np.arange(self.size, dtype=np.int64)
+
+    def scatter(self):
+        """Dense candidate vector: min incoming label per destination."""
+        cand = np.full(self.n, INT64_MAX, dtype=np.int64)
+        if len(self.src):
+            np.minimum.at(cand, self.dst, self.comp[self.src])
+        return ray.put(cand)
+
+    def gather_update(self, refs: list) -> int:
+        new = self.comp.copy()
+        for cand in ray.get(list(refs)):
+            np.minimum(new, cand[self.base : self.base + self.size], out=new)
+        changed = int((new != self.comp).sum())
+        self.comp = new
+        return changed
+
+    def slice_table(self):
+        import pyarrow as pa
+
+        vids = self.base + np.arange(self.size, dtype=np.int64)
+        return pa.table({"vid": vids, "comp": self.comp})
+
+
+def connected_components_bsp(
+    graph: Graph, num_parts: int | None = None, max_iters: int = 10_000
+) -> ComponentsRun:
+    """Exact weakly connected components on the BSP actor engine;
+    falls back to the Dataset engine when n is too large for
+    full-vector exchange."""
+    import ray.data as rd
+
+    n = graph.n
+    if n == 0:
+        return ComponentsRun(components=rd.from_items([]), iterations=0)
+    if n * 8 > _FULL_VEC_MAX:
+        return connected_components(graph, num_parts=num_parts, max_iters=max_iters)
+    if num_parts is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_parts = min(256, max(4, cpus // 4))
+    und = undirected_edges(graph.edges)
+    store = EdgeShardStore.build(und, n=n, num_parts=num_parts)
+    P = max(1, -(-n // store.part_size))
+    cpus = max(2.0, float(ray.cluster_resources().get("CPU", 8)))
+    per_actor = round(min(1.0, max(0.01, (cpus - 1.0) / P)), 2)
+    actors = [
+        _CompShard.options(num_cpus=per_actor).remote(
+            p, store.part_refs.get(p, []), n, store.part_size
+        )
+        for p in range(P)
+    ]
+    it = 0
+    history: list[dict] = []
+    while it < max_iters:
+        refs = ray.get([a.scatter.remote() for a in actors])
+        changed = sum(ray.get([a.gather_update.remote(refs) for a in actors]))
+        it += 1
+        history.append({"iter": it, "changed": changed, "converged": changed == 0})
+        if changed == 0:
+            break
+    tables = [a.slice_table.remote() for a in actors]
+    ray.wait(tables, num_returns=len(tables))
+    for a in actors:
+        ray.kill(a)
+    return ComponentsRun(
+        components=rd.from_arrow_refs(tables), iterations=it, history=history
+    )

@@ -234,6 +234,37 @@ class Graph:
             num_partitions=num_partitions,
         )
 
+    def write(self, workdir: str) -> None:
+        """Persist the built graph as partitioned Parquet + meta.json —
+        the resumable ingest artifact (a failed downstream run reloads
+        this instead of re-extracting)."""
+        import json
+        import os
+
+        os.makedirs(workdir, exist_ok=True)
+        self.edges.write_parquet(os.path.join(workdir, "edges"))
+        if self.vertices is not None:
+            self.vertices.write_parquet(os.path.join(workdir, "vertices"))
+        tmp = os.path.join(workdir, "meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"n": self.n, "has_vertices": self.vertices is not None}, f)
+        os.replace(tmp, os.path.join(workdir, "meta.json"))
+
+    @classmethod
+    def load(cls, workdir: str) -> "Graph":
+        import json
+        import os
+
+        with open(os.path.join(workdir, "meta.json")) as f:
+            meta = json.load(f)
+        edges = rd.read_parquet(os.path.join(workdir, "edges"))
+        vertices = (
+            rd.read_parquet(os.path.join(workdir, "vertices"))
+            if meta.get("has_vertices")
+            else None
+        )
+        return cls(n=int(meta["n"]), edges=edges, vertices=vertices)
+
     def init_vertex_table(self, num_parts: int | None = None) -> rd.Dataset:
         """(vid, out_deg) for EVERY vid 0..n-1 (dangling rows have 0).
 

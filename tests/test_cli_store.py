@@ -1,0 +1,123 @@
+"""CLI smoke (in-process), resumable graph store, BSP components."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from parallel_pagerank_ray import oracle
+from parallel_pagerank_ray.pipelines.components_actors import connected_components_bsp
+from parallel_pagerank_ray.pipelines.graph_build import Graph
+from parallel_pagerank_ray.sources.edge_list import edges_dataset, read_edge_list
+
+
+def test_graph_write_load_roundtrip(graphs, tmp_path):
+    n, e = graphs["medium"]
+    g = Graph.from_int_edges(edges_dataset(e, num_blocks=2))
+    g.write(str(tmp_path / "g"))
+    g2 = Graph.load(str(tmp_path / "g"))
+    assert g2.n == g.n
+    a = g.edges.to_pandas().sort_values(["src", "dst"]).to_numpy()
+    b = g2.edges.to_pandas().sort_values(["src", "dst"]).to_numpy()
+    assert np.array_equal(a, b)
+
+
+def test_edge_list_reader(tmp_path, graphs):
+    n, e = graphs["small"]
+    path = tmp_path / "g.txt"
+    lines = ["# comment", "", "junk line"]
+    lines += [f"{u}\t{v}" for u, v in e]
+    path.write_text("\n".join(lines) + "\n")
+    got = (
+        read_edge_list(str(path))
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .to_numpy()
+    )
+    want = np.array(sorted(map(tuple, e)))
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("name", ["small", "two_comps", "dangling4"])
+def test_components_bsp_exact(graphs, name):
+    n, e = graphs[name]
+    g = Graph.from_int_edges(edges_dataset(e, num_blocks=2))
+    run = connected_components_bsp(g, num_parts=2)
+    got = run.components.to_pandas().sort_values("vid")["comp"].to_numpy()
+    assert np.array_equal(got, oracle.connected_components(n, e))
+
+
+def test_cli_run_pagerank(tmp_path, graphs, pages_dir):
+    # in-process CLI (ray already initialised by the session fixture;
+    # cli.main's guarded init is a no-op)
+    from parallel_pagerank_ray import cli
+
+    n, e = graphs["small"]
+    edge_file = tmp_path / "small.txt"
+    edge_file.write_text("\n".join(f"{u} {v}" for u, v in e) + "\n")
+    wd = str(tmp_path / "out")
+    rc = cli.cmd_run(
+        cli_args(
+            algo="pagerank", edges=str(edge_file), workdir=wd,
+            tol=1e-4, engine="bsp",
+        )
+    )
+    assert rc == 0
+    metrics = json.loads((tmp_path / "out" / "ranks_metrics.json").read_text())
+    tr = oracle.pagerank(n, np.unique(np.array(e), axis=0), tol=1e-4)
+    assert metrics["iterations"] == tr.iterations
+
+    import pyarrow.parquet as pq
+
+    got = (
+        pq.read_table(str(tmp_path / "out" / "ranks"))
+        .to_pandas()
+        .sort_values("vid")["rank"]
+        .to_numpy()
+    )
+    assert np.allclose(got, tr.ranks, atol=1e-6)
+
+
+def cli_args(**kw):
+    import argparse
+
+    defaults = dict(
+        pages=None, edges=None, graph=None, workdir="/tmp/ppr_out",
+        tol=1e-6, damping=0.85, max_iters=1000, engine="dataset",
+        checkpoint=False, algo="pagerank",
+    )
+    defaults.update(kw)
+    return argparse.Namespace(**defaults)
+
+
+def test_rank_histogram_matches_numpy(graphs):
+    from parallel_pagerank_ray.functions.metrics import rank_histogram
+    from parallel_pagerank_ray.pipelines.pagerank import pagerank
+
+    n, e = graphs["medium"]
+    g = Graph.from_int_edges(edges_dataset(e, num_blocks=2))
+    run = pagerank(g, tol=1e-6, num_parts=2)
+    counts, edges = rank_histogram(run.ranks, bins=5)
+    vals = run.ranks.to_pandas()["rank"].to_numpy()
+    want, wedges = np.histogram(vals, bins=5, range=(vals.min(), vals.max()))
+    assert np.array_equal(counts, want)
+    assert np.allclose(edges, wedges)
+
+
+def test_parse_reference_stdout():
+    from parallel_pagerank_ray.functions.metrics import parse_reference_stdout
+
+    text = (
+        "Iteration 1, Max Error: 0.100000, L1 Norm: 0.400000\n"
+        "Iteration 2, Max Error: 0.010000, L1 Norm: 0.040000\n"
+        "Converged based on L1 norm: 0.000040 < 0.000100\n"
+        "P_t1[0] = 0.25\nP_t1[1] = 0.75\n"
+        "Total time = 0.123 seconds\n"
+    )
+    got = parse_reference_stdout(text)
+    assert len(got["iterations"]) == 2 and got["iterations"][1]["l1"] == 0.04
+    assert got["total_time"] == 0.123
+    assert got["ranks"] == {0: 0.25, 1: 0.75}
+    assert got["converged_l1"]
