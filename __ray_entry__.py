@@ -176,7 +176,7 @@ def q_components_copurchase(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.stages.agg import grouped_agg
 
     g = Graph.from_int_edges(copurchase_edges(sf_dir), dedup=False)
-    run = connected_components(g)
+    run = connected_components(g)  # Dataset engine; BSP variant in tests
     return grouped_agg(
         run.components, ["comp"], {"size": ("vid", "count")}, num_buckets=8
     )
