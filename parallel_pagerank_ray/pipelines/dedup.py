@@ -41,7 +41,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from parallel_pagerank_ray.functions import hashing as H
-from parallel_pagerank_ray.stages.agg import distinct, grouped_agg
+from parallel_pagerank_ray.stages.agg import distinct, grouped_agg, pairs_within_groups
 from parallel_pagerank_ray.util import drop_empty_blocks
 
 
@@ -178,20 +178,31 @@ def minhash_lsh_candidates(
         concurrency=concurrency,
     )
 
+    # meta-bucket the (band, key) LSH buckets so each map_groups call
+    # handles thousands of buckets vectorized (pairs_within_groups) —
+    # one Python call per tiny bucket is ~1 ms x O(docs*bands) otherwise
+    meta = 64
+
+    def add_meta(b: pa.Table) -> pa.Table:
+        k = b.column("key").to_numpy()
+        band = b.column("band").to_numpy().astype(np.int64)
+        mb = (k.view(np.uint64) ^ (band.view(np.uint64) * np.uint64(0x9E3779B9))) % np.uint64(meta)
+        return b.append_column("mb", pa.array(mb.astype(np.int64)))
+
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {
-                    "doc_a": np.array([], dtype=np.int64),
-                    "doc_b": np.array([], dtype=np.int64),
-                }
-            )
-        i, j = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[i], "doc_b": ids[j]})
+        band = group["band"].to_numpy().astype(np.int64)
+        key = group["key"].to_numpy()
+        ids = group["doc_id"].to_numpy()
+        # composite bucket id: same (band, key) -> same run
+        comp = (key.view(np.uint64) * np.uint64(1099511628211)) ^ band.view(
+            np.uint64
+        )
+        a, b = pairs_within_groups((comp.view(np.int64), ids), ids)
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
 
     pairs = (
-        sig_rows.groupby(["band", "key"])
+        sig_rows.map_batches(add_meta, batch_format="pyarrow")
+        .groupby("mb")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     return distinct(drop_empty_blocks(pairs), ["doc_a", "doc_b"])
@@ -248,27 +259,46 @@ def simhash_candidates(
         _SimhashStage, batch_format="pyarrow", concurrency=concurrency
     )
 
+    meta = 64
+
+    def add_meta(b: pa.Table) -> pa.Table:
+        k = b.column("key").to_numpy()
+        band = b.column("band").to_numpy().astype(np.int64)
+        mb = (
+            k.view(np.uint64) ^ (band.view(np.uint64) * np.uint64(0x9E3779B9))
+        ) % np.uint64(meta)
+        return b.append_column("mb", pa.array(mb.astype(np.int64)))
+
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sims = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        band = group["band"].to_numpy().astype(np.int64)
+        key = group["key"].to_numpy()
+        ids = group["doc_id"].to_numpy()
+        sims = group["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        comp = (key.view(np.uint64) * np.uint64(1099511628211)) ^ band.view(
+            np.uint64
+        )
+        idx = np.arange(len(ids))
+        ai, bi = pairs_within_groups((comp.view(np.int64), ids), idx)
         empty = {
             "doc_a": np.array([], dtype=np.int64),
             "doc_b": np.array([], dtype=np.int64),
             "hamming": np.array([], dtype=np.int64),
         }
-        if len(ids) < 2:
+        if len(ai) == 0:
             return pd.DataFrame(empty)
-        i, j = np.triu_indices(len(ids), k=1)
-        ham = H.hamming64(sims[i], sims[j]).astype(np.int64)
+        ham = H.hamming64(sims[ai], sims[bi]).astype(np.int64)
         keep = ham <= max_hamming
         if not keep.any():
             return pd.DataFrame(empty)
         return pd.DataFrame(
-            {"doc_a": ids[i][keep], "doc_b": ids[j][keep], "hamming": ham[keep]}
+            {"doc_a": ids[ai][keep], "doc_b": ids[bi][keep], "hamming": ham[keep]}
         )
 
-    pairs = rows.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas")
+    pairs = (
+        rows.map_batches(add_meta, batch_format="pyarrow")
+        .groupby("mb")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
     return grouped_agg(
         drop_empty_blocks(pairs),
         ["doc_a", "doc_b"],

@@ -23,7 +23,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from parallel_pagerank_ray.pipelines.graph_build import Graph, dedup_edges
-from parallel_pagerank_ray.stages.agg import grouped_agg
+from parallel_pagerank_ray.stages.agg import grouped_agg, pairs_within_groups
 from parallel_pagerank_ray.util import drop_empty_blocks, safe_join
 
 
@@ -40,38 +40,7 @@ def _simple_undirected(edges: rd.Dataset) -> rd.Dataset:
     return dedup_edges(edges.map_batches(canon, batch_format="pyarrow"))
 
 
-def _pairs_within_groups(
-    sort_keys: tuple[np.ndarray, np.ndarray], values: np.ndarray
-) -> tuple[np.ndarray, np.ndarray]:
-    """All ordered pairs (values[i], values[j]) with i<j inside each run
-    of equal sort_keys[0] — fully vectorized (no per-group Python).
-
-    sort_keys = (group, order_within_group); pairs follow the
-    within-group order.
-    """
-    group, sub = sort_keys
-    order = np.lexsort((sub, group))
-    gs, vs = group[order], values[order]
-    n = len(gs)
-    if n == 0:
-        e = np.array([], dtype=values.dtype)
-        return e, e
-    # run lengths per group
-    new_run = np.concatenate(([True], gs[1:] != gs[:-1]))
-    run_id = np.cumsum(new_run) - 1
-    run_len = np.bincount(run_id)
-    start = np.concatenate(([0], np.cumsum(run_len)[:-1]))
-    local = np.arange(n) - start[run_id]
-    rep = run_len[run_id] - local - 1  # each row pairs with the rows after it
-    total = int(rep.sum())
-    if total == 0:
-        e = np.array([], dtype=values.dtype)
-        return e, e
-    a_pos = np.repeat(np.arange(n), rep)
-    csum = np.concatenate(([0], np.cumsum(rep)[:-1]))
-    b_off = np.arange(total) - np.repeat(csum, rep) + 1
-    b_pos = a_pos + b_off
-    return vs[a_pos], vs[b_pos]
+_pairs_within_groups = pairs_within_groups
 
 
 def triangle_count(

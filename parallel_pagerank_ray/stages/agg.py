@@ -123,6 +123,40 @@ def distinct(ds: rd.Dataset, keys: Iterable[str], num_buckets: int = 32) -> rd.D
     return drop_empty_blocks(out)
 
 
+def pairs_within_groups(
+    sort_keys: tuple[np.ndarray, np.ndarray], values: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """All ordered pairs (values[i], values[j]) with i<j inside each run
+    of equal sort_keys[0] — fully vectorized (no per-group Python).
+
+    sort_keys = (group, order_within_group); emitted pairs follow the
+    within-group order. Used by triangle wedges and LSH-bucket pair
+    generation.
+    """
+    group, sub = sort_keys
+    order = np.lexsort((sub, group))
+    gs, vs = group[order], values[order]
+    n = len(gs)
+    if n == 0:
+        e = np.array([], dtype=values.dtype)
+        return e, e
+    new_run = np.concatenate(([True], gs[1:] != gs[:-1]))
+    run_id = np.cumsum(new_run) - 1
+    run_len = np.bincount(run_id)
+    start = np.concatenate(([0], np.cumsum(run_len)[:-1]))
+    local = np.arange(n) - start[run_id]
+    rep = run_len[run_id] - local - 1  # each row pairs with the rows after it
+    total = int(rep.sum())
+    if total == 0:
+        e = np.array([], dtype=values.dtype)
+        return e, e
+    a_pos = np.repeat(np.arange(n), rep)
+    csum = np.concatenate(([0], np.cumsum(rep)[:-1]))
+    b_off = np.arange(total) - np.repeat(csum, rep) + 1
+    b_pos = a_pos + b_off
+    return vs[a_pos], vs[b_pos]
+
+
 def global_agg(ds: rd.Dataset, specs: Spec) -> dict[str, float | int]:
     """Whole-dataset scalar aggregates: per-batch partial rows combined
     driver-side in sorted order (deterministic w.r.t. block order).
