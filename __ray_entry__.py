@@ -350,6 +350,20 @@ def q_events_hourly(sf_dir: str) -> rd.Dataset:
     return rolled.map_batches(fmt, batch_format="pandas")
 
 
+def q_events_hopping(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.pipelines.events import hopping_rollup
+    from parallel_pagerank_ray.pipelines.relational import read_table
+
+    rolled = hopping_rollup(read_table(sf_dir, "events"), 60, 30)
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["win_start"] = df["win_start"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        return df
+
+    return rolled.map_batches(fmt, batch_format="pandas")
+
+
 def q_sessionize(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.events import sessionize
     from parallel_pagerank_ray.pipelines.relational import read_table
@@ -421,6 +435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": q_knn_lsh,
         "embedding_near_dup": q_embedding_near_dup,
         "events_hourly": q_events_hourly,
+        "events_hopping": q_events_hopping,
         "sessionize": q_sessionize,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -568,6 +583,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                      AS value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "events_hopping": """
+            WITH ex AS (
+              SELECT event_type,
+                     make_timestamp(
+                       ((epoch_us(ts) // 1800000000) * 1800000000)
+                       - j.range * 1800000000) AS ws,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events, range(2) j
+            )
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS value_cents
+            FROM ex GROUP BY 1, 2
         """,
         "sessionize": """
             WITH g AS (

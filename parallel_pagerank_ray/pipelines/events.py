@@ -47,6 +47,50 @@ def hourly_rollup(events: rd.Dataset) -> rd.Dataset:
     )
 
 
+def hopping_rollup(
+    events: rd.Dataset, size_minutes: int = 60, hop_minutes: int = 30
+) -> rd.Dataset:
+    """Hopping (sliding) window x event_type: each event lands in
+    ``size/hop`` overlapping windows; output (win_start, event_type,
+    n_events, value_cents).
+
+    The window replication happens vectorized in the map stage (flat-map:
+    one row -> size/hop rows keyed by window start), then one bucketed
+    groupby — the standard scale shape for sliding aggregates (no
+    per-window scan).
+    """
+    assert size_minutes % hop_minutes == 0, "size must be a multiple of hop"
+    k = size_minutes // hop_minutes
+    hop_us = np.int64(hop_minutes * 60 * 1_000_000)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+        et = df["event_type"].to_numpy()
+        # newest window containing ts starts at floor(ts/hop)*hop; the
+        # k-1 earlier hops also contain it
+        base = (ts // hop_us) * hop_us
+        starts = base[:, None] - hop_us * np.arange(k)[None, :]
+        rep = np.repeat(np.arange(len(ts)), k)
+        return pd.DataFrame(
+            {
+                "win_start": starts.reshape(-1).astype("datetime64[us]"),
+                "event_type": et[rep],
+                "cents": cents[rep],
+            }
+        )
+
+    rolled = grouped_agg(
+        events.select_columns(["ts", "event_type", "value"]).map_batches(
+            keyed, batch_format="pandas"
+        ),
+        ["win_start", "event_type"],
+        {"n_events": ("cents", "count"), "value_cents": ("cents", "sum")},
+        num_buckets=16,
+    )
+    return rolled
+
+
 def sessionize(events: rd.Dataset, gap_minutes: int = 30) -> rd.Dataset:
     """Gap-based sessions per user: (user_id, n_events, n_sessions).
 

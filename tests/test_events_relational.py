@@ -147,3 +147,34 @@ def test_multimodal_stages():
 
     with pytest.raises((NotImplementedError, Exception)):
         ds.map_batches(DecodeImage(fake=False), batch_format="pyarrow").materialize()
+
+
+def test_hopping_rollup_matches_reference():
+    from parallel_pagerank_ray.pipelines.events import hopping_rollup
+
+    df = _events_df()
+    got = (
+        hopping_rollup(rd.from_pandas(df), 60, 30)
+        .to_pandas()
+        .sort_values(["win_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    hop = 30 * 60 * 1_000_000
+    rows = []
+    for j in (0, 1):
+        d = df.copy()
+        d["win_start"] = ((ts // hop) * hop - j * hop).astype("datetime64[us]")
+        rows.append(d)
+    exp = (
+        pd.concat(rows)
+        .assign(cents=lambda d: np.round(d["value"].to_numpy() * 100).astype(np.int64))
+        .groupby(["win_start", "event_type"])
+        .agg(n_events=("cents", "size"), value_cents=("cents", "sum"))
+        .reset_index()
+        .sort_values(["win_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
+    assert (got["value_cents"].to_numpy() == exp["value_cents"].to_numpy()).all()
