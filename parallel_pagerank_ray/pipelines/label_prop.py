@@ -30,7 +30,7 @@ class LabelPropRun:
     history: list[dict] = field(default_factory=list)
 
 
-def _make_gather_pick(nbig: int):
+def _make_gather_pick(nbig: int, ps: int):
     """Vectorized per-bucket LPA step: combine (dst,label) vote counts,
     then argmax per dst with the (max count, min label) tie-break.
 
@@ -47,12 +47,14 @@ def _make_gather_pick(nbig: int):
         oorder = np.argsort(odst, kind="stable")
         odst, oown = odst[oorder], oown[oorder]
 
-        # combined vote counts per (dst, label)
-        key = dst * np.int64(nbig) + lab
+        # combined vote counts per (dst, label); composite key uses the
+        # bucket-local dst so part_size * n < 2^63 suffices at any n
+        b = np.int64(dst[0] // ps)
+        key = (dst - b * ps) * np.int64(nbig) + lab
         u, inv = np.unique(key, return_inverse=True)
         cnts = np.bincount(inv, weights=cnt).astype(np.int64)
         m = cnts > 0
-        d2 = (u[m] // nbig).astype(np.int64)
+        d2 = (u[m] // nbig).astype(np.int64) + b * ps
         l2 = (u[m] % nbig).astype(np.int64)
         c2 = cnts[m]
         # per-dst argmax: sort (dst asc, cnt desc, label asc), take first
@@ -81,11 +83,14 @@ def label_propagation(
     n = graph.n
     if n == 0:
         return LabelPropRun(labels=rd.from_items([]), iterations=0)
-    assert n < (1 << 31), "composite (dst,label) key needs n^2 < 2^63"
     if num_parts is None:
         num_parts = max(4, min(256, n // 100_000 + 4))
     und = undirected_edges(graph.edges)
     store = EdgeShardStore.build(und, n=n, num_parts=num_parts)
+    assert store.part_size * n < (1 << 63), (
+        "composite (local dst, label) key needs part_size * n < 2^63 — "
+        "raise num_parts"
+    )
     scatter_fn = LabelCountScatter(store)
 
     labels = (
@@ -97,7 +102,7 @@ def label_propagation(
         .materialize()
     )
 
-    gather_pick = _make_gather_pick(n)
+    gather_pick = _make_gather_pick(n, store.part_size)
     it = 0
     history: list[dict] = []
     while it < max_iters:

@@ -49,7 +49,6 @@ def triangle_count(
     n = graph.n
     if n == 0:
         return 0
-    assert n < (1 << 31), "orientation key needs n^2 < 2^63"
     if num_partitions is None:
         num_partitions = max(2, min(64, n // 100_000 + 2))
     und = _simple_undirected(graph.edges).materialize()
@@ -86,27 +85,33 @@ def triangle_count(
         right_on=("vid",),
     ).rename_columns({"deg": "deg_dst"})
 
-    nbig = np.int64(n)
-
     def orient(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         s, d = batch["src"], batch["dst"]
-        ks = batch["deg_src"].astype(np.int64) * nbig + s
-        kd = batch["deg_dst"].astype(np.int64) * nbig + d
-        fwd = ks < kd
+        ds_ = batch["deg_src"].astype(np.int64)
+        dd_ = batch["deg_dst"].astype(np.int64)
+        # lexicographic (deg, vid) comparison — no n^2 composite key,
+        # int64-safe at any vertex count
+        fwd = (ds_ < dd_) | ((ds_ == dd_) & (s < d))
         u = np.where(fwd, s, d)
+        v = np.where(fwd, d, s)
+        deg_v = np.where(fwd, dd_, ds_)
         return {
             "u": u,
-            "v": np.where(fwd, d, s),
-            "kv": np.where(fwd, kd, ks),  # orientation key of the head
+            "v": v,
+            "deg_v": deg_v,
             "bucket": u % num_buckets,
         }
 
     oriented = e.map_batches(orient, batch_format="numpy").materialize()
 
     def wedges(g: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
-        # neighbor lists ordered by kv -> emitted pairs (a,b) satisfy
-        # k(a) < k(b), i.e. b is the "far" endpoint of the wedge
-        a, b = _pairs_within_groups((g["u"], g["kv"]), g["v"])
+        # neighbor lists ordered by the orientation key (deg, vid) so an
+        # emitted pair (a,b) satisfies k(a) < k(b): the wedge closes iff
+        # the oriented edge (a,b) exists
+        order = np.lexsort((g["v"], g["deg_v"], g["u"]))
+        u = g["u"][order]
+        v = g["v"][order]
+        a, b = _pairs_within_groups((u, np.arange(len(u))), v)
         z = np.zeros(len(a), dtype=np.int64)
         return {"a": a, "b": b, "w": z + 1, "is_edge": z}
 

@@ -298,14 +298,19 @@ class LabelCountScatter(_ShardedScatter):
         }
         for owner, _odeg, dsts in self._iter_adj(vids):
             lab = labels[owner]
-            key = dsts * nbig + lab  # composite (dst,label); n^2 < 2^63 guard at build
-            u, inv = np.unique(key, return_inverse=True)
-            cnt = np.bincount(inv)
-            d = (u // nbig).astype(np.int64)
-            yield {
-                "dst": d,
-                "label": (u % nbig).astype(np.int64),
-                "cnt": cnt.astype(np.int64),
-                "own": np.full(len(u), -1, dtype=np.int64),
-                "bucket": d // ps,
-            }
+            db = dsts // ps
+            for b in np.unique(db):
+                m = db == b
+                # composite (local dst, label): needs part_size * n < 2^63
+                # (guard at build) — holds at 10^12 vertices with <=4M parts
+                key = (dsts[m] - b * ps) * nbig + lab[m]
+                u, inv = np.unique(key, return_inverse=True)
+                cnt = np.bincount(inv)
+                d = (u // nbig).astype(np.int64) + b * ps
+                yield {
+                    "dst": d,
+                    "label": (u % nbig).astype(np.int64),
+                    "cnt": cnt.astype(np.int64),
+                    "own": np.full(len(u), -1, dtype=np.int64),
+                    "bucket": np.full(len(u), b, dtype=np.int64),
+                }
