@@ -23,8 +23,49 @@ import numpy as np
 import ray.data as rd
 
 from parallel_pagerank_ray.pipelines.graph_build import Graph, undirected_edges
-from parallel_pagerank_ray.stages.csr_store import EdgeShardStore, MinLabelScatter
+from parallel_pagerank_ray.stages.csr_store import (
+    EdgeShardStore,
+    MinLabelDenseScatter,
+    MinLabelScatter,
+)
 from parallel_pagerank_ray.state.checkpoint import CheckpointManager
+
+DENSE_SEGMENT_MAX_BYTES = 32 << 20  # same bound as pipelines/pagerank.py
+
+
+def _dense_gather_min(ps: int):
+    """Fused per-bucket min-combine + changed count for the dense path."""
+
+    def gather(g: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        kinds = g["kind"]
+        a, b = g["a"], g["b"]
+        base = int(g["bucket"][0]) * ps
+        cand: np.ndarray | None = None
+        vid_parts: list[np.ndarray] = []
+        comp_parts: list[np.ndarray] = []
+        for i in range(len(kinds)):
+            if kinds[i] == 0:
+                seg = np.frombuffer(a[i], dtype=np.int64)
+                if cand is None:
+                    cand = seg.copy()
+                else:
+                    np.minimum(cand, seg, out=cand)
+            else:
+                vid_parts.append(np.frombuffer(a[i], dtype=np.int64))
+                comp_parts.append(np.frombuffer(b[i], dtype=np.int64))
+        vids = np.concatenate(vid_parts)
+        old = np.concatenate(comp_parts)
+        if cand is None:
+            new = old
+        else:
+            new = np.minimum(old, cand[vids - base])
+        return {
+            "vid": vids,
+            "comp": new,
+            "changed": (new != old).astype(np.int64),
+        }
+
+    return gather
 
 
 @dataclass
@@ -48,7 +89,11 @@ def connected_components(
         num_parts = max(4, min(256, n // 100_000 + 4))
     und = undirected_edges(graph.edges)
     store = EdgeShardStore.build(und, n=n, num_parts=num_parts)
-    scatter_fn = MinLabelScatter(store)
+    use_dense = store.part_size * 8 <= DENSE_SEGMENT_MAX_BYTES
+    scatter_fn = (
+        MinLabelDenseScatter(store) if use_dense else MinLabelScatter(store)
+    )
+    dense_gather = _dense_gather_min(store.part_size)
 
     ckpt: CheckpointManager | None = None
     it = 0
@@ -91,7 +136,9 @@ def connected_components(
         new = (
             comps.map_batches(scatter_fn, batch_format="numpy", batch_size=None)
             .groupby("bucket")
-            .map_groups(gather_min, batch_format="numpy")
+            .map_groups(
+                dense_gather if use_dense else gather_min, batch_format="numpy"
+            )
             .materialize()
         )
 

@@ -249,6 +249,47 @@ class PageRankDenseScatter(_ShardedScatter):
             }
 
 
+class MinLabelDenseScatter(_ShardedScatter):
+    """Dense-segment variant of MinLabelScatter: per (block, bucket) one
+    int64 min-candidate segment (bytes column) + per-bucket ownership
+    rows (vids + current comps as bytes). Same shape as
+    PageRankDenseScatter; min replaces sum, so no ordering is needed at
+    all (fully order-independent, exact)."""
+
+    def __call__(self, batch: dict[str, np.ndarray]) -> Iterator[dict]:
+        vids = batch["vid"]
+        comp = batch["comp"]
+        if len(vids) == 0:
+            return
+        ps = self.store.part_size
+        ob = vids // ps
+        for p in np.unique(ob):
+            m = ob == p
+            yield {
+                "bucket": np.array([int(p)], dtype=np.int64),
+                "kind": np.array([1], dtype=np.int64),
+                "a": [vids[m].astype(np.int64).tobytes()],
+                "b": [comp[m].astype(np.int64).tobytes()],
+            }
+        acc: dict[int, np.ndarray] = {}
+        for owner, _odeg, dsts in self._iter_adj(vids):
+            pb = dsts // ps
+            for p in np.unique(pb):
+                m = pb == p
+                seg = acc.get(int(p))
+                if seg is None:
+                    seg = np.full(ps, INT64_MAX, dtype=np.int64)
+                    acc[int(p)] = seg
+                np.minimum.at(seg, dsts[m] - p * ps, comp[owner][m])
+        for p, seg in acc.items():
+            yield {
+                "bucket": np.array([p], dtype=np.int64),
+                "kind": np.array([0], dtype=np.int64),
+                "a": [seg.tobytes()],
+                "b": [b""],
+            }
+
+
 class MinLabelScatter(_ShardedScatter):
     """Connected components / min-label propagation scatter.
 
