@@ -214,6 +214,38 @@ def _documents(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def q_degree_histogram(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.pipelines.graph_build import out_degrees
+    from parallel_pagerank_ray.pipelines.relational import supplier_part_edges
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    deg = out_degrees(supplier_part_edges(sf_dir))
+    return grouped_agg(
+        deg, ["out_deg"], {"n_vertices": ("vid", "count")}, num_buckets=8
+    )
+
+
+def q_sample_docs(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.functions.sampling import hash_sample
+
+    return hash_sample(
+        _documents(sf_dir, ["doc_id"]), "doc_id", rate_pct=10
+    ).select_columns(["doc_id"])
+
+
+def q_quality_filter(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.functions.textstats import TextStats
+
+    stats = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        TextStats, batch_format="pandas", concurrency=4
+    )
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["quality"] >= 0.15, ["doc_id"]]
+
+    return stats.map_batches(keep, batch_format="pandas")
+
+
 def q_text_stats(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.functions.textstats import TextStats
 
@@ -424,6 +456,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "components_copurchase": q_components_copurchase,
         "labelprop_copurchase": q_labelprop_copurchase,
         "triangles_copurchase": q_triangles_copurchase,
+        "degree_histogram": q_degree_histogram,
+        "sample_docs": q_sample_docs,
+        "quality_filter": q_quality_filter,
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_shingle_jaccard": q_dedup_shingle_jaccard,
@@ -498,6 +533,33 @@ def oracle_sql() -> dict[str, str]:
             FROM und e1
             JOIN und e2 ON e1.dst = e2.src
             JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        """,
+        "degree_histogram": f"""
+            WITH e AS ({_SUPP_PART_SQL}),
+                 deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY 1)
+            SELECT out_deg, count(*) AS n_vertices FROM deg GROUP BY 1
+        """,
+        "sample_docs": """
+            SELECT doc_id FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS UBIGINT) % 100 < 10
+        """,
+        "quality_filter": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     length(regexp_extract_all(text, '{TOKEN_SQL}')) AS n_tokens,
+                     length(regexp_extract_all(text, '{PUNCT_SQL}')) AS n_punct,
+                     length(list_filter(
+                         regexp_extract_all(lower(text), '{TOKEN_SQL}'),
+                         w -> w IN {STOPWORD_SQL})) AS n_stop
+              FROM documents
+            )
+            SELECT doc_id FROM t
+            WHERE (least(n_chars / 1000.0, 1.0)
+                   + least(CASE WHEN n_tokens > 0
+                                THEN n_stop / n_tokens ELSE 0.0 END, 0.5) * 2.0
+                   + CASE WHEN n_punct > 0 THEN 1.0 ELSE 0.0 END) / 3.0 >= 0.15
         """,
         "text_stats": f"""
             WITH t AS (
