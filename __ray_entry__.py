@@ -246,6 +246,30 @@ def q_quality_filter(sf_dir: str) -> rd.Dataset:
     return stats.map_batches(keep, batch_format="pandas")
 
 
+def q_top_docs_per_source(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.functions.textstats import TextStats
+    from parallel_pagerank_ray.stages.agg import grouped_topk
+    from parallel_pagerank_ray.util import safe_join
+
+    stats = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        TextStats, batch_format="pandas", concurrency=4
+    )
+    with_src = safe_join(
+        stats.select_columns(["doc_id", "quality"]),
+        _documents(sf_dir, ["doc_id", "source"]).rename_columns(
+            {"doc_id": "d2"}
+        ),
+        join_type="inner",
+        num_partitions=4,
+        on=("doc_id",),
+        right_on=("d2",),
+    ).select_columns(["doc_id", "source", "quality"])
+    top = grouped_topk(
+        with_src, ["source"], ["quality", "doc_id"], [False, True], k=3
+    )
+    return top.select_columns(["source", "doc_id"])
+
+
 def q_text_stats(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.functions.textstats import TextStats
 
@@ -459,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_histogram": q_degree_histogram,
         "sample_docs": q_sample_docs,
         "quality_filter": q_quality_filter,
+        "top_docs_per_source": q_top_docs_per_source,
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_shingle_jaccard": q_dedup_shingle_jaccard,
@@ -560,6 +585,30 @@ def oracle_sql() -> dict[str, str]:
                    + least(CASE WHEN n_tokens > 0
                                 THEN n_stop / n_tokens ELSE 0.0 END, 0.5) * 2.0
                    + CASE WHEN n_punct > 0 THEN 1.0 ELSE 0.0 END) / 3.0 >= 0.15
+        """,
+        "top_docs_per_source": f"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     length(text) AS n_chars,
+                     length(regexp_extract_all(text, '{TOKEN_SQL}')) AS n_tokens,
+                     length(regexp_extract_all(text, '{PUNCT_SQL}')) AS n_punct,
+                     length(list_filter(
+                         regexp_extract_all(lower(text), '{TOKEN_SQL}'),
+                         w -> w IN {STOPWORD_SQL})) AS n_stop
+              FROM documents
+            ),
+            q AS (
+              SELECT doc_id, source,
+                     (least(n_chars / 1000.0, 1.0)
+                      + least(CASE WHEN n_tokens > 0
+                                   THEN n_stop / n_tokens ELSE 0.0 END, 0.5) * 2.0
+                      + CASE WHEN n_punct > 0 THEN 1.0 ELSE 0.0 END) / 3.0
+                       AS quality
+              FROM t
+            )
+            SELECT source, doc_id FROM q
+            QUALIFY row_number() OVER (
+                PARTITION BY source ORDER BY quality DESC, doc_id) <= 3
         """,
         "text_stats": f"""
             WITH t AS (

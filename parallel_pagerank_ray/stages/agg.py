@@ -123,6 +123,52 @@ def distinct(ds: rd.Dataset, keys: Iterable[str], num_buckets: int = 32) -> rd.D
     return drop_empty_blocks(out)
 
 
+def grouped_topk(
+    ds: rd.Dataset,
+    group_cols: Iterable[str],
+    order_cols: Iterable[str],
+    ascending: Iterable[bool],
+    k: int,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Top-k rows per group (window-rank semantics), bucketed.
+
+    Map-side prune: each batch keeps at most k rows per group before the
+    shuffle, so traffic is O(groups * k * blocks) regardless of row
+    count. Deterministic when ``order_cols`` is a total order.
+    """
+    group_cols = list(group_cols)
+    order_cols = list(order_cols)
+    ascending = list(ascending)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(order_cols, ascending=ascending, kind="stable")
+            .groupby(group_cols, sort=False)
+            .head(k)
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame()
+        r = topk(df)
+        r = r.copy()
+        r["__b"] = bucket_of(r, group_cols, num_buckets)
+        return r
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(
+            topk(g.drop(columns="__b")), preserve_index=False
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )
+    return drop_empty_blocks(out)
+
+
 def pairs_within_groups(
     sort_keys: tuple[np.ndarray, np.ndarray], values: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
