@@ -52,8 +52,17 @@ def pagerank(
     d: float = 0.85,
     tol: float = 1e-6,
     max_iters: int = 1000,
+    e: np.ndarray | None = None,
 ) -> PageRankTrace:
-    """Dense power-iteration PageRank with the reference's arithmetic."""
+    """Dense power-iteration PageRank with the reference's arithmetic.
+
+    ``e`` is the personalization / restart vector (the reference's Node.e
+    field, initialized to 1/N and never used — pagerank_mpi.h:10-14,
+    pagerank_mpi.c:52; implemented properly here). ``e=None`` is the
+    uniform case and reproduces the reference bit-for-bit:
+    ``d*(contrib + dangling*e_v) + (1-d)*e_v`` with ``e_v = 1/n`` equals
+    ``d*(contrib + dangling/n) + (1-d)/n``.
+    """
     edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
     deg = out_degrees(n, edges)
     dangling_mask = deg == 0
@@ -62,7 +71,10 @@ def pagerank(
     nz = deg > 0
     inv_deg[nz] = 1.0 / deg[nz]
 
-    p1 = np.full(n, 1.0 / n, dtype=np.float64)
+    uniform = e is None
+    if not uniform:
+        e = np.asarray(e, dtype=np.float64)
+    p1 = np.full(n, 1.0 / n, dtype=np.float64) if uniform else e.copy()
     max_err = np.inf
     it = 0
     hist: list[tuple[int, float, float, float]] = []
@@ -75,7 +87,10 @@ def pagerank(
         if len(edges):
             np.add.at(contrib, dst, p0[src] * inv_deg[src])  # c:178-192
         # normative operand order — pagerank_mpi.c:195
-        p1 = d * (contrib + dangling / n) + (1.0 - d) / n
+        if uniform:
+            p1 = d * (contrib + dangling / n) + (1.0 - d) / n
+        else:
+            p1 = d * (contrib + dangling * e) + (1.0 - d) * e
         err = np.abs(p1 - p0)  # pagerank_mpi.c:203-209
         l1 = float(err.sum())
         max_err = float(err.max())

@@ -60,6 +60,7 @@ class _RankShard:
         num_parts: int,
         part_size: int,
         d: float,
+        e_ref=None,
     ) -> None:
         self.part = part
         self.n = n
@@ -100,7 +101,19 @@ class _RankShard:
                 for i in range(len(self.bucket_ids))
             ]
             self._dst_local = dst_s - db_s * part_size
-        self.ranks = np.full(self.size, 1.0 / n, dtype=np.float64)
+        # personalization slice (reference's Node.e, implemented): None
+        # means uniform 1/n and preserves the reference arithmetic exactly
+        if e_ref is None:
+            self.e = None
+            self.ranks = np.full(self.size, 1.0 / n, dtype=np.float64)
+        else:
+            # e_ref is a plasma ObjectRef auto-resolved by Ray at call
+            # time (zero-copy view); slice this shard's range
+            full_e = e_ref if isinstance(e_ref, np.ndarray) else ray.get(e_ref)
+            self.e = np.asarray(
+                full_e[self.base : self.base + self.size], dtype=np.float64
+            ).copy()
+            self.ranks = self.e.copy()
 
     def dangling_part(self) -> float:
         return float(self.ranks[self.deg == 0].sum())
@@ -136,8 +149,12 @@ class _RankShard:
                 contrib += seg[: self.size]
         p0 = self.ranks
         d = self.d
-        # normative operand order — pagerank_mpi.c:195
-        p1 = d * (contrib + dang / self.n) + (1.0 - d) / self.n
+        # normative operand order — pagerank_mpi.c:195 (uniform case);
+        # personalized form replaces 1/n with e_v
+        if self.e is None:
+            p1 = d * (contrib + dang / self.n) + (1.0 - d) / self.n
+        else:
+            p1 = d * (contrib + dang * self.e) + (1.0 - d) * self.e
         err = np.abs(p1 - p0)
         self.ranks = p1
         return (
@@ -191,6 +208,7 @@ def pagerank_bsp(
     store: EdgeShardStore | None = None,
     workdir: str | None = None,
     checkpoint_every: int = 0,
+    personalization: "np.ndarray | None" = None,
 ) -> BSPPageRankRun:
     """Power-iteration PageRank on the BSP actor engine.
 
@@ -220,12 +238,21 @@ def pagerank_bsp(
     # metadata fetches) deadlocks behind the actor reservations.
     cpus = max(2.0, float(ray.cluster_resources().get("CPU", 8)))
     per_actor = round(min(1.0, max(0.01, (cpus - 1.0) / P)), 2)
+    # personalization broadcast once; each shard slices its range.
+    # (At 10^12-vertex scale pass e as parquet read per shard instead.)
+    e_ref = (
+        ray.put(np.asarray(personalization, dtype=np.float64))
+        if personalization is not None
+        else None
+    )
     actors = [
         _RankShard.options(num_cpus=per_actor).remote(
-            p, store.part_refs.get(p, []), n, P, store.part_size, d
+            p, store.part_refs.get(p, []), n, P, store.part_size, d, e_ref
         )
         for p in range(P)
     ]
+
+    import hashlib as _hashlib
 
     fingerprint = {
         "n": n,
@@ -234,6 +261,13 @@ def pagerank_bsp(
         "tol": tol,
         "max_iters": max_iters,
         "num_parts": P,
+        "e_md5": (
+            _hashlib.md5(
+                np.asarray(personalization, dtype=np.float64).tobytes()
+            ).hexdigest()
+            if personalization is not None
+            else None
+        ),
     }
     it = 0
     history: list[dict] = []

@@ -51,3 +51,32 @@ def test_bsp_resume_reproduces_uninterrupted(graphs, tmp_path):
     assert res.iterations == full.iterations
     # bit-identical: float64 round-trips exactly through Parquet
     assert np.array_equal(got, ref)
+
+
+def test_personalized_pagerank_matches_oracle(graphs):
+    n, edges = graphs["medium"]
+    rng = np.random.default_rng(13)
+    e = rng.random(n)
+    e = e / e.sum()
+    g = _graph(edges)
+    run = pagerank_bsp(g, d=0.85, tol=1e-8, num_parts=2, personalization=e)
+    tr = oracle.pagerank(n, np.unique(edges, axis=0), d=0.85, tol=1e-8, e=e)
+    got = run.ranks.to_pandas().sort_values("vid")["rank"].to_numpy()
+    assert np.allclose(got, tr.ranks, atol=1e-6)
+    assert run.iterations == tr.iterations
+    # restart mass concentrates where e does
+    assert got[np.argmax(e)] > got[np.argmin(e)]
+
+
+def test_uniform_personalization_equals_default(graphs):
+    n, edges = graphs["small"]
+    g = _graph(edges)
+    base = pagerank_bsp(g, d=0.85, tol=1e-6, num_parts=2)
+    unif = pagerank_bsp(
+        g, d=0.85, tol=1e-6, num_parts=2,
+        personalization=np.full(n, 1.0 / n),
+    )
+    a = base.ranks.to_pandas().sort_values("vid")["rank"].to_numpy()
+    b = unif.ranks.to_pandas().sort_values("vid")["rank"].to_numpy()
+    assert np.allclose(a, b, atol=1e-12)
+    assert base.iterations == unif.iterations
