@@ -103,6 +103,47 @@ def triangle_count(
         }
 
     oriented = e.map_batches(orient, batch_format="numpy").materialize()
+    n_oriented = oriented.count()
+
+    # Fast path: broadcast the oriented edge set (8 B/edge key, one
+    # plasma copy per node) and count closing wedges inside the wedge
+    # stage — eliminates the O(wedges) shuffle entirely. Falls back to
+    # the shuffle path when the key space or edge count outgrows it.
+    if n < (1 << 31) and n_oriented <= 50_000_000:
+        import ray as _ray
+
+        nb = np.int64(n)
+        key_parts = [
+            (blk.column("u").to_numpy().astype(np.int64) * nb
+             + blk.column("v").to_numpy().astype(np.int64))
+            for blk in _ray.get(oriented.to_arrow_refs())
+        ]
+        edge_keys = np.sort(np.concatenate(key_parts)) if key_parts else np.array([], dtype=np.int64)
+        keys_ref = _ray.put(edge_keys)
+
+        def wedge_count(g: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+            keys = _ray.get(keys_ref)
+            order = np.lexsort((g["v"], g["deg_v"], g["u"]))
+            u = g["u"][order]
+            v = g["v"][order]
+            a, b = _pairs_within_groups((u, np.arange(len(u))), v)
+            if len(a) == 0:
+                return {"tri": np.array([0], dtype=np.int64)}
+            wk = a * nb + b
+            if len(keys) == 0:
+                return {"tri": np.array([0], dtype=np.int64)}
+            pos = np.searchsorted(keys, wk)
+            valid = pos < len(keys)
+            match = np.zeros(len(wk), dtype=bool)
+            match[valid] = keys[pos[valid]] == wk[valid]
+            return {"tri": np.array([int(match.sum())], dtype=np.int64)}
+
+        parts = (
+            oriented.groupby("bucket")
+            .map_groups(wedge_count, batch_format="numpy")
+            .take_all()
+        )
+        return int(sum(r["tri"] for r in parts))
 
     def wedges(g: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         # neighbor lists ordered by the orientation key (deg, vid) so an
