@@ -160,8 +160,8 @@ def run_once(include_queries: bool = True) -> dict:
     return result
 
 
-SCALING_PAGES = "/tmp/bench_pages_100k_heavy/pages.parquet"
-SCALING_N_PAGES = 100_000
+SCALING_PAGES = "/tmp/bench_pages_300k_heavy/pages.parquet"
+SCALING_N_PAGES = 300_000
 SCALING_DEG = 12
 SCALING_FILLER_PARAS = 30  # ~4.7 KB html/page, Common-Crawl-ish weight
 
@@ -204,9 +204,14 @@ def run_scaling_worker() -> dict:
     _init_ray()
     pages = rd.read_parquet(SCALING_PAGES).repartition(128).materialize()
     links_from_pages(pages).count()  # warm workers
-    t0 = time.time()
-    n_links = links_from_pages(pages).count()
-    t_extract = time.time() - t0
+    # best-of-3: single-shot legs vary ±30% run-to-run on this shared
+    # box; min wall time per leg is the standard noise-robust estimator
+    t_extract = float("inf")
+    n_links = 0
+    for _ in range(3):
+        t0 = time.time()
+        n_links = links_from_pages(pages).count()
+        t_extract = min(t_extract, time.time() - t0)
 
     e = powerlaw_edges(PR_NODES, PR_AVG_DEG, seed=42)
     edges = rd.from_arrow(
@@ -215,9 +220,13 @@ def run_scaling_worker() -> dict:
     g = Graph(n=PR_NODES, edges=edges)
     store = EdgeShardStore.build(edges, n=PR_NODES, num_parts=32)
     pagerank_bsp(g, d=0.85, tol=0.0, max_iters=2, num_parts=32, store=store)
-    t0 = time.time()
-    pagerank_bsp(g, d=0.85, tol=0.0, max_iters=PR_ITERS, num_parts=32, store=store)
-    t_iter = time.time() - t0
+    t_iter = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        pagerank_bsp(
+            g, d=0.85, tol=0.0, max_iters=PR_ITERS, num_parts=32, store=store
+        )
+        t_iter = min(t_iter, time.time() - t0)
 
     import ray
 

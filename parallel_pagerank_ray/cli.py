@@ -53,13 +53,25 @@ def cmd_run(args) -> int:
     g = _load_graph(args)
     t0 = time.time()
     if args.algo == "pagerank":
-        if args.engine == "bsp":
+        e_vec = None
+        if getattr(args, "personalization", None):
+            import numpy as np
+            import pyarrow.parquet as pq
+
+            t = (
+                pq.read_table(args.personalization, columns=["vid", "e"])
+                .to_pandas()
+                .sort_values("vid")
+            )
+            e_vec = t["e"].to_numpy(dtype=np.float64)
+        if args.engine == "bsp" or e_vec is not None:
             from parallel_pagerank_ray.pipelines.pagerank_actors import pagerank_bsp
 
             run = pagerank_bsp(
                 g, d=args.damping, tol=args.tol, max_iters=args.max_iters,
                 workdir=args.workdir if args.checkpoint else None,
                 checkpoint_every=1 if args.checkpoint else 0,
+                personalization=e_vec,
             )
         else:
             from parallel_pagerank_ray.pipelines.pagerank import pagerank
@@ -146,6 +158,10 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--damping", type=float, default=0.85)
     run.add_argument("--max-iters", type=int, default=1000)
     run.add_argument("--engine", choices=["dataset", "bsp"], default="dataset")
+    run.add_argument(
+        "--personalization",
+        help="parquet with (vid, e) columns — restart vector (BSP engine)",
+    )
     run.add_argument("--checkpoint", action="store_true")
     run.set_defaults(fn=cmd_run)
 

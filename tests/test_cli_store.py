@@ -121,3 +121,41 @@ def test_parse_reference_stdout():
     assert got["total_time"] == 0.123
     assert got["ranks"] == {0: 0.25, 1: 0.75}
     assert got["converged_l1"]
+
+
+def test_cli_personalized_pagerank(tmp_path, graphs):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parallel_pagerank_ray import cli
+
+    n, e = graphs["small"]
+    edge_file = tmp_path / "small.txt"
+    edge_file.write_text("\n".join(f"{u} {v}" for u, v in e) + "\n")
+    evec = np.zeros(n)
+    evec[1] = 1.0
+    pq.write_table(
+        pa.table({"vid": np.arange(n, dtype=np.int64), "e": evec}),
+        tmp_path / "e.parquet",
+    )
+    wd = str(tmp_path / "out")
+    rc = cli.cmd_run(
+        cli_args(
+            algo="pagerank", edges=str(edge_file), workdir=wd, tol=1e-8,
+            personalization=str(tmp_path / "e.parquet"),
+        )
+    )
+    assert rc == 0
+    import json as _json
+
+    tr = oracle.pagerank(n, np.unique(np.array(e), axis=0), tol=1e-8, e=evec)
+    got = (
+        __import__("pyarrow.parquet", fromlist=["read_table"])
+        .read_table(str(tmp_path / "out" / "ranks"))
+        .to_pandas()
+        .sort_values("vid")["rank"]
+        .to_numpy()
+    )
+    assert np.allclose(got, tr.ranks, atol=1e-6)
+    metrics = _json.loads((tmp_path / "out" / "ranks_metrics.json").read_text())
+    assert metrics["iterations"] == tr.iterations
