@@ -75,7 +75,7 @@ def q_link_edges(sf_dir: str) -> rd.Dataset:
     return distinct(links_from_pages(pages), ["src_url", "dst_url"])
 
 
-def q_pagerank_pages_top20(sf_dir: str) -> rd.Dataset:
+def q_pagerank_pages_top20(sf_dir: str) -> pd.DataFrame:
     from parallel_pagerank_ray.pipelines.graph_build import Graph, links_from_pages
     from parallel_pagerank_ray.pipelines.pagerank import pagerank
     from parallel_pagerank_ray.util import safe_join
@@ -90,10 +90,17 @@ def q_pagerank_pages_top20(sf_dir: str) -> rd.Dataset:
         num_partitions=4,
         on=("vid",),
     )
-    return (
+    # gate output is the integer rank ORDER (pos, url): distributed float
+    # rank values are accumulation-order-sensitive in the last ulp, the
+    # ordering is not (ties broken by url; see oracle float policy)
+    top = (
         joined.select_columns(["url", "rank"])
         .sort(["rank", "url"], descending=[True, False])
         .limit(20)
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {"pos": np.arange(1, len(top) + 1, dtype=np.int64), "url": top["url"]}
     )
 
 
@@ -161,22 +168,34 @@ def q_pagerank_supplier_part_top20(sf_dir: str) -> rd.Dataset:
     # the driver gate exercises both (results identical, tests/test_bsp.py)
     g = Graph.from_int_edges(supplier_part_edges(sf_dir), dedup=False)
     run = pagerank_bsp(g, d=0.85, tol=1e-3, max_iters=100)
-    return (
+    top = (
         run.ranks.select_columns(["vid", "rank"])
         .sort(["rank", "vid"], descending=[True, False])
         .limit(20)
+        .to_pandas()
+    )
+    # integer rank order only — see q_pagerank_pages_top20
+    return pd.DataFrame(
+        {
+            "pos": np.arange(1, len(top) + 1, dtype=np.int64),
+            "vid": top["vid"].to_numpy(),
+        }
     )
 
 
 def q_components_copurchase(sf_dir: str) -> rd.Dataset:
-    from parallel_pagerank_ray.pipelines.components import connected_components
+    from parallel_pagerank_ray.pipelines.components_actors import (
+        connected_components_bsp,
+    )
     from parallel_pagerank_ray.pipelines.graph_build import Graph
     from parallel_pagerank_ray.pipelines.relational import copurchase_edges
 
     from parallel_pagerank_ray.stages.agg import grouped_agg
 
+    # BSP engine (pointer-jumping, O(log n) rounds); the Dataset engine
+    # (same semantics, bounded memory at any n) is exercised in pytest
     g = Graph.from_int_edges(copurchase_edges(sf_dir), dedup=False)
-    run = connected_components(g)  # Dataset engine; BSP variant in tests
+    run = connected_components_bsp(g)
     return grouped_agg(
         run.components, ["comp"], {"size": ("vid", "count")}, num_buckets=8
     )
@@ -502,6 +521,183 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _pagerank_top20_sql(
+    edges_sql: str, vid: str, d: float, tol: float
+) -> str:
+    """Recursive-CTE power iteration with the engine's dual stop rule
+    (loop-top max_err > tol, in-loop l1 < tol break). Output = integer
+    rank order (pos, vid) — float accumulation order differs between
+    engines but the ordering is identical (ties break on vid).
+    ``vid`` is the vertex-id column name ('vid' int or 'url' string)."""
+    one_minus_d = 1.0 - d
+    if vid == "url":
+        # string-keyed graph (Graph.from_links): vertex set = union of
+        # src/dst urls. NB DuckDB 1.0: inside WITH RECURSIVE, a plain
+        # set-UNION in a non-recursive CTE degrades to concatenation —
+        # use DISTINCT over UNION ALL instead.
+        verts = f"""
+          verts AS MATERIALIZED (
+            SELECT DISTINCT {vid} FROM (SELECT src AS {vid} FROM e
+                                        UNION ALL SELECT dst FROM e)),
+          nn AS MATERIALIZED (SELECT count(*) AS n FROM verts)"""
+    else:
+        # int-keyed graph (Graph.from_int_edges): vertex set = 0..max id,
+        # ids absent from the edge set are isolated (and dangling)
+        verts = f"""
+          nn AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n FROM e),
+          verts({vid}) AS (SELECT 0 UNION ALL
+                           SELECT {vid} + 1 FROM verts
+                           WHERE {vid} + 1 < (SELECT n FROM nn))"""
+    return f"""
+        WITH RECURSIVE
+          e AS MATERIALIZED ({edges_sql}),
+          {verts},
+          deg AS MATERIALIZED (SELECT src AS {vid}, count(*) AS d
+                               FROM e GROUP BY 1),
+          pr(it, {vid}, rank, delta) AS (
+            SELECT 0, {vid}, 1.0 / (SELECT n FROM nn), 1e308 FROM verts
+            UNION ALL
+            SELECT x.it + 1, x.{vid}, x.nr, abs(x.nr - x.rank)
+            FROM (
+              SELECT p.it, p.{vid}, p.rank,
+                     {d} * (coalesce(c.s, 0.0)
+                             + (SELECT coalesce(sum(q.rank), 0.0) FROM pr q
+                                LEFT JOIN deg dq ON dq.{vid} = q.{vid}
+                                WHERE dq.{vid} IS NULL)
+                               / (SELECT n FROM nn))
+                       + {one_minus_d} / (SELECT n FROM nn) AS nr
+              FROM pr p
+              LEFT JOIN (SELECT ee.dst, sum(q.rank / dg.d) AS s
+                         FROM pr q
+                         JOIN e ee ON ee.src = q.{vid}
+                         JOIN deg dg ON dg.{vid} = q.{vid}
+                         GROUP BY 1) c ON c.dst = p.{vid}
+              WHERE (SELECT max(q.delta) FROM pr q) > {tol}
+                AND (SELECT sum(q.delta) FROM pr q) >= {tol}
+            ) x
+          ),
+          last AS (SELECT * FROM pr WHERE it = (SELECT max(it) FROM pr))
+        SELECT row_number() OVER (ORDER BY rank DESC, {vid}) AS pos, {vid}
+        FROM last ORDER BY rank DESC, {vid} LIMIT 20
+    """
+
+
+def _supplier_part_vid_graph(edges_sql: str) -> str:
+    """Shared prelude for integer-vid graphs: vertex set 0..max_id
+    (Graph.from_int_edges semantics — ids beyond the edge set are
+    isolated vertices) + the deduplicated undirected simple closure."""
+    return f"""
+          e AS MATERIALIZED ({edges_sql}),
+          nn AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n FROM e),
+          und AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+              SELECT src, dst FROM e WHERE src <> dst
+              UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+          v(vid) AS (SELECT 0 UNION ALL
+                     SELECT vid + 1 FROM v WHERE vid + 1 < (SELECT n FROM nn))
+    """
+
+
+def _lpa_round_sql(prev: str) -> str:
+    """One synchronous LPA round: most-frequent neighbor label, ties ->
+    smallest label, isolated vertices keep their current label."""
+    return f"""
+        (SELECT l.vid, coalesce(p.label, l.label) AS label FROM {prev} l
+         LEFT JOIN (SELECT u.dst AS vid, l2.label AS label
+                    FROM und u JOIN {prev} l2 ON l2.vid = u.src
+                    GROUP BY 1, l2.label
+                    QUALIFY row_number() OVER (
+                        PARTITION BY u.dst
+                        ORDER BY count(*) DESC, l2.label) = 1) p
+           ON p.vid = l.vid)
+    """
+
+
+def _minhash_lsh_sql(
+    num_perm: int = 128, bands: int = 16, k: int = 5, seed: int = 42
+) -> str:
+    """DuckDB mirror of pipelines.dedup.minhash_lsh_candidates: the same
+    mod-2^31-1 shingle/permutation/band-fold arithmetic (every product
+    < 2^62, so BIGINT and numpy uint64 agree exactly), same (band, key1,
+    key2) bucket tuples, same distinct (doc_a, doc_b) output."""
+    from parallel_pagerank_ray.functions import hashing as H
+
+    a, b = H.minhash_params31(num_perm, seed=seed)
+    p, R = int(H.P31), int(H.SHINGLE_R)
+    r1, r2 = int(H.BAND_R1), int(H.BAND_R2)
+    horner = "CAST(ascii(substr(text, x, 1)) AS BIGINT)"
+    for i in range(1, k):
+        horner = f"(({horner}) * {R} + ascii(substr(text, x + {i}, 1))) % {p}"
+    shs = f"[({horner}) for x in range(1, greatest(length(text) - {k - 2}, 2))]"
+    sig_cols = ",\n".join(
+        f"list_min(list_transform(sh, s -> ({int(a[j])} * s + {int(b[j])}) % {p}))"
+        f" AS s{j}"
+        for j in range(num_perm)
+    )
+    r = num_perm // bands
+    rows = []
+    for bnd in range(bands):
+        f1 = f"CAST(s{bnd * r} AS BIGINT)"
+        f2 = f1
+        for i in range(1, r):
+            f1 = f"(({f1}) * {r1} + s{bnd * r + i}) % {p}"
+            f2 = f"(({f2}) * {r2} + s{bnd * r + i}) % {p}"
+        rows.append(
+            f"SELECT doc_id, {bnd} AS band, {f1} AS key1, {f2} AS key2 FROM sigs"
+        )
+    union = "\nUNION ALL\n".join(rows)
+    return f"""
+        WITH shs AS MATERIALIZED (SELECT doc_id, {shs} AS sh FROM documents),
+             sigs AS MATERIALIZED (SELECT doc_id, {sig_cols} FROM shs),
+             br AS MATERIALIZED ({union})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM br a JOIN br b
+          ON a.band = b.band AND a.key1 = b.key1 AND a.key2 = b.key2
+         AND a.doc_id < b.doc_id
+    """
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """DuckDB mirror of pipelines.dedup.simhash_candidates: md5-u64
+    token hashes, +1/-1 occurrence votes per bit, 4x16-bit fingerprint
+    chunks. The engine's banded candidate generation is COMPLETE for
+    hamming <= 3 (pigeonhole over 4 bands), so its verified output
+    equals the plain all-pairs Hamming filter computed here."""
+    ham = " + ".join(f"bit_count(xor(a.k{c}, b.k{c}))" for c in range(4))
+    chunk_cols = ",\n".join(
+        f"coalesce(max(CASE WHEN c = {c} THEN key END), 0) AS k{c}"
+        for c in range(4)
+    )
+    return f"""
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '{TOKEN_SQL}')) AS t
+          FROM documents),
+        th AS MATERIALIZED (
+          SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) AS h
+          FROM tok),
+        votes AS MATERIALIZED (
+          SELECT doc_id, b.range AS bit,
+                 sum(CASE WHEN (h >> CAST(b.range AS UBIGINT)) & 1 = 1
+                          THEN 1 ELSE -1 END) AS v
+          FROM th, range(64) b GROUP BY 1, 2),
+        chunks AS MATERIALIZED (
+          SELECT doc_id, bit // 16 AS c,
+                 sum((CASE WHEN v > 0 THEN 1 ELSE 0 END) * (1 << (bit % 16)))
+                   AS key
+          FROM votes GROUP BY 1, 2),
+        fp AS MATERIALIZED (
+          SELECT d.doc_id, {chunk_cols}
+          FROM documents d LEFT JOIN chunks ch ON ch.doc_id = d.doc_id
+          GROUP BY 1)
+        SELECT doc_a, doc_b, hamming FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST({ham} AS BIGINT) AS hamming
+          FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+        WHERE hamming <= {max_hamming}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     stop_ratio = "CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END"
     return {
@@ -551,6 +747,61 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT n FROM n) - n_src AS n_dangling,
                    n_edges / CAST((SELECT n FROM n) AS DOUBLE) AS avg_out_deg
             FROM s
+        """,
+        "pagerank_pages_top20": _pagerank_top20_sql(
+            """
+            SELECT DISTINCT
+                   'https://docs.example/p' || doc_id AS src,
+                   'https://docs.example/p' ||
+                   ((doc_id * 7 + k.range + 1) % (SELECT count(*) FROM documents))
+                   AS dst
+            FROM documents, range(3) k
+            """,
+            vid="url",
+            d=0.85,
+            tol=1e-3,
+        ),
+        "pagerank_supplier_part_top20": _pagerank_top20_sql(
+            _SUPP_PART_SQL, vid="vid", d=0.85, tol=1e-3
+        ),
+        "components_copurchase": f"""
+            WITH RECURSIVE
+            {_supplier_part_vid_graph(_COPURCHASE_SQL)},
+              cc(it, vid, comp, ch) AS (
+                SELECT 0, vid, vid, 1 FROM v
+                UNION ALL
+                SELECT c.it + 1, c.vid,
+                       least(c.comp, coalesce(m.mn, c.comp)),
+                       CASE WHEN least(c.comp, coalesce(m.mn, c.comp))
+                                 <> c.comp THEN 1 ELSE 0 END
+                FROM cc c
+                LEFT JOIN (SELECT u.dst AS vid, min(c2.comp) AS mn
+                           FROM cc c2 JOIN und u ON u.src = c2.vid
+                           GROUP BY 1) m ON m.vid = c.vid
+                WHERE (SELECT max(c3.ch) FROM cc c3) = 1
+              ),
+              lab AS (SELECT vid, comp FROM cc
+                      WHERE it = (SELECT max(it) FROM cc))
+            SELECT comp, count(*) AS size FROM lab GROUP BY 1
+        """,
+        "labelprop_copurchase": f"""
+            WITH RECURSIVE
+            {_supplier_part_vid_graph(_COPURCHASE_SQL)},
+              l0 AS MATERIALIZED (SELECT vid, vid AS label FROM v),
+              l1 AS MATERIALIZED {_lpa_round_sql("l0")},
+              l2 AS MATERIALIZED {_lpa_round_sql("l1")},
+              l3 AS MATERIALIZED {_lpa_round_sql("l2")}
+            SELECT label, count(*) AS size FROM l3 GROUP BY 1
+        """,
+        "decode_image_fake": """
+            SELECT doc_id,
+                   CAST(1 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT)
+                        AS BIGINT) AS height,
+                   CAST(1 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT)
+                        AS BIGINT) AS width,
+                   CAST(('0x' || substr(md5(text), 5, 2)) AS INT) / 255.0
+                     AS mean_luma
+            FROM documents
         """,
         "triangles_copurchase": f"""
             WITH und AS ({_COPURCHASE_SQL})
@@ -666,6 +917,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = p.db
             LEFT JOIN inter i ON i.da = p.da AND i.db = p.db
         """,
+        "dedup_minhash_lsh": _minhash_lsh_sql(),
+        "dedup_simhash": _simhash_sql(max_hamming=3),
         "payload_meta": """
             SELECT doc_id,
                    octet_length(encode(text)) AS n_bytes,

@@ -64,7 +64,9 @@ def cmd_run(args) -> int:
                 .sort_values("vid")
             )
             e_vec = t["e"].to_numpy(dtype=np.float64)
-        if args.engine == "bsp" or e_vec is not None:
+        # personalization is BSP-only: record the engine actually used
+        engine_used = "bsp" if (args.engine == "bsp" or e_vec is not None) else "dataset"
+        if engine_used == "bsp":
             from parallel_pagerank_ray.pipelines.pagerank_actors import pagerank_bsp
 
             run = pagerank_bsp(
@@ -81,7 +83,7 @@ def cmd_run(args) -> int:
                 workdir=args.workdir if args.checkpoint else None,
             )
         metrics = {
-            "algo": "pagerank", "engine": args.engine,
+            "algo": "pagerank", "engine": engine_used,
             "iterations": run.iterations, "exit_reason": run.exit_reason,
             "history": run.history, "secs": round(time.time() - t0, 3),
         }

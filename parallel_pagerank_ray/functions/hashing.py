@@ -11,6 +11,15 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 
+# SQL-reproducible modulus/multipliers: every product stays < 2^62, so
+# the identical arithmetic runs in both numpy uint64 and DuckDB BIGINT
+# (no wraparound anywhere) — the near-dup sketches become value-checkable
+# against a DuckDB oracle.
+P31 = np.uint64((1 << 31) - 1)  # Mersenne prime 2147483647
+SHINGLE_R = np.uint64(1_000_003)
+BAND_R1 = np.uint64(1_000_033)
+BAND_R2 = np.uint64(1_000_037)
+
 
 def char_shingles(text: str, k: int = 5) -> np.ndarray:
     """Distinct k-char shingle hashes (uint64) via vectorized FNV-1a."""
@@ -39,6 +48,113 @@ def token_hashes(tokens: list[str]) -> np.ndarray:
             hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little"
         )
     return out
+
+
+def shingle_hashes31(text: str, k: int = 5) -> np.ndarray:
+    """One Horner codepoint hash mod 2^31-1 per k-char window position
+    (positions 0..max(len-k, 0); a text shorter than k is one window,
+    0-padded). Equals the DuckDB expression
+    ``((...(ascii(substr(text,x,1)) * R + ascii(substr(text,x+1,1))) % p
+    ...)`` per position — see __ray_entry__ oracle SQL. Duplicates are
+    kept: MinHash minima are unaffected by multiplicity."""
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.uint64
+    )
+    if len(codes) < k:
+        codes = np.pad(codes, (0, k - len(codes)))
+    win = np.lib.stride_tricks.sliding_window_view(codes, k)
+    h = np.zeros(len(win), dtype=np.uint64)
+    for i in range(k):
+        h = (h * SHINGLE_R + win[:, i]) % P31
+    return h
+
+
+def minhash_params31(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Permutation params a, b < 2^31-1 (SQL-safe products)."""
+    rng = np.random.default_rng(seed)
+    p = int(P31)
+    a = rng.integers(1, p, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, p, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures31(
+    hash_lists: list[np.ndarray], a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Batch MinHash: (D, num_perm) uint64, sig[d, j] = min over doc d's
+    shingle hashes of (a_j * h + b_j) % (2^31-1). Vectorized across the
+    whole batch (one reduceat per perm chunk — no per-doc Python loop).
+    Every ``hash_lists`` entry must be non-empty (shingle_hashes31
+    guarantees >= 1 window)."""
+    D = len(hash_lists)
+    if D == 0:
+        return np.empty((0, len(a)), dtype=np.uint64)
+    lens = np.fromiter((len(h) for h in hash_lists), dtype=np.int64, count=D)
+    flat = np.concatenate(hash_lists)
+    starts = np.zeros(D, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    sig = np.empty((D, len(a)), dtype=np.uint64)
+    chunk = 16  # bound the (S, chunk) temp to ~len(flat)*128 bytes
+    for j0 in range(0, len(a), chunk):
+        vals = (flat[:, None] * a[None, j0 : j0 + chunk] + b[None, j0 : j0 + chunk]) % P31
+        sig[:, j0 : j0 + chunk] = np.minimum.reduceat(vals, starts, axis=0)
+    return sig
+
+
+def band_keys31(sig: np.ndarray, bands: int) -> tuple[np.ndarray, np.ndarray]:
+    """Fold each band's signature rows into TWO independent Horner keys
+    mod 2^31-1 -> (D, bands) x2. Buckets are grouped on the exact
+    (band, key1, key2) tuple; a cross-bucket collision needs both folds
+    to collide (~2^-62)."""
+    D, P = sig.shape
+    r = P // bands
+    folded = sig[:, : r * bands].reshape(D, bands, r)
+    k1 = np.zeros((D, bands), dtype=np.uint64)
+    k2 = np.zeros((D, bands), dtype=np.uint64)
+    for i in range(r):
+        k1 = (k1 * BAND_R1 + folded[:, :, i]) % P31
+        k2 = (k2 * BAND_R2 + folded[:, :, i]) % P31
+    return k1, k2
+
+
+def md5_u64(s: str) -> int:
+    """First 8 md5 digest bytes, big-endian — equals DuckDB's
+    ``CAST(('0x' || substr(md5(s), 1, 16)) AS UBIGINT)``."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+
+
+def simhash_batch(token_lists: list[list[str]]) -> np.ndarray:
+    """Batch 64-bit SimHash over md5-u64 token hashes: (D,) uint64.
+    Bit b is set iff the +1/-1 vote sum over token OCCURRENCES is > 0;
+    zero-token docs hash to 0. md5 runs once per distinct token in the
+    batch (vocabulary, not occurrences); the vote tally is one reduceat.
+    """
+    D = len(token_lists)
+    fp = np.zeros(D, dtype=np.uint64)
+    if D == 0:
+        return fp
+    counts = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=D)
+    nz = np.nonzero(counts)[0]
+    if len(nz) == 0:
+        return fp
+    all_tokens = [t for lst in token_lists for t in lst]
+    vocab, inv = np.unique(np.array(all_tokens, dtype=object), return_inverse=True)
+    vh = np.array([md5_u64(t) for t in vocab], dtype=np.uint64)
+    bits = ((vh[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.int64
+    )  # (V, 64)
+    tb = bits[inv]  # (T, 64) occurrence bit rows
+    nz_counts = counts[nz]
+    starts = np.zeros(len(nz), dtype=np.int64)
+    np.cumsum(nz_counts[:-1], out=starts[1:])
+    sums = np.add.reduceat(tb, starts, axis=0)  # (Dnz, 64)
+    votes = 2 * sums - nz_counts[:, None]
+    fp[nz] = ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+        axis=1
+    )
+    return fp
 
 
 def minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:

@@ -15,6 +15,8 @@ per-bucket row gather has bounded memory.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import ray
 
@@ -59,6 +61,27 @@ class _CompShard:
         self.comp = new
         return changed
 
+    def comp_slice(self):
+        return ray.put(self.comp)
+
+    def compress(self, slice_refs: list) -> int:
+        """Pointer-jumping: comp[v] <- comp[comp[...]] to the local
+        fixpoint, using the assembled full label vector (one zero-copy
+        read per peer slice). Labels only ever move to another member of
+        the same component (invariant: comp[v] is a vertex id in v's
+        component with comp[u] <= u), so exactness is preserved while
+        the round count drops from O(diameter) to O(log n)."""
+        full = np.concatenate(ray.get(list(slice_refs)))
+        cur = self.comp
+        while True:
+            nxt = full[cur]
+            if np.array_equal(nxt, cur):
+                break
+            cur = nxt
+        changed = int((cur != self.comp).sum())
+        self.comp = cur.copy()
+        return changed
+
     def slice_table(self):
         import pyarrow as pa
 
@@ -86,7 +109,8 @@ def connected_components_bsp(
     store = EdgeShardStore.build(und, n=n, num_parts=num_parts)
     P = max(1, -(-n // store.part_size))
     cpus = max(2.0, float(ray.cluster_resources().get("CPU", 8)))
-    per_actor = round(min(1.0, max(0.01, (cpus - 1.0) / P)), 2)
+    # floor (never round up): P * per_actor must stay <= cpus - 1
+    per_actor = math.floor(min(1.0, max(0.01, (cpus - 1.0) / P)) * 100) / 100
     actors = [
         _CompShard.options(num_cpus=per_actor).remote(
             p, store.part_refs.get(p, []), n, store.part_size
@@ -98,8 +122,21 @@ def connected_components_bsp(
     while it < max_iters:
         refs = ray.get([a.scatter.remote() for a in actors])
         changed = sum(ray.get([a.gather_update.remote(refs) for a in actors]))
+        jumped = 0
+        if changed:
+            # pointer-jumping after each propagation round: O(log n)
+            # total rounds on high-diameter graphs (vs O(diameter))
+            slices = ray.get([a.comp_slice.remote() for a in actors])
+            jumped = sum(ray.get([a.compress.remote(slices) for a in actors]))
         it += 1
-        history.append({"iter": it, "changed": changed, "converged": changed == 0})
+        history.append(
+            {
+                "iter": it,
+                "changed": changed,
+                "jumped": jumped,
+                "converged": changed == 0,
+            }
+        )
         if changed == 0:
             break
     tables = [a.slice_table.remote() for a in actors]

@@ -127,32 +127,32 @@ class _SignatureStage:
     """Actor-pool stage: per-doc MinHash signature + LSH band keys.
 
     MinHash permutation params are built ONCE in __init__ (per actor /
-    worker process), not per batch.
-    """
+    worker process), not per batch. The whole batch is hashed with
+    vectorized mod-2^31-1 arithmetic (hashing.shingle_hashes31 /
+    minhash_signatures31) — no per-doc/per-band Python loops — and the
+    identical arithmetic is expressible in DuckDB SQL, so the candidate
+    set is value-checkable end to end (__ray_entry__ oracle)."""
 
     def __init__(self, num_perm: int, bands: int, k: int, seed: int = 42) -> None:
-        self.a, self.b = H.minhash_params(num_perm, seed=seed)
+        self.a, self.b = H.minhash_params31(num_perm, seed=seed)
         self.bands = bands
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
         texts = batch.column("text").to_pylist()
-        band_col: list[int] = []
-        key_col: list[int] = []
-        id_col: list[int] = []
-        for i, t in enumerate(texts):
-            sig = H.minhash_signature(H.char_shingles(t, self.k), self.a, self.b)
-            keys = H.band_keys(sig, self.bands)
-            for b in range(self.bands):
-                band_col.append(b)
-                key_col.append(int(keys[b].astype(np.int64)))  # view as int64
-                id_col.append(int(ids[i]))
+        hash_lists = [H.shingle_hashes31(t, self.k) for t in texts]
+        sig = H.minhash_signatures31(hash_lists, self.a, self.b)
+        k1, k2 = H.band_keys31(sig, self.bands)
+        B = self.bands
         return pa.table(
             {
-                "band": pa.array(band_col, type=pa.int32()),
-                "key": pa.array(key_col, type=pa.int64()),
-                "doc_id": pa.array(id_col, type=pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(B, dtype=np.int32), len(ids))
+                ),
+                "key1": pa.array(k1.reshape(-1).view(np.int64)),
+                "key2": pa.array(k2.reshape(-1).view(np.int64)),
+                "doc_id": pa.array(np.repeat(ids, B)),
             }
         )
 
@@ -180,24 +180,30 @@ def minhash_lsh_candidates(
 
     # meta-bucket the (band, key) LSH buckets so each map_groups call
     # handles thousands of buckets vectorized (pairs_within_groups) —
-    # one Python call per tiny bucket is ~1 ms x O(docs*bands) otherwise
+    # one Python call per tiny bucket is ~1 ms x O(docs*bands) otherwise.
+    # mb is a pure function of the bucket tuple, so a bucket never
+    # splits across meta-groups; exactness comes from the tuple grouping
+    # inside bucket_pairs.
     meta = 64
 
     def add_meta(b: pa.Table) -> pa.Table:
-        k = b.column("key").to_numpy()
+        k1 = b.column("key1").to_numpy().view(np.uint64)
+        k2 = b.column("key2").to_numpy().view(np.uint64)
         band = b.column("band").to_numpy().astype(np.int64)
-        mb = (k.view(np.uint64) ^ (band.view(np.uint64) * np.uint64(0x9E3779B9))) % np.uint64(meta)
+        mb = (
+            k1 ^ (k2 * np.uint64(0x9E3779B9)) ^ (band.view(np.uint64) * np.uint64(0x85EBCA6B))
+        ) % np.uint64(meta)
         return b.append_column("mb", pa.array(mb.astype(np.int64)))
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         band = group["band"].to_numpy().astype(np.int64)
-        key = group["key"].to_numpy()
+        key1 = group["key1"].to_numpy()
+        key2 = group["key2"].to_numpy()
         ids = group["doc_id"].to_numpy()
-        # composite bucket id: same (band, key) -> same run
-        comp = (key.view(np.uint64) * np.uint64(1099511628211)) ^ band.view(
-            np.uint64
-        )
-        a, b = pairs_within_groups((comp.view(np.int64), ids), ids)
+        # exact (band, key1, key2) tuple grouping — a folded composite
+        # hash could merge distinct LSH buckets on a collision and emit
+        # spurious pairs
+        a, b = pairs_within_groups((band, key1, key2, ids), ids)
         return pd.DataFrame({"doc_a": a, "doc_b": b})
 
     pairs = (
@@ -210,7 +216,12 @@ def minhash_lsh_candidates(
 
 class _SimhashStage:
     """Actor-pool stage: 64-bit SimHash per doc, exploded into 16-bit
-    prefix-band rows for Hamming-bucketed candidate generation."""
+    prefix-band rows for Hamming-bucketed candidate generation.
+
+    Fingerprints are batch-vectorized (hashing.simhash_batch): md5 per
+    distinct token, one reduceat vote tally — no per-doc bit loops. The
+    md5-u64 token hash is DuckDB-expressible, making the (doc_a, doc_b,
+    hamming) output value-checkable (__ray_entry__ oracle)."""
 
     def __init__(self, num_bands: int = 4) -> None:
         import re
@@ -223,24 +234,19 @@ class _SimhashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
         texts = batch.column("text").to_pylist()
-        band_col: list[int] = []
-        key_col: list[int] = []
-        id_col: list[int] = []
-        sim_col: list[int] = []
-        for i, t in enumerate(texts):
-            sh = H.simhash(H.token_hashes(self.token.findall(t.lower())))
-            sim_i64 = int(np.uint64(sh).astype(np.int64))
-            for b in range(self.num_bands):
-                band_col.append(b)
-                key_col.append(int((int(sh) >> (16 * b)) & 0xFFFF))
-                id_col.append(int(ids[i]))
-                sim_col.append(sim_i64)
+        token_lists = [self.token.findall(t.lower()) for t in texts]
+        fp = H.simhash_batch(token_lists)  # (D,) uint64
+        B = self.num_bands
+        keys = (
+            (fp[:, None] >> (np.uint64(16) * np.arange(B, dtype=np.uint64)))
+            & np.uint64(0xFFFF)
+        ).astype(np.int64)  # (D, B)
         return pa.table(
             {
-                "band": pa.array(band_col, type=pa.int32()),
-                "key": pa.array(key_col, type=pa.int64()),
-                "doc_id": pa.array(id_col, type=pa.int64()),
-                "simhash": pa.array(sim_col, type=pa.int64()),
+                "band": pa.array(np.tile(np.arange(B, dtype=np.int32), len(ids))),
+                "key": pa.array(keys.reshape(-1)),
+                "doc_id": pa.array(np.repeat(ids, B)),
+                "simhash": pa.array(np.repeat(fp.view(np.int64), B)),
             }
         )
 
@@ -274,11 +280,8 @@ def simhash_candidates(
         key = group["key"].to_numpy()
         ids = group["doc_id"].to_numpy()
         sims = group["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-        comp = (key.view(np.uint64) * np.uint64(1099511628211)) ^ band.view(
-            np.uint64
-        )
         idx = np.arange(len(ids))
-        ai, bi = pairs_within_groups((comp.view(np.int64), ids), idx)
+        ai, bi = pairs_within_groups((band, key, ids), idx)
         empty = {
             "doc_a": np.array([], dtype=np.int64),
             "doc_b": np.array([], dtype=np.int64),

@@ -15,7 +15,7 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-from parallel_pagerank_ray.stages.agg import grouped_agg
+from parallel_pagerank_ray.stages.agg import grouped_agg, resolve_num_buckets
 from parallel_pagerank_ray.util import drop_empty_blocks
 
 
@@ -43,7 +43,6 @@ def hourly_rollup(events: rd.Dataset) -> rd.Dataset:
             "n_events": ("cents", "count"),
             "value_cents": ("cents", "sum"),
         },
-        num_buckets=16,
     )
 
 
@@ -86,7 +85,6 @@ def hopping_rollup(
         ),
         ["win_start", "event_type"],
         {"n_events": ("cents", "count"), "value_cents": ("cents", "sum")},
-        num_buckets=16,
     )
     return rolled
 
@@ -101,7 +99,9 @@ def sessionize(events: rd.Dataset, gap_minutes: int = 30) -> rd.Dataset:
     users).
     """
     gap_us = np.int64(gap_minutes * 60 * 1_000_000)
-    num_buckets = 32
+    # size-aware: a fixed count would put bytes/32 of events in one
+    # worker at scale; user_id % N keeps per-user colocation at any N
+    num_buckets = resolve_num_buckets(events)
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

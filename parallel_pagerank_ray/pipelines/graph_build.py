@@ -140,7 +140,7 @@ def resolve_edges(
     return e.select_columns(["src", "dst"])
 
 
-def dedup_edges(edges: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
+def dedup_edges(edges: rd.Dataset, num_buckets: int | None = None) -> rd.Dataset:
     """Exact (src, dst) dedup — bucketed hash shuffle + vectorized
     per-bucket drop_duplicates (A10)."""
     from parallel_pagerank_ray.stages.agg import distinct
@@ -148,7 +148,7 @@ def dedup_edges(edges: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
     return distinct(edges, ["src", "dst"], num_buckets=num_buckets)
 
 
-def out_degrees(edges: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
+def out_degrees(edges: rd.Dataset, num_buckets: int | None = None) -> rd.Dataset:
     """(vid, out_deg) for vids that have at least one out-edge."""
     from parallel_pagerank_ray.stages.agg import grouped_agg
 

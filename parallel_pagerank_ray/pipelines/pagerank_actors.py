@@ -37,6 +37,7 @@ node-to-node exactly once.
 from __future__ import annotations
 
 import json
+import math
 import os
 from dataclasses import dataclass, field
 
@@ -224,8 +225,6 @@ def pagerank_bsp(
     if n == 0:
         return BSPPageRankRun(ranks=rd.from_items([]), iterations=0, exit_reason="l1")
     if num_parts is None:
-        import math
-
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_parts = min(256, max(4, cpus // 4, math.ceil(n / 4_000_000)))
     if store is None:
@@ -237,7 +236,8 @@ def pagerank_bsp(
     # MUST leave >=1 whole CPU free or any plain task (e.g. Dataset
     # metadata fetches) deadlocks behind the actor reservations.
     cpus = max(2.0, float(ray.cluster_resources().get("CPU", 8)))
-    per_actor = round(min(1.0, max(0.01, (cpus - 1.0) / P)), 2)
+    # floor (never round up): P * per_actor must stay <= cpus - 1
+    per_actor = math.floor(min(1.0, max(0.01, (cpus - 1.0) / P)) * 100) / 100
     # personalization broadcast once; each shard slices its range.
     # (At 10^12-vertex scale pass e as parquet read per shard instead.)
     e_ref = (
@@ -285,11 +285,15 @@ def pagerank_bsp(
             lineage = None
         if lineage is not None:
             root = _ckpt_root(workdir)
+            # resumable = _SUCCESS present AND the iter is in lineage —
+            # a crash between the two writes must fall back to the
+            # previous complete iteration, not KeyError
             done = [
                 int(name.split("=", 1)[1])
                 for name in os.listdir(root)
                 if name.startswith("iter=")
                 and os.path.exists(os.path.join(root, name, "_SUCCESS"))
+                and name.split("=", 1)[1] in lineage["iters"]
             ]
             if done:
                 it = max(done)

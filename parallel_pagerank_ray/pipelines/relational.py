@@ -61,7 +61,6 @@ def pricing_summary(lineitem: rd.Dataset, cutoff: str = "1998-09-02") -> rd.Data
             "sum_price_cents": ("price_cents", "sum"),
             "n_rows": ("qty_cents", "count"),
         },
-        num_buckets=8,
     )
 
 
@@ -95,7 +94,6 @@ def top_customers(
             "n_orders": ("cents", "count"),
             "revenue_cents": ("cents", "sum"),
         },
-        num_buckets=16,
     )
     joined = safe_join(
         rev,

@@ -41,6 +41,41 @@ _HASH_KEY = "0123456789123456"  # fixed -> deterministic across processes
 # spec: out_col -> (in_col, how); how in {"sum", "min", "max", "count"}
 Spec = Mapping[str, tuple[str | None, str]]
 
+# target bytes per shuffle bucket (one map_groups group = one worker's
+# working set); override for tests / tuning via PPR_TARGET_BUCKET_BYTES
+DEFAULT_TARGET_BUCKET_BYTES = 128 << 20
+
+
+def resolve_num_buckets(
+    ds: rd.Dataset, floor: int = 32, target_bytes: int | None = None
+) -> int:
+    """Scale the shuffle bucket count to the input size.
+
+    A fixed bucket count means ~input_bytes/buckets lands in ONE
+    map_groups group (one worker): fine at test scale, OOM at 100 TB.
+    Returns ceil(size / target) clamped to [floor, 65536] when the size
+    is knowable from metadata (Parquet reads, materialized datasets);
+    falls back to ``floor`` when the size would require executing the
+    plan (mid-pipeline transforms) — at scale, callers there either
+    materialize first or pass an explicit count. Bucket count only
+    affects parallelism, never results (deterministic key hash).
+    """
+    if target_bytes is None:
+        import os
+
+        target_bytes = int(
+            os.environ.get("PPR_TARGET_BUCKET_BYTES", DEFAULT_TARGET_BUCKET_BYTES)
+        )
+    try:
+        # metadata-only probe; Dataset.size_bytes() would execute the
+        # plan when metadata is missing, which we must never do here
+        size = ds._logical_plan.dag.infer_metadata().size_bytes
+    except Exception:
+        size = None
+    if size is None:
+        return floor
+    return int(max(floor, min(65536, -(-size // target_bytes))))
+
 
 def bucket_of(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarray:
     h = pd.util.hash_pandas_object(df[keys], index=False, hash_key=_HASH_KEY)
@@ -62,7 +97,7 @@ def grouped_agg(
     ds: rd.Dataset,
     keys: Iterable[str],
     specs: Spec,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ) -> rd.Dataset:
     """Distributed groupby-aggregate, vectorized end to end.
 
@@ -71,6 +106,8 @@ def grouped_agg(
     aggregates only — sum/min/max/count).
     """
     keys = list(keys)
+    if num_buckets is None:
+        num_buckets = resolve_num_buckets(ds)
     final_specs: Spec = {
         out: (out, "sum" if how == "count" else how)
         for out, (_c, how) in specs.items()
@@ -98,9 +135,13 @@ def grouped_agg(
     return drop_empty_blocks(out)
 
 
-def distinct(ds: rd.Dataset, keys: Iterable[str], num_buckets: int = 32) -> rd.Dataset:
+def distinct(
+    ds: rd.Dataset, keys: Iterable[str], num_buckets: int | None = None
+) -> rd.Dataset:
     """Distinct key combos (exact dedup) via the bucketed path."""
     keys = list(keys)
+    if num_buckets is None:
+        num_buckets = resolve_num_buckets(ds)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -129,7 +170,7 @@ def grouped_topk(
     order_cols: Iterable[str],
     ascending: Iterable[bool],
     k: int,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ) -> rd.Dataset:
     """Top-k rows per group (window-rank semantics), bucketed.
 
@@ -140,6 +181,8 @@ def grouped_topk(
     group_cols = list(group_cols)
     order_cols = list(order_cols)
     ascending = list(ascending)
+    if num_buckets is None:
+        num_buckets = resolve_num_buckets(ds)
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -170,23 +213,29 @@ def grouped_topk(
 
 
 def pairs_within_groups(
-    sort_keys: tuple[np.ndarray, np.ndarray], values: np.ndarray
+    sort_keys: tuple[np.ndarray, ...], values: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
     """All ordered pairs (values[i], values[j]) with i<j inside each run
-    of equal sort_keys[0] — fully vectorized (no per-group Python).
+    of equal group keys — fully vectorized (no per-group Python).
 
-    sort_keys = (group, order_within_group); emitted pairs follow the
-    within-group order. Used by triangle wedges and LSH-bucket pair
-    generation.
+    sort_keys = (*group_keys, order_within_group); a group is a run of
+    rows equal on EVERY group key (exact tuple equality — no folded
+    composite hash, so distinct buckets never merge on a hash
+    collision). Emitted pairs follow the within-group order. Used by
+    triangle wedges and LSH-bucket pair generation.
     """
-    group, sub = sort_keys
-    order = np.lexsort((sub, group))
-    gs, vs = group[order], values[order]
-    n = len(gs)
+    *groups, sub = sort_keys
+    order = np.lexsort((sub, *reversed(groups)))
+    gss = [g[order] for g in groups]
+    vs = values[order]
+    n = len(vs)
     if n == 0:
         e = np.array([], dtype=values.dtype)
         return e, e
-    new_run = np.concatenate(([True], gs[1:] != gs[:-1]))
+    new_run = np.zeros(n, dtype=bool)
+    new_run[0] = True
+    for gs in gss:
+        new_run[1:] |= gs[1:] != gs[:-1]
     run_id = np.cumsum(new_run) - 1
     run_len = np.bincount(run_id)
     start = np.concatenate(([0], np.cumsum(run_len)[:-1]))

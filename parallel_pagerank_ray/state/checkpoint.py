@@ -82,10 +82,16 @@ class CheckpointManager:
         for name in os.listdir(self._root):
             if name.startswith("iter=") and not name.endswith(".tmp"):
                 k = int(name.split("=", 1)[1])
-                if os.path.exists(os.path.join(self._root, name, "_SUCCESS")):
+                # resumable = data dir complete AND its metrics made it
+                # into lineage.json — a crash between the _SUCCESS write
+                # and the lineage write leaves a complete-looking dir
+                # with no metrics; fall back to the previous iteration
+                if os.path.exists(
+                    os.path.join(self._root, name, "_SUCCESS")
+                ) and str(k) in lineage["iters"]:
                     best = max(best, k)
         if best < 0:
             return None
         ds = rd.read_parquet(os.path.join(self._root, f"iter={best}"))
-        metrics = lineage["iters"].get(str(best), {})
+        metrics = lineage["iters"][str(best)]
         return best, ds, metrics

@@ -48,3 +48,29 @@ def test_triangles_exact(graphs):
         n, e = graphs[name]
         g = _graph(e)
         assert triangle_count(g) == expected == oracle.triangle_count(n, e), name
+
+
+def test_components_path_graph_log_rounds():
+    # pointer-jumping must converge in O(log n) rounds, not O(diameter):
+    # a 128-vertex path has diameter 127; require a generous log bound
+    n = 128
+    e = [(i, i + 1) for i in range(n - 1)]
+    g = _graph(e)
+    run = connected_components(g, num_parts=2)
+    got = run.components.to_pandas().sort_values("vid")["comp"].to_numpy()
+    assert np.array_equal(got, np.zeros(n, dtype=np.int64))
+    assert run.iterations <= 18, run.iterations  # ~2*log2(128)+slack
+
+
+def test_components_bsp_path_graph_log_rounds():
+    from parallel_pagerank_ray.pipelines.components_actors import (
+        connected_components_bsp,
+    )
+
+    n = 2048
+    e = [(i, i + 1) for i in range(n - 1)]
+    g = _graph(e)
+    run = connected_components_bsp(g, num_parts=2)
+    got = run.components.to_pandas().sort_values("vid")["comp"].to_numpy()
+    assert np.array_equal(got, np.zeros(n, dtype=np.int64))
+    assert run.iterations <= 26, run.iterations
