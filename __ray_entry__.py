@@ -399,6 +399,16 @@ def q_knn_lsh(sf_dir: str) -> rd.Dataset:
     return knn_lsh(embs, queries, dim=dim, k=5, bits=10, probe_hamming=3)
 
 
+def q_knn_ivf(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.pipelines.similarity import knn_ivf, load_queries
+
+    embs = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    queries = load_queries(f"{sf_dir}/embeddings.parquet", set(range(10)))
+    return knn_ivf(embs, queries, k=5, n_cells=32, nprobe=4)
+
+
 def q_embedding_near_dup(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.dedup import embedding_near_dup
 
@@ -512,6 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_image_fake": q_decode_image_fake,
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "events_hourly": q_events_hourly,
         "events_hopping": q_events_hopping,

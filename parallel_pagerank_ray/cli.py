@@ -111,11 +111,21 @@ def cmd_run(args) -> int:
         }
         _write_result(run.components, args.workdir, "components", metrics)
     elif args.algo == "labelprop":
-        from parallel_pagerank_ray.pipelines.label_prop import label_propagation
+        if args.engine == "bsp":
+            from parallel_pagerank_ray.pipelines.label_prop_actors import (
+                label_propagation_bsp,
+            )
 
-        run = label_propagation(g, max_iters=args.max_iters)
+            run = label_propagation_bsp(g, max_iters=args.max_iters)
+        else:
+            from parallel_pagerank_ray.pipelines.label_prop import (
+                label_propagation,
+            )
+
+            run = label_propagation(g, max_iters=args.max_iters)
         metrics = {
-            "algo": "labelprop", "iterations": run.iterations,
+            "algo": "labelprop", "engine": args.engine,
+            "iterations": run.iterations,
             "secs": round(time.time() - t0, 3),
         }
         _write_result(run.labels, args.workdir, "labels", metrics)
@@ -140,6 +150,59 @@ def cmd_build(args) -> int:
     g = _load_graph(args)
     g.write(args.workdir)
     print(json.dumps({"n": g.n, "edges": g.edges.count(), "workdir": args.workdir}))
+    return 0
+
+
+def cmd_plot(args) -> int:
+    """Render SVG charts from a finished run's artifacts (the engine's
+    equivalent of the reference's matplotlib PNG scripts,
+    /root/reference/visualization/visualize_pagerank.py)."""
+    import numpy as np
+
+    from parallel_pagerank_ray.functions.plots import (
+        write_convergence_svg,
+        write_rank_histogram_svg,
+        write_topk_svg,
+    )
+
+    os.makedirs(args.workdir, exist_ok=True)
+    written = []
+    metrics_path = os.path.join(args.workdir, "ranks_metrics.json")
+    if os.path.exists(metrics_path):
+        with open(metrics_path) as f:
+            metrics = json.load(f)
+        if metrics.get("history"):
+            written.append(
+                write_convergence_svg(
+                    metrics["history"],
+                    os.path.join(args.workdir, "convergence.svg"),
+                )
+            )
+    ranks_dir = os.path.join(args.workdir, "ranks")
+    if os.path.isdir(ranks_dir):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(ranks_dir, columns=["vid", "rank"])
+        ranks = t.column("rank").to_numpy()
+        vids = t.column("vid").to_numpy()
+        order = np.lexsort((vids, -ranks))[: args.topk]
+        written.append(
+            write_topk_svg(
+                [str(v) for v in vids[order]],
+                ranks[order].tolist(),
+                os.path.join(args.workdir, "topk.svg"),
+                k=args.topk,
+            )
+        )
+        counts, edges = np.histogram(ranks, bins=20)
+        written.append(
+            write_rank_histogram_svg(
+                edges.tolist(),
+                counts.tolist(),
+                os.path.join(args.workdir, "rank_histogram.svg"),
+            )
+        )
+    print(json.dumps({"written": written}))
     return 0
 
 
@@ -171,7 +234,15 @@ def main(argv: list[str] | None = None) -> int:
     add_io(build)
     build.set_defaults(fn=cmd_build)
 
+    plot = sub.add_parser("plot")
+    plot.add_argument("--workdir", default="/tmp/ppr_out")
+    plot.add_argument("--topk", type=int, default=20)
+    plot.set_defaults(fn=cmd_plot)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "plot":  # pure driver-side artifact rendering
+        return args.fn(args)
 
     import ray
 

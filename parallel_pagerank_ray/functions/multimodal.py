@@ -55,13 +55,19 @@ class PayloadMeta:
 
 
 class DecodeImage:
-    """STUB decode stage: binary image -> (id, height, width, mean_luma).
+    """Decode stage: binary image -> (id, height, width, mean_luma).
 
     ``fake=True``: deterministic pseudo-decode from the md5 digest —
     exercises the full actor-pool path (schema, batching, output layout)
-    without codec libraries. ``fake=False``: NotImplementedError — wire a
-    real decoder (PIL/ffmpeg) here when the runtime image has one; the
-    surrounding pipeline does not change.
+    without codec libraries, and is value-checked against a DuckDB
+    oracle (__ray_entry__).
+
+    ``fake=False``: decodes with PIL when importable (one import probe
+    per actor in __init__, not per batch); raises NotImplementedError at
+    construction when no codec library is present — this container has
+    none, so the real path is exercised only where PIL exists. The
+    surrounding pipeline (schema, batching, actor signature) is
+    identical either way.
     """
 
     def __init__(
@@ -70,24 +76,51 @@ class DecodeImage:
         self.id_col = id_col
         self.payload_col = payload_col
         self.fake = fake
+        self._pil = None
+        if not fake:
+            try:
+                import PIL.Image as _pil  # type: ignore[import-not-found]
+
+                self._pil = _pil
+            except ImportError as ex:
+                raise NotImplementedError(
+                    "DecodeImage(fake=False) needs PIL, which is not in "
+                    "this environment; construct DecodeImage(fake=True) "
+                    "for the deterministic test double"
+                ) from ex
+
+    def _decode_real(self, payloads: list[bytes]) -> pa.Table | dict:
+        import io
+
+        h, w, luma = [], [], []
+        for p in payloads:
+            img = self._pil.open(io.BytesIO(p))
+            gray = np.asarray(img.convert("L"), dtype=np.float64)
+            h.append(img.height)
+            w.append(img.width)
+            luma.append(float(gray.mean()) / 255.0 if gray.size else 0.0)
+        return {
+            "height": np.array(h, dtype=np.int64),
+            "width": np.array(w, dtype=np.int64),
+            "mean_luma": np.array(luma, dtype=np.float64),
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "image decode requires codec libraries not present in this "
-                "environment; construct DecodeImage(fake=True) for the "
-                "deterministic test double"
-            )
         payloads = [_as_bytes(v) for v in batch.column(self.payload_col).to_pylist()]
-        h = [hashlib.md5(p).digest() for p in payloads]
-        height = np.array([1 + d[0] for d in h], dtype=np.int64)
-        width = np.array([1 + d[1] for d in h], dtype=np.int64)
-        luma = np.array([d[2] / 255.0 for d in h], dtype=np.float64)
+        if self.fake:
+            d = [hashlib.md5(p).digest() for p in payloads]
+            cols = {
+                "height": np.array([1 + x[0] for x in d], dtype=np.int64),
+                "width": np.array([1 + x[1] for x in d], dtype=np.int64),
+                "mean_luma": np.array([x[2] / 255.0 for x in d], dtype=np.float64),
+            }
+        else:
+            cols = self._decode_real(payloads)
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),
-                "height": pa.array(height),
-                "width": pa.array(width),
-                "mean_luma": pa.array(luma),
+                "height": pa.array(cols["height"]),
+                "width": pa.array(cols["width"]),
+                "mean_luma": pa.array(cols["mean_luma"]),
             }
         )

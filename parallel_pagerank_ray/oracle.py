@@ -53,6 +53,7 @@ def pagerank(
     tol: float = 1e-6,
     max_iters: int = 1000,
     e: np.ndarray | None = None,
+    init: np.ndarray | None = None,
 ) -> PageRankTrace:
     """Dense power-iteration PageRank with the reference's arithmetic.
 
@@ -74,7 +75,10 @@ def pagerank(
     uniform = e is None
     if not uniform:
         e = np.asarray(e, dtype=np.float64)
-    p1 = np.full(n, 1.0 / n, dtype=np.float64) if uniform else e.copy()
+    if init is not None:  # warm start (incremental PageRank)
+        p1 = np.asarray(init, dtype=np.float64).copy()
+    else:
+        p1 = np.full(n, 1.0 / n, dtype=np.float64) if uniform else e.copy()
     max_err = np.inf
     it = 0
     hist: list[tuple[int, float, float, float]] = []

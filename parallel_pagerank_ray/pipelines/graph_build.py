@@ -56,17 +56,19 @@ def assign_vertex_ids(links: rd.Dataset, num_buckets: int = 64) -> rd.Dataset:
     on the driver and a final offset-add map. The vid<->url bijection is
     deterministic for a given url set at any parallelism.
     """
-    urls = links.select_columns(["src_url"]).rename_columns({"src_url": "url"}).union(
-        links.select_columns(["dst_url"]).rename_columns({"dst_url": "url"})
-    )
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame()
-        r = df[["url"]].drop_duplicates()
-        r = r.copy()
-        r["bucket"] = stable_bucket(r["url"], num_buckets)
-        return r
+    def partial(t: pa.Table) -> pa.Table:
+        # one pass over links (src+dst columns concatenated) instead of
+        # a union of two scans; Arrow group_by distinct before the
+        # shuffle so only per-batch-unique urls ever move
+        u = pa.concat_arrays(
+            [
+                t.column("src_url").combine_chunks(),
+                t.column("dst_url").combine_chunks(),
+            ]
+        )
+        ut = pa.table({"url": u}).group_by(["url"], use_threads=False).aggregate([])
+        b = stable_bucket(ut.column("url").to_pandas(), num_buckets)
+        return ut.append_column("bucket", pa.array(b))
 
     def enumerate_bucket(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates(subset="url").sort_values("url")
@@ -79,7 +81,8 @@ def assign_vertex_ids(links: rd.Dataset, num_buckets: int = 64) -> rd.Dataset:
         )
 
     per_bucket = drop_empty_blocks(
-        urls.map_batches(partial, batch_format="pandas")
+        links.select_columns(["src_url", "dst_url"])
+        .map_batches(partial, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(enumerate_bucket, batch_format="pandas")
     ).materialize()
@@ -116,10 +119,67 @@ def assign_vertex_ids(links: rd.Dataset, num_buckets: int = 64) -> rd.Dataset:
     )
 
 
+def _default_join_partitions() -> int:
+    import ray
+
+    return max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+
+# per-worker cache of the broadcast url->vid index (bounded FIFO): the
+# pandas Index is built once per worker per map, not once per batch
+_RESOLVE_CACHE: dict[str, tuple] = {}
+
+
+def _resolve_lookup(t: pa.Table, map_ref) -> pa.Table:
+    import ray
+
+    key = map_ref.hex()
+    cached = _RESOLVE_CACHE.get(key)
+    if cached is None:
+        urls, vids = ray.get(map_ref)
+        cached = (pd.Index(urls), vids)
+        if len(_RESOLVE_CACHE) >= 4:
+            _RESOLVE_CACHE.pop(next(iter(_RESOLVE_CACHE)))
+        _RESOLVE_CACHE[key] = cached
+    index, vids = cached
+    s = index.get_indexer(t.column("src_url").to_pandas())
+    d = index.get_indexer(t.column("dst_url").to_pandas())
+    m = (s >= 0) & (d >= 0)  # inner-join semantics: drop unknown urls
+    return pa.table({"src": vids[s[m]], "dst": vids[d[m]]})
+
+
 def resolve_edges(
-    links: rd.Dataset, vertices: rd.Dataset, num_partitions: int = 8
+    links: rd.Dataset,
+    vertices: rd.Dataset,
+    num_partitions: int | None = None,
+    broadcast_max: int = 5_000_000,
 ) -> rd.Dataset:
-    """links (src_url, dst_url) ⋈ vertices twice -> int edges (src, dst)."""
+    """links (src_url, dst_url) ⋈ vertices twice -> int edges (src, dst).
+
+    Small-side broadcast fast path: when the vertex table fits plasma
+    comfortably (<= ``broadcast_max`` rows) the url->vid map ships ONCE
+    via ray.put and every batch resolves with one hash lookup — no
+    shuffle at all. The two hash joins remain the unbounded-n fallback
+    (at 10^12 urls the map no longer broadcasts).
+    """
+    import functools
+
+    import ray
+
+    n_verts = vertices.count()
+    if n_verts <= broadcast_max:
+        parts = ray.get(vertices.to_arrow_refs())
+        tbl = pa.concat_tables(parts) if parts else None
+        if tbl is not None and tbl.num_rows:
+            urls = tbl.column("url").to_pandas().to_numpy()
+            vids = tbl.column("vid").to_numpy()
+            map_ref = ray.put((urls, vids))
+            return links.select_columns(["src_url", "dst_url"]).map_batches(
+                functools.partial(_resolve_lookup, map_ref=map_ref),
+                batch_format="pyarrow",
+            )
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
     e = safe_join(
         links,
         vertices,
@@ -202,7 +262,10 @@ class Graph:
 
     @classmethod
     def from_links(
-        cls, links: rd.Dataset, num_buckets: int = 64, num_partitions: int = 8
+        cls,
+        links: rd.Dataset,
+        num_buckets: int = 64,
+        num_partitions: int | None = None,
     ) -> "Graph":
         links = links.materialize()
         if links.count() == 0:
@@ -224,10 +287,13 @@ class Graph:
     def from_pages(
         cls,
         pages: rd.Dataset,
-        concurrency: int = 4,
+        concurrency: int | None = None,
         num_buckets: int = 64,
-        num_partitions: int = 8,
+        num_partitions: int | None = None,
     ) -> "Graph":
+        # concurrency=None lets the extraction stage use every CPU — a
+        # fixed cap here silently serialized the whole ingest at high
+        # core counts (round-2 scaling run: 32 CPUs no faster than 8)
         return cls.from_links(
             links_from_pages(pages, concurrency=concurrency),
             num_buckets=num_buckets,

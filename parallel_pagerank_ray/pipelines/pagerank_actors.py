@@ -62,6 +62,7 @@ class _RankShard:
         part_size: int,
         d: float,
         e_ref=None,
+        init_ref=None,
     ) -> None:
         self.part = part
         self.n = n
@@ -115,6 +116,16 @@ class _RankShard:
                 full_e[self.base : self.base + self.size], dtype=np.float64
             ).copy()
             self.ranks = self.e.copy()
+        if init_ref is not None:
+            # warm start (incremental PageRank): previous run's ranks
+            # replace the uniform/e init; the fixpoint is unchanged, the
+            # iteration count drops when the graph changed little
+            full_i = (
+                init_ref if isinstance(init_ref, np.ndarray) else ray.get(init_ref)
+            )
+            self.ranks = np.asarray(
+                full_i[self.base : self.base + self.size], dtype=np.float64
+            ).copy()
 
     def dangling_part(self) -> float:
         return float(self.ranks[self.deg == 0].sum())
@@ -210,6 +221,7 @@ def pagerank_bsp(
     workdir: str | None = None,
     checkpoint_every: int = 0,
     personalization: "np.ndarray | None" = None,
+    init_ranks: "np.ndarray | None" = None,
 ) -> BSPPageRankRun:
     """Power-iteration PageRank on the BSP actor engine.
 
@@ -245,9 +257,17 @@ def pagerank_bsp(
         if personalization is not None
         else None
     )
+    # warm start: full vector broadcast once like personalization (at
+    # 10^12-vertex scale pass ranks as parquet read per shard instead)
+    init_ref = (
+        ray.put(np.asarray(init_ranks, dtype=np.float64))
+        if init_ranks is not None
+        else None
+    )
     actors = [
         _RankShard.options(num_cpus=per_actor).remote(
-            p, store.part_refs.get(p, []), n, P, store.part_size, d, e_ref
+            p, store.part_refs.get(p, []), n, P, store.part_size, d, e_ref,
+            init_ref,
         )
         for p in range(P)
     ]
@@ -266,6 +286,13 @@ def pagerank_bsp(
                 np.asarray(personalization, dtype=np.float64).tobytes()
             ).hexdigest()
             if personalization is not None
+            else None
+        ),
+        "init_md5": (
+            _hashlib.md5(
+                np.asarray(init_ranks, dtype=np.float64).tobytes()
+            ).hexdigest()
+            if init_ranks is not None
             else None
         ),
     }

@@ -9,10 +9,13 @@ Two paths over an ``embeddings``-shaped table
   matmul and emits only its local top-k rows per query; a final
   per-query reduce (groupby + map_groups) merges partials. Traffic is
   O(num_queries * k * num_blocks), never O(n).
-- ``knn_lsh``: the scale path — random-hyperplane LSH buckets built by a
-  stateful actor stage (projection matrix constructed once per worker),
-  probing only buckets within ``probe_hamming`` of the query's code.
-  Recall < 1 by design; tested against ``knn_brute`` in pytest.
+- ``knn_lsh``: scale path 1 — random-hyperplane LSH: the corpus is
+  shuffled once by code bucket and only buckets within ``probe_hamming``
+  of a query's code are ever scored. Recall < 1 by design; tested
+  against ``knn_brute`` in pytest.
+- ``knn_ivf``: scale path 2 — IVF with a k-means coarse quantizer
+  trained driver-side on a bounded sample; each query probes its
+  ``nprobe`` nearest cells. Scanned fraction ~= nprobe / n_cells.
 """
 
 from __future__ import annotations
@@ -304,5 +307,124 @@ def knn_lsh(
         bits,
         probe_hamming,
         100.0 * frac,
+    )
+    return drop_empty_blocks(out)
+
+
+def _kmeans(sample: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Deterministic Lloyd k-means on a driver-side sample (coarse
+    quantizer training). Centroids are L2-normalized so nearest-centroid
+    assignment under dot product == cosine."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(np.asarray(sample, dtype=np.float64))
+    k = min(k, len(sample))
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+            else:  # deterministic reseed from the farthest point
+                far = np.argmin((sample @ centroids.T).max(axis=1))
+                centroids[c] = sample[far]
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def knn_ivf(
+    embs: rd.Dataset,
+    queries: tuple[np.ndarray, np.ndarray],
+    k: int = 5,
+    n_cells: int = 64,
+    nprobe: int = 4,
+    train_size: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """IVF ANN: k-means coarse quantizer -> corpus shuffled ONCE by cell
+    -> each cell scored only against queries probing it (its centroid is
+    among the query's ``nprobe`` nearest). The scale path alongside
+    ``knn_lsh``: scanned fraction ~= nprobe / n_cells; recall < 1 vs
+    ``knn_brute`` by design (tested in pytest).
+
+    The quantizer trains driver-side on a ``train_size`` sample (one
+    ``limit().take_all()`` — the ONLY driver materialization, bounded by
+    train_size) and is broadcast via one ``ray.put``. Output schema
+    matches ``knn_brute``: (query_id, neighbor_id).
+    """
+    q_ids, q_mat = queries
+    q_mat64 = _normalize(np.asarray(q_mat, dtype=np.float64))
+    q_ids = np.asarray(q_ids, dtype=np.int64)
+
+    sample_rows = embs.select_columns([vec_col]).limit(train_size).take_all()
+    sample = np.asarray(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows]
+    )
+    centroids = _kmeans(sample, n_cells, seed=seed)
+    cent_ref = ray.put(centroids)
+    # per-query probed cells (driver-side: Q x n_cells is tiny)
+    nprobe = min(nprobe, len(centroids))
+    q_cells = np.argsort(-(q_mat64 @ centroids.T), axis=1)[:, :nprobe]
+    queries_ref = ray.put((q_ids, q_mat64, q_cells))
+
+    def assign_cell(batch: pa.Table, cent_ref=cent_ref) -> pa.Table:
+        cents = ray.get(cent_ref)
+        mat = _normalize(_to_matrix(batch.column(vec_col)))
+        cells = np.argmax(mat @ cents.T, axis=1).astype(np.int64)
+        return batch.append_column("cell", pa.array(cells))
+
+    with_cell = embs.select_columns([id_col, vec_col]).map_batches(
+        assign_cell, batch_format="pyarrow"
+    )
+
+    def score_cell(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": np.array([], dtype=np.int64),
+                "neighbor_id": np.array([], dtype=np.int64),
+                "sim": np.array([], dtype=np.float64),
+            }
+        )
+        qi, qm, qc = ray.get(queries_ref)
+        cell = np.int64(g["cell"].iloc[0])
+        probe = (qc == cell).any(axis=1)
+        if not probe.any():
+            return empty  # cell pruned: never scored
+        ids = g[id_col].to_numpy()
+        mat = _normalize(
+            np.asarray([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
+        )
+        sims = qm[probe] @ mat.T
+        sims[qi[probe][:, None] == ids[None, :]] = -np.inf
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+        qsel = qi[probe]
+        rows_q, rows_n, rows_s = [], [], []
+        for r in range(len(qsel)):
+            for col in part[r]:
+                if np.isfinite(sims[r, col]):
+                    rows_q.append(int(qsel[r]))
+                    rows_n.append(int(ids[col]))
+                    rows_s.append(float(sims[r, col]))
+        return pd.DataFrame(
+            {
+                "query_id": np.array(rows_q, dtype=np.int64),
+                "neighbor_id": np.array(rows_n, dtype=np.int64),
+                "sim": np.array(rows_s, dtype=np.float64),
+            }
+        )
+
+    partials = with_cell.groupby("cell").map_groups(
+        score_cell, batch_format="pandas"
+    )
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        return g[["query_id", "neighbor_id"]].reset_index(drop=True)
+
+    out = drop_empty_blocks(partials).groupby("query_id").map_groups(
+        final_topk, batch_format="pandas"
     )
     return drop_empty_blocks(out)

@@ -67,28 +67,9 @@ def triangle_count(
         num_buckets=num_buckets,
     ).materialize()
 
-    # attach degree to both endpoints (hash joins), orient by (deg, vid)
-    e = safe_join(
-        und,
-        deg,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("src",),
-        right_on=("vid",),
-    ).rename_columns({"deg": "deg_src"})
-    e = safe_join(
-        e,
-        deg,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("dst",),
-        right_on=("vid",),
-    ).rename_columns({"deg": "deg_dst"})
-
-    def orient(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
-        s, d = batch["src"], batch["dst"]
-        ds_ = batch["deg_src"].astype(np.int64)
-        dd_ = batch["deg_dst"].astype(np.int64)
+    def _orient_arrays(
+        s: np.ndarray, d: np.ndarray, ds_: np.ndarray, dd_: np.ndarray
+    ) -> dict[str, np.ndarray]:
         # lexicographic (deg, vid) comparison — no n^2 composite key,
         # int64-safe at any vertex count
         fwd = (ds_ < dd_) | ((ds_ == dd_) & (s < d))
@@ -102,7 +83,52 @@ def triangle_count(
             "bucket": u % num_buckets,
         }
 
-    oriented = e.map_batches(orient, batch_format="numpy").materialize()
+    if n * 8 <= 256 << 20:
+        # degree-vector broadcast (one plasma copy per node, indexed
+        # zero-copy in every task) replaces TWO hash joins — the same
+        # small-side-broadcast rule as knn/triangle closure. Join path
+        # below remains the unbounded-n fallback.
+        import ray as _ray
+
+        deg_vec = np.zeros(n, dtype=np.int64)
+        for blk in _ray.get(deg.to_arrow_refs()):
+            deg_vec[blk.column("vid").to_numpy()] = blk.column("deg").to_numpy()
+        deg_ref = _ray.put(deg_vec)
+
+        def orient_bcast(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+            dv = _ray.get(deg_ref)
+            s, d = batch["src"], batch["dst"]
+            return _orient_arrays(s, d, dv[s], dv[d])
+
+        oriented = und.map_batches(orient_bcast, batch_format="numpy").materialize()
+    else:
+        # attach degree to both endpoints (hash joins), orient by (deg, vid)
+        e = safe_join(
+            und,
+            deg,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("vid",),
+        ).rename_columns({"deg": "deg_src"})
+        e = safe_join(
+            e,
+            deg,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("dst",),
+            right_on=("vid",),
+        ).rename_columns({"deg": "deg_dst"})
+
+        def orient(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+            return _orient_arrays(
+                batch["src"],
+                batch["dst"],
+                batch["deg_src"].astype(np.int64),
+                batch["deg_dst"].astype(np.int64),
+            )
+
+        oriented = e.map_batches(orient, batch_format="numpy").materialize()
     n_oriented = oriented.count()
 
     # Fast path: broadcast the oriented edge set (8 B/edge key, one

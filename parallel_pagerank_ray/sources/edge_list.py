@@ -48,3 +48,29 @@ def edges_dataset(edges: np.ndarray | list, num_blocks: int = 1) -> rd.Dataset:
     tbl = pa.table({"src": e[:, 0], "dst": e[:, 1]})
     ds = rd.from_arrow(tbl)
     return ds.repartition(num_blocks) if num_blocks > 1 else ds
+
+
+def write_edge_list(
+    edges: rd.Dataset, path: str, header: str | None = None
+) -> int:
+    """Edges Dataset -> reference-format text edge list ("src dst" rows,
+    '#' comment header) for interop with the reference tools
+    (csr_graph.c:18 comment skip; benchmark drivers read this format).
+
+    Streams block-by-block through ``iter_batches`` into ONE file —
+    interop artifacts are small by definition; big graphs ship as
+    partitioned Parquet (``Graph.write``). Returns the edge count.
+    """
+    n = 0
+    with open(path, "w") as f:
+        if header:
+            for line in header.splitlines():
+                f.write(f"# {line}\n")
+        for batch in edges.iter_batches(batch_format="numpy"):
+            src, dst = batch["src"], batch["dst"]
+            f.write(
+                "\n".join(f"{s} {d}" for s, d in zip(src.tolist(), dst.tolist()))
+            )
+            f.write("\n")
+            n += len(src)
+    return n

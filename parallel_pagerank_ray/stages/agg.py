@@ -82,15 +82,41 @@ def bucket_of(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarray
     return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
-def _combine(df: pd.DataFrame, keys: list[str], specs: Spec) -> pd.DataFrame:
-    gb = df.groupby(keys, sort=False)
-    pieces: dict[str, pd.Series] = {}
+def _bucket_arrow(t: pa.Table, keys: list[str], num_buckets: int) -> pa.Array:
+    """Deterministic bucket id per row of an Arrow table. Runs on the
+    ALREADY-COLLAPSED partial (one row per distinct key in the batch),
+    so the pandas conversion here touches only the small key columns."""
+    h = pd.util.hash_pandas_object(
+        t.select(keys).to_pandas(), index=False, hash_key=_HASH_KEY
+    )
+    return pa.array((h.to_numpy() % np.uint64(num_buckets)).astype(np.int64))
+
+
+def _combine_arrow(t: pa.Table, keys: list[str], specs: Spec) -> pa.Table:
+    """Vectorized groupby-combine on Arrow (Acero) — no pandas blocks.
+
+    ``count`` means row count (count_all). Aggregates are algebraic
+    (sum/min/max/count) over int/string columns in this engine, so
+    result values are independent of within-group order.
+    """
+    aggs: list[tuple] = []
+    produced: dict[str, str] = {}  # arrow output name -> out col
+    count_outs: list[str] = []
     for out, (col, how) in specs.items():
         if how == "count":
-            pieces[out] = gb.size()
+            count_outs.append(out)
         else:
-            pieces[out] = getattr(gb[col], how)()
-    return pd.DataFrame(pieces).reset_index()
+            aggs.append((col, how))
+            produced[f"{col}_{how}"] = out
+    if count_outs:
+        aggs.append(([], "count_all"))
+        produced["count_all"] = count_outs[0]
+    g = t.group_by(keys, use_threads=False).aggregate(aggs)
+    g = g.rename_columns([produced.get(n, n) for n in g.column_names])
+    for extra in count_outs[1:]:
+        g = g.append_column(extra, g.column(count_outs[0]))
+    # keys first, then spec columns (stable public layout)
+    return g.select(keys + list(specs))
 
 
 def grouped_agg(
@@ -113,24 +139,17 @@ def grouped_agg(
         for out, (_c, how) in specs.items()
     }
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame()
-        r = _combine(df, keys, specs)
-        r["__b"] = bucket_of(r, keys, num_buckets)
-        return r
+    def partial(t: pa.Table) -> pa.Table:
+        r = _combine_arrow(t, keys, specs)
+        return r.append_column("__b", _bucket_arrow(r, keys, num_buckets))
 
-    def final(g: pd.DataFrame) -> pa.Table:
-        # Arrow out: downstream Dataset ops (rename/select/join) expect
-        # Arrow blocks
-        return pa.Table.from_pandas(
-            _combine(g.drop(columns="__b"), keys, final_specs), preserve_index=False
-        )
+    def final(g: pa.Table) -> pa.Table:
+        return _combine_arrow(g.drop_columns(["__b"]), keys, final_specs)
 
     out = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby("__b")
-        .map_groups(final, batch_format="pandas")
+        .map_groups(final, batch_format="pyarrow")
     )
     return drop_empty_blocks(out)
 
@@ -143,23 +162,18 @@ def distinct(
     if num_buckets is None:
         num_buckets = resolve_num_buckets(ds)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame()
-        r = df[keys].drop_duplicates()
-        r = r.copy()
-        r["__b"] = bucket_of(r, keys, num_buckets)
-        return r
+    def partial(t: pa.Table) -> pa.Table:
+        r = t.select(keys).group_by(keys, use_threads=False).aggregate([])
+        return r.append_column("__b", _bucket_arrow(r, keys, num_buckets))
 
-    def final(g: pd.DataFrame) -> pa.Table:
-        return pa.Table.from_pandas(
-            g.drop(columns="__b").drop_duplicates(), preserve_index=False
-        )
+    def final(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__b"])
+        return t.group_by(keys, use_threads=False).aggregate([])
 
     out = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby("__b")
-        .map_groups(final, batch_format="pandas")
+        .map_groups(final, batch_format="pyarrow")
     )
     return drop_empty_blocks(out)
 

@@ -1,0 +1,62 @@
+"""Bucketed aggregation: size-aware bucket count + result invariance.
+
+VERDICT r1 finding 2: fixed small bucket counts put ~input/32 bytes in
+ONE worker at scale. resolve_num_buckets must grow with input size, and
+the bucket count must never change results (it is parallelism only).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from parallel_pagerank_ray.stages.agg import grouped_agg, resolve_num_buckets
+
+
+@pytest.fixture(scope="module")
+def keyed_ds():
+    rng = np.random.default_rng(5)
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 500, size=20_000), type=pa.int64()),
+            "v": pa.array(rng.integers(0, 1000, size=20_000), type=pa.int64()),
+        }
+    )
+    return rd.from_arrow(t).repartition(4).materialize()
+
+
+def test_resolve_num_buckets_scales_with_size(keyed_ds, monkeypatch):
+    # materialized dataset -> size known from metadata; force a tiny
+    # target so the count must exceed the floor
+    monkeypatch.setenv("PPR_TARGET_BUCKET_BYTES", "4096")
+    nb = resolve_num_buckets(keyed_ds)
+    assert nb > 32
+    monkeypatch.setenv("PPR_TARGET_BUCKET_BYTES", str(1 << 40))
+    assert resolve_num_buckets(keyed_ds) == 32  # floor
+
+
+def test_resolve_num_buckets_unknown_size_falls_back():
+    ds = rd.range(100).map_batches(lambda b: b, batch_format="numpy")
+    assert resolve_num_buckets(ds, floor=7) == 7
+
+
+def test_bucket_count_never_changes_results(keyed_ds, monkeypatch):
+    def run(nb):
+        out = grouped_agg(
+            keyed_ds,
+            ["k"],
+            {"s": ("v", "sum"), "n": ("v", "count"), "m": ("v", "min")},
+            num_buckets=nb,
+        )
+        return out.to_pandas().sort_values("k").reset_index(drop=True)
+
+    base = run(8)
+    monkeypatch.setenv("PPR_TARGET_BUCKET_BYTES", "4096")
+    auto = grouped_agg(
+        keyed_ds, ["k"], {"s": ("v", "sum"), "n": ("v", "count"), "m": ("v", "min")}
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, auto)
+    pd.testing.assert_frame_equal(base, run(101))

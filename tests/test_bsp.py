@@ -80,3 +80,35 @@ def test_uniform_personalization_equals_default(graphs):
     b = unif.ranks.to_pandas().sort_values("vid")["rank"].to_numpy()
     assert np.allclose(a, b, atol=1e-12)
     assert base.iterations == unif.iterations
+
+
+def test_incremental_pagerank_warm_start(graphs):
+    """Warm-starting from a converged run on a slightly-changed graph
+    must (a) converge in fewer iterations than cold, (b) match the
+    NumPy oracle run from the same init bit-for-bit semantics (1e-12)."""
+    import numpy as np
+
+    from parallel_pagerank_ray import oracle
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.pagerank_actors import pagerank_bsp
+    from parallel_pagerank_ray.sources.edge_list import edges_dataset
+
+    n, e = graphs["medium"]
+    base = pagerank_bsp(
+        Graph.from_int_edges(edges_dataset(e, num_blocks=2)), tol=1e-10
+    )
+    ranks0 = (
+        base.ranks.to_pandas().sort_values("vid")["rank"].to_numpy()
+    )
+
+    e2 = [tuple(map(int, x)) for x in e] + [(0, n - 1)]  # delta: one new edge
+    g2 = Graph.from_int_edges(edges_dataset(e2, num_blocks=2))
+    warm = pagerank_bsp(g2, tol=1e-10, init_ranks=ranks0)
+    cold = pagerank_bsp(g2, tol=1e-10)
+    assert warm.iterations < cold.iterations
+    got = warm.ranks.to_pandas().sort_values("vid")["rank"].to_numpy()
+    want = oracle.pagerank(
+        n, np.array(sorted(set(e2))), tol=1e-10, init=ranks0
+    )
+    assert warm.iterations == want.iterations
+    assert np.allclose(got, want.ranks, atol=1e-12)

@@ -159,3 +159,22 @@ def test_cli_personalized_pagerank(tmp_path, graphs):
     assert np.allclose(got, tr.ranks, atol=1e-6)
     metrics = _json.loads((tmp_path / "out" / "ranks_metrics.json").read_text())
     assert metrics["iterations"] == tr.iterations
+
+
+def test_edge_list_roundtrip(tmp_path):
+    import numpy as np
+
+    from parallel_pagerank_ray.sources.edge_list import (
+        edges_dataset,
+        read_edge_list,
+        write_edge_list,
+    )
+
+    e = [(0, 1), (1, 2), (2, 0), (5, 3)]
+    path = str(tmp_path / "g.txt")
+    n = write_edge_list(edges_dataset(e), path, header="test graph\n4 edges")
+    assert n == 4
+    first = open(path).readline()
+    assert first.startswith("#")
+    back = read_edge_list(path).to_pandas().sort_values(["src", "dst"])
+    assert list(map(tuple, back.to_numpy())) == sorted(e)

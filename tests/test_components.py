@@ -74,3 +74,18 @@ def test_components_bsp_path_graph_log_rounds():
     got = run.components.to_pandas().sort_values("vid")["comp"].to_numpy()
     assert np.array_equal(got, np.zeros(n, dtype=np.int64))
     assert run.iterations <= 26, run.iterations
+
+
+def test_label_propagation_bsp_exact(graphs):
+    from parallel_pagerank_ray.pipelines.label_prop_actors import (
+        label_propagation_bsp,
+    )
+
+    for name in ("small", "two_comps", "medium"):
+        n, e = graphs[name]
+        g = _graph(e)
+        run = label_propagation_bsp(g, max_iters=10, num_parts=2)
+        got = run.labels.to_pandas().sort_values("vid")["label"].to_numpy()
+        want, rounds = oracle.label_propagation(n, e, max_iters=10)
+        assert np.array_equal(got, want), name
+        assert run.iterations == rounds, name

@@ -145,8 +145,38 @@ def test_multimodal_stages():
     assert set(fake.columns) == {"doc_id", "height", "width", "mean_luma"}
     assert (fake["height"] >= 1).all() and (fake["width"] >= 1).all()
 
-    with pytest.raises((NotImplementedError, Exception)):
-        ds.map_batches(DecodeImage(fake=False), batch_format="pyarrow").materialize()
+    # real decode path: decodes with PIL where available, raises a
+    # clear NotImplementedError at construction where it is not
+    try:
+        import PIL.Image  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(NotImplementedError):
+            DecodeImage(fake=False)
+    else:
+        import io
+
+        import pyarrow as _pa
+
+        buf = io.BytesIO()
+        PIL.Image.new("RGB", (4, 3), (255, 255, 255)).save(buf, format="PNG")
+        img_ds = rd.from_arrow(
+            _pa.table(
+                {
+                    "doc_id": _pa.array([0], type=_pa.int64()),
+                    "payload": _pa.array([buf.getvalue()], type=_pa.binary()),
+                }
+            )
+        )
+        real = (
+            img_ds.map_batches(DecodeImage(fake=False), batch_format="pyarrow")
+            .to_pandas()
+        )
+        assert real["height"].tolist() == [3] and real["width"].tolist() == [4]
+        assert real["mean_luma"].iloc[0] == 1.0
 
 
 def test_hopping_rollup_matches_reference():

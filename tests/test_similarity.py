@@ -55,3 +55,18 @@ def test_knn_lsh_recall():
     recall = len(got_set & truth) / len(truth)
     assert recall >= 0.4  # approximate by design; bucketing must not collapse
     assert len(got) <= Q * K
+
+
+def test_knn_ivf_recall():
+    from parallel_pagerank_ray.pipelines.similarity import knn_ivf
+
+    ds, ids, mat = _embs()
+    q_ids = np.arange(Q, dtype=np.int64)
+    truth = _numpy_topk(ids, mat, q_ids, K)
+    got = knn_ivf(
+        ds, (q_ids, mat[:Q]), k=K, n_cells=8, nprobe=3, train_size=200
+    ).to_pandas()
+    got_set = set(zip(got.query_id, got.neighbor_id))
+    recall = len(got_set & truth) / len(truth)
+    assert recall >= 0.5  # nprobe/n_cells = 3/8 of cells scanned
+    assert len(got) <= Q * K
