@@ -201,6 +201,28 @@ def q_components_copurchase(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_component_size_histogram(sf_dir: str) -> rd.Dataset:
+    """Distribution of component sizes: (size, n_components)."""
+    from parallel_pagerank_ray.pipelines.components_actors import (
+        connected_components_bsp,
+    )
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.relational import supplier_part_edges
+
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    # supplier_part graph (bipartite, many isolated part vertices) gives
+    # a non-trivial histogram, unlike copurchase's single giant comp
+    g = Graph.from_int_edges(supplier_part_edges(sf_dir), dedup=False)
+    run = connected_components_bsp(g)
+    sizes = grouped_agg(
+        run.components, ["comp"], {"size": ("vid", "count")}, num_buckets=8
+    )
+    return grouped_agg(
+        sizes, ["size"], {"n_components": ("comp", "count")}, num_buckets=8
+    )
+
+
 def q_labelprop_copurchase(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.graph_build import Graph
     from parallel_pagerank_ray.pipelines.label_prop import label_propagation
@@ -507,6 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_stats": q_graph_stats,
         "pagerank_supplier_part_top20": q_pagerank_supplier_part_top20,
         "components_copurchase": q_components_copurchase,
+        "component_size_histogram": q_component_size_histogram,
         "labelprop_copurchase": q_labelprop_copurchase,
         "triangles_copurchase": q_triangles_copurchase,
         "degree_histogram": q_degree_histogram,
@@ -794,6 +817,27 @@ def oracle_sql() -> dict[str, str]:
               lab AS (SELECT vid, comp FROM cc
                       WHERE it = (SELECT max(it) FROM cc))
             SELECT comp, count(*) AS size FROM lab GROUP BY 1
+        """,
+        "component_size_histogram": f"""
+            WITH RECURSIVE
+            {_supplier_part_vid_graph(_SUPP_PART_SQL)},
+              cc(it, vid, comp, ch) AS (
+                SELECT 0, vid, vid, 1 FROM v
+                UNION ALL
+                SELECT c.it + 1, c.vid,
+                       least(c.comp, coalesce(m.mn, c.comp)),
+                       CASE WHEN least(c.comp, coalesce(m.mn, c.comp))
+                                 <> c.comp THEN 1 ELSE 0 END
+                FROM cc c
+                LEFT JOIN (SELECT u.dst AS vid, min(c2.comp) AS mn
+                           FROM cc c2 JOIN und u ON u.src = c2.vid
+                           GROUP BY 1) m ON m.vid = c.vid
+                WHERE (SELECT max(c3.ch) FROM cc c3) = 1
+              ),
+              lab AS (SELECT vid, comp FROM cc
+                      WHERE it = (SELECT max(it) FROM cc)),
+              sizes AS (SELECT comp, count(*) AS size FROM lab GROUP BY 1)
+            SELECT size, count(*) AS n_components FROM sizes GROUP BY 1
         """,
         "labelprop_copurchase": f"""
             WITH RECURSIVE
