@@ -345,6 +345,22 @@ def q_dedup_simhash(sf_dir: str) -> rd.Dataset:
     return simhash_candidates(_documents(sf_dir, ["doc_id", "text"]), max_hamming=3)
 
 
+def q_embed_docs(sf_dir: str) -> rd.Dataset:
+    """Deterministic fake-model embedding stage (docs -> int64 vectors).
+
+    The actor-pool model-inference plumbing (weights in __init__,
+    batched kernel in __call__) with a bit-reproducible fake model —
+    value-checked against SQL like the sketches."""
+    from parallel_pagerank_ray.functions.embed import FakeEmbedder
+
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        FakeEmbedder,
+        fn_constructor_kwargs={"dim": 8},
+        batch_format="pyarrow",
+        concurrency=4,
+    )
+
+
 def q_payload_meta(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.functions.multimodal import PayloadMeta
 
@@ -541,6 +557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_shingle_jaccard": q_dedup_shingle_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "embed_docs": q_embed_docs,
         "payload_meta": q_payload_meta,
         "decode_image_fake": q_decode_image_fake,
         "knn_cosine": q_knn_cosine,
@@ -729,6 +746,36 @@ def _simhash_sql(max_hamming: int = 3) -> str:
                  CAST({ham} AS BIGINT) AS hamming
           FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
         WHERE hamming <= {max_hamming}
+    """
+
+
+def _embed_docs_sql(dim: int = 8, seed: int = 1234) -> str:
+    """DuckDB mirror of functions.embed.FakeEmbedder: integer sums of
+    per-token affine hashes mod 2^31-1 — order-independent, bit-exact."""
+    from parallel_pagerank_ray.functions import hashing as H
+    from parallel_pagerank_ray.functions.embed import embed_params
+
+    a, b = embed_params(dim, seed=seed)
+    p = int(H.P31)
+    # CAST: DuckDB sum(BIGINT) returns HUGEINT
+    sums = ",\n".join(
+        f"CAST(coalesce(sum((h * {int(a[j])} + {int(b[j])}) % {p}), 0)"
+        f" AS BIGINT) AS e{j}"
+        for j in range(dim)
+    )
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '{TOKEN_SQL}')) AS t
+          FROM documents),
+        th AS (
+          SELECT doc_id,
+                 CAST(CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) % {p}
+                      AS BIGINT) AS h
+          FROM tok)
+        SELECT d.doc_id, {sums}
+        FROM documents d LEFT JOIN th ON th.doc_id = d.doc_id
+        GROUP BY d.doc_id
     """
 
 
@@ -972,6 +1019,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = p.db
             LEFT JOIN inter i ON i.da = p.da AND i.db = p.db
         """,
+        "embed_docs": _embed_docs_sql(dim=8),
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "dedup_simhash": _simhash_sql(max_hamming=3),
         "payload_meta": """

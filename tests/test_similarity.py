@@ -70,3 +70,36 @@ def test_knn_ivf_recall():
     recall = len(got_set & truth) / len(truth)
     assert recall >= 0.5  # nprobe/n_cells = 3/8 of cells scanned
     assert len(got) <= Q * K
+
+
+def test_fake_embedder_chain():
+    """docs -> FakeEmbedder -> near-dup chain: identical docs must embed
+    identically; the stage output is deterministic across runs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.functions.embed import FakeEmbedder, normalized
+
+    texts = ["the quick brown fox", "lazy dog sleeps", "the quick brown fox", ""]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(2)
+    out = (
+        ds.map_batches(FakeEmbedder, fn_constructor_kwargs={"dim": 8},
+                       batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    cols = [f"e{j}" for j in range(8)]
+    assert out.loc[0, cols].tolist() == out.loc[2, cols].tolist()
+    assert out.loc[3, cols].tolist() == [0] * 8  # no tokens -> zero vector
+    # normalized() gives unit vectors usable by the ANN ops
+    import pyarrow as _pa
+
+    mat = normalized(_pa.Table.from_pandas(out), 8)
+    assert np.allclose(np.linalg.norm(mat[:3], axis=1), 1.0)
