@@ -206,6 +206,23 @@ def cmd_plot(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    """Graph characteristics + engine recommendation (the reference
+    dashboard's analytics layer, computed distributed)."""
+    from parallel_pagerank_ray.functions.recommend import (
+        analyze_graph,
+        recommend_engine,
+    )
+
+    g = _load_graph(args)
+    analysis = analyze_graph(g.n, g.edges)
+    out = {"analysis": analysis}
+    if analysis is not None:
+        out["recommendation"] = recommend_engine(analysis)
+    print(json.dumps(out, indent=1, sort_keys=True))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="parallel_pagerank_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -238,6 +255,10 @@ def main(argv: list[str] | None = None) -> int:
     plot.add_argument("--workdir", default="/tmp/ppr_out")
     plot.add_argument("--topk", type=int, default=20)
     plot.set_defaults(fn=cmd_plot)
+
+    analyze = sub.add_parser("analyze")
+    add_io(analyze)
+    analyze.set_defaults(fn=cmd_analyze)
 
     args = p.parse_args(argv)
 

@@ -178,3 +178,31 @@ def test_edge_list_roundtrip(tmp_path):
     assert first.startswith("#")
     back = read_edge_list(path).to_pandas().sort_values(["src", "dst"])
     assert list(map(tuple, back.to_numpy())) == sorted(e)
+
+
+def test_analyze_and_recommend():
+    from parallel_pagerank_ray.functions.recommend import (
+        analyze_graph,
+        recommend_engine,
+    )
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.sources.edge_list import edges_dataset
+
+    # star graph: hub degree n-1 -> scale-free per the reference proxy
+    n = 60
+    star = [(0, i) for i in range(1, n)]
+    g = Graph.from_int_edges(edges_dataset(star))
+    a = analyze_graph(g.n, g.edges)
+    assert a["num_nodes"] == n and a["num_edges"] == n - 1
+    assert a["max_degree"] == n - 1 and a["is_scale_free"]
+    assert a["num_isolated"] == 0
+    rec = recommend_engine(a)
+    assert rec["engine"] == "bsp"
+    assert any("Scale-free" in s for s in rec["notes"])
+
+    # ring graph: uniform degree -> not scale-free; id gap -> isolated
+    ring = [(i, (i + 1) % 50) for i in range(50)] + [(52, 53)]
+    g2 = Graph.from_int_edges(edges_dataset(ring))
+    a2 = analyze_graph(g2.n, g2.edges)
+    assert not a2["is_scale_free"]
+    assert a2["num_isolated"] == 2  # vids 50, 51 untouched by any edge
