@@ -212,6 +212,7 @@ def knn_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    log_scan_stats: bool = False,
 ) -> rd.Dataset:
     """ANN with a PRUNED scan: the corpus is shuffled ONCE by its LSH
     code (<= 2^bits buckets), and each bucket is scored only against the
@@ -297,17 +298,45 @@ def knn_lsh(
     out = drop_empty_blocks(partials).groupby("query_id").map_groups(
         final_topk, batch_format="pandas"
     )
-    # scanned-fraction telemetry (expected, not measured per-task: the
-    # probed bucket set is a driver-side function of the query codes)
+    # scanned-fraction telemetry: expected fraction is free; the
+    # MEASURED fraction (which occupied buckets any query actually
+    # probes) costs one tiny aggregate over (code, count) rows — opt-in
     import math
 
     frac = sum(math.comb(bits, i) for i in range(probe_hamming + 1)) / (1 << bits)
-    logging.getLogger(__name__).info(
+    log = logging.getLogger(__name__)
+    log.info(
         "knn_lsh: bits=%d probe=%d -> expected scanned fraction %.1f%% of buckets",
         bits,
         probe_hamming,
         100.0 * frac,
     )
+    if log_scan_stats:
+        from parallel_pagerank_ray.stages.agg import grouped_agg
+
+        rows = grouped_agg(
+            with_code.select_columns(["code"]),
+            ["code"],
+            {"n": ("code", "count")},
+            num_buckets=8,
+        ).take_all()
+        codes_arr = np.array([r["code"] for r in rows], dtype=np.int64)
+        sizes = np.array([r["n"] for r in rows], dtype=np.int64)
+        xor = q_codes[:, None] ^ codes_arr[None, :]
+        ham = np.zeros_like(xor)
+        for b in range(bits):
+            ham += (xor >> b) & 1
+        probed = (ham <= probe_hamming).any(axis=0)
+        log.info(
+            "knn_lsh measured: %d/%d occupied buckets probed (%.1f%%), "
+            "%d/%d vectors scanned (%.1f%%)",
+            int(probed.sum()),
+            len(codes_arr),
+            100.0 * probed.mean() if len(codes_arr) else 0.0,
+            int(sizes[probed].sum()),
+            int(sizes.sum()),
+            100.0 * sizes[probed].sum() / max(int(sizes.sum()), 1),
+        )
     return drop_empty_blocks(out)
 
 

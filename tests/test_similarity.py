@@ -48,9 +48,25 @@ def test_knn_lsh_recall():
     ds, ids, mat = _embs()
     q_ids = np.arange(Q, dtype=np.int64)
     truth = _numpy_topk(ids, mat, q_ids, K)
-    got = knn_lsh(
-        ds, (q_ids, mat[:Q]), dim=DIM, k=K, bits=8, probe_hamming=3
-    ).to_pandas()
+    import logging
+
+    records = []
+
+    class _Cap(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    lg = logging.getLogger("parallel_pagerank_ray.pipelines.similarity")
+    h = _Cap(); lg.addHandler(h); lg.setLevel(logging.INFO)
+    try:
+        got = knn_lsh(
+            ds, (q_ids, mat[:Q]), dim=DIM, k=K, bits=8, probe_hamming=3,
+            log_scan_stats=True,
+        ).to_pandas()
+    finally:
+        lg.removeHandler(h)
+    measured = [m for m in records if "measured" in m]
+    assert measured and "% " not in measured[0]  # logged a measured line
     got_set = set(zip(got.query_id, got.neighbor_id))
     recall = len(got_set & truth) / len(truth)
     assert recall >= 0.4  # approximate by design; bucketing must not collapse
