@@ -193,8 +193,9 @@ def q_components_copurchase(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.stages.agg import grouped_agg
 
     # BSP engine (pointer-jumping, O(log n) rounds); the Dataset engine
-    # (same semantics, bounded memory at any n) is exercised in pytest
-    g = Graph.from_int_edges(copurchase_edges(sf_dir), dedup=False)
+    # (same semantics, bounded memory at any n) is exercised in pytest.
+    # min-label is duplicate-edge-invariant -> skip the pair dedup
+    g = Graph.from_int_edges(copurchase_edges(sf_dir, dedup=False), dedup=False)
     run = connected_components_bsp(g)
     return grouped_agg(
         run.components, ["comp"], {"size": ("vid", "count")}, num_buckets=8
@@ -242,7 +243,9 @@ def q_triangles_copurchase(sf_dir: str) -> pd.DataFrame:
     from parallel_pagerank_ray.pipelines.relational import copurchase_edges
     from parallel_pagerank_ray.pipelines.triangles import triangle_count
 
-    g = Graph.from_int_edges(copurchase_edges(sf_dir), dedup=False)
+    # triangle_count dedups internally (_simple_undirected) -> skip the
+    # redundant pair-dedup shuffle here
+    g = Graph.from_int_edges(copurchase_edges(sf_dir, dedup=False), dedup=False)
     return pd.DataFrame({"triangles": np.array([triangle_count(g)], dtype=np.int64)})
 
 
@@ -416,6 +419,49 @@ def q_decode_image_fake(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
+def q_sample_frames(sf_dir: str) -> rd.Dataset:
+    """Video frame-sampling plumbing (flat-map 1 -> n rows) with the
+    deterministic fake demuxer; frame payload md5s are SQL-reproducible."""
+    import binascii
+
+    import pyarrow as pa
+
+    from parallel_pagerank_ray.functions.multimodal import SampleFrames
+
+    def to_payload(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "payload": [t.encode("utf-8") for t in df["text"]],
+            }
+        )
+
+    def hexify(t: pa.Table) -> pa.Table:
+        md5s = [
+            binascii.hexlify(v).decode()
+            for v in t.column("frame_payload").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "frame_idx": t.column("frame_idx"),
+                "frame_md5": pa.array(md5s, type=pa.string()),
+            }
+        )
+
+    return (
+        _documents(sf_dir, ["doc_id", "text"])
+        .map_batches(to_payload, batch_format="pandas")
+        .map_batches(
+            SampleFrames,
+            fn_constructor_kwargs={"n_frames": 2, "fake": True},
+            batch_format="pyarrow",
+            concurrency=4,
+        )
+        .map_batches(hexify, batch_format="pyarrow")
+    )
+
+
 def q_knn_cosine(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.similarity import knn_brute, load_queries
 
@@ -559,6 +605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": q_dedup_simhash,
         "embed_docs": q_embed_docs,
         "payload_meta": q_payload_meta,
+        "sample_frames": q_sample_frames,
         "decode_image_fake": q_decode_image_fake,
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
@@ -1022,6 +1069,11 @@ def oracle_sql() -> dict[str, str]:
         "embed_docs": _embed_docs_sql(dim=8),
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "dedup_simhash": _simhash_sql(max_hamming=3),
+        "sample_frames": """
+            SELECT doc_id, k.range AS frame_idx,
+                   md5(text || '#' || CAST(k.range AS VARCHAR)) AS frame_md5
+            FROM documents, range(2) k
+        """,
         "payload_meta": """
             SELECT doc_id,
                    octet_length(encode(text)) AS n_bytes,

@@ -54,6 +54,117 @@ class PayloadMeta:
         )
 
 
+class ResizeImage:
+    """Resize stage: (id, payload) -> (id, payload, height, width).
+
+    ``fake=True`` emits a deterministic resized payload (md5-chained
+    bytes of the target size's fingerprint) so the batch-size /
+    actor-pool / output-layout plumbing is real and testable without
+    codec libs; ``fake=False`` resizes with PIL when importable and
+    raises NotImplementedError at construction otherwise. Output
+    payloads are bounded by (h, w) — the stage SHRINKS memory, so it
+    belongs before any shuffle of image columns.
+    """
+
+    def __init__(
+        self,
+        height: int,
+        width: int,
+        id_col: str = "doc_id",
+        payload_col: str = "payload",
+        fake: bool = False,
+    ) -> None:
+        self.h = height
+        self.w = width
+        self.id_col = id_col
+        self.payload_col = payload_col
+        self.fake = fake
+        self._pil = None
+        if not fake:
+            try:
+                import PIL.Image as _pil  # type: ignore[import-not-found]
+
+                self._pil = _pil
+            except ImportError as ex:
+                raise NotImplementedError(
+                    "ResizeImage(fake=False) needs PIL; use fake=True for "
+                    "the deterministic test double"
+                ) from ex
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = [_as_bytes(v) for v in batch.column(self.payload_col).to_pylist()]
+        if self.fake:
+            out = [
+                hashlib.md5(p + b"%dx%d" % (self.h, self.w)).digest()
+                for p in payloads
+            ]
+        else:
+            import io
+
+            out = []
+            for p in payloads:
+                img = self._pil.open(io.BytesIO(p)).resize((self.w, self.h))
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                out.append(buf.getvalue())
+        n = len(payloads)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "payload": pa.array(out, type=pa.binary()),
+                "height": pa.array([self.h] * n, type=pa.int64()),
+                "width": pa.array([self.w] * n, type=pa.int64()),
+            }
+        )
+
+
+class SampleFrames:
+    """Video frame-sampling stage: (id, payload) -> one row per sampled
+    frame (id, frame_idx, frame_payload).
+
+    Flat-map shape (1 -> n_frames rows) — the row explosion every video
+    pipeline needs, with bounded batches (callers size batch_size so
+    batch x n_frames x frame_bytes fits the worker heap). ``fake=True``
+    derives deterministic per-frame bytes from the payload hash;
+    ``fake=False`` raises NotImplementedError (no ffmpeg here) — wire a
+    real demuxer in its place without touching the pipeline shape.
+    """
+
+    def __init__(
+        self,
+        n_frames: int = 4,
+        id_col: str = "doc_id",
+        payload_col: str = "payload",
+        fake: bool = False,
+    ) -> None:
+        if not fake:
+            raise NotImplementedError(
+                "SampleFrames(fake=False) needs a video demuxer (ffmpeg), "
+                "not present in this environment; use fake=True for the "
+                "deterministic test double"
+            )
+        self.n_frames = n_frames
+        self.id_col = id_col
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        payloads = [_as_bytes(v) for v in batch.column(self.payload_col).to_pylist()]
+        out_id, out_idx, out_fp = [], [], []
+        for i, p in zip(ids, payloads):
+            for f in range(self.n_frames):
+                out_id.append(i)
+                out_idx.append(f)
+                out_fp.append(hashlib.md5(p + b"#%d" % f).digest())
+        return pa.table(
+            {
+                self.id_col: pa.array(out_id, type=pa.int64()),
+                "frame_idx": pa.array(out_idx, type=pa.int64()),
+                "frame_payload": pa.array(out_fp, type=pa.binary()),
+            }
+        )
+
+
 class DecodeImage:
     """Decode stage: binary image -> (id, height, width, mean_luma).
 

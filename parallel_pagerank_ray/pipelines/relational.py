@@ -127,7 +127,9 @@ def supplier_part_edges(sf_dir: str) -> rd.Dataset:
     return dedup_edges(edges)
 
 
-def copurchase_edges(sf_dir: str, num_buckets: int | None = None) -> rd.Dataset:
+def copurchase_edges(
+    sf_dir: str, num_buckets: int | None = None, dedup: bool = True
+) -> rd.Dataset:
     """Undirected-canonical co-purchase graph: parts appearing in the
     same order, (src < dst), deduplicated.
 
@@ -165,4 +167,7 @@ def copurchase_edges(sf_dir: str, num_buckets: int | None = None) -> rd.Dataset:
         .groupby("__b")
         .map_groups(pairs, batch_format="pandas")
     )
-    return dedup_edges(out)
+    # dedup=False skips the global-distinct shuffle for consumers that
+    # are duplicate-invariant (CC min-label; triangles dedups internally
+    # in _simple_undirected) — pairs are already per-bucket distinct
+    return dedup_edges(out) if dedup else out

@@ -208,3 +208,50 @@ def test_hopping_rollup_matches_reference():
     assert len(got) == len(exp)
     assert (got["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
     assert (got["value_cents"].to_numpy() == exp["value_cents"].to_numpy()).all()
+
+
+def test_resize_and_frame_sample_stages():
+    import pyarrow as pa
+
+    from parallel_pagerank_ray.functions.multimodal import (
+        ResizeImage,
+        SampleFrames,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "payload": pa.array([b"img-a", b"img-b"], type=pa.binary()),
+        }
+    )
+    ds = rd.from_arrow(t)
+    resized = (
+        ds.map_batches(
+            ResizeImage,
+            fn_constructor_kwargs={"height": 32, "width": 16, "fake": True},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert resized["height"].tolist() == [32, 32]
+    assert resized["width"].tolist() == [16, 16]
+    assert resized["payload"].iloc[0] != resized["payload"].iloc[1]
+
+    frames = (
+        ds.map_batches(
+            SampleFrames,
+            fn_constructor_kwargs={"n_frames": 3, "fake": True},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "frame_idx"])
+    )
+    assert len(frames) == 6  # 2 docs x 3 frames (flat-map explosion)
+    assert frames["frame_idx"].tolist() == [0, 1, 2, 0, 1, 2]
+    assert len(set(map(bytes, frames["frame_payload"]))) == 6
+
+    with pytest.raises(NotImplementedError):
+        SampleFrames(fake=False)
