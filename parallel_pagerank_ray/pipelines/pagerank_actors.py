@@ -222,6 +222,8 @@ def pagerank_bsp(
     checkpoint_every: int = 0,
     personalization: "np.ndarray | None" = None,
     init_ranks: "np.ndarray | None" = None,
+    fault_hook=None,
+    max_recoveries: int = 3,
 ) -> BSPPageRankRun:
     """Power-iteration PageRank on the BSP actor engine.
 
@@ -230,6 +232,14 @@ def pagerank_bsp(
     two actor rounds instead of a Dataset execution.
     ``checkpoint_every=0`` disables checkpointing; K>0 writes every K
     iterations (each actor writes only its own partition file).
+
+    Self-healing: if a shard actor dies mid-run (node loss, OOM kill),
+    the pool is respawned and state reloads from the latest complete
+    per-partition checkpoint (or restarts from init when none exists) —
+    up to ``max_recoveries`` times, then the error propagates. A
+    recovered run produces bit-identical results (float64 round-trips
+    parquet exactly). ``fault_hook(it, actors)`` is a test seam invoked
+    at each loop top for injecting failures.
     """
     import ray.data as rd
 
@@ -264,13 +274,16 @@ def pagerank_bsp(
         if init_ranks is not None
         else None
     )
-    actors = [
-        _RankShard.options(num_cpus=per_actor).remote(
-            p, store.part_refs.get(p, []), n, P, store.part_size, d, e_ref,
-            init_ref,
-        )
-        for p in range(P)
-    ]
+    def _spawn_actors() -> list:
+        return [
+            _RankShard.options(num_cpus=per_actor).remote(
+                p, store.part_refs.get(p, []), n, P, store.part_size, d,
+                e_ref, init_ref,
+            )
+            for p in range(P)
+        ]
+
+    actors = _spawn_actors()
 
     import hashlib as _hashlib
 
@@ -351,26 +364,89 @@ def pagerank_bsp(
         if _dbg:
             print("bsp: shards ready", flush=True)
 
+    def _reload_latest(new_actors: list):
+        """After respawning the pool, load the latest complete
+        checkpoint (None -> restart from init)."""
+        if workdir is None or not checkpoint_every:
+            return None
+        try:
+            with open(_lineage_path(workdir)) as f:
+                lin = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+        if lin.get("fingerprint") != fingerprint:
+            return None
+        root = _ckpt_root(workdir)
+        done = [
+            int(nm.split("=", 1)[1])
+            for nm in os.listdir(root)
+            if nm.startswith("iter=")
+            and os.path.exists(os.path.join(root, nm, "_SUCCESS"))
+            and nm.split("=", 1)[1] in lin["iters"]
+        ]
+        if not done:
+            return None
+        k = max(done)
+        ray.get(
+            [a.load.remote(os.path.join(root, f"iter={k}")) for a in new_actors]
+        )
+        return k, lin["iters"][str(k)], lin
+
+    recoveries = 0
     exit_reason = "max_iters"
     while max_err > tol and it < max_iters:
+        if fault_hook is not None:
+            fault_hook(it, actors)
         dang = float(dangling)
-        mats = ray.get([a.scatter.remote() for a in actors])
-        if _dbg:
-            print(f"bsp: iter {it} scatter done", flush=True)
-        inbox: list[list] = [[] for _ in range(P)]
-        for row in mats:  # actor order 0..P-1 -> deterministic sums
-            for bid, ref in row:
-                if bid < 0:  # full-vector: every partition slices it
-                    for b in range(P):
-                        inbox[b].append(ref)
-                else:
-                    inbox[bid].append(ref)
-        partials = ray.get(
-            [
-                actors[p].gather_update.remote(inbox[p], dang)
-                for p in range(P)
-            ]
-        )
+        try:
+            mats = ray.get([a.scatter.remote() for a in actors])
+            if _dbg:
+                print(f"bsp: iter {it} scatter done", flush=True)
+            inbox: list[list] = [[] for _ in range(P)]
+            for row in mats:  # actor order 0..P-1 -> deterministic sums
+                for bid, ref in row:
+                    if bid < 0:  # full-vector: every partition slices it
+                        for b in range(P):
+                            inbox[b].append(ref)
+                    else:
+                        inbox[bid].append(ref)
+            partials = ray.get(
+                [
+                    actors[p].gather_update.remote(inbox[p], dang)
+                    for p in range(P)
+                ]
+            )
+        except ray.exceptions.RayActorError:
+            if recoveries >= max_recoveries:
+                raise
+            recoveries += 1
+            for a in actors:
+                try:
+                    ray.kill(a)
+                except Exception:
+                    pass
+            actors = _spawn_actors()
+            got = _reload_latest(actors)
+            if got is not None:
+                it, meta, lineage = got
+                max_err = float(meta["max_err"])
+                dangling = float(meta["dangling_next"])
+                history.append(
+                    {"recovered": True, "resumed_iter": it, "attempt": recoveries}
+                )
+                if meta.get("converged"):  # l1-exit state: don't iterate on
+                    exit_reason = str(meta["exit_reason"])
+                    break
+            else:  # no usable checkpoint: restart from init
+                it = 0
+                max_err = np.inf
+                dangling = float(
+                    sum(ray.get([a.dangling_part.remote() for a in actors]))
+                )
+                history.append(
+                    {"recovered": True, "resumed_iter": 0, "attempt": recoveries}
+                )
+            continue
         if _dbg:
             print(f"bsp: iter {it} gather done", flush=True)
         l1 = float(sum(p[0] for p in partials))

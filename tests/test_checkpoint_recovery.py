@@ -66,3 +66,69 @@ def test_components_resume(graphs, tmp_path):
     res = connected_components(g, num_parts=2, workdir=wd, checkpoint_every=1)
     got = res.components.to_pandas().sort_values("vid")["comp"].to_numpy()
     assert np.array_equal(got, ref)
+
+
+def test_bsp_actor_death_self_heals(tmp_path, graphs):
+    """Kill a shard actor mid-run: the pool respawns, reloads the last
+    complete checkpoint, and the final ranks are bit-identical to an
+    uninterrupted run."""
+    import numpy as np
+    import ray
+
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.pagerank_actors import pagerank_bsp
+    from parallel_pagerank_ray.sources.edge_list import edges_dataset
+
+    n, e = graphs["medium"]
+    g = Graph.from_int_edges(edges_dataset(e, num_blocks=2))
+
+    clean = pagerank_bsp(g, tol=1e-8)
+    want = clean.ranks.to_pandas().sort_values("vid")["rank"].to_numpy()
+
+    killed = {"done": False}
+
+    def kill_once(it, actors):
+        if it == 2 and not killed["done"]:
+            killed["done"] = True
+            ray.kill(actors[0])
+
+    run = pagerank_bsp(
+        g,
+        tol=1e-8,
+        workdir=str(tmp_path),
+        checkpoint_every=1,
+        fault_hook=kill_once,
+    )
+    got = run.ranks.to_pandas().sort_values("vid")["rank"].to_numpy()
+    assert killed["done"]
+    assert any(h.get("recovered") for h in run.history)
+    assert run.iterations == clean.iterations
+    assert np.array_equal(got, want)  # bit-identical recovery
+
+
+def test_bsp_actor_death_without_checkpoint_restarts(graphs):
+    """No checkpoints: recovery restarts from init and still converges
+    to the oracle-exact result."""
+    import numpy as np
+    import ray
+
+    from parallel_pagerank_ray import oracle
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.pagerank_actors import pagerank_bsp
+    from parallel_pagerank_ray.sources.edge_list import edges_dataset
+
+    n, e = graphs["small"]
+    g = Graph.from_int_edges(edges_dataset(e, num_blocks=1))
+    killed = {"done": False}
+
+    def kill_once(it, actors):
+        if it == 1 and not killed["done"]:
+            killed["done"] = True
+            ray.kill(actors[-1])
+
+    run = pagerank_bsp(g, tol=1e-8, fault_hook=kill_once)
+    got = run.ranks.to_pandas().sort_values("vid")["rank"].to_numpy()
+    tr = oracle.pagerank(n, np.unique(np.array(e), axis=0), tol=1e-8)
+    assert killed["done"]
+    assert np.allclose(got, tr.ranks, atol=1e-12)
+    assert run.iterations == tr.iterations
