@@ -88,6 +88,17 @@ class _RankShard:
         self.full_vec = n * 8 <= _FULL_VEC_MAX
         if self.full_vec:
             self._dst = dst
+            # sparse exchange: when this shard's edges touch few
+            # destinations (touched < n/4), ship (idx, val) pairs
+            # instead of a dense n-vector — O(touched) traffic on very
+            # sparse graphs. The switch is a pure function of the static
+            # edge set, so the exchange form is deterministic; per-slot
+            # accumulation order matches the dense bincount exactly.
+            touched = np.unique(dst)
+            self._sparse = len(touched) * 4 < n and len(touched) > 0
+            if self._sparse:
+                self._touched = touched
+                self._dst_compressed = np.searchsorted(touched, dst)
         else:
             db = dst // part_size
             order = np.argsort(db, kind="stable")
@@ -137,6 +148,11 @@ class _RankShard:
         safe = np.maximum(self.deg, 1)
         w = np.repeat(self.ranks / safe, self.deg)  # deg=0 emits nothing
         if self.full_vec:
+            if self._sparse:
+                vals = np.bincount(
+                    self._dst_compressed, weights=w, minlength=len(self._touched)
+                )
+                return [(-2, ray.put((self._touched, vals)))]
             vec = np.bincount(self._dst, weights=w, minlength=self.n)
             return [(-1, ray.put(vec))]
         wp = w[self._perm]
@@ -155,7 +171,13 @@ class _RankShard:
         contrib = np.zeros(self.size, dtype=np.float64)
         # one batched get (zero-copy plasma views), summed in list order
         for seg in ray.get(list(seg_refs)):
-            if len(seg) == self.n and self.n != self.size:
+            if isinstance(seg, tuple):  # sparse (sorted idx, vals)
+                idx, vals = seg
+                lo = np.searchsorted(idx, self.base)
+                hi = np.searchsorted(idx, self.base + self.size)
+                # idx entries are unique -> fancy += is exact
+                contrib[idx[lo:hi] - self.base] += vals[lo:hi]
+            elif len(seg) == self.n and self.n != self.size:
                 contrib += seg[self.base : self.base + self.size]
             else:
                 contrib += seg[: self.size]

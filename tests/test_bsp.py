@@ -112,3 +112,26 @@ def test_incremental_pagerank_warm_start(graphs):
     )
     assert warm.iterations == want.iterations
     assert np.allclose(got, want.ranks, atol=1e-12)
+
+
+def test_sparse_exchange_parity():
+    """A graph touching few destinations must take the sparse (idx,
+    val) exchange and still match the oracle bit-for-bit at every
+    tolerance."""
+    import numpy as np
+
+    from parallel_pagerank_ray import oracle
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.pagerank_actors import pagerank_bsp
+    from parallel_pagerank_ray.sources.edge_list import edges_dataset
+
+    # n=4000 vertices, edges touch only ~40 destinations -> sparse path
+    n = 4000
+    e = [(i, (i * 7) % 40) for i in range(0, n, 3)]
+    g = Graph.from_int_edges(edges_dataset(e, num_blocks=2))
+    assert g.n == max(x for x, _ in e) + 1
+    run = pagerank_bsp(g, tol=1e-8, num_parts=4)
+    got = run.ranks.to_pandas().sort_values("vid")["rank"].to_numpy()
+    tr = oracle.pagerank(g.n, np.unique(np.array(e), axis=0), tol=1e-8)
+    assert run.iterations == tr.iterations
+    assert np.allclose(got, tr.ranks, atol=1e-12)
