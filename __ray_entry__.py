@@ -32,6 +32,7 @@ SF_SMALL = "/root/testdata/sf0.001"
 STOPWORD_SQL = "('the','and','of','to','a','in','is','that','it','for')"
 TOKEN_SQL = "[A-Za-z0-9_]+"
 PUNCT_SQL = "[.,;:!?]"
+BPE_SQL = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
 
 _SUPP_PART_SQL = "SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem"
 _COPURCHASE_SQL = """
@@ -1015,6 +1016,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      length(text) AS n_chars,
                      length(regexp_extract_all(text, '{TOKEN_SQL}')) AS n_tokens,
+                     length(regexp_extract_all(text, '{BPE_SQL}')) AS n_tokens_bpe,
                      length(regexp_extract_all(text, '{PUNCT_SQL}')) AS n_punct,
                      length(list_filter(
                          regexp_extract_all(lower(text), '{TOKEN_SQL}'),
@@ -1022,7 +1024,7 @@ def oracle_sql() -> dict[str, str]:
                      md5(text) AS fingerprint
               FROM documents
             )
-            SELECT doc_id, n_chars, n_tokens, n_punct,
+            SELECT doc_id, n_chars, n_tokens, n_tokens_bpe, n_punct,
                    {stop_ratio} AS stop_ratio,
                    (least(n_chars / 1000.0, 1.0)
                     + least({stop_ratio}, 0.5) * 2.0

@@ -16,6 +16,10 @@ import numpy as np
 import pandas as pd
 
 TOKEN_RE = r"[A-Za-z0-9_]+"
+# BPE-ish pre-tokenizer (GPT-2-style word/number/symbol runs with an
+# optional leading space; no lookahead -> identical under Python re and
+# DuckDB RE2)
+BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
 PUNCT_RE = r"[.,;:!?]"
 # tiny fixed stopword list — shared verbatim with the DuckDB oracle
 STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"]
@@ -27,7 +31,9 @@ class TextStats:
     Output columns (doc_id, n_chars, n_tokens, n_punct, stop_ratio,
     quality, lang_pred, fingerprint):
 
-    - n_tokens: count of ``[A-Za-z0-9_]+`` matches
+    - n_tokens: count of ``[A-Za-z0-9_]+`` matches (whitespace-ish)
+    - n_tokens_bpe: count of BPE-ish pre-tokenizer matches (the token
+      budget a GPT-style tokenizer would be proportional to)
     - stop_ratio: lowercase-token stopword fraction (0 when no tokens)
     - quality: mean of three [0,1] signals — length (chars/1000 capped),
       stopword ratio capped at 0.5 and rescaled, punctuation presence
@@ -48,6 +54,7 @@ class TextStats:
         text = batch["text"].astype(str)
         n_chars = text.str.len().astype(np.int64)
         n_tokens = text.str.count(TOKEN_RE).astype(np.int64)
+        n_tokens_bpe = text.str.count(BPE_RE).astype(np.int64)
         n_punct = text.str.count(PUNCT_RE).astype(np.int64)
         toks = text.str.lower().str.findall(TOKEN_RE)
         n_stop = toks.map(lambda ws: sum(w in self.stop for w in ws)).astype(np.int64)
@@ -61,6 +68,7 @@ class TextStats:
                 "doc_id": batch["doc_id"].astype(np.int64),
                 "n_chars": n_chars,
                 "n_tokens": n_tokens,
+                "n_tokens_bpe": n_tokens_bpe,
                 "n_punct": n_punct,
                 "stop_ratio": stop_ratio,
                 "quality": quality,
