@@ -541,6 +541,31 @@ def q_sessionize(sf_dir: str) -> rd.Dataset:
     return sessionize(read_table(sf_dir, "events"), gap_minutes=30)
 
 
+def q_events_asof(sf_dir: str) -> rd.Dataset:
+    """Backward as-of join: each 'click' event matched to the latest
+    'view' by the same user at or before it (ties -> larger event_id)."""
+    from parallel_pagerank_ray.pipelines.events import asof_join
+    from parallel_pagerank_ray.pipelines.relational import read_table
+
+    ev = read_table(sf_dir, "events")
+
+    def of_type(t: str, id_name: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.loc[df["event_type"] == t, ["event_id", "user_id", "ts"]]
+            # rename inside the map: Dataset.rename_columns requires
+            # Arrow blocks in Ray 2.49
+            return out.rename(columns={"event_id": id_name})
+
+        return fn
+
+    left = ev.map_batches(of_type("click", "click_id"), batch_format="pandas")
+    right = ev.map_batches(of_type("view", "view_id"), batch_format="pandas")
+    return asof_join(
+        left, right, by_col="user_id", ts_col="ts",
+        left_id="click_id", right_id="view_id",
+    )
+
+
 def q_pricing_summary(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.relational import pricing_summary, read_table
 
@@ -615,6 +640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q_events_hourly,
         "events_hopping": q_events_hopping,
         "sessionize": q_sessionize,
+        "events_asof": q_events_asof,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
     }
@@ -1132,6 +1158,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_events,
                    CAST(1 + sum(new_sess) AS BIGINT) AS n_sessions
             FROM g GROUP BY 1
+        """,
+        "events_asof": """
+            SELECT c.event_id AS click_id, m.view_id, c.user_id
+            FROM events c
+            JOIN LATERAL (
+              SELECT v.event_id AS view_id
+              FROM events v
+              WHERE v.user_id = c.user_id AND v.event_type = 'view'
+                AND v.ts <= c.ts
+              ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+            ) m ON true
+            WHERE c.event_type = 'click'
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

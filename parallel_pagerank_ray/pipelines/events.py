@@ -140,3 +140,80 @@ def sessionize(events: rd.Dataset, gap_minutes: int = 30) -> rd.Dataset:
         .map_groups(per_bucket, batch_format="pandas")
     )
     return drop_empty_blocks(out)
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    by_col: str,
+    ts_col: str,
+    left_id: str,
+    right_id: str,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Backward as-of join: for each left row, the LATEST right row with
+    ``right.ts <= left.ts`` within the same ``by_col`` key (ties on ts
+    broken by the larger ``right_id``). Unmatched left rows are dropped
+    (inner as-of). Output: (left_id, right_id, by_col).
+
+    Ray Data has no as-of join; this is the bucketed composition the
+    engine uses for every keyed-ordered operator: one shuffle keyed by
+    ``by_col % B`` (co-locates each key's rows), then a per-bucket
+    vectorized merge — one lexsort + one running maximum over the
+    interleaved rows, no per-key Python. Partitioning assumption: one
+    key's rows fit a worker (same contract as sessionize; salt by time
+    range for pathological keys).
+    """
+    from parallel_pagerank_ray.stages.agg import resolve_num_buckets
+
+    if num_buckets is None:
+        num_buckets = max(resolve_num_buckets(left), resolve_num_buckets(right))
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            idc = left_id if side else right_id
+            return pd.DataFrame(
+                {
+                    "by": df[by_col].to_numpy(),
+                    "ts": df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64),
+                    "flag": np.full(len(df), side, dtype=np.int64),
+                    "rid": df[idc].to_numpy(),
+                    "bucket": (df[by_col].to_numpy() % num_buckets).astype(np.int64),
+                }
+            )
+
+        return fn
+
+    msgs = left.map_batches(tag(1), batch_format="pandas").union(
+        right.map_batches(tag(0), batch_format="pandas")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        by = g["by"].to_numpy()
+        ts = g["ts"].to_numpy()
+        flag = g["flag"].to_numpy()
+        rid = g["rid"].to_numpy()
+        # rights sort before lefts at equal (by, ts); among equal-ts
+        # rights the larger rid sorts last -> running max picks it
+        order = np.lexsort((rid, flag, ts, by))
+        by, ts, flag, rid = by[order], ts[order], flag[order], rid[order]
+        pos = np.where(flag == 0, np.arange(len(by)), -1)
+        last_right = np.maximum.accumulate(pos)
+        lm = flag == 1
+        cand = last_right[lm]
+        ok = cand >= 0
+        # a carried-over right row from the previous key is filtered by
+        # the key-equality check
+        ok[ok] &= by[cand[ok]] == by[lm][ok]
+        out_left = rid[lm][ok]
+        out_right = rid[cand[ok]]
+        return pd.DataFrame(
+            {
+                left_id: out_left,
+                right_id: out_right,
+                by_col: by[lm][ok],
+            }
+        )
+
+    out = msgs.groupby("bucket").map_groups(merge, batch_format="pandas")
+    return drop_empty_blocks(out)

@@ -255,3 +255,52 @@ def test_resize_and_frame_sample_stages():
 
     with pytest.raises(NotImplementedError):
         SampleFrames(fake=False)
+
+
+def test_asof_join_matches_pandas_merge_asof():
+    from parallel_pagerank_ray.pipelines.events import asof_join
+
+    rng = np.random.default_rng(17)
+    n = 400
+    base = pd.Timestamp("2024-01-01").value // 1000
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(n, dtype=np.int64),
+            "key": rng.integers(0, 12, n).astype(np.int64),
+            "ts": (base + np.sort(rng.integers(0, 10**9, n))).astype(
+                "datetime64[us]"
+            ),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rid": np.arange(1000, 1000 + n, dtype=np.int64),
+            "key": rng.integers(0, 12, n).astype(np.int64),
+            "ts": (base + np.sort(rng.integers(0, 10**9, n))).astype(
+                "datetime64[us]"
+            ),
+        }
+    )
+    got = (
+        asof_join(
+            rd.from_pandas(left).repartition(3),
+            rd.from_pandas(right).repartition(3),
+            by_col="key",
+            ts_col="ts",
+            left_id="lid",
+            right_id="rid",
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts"),
+        on="ts",
+        by="key",
+        direction="backward",
+    ).dropna(subset=["rid"])
+    exp = exp.sort_values("lid").reset_index(drop=True)
+    assert got["lid"].tolist() == exp["lid"].astype(np.int64).tolist()
+    assert got["rid"].tolist() == exp["rid"].astype(np.int64).tolist()
