@@ -572,6 +572,35 @@ def q_pricing_summary(sf_dir: str) -> rd.Dataset:
     return pricing_summary(read_table(sf_dir, "lineitem"))
 
 
+def q_price_band_match(sf_dir: str) -> rd.Dataset:
+    """Range join: for each part, how many parts (itself included) have
+    a retail price within +-2.0 of its own -> (anchor, n_parts)."""
+    from parallel_pagerank_ray.pipelines.relational import range_join, read_table
+
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_retailprice"])
+
+    def bands(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["p_retailprice"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {"anchor": df["p_partkey"], "lo": v - 2.0, "hi": v + 2.0}
+        )
+
+    pairs = range_join(
+        part,
+        part.map_batches(bands, batch_format="pandas"),
+        val_col="p_retailprice",
+        lo_col="lo",
+        hi_col="hi",
+        point_id="p_partkey",
+        interval_id="anchor",
+    )
+    return grouped_agg(
+        pairs, ["anchor"], {"n_parts": ("p_partkey", "count")}, num_buckets=8
+    )
+
+
 def q_top_customers(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.relational import read_table, top_customers
 
@@ -643,6 +672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": q_events_asof,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
+        "price_band_match": q_price_band_match,
     }
 
 
@@ -1181,6 +1211,13 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY 1, 2
+        """,
+        "price_band_match": """
+            SELECT a.p_partkey AS anchor, count(*) AS n_parts
+            FROM part a JOIN part p
+              ON p.p_retailprice BETWEEN a.p_retailprice - 2.0
+                                     AND a.p_retailprice + 2.0
+            GROUP BY 1
         """,
         "top_customers": """
             SELECT c.c_custkey, c.c_name,

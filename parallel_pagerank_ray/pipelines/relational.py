@@ -18,7 +18,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from parallel_pagerank_ray.pipelines.graph_build import dedup_edges
-from parallel_pagerank_ray.util import safe_join
+from parallel_pagerank_ray.util import drop_empty_blocks, safe_join
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
@@ -171,3 +171,85 @@ def copurchase_edges(
     # are duplicate-invariant (CC min-label; triangles dedups internally
     # in _simple_undirected) — pairs are already per-bucket distinct
     return dedup_edges(out) if dedup else out
+
+
+def range_join(
+    points: rd.Dataset,
+    intervals: rd.Dataset,
+    val_col: str,
+    lo_col: str,
+    hi_col: str,
+    point_id: str,
+    interval_id: str,
+    bucket_width_cents: int = 10_000,
+) -> rd.Dataset:
+    """Interval-overlap join: (interval_id, point_id) for every point
+    with ``lo <= val <= hi`` (float comparisons, same semantics as SQL
+    BETWEEN). Ray Data has no range join; this is the standard bucketed
+    composition: intervals replicate to every fixed-width value bucket
+    they overlap (vectorized), points land in one bucket, ONE shuffle
+    co-locates candidates, and each bucket does a bounded vectorized
+    containment test. Values are bucketed by integer cents so bucket
+    assignment is exact for 2-decimal data; the membership test itself
+    stays float. Partitioning assumption: interval spans are bounded
+    relative to the bucket width (occupancy per bucket fits a worker).
+    """
+    W = np.int64(bucket_width_cents)
+
+    def interval_rows(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df[lo_col].to_numpy(dtype=np.float64)
+        hi = df[hi_col].to_numpy(dtype=np.float64)
+        ids = df[interval_id].to_numpy()
+        b0 = np.round(lo * 100.0).astype(np.int64) // W
+        b1 = np.round(hi * 100.0).astype(np.int64) // W
+        reps = np.maximum(b1 - b0 + 1, 0)
+        idx = np.repeat(np.arange(len(ids)), reps)
+        csum = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        local = np.arange(int(reps.sum())) - np.repeat(csum, reps)
+        return pd.DataFrame(
+            {
+                "bucket": b0[idx] + local,
+                "kind": np.zeros(len(idx), dtype=np.int64),
+                "id": ids[idx],
+                "lo": lo[idx],
+                "hi": hi[idx],
+            }
+        )
+
+    def point_rows(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[val_col].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "bucket": np.round(v * 100.0).astype(np.int64) // W,
+                "kind": np.ones(len(v), dtype=np.int64),
+                "id": df[point_id].to_numpy(),
+                "lo": v,
+                "hi": v,
+            }
+        )
+
+    msgs = intervals.map_batches(interval_rows, batch_format="pandas").union(
+        points.map_batches(point_rows, batch_format="pandas")
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        im = g["kind"].to_numpy() == 0
+        ilo = g["lo"].to_numpy()[im]
+        ihi = g["hi"].to_numpy()[im]
+        iid = g["id"].to_numpy()[im]
+        pm = ~im
+        pv = g["lo"].to_numpy()[pm]
+        pid = g["id"].to_numpy()[pm]
+        if not len(iid) or not len(pid):
+            return pd.DataFrame(
+                {
+                    interval_id: np.array([], dtype=np.int64),
+                    point_id: np.array([], dtype=np.int64),
+                }
+            )
+        m = (pv[None, :] >= ilo[:, None]) & (pv[None, :] <= ihi[:, None])
+        ii, pp = np.nonzero(m)
+        return pd.DataFrame({interval_id: iid[ii], point_id: pid[pp]})
+
+    out = msgs.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    return drop_empty_blocks(out)
