@@ -227,13 +227,17 @@ def q_component_size_histogram(sf_dir: str) -> rd.Dataset:
 
 def q_labelprop_copurchase(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.graph_build import Graph
-    from parallel_pagerank_ray.pipelines.label_prop import label_propagation
+    from parallel_pagerank_ray.pipelines.label_prop_actors import (
+        label_propagation_bsp,
+    )
     from parallel_pagerank_ray.pipelines.relational import copurchase_edges
 
     from parallel_pagerank_ray.stages.agg import grouped_agg
 
+    # BSP engine (~ms vote rounds); Dataset engine parity in pytest.
+    # LPA counts votes per distinct und edge -> keep the dedup
     g = Graph.from_int_edges(copurchase_edges(sf_dir), dedup=False)
-    run = label_propagation(g, max_iters=3)
+    run = label_propagation_bsp(g, max_iters=3)
     return grouped_agg(
         run.labels, ["label"], {"size": ("vid", "count")}, num_buckets=8
     )
@@ -595,6 +599,9 @@ def q_price_band_match(sf_dir: str) -> rd.Dataset:
         hi_col="hi",
         point_id="p_partkey",
         interval_id="anchor",
+        # band width is +-2.0: buckets must be a small multiple of the
+        # span or every row lands in one bucket (prices span ~$100)
+        bucket_width_cents=200,
     )
     return grouped_agg(
         pairs, ["anchor"], {"n_parts": ("p_partkey", "count")}, num_buckets=8

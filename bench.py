@@ -114,6 +114,7 @@ def bench_queries() -> dict[str, float]:
         "edges_supplier_part",
         "pagerank_supplier_part_top20",
         "components_copurchase",
+        "labelprop_copurchase",
         "triangles_copurchase",
         "text_stats",
         "dedup_exact",
@@ -124,8 +125,11 @@ def bench_queries() -> dict[str, float]:
         "embedding_near_dup",
         "events_hourly",
         "sessionize",
+        "events_asof",
         "pricing_summary",
         "top_customers",
+        "price_band_match",
+        "embed_docs",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

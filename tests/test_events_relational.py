@@ -304,3 +304,53 @@ def test_asof_join_matches_pandas_merge_asof():
     exp = exp.sort_values("lid").reset_index(drop=True)
     assert got["lid"].tolist() == exp["lid"].astype(np.int64).tolist()
     assert got["rid"].tolist() == exp["rid"].astype(np.int64).tolist()
+
+
+def test_asof_join_no_right_rows():
+    from parallel_pagerank_ray.pipelines.events import asof_join
+
+    left = pd.DataFrame(
+        {
+            "lid": np.array([1, 2], dtype=np.int64),
+            "key": np.array([0, 1], dtype=np.int64),
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+        }
+    )
+    right = left.rename(columns={"lid": "rid"}).iloc[:0]
+    out = asof_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        by_col="key",
+        ts_col="ts",
+        left_id="lid",
+        right_id="rid",
+    ).to_pandas()
+    assert len(out) == 0  # inner as-of: nothing matches
+
+
+def test_range_join_no_overlap():
+    from parallel_pagerank_ray.pipelines.relational import range_join
+
+    points = pd.DataFrame(
+        {
+            "pid": np.array([1, 2], dtype=np.int64),
+            "v": np.array([10.0, 20.0]),
+        }
+    )
+    intervals = pd.DataFrame(
+        {
+            "iid": np.array([7], dtype=np.int64),
+            "lo": np.array([100.0]),
+            "hi": np.array([200.0]),
+        }
+    )
+    out = range_join(
+        rd.from_pandas(points),
+        rd.from_pandas(intervals),
+        val_col="v",
+        lo_col="lo",
+        hi_col="hi",
+        point_id="pid",
+        interval_id="iid",
+    ).to_pandas()
+    assert len(out) == 0
