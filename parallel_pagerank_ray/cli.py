@@ -143,6 +143,9 @@ def cmd_run(args) -> int:
     else:  # pragma: no cover
         raise SystemExit(f"unknown algo {args.algo}")
     print(json.dumps({k: metrics[k] for k in metrics if k != "history"}))
+    if getattr(args, "plots", False):
+        args.topk = 20
+        cmd_plot(args)
     return 0
 
 
@@ -245,6 +248,10 @@ def main(argv: list[str] | None = None) -> int:
         help="parquet with (vid, e) columns — restart vector (BSP engine)",
     )
     run.add_argument("--checkpoint", action="store_true")
+    run.add_argument(
+        "--plots", action="store_true",
+        help="render convergence/top-k/histogram SVGs after the run",
+    )
     run.set_defaults(fn=cmd_run)
 
     build = sub.add_parser("build")

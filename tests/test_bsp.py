@@ -135,3 +135,28 @@ def test_sparse_exchange_parity():
     tr = oracle.pagerank(g.n, np.unique(np.array(e), axis=0), tol=1e-8)
     assert run.iterations == tr.iterations
     assert np.allclose(got, tr.ranks, atol=1e-12)
+
+
+def test_incremental_pipeline_api(graphs):
+    """Packaged incremental flow: old graph + ranks + delta edges ->
+    merged graph + warm-started run with fewer iterations than cold."""
+    import numpy as np
+
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.incremental import incremental_pagerank
+    from parallel_pagerank_ray.pipelines.pagerank_actors import pagerank_bsp
+    from parallel_pagerank_ray.sources.edge_list import edges_dataset
+
+    n, e = graphs["medium"]
+    g = Graph.from_int_edges(edges_dataset(e, num_blocks=2))
+    base = pagerank_bsp(g, tol=1e-10)
+    ranks0 = base.ranks.to_pandas().sort_values("vid")["rank"].to_numpy()
+
+    delta = edges_dataset([(0, n - 1)], num_blocks=1)
+    g2, warm = incremental_pagerank(g, ranks0, delta, tol=1e-10)
+    assert g2.n == n
+    cold = pagerank_bsp(g2, tol=1e-10)
+    assert warm.iterations < cold.iterations
+    a = warm.ranks.to_pandas().sort_values("vid")["rank"].to_numpy()
+    b = cold.ranks.to_pandas().sort_values("vid")["rank"].to_numpy()
+    assert np.allclose(a, b, atol=1e-9)  # same fixpoint either way

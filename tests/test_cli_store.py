@@ -86,7 +86,7 @@ def cli_args(**kw):
     defaults = dict(
         pages=None, edges=None, graph=None, workdir="/tmp/ppr_out",
         tol=1e-6, damping=0.85, max_iters=1000, engine="dataset",
-        checkpoint=False, algo="pagerank",
+        checkpoint=False, algo="pagerank", plots=False,
     )
     defaults.update(kw)
     return argparse.Namespace(**defaults)
@@ -206,3 +206,23 @@ def test_analyze_and_recommend():
     a2 = analyze_graph(g2.n, g2.edges)
     assert not a2["is_scale_free"]
     assert a2["num_isolated"] == 2  # vids 50, 51 untouched by any edge
+
+
+def test_cli_run_with_plots(tmp_path, graphs):
+    import os
+
+    from parallel_pagerank_ray import cli
+
+    n, e = graphs["small"]
+    edge_file = tmp_path / "g.txt"
+    edge_file.write_text("\n".join(f"{u} {v}" for u, v in e) + "\n")
+    wd = str(tmp_path / "out")
+    rc = cli.cmd_run(
+        cli_args(
+            algo="pagerank", edges=str(edge_file), workdir=wd,
+            tol=1e-4, engine="bsp", plots=True,
+        )
+    )
+    assert rc == 0
+    for name in ("convergence.svg", "topk.svg", "rank_histogram.svg"):
+        assert os.path.exists(os.path.join(wd, name)), name
