@@ -275,8 +275,10 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
+        # under `ray job submit` RAY_ADDRESS points at the cluster —
+        # attach to it; standalone runs default to a local session
         ray.init(
-            address="local",
+            address=os.environ.get("RAY_ADDRESS", "local"),
             include_dashboard=False,
             logging_level=logging.ERROR,
         )

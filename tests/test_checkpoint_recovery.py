@@ -132,3 +132,46 @@ def test_bsp_actor_death_without_checkpoint_restarts(graphs):
     assert killed["done"]
     assert np.allclose(got, tr.ranks, atol=1e-12)
     assert run.iterations == tr.iterations
+
+
+def test_resumable_sink_skips_finished_buckets(tmp_path):
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.state.sink import (
+        read_resumable,
+        resumable_write_parquet,
+    )
+
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(5000, dtype=np.int64) % 97),
+            "v": pa.array(np.arange(5000, dtype=np.int64)),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    out = str(tmp_path / "sink")
+    r1 = resumable_write_parquet(ds, out, keys=["k"], num_buckets=8)
+    assert r1 == {"written": 8, "skipped": 0}
+    back = read_resumable(out).to_pandas().sort_values("v").reset_index(drop=True)
+    assert len(back) == 5000 and back["v"].tolist() == list(range(5000))
+
+    # simulate a crashed partition: remove one bucket entirely and
+    # leave another's half-written tmp dir behind
+    shutil.rmtree(os.path.join(out, "bucket=00003"))
+    os.makedirs(os.path.join(out, "bucket=00005.tmp"), exist_ok=True)
+    mtimes = {
+        d: os.path.getmtime(os.path.join(out, d, "part.parquet"))
+        for d in os.listdir(out)
+        if d.startswith("bucket=") and not d.endswith(".tmp")
+    }
+    r2 = resumable_write_parquet(ds, out, keys=["k"], num_buckets=8)
+    assert r2 == {"written": 1, "skipped": 7}
+    for d, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, d, "part.parquet")) == m, d
+    back = read_resumable(out).to_pandas()
+    assert len(back) == 5000
