@@ -282,6 +282,20 @@ def q_sample_docs(sf_dir: str) -> rd.Dataset:
     ).select_columns(["doc_id"])
 
 
+def q_stratified_sample(sf_dir: str) -> rd.Dataset:
+    """Per-source rebalancing: different deterministic sample rates per
+    source (the curated/boilerplate downsampling primitive)."""
+    from parallel_pagerank_ray.functions.sampling import stratified_sample
+
+    return stratified_sample(
+        _documents(sf_dir, ["doc_id", "source"]),
+        key_col="doc_id",
+        group_col="source",
+        rates_pct={"src0": 10, "src1": 50, "src2": 100},
+        default_pct=25,
+    ).select_columns(["doc_id", "source"])
+
+
 def q_quality_filter(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.functions.textstats import TextStats
 
@@ -658,6 +672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_copurchase": q_triangles_copurchase,
         "degree_histogram": q_degree_histogram,
         "sample_docs": q_sample_docs,
+        "stratified_sample": q_stratified_sample,
         "quality_filter": q_quality_filter,
         "top_docs_per_source": q_top_docs_per_source,
         "text_stats": q_text_stats,
@@ -1032,6 +1047,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                        AS UBIGINT) % 100 < 10
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS UBIGINT) % 100 <
+                  CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 50
+                              WHEN 'src2' THEN 100 ELSE 25 END
         """,
         "quality_filter": f"""
             WITH t AS (
