@@ -263,6 +263,60 @@ def _documents(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def q_clustering_coefficient(sf_dir: str) -> pd.DataFrame:
+    """Global clustering coefficient of the co-purchase graph:
+    3 * triangles / wedges, wedges = sum C(deg, 2) over the undirected
+    simple closure. Integers + one IEEE division -> bit-reproducible."""
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.relational import copurchase_edges
+    from parallel_pagerank_ray.pipelines.triangles import (
+        _simple_undirected,
+        triangle_count,
+    )
+
+    from parallel_pagerank_ray.stages.agg import global_agg, grouped_agg
+
+    edges = copurchase_edges(sf_dir, dedup=False)
+    g = Graph.from_int_edges(edges, dedup=False)
+    tri = triangle_count(g)
+
+    und = _simple_undirected(g.edges)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        import pyarrow as _pa
+
+        v = _pa.concat_arrays(
+            [t.column("src").combine_chunks(), t.column("dst").combine_chunks()]
+        )
+        return _pa.table({"vid": v})
+
+    import pyarrow as pa
+
+    deg = grouped_agg(
+        und.map_batches(endpoints, batch_format="pyarrow"),
+        ["vid"],
+        {"deg": ("vid", "count")},
+    )
+
+    def wedge_rows(b: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        d = b["deg"]
+        return {"w": (d * (d - 1) // 2).astype(np.int64)}
+
+    m = global_agg(
+        deg.map_batches(wedge_rows, batch_format="numpy"), {"wedges": ("w", "sum")}
+    )
+    wedges = int(m["wedges"])
+    return pd.DataFrame(
+        {
+            "triangles": np.array([tri], dtype=np.int64),
+            "wedges": np.array([wedges], dtype=np.int64),
+            "global_cc": np.array(
+                [3.0 * tri / wedges if wedges else 0.0], dtype=np.float64
+            ),
+        }
+    )
+
+
 def q_degree_histogram(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.graph_build import out_degrees
     from parallel_pagerank_ray.pipelines.relational import supplier_part_edges
@@ -670,6 +724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "component_size_histogram": q_component_size_histogram,
         "labelprop_copurchase": q_labelprop_copurchase,
         "triangles_copurchase": q_triangles_copurchase,
+        "clustering_coefficient": q_clustering_coefficient,
         "degree_histogram": q_degree_histogram,
         "sample_docs": q_sample_docs,
         "stratified_sample": q_stratified_sample,
@@ -1037,6 +1092,24 @@ def oracle_sql() -> dict[str, str]:
             FROM und e1
             JOIN und e2 ON e1.dst = e2.src
             JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        """,
+        "clustering_coefficient": f"""
+            WITH und AS ({_COPURCHASE_SQL}),
+                 tri AS (
+                   SELECT count(*) AS t
+                   FROM und e1
+                   JOIN und e2 ON e1.dst = e2.src
+                   JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst
+                 ),
+                 sym AS (SELECT src, dst FROM und
+                         UNION ALL SELECT dst, src FROM und),
+                 deg AS (SELECT src, count(*) AS d FROM sym GROUP BY 1),
+                 w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS wedges
+                       FROM deg)
+            SELECT (SELECT t FROM tri) AS triangles,
+                   wedges,
+                   3.0 * (SELECT t FROM tri) / wedges AS global_cc
+            FROM w
         """,
         "degree_histogram": f"""
             WITH e AS ({_SUPP_PART_SQL}),
