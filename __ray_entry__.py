@@ -184,6 +184,32 @@ def q_pagerank_supplier_part_top20(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_pagerank_personalized_top20(sf_dir: str) -> pd.DataFrame:
+    """Personalized PageRank (the reference's dead Node.e field,
+    implemented): restart vector e_v proportional to (vid % 10) + 1.
+    Integer rank-order output like the other pagerank queries."""
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.pagerank_actors import pagerank_bsp
+    from parallel_pagerank_ray.pipelines.relational import supplier_part_edges
+
+    g = Graph.from_int_edges(supplier_part_edges(sf_dir), dedup=False)
+    w = (np.arange(g.n, dtype=np.float64) % 10.0) + 1.0
+    e = w / w.sum()
+    run = pagerank_bsp(g, d=0.85, tol=1e-3, max_iters=100, personalization=e)
+    top = (
+        run.ranks.select_columns(["vid", "rank"])
+        .sort(["rank", "vid"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "pos": np.arange(1, len(top) + 1, dtype=np.int64),
+            "vid": top["vid"].to_numpy(),
+        }
+    )
+
+
 def q_components_copurchase(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.components_actors import (
         connected_components_bsp,
@@ -720,6 +746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dangling_vertices": q_dangling_vertices,
         "graph_stats": q_graph_stats,
         "pagerank_supplier_part_top20": q_pagerank_supplier_part_top20,
+        "pagerank_personalized_top20": q_pagerank_personalized_top20,
         "components_copurchase": q_components_copurchase,
         "component_size_histogram": q_component_size_histogram,
         "labelprop_copurchase": q_labelprop_copurchase,
@@ -1026,6 +1053,47 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_supplier_part_top20": _pagerank_top20_sql(
             _SUPP_PART_SQL, vid="vid", d=0.85, tol=1e-3
         ),
+        "pagerank_personalized_top20": f"""
+            WITH RECURSIVE
+              e AS MATERIALIZED ({_SUPP_PART_SQL}),
+              nn AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n
+                                  FROM e),
+              verts(vid) AS (SELECT 0 UNION ALL
+                             SELECT vid + 1 FROM verts
+                             WHERE vid + 1 < (SELECT n FROM nn)),
+              ee AS MATERIALIZED (
+                SELECT vid, ((vid % 10) + 1.0) /
+                       (SELECT sum((vid % 10) + 1.0) FROM verts) AS ev
+                FROM verts),
+              deg AS MATERIALIZED (SELECT src AS vid, count(*) AS d
+                                   FROM e GROUP BY 1),
+              pr(it, vid, rank, delta) AS (
+                SELECT 0, vid, ev, 1e308 FROM ee
+                UNION ALL
+                SELECT x.it + 1, x.vid, x.nr, abs(x.nr - x.rank)
+                FROM (
+                  SELECT p.it, p.vid, p.rank,
+                         0.85 * (coalesce(c.s, 0.0)
+                                 + (SELECT coalesce(sum(q.rank), 0.0)
+                                    FROM pr q
+                                    LEFT JOIN deg dq ON dq.vid = q.vid
+                                    WHERE dq.vid IS NULL) * pe.ev)
+                           + 0.15 * pe.ev AS nr
+                  FROM pr p
+                  JOIN ee pe ON pe.vid = p.vid
+                  LEFT JOIN (SELECT ed.dst, sum(q.rank / dg.d) AS s
+                             FROM pr q
+                             JOIN e ed ON ed.src = q.vid
+                             JOIN deg dg ON dg.vid = q.vid
+                             GROUP BY 1) c ON c.dst = p.vid
+                  WHERE (SELECT max(q.delta) FROM pr q) > 0.001
+                    AND (SELECT sum(q.delta) FROM pr q) >= 0.001
+                ) x
+              ),
+              last AS (SELECT * FROM pr WHERE it = (SELECT max(it) FROM pr))
+            SELECT row_number() OVER (ORDER BY rank DESC, vid) AS pos, vid
+            FROM last ORDER BY rank DESC, vid LIMIT 20
+        """,
         "components_copurchase": f"""
             WITH RECURSIVE
             {_supplier_part_vid_graph(_COPURCHASE_SQL)},
