@@ -1,0 +1,106 @@
+"""Property-based checks (hypothesis) for the vectorized kernels: the
+numpy fast paths must equal brute-force Python references on arbitrary
+inputs — these kernels underpin the SQL-value-checked sketches, so a
+silent vectorization bug would surface as a gate mismatch much later.
+
+No Ray needed: pure numpy/python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from parallel_pagerank_ray.functions import hashing as H
+from parallel_pagerank_ray.stages.agg import pairs_within_groups
+
+TEXTS = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), max_size=64
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5), st.integers(0, 3), st.integers(-100, 100)
+        ),
+        max_size=40,
+    )
+)
+def test_pairs_within_groups_matches_bruteforce(rows):
+    g1 = np.array([r[0] for r in rows], dtype=np.int64)
+    g2 = np.array([r[1] for r in rows], dtype=np.int64)
+    vals = np.array([r[2] for r in rows], dtype=np.int64)
+    a, b = pairs_within_groups((g1, g2, vals), vals)
+    got = sorted(zip(a.tolist(), b.tolist()))
+    # brute force: all i<j pairs (in (g1,g2,val)-sorted order) per group
+    order = sorted(range(len(rows)), key=lambda i: (g1[i], g2[i], vals[i]))
+    exp = []
+    for x in range(len(order)):
+        for y in range(x + 1, len(order)):
+            i, j = order[x], order[y]
+            if g1[i] == g1[j] and g2[i] == g2[j]:
+                exp.append((int(vals[i]), int(vals[j])))
+    assert got == sorted(exp)
+
+
+def _shingle_ref(text: str, k: int) -> list[int]:
+    codes = [ord(c) for c in text]
+    if len(codes) < k:
+        codes = codes + [0] * (k - len(codes))
+    p, r = int(H.P31), int(H.SHINGLE_R)
+    out = []
+    for i in range(len(codes) - k + 1):
+        h = 0
+        for c in codes[i : i + k]:
+            h = (h * r + c) % p
+        out.append(h)
+    return out
+
+
+@settings(max_examples=80, deadline=None)
+@given(TEXTS)
+def test_shingle_hashes31_matches_reference(text):
+    got = H.shingle_hashes31(text, 5).tolist()
+    assert got == _shingle_ref(text, 5)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(TEXTS, max_size=12))
+def test_minhash_signatures31_match_per_doc(texts):
+    a, b = H.minhash_params31(16)
+    hl = [H.shingle_hashes31(t, 5) for t in texts]
+    sig = H.minhash_signatures31(hl, a, b)
+    p = int(H.P31)
+    for d, hs in enumerate(hl):
+        for j in range(16):
+            want = min((int(x) * int(a[j]) + int(b[j])) % p for x in hs)
+            assert int(sig[d, j]) == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.text(alphabet="abcXYZ019_", min_size=1, max_size=6), max_size=8),
+        max_size=6,
+    )
+)
+def test_simhash_batch_matches_per_doc(token_lists):
+    fp = H.simhash_batch(token_lists)
+    for d, toks in enumerate(token_lists):
+        if not toks:
+            assert fp[d] == 0
+            continue
+        votes = [0] * 64
+        for t in toks:
+            h = int.from_bytes(
+                hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
+            )
+            for bit in range(64):
+                votes[bit] += 1 if (h >> bit) & 1 else -1
+        want = sum(1 << bit for bit in range(64) if votes[bit] > 0)
+        assert int(fp[d]) == want
