@@ -39,25 +39,54 @@ class _CompShard:
         self.size = max(0, min(part_size, n - self.base))
         if part_refs:
             chunks = ray.get(part_refs)
-            self.src = np.concatenate([c[0] for c in chunks]) - self.base
-            self.dst = np.concatenate([c[1] for c in chunks])
+            src = np.concatenate([c[0] for c in chunks]) - self.base
+            dst = np.concatenate([c[1] for c in chunks])
         else:
-            self.src = np.array([], dtype=np.int64)
-            self.dst = np.array([], dtype=np.int64)
+            src = np.array([], dtype=np.int64)
+            dst = np.array([], dtype=np.int64)
+        # local CSR by src: the frontier scatter walks only the edge
+        # ranges of vertices whose label changed last round
+        order = np.argsort(src, kind="stable")
+        self.src_sorted = src[order]
+        self.dst_sorted = dst[order]
+        self.indptr = np.searchsorted(
+            self.src_sorted, np.arange(self.size + 1, dtype=np.int64)
+        )
         self.comp = self.base + np.arange(self.size, dtype=np.int64)
+        # frontier = labels that changed since they last scattered;
+        # everything is fresh in round 0
+        self.frontier = np.ones(self.size, dtype=bool)
 
     def scatter(self):
-        """Dense candidate vector: min incoming label per destination."""
+        """Dense candidate vector from FRONTIER vertices only: a label
+        can only decrease, so a vertex whose label did not change since
+        it last scattered cannot improve any neighbor — min-propagation
+        stays exact while late rounds touch few edges."""
         cand = np.full(self.n, INT64_MAX, dtype=np.int64)
-        if len(self.src):
-            np.minimum.at(cand, self.dst, self.comp[self.src])
+        active = np.nonzero(self.frontier)[0]
+        if len(active):
+            lens = self.indptr[active + 1] - self.indptr[active]
+            m = lens > 0
+            active, lens = active[m], lens[m]
+            if len(active):
+                starts = self.indptr[active]
+                csum = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                pos = (
+                    np.arange(int(lens.sum()))
+                    - np.repeat(csum, lens)
+                    + np.repeat(starts, lens)
+                )
+                dst_sel = self.dst_sorted[pos]
+                lab_sel = self.comp[np.repeat(active, lens)]
+                np.minimum.at(cand, dst_sel, lab_sel)
         return ray.put(cand)
 
     def gather_update(self, refs: list) -> int:
         new = self.comp.copy()
         for cand in ray.get(list(refs)):
             np.minimum(new, cand[self.base : self.base + self.size], out=new)
-        changed = int((new != self.comp).sum())
+        self.frontier = new != self.comp
+        changed = int(self.frontier.sum())
         self.comp = new
         return changed
 
@@ -78,7 +107,9 @@ class _CompShard:
             if np.array_equal(nxt, cur):
                 break
             cur = nxt
-        changed = int((cur != self.comp).sum())
+        moved = cur != self.comp
+        self.frontier |= moved  # jumped labels must re-scatter next round
+        changed = int(moved.sum())
         self.comp = cur.copy()
         return changed
 
