@@ -592,6 +592,32 @@ def q_knn_ivf(sf_dir: str) -> rd.Dataset:
     return knn_ivf(embs, queries, k=5, n_cells=32, nprobe=4)
 
 
+def q_knn_lsh_full_probe(sf_dir: str) -> rd.Dataset:
+    """knn_lsh with probe radius = bits: every bucket probed, so the
+    result equals exact brute-force top-k — value-checks the whole LSH
+    plumbing (bucket shuffle, routing, per-bucket scoring, merge)."""
+    from parallel_pagerank_ray.pipelines.similarity import knn_lsh, load_queries
+
+    embs = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    queries = load_queries(f"{sf_dir}/embeddings.parquet", set(range(10)))
+    dim = queries[1].shape[1]
+    return knn_lsh(embs, queries, dim=dim, k=5, bits=8, probe_hamming=8)
+
+
+def q_knn_ivf_full_probe(sf_dir: str) -> rd.Dataset:
+    """knn_ivf with nprobe = n_cells: every cell scored -> exact top-k,
+    value-checking the quantizer/assignment/merge plumbing."""
+    from parallel_pagerank_ray.pipelines.similarity import knn_ivf, load_queries
+
+    embs = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    queries = load_queries(f"{sf_dir}/embeddings.parquet", set(range(10)))
+    return knn_ivf(embs, queries, k=5, n_cells=16, nprobe=16)
+
+
 def q_embedding_near_dup(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.dedup import embedding_near_dup
 
@@ -769,6 +795,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "knn_lsh_full_probe": q_knn_lsh_full_probe,
+        "knn_ivf_full_probe": q_knn_ivf_full_probe,
         "embedding_near_dup": q_embedding_near_dup,
         "events_hourly": q_events_hourly,
         "events_hopping": q_events_hopping,
@@ -1309,6 +1337,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "knn_cosine": """
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
+            FROM embeddings q JOIN embeddings n
+              ON q.vec_id < 10 AND n.vec_id <> q.vec_id
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
+                         n.vec_id) <= 5
+        """,
+        "knn_lsh_full_probe": """
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
+            FROM embeddings q JOIN embeddings n
+              ON q.vec_id < 10 AND n.vec_id <> q.vec_id
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
+                         n.vec_id) <= 5
+        """,
+        "knn_ivf_full_probe": """
             SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
             FROM embeddings q JOIN embeddings n
               ON q.vec_id < 10 AND n.vec_id <> q.vec_id
