@@ -388,6 +388,17 @@ def knn_ivf(
     q_ids = np.asarray(q_ids, dtype=np.int64)
 
     sample_rows = embs.select_columns([vec_col]).limit(train_size).take_all()
+    if not sample_rows:
+        import pyarrow as _pa
+
+        return rd.from_arrow(
+            _pa.table(
+                {
+                    "query_id": _pa.array([], type=_pa.int64()),
+                    "neighbor_id": _pa.array([], type=_pa.int64()),
+                }
+            )
+        )
     sample = np.asarray(
         [np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows]
     )

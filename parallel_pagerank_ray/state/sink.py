@@ -52,6 +52,8 @@ def resumable_write_parquet(
         for b in range(num_buckets)
         if os.path.exists(os.path.join(_bucket_dir(path, b), "_SUCCESS"))
     }
+    if len(done) == num_buckets:  # nothing to do: avoid an all-empty shuffle
+        return {"written": 0, "skipped": num_buckets}
 
     def route(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:

@@ -175,3 +175,18 @@ def test_resumable_sink_skips_finished_buckets(tmp_path):
         assert os.path.getmtime(os.path.join(out, d, "part.parquet")) == m, d
     back = read_resumable(out).to_pandas()
     assert len(back) == 5000
+
+
+def test_resumable_sink_all_done_is_noop(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.state.sink import resumable_write_parquet
+
+    t = pa.table({"k": pa.array(np.arange(100, dtype=np.int64))})
+    ds = rd.from_arrow(t)
+    out = str(tmp_path / "s")
+    resumable_write_parquet(ds, out, keys=["k"], num_buckets=4)
+    r = resumable_write_parquet(ds, out, keys=["k"], num_buckets=4)
+    assert r == {"written": 0, "skipped": 4}
