@@ -109,4 +109,6 @@ def read_resumable(path: str) -> rd.Dataset:
         if d.startswith("bucket=")
         and os.path.exists(os.path.join(path, d, "_SUCCESS"))
     )
+    if not dirs:  # nothing complete yet
+        return rd.from_items([])
     return rd.read_parquet([os.path.join(d, "part.parquet") for d in dirs])

@@ -226,3 +226,30 @@ def test_cli_run_with_plots(tmp_path, graphs):
     assert rc == 0
     for name in ("convergence.svg", "topk.svg", "rank_histogram.svg"):
         assert os.path.exists(os.path.join(wd, name)), name
+
+
+def test_cli_analyze_command(tmp_path):
+    from parallel_pagerank_ray import cli
+
+    e = [(0, i) for i in range(1, 30)]
+    edge_file = tmp_path / "g.txt"
+    edge_file.write_text("\n".join(f"{u} {v}" for u, v in e) + "\n")
+    assert cli.cmd_analyze(cli_args(edges=str(edge_file))) == 0
+
+
+def test_cli_plot_empty_workdir(tmp_path):
+    from parallel_pagerank_ray import cli
+
+    args = cli_args(workdir=str(tmp_path))
+    args.topk = 20
+    assert cli.cmd_plot(args) == 0  # no artifacts -> no-op, no crash
+
+
+def test_read_resumable_empty_dir(tmp_path):
+    import os
+
+    from parallel_pagerank_ray.state.sink import read_resumable
+
+    d = str(tmp_path / "empty")
+    os.makedirs(d)
+    assert read_resumable(d).count() == 0
