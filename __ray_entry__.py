@@ -3,10 +3,13 @@
 ``entry()`` runs the flagship pipeline (pages -> extract links -> graph
 build -> PageRank) on sf0.001. ``queries()`` exposes one callable per
 implemented operator/pipeline (SURVEY.md §2 + the training-data suite);
-``oracle_sql()`` gives the exact DuckDB equivalent where the operator is
-SQL-expressible (iterative graph algorithms and hash-based sketches are
-rows-only by design and are value-checked against NumPy oracles in
-tests/ instead).
+``oracle_sql()`` gives the exact DuckDB equivalent — including the
+iterative graph algorithms (recursive-CTE power iteration / round-based
+min-label / unrolled LPA) and the hash sketches (mod-2^31-1 + md5
+arithmetic reproduced in SQL). Only the APPROXIMATE ANN variants
+(knn_lsh / knn_ivf at partial probe) are rows-only; their plumbing is
+value-checked via the exact full-probe variants, and recall vs brute
+force is tested in pytest.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ray.init()/ray.shutdown().
@@ -15,7 +18,7 @@ Float-determinism policy for oracle-matched queries: outputs are
 integers, strings, or single IEEE-754 divisions/compositions of
 integers (identical bit patterns in NumPy and DuckDB); distributed
 float *accumulations* (rank sums, cosine sums) are either excluded from
-matched outputs or reduced to integer/id columns.
+matched outputs or reduced to integer/id/rank-order columns.
 """
 
 from __future__ import annotations
