@@ -139,7 +139,8 @@ def connected_components(
         return ComponentsRun(components=rd.from_items([]), iterations=0)
     if num_parts is None:
         num_parts = max(4, min(256, n // 100_000 + 4))
-    und = undirected_edges(graph.edges)
+    # min-propagation is duplicate-invariant: skip the closure dedup shuffle
+    und = undirected_edges(graph.edges, dedup=False)
     store = EdgeShardStore.build(und, n=n, num_parts=num_parts)
     use_dense = store.part_size * 8 <= DENSE_SEGMENT_MAX_BYTES
     scatter_fn = (

@@ -45,10 +45,17 @@ class _CompShard:
             src = np.array([], dtype=np.int64)
             dst = np.array([], dtype=np.int64)
         # local CSR by src: the frontier scatter walks only the edge
-        # ranges of vertices whose label changed last round
-        order = np.argsort(src, kind="stable")
-        self.src_sorted = src[order]
-        self.dst_sorted = dst[order]
+        # ranges of vertices whose label changed last round.
+        # EdgeShardStore's build contract (csr_store.py: block order ==
+        # global src order) already delivers src-sorted chunks, so the
+        # O(E log E) sort is normally a no-op — verify with one O(E)
+        # pass and only sort when a caller handed us unordered refs.
+        if src.size and not bool(np.all(src[1:] >= src[:-1])):
+            order = np.argsort(src, kind="stable")
+            src = src[order]
+            dst = dst[order]
+        self.src_sorted = src
+        self.dst_sorted = dst
         self.indptr = np.searchsorted(
             self.src_sorted, np.arange(self.size + 1, dtype=np.int64)
         )
@@ -64,7 +71,17 @@ class _CompShard:
         stays exact while late rounds touch few edges."""
         cand = np.full(self.n, INT64_MAX, dtype=np.int64)
         active = np.nonzero(self.frontier)[0]
-        if len(active):
+        if len(active) * 2 >= self.size:
+            # dense frontier (early rounds): re-scattering unchanged
+            # vertices is redundant but exact for min-propagation, and
+            # one straight pass over ALL edges beats building the
+            # per-vertex position index (3 repeat/cumsum allocations of
+            # O(E)) when most vertices are active anyway
+            if len(self.dst_sorted):
+                np.minimum.at(
+                    cand, self.dst_sorted, self.comp[self.src_sorted]
+                )
+        elif len(active):
             lens = self.indptr[active + 1] - self.indptr[active]
             m = lens > 0
             active, lens = active[m], lens[m]
@@ -136,7 +153,8 @@ def connected_components_bsp(
     if num_parts is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_parts = min(256, max(4, cpus // 4))
-    und = undirected_edges(graph.edges)
+    # min-propagation is duplicate-invariant: skip the closure dedup shuffle
+    und = undirected_edges(graph.edges, dedup=False)
     store = EdgeShardStore.build(und, n=n, num_parts=num_parts)
     P = max(1, -(-n // store.part_size))
     cpus = max(2.0, float(ray.cluster_resources().get("CPU", 8)))

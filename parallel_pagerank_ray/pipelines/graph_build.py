@@ -217,8 +217,18 @@ def out_degrees(edges: rd.Dataset, num_buckets: int | None = None) -> rd.Dataset
     ).rename_columns({"src": "vid"})
 
 
-def undirected_edges(edges: rd.Dataset) -> rd.Dataset:
-    """Symmetric closure without self-loops, deduplicated (CC/LPA input)."""
+def undirected_edges(edges: rd.Dataset, dedup: bool = True) -> rd.Dataset:
+    """Symmetric closure without self-loops (CC/LPA input).
+
+    ``dedup=True`` (the default) removes the (u,v)/(v,u) duplicates the
+    closure creates when both directions exist in the directed input —
+    required by consumers that count edges (LPA vote tallies, degree
+    stats). Consumers that are duplicate-INVARIANT (connected-components
+    min-propagation: ``min`` over a multiset equals ``min`` over its
+    support) pass ``dedup=False`` and skip an entire all-to-all shuffle
+    of the doubled edge table — at 10M vertices / 200M closure rows the
+    dedup pass is the single most expensive phase of the CC pipeline.
+    """
 
     def swap(t: pa.Table) -> pa.Table:
         return pa.table({"src": t.column("dst"), "dst": t.column("src")})
@@ -229,7 +239,8 @@ def undirected_edges(edges: rd.Dataset) -> rd.Dataset:
         return t.filter(pc.invert(pc.equal(t.column("src"), t.column("dst"))))
 
     sym = edges.union(edges.map_batches(swap, batch_format="pyarrow"))
-    return dedup_edges(sym.map_batches(drop_self, batch_format="pyarrow"))
+    sym = sym.map_batches(drop_self, batch_format="pyarrow")
+    return dedup_edges(sym) if dedup else sym
 
 
 @dataclass
