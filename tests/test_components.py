@@ -76,6 +76,29 @@ def test_components_bsp_path_graph_log_rounds():
     assert run.iterations <= 26, run.iterations
 
 
+def test_comp_shard_unordered_refs():
+    # _CompShard normally trusts EdgeShardStore's src-sorted delivery;
+    # hand it deliberately UNORDERED chunks and the defensive re-sort
+    # must kick in (scatter walks CSR ranges — wrong order = wrong mins)
+    import ray
+
+    from parallel_pagerank_ray.pipelines.components_actors import _CompShard
+
+    INT64_MAX = np.iinfo(np.int64).max
+    # edges (src->dst) within one part covering vertices 0..3, shuffled
+    src = np.array([3, 0, 2, 1], dtype=np.int64)
+    dst = np.array([0, 1, 3, 2], dtype=np.int64)
+    refs = [ray.put((src, dst))]
+    a = _CompShard.options(num_cpus=0.1).remote(0, refs, 4, 4)
+    cand = ray.get(ray.get(a.scatter.remote()))
+    # every dst receives its src's initial label (comp[v] = v)
+    want = np.full(4, INT64_MAX, dtype=np.int64)
+    for s, d in zip(src, dst):
+        want[d] = min(want[d], s)
+    assert np.array_equal(cand, want)
+    ray.kill(a)
+
+
 def test_label_propagation_bsp_exact(graphs):
     from parallel_pagerank_ray.pipelines.label_prop_actors import (
         label_propagation_bsp,
