@@ -264,9 +264,12 @@ def q_labelprop_copurchase(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.stages.agg import grouped_agg
 
     # BSP engine (~ms vote rounds); Dataset engine parity in pytest.
-    # LPA counts votes per distinct und edge -> keep the dedup
+    # LPA counts votes per distinct und edge -> copurchase_edges keeps
+    # its global dedup (per-bucket dedup alone isn't global); the
+    # closure-level dedup over the DOUBLED table is skipped because the
+    # input is canonical (src < dst, distinct) -> closure is dup-free
     g = Graph.from_int_edges(copurchase_edges(sf_dir), dedup=False)
-    run = label_propagation_bsp(g, max_iters=3)
+    run = label_propagation_bsp(g, max_iters=3, edges_canonical=True)
     return grouped_agg(
         run.labels, ["label"], {"size": ("vid", "count")}, num_buckets=8
     )

@@ -79,13 +79,20 @@ def label_propagation(
     graph: Graph,
     max_iters: int = 10,
     num_parts: int | None = None,
+    edges_canonical: bool = False,
 ) -> LabelPropRun:
+    """``edges_canonical=True`` certifies the input edge table is
+    undirected-canonical (src < dst, globally distinct). The symmetric
+    closure of such a table has no (u,v)/(v,u) duplicates and no self
+    loops, so the closure-level dedup — an all-to-all over the DOUBLED
+    edge table — is skipped. Vote counts are unchanged: each undirected
+    edge still contributes exactly one vote per endpoint."""
     n = graph.n
     if n == 0:
         return LabelPropRun(labels=rd.from_items([]), iterations=0)
     if num_parts is None:
         num_parts = max(4, min(256, n // 100_000 + 4))
-    und = undirected_edges(graph.edges)
+    und = undirected_edges(graph.edges, dedup=not edges_canonical)
     store = EdgeShardStore.build(und, n=n, num_parts=num_parts)
     assert store.part_size * n < (1 << 63), (
         "composite (local dst, label) key needs part_size * n < 2^63 — "

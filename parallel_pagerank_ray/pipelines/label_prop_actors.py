@@ -118,11 +118,20 @@ class _LPAShard:
 
 
 def label_propagation_bsp(
-    graph: Graph, max_iters: int = 10, num_parts: int | None = None
+    graph: Graph,
+    max_iters: int = 10,
+    num_parts: int | None = None,
+    edges_canonical: bool = False,
 ) -> LabelPropRun:
     """Synchronous LPA on the BSP actor engine; exact match to
     ``oracle.label_propagation`` (tested). Falls back to the Dataset
-    engine when the composite vote key would overflow int64."""
+    engine when the composite vote key would overflow int64.
+
+    ``edges_canonical=True``: input is undirected-canonical (src < dst,
+    globally distinct), so the symmetric closure creates no duplicates
+    and its dedup shuffle (an all-to-all over the doubled edge table)
+    is skipped. Vote counts are identical either way.
+    """
     import ray.data as rd
 
     n = graph.n
@@ -131,10 +140,15 @@ def label_propagation_bsp(
     if num_parts is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_parts = min(256, max(4, cpus // 4))
-    und = undirected_edges(graph.edges)
+    und = undirected_edges(graph.edges, dedup=not edges_canonical)
     store = EdgeShardStore.build(und, n=n, num_parts=num_parts)
     if store.part_size * n >= (1 << 63):
-        return label_propagation(graph, max_iters=max_iters, num_parts=num_parts)
+        return label_propagation(
+            graph,
+            max_iters=max_iters,
+            num_parts=num_parts,
+            edges_canonical=edges_canonical,
+        )
     P = max(1, -(-n // store.part_size))
     cpus = max(2.0, float(ray.cluster_resources().get("CPU", 8)))
     # floor (never round up): P * per_actor must stay <= cpus - 1

@@ -112,3 +112,23 @@ def test_label_propagation_bsp_exact(graphs):
         want, rounds = oracle.label_propagation(n, e, max_iters=10)
         assert np.array_equal(got, want), name
         assert run.iterations == rounds, name
+
+
+def test_label_propagation_canonical_edges_skip_dedup(graphs):
+    # edges_canonical=True skips the closure dedup; on an undirected-
+    # canonical input (src < dst, distinct) it must be vote-identical
+    # to the default path in BOTH engines
+    from parallel_pagerank_ray.pipelines.label_prop_actors import (
+        label_propagation_bsp,
+    )
+
+    for name in ("small", "two_comps", "medium"):
+        n, e = graphs[name]
+        canon = sorted({(min(u, v), max(u, v)) for u, v in e if u != v})
+        want, rounds = oracle.label_propagation(n, canon, max_iters=10)
+        for engine in (label_propagation, label_propagation_bsp):
+            g = _graph(canon)
+            run = engine(g, max_iters=10, num_parts=2, edges_canonical=True)
+            got = run.labels.to_pandas().sort_values("vid")["label"].to_numpy()
+            assert np.array_equal(got, want), (name, engine.__name__)
+            assert run.iterations == rounds, (name, engine.__name__)
