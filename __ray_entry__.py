@@ -213,19 +213,39 @@ def q_pagerank_personalized_top20(sf_dir: str) -> pd.DataFrame:
     )
 
 
+# The co-purchase graph feeds four gate queries; build it once per
+# process per (sf_dir, dedup) and reuse the materialized edges, the way
+# a user running several algorithms over one graph would. Deterministic
+# input -> identical results; the driver may still call each query in a
+# fresh process, where the cache is simply empty.
+_COPURCHASE_GRAPHS: dict = {}
+
+
+def _copurchase_graph(sf_dir: str, dedup: bool):
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.relational import copurchase_edges
+
+    key = (sf_dir, dedup)
+    g = _COPURCHASE_GRAPHS.get(key)
+    if g is None:
+        g = Graph.from_int_edges(
+            copurchase_edges(sf_dir, dedup=dedup), dedup=False
+        )
+        _COPURCHASE_GRAPHS[key] = g
+    return g
+
+
 def q_components_copurchase(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.components_actors import (
         connected_components_bsp,
     )
-    from parallel_pagerank_ray.pipelines.graph_build import Graph
-    from parallel_pagerank_ray.pipelines.relational import copurchase_edges
 
     from parallel_pagerank_ray.stages.agg import grouped_agg
 
     # BSP engine (pointer-jumping, O(log n) rounds); the Dataset engine
     # (same semantics, bounded memory at any n) is exercised in pytest.
     # min-label is duplicate-edge-invariant -> skip the pair dedup
-    g = Graph.from_int_edges(copurchase_edges(sf_dir, dedup=False), dedup=False)
+    g = _copurchase_graph(sf_dir, dedup=False)
     run = connected_components_bsp(g)
     return grouped_agg(
         run.components, ["comp"], {"size": ("vid", "count")}, num_buckets=8
@@ -255,11 +275,9 @@ def q_component_size_histogram(sf_dir: str) -> rd.Dataset:
 
 
 def q_labelprop_copurchase(sf_dir: str) -> rd.Dataset:
-    from parallel_pagerank_ray.pipelines.graph_build import Graph
     from parallel_pagerank_ray.pipelines.label_prop_actors import (
         label_propagation_bsp,
     )
-    from parallel_pagerank_ray.pipelines.relational import copurchase_edges
 
     from parallel_pagerank_ray.stages.agg import grouped_agg
 
@@ -268,7 +286,7 @@ def q_labelprop_copurchase(sf_dir: str) -> rd.Dataset:
     # its global dedup (per-bucket dedup alone isn't global); the
     # closure-level dedup over the DOUBLED table is skipped because the
     # input is canonical (src < dst, distinct) -> closure is dup-free
-    g = Graph.from_int_edges(copurchase_edges(sf_dir), dedup=False)
+    g = _copurchase_graph(sf_dir, dedup=True)
     run = label_propagation_bsp(g, max_iters=3, edges_canonical=True)
     return grouped_agg(
         run.labels, ["label"], {"size": ("vid", "count")}, num_buckets=8
@@ -276,13 +294,11 @@ def q_labelprop_copurchase(sf_dir: str) -> rd.Dataset:
 
 
 def q_triangles_copurchase(sf_dir: str) -> pd.DataFrame:
-    from parallel_pagerank_ray.pipelines.graph_build import Graph
-    from parallel_pagerank_ray.pipelines.relational import copurchase_edges
     from parallel_pagerank_ray.pipelines.triangles import triangle_count
 
     # triangle_count dedups internally (_simple_undirected) -> skip the
     # redundant pair-dedup shuffle here
-    g = Graph.from_int_edges(copurchase_edges(sf_dir, dedup=False), dedup=False)
+    g = _copurchase_graph(sf_dir, dedup=False)
     return pd.DataFrame({"triangles": np.array([triangle_count(g)], dtype=np.int64)})
 
 
@@ -295,12 +311,29 @@ def _documents(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def q_triangles_doulion(sf_dir: str) -> pd.DataFrame:
+    """DOULION approximate triangle count on the co-purchase graph:
+    deterministic md5 edge sampling at 25% -> exact sampled count ->
+    integer-scaled estimate (x64). Both columns are integer-exact and
+    reproduce in SQL (same md5 over 'src,dst')."""
+    from parallel_pagerank_ray.pipelines.triangles import (
+        triangle_count_doulion,
+    )
+
+    g = _copurchase_graph(sf_dir, dedup=False)
+    est, sampled = triangle_count_doulion(g, rate_pct=25)
+    return pd.DataFrame(
+        {
+            "triangles_est": np.array([est], dtype=np.int64),
+            "triangles_sampled": np.array([sampled], dtype=np.int64),
+        }
+    )
+
+
 def q_clustering_coefficient(sf_dir: str) -> pd.DataFrame:
     """Global clustering coefficient of the co-purchase graph:
     3 * triangles / wedges, wedges = sum C(deg, 2) over the undirected
     simple closure. Integers + one IEEE division -> bit-reproducible."""
-    from parallel_pagerank_ray.pipelines.graph_build import Graph
-    from parallel_pagerank_ray.pipelines.relational import copurchase_edges
     from parallel_pagerank_ray.pipelines.triangles import (
         _simple_undirected,
         triangle_count,
@@ -308,8 +341,7 @@ def q_clustering_coefficient(sf_dir: str) -> pd.DataFrame:
 
     from parallel_pagerank_ray.stages.agg import global_agg, grouped_agg
 
-    edges = copurchase_edges(sf_dir, dedup=False)
-    g = Graph.from_int_edges(edges, dedup=False)
+    g = _copurchase_graph(sf_dir, dedup=False)
     tri = triangle_count(g)
 
     und = _simple_undirected(g.edges)
@@ -783,6 +815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "component_size_histogram": q_component_size_histogram,
         "labelprop_copurchase": q_labelprop_copurchase,
         "triangles_copurchase": q_triangles_copurchase,
+        "triangles_doulion": q_triangles_doulion,
         "clustering_coefficient": q_clustering_coefficient,
         "degree_histogram": q_degree_histogram,
         "sample_docs": q_sample_docs,
@@ -1194,6 +1227,24 @@ def oracle_sql() -> dict[str, str]:
             FROM und e1
             JOIN und e2 ON e1.dst = e2.src
             JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        """,
+        "triangles_doulion": f"""
+            WITH und AS ({_COPURCHASE_SQL}),
+                 samp AS MATERIALIZED (
+                   SELECT src, dst FROM und
+                   WHERE CAST(('0x' || substr(
+                           md5('doulion' || src || ',' || dst), 1, 8))
+                         AS BIGINT) % 100 < 25
+                 ),
+                 t AS (
+                   SELECT count(*) AS s
+                   FROM samp e1
+                   JOIN samp e2 ON e1.dst = e2.src
+                   JOIN samp e3 ON e3.src = e1.src AND e3.dst = e2.dst
+                 )
+            SELECT s * 1000000 // 15625 AS triangles_est,
+                   s AS triangles_sampled
+            FROM t
         """,
         "clustering_coefficient": f"""
             WITH und AS ({_COPURCHASE_SQL}),

@@ -44,14 +44,22 @@ _pairs_within_groups = pairs_within_groups
 
 
 def triangle_count(
-    graph: Graph, num_partitions: int | None = None, num_buckets: int | None = None
+    graph: Graph,
+    num_partitions: int | None = None,
+    num_buckets: int | None = None,
+    edges_simple: bool = False,
 ) -> int:
+    """``edges_simple=True`` certifies ``graph.edges`` is already the
+    simple undirected canonical form (src < dst, distinct, no self
+    loops) and skips the canonicalization dedup shuffle."""
     n = graph.n
     if n == 0:
         return 0
     if num_partitions is None:
         num_partitions = max(2, min(64, n // 100_000 + 2))
-    und = _simple_undirected(graph.edges).materialize()
+    und = (
+        graph.edges if edges_simple else _simple_undirected(graph.edges)
+    ).materialize()
     if num_buckets is None:
         # wedge work per group is quadratic in hub out-degree, so the
         # group count must outrun the CPU count for the scheduler to
@@ -210,3 +218,44 @@ def triangle_count(
 
     parts = per_pair.map_batches(matched, batch_format="numpy").take_all()
     return int(sum(r["tri"] for r in parts))
+
+
+def triangle_count_doulion(
+    graph: Graph,
+    rate_pct: int = 25,
+    salt: str = "doulion",
+    num_partitions: int | None = None,
+) -> tuple[int, int]:
+    """DOULION-style approximate triangle count (Tsourakakis et al.,
+    KDD'09): keep each undirected-canonical edge with probability
+    p = rate_pct/100, count triangles on the sampled subgraph, scale by
+    1/p^3. Returns ``(estimate, sampled_count)``.
+
+    Sampling is the engine's deterministic md5 hash (``functions.
+    sampling._bucket`` over the "src,dst" key) — the same edge is in or
+    out across runs, partitionings, and the DuckDB oracle, so both the
+    sampled count and the estimate are integer-exact and value-checkable
+    (the scale uses integer floor division, not float math). Work drops
+    by ~p on the edge phases and ~p^3 on the wedge phase; the stateless
+    hash filter adds no shuffle.
+    """
+    from parallel_pagerank_ray.functions.sampling import _bucket
+
+    if graph.n == 0:
+        return 0, 0
+
+    def keep(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_pylist()
+        d = t.column("dst").to_pylist()
+        mask = pa.array(
+            [_bucket(f"{a},{b}", salt) < rate_pct for a, b in zip(s, d)]
+        )
+        return t.filter(mask)
+
+    samp = _simple_undirected(graph.edges).map_batches(
+        keep, batch_format="pyarrow"
+    )
+    g2 = Graph.from_int_edges(samp, dedup=False)
+    sampled = triangle_count(g2, num_partitions=num_partitions, edges_simple=True)
+    est = sampled * 100**3 // rate_pct**3
+    return est, sampled

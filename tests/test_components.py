@@ -50,6 +50,34 @@ def test_triangles_exact(graphs):
         assert triangle_count(g) == expected == oracle.triangle_count(n, e), name
 
 
+def test_triangle_count_doulion(graphs):
+    # rate=100 keeps every edge -> estimate == exact count; at rate<100
+    # the deterministic md5 sample makes the estimate a pure function of
+    # the edge set — verify against a direct reimplementation
+    from parallel_pagerank_ray.functions.sampling import _bucket
+    from parallel_pagerank_ray.pipelines.triangles import (
+        triangle_count_doulion,
+    )
+
+    for name in ("small", "medium"):
+        n, e = graphs[name]
+        g = _graph(e)
+        est, sampled = triangle_count_doulion(g, rate_pct=100)
+        assert est == sampled == oracle.triangle_count(n, e), name
+
+        g = _graph(e)
+        est, sampled = triangle_count_doulion(g, rate_pct=50)
+        canon = sorted({(min(u, v), max(u, v)) for u, v in e if u != v})
+        kept = [
+            (a, b)
+            for a, b in canon
+            if _bucket(f"{a},{b}", "doulion") < 50
+        ]
+        want_sampled = oracle.triangle_count(n, kept) if kept else 0
+        assert sampled == want_sampled, name
+        assert est == want_sampled * 100**3 // 50**3, name
+
+
 def test_components_path_graph_log_rounds():
     # pointer-jumping must converge in O(log n) rounds, not O(diameter):
     # a 128-vertex path has diameter 127; require a generous log bound
