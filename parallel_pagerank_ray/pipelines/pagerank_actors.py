@@ -63,12 +63,21 @@ class _RankShard:
         d: float,
         e_ref=None,
         init_ref=None,
+        exchange_dtype: str = "float64",
     ) -> None:
         self.part = part
         self.n = n
         self.num_parts = num_parts
         self.part_size = part_size
         self.d = d
+        # wire format for scattered contribution segments. float32
+        # halves superstep traffic (the engine is exchange-bandwidth
+        # bound); ranks and accumulation stay float64, so only the
+        # per-shard partial sums are rounded (one rounding per shard per
+        # element, ~1e-7 relative). Opt-in: NOT bit-identical to the
+        # float64 reference arithmetic — keep the default for anything
+        # value-checked against an oracle.
+        self.xdtype = np.dtype(exchange_dtype)
         self.base = part * part_size
         self.size = max(0, min(part_size, n - self.base))
 
@@ -152,9 +161,9 @@ class _RankShard:
                 vals = np.bincount(
                     self._dst_compressed, weights=w, minlength=len(self._touched)
                 )
-                return [(-2, ray.put((self._touched, vals)))]
+                return [(-2, ray.put((self._touched, vals.astype(self.xdtype, copy=False))))]
             vec = np.bincount(self._dst, weights=w, minlength=self.n)
-            return [(-1, ray.put(vec))]
+            return [(-1, ray.put(vec.astype(self.xdtype, copy=False)))]
         wp = w[self._perm]
         out = []
         for bid, (lo, hi) in zip(self.bucket_ids, self._slices):
@@ -162,7 +171,7 @@ class _RankShard:
             seg = np.bincount(
                 self._dst_local[lo:hi], weights=wp[lo:hi], minlength=bsize
             )
-            out.append((int(bid), ray.put(seg)))
+            out.append((int(bid), ray.put(seg.astype(self.xdtype, copy=False))))
         return out
 
     def gather_update(self, seg_refs: list, dang: float) -> tuple[float, float, float]:
@@ -246,6 +255,7 @@ def pagerank_bsp(
     init_ranks: "np.ndarray | None" = None,
     fault_hook=None,
     max_recoveries: int = 3,
+    exchange_dtype: str = "float64",
 ) -> BSPPageRankRun:
     """Power-iteration PageRank on the BSP actor engine.
 
@@ -254,6 +264,15 @@ def pagerank_bsp(
     two actor rounds instead of a Dataset execution.
     ``checkpoint_every=0`` disables checkpointing; K>0 writes every K
     iterations (each actor writes only its own partition file).
+
+    ``exchange_dtype="float32"`` halves superstep exchange bytes:
+    contribution segments cross the wire as float32 while ranks and
+    accumulation stay float64. Intended for MULTI-NODE clusters where
+    the exchange crosses the network; single-node (plasma = shared
+    memory) it measures within noise because the cast's extra copy
+    offsets the bandwidth saved. Results match the float64 run within
+    ~1e-7 relative, NOT bit-for-bit — keep the float64 default for
+    oracle-value-checked outputs.
 
     Self-healing: if a shard actor dies mid-run (node loss, OOM kill),
     the pool is respawned and state reloads from the latest complete
@@ -300,7 +319,7 @@ def pagerank_bsp(
         return [
             _RankShard.options(num_cpus=per_actor).remote(
                 p, store.part_refs.get(p, []), n, P, store.part_size, d,
-                e_ref, init_ref,
+                e_ref, init_ref, exchange_dtype,
             )
             for p in range(P)
         ]
@@ -316,6 +335,7 @@ def pagerank_bsp(
         "tol": tol,
         "max_iters": max_iters,
         "num_parts": P,
+        "exchange_dtype": exchange_dtype,
         "e_md5": (
             _hashlib.md5(
                 np.asarray(personalization, dtype=np.float64).tobytes()

@@ -137,6 +137,23 @@ def test_sparse_exchange_parity():
     assert np.allclose(got, tr.ranks, atol=1e-12)
 
 
+def test_float32_exchange_parity(graphs):
+    """Opt-in float32 wire format: ranks must match the float64 run and
+    the oracle within 1e-6 (accumulation stays float64; only per-shard
+    partial sums are rounded). Iteration counts match at these
+    tolerances on the fixtures."""
+    for name, tol in (("small", 1e-6), ("medium", 1e-8), ("dangling4", 1e-6)):
+        n, edges = graphs[name]
+        g = _graph(edges)
+        run = pagerank_bsp(
+            g, d=0.85, tol=tol, num_parts=2, exchange_dtype="float32"
+        )
+        tr = oracle.pagerank(n, np.unique(edges, axis=0), d=0.85, tol=tol)
+        got = run.ranks.to_pandas().sort_values("vid")["rank"].to_numpy()
+        assert np.allclose(got, tr.ranks, atol=1e-6), name
+        assert abs(run.iterations - tr.iterations) <= 1, name
+
+
 def test_incremental_pipeline_api(graphs):
     """Packaged incremental flow: old graph + ranks + delta edges ->
     merged graph + warm-started run with fewer iterations than cold."""
