@@ -52,9 +52,12 @@ def minhash_signatures31(
 ) -> np.ndarray:
     """Batch MinHash: (D, num_perm) uint64, sig[d, j] = min over doc d's
     shingle hashes of (a_j * h + b_j) % (2^31-1). Vectorized across the
-    whole batch (one reduceat per perm chunk — no per-doc Python loop).
-    Every ``hash_lists`` entry must be non-empty (shingle_hashes31
-    guarantees >= 1 window)."""
+    whole batch — one in-place (mul, add, mod) pass plus a unit-stride
+    segmented min per permutation; no per-doc Python loop, one S-sized
+    temp total. (The per-perm row loop beats a (S, chunk) 2-D reduceat
+    4x: axis-0 reduceat strides across rows, and the 2-D temps cost
+    allocation bandwidth.) Every ``hash_lists`` entry must be non-empty
+    (shingle_hashes31 guarantees >= 1 window)."""
     D = len(hash_lists)
     if D == 0:
         return np.empty((0, len(a)), dtype=np.uint64)
@@ -62,12 +65,14 @@ def minhash_signatures31(
     flat = np.concatenate(hash_lists)
     starts = np.zeros(D, dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
-    sig = np.empty((D, len(a)), dtype=np.uint64)
-    chunk = 16  # bound the (S, chunk) temp to ~len(flat)*128 bytes
-    for j0 in range(0, len(a), chunk):
-        vals = (flat[:, None] * a[None, j0 : j0 + chunk] + b[None, j0 : j0 + chunk]) % P31
-        sig[:, j0 : j0 + chunk] = np.minimum.reduceat(vals, starts, axis=0)
-    return sig
+    sig = np.empty((len(a), D), dtype=np.uint64)
+    vals = np.empty(len(flat), dtype=np.uint64)
+    for j in range(len(a)):
+        np.multiply(flat, a[j], out=vals)
+        vals += b[j]
+        vals %= P31
+        sig[j, :] = np.minimum.reduceat(vals, starts)
+    return np.ascontiguousarray(sig.T)
 
 
 def band_keys31(sig: np.ndarray, bands: int) -> tuple[np.ndarray, np.ndarray]:

@@ -124,10 +124,10 @@ def shingle_jaccard_pairs(
 
 
 class _SignatureStage:
-    """Actor-pool stage: per-doc MinHash signature + LSH band keys.
+    """Per-doc MinHash signature + LSH band keys (callable batch stage).
 
-    MinHash permutation params are built ONCE in __init__ (per actor /
-    worker process), not per batch. The whole batch is hashed with
+    MinHash permutation params are built ONCE in __init__ (on the
+    driver; the instance ships in the task closure), not per batch. The whole batch is hashed with
     vectorized mod-2^31-1 arithmetic (hashing.shingle_hashes31 /
     minhash_signatures31) — no per-doc/per-band Python loops — and the
     identical arithmetic is expressible in DuckDB SQL, so the candidate
@@ -162,18 +162,20 @@ def minhash_lsh_candidates(
     num_perm: int = 128,
     bands: int = 16,
     k: int = 5,
-    concurrency: int = 4,
+    concurrency: int | None = None,
 ) -> rd.Dataset:
     """MinHash + LSH near-dup candidate pairs: (doc_a, doc_b), doc_a < doc_b.
 
-    shingle -> signature (map_batches, params built once per worker) ->
+    shingle -> signature (task map; the ~2 KB permutation params are
+    built once on the driver and shipped inside the task closure — an
+    actor pool's spin-up cost buys nothing for state this small) ->
     explode to (band, key, doc_id) rows -> groupby bucket -> in-bucket
     pairs -> global pair dedup (second groupby). Both shuffles move only
-    small integer rows.
+    small integer rows. ``concurrency=None`` lets every CPU run the
+    signature stage (fixed caps serialize at high core counts).
     """
     sig_rows = docs.select_columns(["doc_id", "text"]).map_batches(
-        _SignatureStage,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
+        _SignatureStage(num_perm=num_perm, bands=bands, k=k),
         batch_format="pyarrow",
         concurrency=concurrency,
     )
@@ -215,8 +217,8 @@ def minhash_lsh_candidates(
 
 
 class _SimhashStage:
-    """Actor-pool stage: 64-bit SimHash per doc, exploded into 16-bit
-    prefix-band rows for Hamming-bucketed candidate generation.
+    """Callable batch stage: 64-bit SimHash per doc, exploded into
+    16-bit prefix-band rows for Hamming-bucketed candidate generation.
 
     Fingerprints are batch-vectorized (hashing.simhash_batch): md5 per
     distinct token, one reduceat vote tally — no per-doc bit loops. The
@@ -252,17 +254,19 @@ class _SimhashStage:
 
 
 def simhash_candidates(
-    docs: rd.Dataset, max_hamming: int = 8, concurrency: int = 4
+    docs: rd.Dataset, max_hamming: int = 8, concurrency: int | None = None
 ) -> rd.Dataset:
     """SimHash near-dup pairs: (doc_a, doc_b, hamming), hamming <= max.
 
     Bucketing: docs colliding on any 16-bit prefix band are compared by
     exact Hamming distance (complete for hamming <= 3 by pigeonhole over
     4 bands; a recall heuristic above that). Pair dedup keeps min
-    hamming (identical for all copies of a pair).
+    hamming (identical for all copies of a pair). The fingerprint stage
+    runs as a task map — its only state (one compiled regex) ships in
+    the task closure, so no actor pool spin-up.
     """
     rows = docs.select_columns(["doc_id", "text"]).map_batches(
-        _SimhashStage, batch_format="pyarrow", concurrency=concurrency
+        _SimhashStage(), batch_format="pyarrow", concurrency=concurrency
     )
 
     meta = 64
