@@ -381,6 +381,38 @@ def q_clustering_coefficient(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_kcore_copurchase(sf_dir: str) -> rd.Dataset:
+    """80-core of the co-purchase graph (vid per member). Synchronous
+    peeling on the BSP shard engine — integer degrees make the member
+    set exact and parallelism-independent; value-checked against a
+    recursive-CTE peel in DuckDB."""
+    from parallel_pagerank_ray.pipelines.kcore import kcore_bsp
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return kcore_bsp(g, k=80, edges_canonical=True).members
+
+
+def q_bfs_copurchase(sf_dir: str) -> rd.Dataset:
+    """Hop distances from part vid 0 over the undirected co-purchase
+    graph: (vid, dist) for reached vertices. Integer hops -> exact."""
+    from parallel_pagerank_ray.pipelines.bfs import bfs_distances_bsp
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return bfs_distances_bsp(g, [0]).distances
+
+
+def q_degree_assortativity(sf_dir: str) -> rd.Dataset:
+    """Integer sufficient statistics (m2, sum_x, sum_xy, sum_x2) for
+    the co-purchase graph's degree assortativity; Pearson r is one
+    driver-side division (kept out so the row stays int64-exact)."""
+    from parallel_pagerank_ray.pipelines.graph_build import (
+        degree_assortativity_stats,
+    )
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return degree_assortativity_stats(g.edges, g.n)
+
+
 def q_degree_histogram(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.graph_build import out_degrees
     from parallel_pagerank_ray.pipelines.relational import supplier_part_edges
@@ -817,6 +849,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_copurchase": q_triangles_copurchase,
         "triangles_doulion": q_triangles_doulion,
         "clustering_coefficient": q_clustering_coefficient,
+        "kcore_copurchase": q_kcore_copurchase,
+        "bfs_copurchase": q_bfs_copurchase,
+        "degree_assortativity": q_degree_assortativity,
         "degree_histogram": q_degree_histogram,
         "sample_docs": q_sample_docs,
         "stratified_sample": q_stratified_sample,
@@ -1263,6 +1298,63 @@ def oracle_sql() -> dict[str, str]:
                    wedges,
                    3.0 * (SELECT t FROM tri) / wedges AS global_cc
             FROM w
+        """,
+        "kcore_copurchase": f"""
+            WITH RECURSIVE
+            {_supplier_part_vid_graph(_COPURCHASE_SQL)},
+              kc(it, vid, alive, ch) AS (
+                -- synchronous peeling: alive flags instead of shrinking
+                -- rows (a recursive CTE cannot distinguish an empty
+                -- step from termination); ch marks a death this round,
+                -- max(ch) = 0 -> fixpoint reached
+                SELECT 0, vid, 1, 1 FROM v
+                UNION ALL
+                SELECT c.it + 1, c.vid,
+                       CASE WHEN c.alive = 1 AND coalesce(m.d, 0) >= 80
+                            THEN 1 ELSE 0 END,
+                       CASE WHEN c.alive = 1 AND coalesce(m.d, 0) < 80
+                            THEN 1 ELSE 0 END
+                FROM kc c
+                LEFT JOIN (SELECT u.src AS vid, count(*) AS d
+                           FROM und u
+                           JOIN kc a ON a.vid = u.dst AND a.alive = 1
+                           GROUP BY 1) m ON m.vid = c.vid
+                WHERE (SELECT max(c2.ch) FROM kc c2) = 1
+              )
+            SELECT vid FROM kc
+            WHERE it = (SELECT max(it) FROM kc) AND alive = 1
+        """,
+        "bfs_copurchase": f"""
+            WITH RECURSIVE
+            {_supplier_part_vid_graph(_COPURCHASE_SQL)},
+              walk(vid, d) AS (
+                SELECT 0, 0
+                UNION
+                SELECT u.dst, w.d + 1
+                -- depth cap only bounds the SQL row space ((vid, d)
+                -- pairs regenerate at every depth along cycles); it sits
+                -- far above the graph's true eccentricity (2-3), and an
+                -- insufficient cap would MISS vertices and fail the
+                -- value check, never silently pass
+                FROM walk w JOIN und u ON u.src = w.vid
+                WHERE w.d < 8
+              )
+            SELECT vid, CAST(min(d) AS BIGINT) AS dist
+            FROM walk GROUP BY 1
+        """,
+        "degree_assortativity": f"""
+            WITH e AS MATERIALIZED ({_COPURCHASE_SQL}),
+                 sym AS MATERIALIZED (SELECT src, dst FROM e
+                                      UNION ALL SELECT dst, src FROM e),
+                 deg AS MATERIALIZED (SELECT src AS vid, count(*) AS d
+                                      FROM sym GROUP BY 1)
+            SELECT CAST(count(*) AS BIGINT) AS m2,
+                   CAST(sum(ds.d) AS BIGINT) AS sum_x,
+                   CAST(sum(ds.d * dd.d) AS BIGINT) AS sum_xy,
+                   CAST(sum(ds.d * ds.d) AS BIGINT) AS sum_x2
+            FROM sym
+            JOIN deg ds ON ds.vid = sym.src
+            JOIN deg dd ON dd.vid = sym.dst
         """,
         "degree_histogram": f"""
             WITH e AS ({_SUPP_PART_SQL}),

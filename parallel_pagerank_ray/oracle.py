@@ -185,3 +185,49 @@ def triangle_count(n: int, edges: np.ndarray) -> int:
                 if w > v and w in sets[u]:
                     count += 1
     return count
+
+
+def kcore(n: int, edges: np.ndarray, k: int) -> np.ndarray:
+    """Membership mask of the k-core of the simple undirected closure:
+    iteratively remove vertices with fewer than k alive neighbors."""
+    adj = _undirected_adj(n, edges)
+    alive = np.ones(n, dtype=bool)
+    deg = np.array([len(a) for a in adj], dtype=np.int64)
+    while True:
+        doomed = [v for v in range(n) if alive[v] and deg[v] < k]
+        if not doomed:
+            return alive
+        for v in doomed:
+            alive[v] = False
+        for v in doomed:
+            for u in adj[v]:
+                deg[u] -= 1
+
+
+def bfs_distances(
+    n: int, edges: np.ndarray, sources: list[int], directed: bool = False
+) -> np.ndarray:
+    """Multi-source BFS hop counts; unreachable vertices get -1."""
+    if directed:
+        adj: list[list[int]] = [[] for _ in range(n)]
+        for u, v in np.asarray(edges, dtype=np.int64).reshape(-1, 2):
+            if int(u) != int(v):
+                adj[int(u)].append(int(v))
+        adj = [np.array(sorted(set(a)), dtype=np.int64) for a in adj]
+    else:
+        adj = _undirected_adj(n, edges)
+    dist = np.full(n, -1, dtype=np.int64)
+    frontier = sorted(set(int(s) for s in sources))
+    for s in frontier:
+        dist[s] = 0
+    d = 0
+    while frontier:
+        d += 1
+        nxt = []
+        for v in frontier:
+            for u in adj[v]:
+                if dist[u] < 0:
+                    dist[u] = d
+                    nxt.append(int(u))
+        frontier = nxt
+    return dist

@@ -1,0 +1,158 @@
+"""Multi-source BFS hop distances on the BSP actor harness.
+
+Beyond-reference capability (the reference has no reachability /
+shortest-path operator). Frontier-sparse supersteps, the classic
+Pregel BFS:
+
+    expand  each shard walks ONLY its local frontier's CSR ranges and
+            emits the candidate destination ids (deduplicated locally),
+            one plasma put per shard
+    absorb  each shard scans the candidate lists, keeps the ids it
+            owns that are still unreached, stamps them dist = round,
+            and they become its next local frontier
+
+Per-round traffic is O(frontier out-edges), not O(n): every vertex
+enters a candidate list only until it is reached, so total exchange
+over the whole run is O(E) worst case. Shard state is O(E_p + size)
+(its edge slice + its dist slice) — no full-n vectors, any vertex
+count fits. Round count = graph eccentricity of the source set.
+Integer hop counts are order-independent -> exact at any parallelism;
+matches ``oracle.bfs_distances``.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import ray
+import ray.data as rd
+
+from parallel_pagerank_ray.pipelines.graph_build import Graph, undirected_edges
+from parallel_pagerank_ray.stages.csr_store import EdgeShardStore
+
+
+@dataclass
+class BFSRun:
+    distances: rd.Dataset  # (vid, dist) for REACHED vertices only
+    iterations: int
+    history: list[dict] = field(default_factory=list)
+
+
+@ray.remote
+class _BFSShard:
+    def __init__(self, part: int, part_refs: list, n: int, part_size: int) -> None:
+        self.base = part * part_size
+        self.size = max(0, min(part_size, n - self.base))
+        self.part_size = part_size
+        if part_refs:
+            chunks = ray.get(part_refs)
+            src = np.concatenate([c[0] for c in chunks]) - self.base
+            dst = np.concatenate([c[1] for c in chunks])
+        else:
+            src = np.array([], dtype=np.int64)
+            dst = np.array([], dtype=np.int64)
+        # local CSR by src (EdgeShardStore delivers src-sorted chunks;
+        # re-sort defensively only if a caller handed unordered refs)
+        if src.size and not bool(np.all(src[1:] >= src[:-1])):
+            order = np.argsort(src, kind="stable")
+            src = src[order]
+            dst = dst[order]
+        self.dst_sorted = dst
+        self.indptr = np.searchsorted(src, np.arange(self.size + 1, dtype=np.int64))
+        self.dist = np.full(self.size, -1, dtype=np.int64)
+        self.frontier = np.array([], dtype=np.int64)  # local indices
+
+    def seed(self, sources: np.ndarray) -> int:
+        local = sources[(sources >= self.base) & (sources < self.base + self.size)]
+        local = local - self.base
+        self.dist[local] = 0
+        self.frontier = local
+        return int(len(local))
+
+    def expand(self):
+        """Candidate global destinations of the local frontier."""
+        f = self.frontier
+        if len(f) == 0:
+            return ray.put(np.array([], dtype=np.int64))
+        lens = self.indptr[f + 1] - self.indptr[f]
+        m = lens > 0
+        f, lens = f[m], lens[m]
+        if len(f) == 0:
+            return ray.put(np.array([], dtype=np.int64))
+        starts = self.indptr[f]
+        csum = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos = np.arange(int(lens.sum())) - np.repeat(csum, lens) + np.repeat(starts, lens)
+        return ray.put(np.unique(self.dst_sorted[pos]))
+
+    def absorb(self, refs: list, depth: int) -> int:
+        """Stamp owned, still-unreached candidates with ``depth``; they
+        become the next local frontier. Returns how many were reached."""
+        cands = [c for c in ray.get(list(refs)) if len(c)]
+        if not cands:
+            self.frontier = np.array([], dtype=np.int64)
+            return 0
+        ids = np.unique(np.concatenate(cands))
+        local = ids[(ids >= self.base) & (ids < self.base + self.size)] - self.base
+        fresh = local[self.dist[local] < 0]
+        self.dist[fresh] = depth
+        self.frontier = fresh
+        return int(len(fresh))
+
+    def slice_table(self):
+        import pyarrow as pa
+
+        reached = np.nonzero(self.dist >= 0)[0]
+        return pa.table(
+            {"vid": self.base + reached, "dist": self.dist[reached]}
+        )
+
+
+def bfs_distances_bsp(
+    graph: Graph,
+    sources: list[int],
+    directed: bool = False,
+    num_parts: int | None = None,
+    max_depth: int = 10_000,
+) -> BFSRun:
+    """Hop distances from ``sources`` (closest source wins). The
+    undirected mode (default) walks the symmetric closure WITHOUT a
+    dedup shuffle — BFS is duplicate-invariant, so closure duplicates
+    are harmless."""
+    n = graph.n
+    if n == 0 or not sources:
+        return BFSRun(distances=rd.from_items([]), iterations=0)
+    if num_parts is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_parts = min(256, max(4, cpus // 4))
+    edges = graph.edges if directed else undirected_edges(graph.edges, dedup=False)
+    store = EdgeShardStore.build(edges, n=n, num_parts=num_parts)
+    P = max(1, -(-n // store.part_size))
+    cpus = max(2.0, float(ray.cluster_resources().get("CPU", 8)))
+    # floor (never round up): P * per_actor must stay <= cpus - 1
+    per_actor = math.floor(min(1.0, max(0.01, (cpus - 1.0) / P)) * 100) / 100
+    actors = [
+        _BFSShard.options(num_cpus=per_actor).remote(
+            p, store.part_refs.get(p, []), n, store.part_size
+        )
+        for p in range(P)
+    ]
+    src_arr = np.unique(np.asarray(sources, dtype=np.int64))
+    if src_arr.min() < 0 or src_arr.max() >= n:
+        raise ValueError(f"source vid out of range [0, {n})")
+    total = sum(ray.get([a.seed.remote(src_arr) for a in actors]))
+    it = 0
+    history: list[dict] = [{"iter": 0, "reached": total}]
+    while total and it < max_depth:
+        it += 1
+        refs = ray.get([a.expand.remote() for a in actors])
+        total = sum(ray.get([a.absorb.remote(refs, it) for a in actors]))
+        history.append({"iter": it, "reached": total})
+    if total == 0:
+        it -= 1  # the final empty round reached nothing
+    tables = [a.slice_table.remote() for a in actors]
+    ray.wait(tables, num_returns=len(tables))
+    for a in actors:
+        ray.kill(a)
+    return BFSRun(distances=rd.from_arrow_refs(tables), iterations=max(it, 0), history=history)

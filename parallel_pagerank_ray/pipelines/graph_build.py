@@ -370,3 +370,82 @@ class Graph:
             return pa.table({"vid": t.column("vid"), "out_deg": d})
 
         return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def degree_assortativity_stats(
+    edges: rd.Dataset, n: int, num_buckets: int | None = None
+) -> rd.Dataset:
+    """Integer sufficient statistics for the degree assortativity of a
+    simple undirected graph given as CANONICAL edges (src < dst,
+    distinct, no self loops). One row:
+
+        m2      directed closure size (2 x edge count)
+        sum_x   sum over ordered edge ends of deg(src)
+        sum_xy  sum of deg(src) * deg(dst)
+        sum_x2  sum of deg(src)^2
+
+    (The closure is symmetric, so sum_y == sum_x and sum_y2 == sum_x2.)
+    Pearson r = (sum_xy/m2 - (sum_x/m2)^2) / (sum_x2/m2 - (sum_x/m2)^2)
+    is one driver-side division away — kept OUT of the operator so the
+    distributed output stays int64-exact and value-checkable (the
+    driver-gate float policy).
+
+    Degrees ship as ONE broadcast vector (n * 8 B in plasma, read
+    zero-copy per task) when they fit; beyond ``_DEG_BCAST_MAX`` the
+    caller should join a degree table instead (same pattern as
+    pipelines/triangles.py's two-sided degree join).
+    """
+    import ray as _ray
+
+    from parallel_pagerank_ray.stages.agg import global_agg, grouped_agg
+
+    _DEG_BCAST_MAX = 256 << 20
+    if n * 8 > _DEG_BCAST_MAX:
+        raise ValueError(
+            "degree vector too large to broadcast; use the join-based "
+            "degree attach (triangles.py) and sum the same statistics"
+        )
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        v = pa.concat_arrays(
+            [t.column("src").combine_chunks(), t.column("dst").combine_chunks()]
+        )
+        return pa.table({"vid": v})
+
+    deg = grouped_agg(
+        edges.map_batches(both_dirs, batch_format="pyarrow"),
+        ["vid"],
+        {"deg": ("vid", "count")},
+        num_buckets=num_buckets,
+    )
+    deg_vec = np.zeros(n, dtype=np.int64)
+    for blk in _ray.get(deg.materialize().to_arrow_refs()):
+        deg_vec[blk.column("vid").to_numpy()] = blk.column("deg").to_numpy()
+    deg_ref = _ray.put(deg_vec)
+
+    def stats(b: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        dv = _ray.get(deg_ref)
+        x = dv[b["src"]]
+        y = dv[b["dst"]]
+        one = np.array([0], dtype=np.int64)
+        return {
+            "m2": one + 2 * len(x),
+            "sum_x": one + int(x.sum() + y.sum()),
+            "sum_xy": one + 2 * int((x * y).sum()),
+            "sum_x2": one + int((x * x).sum() + (y * y).sum()),
+        }
+
+    partials = edges.map_batches(stats, batch_format="numpy")
+    row = global_agg(
+        partials,
+        {
+            "m2": ("m2", "sum"),
+            "sum_x": ("sum_x", "sum"),
+            "sum_xy": ("sum_xy", "sum"),
+            "sum_x2": ("sum_x2", "sum"),
+        },
+    )
+    return rd.from_arrow(
+        pa.table({k: pa.array([int(row[k])], type=pa.int64()) for k in
+                  ("m2", "sum_x", "sum_xy", "sum_x2")})
+    )

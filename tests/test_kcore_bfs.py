@@ -1,0 +1,138 @@
+"""k-core / BFS / assortativity vs NumPy oracles — exact matches."""
+
+import numpy as np
+
+from parallel_pagerank_ray import oracle
+from parallel_pagerank_ray.pipelines.bfs import bfs_distances_bsp
+from parallel_pagerank_ray.pipelines.graph_build import (
+    Graph,
+    degree_assortativity_stats,
+)
+from parallel_pagerank_ray.pipelines.kcore import kcore_bsp
+from parallel_pagerank_ray.sources.edge_list import edges_dataset
+
+
+def _graph(e, blocks=2):
+    return Graph.from_int_edges(edges_dataset(e, num_blocks=blocks))
+
+
+def _members(run):
+    df = run.members.to_pandas()
+    return sorted(df["vid"].tolist()) if len(df) else []
+
+
+def test_kcore_exact_fixtures(graphs):
+    for name in ("small", "medium", "two_comps", "dangling4"):
+        n, e = graphs[name]
+        g = _graph(e)
+        for k in (1, 2, 3, 4):
+            run = kcore_bsp(g, k, num_parts=3)
+            want = sorted(np.nonzero(oracle.kcore(n, e, k))[0].tolist())
+            assert _members(run) == want, (name, k)
+
+
+def test_kcore_random_powerlaw():
+    from parallel_pagerank_ray.sources.pages import powerlaw_edges
+
+    e = powerlaw_edges(300, 4, seed=11)
+    g = _graph([tuple(r) for r in e])
+    for k in (2, 3, 5):
+        run = kcore_bsp(g, k, num_parts=4)
+        want = sorted(np.nonzero(oracle.kcore(g.n, e, k))[0].tolist())
+        assert _members(run) == want, k
+
+
+def test_kcore_path_graph_empty_core():
+    # path: 2-core is empty; peeling cascades one endpoint pair per round
+    e = [(i, i + 1) for i in range(30)]
+    g = _graph(e, blocks=1)
+    run = kcore_bsp(g, 2, num_parts=4)
+    assert _members(run) == []
+    assert run.iterations >= 14  # O(n) cascade, both ends peel in parallel
+
+
+def test_kcore_complete_graph_no_rounds():
+    e = [(i, j) for i in range(6) for j in range(6) if i != j]
+    g = _graph(e, blocks=1)
+    run = kcore_bsp(g, 5, num_parts=2)
+    assert _members(run) == list(range(6))
+    assert run.iterations == 0  # nobody peels
+
+
+def test_kcore_canonical_skip_dedup():
+    e = [(0, 1), (0, 2), (1, 2), (2, 3)]
+    g = _graph(e, blocks=1)
+    run = kcore_bsp(g, 2, num_parts=2, edges_canonical=True)
+    assert _members(run) == [0, 1, 2]
+
+
+def _dist_map(run):
+    df = run.distances.to_pandas()
+    return dict(zip(df["vid"].tolist(), df["dist"].tolist()))
+
+
+def _want_map(dist):
+    return {i: int(d) for i, d in enumerate(dist) if d >= 0}
+
+
+def test_bfs_undirected_exact(graphs):
+    for name in ("small", "medium", "two_comps"):
+        n, e = graphs[name]
+        g = _graph(e)
+        run = bfs_distances_bsp(g, [0], num_parts=3)
+        want = oracle.bfs_distances(n, e, [0])
+        assert _dist_map(run) == _want_map(want), name
+        assert run.iterations == int(want.max())
+
+
+def test_bfs_directed_and_unreachable():
+    # 0->1->2, 3->2; from 0 directed: 3 unreachable
+    e = [(0, 1), (1, 2), (3, 2)]
+    g = _graph(e, blocks=1)
+    run = bfs_distances_bsp(g, [0], directed=True, num_parts=2)
+    assert _dist_map(run) == {0: 0, 1: 1, 2: 2}
+    want = oracle.bfs_distances(g.n, np.array(e), [0], directed=True)
+    assert _dist_map(run) == _want_map(want)
+
+
+def test_bfs_multi_source():
+    e = [(i, i + 1) for i in range(10)]
+    g = _graph(e, blocks=1)
+    run = bfs_distances_bsp(g, [0, 10], num_parts=3)
+    want = oracle.bfs_distances(g.n, np.array(e), [0, 10])
+    assert _dist_map(run) == _want_map(want)
+    assert run.iterations == 5
+
+
+def test_bfs_powerlaw_vs_oracle():
+    from parallel_pagerank_ray.sources.pages import powerlaw_edges
+
+    e = powerlaw_edges(400, 3, seed=5)
+    g = _graph([tuple(r) for r in e])
+    for directed in (False, True):
+        run = bfs_distances_bsp(g, [0, 7], directed=directed, num_parts=4)
+        want = oracle.bfs_distances(g.n, e, [0, 7], directed=directed)
+        assert _dist_map(run) == _want_map(want), directed
+
+
+def test_assortativity_stats_exact():
+    rng = np.random.default_rng(9)
+    # canonical simple undirected edges
+    raw = rng.integers(0, 50, size=(300, 2))
+    raw = raw[raw[:, 0] != raw[:, 1]]
+    canon = np.unique(
+        np.stack([raw.min(axis=1), raw.max(axis=1)], axis=1), axis=0
+    )
+    n = int(canon.max()) + 1
+    ds = edges_dataset([tuple(r) for r in canon], num_blocks=3)
+    row = degree_assortativity_stats(ds, n).to_pandas().iloc[0]
+    # direct: symmetrized sums over the closure
+    deg = np.zeros(n, dtype=np.int64)
+    np.add.at(deg, canon[:, 0], 1)
+    np.add.at(deg, canon[:, 1], 1)
+    x = deg[canon[:, 0]]
+    y = deg[canon[:, 1]]
+    assert row["m2"] == 2 * len(canon)
+    assert row["sum_x"] == int(x.sum() + y.sum())
+    assert row["sum_xy"] == 2 * int((x * y).sum())
+    assert row["sum_x2"] == int((x * x).sum() + (y * y).sum())
