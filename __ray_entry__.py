@@ -381,6 +381,19 @@ def q_clustering_coefficient(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_hits_supplier_part(sf_dir: str) -> rd.Dataset:
+    """Integer HITS (2 full update pairs, unnormalized) on the directed
+    supplier->part graph: (vid, auth, hub). Skipping the norm keeps
+    every score an int64 — bit-exact at any parallelism and value-
+    checkable in SQL, unlike float-accumulated centralities."""
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.hits import hits_bsp
+    from parallel_pagerank_ray.pipelines.relational import supplier_part_edges
+
+    g = Graph.from_int_edges(supplier_part_edges(sf_dir), dedup=False)
+    return hits_bsp(g, iters=2).scores
+
+
 def q_kcore_copurchase(sf_dir: str) -> rd.Dataset:
     """80-core of the co-purchase graph (vid per member). Synchronous
     peeling on the BSP shard engine — integer degrees make the member
@@ -849,6 +862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_copurchase": q_triangles_copurchase,
         "triangles_doulion": q_triangles_doulion,
         "clustering_coefficient": q_clustering_coefficient,
+        "hits_supplier_part": q_hits_supplier_part,
         "kcore_copurchase": q_kcore_copurchase,
         "bfs_copurchase": q_bfs_copurchase,
         "degree_assortativity": q_degree_assortativity,
@@ -1298,6 +1312,45 @@ def oracle_sql() -> dict[str, str]:
                    wedges,
                    3.0 * (SELECT t FROM tri) / wedges AS global_cc
             FROM w
+        """,
+        "hits_supplier_part": f"""
+            WITH RECURSIVE
+              e AS MATERIALIZED ({_SUPP_PART_SQL}),
+              nn AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n
+                                  FROM e),
+              v(vid) AS (SELECT 0 UNION ALL
+                         SELECT vid + 1 FROM v
+                         WHERE vid + 1 < (SELECT n FROM nn)),
+              -- hub vector per iteration; authorities are the
+              -- intermediate a_t = sum of h_(t-1) over in-edges
+              hh(it, vid, h) AS (
+                SELECT 0, vid, CAST(1 AS BIGINT) FROM v
+                UNION ALL
+                SELECT p.it + 1, p.vid, coalesce(hb.s, 0)
+                FROM hh p
+                LEFT JOIN (
+                  SELECT e2.src AS vid, CAST(sum(av.s) AS BIGINT) AS s
+                  FROM e e2
+                  JOIN (SELECT e1.dst AS vid,
+                               CAST(sum(q.h) AS BIGINT) AS s
+                        FROM e e1 JOIN hh q ON q.vid = e1.src
+                        GROUP BY 1) av ON av.vid = e2.dst
+                  GROUP BY 1
+                ) hb ON hb.vid = p.vid
+                WHERE p.it < 2
+              ),
+              hfin AS (SELECT vid, h AS hub FROM hh
+                       WHERE it = (SELECT max(it) FROM hh)),
+              afin AS (SELECT e.dst AS vid, CAST(sum(q.h) AS BIGINT) AS auth
+                       FROM e JOIN hh q
+                         ON q.vid = e.src
+                        AND q.it = (SELECT max(it) FROM hh) - 1
+                       GROUP BY 1)
+            SELECT v.vid, coalesce(a.auth, 0) AS auth,
+                   coalesce(h.hub, 0) AS hub
+            FROM v
+            LEFT JOIN afin a ON a.vid = v.vid
+            LEFT JOIN hfin h ON h.vid = v.vid
         """,
         "kcore_copurchase": f"""
             WITH RECURSIVE

@@ -231,3 +231,19 @@ def bfs_distances(
                     nxt.append(int(u))
         frontier = nxt
     return dist
+
+
+def hits_scores(
+    n: int, edges: np.ndarray, iters: int = 2
+) -> tuple[np.ndarray, np.ndarray]:
+    """Unnormalized integer HITS: (auth, hub) int64 after ``iters``
+    full (authority, hub) update pairs; h_0 = 1."""
+    e = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    h = np.ones(n, dtype=np.int64)
+    a = np.zeros(n, dtype=np.int64)
+    for _ in range(iters):
+        a = np.zeros(n, dtype=np.int64)
+        np.add.at(a, e[:, 1], h[e[:, 0]])
+        h = np.zeros(n, dtype=np.int64)
+        np.add.at(h, e[:, 0], a[e[:, 1]])
+    return a, h

@@ -136,3 +136,44 @@ def test_assortativity_stats_exact():
     assert row["sum_x"] == int(x.sum() + y.sum())
     assert row["sum_xy"] == 2 * int((x * y).sum())
     assert row["sum_x2"] == int((x * x).sum() + (y * y).sum())
+
+
+def test_hits_both_engines_vs_oracle(graphs):
+    from parallel_pagerank_ray.pipelines.hits import hits_bsp, hits_dataset
+
+    for name in ("small", "medium", "dangling4"):
+        n, e = graphs[name]
+        g = _graph(e)
+        want_a, want_h = oracle.hits_scores(n, e, iters=2)
+        for fn in (hits_bsp, hits_dataset):
+            run = fn(g, iters=2)
+            df = run.scores.to_pandas().sort_values("vid")
+            assert np.array_equal(df["auth"].to_numpy(), want_a), (name, fn.__name__)
+            assert np.array_equal(df["hub"].to_numpy(), want_h), (name, fn.__name__)
+
+
+def test_hits_powerlaw_engine_parity():
+    from parallel_pagerank_ray.pipelines.hits import hits_bsp, hits_dataset
+    from parallel_pagerank_ray.sources.pages import powerlaw_edges
+
+    e = powerlaw_edges(500, 4, seed=3)
+    g = _graph([tuple(r) for r in e])
+    # HITS sums are duplicate-SENSITIVE and the engine dedups edges:
+    # the oracle must see the deduplicated edge set
+    want_a, want_h = oracle.hits_scores(g.n, np.unique(e, axis=0), iters=3)
+    for fn in (hits_bsp, hits_dataset):
+        run = fn(g, iters=3)
+        df = run.scores.to_pandas().sort_values("vid")
+        assert np.array_equal(df["auth"].to_numpy(), want_a), fn.__name__
+        assert np.array_equal(df["hub"].to_numpy(), want_h), fn.__name__
+
+
+def test_hits_overflow_guard():
+    import pytest
+
+    from parallel_pagerank_ray.pipelines.hits import hits_bsp
+
+    e = [(i, j) for i in range(20) for j in range(20) if i != j]
+    g = _graph(e, blocks=1)
+    with pytest.raises(OverflowError):
+        hits_bsp(g, iters=12)
