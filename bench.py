@@ -119,6 +119,10 @@ def bench_queries() -> dict[str, float]:
         "components_copurchase",
         "labelprop_copurchase",
         "triangles_copurchase",
+        "kcore_copurchase",
+        "bfs_copurchase",
+        "hits_supplier_part",
+        "degree_assortativity",
         "text_stats",
         "dedup_exact",
         "dedup_minhash_lsh",
@@ -150,8 +154,15 @@ def bench_queries() -> dict[str, float]:
 def run_once(include_queries: bool = True) -> dict:
     _init_ray()
     t0 = time.time()
-    pr = bench_pagerank()
+    # query sweep FIRST: the 10M-edge PageRank headline leaves GBs of
+    # released-but-unevicted objects in plasma, and sweeping through it
+    # was measured to slow the BSP graph queries up to 2.5x. The
+    # headline itself warms its own store and is insensitive to order.
     queries = bench_queries() if include_queries else {}
+    import gc
+
+    gc.collect()
+    pr = bench_pagerank()
     total = time.time() - t0
     import ray
 
