@@ -426,6 +426,59 @@ def q_degree_assortativity(sf_dir: str) -> rd.Dataset:
     return degree_assortativity_stats(g.edges, g.n)
 
 
+def q_top_tokens(sf_dir: str) -> rd.Dataset:
+    """Top-100 corpus tokens (cnt DESC, token ASC — total order, so the
+    limit boundary is deterministic). Map-side per-batch pre-count;
+    the shuffle moves one row per distinct token per batch."""
+    from parallel_pagerank_ray.functions.textstats import token_counts
+
+    return (
+        token_counts(_documents(sf_dir, ["doc_id", "text"]))
+        .sort(["cnt", "token"], descending=[True, False])
+        .limit(100)
+    )
+
+
+def q_distinct_orders_kmv(sf_dir: str) -> rd.Dataset:
+    """KMV distinct-count sketch over lineitem.l_orderkey: k smallest
+    63-bit md5 hashes -> (k-1) * 2^63 / kth_min. kth_min is int-exact
+    and the estimate's float64 arithmetic reproduces in SQL."""
+    from parallel_pagerank_ray.functions.sketch import kmv_distinct
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    return kmv_distinct(li, "l_orderkey", k=512)
+
+
+def q_price_quantiles(sf_dir: str) -> rd.Dataset:
+    """Exact discrete quantiles of l_extendedprice in integer cents
+    (DuckDB quantile_disc semantics; binary-exact q values so
+    ceil(q * n) has no float rounding edge)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from parallel_pagerank_ray.stages.agg import exact_quantiles
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c": pc.cast(
+                    pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)),
+                    pa.int64(),
+                )
+            }
+        )
+
+    return exact_quantiles(
+        li.map_batches(cents, batch_format="pyarrow"),
+        "c",
+        [0.125, 0.25, 0.5, 0.75, 0.875],
+    )
+
+
 def q_degree_histogram(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.graph_build import out_degrees
     from parallel_pagerank_ray.pipelines.relational import supplier_part_edges
@@ -867,6 +920,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_copurchase": q_bfs_copurchase,
         "degree_assortativity": q_degree_assortativity,
         "degree_histogram": q_degree_histogram,
+        "top_tokens": q_top_tokens,
+        "distinct_orders_kmv": q_distinct_orders_kmv,
+        "price_quantiles": q_price_quantiles,
         "sample_docs": q_sample_docs,
         "stratified_sample": q_stratified_sample,
         "quality_filter": q_quality_filter,
@@ -1408,6 +1464,37 @@ def oracle_sql() -> dict[str, str]:
             FROM sym
             JOIN deg ds ON ds.vid = sym.src
             JOIN deg dd ON dd.vid = sym.dst
+        """,
+        "top_tokens": f"""
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+              SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_SQL}'))
+                     AS token
+              FROM documents)
+            GROUP BY 1 ORDER BY cnt DESC, token LIMIT 100
+        """,
+        "distinct_orders_kmv": """
+            WITH h AS (
+              SELECT DISTINCT CAST(
+                CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 16))
+                     AS UBIGINT) >> 1 AS BIGINT) AS h
+              FROM lineitem),
+            mins AS (SELECT h FROM h ORDER BY h LIMIT 512),
+            agg AS (SELECT CAST(count(*) AS BIGINT) AS c,
+                           coalesce(max(h), 0) AS kth FROM mins)
+            SELECT 512 AS k, c AS n_kept, kth AS kth_min,
+                   CASE WHEN c < 512 THEN CAST(c AS DOUBLE)
+                        ELSE (512 - 1) * 9223372036854775808.0 / kth
+                   END AS n_distinct_est
+            FROM agg
+        """,
+        "price_quantiles": """
+            WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                              AS c FROM lineitem)
+            SELECT 0.125 AS q, quantile_disc(c, 0.125) AS value FROM c
+            UNION ALL SELECT 0.25, quantile_disc(c, 0.25) FROM c
+            UNION ALL SELECT 0.5, quantile_disc(c, 0.5) FROM c
+            UNION ALL SELECT 0.75, quantile_disc(c, 0.75) FROM c
+            UNION ALL SELECT 0.875, quantile_disc(c, 0.875) FROM c
         """,
         "degree_histogram": f"""
             WITH e AS ({_SUPP_PART_SQL}),

@@ -78,3 +78,32 @@ class TextStats:
                 ],
             }
         )
+
+
+def token_counts(docs, num_buckets: int | None = None):
+    """Corpus-wide exact token frequencies: (token, cnt).
+
+    Heavy-hitter shape: each batch pre-counts its tokens (map-side
+    combine — the shuffle moves one row per DISTINCT token per batch,
+    never per occurrence), then one bucketed grouped_agg sums per
+    token. Top-k consumers sort the small vocabulary table."""
+    import ray.data as rd  # noqa: F401  (annotation clarity)
+
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].astype(str).str.lower().str.findall(TOKEN_RE)
+        arrs = [t for t in toks.to_numpy() if t]
+        if not arrs:
+            return pd.DataFrame(
+                {"token": pd.Series([], dtype=str),
+                 "cnt": pd.Series([], dtype=np.int64)}
+            )
+        flat = pd.Series(np.concatenate(arrs))
+        vc = flat.value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.to_numpy(), "cnt": vc.to_numpy().astype(np.int64)}
+        )
+
+    rows = docs.select_columns(["text"]).map_batches(explode, batch_format="pandas")
+    return grouped_agg(rows, ["token"], {"cnt": ("cnt", "sum")}, num_buckets=num_buckets)

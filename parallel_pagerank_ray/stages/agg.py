@@ -27,6 +27,7 @@ order so results are independent of block arrival order.
 
 from __future__ import annotations
 
+import math
 from typing import Iterable, Mapping
 
 import numpy as np
@@ -302,3 +303,55 @@ def global_agg(ds: rd.Dataset, specs: Spec) -> dict[str, float | int]:
         else:
             result[out] = s.max()
     return result
+
+
+def exact_quantiles(
+    ds: rd.Dataset, col: str, qs: list[float], num_buckets: int | None = None
+) -> rd.Dataset:
+    """Exact discrete quantiles of an integer column: (q, value) rows
+    with DuckDB ``quantile_disc`` semantics — value at sorted index
+    max(0, ceil(q * n) - 1).
+
+    Histogram route: one bucketed grouped_agg counts occurrences per
+    DISTINCT value, the driver sorts the (value, count) table and walks
+    the cumulative counts. Scale assumption (documented, standard for
+    histogram quantiles): the DISTINCT-value table fits the driver —
+    bounded domains like prices-in-cents, lengths, degrees; for
+    unbounded domains pre-round or bucket the column first. Use
+    binary-exact q values (0.25, 0.5, 0.125, ...) so ceil(q * n) has no
+    cross-engine float rounding edge.
+    """
+    import ray
+
+    hist = grouped_agg(
+        ds.select_columns([col]),
+        [col],
+        {"cnt": (col, "count")},
+        num_buckets=num_buckets,
+    )
+    blocks = [
+        (blk.column(col).to_numpy(), blk.column("cnt").to_numpy())
+        for blk in ray.get(hist.materialize().to_arrow_refs())
+        if blk.num_rows
+    ]
+    if not blocks:
+        return rd.from_arrow(
+            pa.table({"q": pa.array([], pa.float64()),
+                      "value": pa.array([], pa.int64())})
+        )
+    vals = np.concatenate([v for v, _ in blocks])
+    cnts = np.concatenate([c for _, c in blocks]).astype(np.int64)
+    order = np.argsort(vals, kind="stable")
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    out_q, out_v = [], []
+    for q in qs:
+        idx = max(0, math.ceil(q * n) - 1)
+        pos = int(np.searchsorted(cum, idx + 1, "left"))
+        out_q.append(float(q))
+        out_v.append(int(vals[pos]))
+    return rd.from_arrow(
+        pa.table({"q": pa.array(out_q, pa.float64()),
+                  "value": pa.array(out_v, pa.int64())})
+    )

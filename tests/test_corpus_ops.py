@@ -1,0 +1,106 @@
+"""token_counts / kmv_distinct / exact_quantiles vs direct computation."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _docs(texts):
+    return rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+        )
+    ).repartition(3)
+
+
+def test_token_counts_exact():
+    import re
+
+    from parallel_pagerank_ray.functions.textstats import TOKEN_RE, token_counts
+
+    texts = [
+        "The cat sat on the mat",
+        "the DOG and the cat",
+        "punctuation, only! tokens_1 and 42",
+        "",
+    ]
+    out = token_counts(_docs(texts)).to_pandas()
+    got = dict(zip(out["token"], out["cnt"]))
+    want: dict[str, int] = {}
+    for t in texts:
+        for tok in re.findall(TOKEN_RE, t.lower()):
+            want[tok] = want.get(tok, 0) + 1
+    assert got == want
+    assert got["the"] == 4 and got["cat"] == 2 and got["42"] == 1
+
+
+def test_kmv_distinct_exact_below_k():
+    from parallel_pagerank_ray.functions.sketch import kmv_distinct
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"v": [str(i % 37) for i in range(500)]})
+    ).repartition(4)
+    row = kmv_distinct(ds, "v", k=512).to_pandas().iloc[0]
+    assert row["n_kept"] == 37
+    assert row["n_distinct_est"] == 37.0
+
+
+def test_kmv_distinct_estimates():
+    import hashlib
+
+    from parallel_pagerank_ray.functions.sketch import kmv_distinct
+
+    n = 20_000
+    ds = rd.from_pandas(pd.DataFrame({"v": np.arange(n)})).repartition(8)
+    k = 256
+    row = kmv_distinct(ds, "v", k=k).to_pandas().iloc[0]
+    # reference computation, single process
+    hs = sorted(
+        int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "big") >> 1
+        for i in range(n)
+    )
+    kth = hs[k - 1]
+    assert row["kth_min"] == kth
+    assert row["n_distinct_est"] == (k - 1) * float(2**63) / float(kth)
+    # a k=256 KMV is within ~13% relative error w.h.p.
+    assert abs(row["n_distinct_est"] - n) / n < 0.2
+
+
+def test_kmv_partitioning_invariant():
+    from parallel_pagerank_ray.functions.sketch import kmv_distinct
+
+    vals = pd.DataFrame({"v": [f"u{i}" for i in range(3000)]})
+    rows = [
+        kmv_distinct(rd.from_pandas(vals).repartition(p), "v", k=64)
+        .to_pandas()
+        .iloc[0]
+        for p in (1, 7)
+    ]
+    assert rows[0]["kth_min"] == rows[1]["kth_min"]
+    assert rows[0]["n_distinct_est"] == rows[1]["n_distinct_est"]
+
+
+def test_exact_quantiles_matches_duckdb():
+    import duckdb
+
+    from parallel_pagerank_ray.stages.agg import exact_quantiles
+
+    rng = np.random.default_rng(4)
+    vals = rng.integers(0, 5000, size=9973).astype(np.int64)
+    qs = [0.125, 0.25, 0.5, 0.75, 0.875, 1.0]
+    ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(5)
+    out = exact_quantiles(ds, "x", qs).to_pandas().sort_values("q")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(?) AS x", [vals.tolist()])
+    for q, v in zip(out["q"], out["value"]):
+        want = con.execute(f"SELECT quantile_disc(x, {q}) FROM t").fetchone()[0]
+        assert v == want, q
+
+
+def test_exact_quantiles_duplicates_and_small():
+    from parallel_pagerank_ray.stages.agg import exact_quantiles
+
+    ds = rd.from_pandas(pd.DataFrame({"x": [7, 7, 7, 1]})).repartition(2)
+    out = exact_quantiles(ds, "x", [0.25, 0.5, 1.0]).to_pandas()
+    assert dict(zip(out["q"], out["value"])) == {0.25: 1, 0.5: 7, 1.0: 7}
