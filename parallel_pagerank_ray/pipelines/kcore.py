@@ -132,10 +132,24 @@ def kcore_bsp(
     if n == 0 or k <= 0:
         return KCoreRun(members=rd.from_items([]), iterations=0)
     if num_parts is None:
+        # no dense exchange anywhere -> shards are cheap; one per CPU
+        # quarters the per-shard init (the dst argsort dominates the
+        # whole run at 10M vertices) instead of the cpus//4 the
+        # dense-exchange engines use to bound per-superstep traffic
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_parts = min(256, max(4, cpus // 4))
-    und = undirected_edges(graph.edges, dedup=not edges_canonical)
+        num_parts = min(256, max(4, cpus))
+    if edges_canonical:
+        canon = graph.edges
+    else:
+        # dedup the CANONICAL half-sized table, then close symmetrically
+        # dedup-free (the closure of a canonical set has no duplicates)
+        # — half the dedup shuffle volume of deduping the closure
+        from parallel_pagerank_ray.pipelines.triangles import _simple_undirected
+
+        canon = _simple_undirected(graph.edges)
+    und = undirected_edges(canon, dedup=False)
     store = EdgeShardStore.build(und, n=n, num_parts=num_parts)
+    del und, canon  # release closure blocks before shard init reads the store
     P = max(1, -(-n // store.part_size))
     cpus = max(2.0, float(ray.cluster_resources().get("CPU", 8)))
     # floor (never round up): P * per_actor must stay <= cpus - 1
