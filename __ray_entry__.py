@@ -872,6 +872,20 @@ def q_top_customers(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_revenue_by_nation(sf_dir: str) -> rd.Dataset:
+    from parallel_pagerank_ray.pipelines.relational import (
+        read_table,
+        revenue_by_nation,
+    )
+
+    return revenue_by_nation(
+        read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        read_table(sf_dir, "nation"),
+        read_table(sf_dir, "region"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -948,6 +962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": q_events_asof,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
+        "revenue_by_nation": q_revenue_by_nation,
         "price_band_match": q_price_band_match,
     }
 
@@ -1733,5 +1748,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY revenue_cents DESC, c.c_custkey
             LIMIT 10
+        """,
+        "revenue_by_nation": """
+            WITH rev AS (
+              SELECT o_custkey,
+                     CAST(count(*) AS BIGINT) AS n_orders,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders GROUP BY 1)
+            SELECT r.r_name, n.n_name,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(rev.n_orders) AS BIGINT) AS n_orders,
+                   CAST(sum(rev.cents) AS BIGINT) AS revenue_cents
+            FROM rev
+            JOIN customer c ON c.c_custkey = rev.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY 1, 2
         """,
     }

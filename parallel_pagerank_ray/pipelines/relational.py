@@ -118,6 +118,98 @@ def top_customers(
     return out.map_batches(project, batch_format="pandas")
 
 
+def revenue_by_nation(
+    orders: rd.Dataset,
+    customer: rd.Dataset,
+    nation: rd.Dataset,
+    region: rd.Dataset,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """TPC-H Q5 shape: orders ⋈ customer ⋈ nation ⋈ region, revenue
+    rolled up per nation. One row per nation with >= 1 ordering
+    customer: (r_name, n_name, n_customers, n_orders, revenue_cents),
+    integer-exact.
+
+    The scale plan, not the naive one: revenue pre-aggregates per
+    customer BELOW the join (the only big-big join ships one row per
+    ordering customer, never per order), and the nation/region
+    dimension tables (25 + 5 rows) attach via ONE broadcast dict —
+    ``ray.put`` once, zero-copy lookup per batch — instead of two more
+    shuffle joins.
+    """
+    import ray
+
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    if num_partitions is None:
+        from parallel_pagerank_ray.pipelines.graph_build import (
+            _default_join_partitions,
+        )
+
+        num_partitions = _default_join_partitions()
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t.column("o_totalprice"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    rev = grouped_agg(
+        orders.select_columns(["o_custkey", "o_totalprice"]).map_batches(
+            cents, batch_format="pyarrow"
+        ),
+        ["o_custkey"],
+        {"n_orders": ("cents", "count"), "cents": ("cents", "sum")},
+    )
+    cust_rev = safe_join(
+        rev,
+        customer.select_columns(["c_custkey", "c_nationkey"]),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    per_nation = grouped_agg(
+        cust_rev,
+        ["c_nationkey"],
+        {
+            "n_customers": ("o_custkey", "count"),
+            "n_orders": ("n_orders", "sum"),
+            "revenue_cents": ("cents", "sum"),
+        },
+    )
+    # dimension attach: nation ⋈ region is 25 x 5 rows — broadcast it
+    ndf = nation.to_pandas().merge(
+        region.to_pandas(), left_on="n_regionkey", right_on="r_regionkey"
+    )
+    dim_ref = ray.put(
+        {
+            int(k): (nm, rn)
+            for k, nm, rn in zip(ndf["n_nationkey"], ndf["n_name"], ndf["r_name"])
+        }
+    )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        dim = ray.get(dim_ref)
+        names = df["c_nationkey"].astype(np.int64).map(lambda k: dim[k])
+        return pd.DataFrame(
+            {
+                "r_name": [t[1] for t in names],
+                "n_name": [t[0] for t in names],
+                "n_customers": df["n_customers"].astype(np.int64),
+                "n_orders": df["n_orders"].astype(np.int64),
+                "revenue_cents": df["revenue_cents"].astype(np.int64),
+            }
+        )
+
+    return per_nation.map_batches(attach, batch_format="pandas")
+
+
 def supplier_part_edges(sf_dir: str) -> rd.Dataset:
     """Directed bipartite edge table (src=l_suppkey, dst=l_partkey),
     deduplicated. Parts have no out-edges -> heavy dangling mass, the

@@ -121,6 +121,46 @@ def test_top_customers_vs_duckdb(ddb):
     assert got["revenue_cents"].tolist() == exp["revenue_cents"].tolist()
 
 
+def test_revenue_by_nation_vs_duckdb(ddb):
+    from parallel_pagerank_ray.pipelines.relational import revenue_by_nation
+
+    for t in ("nation", "region"):
+        ddb.sql(
+            f"CREATE VIEW IF NOT EXISTS {t} AS "
+            f"SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    got = (
+        revenue_by_nation(
+            read_table(SF, "orders", ["o_custkey", "o_totalprice"]),
+            read_table(SF, "customer", ["c_custkey", "c_nationkey"]),
+            read_table(SF, "nation"),
+            read_table(SF, "region"),
+        )
+        .to_pandas()
+        .sort_values(["r_name", "n_name"])
+        .reset_index(drop=True)
+    )
+    exp = ddb.sql(
+        """
+        WITH rev AS (
+          SELECT o_custkey, count(*) AS n_orders,
+                 CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1)
+        SELECT r.r_name, n.n_name, count(*) AS n_customers,
+               CAST(sum(rev.n_orders) AS BIGINT) AS n_orders,
+               CAST(sum(rev.cents) AS BIGINT) AS revenue_cents
+        FROM rev
+        JOIN customer c ON c.c_custkey = rev.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    assert got["n_name"].tolist() == exp["n_name"].tolist()
+    for c in ("n_customers", "n_orders", "revenue_cents"):
+        assert got[c].to_numpy().tolist() == exp[c].to_numpy().tolist()
+
+
 def test_multimodal_stages():
     payloads = [b"\x00\x01binary-ish" * 50, b"tiny", b""]
     t = pa.table(
