@@ -140,6 +140,36 @@ def cmd_run(args) -> int:
             )
         print(f"triangles: {tri}")
         return 0
+    elif args.algo == "kcore":
+        from parallel_pagerank_ray.pipelines.kcore import kcore_bsp
+
+        run = kcore_bsp(g, k=args.k)
+        metrics = {
+            "algo": "kcore", "engine": "bsp", "k": args.k,
+            "iterations": run.iterations, "secs": round(time.time() - t0, 3),
+        }
+        _write_result(run.members, args.workdir, "kcore", metrics)
+    elif args.algo == "bfs":
+        from parallel_pagerank_ray.pipelines.bfs import bfs_distances_bsp
+
+        sources = [int(s) for s in args.sources.split(",")]
+        run = bfs_distances_bsp(g, sources, directed=args.directed)
+        metrics = {
+            "algo": "bfs", "engine": "bsp", "sources": sources,
+            "directed": args.directed, "iterations": run.iterations,
+            "secs": round(time.time() - t0, 3),
+        }
+        _write_result(run.distances, args.workdir, "bfs", metrics)
+    elif args.algo == "hits":
+        from parallel_pagerank_ray.pipelines.hits import hits_bsp, hits_dataset
+
+        fn = hits_bsp if args.engine == "bsp" else hits_dataset
+        run = fn(g, iters=args.hits_iters)
+        metrics = {
+            "algo": "hits", "engine": args.engine,
+            "iterations": run.iterations, "secs": round(time.time() - t0, 3),
+        }
+        _write_result(run.scores, args.workdir, "hits", metrics)
     else:  # pragma: no cover
         raise SystemExit(f"unknown algo {args.algo}")
     print(json.dumps({k: metrics[k] for k in metrics if k != "history"}))
@@ -237,8 +267,25 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--workdir", default="/tmp/ppr_out")
 
     run = sub.add_parser("run")
-    run.add_argument("algo", choices=["pagerank", "components", "labelprop", "triangles"])
+    run.add_argument(
+        "algo",
+        choices=[
+            "pagerank", "components", "labelprop", "triangles",
+            "kcore", "bfs", "hits",
+        ],
+    )
     add_io(run)
+    run.add_argument("--k", type=int, default=2, help="k for kcore")
+    run.add_argument(
+        "--sources", default="0", help="comma-separated BFS source vids"
+    )
+    run.add_argument(
+        "--directed", action="store_true", help="BFS on directed edges"
+    )
+    run.add_argument(
+        "--hits-iters", type=int, default=2,
+        help="HITS update pairs (int64 headroom bounds this)",
+    )
     run.add_argument("--tol", type=float, default=1e-6)
     run.add_argument("--damping", type=float, default=0.85)
     run.add_argument("--max-iters", type=int, default=1000)

@@ -87,9 +87,44 @@ def cli_args(**kw):
         pages=None, edges=None, graph=None, workdir="/tmp/ppr_out",
         tol=1e-6, damping=0.85, max_iters=1000, engine="dataset",
         checkpoint=False, algo="pagerank", plots=False,
+        k=2, sources="0", directed=False, hits_iters=2,
     )
     defaults.update(kw)
     return argparse.Namespace(**defaults)
+
+
+def test_cli_run_kcore_bfs_hits(tmp_path, graphs):
+    import pyarrow.parquet as pq
+
+    from parallel_pagerank_ray import cli
+
+    n, e = graphs["medium"]
+    edge_file = tmp_path / "medium.txt"
+    edge_file.write_text("\n".join(f"{u} {v}" for u, v in e) + "\n")
+
+    wd = str(tmp_path / "kc")
+    assert cli.cmd_run(cli_args(algo="kcore", edges=str(edge_file), workdir=wd, k=3)) == 0
+    got = sorted(pq.read_table(wd + "/kcore").to_pandas()["vid"].tolist())
+    assert got == sorted(np.nonzero(oracle.kcore(n, np.array(e), 3))[0].tolist())
+
+    wd = str(tmp_path / "bf")
+    assert cli.cmd_run(
+        cli_args(algo="bfs", edges=str(edge_file), workdir=wd, sources="0,3")
+    ) == 0
+    df = pq.read_table(wd + "/bfs").to_pandas().sort_values("vid")
+    want = oracle.bfs_distances(n, np.array(e), [0, 3])
+    assert dict(zip(df["vid"], df["dist"])) == {
+        i: int(d) for i, d in enumerate(want) if d >= 0
+    }
+
+    wd = str(tmp_path / "ht")
+    assert cli.cmd_run(
+        cli_args(algo="hits", edges=str(edge_file), workdir=wd, engine="bsp")
+    ) == 0
+    df = pq.read_table(wd + "/hits").to_pandas().sort_values("vid")
+    wa, wh = oracle.hits_scores(n, np.array(e), iters=2)
+    assert df["auth"].tolist() == wa.tolist()
+    assert df["hub"].tolist() == wh.tolist()
 
 
 def test_rank_histogram_matches_numpy(graphs):
