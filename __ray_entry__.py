@@ -872,6 +872,17 @@ def q_top_customers(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_doc_repetition(sf_dir: str) -> rd.Dataset:
+    """Gopher-style per-doc repetition signals as integer sufficient
+    statistics (duplicate-line counts/char mass, top word-2-gram
+    count) — the standard LLM-corpus quality heuristics, value-exact."""
+    from parallel_pagerank_ray.functions.textstats import RepetitionStats
+
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        RepetitionStats(), batch_format="pandas"
+    )
+
+
 def q_revenue_by_nation(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.relational import (
         read_table,
@@ -963,6 +974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "revenue_by_nation": q_revenue_by_nation,
+        "doc_repetition": q_doc_repetition,
         "price_band_match": q_price_band_match,
     }
 
@@ -1748,6 +1760,42 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY revenue_cents DESC, c.c_custkey
             LIMIT 10
+        """,
+        "doc_repetition": f"""
+            WITH lines AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS ln
+              FROM documents),
+            lstat AS (
+              SELECT doc_id,
+                     CAST(sum(c) AS BIGINT) AS n_lines,
+                     CAST(sum(c - 1) AS BIGINT) AS n_dup_lines,
+                     CAST(sum((c - 1) * l) AS BIGINT) AS dup_line_chars,
+                     CAST(sum(c * l) AS BIGINT) AS total_line_chars
+              FROM (SELECT doc_id, ln, count(*) AS c, length(ln) AS l
+                    FROM lines GROUP BY 1, 2)
+              GROUP BY 1),
+            toks AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '{TOKEN_SQL}') AS t
+                     FROM documents),
+            grams AS (SELECT doc_id,
+                             unnest([t[x] || ' ' || t[x + 1]
+                                     for x in range(1, len(t))]) AS g
+                      FROM toks),
+            gstat AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_2gram_count
+                      FROM (SELECT doc_id, g, count(*) AS c
+                            FROM grams GROUP BY 1, 2)
+                      GROUP BY 1),
+            tstat AS (SELECT doc_id,
+                             CAST(greatest(len(t) - 1, 0) AS BIGINT)
+                               AS n_2grams
+                      FROM toks)
+            SELECT d.doc_id, l.n_lines, l.n_dup_lines, l.dup_line_chars,
+                   l.total_line_chars, t.n_2grams,
+                   coalesce(g.top_2gram_count, 0) AS top_2gram_count
+            FROM documents d
+            JOIN lstat l USING (doc_id)
+            JOIN tstat t USING (doc_id)
+            LEFT JOIN gstat g USING (doc_id)
         """,
         "revenue_by_nation": """
             WITH rev AS (

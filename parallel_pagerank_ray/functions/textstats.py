@@ -107,3 +107,58 @@ def token_counts(docs, num_buckets: int | None = None):
 
     rows = docs.select_columns(["text"]).map_batches(explode, batch_format="pandas")
     return grouped_agg(rows, ["token"], {"cnt": ("cnt", "sum")}, num_buckets=num_buckets)
+
+
+class RepetitionStats:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 quality heuristics), as INTEGER
+    sufficient statistics so the row is value-exact at any parallelism
+    (the fractions are one driver/consumer division away):
+
+    - n_lines, n_dup_lines (occurrences beyond each line's first),
+      dup_line_chars (their char mass), total_line_chars
+    - n_2grams, top_2gram_count (occurrences of the most frequent
+      word 2-gram; ties don't matter — the count is unique)
+
+    Callable batch stage (ships in the task closure; the compiled
+    token regex is its only state).
+    """
+
+    def __init__(self) -> None:
+        import re
+
+        self.token = re.compile(TOKEN_RE)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = {
+            "doc_id": batch["doc_id"].astype(np.int64),
+            "n_lines": [], "n_dup_lines": [], "dup_line_chars": [],
+            "total_line_chars": [], "n_2grams": [], "top_2gram_count": [],
+        }
+        for text in batch["text"].astype(str):
+            lines = text.split("\n")
+            seen: dict[str, int] = {}
+            dup = dup_chars = total_chars = 0
+            for ln in lines:
+                total_chars += len(ln)
+                c = seen.get(ln, 0)
+                if c:
+                    dup += 1
+                    dup_chars += len(ln)
+                seen[ln] = c + 1
+            toks = self.token.findall(text.lower())
+            grams: dict[tuple[str, str], int] = {}
+            for a, b in zip(toks, toks[1:]):
+                grams[(a, b)] = grams.get((a, b), 0) + 1
+            out["n_lines"].append(len(lines))
+            out["n_dup_lines"].append(dup)
+            out["dup_line_chars"].append(dup_chars)
+            out["total_line_chars"].append(total_chars)
+            out["n_2grams"].append(max(len(toks) - 1, 0))
+            out["top_2gram_count"].append(max(grams.values()) if grams else 0)
+        return pd.DataFrame(
+            {
+                k: (v if k == "doc_id" else np.array(v, dtype=np.int64))
+                for k, v in out.items()
+            }
+        )

@@ -104,3 +104,27 @@ def test_exact_quantiles_duplicates_and_small():
     ds = rd.from_pandas(pd.DataFrame({"x": [7, 7, 7, 1]})).repartition(2)
     out = exact_quantiles(ds, "x", [0.25, 0.5, 1.0]).to_pandas()
     assert dict(zip(out["q"], out["value"])) == {0.25: 1, 0.5: 7, 1.0: 7}
+
+
+def test_repetition_stats_exact():
+    from parallel_pagerank_ray.functions.textstats import RepetitionStats
+
+    texts = [
+        "a b a b\nx\nx\nx",        # dup lines + repeated 2-grams
+        "hello world",              # trivial
+        "",                         # empty
+        "same\nsame\nsame\nother",  # heavy line dup
+    ]
+    out = (
+        _docs(texts)
+        .map_batches(RepetitionStats(), batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_lines"].tolist() == [4, 1, 1, 4]
+    assert out["n_dup_lines"].tolist() == [2, 0, 0, 2]
+    assert out["dup_line_chars"].tolist() == [2, 0, 0, 8]
+    assert out["total_line_chars"].tolist() == [10, 11, 0, 17]
+    assert out["n_2grams"].tolist() == [6, 1, 0, 3]
+    assert out["top_2gram_count"].tolist() == [2, 1, 0, 2]
