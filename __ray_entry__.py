@@ -872,6 +872,25 @@ def q_top_customers(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_neighbor_sample(sf_dir: str) -> rd.Dataset:
+    """2-hop GraphSAGE-style neighbor sample (fanouts 5, 3) from part
+    vids 1-5 over the co-purchase closure. The per-edge md5 ranking
+    makes a normally-random sampler value-exact in SQL."""
+    from parallel_pagerank_ray.pipelines.graph_build import (
+        Graph,
+        undirected_edges,
+    )
+    from parallel_pagerank_ray.pipelines.neighbor_sample import neighbor_sample
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    und = undirected_edges(g.edges, dedup=False)  # canonical -> dup-free
+    return neighbor_sample(
+        Graph(n=g.n, edges=und.materialize()),
+        seeds=[1, 2, 3, 4, 5],
+        fanouts=[5, 3],
+    )
+
+
 def q_doc_repetition(sf_dir: str) -> rd.Dataset:
     """Gopher-style per-doc repetition signals as integer sufficient
     statistics (duplicate-line counts/char mass, top word-2-gram
@@ -975,6 +994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": q_top_customers,
         "revenue_by_nation": q_revenue_by_nation,
         "doc_repetition": q_doc_repetition,
+        "neighbor_sample": q_neighbor_sample,
         "price_band_match": q_price_band_match,
     }
 
@@ -1760,6 +1780,29 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY revenue_cents DESC, c.c_custkey
             LIMIT 10
+        """,
+        "neighbor_sample": f"""
+            WITH e AS MATERIALIZED ({_COPURCHASE_SQL}),
+            sym AS MATERIALIZED (SELECT src, dst FROM e
+                                 UNION ALL SELECT dst, src FROM e),
+            h1 AS (
+              SELECT 1 AS hop, src, dst,
+                     CAST(CAST(('0x' || substr(
+                         md5('ns,' || src || ',' || dst), 1, 16))
+                       AS UBIGINT) >> 1 AS BIGINT) AS h
+              FROM sym WHERE src IN (1, 2, 3, 4, 5)
+              QUALIFY row_number() OVER (
+                PARTITION BY src ORDER BY h, dst) <= 5),
+            f2 AS (SELECT DISTINCT dst AS vid FROM h1),
+            h2 AS (
+              SELECT 2 AS hop, s.src, s.dst,
+                     CAST(CAST(('0x' || substr(
+                         md5('ns,' || s.src || ',' || s.dst), 1, 16))
+                       AS UBIGINT) >> 1 AS BIGINT) AS h
+              FROM sym s JOIN f2 ON s.src = f2.vid
+              QUALIFY row_number() OVER (
+                PARTITION BY s.src ORDER BY h, s.dst) <= 3)
+            SELECT * FROM h1 UNION ALL SELECT * FROM h2
         """,
         "doc_repetition": f"""
             WITH lines AS (

@@ -177,3 +177,49 @@ def test_hits_overflow_guard():
     g = _graph(e, blocks=1)
     with pytest.raises(OverflowError):
         hits_bsp(g, iters=12)
+
+
+def test_neighbor_sample_deterministic_and_bounded():
+    import hashlib
+
+    from parallel_pagerank_ray.pipelines.neighbor_sample import neighbor_sample
+    from parallel_pagerank_ray.sources.pages import powerlaw_edges
+
+    e = powerlaw_edges(200, 6, seed=21)
+    g = _graph([tuple(r) for r in e])
+    de = np.unique(e, axis=0)
+    out = neighbor_sample(g, seeds=[0, 1, 2], fanouts=[4, 2]).to_pandas()
+    h1 = out[out["hop"] == 1]
+    h2 = out[out["hop"] == 2]
+    # fanout bound per source
+    assert h1.groupby("src").size().max() <= 4
+    assert h2.groupby("src").size().max() <= 2
+    assert set(h1["src"]) <= {0, 1, 2}
+    # hop-2 sources are exactly hop-1 dsts that have out-edges
+    srcs_with_out = set(de[:, 0].tolist())
+    assert set(h2["src"]) == set(h1["dst"]) & srcs_with_out
+    # reference: per-seed smallest-hash edges
+    def hkey(s, d):
+        return int.from_bytes(
+            hashlib.md5(f"ns,{s},{d}".encode()).digest()[:8], "big"
+        ) >> 1
+    for s in (0, 1, 2):
+        nbrs = sorted(set(int(d) for a, d in de if a == s))
+        want = sorted(nbrs, key=lambda d: (hkey(s, d), d))[:4]
+        got = sorted(
+            h1[h1["src"] == s]["dst"].tolist(),
+            key=lambda d: (hkey(s, d), d),
+        )
+        assert got == want, s
+    # partitioning invariance
+    out2 = neighbor_sample(
+        Graph.from_int_edges(edges_dataset([tuple(r) for r in e], num_blocks=7)),
+        seeds=[0, 1, 2],
+        fanouts=[4, 2],
+    ).to_pandas()
+    key = ["hop", "src", "dst"]
+    assert (
+        out.sort_values(key).reset_index(drop=True)[key].equals(
+            out2.sort_values(key).reset_index(drop=True)[key]
+        )
+    )
