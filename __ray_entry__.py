@@ -187,6 +187,37 @@ def q_pagerank_supplier_part_top20(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_pagerank_weighted_top20(sf_dir: str) -> pd.DataFrame:
+    """Weighted PageRank over the symmetric co-purchase graph (edge
+    weight = distinct orders containing both parts): contribution is
+    rank * w / W(src). Integer rank-order output like the other
+    pagerank queries; the BSP engine detects the w column in the shard
+    store automatically."""
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.pagerank_actors import pagerank_bsp
+    from parallel_pagerank_ray.pipelines.relational import (
+        copurchase_weighted_edges,
+    )
+    from parallel_pagerank_ray.stages.agg import global_agg
+
+    edges = copurchase_weighted_edges(sf_dir).materialize()
+    m = global_agg(edges, {"ms": ("src", "max"), "md": ("dst", "max")})
+    g = Graph(n=int(max(m["ms"], m["md"])) + 1, edges=edges)
+    run = pagerank_bsp(g, d=0.85, tol=1e-3, max_iters=100)
+    top = (
+        run.ranks.select_columns(["vid", "rank"])
+        .sort(["rank", "vid"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "pos": np.arange(1, len(top) + 1, dtype=np.int64),
+            "vid": top["vid"].to_numpy(),
+        }
+    )
+
+
 def q_pagerank_personalized_top20(sf_dir: str) -> pd.DataFrame:
     """Personalized PageRank (the reference's dead Node.e field,
     implemented): restart vector e_v proportional to (vid % 10) + 1.
@@ -953,6 +984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_stats": q_graph_stats,
         "pagerank_supplier_part_top20": q_pagerank_supplier_part_top20,
         "pagerank_personalized_top20": q_pagerank_personalized_top20,
+        "pagerank_weighted_top20": q_pagerank_weighted_top20,
         "components_copurchase": q_components_copurchase,
         "component_size_histogram": q_component_size_histogram,
         "labelprop_copurchase": q_labelprop_copurchase,
@@ -1780,6 +1812,52 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY revenue_cents DESC, c.c_custkey
             LIMIT 10
+        """,
+        "pagerank_weighted_top20": f"""
+            WITH RECURSIVE
+              we AS MATERIALIZED (
+                SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                       CAST(count(DISTINCT a.l_orderkey) AS DOUBLE) AS w
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2),
+              e AS MATERIALIZED (SELECT src, dst, w FROM we
+                                 UNION ALL SELECT dst, src, w FROM we),
+              nn AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n
+                                  FROM e),
+              verts(vid) AS (SELECT 0 UNION ALL
+                             SELECT vid + 1 FROM verts
+                             WHERE vid + 1 < (SELECT n FROM nn)),
+              ow AS MATERIALIZED (SELECT src AS vid,
+                                         CAST(sum(w) AS DOUBLE) AS tw
+                                  FROM e GROUP BY 1),
+              pr(it, vid, rank, delta) AS (
+                SELECT 0, vid, 1.0 / (SELECT n FROM nn), 1e308 FROM verts
+                UNION ALL
+                SELECT x.it + 1, x.vid, x.nr, abs(x.nr - x.rank)
+                FROM (
+                  SELECT p.it, p.vid, p.rank,
+                         0.85 * (coalesce(c.s, 0.0)
+                                 + (SELECT coalesce(sum(q.rank), 0.0)
+                                    FROM pr q
+                                    LEFT JOIN ow dq ON dq.vid = q.vid
+                                    WHERE dq.vid IS NULL)
+                                   / (SELECT n FROM nn))
+                           + 0.15 / (SELECT n FROM nn) AS nr
+                  FROM pr p
+                  LEFT JOIN (SELECT ee.dst, sum(q.rank * ee.w / dg.tw) AS s
+                             FROM pr q
+                             JOIN e ee ON ee.src = q.vid
+                             JOIN ow dg ON dg.vid = q.vid
+                             GROUP BY 1) c ON c.dst = p.vid
+                  WHERE (SELECT max(q.delta) FROM pr q) > 1e-3
+                    AND (SELECT sum(q.delta) FROM pr q) >= 1e-3
+                ) x
+              ),
+              last AS (SELECT * FROM pr WHERE it = (SELECT max(it) FROM pr))
+            SELECT row_number() OVER (ORDER BY rank DESC, vid) AS pos, vid
+            FROM last ORDER BY rank DESC, vid LIMIT 20
         """,
         "neighbor_sample": f"""
             WITH e AS MATERIALIZED ({_COPURCHASE_SQL}),

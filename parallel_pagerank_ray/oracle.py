@@ -247,3 +247,50 @@ def hits_scores(
         h = np.zeros(n, dtype=np.int64)
         np.add.at(h, e[:, 0], a[e[:, 1]])
     return a, h
+
+
+def pagerank_weighted(
+    n: int,
+    edges: np.ndarray,
+    weights: np.ndarray,
+    d: float = 0.85,
+    tol: float = 1e-6,
+    max_iters: int = 1000,
+) -> PageRankTrace:
+    """Weighted power-iteration PageRank: edge contribution is
+    p0[src] * w_e / W(src) with W = out-weight sum; dangling = vertices
+    with no out-edges. Same dual stop rule as ``pagerank``."""
+    edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    weights = np.asarray(weights, dtype=np.float64)
+    src, dst = edges[:, 0], edges[:, 1]
+    W = np.zeros(n, dtype=np.float64)
+    if len(edges):
+        np.add.at(W, src, weights)
+    dangling_mask = W == 0.0
+    f = np.zeros(len(edges), dtype=np.float64)
+    if len(edges):
+        f = weights / W[src]
+    p1 = np.full(n, 1.0 / n, dtype=np.float64)
+    max_err = np.inf
+    it = 0
+    hist: list[tuple[int, float, float, float]] = []
+    exit_reason = "max_iters"
+    while max_err > tol and it < max_iters:
+        p0 = p1
+        dangling = float(p0[dangling_mask].sum())
+        contrib = np.zeros(n, dtype=np.float64)
+        if len(edges):
+            np.add.at(contrib, dst, p0[src] * f)
+        p1 = d * (contrib + dangling / n) + (1.0 - d) / n
+        err = np.abs(p1 - p0)
+        l1 = float(err.sum())
+        max_err = float(err.max())
+        it += 1
+        hist.append((it, l1, max_err, dangling))
+        if l1 < tol:
+            exit_reason = "l1"
+            break
+    else:
+        if max_err <= tol:
+            exit_reason = "max_err"
+    return PageRankTrace(ranks=p1, iterations=it, exit_reason=exit_reason, history=hist)

@@ -85,11 +85,29 @@ class _RankShard:
             chunks = ray.get(part_refs)
             src = np.concatenate([c[0] for c in chunks])
             dst = np.concatenate([c[1] for c in chunks])
+            wts = (
+                np.concatenate([c[2] for c in chunks])
+                if len(chunks[0]) > 2
+                else None
+            )
         else:
             src = np.array([], dtype=np.int64)
             dst = np.array([], dtype=np.int64)
+            wts = None
         # out-degree of the local vertex slice (src is in-range by build)
         self.deg = np.bincount(src - self.base, minlength=self.size).astype(np.int64)
+        if wts is None:
+            self.wf = None
+        else:
+            # weighted random walk: per-edge factor w_e / W(src), W =
+            # out-weight sum, fixed for the run. Weights must be
+            # positive so the dangling predicate (deg == 0) coincides
+            # with W == 0.
+            if len(wts) and float(wts.min()) <= 0.0:
+                raise ValueError("edge weights must be positive")
+            W = np.bincount(src - self.base, weights=wts, minlength=self.size)
+            self._src_local = src - self.base
+            self.wf = wts / W[self._src_local] if len(wts) else wts
         # full-vector mode (n*8 bytes <= _FULL_VEC_MAX): scatter is one
         # bincount over the whole id space + one ray.put; receivers take
         # zero-copy slices. Otherwise: route edges once by destination
@@ -154,8 +172,11 @@ class _RankShard:
         """Contribution segments for every destination partition, placed
         in plasma; returns [(bucket, ref), ...]. Full-vector mode returns
         one ref tagged bucket=-1 (receivers slice zero-copy)."""
-        safe = np.maximum(self.deg, 1)
-        w = np.repeat(self.ranks / safe, self.deg)  # deg=0 emits nothing
+        if self.wf is not None:
+            w = self.ranks[self._src_local] * self.wf
+        else:
+            safe = np.maximum(self.deg, 1)
+            w = np.repeat(self.ranks / safe, self.deg)  # deg=0 emits nothing
         if self.full_vec:
             if self._sparse:
                 vals = np.bincount(

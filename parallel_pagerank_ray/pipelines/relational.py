@@ -265,6 +265,76 @@ def copurchase_edges(
     return dedup_edges(out) if dedup else out
 
 
+def copurchase_weighted_edges(
+    sf_dir: str, num_buckets: int | None = None
+) -> rd.Dataset:
+    """Symmetric weighted co-purchase graph: (src, dst, w), w = number
+    of DISTINCT orders containing both parts, each canonical pair
+    emitted in both directions (undirected random-walk input for
+    weighted PageRank).
+
+    Same single bucketed shuffle as ``copurchase_edges`` (order key ->
+    basket-bounded groups); per-bucket the (order, pair) rows dedup
+    exactly (an order lives in one bucket), then one grouped count per
+    canonical pair."""
+    from parallel_pagerank_ray.stages.agg import (
+        grouped_agg,
+        pairs_within_groups,
+        resolve_num_buckets,
+    )
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    if num_buckets is None:
+        num_buckets = resolve_num_buckets(li)
+
+    def bucketed(b: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        b["__b"] = (b["l_orderkey"] % num_buckets).astype(np.int64)
+        return b
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # dedup (order, part) FIRST: each canonical pair then appears
+        # exactly once per order containing it, so the global count per
+        # (src, dst) IS the distinct-order weight
+        d0 = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        order = d0["l_orderkey"].to_numpy()
+        part = d0["l_partkey"].to_numpy()
+        a, b = pairs_within_groups((order, part), part)
+        keep = a < b
+        return pd.DataFrame({"src": a[keep], "dst": b[keep]})
+
+    per_order_pairs = (
+        li.map_batches(bucketed, batch_format="numpy")
+        .groupby("__b")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    canon = grouped_agg(
+        per_order_pairs,
+        ["src", "dst"],
+        {"w": ("src", "count")},
+        num_buckets=num_buckets,
+    )
+
+    def sym(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        w = _pc.cast(t.column("w"), pa.float64())
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [t.column("src").combine_chunks(),
+                     t.column("dst").combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [t.column("dst").combine_chunks(),
+                     t.column("src").combine_chunks()]
+                ),
+                "w": pa.concat_arrays([w.combine_chunks(), w.combine_chunks()]),
+            }
+        )
+
+    return canon.map_batches(sym, batch_format="pyarrow")
+
+
 def range_join(
     points: rd.Dataset,
     intervals: rd.Dataset,

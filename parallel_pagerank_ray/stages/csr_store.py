@@ -44,18 +44,26 @@ INT64_MAX = np.iinfo(np.int64).max
 
 @ray.remote
 def _register_block(block, part_size: int) -> dict[int, "ray.ObjectRef"]:
-    """Split one src-sorted Arrow block into per-part arrays; put each."""
+    """Split one src-sorted Arrow block into per-part arrays; put each.
+    A ``w`` column (edge weights) rides along as a third array when the
+    block has one — consumers detect weighted chunks by tuple length."""
     if block.num_rows == 0 or "src" not in block.schema.names:
         return {}
     src = block.column("src").to_numpy()
     dst = block.column("dst").to_numpy()
+    w = (
+        block.column("w").to_numpy().astype(np.float64)
+        if "w" in block.schema.names
+        else None
+    )
     parts = src // part_size
     out: dict[int, ray.ObjectRef] = {}
     for p in np.unique(parts):
         m = parts == p
-        out[int(p)] = ray.put(
-            (np.ascontiguousarray(src[m]), np.ascontiguousarray(dst[m]))
-        )
+        arrs = (np.ascontiguousarray(src[m]), np.ascontiguousarray(dst[m]))
+        if w is not None:
+            arrs = arrs + (np.ascontiguousarray(w[m]),)
+        out[int(p)] = ray.put(arrs)
     return out
 
 

@@ -223,3 +223,40 @@ def test_neighbor_sample_deterministic_and_bounded():
             out2.sort_values(key).reset_index(drop=True)[key]
         )
     )
+
+
+def test_weighted_pagerank_bsp_vs_oracle():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.pipelines.pagerank_actors import pagerank_bsp
+    from parallel_pagerank_ray.sources.pages import powerlaw_edges
+
+    e = np.unique(powerlaw_edges(150, 5, seed=8), axis=0)
+    rng = np.random.default_rng(2)
+    w = rng.integers(1, 6, size=len(e)).astype(np.float64)
+    n = int(e.max()) + 1
+    edges = rd.from_arrow(
+        pa.table({"src": e[:, 0], "dst": e[:, 1], "w": w})
+    ).repartition(3)
+    g = Graph(n=n, edges=edges.materialize())
+    run = pagerank_bsp(g, d=0.85, tol=1e-7, max_iters=500)
+    got = run.ranks.to_pandas().sort_values("vid")["rank"].to_numpy()
+    tr = oracle.pagerank_weighted(n, e, w, d=0.85, tol=1e-7, max_iters=500)
+    assert np.allclose(got, tr.ranks, atol=1e-9)
+    assert run.iterations == tr.iterations
+    # uniform weights reproduce the unweighted engine exactly
+    edges_u = rd.from_arrow(
+        pa.table({"src": e[:, 0], "dst": e[:, 1], "w": np.ones(len(e))})
+    ).repartition(3)
+    run_u = pagerank_bsp(Graph(n=n, edges=edges_u.materialize()), tol=1e-7)
+    run_p = pagerank_bsp(
+        Graph(n=n, edges=rd.from_arrow(pa.table({"src": e[:, 0], "dst": e[:, 1]})).materialize()),
+        tol=1e-7,
+    )
+    a = run_u.ranks.to_pandas().sort_values("vid")["rank"].to_numpy()
+    b = run_p.ranks.to_pandas().sort_values("vid")["rank"].to_numpy()
+    # weighted path multiplies by a precomputed 1/deg factor instead of
+    # dividing, so agreement is to rounding, not bit-exact
+    assert np.allclose(a, b, atol=1e-12)
+    assert run_u.iterations == run_p.iterations
