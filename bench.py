@@ -123,6 +123,13 @@ def bench_queries() -> dict[str, float]:
         "bfs_copurchase",
         "hits_supplier_part",
         "degree_assortativity",
+        "pagerank_weighted_top20",
+        "neighbor_sample",
+        "revenue_by_nation",
+        "doc_repetition",
+        "top_tokens",
+        "distinct_orders_kmv",
+        "price_quantiles",
         "text_stats",
         "dedup_exact",
         "dedup_minhash_lsh",
@@ -152,16 +159,19 @@ def bench_queries() -> dict[str, float]:
 
 
 def run_once(include_queries: bool = True) -> dict:
+    import ray
+
     _init_ray()
     t0 = time.time()
-    # query sweep FIRST: the 10M-edge PageRank headline leaves GBs of
-    # released-but-unevicted objects in plasma, and sweeping through it
-    # was measured to slow the BSP graph queries up to 2.5x. The
-    # headline itself warms its own store and is insensitive to order.
+    # Accumulated plasma garbage degrades whoever runs LAST (measured
+    # both ways: the 10M-edge headline first slowed the query sweep up
+    # to 2.5x; a 32-query sweep first slowed the headline superstep
+    # ~3x). Restarting the Ray session between the phases gives each a
+    # clean object store for the cost of one extra init (~5 s).
     queries = bench_queries() if include_queries else {}
-    import gc
-
-    gc.collect()
+    if include_queries:
+        ray.shutdown()
+        _init_ray()
     pr = bench_pagerank()
     total = time.time() - t0
     import ray
