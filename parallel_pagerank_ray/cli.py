@@ -38,7 +38,13 @@ def _load_graph(args):
             from parallel_pagerank_ray.sources.edge_list import read_edge_list
 
             return Graph.from_int_edges(read_edge_list(args.edges))
-        return Graph.from_int_edges(rd.read_parquet(args.edges))
+        ds = rd.read_parquet(args.edges)
+        if "w" in (ds.schema().names or []):
+            # weighted edge table: the (src, dst)-only dedup would drop
+            # w; a weighted table is taken as the caller's final edge
+            # set (pagerank_bsp picks the weights up from the store)
+            return Graph.from_int_edges(ds, dedup=False)
+        return Graph.from_int_edges(ds)
     raise SystemExit("one of --pages / --edges / --graph is required")
 
 

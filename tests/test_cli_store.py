@@ -288,3 +288,34 @@ def test_read_resumable_empty_dir(tmp_path):
     d = str(tmp_path / "empty")
     os.makedirs(d)
     assert read_resumable(d).count() == 0
+
+
+def test_cli_weighted_pagerank_parquet_edges(tmp_path, graphs):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parallel_pagerank_ray import cli
+
+    n, e = graphs["medium"]
+    rng = np.random.default_rng(6)
+    w = rng.integers(1, 4, size=len(e)).astype(np.float64)
+    pq.write_table(
+        pa.table({"src": e[:, 0], "dst": e[:, 1], "w": w}),
+        tmp_path / "we.parquet",
+    )
+    wd = str(tmp_path / "out")
+    rc = cli.cmd_run(
+        cli_args(
+            algo="pagerank", edges=str(tmp_path / "we.parquet"),
+            workdir=wd, tol=1e-6, engine="bsp",
+        )
+    )
+    assert rc == 0
+    got = (
+        pq.read_table(wd + "/ranks")
+        .to_pandas()
+        .sort_values("vid")["rank"]
+        .to_numpy()
+    )
+    tr = oracle.pagerank_weighted(n, e, w, tol=1e-6)
+    assert np.allclose(got, tr.ranks, atol=1e-9)
