@@ -120,45 +120,62 @@ class RepetitionStats:
     - n_2grams, top_2gram_count (occurrences of the most frequent
       word 2-gram; ties don't matter — the count is unique)
 
-    Callable batch stage (ships in the task closure; the compiled
-    token regex is its only state).
+    Stateless callable batch stage; all counting runs through exploded
+    pandas group kernels — no per-doc Python loop. doc_id must be
+    unique within the table (it is the documents primary key).
     """
 
-    def __init__(self) -> None:
-        import re
-
-        self.token = re.compile(TOKEN_RE)
-
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = {
-            "doc_id": batch["doc_id"].astype(np.int64),
-            "n_lines": [], "n_dup_lines": [], "dup_line_chars": [],
-            "total_line_chars": [], "n_2grams": [], "top_2gram_count": [],
-        }
-        for text in batch["text"].astype(str):
-            lines = text.split("\n")
-            seen: dict[str, int] = {}
-            dup = dup_chars = total_chars = 0
-            for ln in lines:
-                total_chars += len(ln)
-                c = seen.get(ln, 0)
-                if c:
-                    dup += 1
-                    dup_chars += len(ln)
-                seen[ln] = c + 1
-            toks = self.token.findall(text.lower())
-            grams: dict[tuple[str, str], int] = {}
-            for a, b in zip(toks, toks[1:]):
-                grams[(a, b)] = grams.get((a, b), 0) + 1
-            out["n_lines"].append(len(lines))
-            out["n_dup_lines"].append(dup)
-            out["dup_line_chars"].append(dup_chars)
-            out["total_line_chars"].append(total_chars)
-            out["n_2grams"].append(max(len(toks) - 1, 0))
-            out["top_2gram_count"].append(max(grams.values()) if grams else 0)
-        return pd.DataFrame(
-            {
-                k: (v if k == "doc_id" else np.array(v, dtype=np.int64))
-                for k, v in out.items()
-            }
+        doc = batch["doc_id"].astype(np.int64).to_numpy()
+        text = batch["text"].astype(str)
+        # line stats: explode -> one grouped count per (doc, line), all
+        # in pandas C kernels (no per-doc Python loop)
+        lines = text.str.split("\n")
+        nl = lines.str.len().to_numpy()
+        ldoc = np.repeat(doc, nl)
+        flat = np.concatenate(lines.to_numpy()) if len(text) else np.array([], object)
+        ldf = pd.DataFrame({"d": ldoc, "ln": flat})
+        ldf["l"] = ldf["ln"].str.len().astype(np.int64)
+        g = (
+            ldf.groupby(["d", "ln"], sort=False)
+            .agg(c=("l", "size"), l=("l", "first"))
+            .reset_index()
         )
+        g["dup"] = g["c"] - 1
+        g["dupch"] = g["dup"] * g["l"]
+        g["totch"] = g["c"] * g["l"]
+        ls = g.groupby("d").agg(
+            n_lines=("c", "sum"),
+            n_dup_lines=("dup", "sum"),
+            dup_line_chars=("dupch", "sum"),
+            total_line_chars=("totch", "sum"),
+        )
+        # 2-gram stats: flat token stream + doc-boundary mask
+        toks = text.str.lower().str.findall(TOKEN_RE)
+        tc = toks.str.len().to_numpy()
+        tdoc = np.repeat(doc, tc)
+        tflat = np.concatenate(toks.to_numpy()) if len(text) else np.array([], object)
+        top = pd.Series(dtype=np.int64)
+        if len(tflat) > 1:
+            same = tdoc[:-1] == tdoc[1:]
+            gdf = pd.DataFrame(
+                {
+                    "d": tdoc[:-1][same],
+                    "g": pd.Series(tflat[:-1][same]).str.cat(
+                        pd.Series(tflat[1:][same]), sep=" "
+                    ),
+                }
+            )
+            if len(gdf):
+                top = gdf.groupby(["d", "g"], sort=False).size().groupby("d").max()
+        out = pd.DataFrame({"doc_id": doc}).set_index("doc_id")
+        out = out.join(ls).join(top.rename("top_2gram_count"))
+        out["n_2grams"] = np.maximum(tc - 1, 0)
+        out = out.fillna(0).reset_index()
+        cols = [
+            "n_lines", "n_dup_lines", "dup_line_chars",
+            "total_line_chars", "n_2grams", "top_2gram_count",
+        ]
+        for c in cols:
+            out[c] = out[c].astype(np.int64)
+        return out[["doc_id"] + cols]
