@@ -811,6 +811,22 @@ def q_events_hourly(sf_dir: str) -> rd.Dataset:
     return rolled.map_batches(fmt, batch_format="pandas")
 
 
+def q_events_topk_users(sf_dir: str) -> rd.Dataset:
+    """Top-3 spenders per 1-hour window — windowed aggregation composed
+    with per-group ranking; integer cents, deterministic boundary."""
+    from parallel_pagerank_ray.pipelines.events import windowed_topk_users
+    from parallel_pagerank_ray.pipelines.relational import read_table
+
+    out = windowed_topk_users(read_table(sf_dir, "events"), k=3)
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["hour"] = df["hour"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        return df
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
 def q_events_hopping(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.events import hopping_rollup
     from parallel_pagerank_ray.pipelines.relational import read_table
@@ -1019,6 +1035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_full_probe": q_knn_ivf_full_probe,
         "embedding_near_dup": q_embedding_near_dup,
         "events_hourly": q_events_hourly,
+        "events_topk_users": q_events_topk_users,
         "events_hopping": q_events_hopping,
         "sessionize": q_sessionize,
         "events_asof": q_events_asof,
@@ -1736,6 +1753,18 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+        """,
+        "events_topk_users": """
+            WITH pu AS (
+              SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS hour,
+                     user_id,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS value_cents
+              FROM events GROUP BY 1, 2)
+            SELECT hour, user_id, value_cents FROM pu
+            QUALIFY row_number() OVER (
+              PARTITION BY hour ORDER BY value_cents DESC, user_id) <= 3
         """,
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

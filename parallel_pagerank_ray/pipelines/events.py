@@ -217,3 +217,38 @@ def asof_join(
 
     out = msgs.groupby("bucket").map_groups(merge, batch_format="pandas")
     return drop_empty_blocks(out)
+
+
+def windowed_topk_users(events: rd.Dataset, k: int = 3) -> rd.Dataset:
+    """Per tumbling 1-hour window: top-k users by summed spend —
+    window aggregation composed with per-group ranking. Output
+    (hour, user_id, value_cents), <= k rows per hour, ordered total by
+    (value_cents DESC, user_id) inside each window so the boundary is
+    deterministic. Two bucketed shuffles: the (hour, user) sum, then
+    grouped_topk keyed by hour (map-side prune keeps at most k rows
+    per window per batch)."""
+    from parallel_pagerank_ray.stages.agg import grouped_agg, grouped_topk
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "hour": df["ts"].dt.floor("h"),
+                "user_id": df["user_id"].astype(np.int64),
+                "cents": np.round(df["value"].to_numpy() * 100.0).astype(np.int64),
+            }
+        )
+
+    per_user = grouped_agg(
+        events.select_columns(["ts", "user_id", "value"]).map_batches(
+            keyed, batch_format="pandas"
+        ),
+        ["hour", "user_id"],
+        {"value_cents": ("cents", "sum")},
+    )
+    return grouped_topk(
+        per_user,
+        ["hour"],
+        ["value_cents", "user_id"],
+        [False, True],
+        k=k,
+    )
