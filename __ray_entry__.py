@@ -38,6 +38,14 @@ PUNCT_SQL = "[.,;:!?]"
 BPE_SQL = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
 
 _SUPP_PART_SQL = "SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem"
+
+# neighbor_sample's salt term: md5("ns") first 8 bytes mod 2^31-1
+# (matches pipelines.neighbor_sample._edge_hash's salt derivation)
+import hashlib as _hashlib
+
+_NS_SALT64 = int.from_bytes(
+    _hashlib.md5(b"ns").digest()[:8], "big"
+) % ((1 << 31) - 1)
 _COPURCHASE_SQL = """
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
   FROM lineitem a JOIN lineitem b
@@ -921,8 +929,8 @@ def q_top_customers(sf_dir: str) -> rd.Dataset:
 
 def q_neighbor_sample(sf_dir: str) -> rd.Dataset:
     """2-hop GraphSAGE-style neighbor sample (fanouts 5, 3) from part
-    vids 1-5 over the co-purchase closure. The per-edge md5 ranking
-    makes a normally-random sampler value-exact in SQL."""
+    vids 1-5 over the co-purchase closure. The salted integer-mix
+    ranking makes a normally-random sampler value-exact in SQL."""
     from parallel_pagerank_ray.pipelines.graph_build import (
         Graph,
         undirected_edges,
@@ -1892,23 +1900,33 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS MATERIALIZED ({_COPURCHASE_SQL}),
             sym AS MATERIALIZED (SELECT src, dst FROM e
                                  UNION ALL SELECT dst, src FROM e),
+            m1 AS (
+              SELECT src, dst,
+                     ((((src % 2147483647) * 1000151 % 2147483647
+                        + (dst % 2147483647)) % 2147483647)
+                      * 1000121 % 2147483647 + {_NS_SALT64}) % 2147483647
+                       AS hx
+              FROM sym WHERE src IN (1, 2, 3, 4, 5)),
             h1 AS (
               SELECT 1 AS hop, src, dst,
-                     CAST(CAST(('0x' || substr(
-                         md5('ns,' || src || ',' || dst), 1, 16))
-                       AS UBIGINT) >> 1 AS BIGINT) AS h
-              FROM sym WHERE src IN (1, 2, 3, 4, 5)
+                     (hx * hx + hx) % 2147483647 AS h
+              FROM m1
               QUALIFY row_number() OVER (
                 PARTITION BY src ORDER BY h, dst) <= 5),
             f2 AS (SELECT DISTINCT dst AS vid FROM h1),
+            m2 AS (
+              SELECT s.src, s.dst,
+                     ((((s.src % 2147483647) * 1000151 % 2147483647
+                        + (s.dst % 2147483647)) % 2147483647)
+                      * 1000121 % 2147483647 + {_NS_SALT64}) % 2147483647
+                       AS hx
+              FROM sym s JOIN f2 ON s.src = f2.vid),
             h2 AS (
-              SELECT 2 AS hop, s.src, s.dst,
-                     CAST(CAST(('0x' || substr(
-                         md5('ns,' || s.src || ',' || s.dst), 1, 16))
-                       AS UBIGINT) >> 1 AS BIGINT) AS h
-              FROM sym s JOIN f2 ON s.src = f2.vid
+              SELECT 2 AS hop, src, dst,
+                     (hx * hx + hx) % 2147483647 AS h
+              FROM m2
               QUALIFY row_number() OVER (
-                PARTITION BY s.src ORDER BY h, s.dst) <= 3)
+                PARTITION BY src ORDER BY h, dst) <= 3)
             SELECT * FROM h1 UNION ALL SELECT * FROM h2
         """,
         "doc_repetition": f"""

@@ -4,10 +4,11 @@ minibatch preparation; Hamilton et al. 2017).
 Beyond-reference capability: GNN training pipelines sample a bounded
 neighborhood per seed vertex instead of materializing full k-hop
 balls. Sampling here is a pure function of (salt, src, dst) — each
-vertex keeps the ``fanout`` out-edges with the SMALLEST md5-derived
-hash — so the sample is identical across runs, partitionings, and the
-DuckDB oracle (rank by the same md5 expression + QUALIFY), making a
-normally-random operator value-checkable.
+vertex keeps the ``fanout`` out-edges with the SMALLEST hash under a
+salted mod-2^31-1 mixing chain — so the sample is identical across
+runs, partitionings, and the DuckDB oracle (rank by the same integer
+expression + QUALIFY), making a normally-random operator
+value-checkable.
 
 Per hop: the current frontier ships as ONE broadcast sorted id array
 (ray.put, zero-copy membership test per batch), the edge scan keeps
@@ -28,19 +29,34 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from parallel_pagerank_ray.functions import hashing as H
 from parallel_pagerank_ray.pipelines.graph_build import Graph
 
 
+_MIX_A = np.uint64(1_000_151)
+_MIX_B = np.uint64(1_000_121)
+
+
 def _edge_hash(salt: str, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
-    """First 8 md5 bytes of '{salt},{src},{dst}', big-endian, >> 1 —
-    the SQL-reproducible 63-bit ranking key (same construction as
-    functions/sketch)."""
-    out = np.empty(len(src), dtype=np.int64)
-    pre = salt.encode("utf-8") + b","
-    for i in range(len(src)):
-        h = hashlib.md5(pre + b"%d,%d" % (src[i], dst[i])).digest()
-        out[i] = int.from_bytes(h[:8], "big") >> 1
-    return out
+    """Vectorized mod-2^31-1 edge-ranking hash (every product < 2^62,
+    so DuckDB BIGINT reproduces it exactly — see the gate oracle). One
+    md5 digests the SALT (once per call, not per edge); the per-edge
+    mixing is an affine chain plus a squaring round, which is ample for
+    sampling determinism — a per-edge md5 loop here was the only
+    Python-per-row hot path in the engine."""
+    p = H.P31
+    s64 = np.uint64(
+        int.from_bytes(hashlib.md5(salt.encode("utf-8")).digest()[:8], "big")
+        % int(p)
+    )
+    # reduce mod p before every multiply: operands < 2^31, multipliers
+    # < 2^20 -> every intermediate < 2^62 (BIGINT- and uint64-safe)
+    h = (src.astype(np.uint64) % p) * _MIX_A % p
+    h = (h + dst.astype(np.uint64) % p) % p
+    h = h * _MIX_B % p
+    h = (h + s64) % p
+    h = (h * h + h) % p  # non-affine scramble
+    return h.view(np.int64)
 
 
 def neighbor_sample(

@@ -198,11 +198,17 @@ def test_neighbor_sample_deterministic_and_bounded():
     # hop-2 sources are exactly hop-1 dsts that have out-edges
     srcs_with_out = set(de[:, 0].tolist())
     assert set(h2["src"]) == set(h1["dst"]) & srcs_with_out
-    # reference: per-seed smallest-hash edges
+    # reference: per-seed smallest-hash edges (independent scalar
+    # reimplementation of the mod-2^31-1 mixing chain)
+    p = (1 << 31) - 1
+    s64 = int.from_bytes(hashlib.md5(b"ns").digest()[:8], "big") % p
+
     def hkey(s, d):
-        return int.from_bytes(
-            hashlib.md5(f"ns,{s},{d}".encode()).digest()[:8], "big"
-        ) >> 1
+        h = (s % p) * 1000151 % p
+        h = (h + d % p) % p
+        h = h * 1000121 % p
+        h = (h + s64) % p
+        return (h * h + h) % p
     for s in (0, 1, 2):
         nbrs = sorted(set(int(d) for a, d in de if a == s))
         want = sorted(nbrs, key=lambda d: (hkey(s, d), d))[:4]
