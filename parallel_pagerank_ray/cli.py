@@ -70,8 +70,17 @@ def cmd_run(args) -> int:
                 .sort_values("vid")
             )
             e_vec = t["e"].to_numpy(dtype=np.float64)
-        # personalization is BSP-only: record the engine actually used
-        engine_used = "bsp" if (args.engine == "bsp" or e_vec is not None) else "dataset"
+        # personalization and edge weights are BSP-only: record the
+        # engine actually used (the Dataset engine would drop weights)
+        try:
+            weighted = "w" in (g.edges.schema().names or [])
+        except Exception:
+            weighted = False
+        engine_used = (
+            "bsp"
+            if (args.engine == "bsp" or e_vec is not None or weighted)
+            else "dataset"
+        )
         if engine_used == "bsp":
             from parallel_pagerank_ray.pipelines.pagerank_actors import pagerank_bsp
 

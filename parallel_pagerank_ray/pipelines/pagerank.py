@@ -167,6 +167,17 @@ def pagerank(
     n = graph.n
     if n == 0:
         return PageRankRun(ranks=rd.from_items([]), iterations=0, exit_reason="l1")
+    try:
+        names = graph.edges.schema().names
+    except Exception:
+        names = []
+    if "w" in (names or []):
+        # the Dataset engine's scatter is unweighted; ignoring w would
+        # silently compute the wrong fixpoint
+        raise ValueError(
+            "weighted edge table: use pagerank_bsp (the BSP engine "
+            "picks the w column up from the shard store)"
+        )
     if num_parts is None:
         # Dense-gather traffic is num_parts * n * 8 bytes per superstep, so
         # fewer/larger parts win until scatter tasks starve CPUs (~cpus/4)

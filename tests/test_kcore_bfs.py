@@ -266,3 +266,19 @@ def test_weighted_pagerank_bsp_vs_oracle():
     # dividing, so agreement is to rounding, not bit-exact
     assert np.allclose(a, b, atol=1e-12)
     assert run_u.iterations == run_p.iterations
+
+
+def test_dataset_engine_rejects_weighted_edges():
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from parallel_pagerank_ray.pipelines.pagerank import pagerank
+
+    edges = rd.from_arrow(
+        pa.table(
+            {"src": [0, 1], "dst": [1, 0], "w": [1.0, 2.0]}
+        )
+    )
+    with pytest.raises(ValueError, match="weighted"):
+        pagerank(Graph(n=2, edges=edges.materialize()))
