@@ -468,11 +468,20 @@ def q_degree_assortativity(sf_dir: str) -> rd.Dataset:
 def q_top_tokens(sf_dir: str) -> rd.Dataset:
     """Top-100 corpus tokens (cnt DESC, token ASC — total order, so the
     limit boundary is deterministic). Map-side per-batch pre-count;
-    the shuffle moves one row per distinct token per batch."""
+    the shuffle moves one row per distinct token per batch. The global
+    top-100 is a subset of the union of per-block top-100s, so a
+    per-block prune caps the final sort at O(blocks x 100) rows — a
+    web-scale vocabulary never sorts whole."""
     from parallel_pagerank_ray.functions.textstats import token_counts
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["cnt", "token"], ascending=[False, True], kind="stable"
+        ).head(100)
 
     return (
         token_counts(_documents(sf_dir, ["doc_id", "text"]))
+        .map_batches(prune, batch_format="pandas")
         .sort(["cnt", "token"], descending=[True, False])
         .limit(100)
     )
