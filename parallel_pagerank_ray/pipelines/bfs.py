@@ -22,7 +22,6 @@ matches ``oracle.bfs_distances``.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -30,7 +29,7 @@ import ray
 import ray.data as rd
 
 from parallel_pagerank_ray.pipelines.graph_build import Graph, undirected_edges
-from parallel_pagerank_ray.stages.csr_store import EdgeShardStore
+from parallel_pagerank_ray.stages.csr_store import EdgeShardStore, per_actor_cpus
 
 
 @dataclass
@@ -90,12 +89,13 @@ class _BFSShard:
         csum = np.concatenate(([0], np.cumsum(lens)[:-1]))
         pos = np.arange(int(lens.sum())) - np.repeat(csum, lens) + np.repeat(starts, lens)
         ids = np.unique(self.dst_sorted[pos])
-        owners = ids // self.part_size
-        bounds = np.searchsorted(owners, np.unique(owners), "left").tolist() + [len(ids)]
-        out = []
-        for i, p in enumerate(np.unique(owners)):
-            out.append((int(p), ray.put(ids[bounds[i] : bounds[i + 1]])))
-        return out
+        owners = ids // self.part_size  # sorted, since ids is sorted
+        uniq = np.unique(owners)
+        bounds = np.searchsorted(owners, uniq, "left").tolist() + [len(ids)]
+        return [
+            (int(p), ray.put(ids[bounds[i] : bounds[i + 1]]))
+            for i, p in enumerate(uniq)
+        ]
 
     def absorb(self, refs: list, depth: int) -> int:
         """Stamp owned, still-unreached candidates with ``depth``; they
@@ -135,6 +135,10 @@ def bfs_distances_bsp(
     n = graph.n
     if n == 0 or not sources:
         return BFSRun(distances=rd.from_items([]), iterations=0)
+    src_arr = np.unique(np.asarray(sources, dtype=np.int64))
+    if src_arr.min() < 0 or src_arr.max() >= n:
+        # validate before any store build / actor spawn
+        raise ValueError(f"source vid out of range [0, {n})")
     if num_parts is None:
         # frontier exchange is sparse (no dense per-part vectors), so
         # shards are cheap — one per CPU parallelizes the CSR build
@@ -143,18 +147,13 @@ def bfs_distances_bsp(
     edges = graph.edges if directed else undirected_edges(graph.edges, dedup=False)
     store = EdgeShardStore.build(edges, n=n, num_parts=num_parts)
     P = max(1, -(-n // store.part_size))
-    cpus = max(2.0, float(ray.cluster_resources().get("CPU", 8)))
-    # floor (never round up): P * per_actor must stay <= cpus - 1
-    per_actor = math.floor(min(1.0, max(0.01, (cpus - 1.0) / P)) * 100) / 100
+    per_actor = per_actor_cpus(P)
     actors = [
         _BFSShard.options(num_cpus=per_actor).remote(
             p, store.part_refs.get(p, []), n, store.part_size
         )
         for p in range(P)
     ]
-    src_arr = np.unique(np.asarray(sources, dtype=np.int64))
-    if src_arr.min() < 0 or src_arr.max() >= n:
-        raise ValueError(f"source vid out of range [0, {n})")
     total = sum(ray.get([a.seed.remote(src_arr) for a in actors]))
     it = 0
     history: list[dict] = [{"iter": 0, "reached": total}]

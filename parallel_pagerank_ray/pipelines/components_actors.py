@@ -15,7 +15,6 @@ per-bucket row gather has bounded memory.
 
 from __future__ import annotations
 
-import math
 
 import numpy as np
 import ray
@@ -25,7 +24,7 @@ from parallel_pagerank_ray.pipelines.components import (
     connected_components,
 )
 from parallel_pagerank_ray.pipelines.graph_build import Graph, undirected_edges
-from parallel_pagerank_ray.stages.csr_store import EdgeShardStore
+from parallel_pagerank_ray.stages.csr_store import EdgeShardStore, per_actor_cpus
 
 _FULL_VEC_MAX = 256 << 20
 INT64_MAX = np.iinfo(np.int64).max
@@ -157,9 +156,7 @@ def connected_components_bsp(
     und = undirected_edges(graph.edges, dedup=False)
     store = EdgeShardStore.build(und, n=n, num_parts=num_parts)
     P = max(1, -(-n // store.part_size))
-    cpus = max(2.0, float(ray.cluster_resources().get("CPU", 8)))
-    # floor (never round up): P * per_actor must stay <= cpus - 1
-    per_actor = math.floor(min(1.0, max(0.01, (cpus - 1.0) / P)) * 100) / 100
+    per_actor = per_actor_cpus(P)
     actors = [
         _CompShard.options(num_cpus=per_actor).remote(
             p, store.part_refs.get(p, []), n, store.part_size

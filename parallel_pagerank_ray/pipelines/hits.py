@@ -27,7 +27,6 @@ Engines:
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -35,7 +34,7 @@ import ray
 import ray.data as rd
 
 from parallel_pagerank_ray.pipelines.graph_build import Graph
-from parallel_pagerank_ray.stages.csr_store import EdgeShardStore
+from parallel_pagerank_ray.stages.csr_store import EdgeShardStore, per_actor_cpus
 
 _FULL_VEC_MAX = 256 << 20
 _INT64_GUARD = 1 << 61  # one more degree-weighted sum must not overflow
@@ -100,6 +99,8 @@ def hits_bsp(graph: Graph, iters: int = 2, num_parts: int | None = None) -> HITS
     """Integer HITS scores after ``iters`` full (authority, hub)
     update pairs. Falls back to the Dataset engine when n outgrows the
     dense exchange. Raises on int64 overflow risk (lower ``iters``)."""
+    if iters < 1:
+        raise ValueError("HITS needs iters >= 1")
     n = graph.n
     if n == 0:
         return HITSRun(scores=rd.from_items([]), iterations=0)
@@ -110,9 +111,7 @@ def hits_bsp(graph: Graph, iters: int = 2, num_parts: int | None = None) -> HITS
         num_parts = min(256, max(4, cpus // 4))
     store = EdgeShardStore.build(graph.edges, n=n, num_parts=num_parts)
     P = max(1, -(-n // store.part_size))
-    cpus = max(2.0, float(ray.cluster_resources().get("CPU", 8)))
-    # floor (never round up): P * per_actor must stay <= cpus - 1
-    per_actor = math.floor(min(1.0, max(0.01, (cpus - 1.0) / P)) * 100) / 100
+    per_actor = per_actor_cpus(P)
     actors = [
         _HITSShard.options(num_cpus=per_actor).remote(
             p, store.part_refs.get(p, []), n, store.part_size
@@ -158,6 +157,8 @@ def hits_dataset(
     from parallel_pagerank_ray.stages.agg import global_agg, grouped_agg
     from parallel_pagerank_ray.util import safe_join
 
+    if iters < 1:
+        raise ValueError("HITS needs iters >= 1")
     n = graph.n
     if n == 0:
         return HITSRun(scores=rd.from_items([]), iterations=0)

@@ -34,7 +34,6 @@ removes, in any order. Matches ``oracle.kcore``.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -42,7 +41,7 @@ import ray
 import ray.data as rd
 
 from parallel_pagerank_ray.pipelines.graph_build import Graph, undirected_edges
-from parallel_pagerank_ray.stages.csr_store import EdgeShardStore
+from parallel_pagerank_ray.stages.csr_store import EdgeShardStore, per_actor_cpus
 
 
 @dataclass
@@ -151,9 +150,7 @@ def kcore_bsp(
     store = EdgeShardStore.build(und, n=n, num_parts=num_parts)
     del und, canon  # release closure blocks before shard init reads the store
     P = max(1, -(-n // store.part_size))
-    cpus = max(2.0, float(ray.cluster_resources().get("CPU", 8)))
-    # floor (never round up): P * per_actor must stay <= cpus - 1
-    per_actor = math.floor(min(1.0, max(0.01, (cpus - 1.0) / P)) * 100) / 100
+    per_actor = per_actor_cpus(P)
     actors = [
         _KCoreShard.options(num_cpus=per_actor).remote(
             p, store.part_refs.get(p, []), n, store.part_size, k

@@ -26,14 +26,13 @@ that the Dataset engine (bounded memory) is the fallback.
 
 from __future__ import annotations
 
-import math
 
 import numpy as np
 import ray
 
 from parallel_pagerank_ray.pipelines.graph_build import Graph, undirected_edges
 from parallel_pagerank_ray.pipelines.label_prop import LabelPropRun, label_propagation
-from parallel_pagerank_ray.stages.csr_store import EdgeShardStore
+from parallel_pagerank_ray.stages.csr_store import EdgeShardStore, per_actor_cpus
 
 
 @ray.remote
@@ -150,9 +149,7 @@ def label_propagation_bsp(
             edges_canonical=edges_canonical,
         )
     P = max(1, -(-n // store.part_size))
-    cpus = max(2.0, float(ray.cluster_resources().get("CPU", 8)))
-    # floor (never round up): P * per_actor must stay <= cpus - 1
-    per_actor = math.floor(min(1.0, max(0.01, (cpus - 1.0) / P)) * 100) / 100
+    per_actor = per_actor_cpus(P)
     actors = [
         _LPAShard.options(num_cpus=per_actor).remote(
             p, store.part_refs.get(p, []), n, store.part_size

@@ -45,7 +45,7 @@ import numpy as np
 import ray
 
 from parallel_pagerank_ray.pipelines.graph_build import Graph
-from parallel_pagerank_ray.stages.csr_store import EdgeShardStore
+from parallel_pagerank_ray.stages.csr_store import EdgeShardStore, per_actor_cpus
 
 # full-vector scatter when the whole rank vector fits one plasma object
 _FULL_VEC_MAX = 256 << 20
@@ -103,8 +103,11 @@ class _RankShard:
             # out-weight sum, fixed for the run. Weights must be
             # positive so the dangling predicate (deg == 0) coincides
             # with W == 0.
-            if len(wts) and float(wts.min()) <= 0.0:
-                raise ValueError("edge weights must be positive")
+            # not (all > 0) also catches NaN (from null parquet values),
+            # which would sail through a `min() <= 0` check and produce
+            # silent all-NaN ranks
+            if len(wts) and not bool((wts > 0.0).all()):
+                raise ValueError("edge weights must be positive and non-null")
             W = np.bincount(src - self.base, weights=wts, minlength=self.size)
             self._src_local = src - self.base
             self.wf = wts / W[self._src_local] if len(wts) else wts
@@ -319,9 +322,7 @@ def pagerank_bsp(
     # multi-node cluster Ray still spreads shards by the fraction.
     # MUST leave >=1 whole CPU free or any plain task (e.g. Dataset
     # metadata fetches) deadlocks behind the actor reservations.
-    cpus = max(2.0, float(ray.cluster_resources().get("CPU", 8)))
-    # floor (never round up): P * per_actor must stay <= cpus - 1
-    per_actor = math.floor(min(1.0, max(0.01, (cpus - 1.0) / P)) * 100) / 100
+    per_actor = per_actor_cpus(P)
     # personalization broadcast once; each shard slices its range.
     # (At 10^12-vertex scale pass e as parquet read per shard instead.)
     e_ref = (

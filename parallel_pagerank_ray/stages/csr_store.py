@@ -107,6 +107,18 @@ _CONCAT_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
 _CONCAT_CACHE_MAX_EDGES = 1 << 27  # ~2 GiB of int64 pairs per worker process
 
 
+def per_actor_cpus(num_parts: int) -> float:
+    """Fractional CPU reservation per BSP shard actor, FLOORED so that
+    ``num_parts * per_actor <= cpus - 1``: long-lived actors reserving
+    every CPU deadlock any plain Ray task (``rd.from_arrow_refs``
+    schedules a 1-CPU metadata task), and rounding UP (e.g.
+    7/16 -> 0.44, total 7.04 of 7) reopens that window. One definition
+    shared by every BSP engine (pagerank/components/labelprop/kcore/
+    bfs/hits)."""
+    cpus = max(2.0, float(ray.cluster_resources().get("CPU", 8)))
+    return math.floor(min(1.0, max(0.01, (cpus - 1.0) / num_parts)) * 100) / 100
+
+
 class _ShardedScatter:
     """Base for scatter stages: lazy per-part shard fetch + chunked
     adjacency iteration (hub splitting + bounded memory)."""
@@ -118,7 +130,8 @@ class _ShardedScatter:
     def _shard(self, part: int) -> tuple[np.ndarray, np.ndarray]:
         refs = self.store.part_refs[part]
         if len(refs) == 1:
-            return ray.get(refs[0])  # zero-copy plasma-backed views
+            got = ray.get(refs[0])  # zero-copy plasma-backed views
+            return got[0], got[1]  # drop a w column (weighted store)
         key = tuple(r.hex() for r in refs)
         got = _CONCAT_CACHE.get(key)
         if got is None:

@@ -160,3 +160,24 @@ def test_label_propagation_canonical_edges_skip_dedup(graphs):
             got = run.labels.to_pandas().sort_values("vid")["label"].to_numpy()
             assert np.array_equal(got, want), (name, engine.__name__)
             assert run.iterations == rounds, (name, engine.__name__)
+
+
+def test_dataset_cc_tolerates_weighted_store():
+    """A weighted edge table must not crash the Dataset-engine scatter
+    stages (CC is weight-invariant; the store's w column is dropped)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": [0, 1, 3],
+                "dst": [1, 2, 4],
+                "w": [1.0, 2.0, 1.0],
+            }
+        )
+    )
+    g = Graph(n=5, edges=edges.materialize())
+    run = connected_components(g, num_parts=2)
+    got = run.components.to_pandas().sort_values("vid")["comp"].tolist()
+    assert got == [0, 0, 0, 3, 3]

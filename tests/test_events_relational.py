@@ -394,3 +394,35 @@ def test_range_join_no_overlap():
         interval_id="iid",
     ).to_pandas()
     assert len(out) == 0
+
+
+def test_windowed_topk_users_vs_duckdb(ddb):
+    from parallel_pagerank_ray.pipelines.events import windowed_topk_users
+
+    ddb.sql(
+        f"CREATE VIEW IF NOT EXISTS events AS "
+        f"SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    got = (
+        windowed_topk_users(read_table(SF, "events"), k=3)
+        .to_pandas()
+        .sort_values(["hour", "value_cents", "user_id"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    exp = ddb.sql(
+        """
+        WITH pu AS (
+          SELECT date_trunc('hour', ts) AS hour, user_id,
+                 CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+          FROM events GROUP BY 1, 2)
+        SELECT hour, user_id, value_cents FROM pu
+        QUALIFY row_number() OVER (
+          PARTITION BY hour ORDER BY value_cents DESC, user_id) <= 3
+        ORDER BY hour, value_cents DESC, user_id
+        """
+    ).df()
+    assert got["user_id"].tolist() == exp["user_id"].tolist()
+    assert got["value_cents"].tolist() == exp["value_cents"].tolist()
+    assert (got.groupby("hour").size() <= 3).all()
