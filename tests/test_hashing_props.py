@@ -104,3 +104,81 @@ def test_simhash_batch_matches_per_doc(token_lists):
                 votes[bit] += 1 if (h >> bit) & 1 else -1
         want = sum(1 << bit for bit in range(64) if votes[bit] > 0)
         assert int(fp[d]) == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)), max_size=80),
+    st.integers(1, 6),
+)
+def test_kcore_oracle_is_peeling_fixpoint(pairs, k):
+    """oracle.kcore must be the synchronous-peeling fixpoint: every
+    member has >= k alive neighbors, and no removed vertex does when
+    added back alone (maximality of the k-core)."""
+    from parallel_pagerank_ray import oracle
+
+    e = np.array([p for p in pairs if p[0] != p[1]], dtype=np.int64).reshape(-1, 2)
+    n = 31
+    alive = oracle.kcore(n, e, k)
+    und = set()
+    for u, v in e:
+        und.add((min(u, v), max(u, v)))
+    adj = {i: set() for i in range(n)}
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    members = set(np.nonzero(alive)[0].tolist())
+    for v in members:
+        assert len(adj[v] & members) >= k
+    for v in set(range(n)) - members:
+        assert len(adj[v] & members) < k  # maximality
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 25), st.integers(0, 25)), max_size=60),
+    st.lists(st.integers(0, 25), min_size=1, max_size=4),
+    st.booleans(),
+)
+def test_bfs_oracle_triangle_inequality(pairs, sources, directed):
+    """dist obeys: sources at 0; every edge (u,v) with dist[u] >= 0 has
+    dist[v] <= dist[u] + 1; every reached non-source vertex has an
+    in-neighbor exactly one closer."""
+    from parallel_pagerank_ray import oracle
+
+    e = np.array([p for p in pairs if p[0] != p[1]], dtype=np.int64).reshape(-1, 2)
+    n = 26
+    dist = oracle.bfs_distances(n, e, sources, directed=directed)
+    for s in sources:
+        assert dist[s] == 0
+    fwd = [tuple(r) for r in e]
+    arcs = fwd if directed else fwd + [(v, u) for u, v in fwd]
+    for u, v in arcs:
+        if dist[u] >= 0:
+            assert 0 <= dist[v] <= dist[u] + 1
+    preds = {v: set() for v in range(n)}
+    for u, v in arcs:
+        preds[v].add(u)
+    for v in range(n):
+        if dist[v] > 0:
+            assert any(dist[u] == dist[v] - 1 for u in preds[v])
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=300),
+    st.sampled_from([0.125, 0.25, 0.5, 0.75, 0.875, 1.0]),
+)
+def test_quantile_rule_matches_duckdb(vals, q):
+    """The ceil(q*n)-1 index rule used by stages.agg.exact_quantiles
+    equals DuckDB quantile_disc on arbitrary integer multisets."""
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(?) AS x", [vals])
+    want = con.execute(f"SELECT quantile_disc(x, {q}) FROM t").fetchone()[0]
+    s = sorted(vals)
+    got = s[max(0, math.ceil(q * len(s)) - 1)]
+    assert got == want
