@@ -332,6 +332,28 @@ def q_labelprop_copurchase(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_labelprop_weighted_copurchase(sf_dir: str) -> rd.Dataset:
+    """Weighted LPA over the symmetric weighted co-purchase graph
+    (vote mass = distinct-order edge weight): community sizes after 3
+    synchronous rounds. Integer vote sums -> exact at any parallelism."""
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.label_prop_actors import (
+        label_propagation_bsp,
+    )
+    from parallel_pagerank_ray.pipelines.relational import (
+        copurchase_weighted_edges,
+    )
+    from parallel_pagerank_ray.stages.agg import global_agg, grouped_agg
+
+    edges = copurchase_weighted_edges(sf_dir).materialize()
+    m = global_agg(edges, {"ms": ("src", "max"), "md": ("dst", "max")})
+    g = Graph(n=int(max(m["ms"], m["md"])) + 1, edges=edges)
+    run = label_propagation_bsp(g, max_iters=3, edges_symmetric=True)
+    return grouped_agg(
+        run.labels, ["label"], {"size": ("vid", "count")}, num_buckets=8
+    )
+
+
 def q_triangles_copurchase(sf_dir: str) -> pd.DataFrame:
     from parallel_pagerank_ray.pipelines.triangles import triangle_count
 
@@ -1021,6 +1043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "components_copurchase": q_components_copurchase,
         "component_size_histogram": q_component_size_histogram,
         "labelprop_copurchase": q_labelprop_copurchase,
+        "labelprop_weighted_copurchase": q_labelprop_weighted_copurchase,
         "triangles_copurchase": q_triangles_copurchase,
         "triangles_doulion": q_triangles_doulion,
         "clustering_coefficient": q_clustering_coefficient,
@@ -1153,6 +1176,22 @@ def _lpa_round_sql(prev: str) -> str:
                     QUALIFY row_number() OVER (
                         PARTITION BY u.dst
                         ORDER BY count(*) DESC, l2.label) = 1) p
+           ON p.vid = l.vid)
+    """
+
+
+def _lpa_weighted_round_sql(prev: str) -> str:
+    """One synchronous WEIGHTED LPA round: label with the largest
+    incoming weight sum, ties -> smallest label, isolated vertices
+    keep their current label."""
+    return f"""
+        (SELECT l.vid, coalesce(p.label, l.label) AS label FROM {prev} l
+         LEFT JOIN (SELECT u.dst AS vid, l2.label AS label
+                    FROM und u JOIN {prev} l2 ON l2.vid = u.src
+                    GROUP BY 1, l2.label
+                    QUALIFY row_number() OVER (
+                        PARTITION BY u.dst
+                        ORDER BY sum(u.w) DESC, l2.label) = 1) p
            ON p.vid = l.vid)
     """
 
@@ -1427,6 +1466,28 @@ def oracle_sql() -> dict[str, str]:
               l1 AS MATERIALIZED {_lpa_round_sql("l0")},
               l2 AS MATERIALIZED {_lpa_round_sql("l1")},
               l3 AS MATERIALIZED {_lpa_round_sql("l2")}
+            SELECT label, count(*) AS size FROM l3 GROUP BY 1
+        """,
+        "labelprop_weighted_copurchase": f"""
+            WITH RECURSIVE
+              we AS MATERIALIZED (
+                SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                       CAST(count(DISTINCT a.l_orderkey) AS BIGINT) AS w
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2),
+              und AS MATERIALIZED (SELECT src, dst, w FROM we
+                                   UNION ALL SELECT dst, src, w FROM we),
+              nn AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n
+                                  FROM und),
+              v(vid) AS (SELECT 0 UNION ALL
+                         SELECT vid + 1 FROM v
+                         WHERE vid + 1 < (SELECT n FROM nn)),
+              l0 AS MATERIALIZED (SELECT vid, vid AS label FROM v),
+              l1 AS MATERIALIZED {_lpa_weighted_round_sql("l0")},
+              l2 AS MATERIALIZED {_lpa_weighted_round_sql("l1")},
+              l3 AS MATERIALIZED {_lpa_weighted_round_sql("l2")}
             SELECT label, count(*) AS size FROM l3 GROUP BY 1
         """,
         "decode_image_fake": """

@@ -294,3 +294,35 @@ def pagerank_weighted(
         if max_err <= tol:
             exit_reason = "max_err"
     return PageRankTrace(ranks=p1, iterations=it, exit_reason=exit_reason, history=hist)
+
+
+def label_propagation_weighted(
+    n: int,
+    edges: np.ndarray,
+    weights: np.ndarray,
+    max_iters: int = 10,
+) -> tuple[np.ndarray, int]:
+    """Synchronous weighted LPA over a SYMMETRIC weighted edge list
+    (each undirected edge present in both directions): each round every
+    vertex adopts the label with the largest incoming weight sum (ties
+    -> smallest label); isolated vertices keep their label. Integer
+    weights keep the vote tally exact."""
+    e = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    w = np.asarray(weights, dtype=np.int64)
+    labels = np.arange(n, dtype=np.int64)
+    for rnd in range(1, max_iters + 1):
+        new = labels.copy()
+        for v in range(n):
+            m = e[:, 1] == v
+            if not m.any():
+                continue
+            mass: dict[int, int] = {}
+            for u, wt in zip(e[m, 0], w[m]):
+                lab = int(labels[u])
+                mass[lab] = mass.get(lab, 0) + int(wt)
+            best = max(mass.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        if np.array_equal(new, labels):
+            return labels, rnd - 1
+        labels = new
+    return labels, max_iters

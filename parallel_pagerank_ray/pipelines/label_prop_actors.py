@@ -48,13 +48,22 @@ class _LPAShard:
             chunks = ray.get(part_refs)
             src = np.concatenate([c[0] for c in chunks]) - self.base
             dst = np.concatenate([c[1] for c in chunks])
+            w = (
+                np.concatenate([c[2] for c in chunks]).astype(np.int64)
+                if len(chunks[0]) > 2
+                else None
+            )
         else:
             src = np.array([], dtype=np.int64)
             dst = np.array([], dtype=np.int64)
+            w = None
+        if w is not None and len(w) and not bool((w > 0).all()):
+            raise ValueError("edge weights must be positive and non-null")
         # pre-bucket edges by destination shard once (reused every round)
         db = dst // part_size
         order = np.argsort(db, kind="stable")
         self.src = src[order]
+        self.w = w[order] if w is not None else None
         self.dst_local = (dst - db * part_size)[order]
         db_s = db[order]
         self.bucket_ids = np.unique(db_s).astype(np.int64)
@@ -69,14 +78,24 @@ class _LPAShard:
 
     def scatter(self) -> list:
         """[(dest_shard, ref((keys, cnts))), ...]: locally-combined vote
-        counts keyed by local_dst * n + label."""
+        counts keyed by local_dst * n + label. With edge weights the
+        vote mass is the int64 weight sum instead of the edge count —
+        integer arithmetic either way, so the tally stays exact."""
         out = []
         lab = self.labels
         nbig = np.int64(self.n)
         for bid, (lo, hi) in zip(self.bucket_ids, self._slices):
             key = self.dst_local[lo:hi] * nbig + lab[self.src[lo:hi]]
-            u, cnt = np.unique(key, return_counts=True)
-            out.append((int(bid), ray.put((u, cnt.astype(np.int64)))))
+            if self.w is None:
+                u, cnt = np.unique(key, return_counts=True)
+                cnt = cnt.astype(np.int64)
+            else:
+                # int64 accumulation (bincount's float weights would
+                # round above 2^53)
+                u, inv = np.unique(key, return_inverse=True)
+                cnt = np.zeros(len(u), dtype=np.int64)
+                np.add.at(cnt, inv, self.w[lo:hi])
+            out.append((int(bid), ray.put((u, cnt))))
         return out
 
     def gather_pick(self, refs: list) -> int:
@@ -121,6 +140,7 @@ def label_propagation_bsp(
     max_iters: int = 10,
     num_parts: int | None = None,
     edges_canonical: bool = False,
+    edges_symmetric: bool = False,
 ) -> LabelPropRun:
     """Synchronous LPA on the BSP actor engine; exact match to
     ``oracle.label_propagation`` (tested). Falls back to the Dataset
@@ -130,6 +150,16 @@ def label_propagation_bsp(
     globally distinct), so the symmetric closure creates no duplicates
     and its dedup shuffle (an all-to-all over the doubled edge table)
     is skipped. Vote counts are identical either way.
+
+    ``edges_symmetric=True``: input already contains every undirected
+    edge in BOTH directions — the closure step is skipped entirely.
+
+    A ``w`` column makes the votes WEIGHTED (mass = int64 weight sum
+    per label; same (max mass, min label) tie-break); weighted input
+    must be passed with ``edges_symmetric=True`` — the closure builder
+    drops the weight column, so asymmetric weighted input is rejected
+    rather than silently half-weighted. Matches
+    ``oracle.label_propagation_weighted``.
     """
     import ray.data as rd
 
@@ -139,9 +169,26 @@ def label_propagation_bsp(
     if num_parts is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_parts = min(256, max(4, cpus // 4))
-    und = undirected_edges(graph.edges, dedup=not edges_canonical)
+    try:
+        weighted = "w" in (graph.edges.schema().names or [])
+    except Exception:
+        weighted = False
+    if weighted and not edges_symmetric:
+        raise ValueError(
+            "weighted LPA input must be the pre-built symmetric "
+            "weighted closure; pass edges_symmetric=True to certify"
+        )
+    if edges_symmetric:
+        und = graph.edges
+    else:
+        und = undirected_edges(graph.edges, dedup=not edges_canonical)
     store = EdgeShardStore.build(und, n=n, num_parts=num_parts)
     if store.part_size * n >= (1 << 63):
+        if weighted:
+            raise ValueError(
+                "composite vote key would overflow int64 and the "
+                "Dataset LPA fallback is unweighted; reduce part count"
+            )
         return label_propagation(
             graph,
             max_iters=max_iters,

@@ -282,3 +282,47 @@ def test_dataset_engine_rejects_weighted_edges():
     )
     with pytest.raises(ValueError, match="weighted"):
         pagerank(Graph(n=2, edges=edges.materialize()))
+
+
+def test_weighted_lpa_bsp_vs_oracle():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.pipelines.label_prop_actors import (
+        label_propagation_bsp,
+    )
+    from parallel_pagerank_ray.sources.pages import powerlaw_edges
+
+    e = np.unique(powerlaw_edges(80, 4, seed=14), axis=0)
+    # canonical simple pairs with integer weights, then symmetrize
+    canon = np.unique(
+        np.stack([e.min(axis=1), e.max(axis=1)], axis=1), axis=0
+    )
+    canon = canon[canon[:, 0] != canon[:, 1]]
+    rng = np.random.default_rng(1)
+    w = rng.integers(1, 9, size=len(canon)).astype(np.int64)
+    sym = np.concatenate([canon, canon[:, ::-1]])
+    wsym = np.concatenate([w, w])
+    n = int(canon.max()) + 1
+    edges = rd.from_arrow(
+        pa.table(
+            {"src": sym[:, 0], "dst": sym[:, 1], "w": wsym.astype(np.float64)}
+        )
+    ).repartition(3)
+    g = Graph(n=n, edges=edges.materialize())
+    run = label_propagation_bsp(g, max_iters=4, edges_symmetric=True)
+    got = run.labels.to_pandas().sort_values("vid")["label"].to_numpy()
+    want, rounds = oracle.label_propagation_weighted(n, sym, wsym, max_iters=4)
+    assert np.array_equal(got, want)
+    assert run.iterations == rounds
+    # asymmetric weighted input is rejected, not silently half-weighted
+    import pytest
+
+    bad = rd.from_arrow(
+        pa.table(
+            {"src": canon[:, 0], "dst": canon[:, 1],
+             "w": w.astype(np.float64)}
+        )
+    )
+    with pytest.raises(ValueError, match="symmetric"):
+        label_propagation_bsp(Graph(n=n, edges=bad.materialize()))
