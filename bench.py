@@ -124,6 +124,7 @@ def bench_queries() -> dict[str, float]:
         "hits_supplier_part",
         "degree_assortativity",
         "pagerank_weighted_top20",
+        "labelprop_weighted_copurchase",
         "neighbor_sample",
         "revenue_by_nation",
         "doc_repetition",
