@@ -475,6 +475,23 @@ def q_bfs_copurchase(sf_dir: str) -> rd.Dataset:
     return bfs_distances_bsp(g, [0]).distances
 
 
+def q_sssp_weighted_copurchase(sf_dir: str) -> rd.Dataset:
+    """Weighted shortest-path distances from part vid 0 over the
+    symmetric weighted co-purchase graph (edge length = distinct-order
+    count): (vid, dist). Integer relaxation -> exact."""
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.relational import (
+        copurchase_weighted_edges,
+    )
+    from parallel_pagerank_ray.pipelines.sssp import sssp_bsp
+    from parallel_pagerank_ray.stages.agg import global_agg
+
+    edges = copurchase_weighted_edges(sf_dir).materialize()
+    m = global_agg(edges, {"ms": ("src", "max"), "md": ("dst", "max")})
+    g = Graph(n=int(max(m["ms"], m["md"])) + 1, edges=edges)
+    return sssp_bsp(g, [0]).distances
+
+
 def q_degree_assortativity(sf_dir: str) -> rd.Dataset:
     """Integer sufficient statistics (m2, sum_x, sum_xy, sum_x2) for
     the co-purchase graph's degree assortativity; Pearson r is one
@@ -1050,6 +1067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_supplier_part": q_hits_supplier_part,
         "kcore_copurchase": q_kcore_copurchase,
         "bfs_copurchase": q_bfs_copurchase,
+        "sssp_weighted_copurchase": q_sssp_weighted_copurchase,
         "degree_assortativity": q_degree_assortativity,
         "degree_histogram": q_degree_histogram,
         "top_tokens": q_top_tokens,
@@ -1621,6 +1639,31 @@ def oracle_sql() -> dict[str, str]:
                 -- value check, never silently pass
                 FROM walk w JOIN und u ON u.src = w.vid
                 WHERE w.d < 8
+              )
+            SELECT vid, CAST(min(d) AS BIGINT) AS dist
+            FROM walk GROUP BY 1
+        """,
+        "sssp_weighted_copurchase": f"""
+            WITH RECURSIVE
+              we AS MATERIALIZED (
+                SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                       CAST(count(DISTINCT a.l_orderkey) AS BIGINT) AS w
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2),
+              und AS MATERIALIZED (SELECT src, dst, w FROM we
+                                   UNION ALL SELECT dst, src, w FROM we),
+              walk(vid, d) AS (
+                SELECT 0, CAST(0 AS BIGINT)
+                UNION
+                -- length cap only bounds the SQL row space (cumulative
+                -- lengths regenerate along cycles); measured shortest
+                -- distances top out at 3, so a miss would FAIL the
+                -- value check, never silently pass
+                SELECT u.dst, wk.d + u.w
+                FROM walk wk JOIN und u ON u.src = wk.vid
+                WHERE wk.d + u.w < 8
               )
             SELECT vid, CAST(min(d) AS BIGINT) AS dist
             FROM walk GROUP BY 1

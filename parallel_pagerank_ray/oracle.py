@@ -326,3 +326,37 @@ def label_propagation_weighted(
             return labels, rnd - 1
         labels = new
     return labels, max_iters
+
+
+def sssp_weighted(
+    n: int,
+    edges: np.ndarray,
+    weights: np.ndarray,
+    sources: list[int],
+) -> np.ndarray:
+    """Multi-source shortest path distances over a DIRECTED weighted
+    edge list (positive integer weights); unreachable -> -1. Dijkstra."""
+    import heapq
+
+    e = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    w = np.asarray(weights, dtype=np.int64)
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for (u, v), wt in zip(e, w):
+        adj.setdefault(int(u), []).append((int(v), int(wt)))
+    INF = np.iinfo(np.int64).max
+    dist = np.full(n, INF, dtype=np.int64)
+    heap = []
+    for s in set(int(x) for x in sources):
+        dist[s] = 0
+        heapq.heappush(heap, (0, s))
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist[u]:
+            continue
+        for v, wt in adj.get(u, ()):
+            nd = d + wt
+            if nd < dist[v]:
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    dist[dist == INF] = -1
+    return dist

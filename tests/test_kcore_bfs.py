@@ -326,3 +326,55 @@ def test_weighted_lpa_bsp_vs_oracle():
     )
     with pytest.raises(ValueError, match="symmetric"):
         label_propagation_bsp(Graph(n=n, edges=bad.materialize()))
+
+
+def _weighted_ds(e, w, blocks=3):
+    import pyarrow as pa
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table({"src": e[:, 0], "dst": e[:, 1], "w": w.astype(np.float64)})
+    ).repartition(blocks).materialize()
+
+
+def test_sssp_bsp_vs_dijkstra():
+    from parallel_pagerank_ray.pipelines.sssp import sssp_bsp
+    from parallel_pagerank_ray.sources.pages import powerlaw_edges
+
+    e = np.unique(powerlaw_edges(120, 4, seed=17), axis=0)
+    rng = np.random.default_rng(4)
+    w = rng.integers(1, 10, size=len(e)).astype(np.int64)
+    n = int(e.max()) + 1
+    g = Graph(n=n, edges=_weighted_ds(e, w))
+    for sources in ([0], [0, 5, 9]):
+        run = sssp_bsp(g, sources)
+        got = dict(
+            zip(
+                run.distances.to_pandas()["vid"].tolist(),
+                run.distances.to_pandas()["dist"].tolist(),
+            )
+        )
+        want = oracle.sssp_weighted(n, e, w, sources)
+        assert got == {i: int(d) for i, d in enumerate(want) if d >= 0}, sources
+
+
+def test_sssp_relaxation_beats_hop_greedy():
+    # longer-hop cheaper path must win: 0->1->2 (cost 2) vs 0->2 (cost 9)
+    from parallel_pagerank_ray.pipelines.sssp import sssp_bsp
+
+    e = np.array([[0, 1], [1, 2], [0, 2]])
+    w = np.array([1, 1, 9])
+    g = Graph(n=3, edges=_weighted_ds(e, w, blocks=1))
+    run = sssp_bsp(g, [0])
+    df = run.distances.to_pandas().sort_values("vid")
+    assert df["dist"].tolist() == [0, 1, 2]
+
+
+def test_sssp_rejects_unweighted():
+    import pytest
+
+    from parallel_pagerank_ray.pipelines.sssp import sssp_bsp
+
+    g = _graph([(0, 1)], blocks=1)
+    with pytest.raises(ValueError, match="weighted"):
+        sssp_bsp(g, [0])
