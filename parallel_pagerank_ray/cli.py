@@ -175,6 +175,16 @@ def cmd_run(args) -> int:
             "secs": round(time.time() - t0, 3),
         }
         _write_result(run.distances, args.workdir, "bfs", metrics)
+    elif args.algo == "sssp":
+        from parallel_pagerank_ray.pipelines.sssp import sssp_bsp
+
+        sources = [int(s) for s in args.sources.split(",")]
+        run = sssp_bsp(g, sources)
+        metrics = {
+            "algo": "sssp", "engine": "bsp", "sources": sources,
+            "iterations": run.iterations, "secs": round(time.time() - t0, 3),
+        }
+        _write_result(run.distances, args.workdir, "sssp", metrics)
     elif args.algo == "hits":
         from parallel_pagerank_ray.pipelines.hits import hits_bsp, hits_dataset
 
@@ -286,7 +296,7 @@ def main(argv: list[str] | None = None) -> int:
         "algo",
         choices=[
             "pagerank", "components", "labelprop", "triangles",
-            "kcore", "bfs", "hits",
+            "kcore", "bfs", "sssp", "hits",
         ],
     )
     add_io(run)

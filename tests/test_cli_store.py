@@ -319,3 +319,29 @@ def test_cli_weighted_pagerank_parquet_edges(tmp_path, graphs):
     )
     tr = oracle.pagerank_weighted(n, e, w, tol=1e-6)
     assert np.allclose(got, tr.ranks, atol=1e-9)
+
+
+def test_cli_sssp_weighted(tmp_path, graphs):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parallel_pagerank_ray import cli
+
+    n, e = graphs["medium"]
+    rng = np.random.default_rng(7)
+    w = rng.integers(1, 6, size=len(e)).astype(np.float64)
+    pq.write_table(
+        pa.table({"src": e[:, 0], "dst": e[:, 1], "w": w}),
+        tmp_path / "we.parquet",
+    )
+    wd = str(tmp_path / "out")
+    rc = cli.cmd_run(
+        cli_args(algo="sssp", edges=str(tmp_path / "we.parquet"),
+                 workdir=wd, sources="0")
+    )
+    assert rc == 0
+    df = pq.read_table(wd + "/sssp").to_pandas()
+    want = oracle.sssp_weighted(n, e, w.astype(np.int64), [0])
+    assert dict(zip(df["vid"], df["dist"])) == {
+        i: int(d) for i, d in enumerate(want) if d >= 0
+    }
