@@ -259,6 +259,18 @@ class Graph:
         """Reference semantics: N = max node id + 1 (csr_graph.c:27);
         ids not present in the file are isolated dangling vertices."""
         if dedup:
+            try:
+                weighted = "w" in (edges.schema().names or [])
+            except Exception:
+                weighted = False
+            if weighted:
+                # the (src, dst) dedup would silently DROP the weight
+                # column; a weighted table is the caller's final edge
+                # set (or needs an explicit weight-combining rule)
+                raise ValueError(
+                    "weighted edge table: pass dedup=False (the (src, "
+                    "dst) dedup would drop the w column)"
+                )
             edges = dedup_edges(edges)
         edges = edges.materialize()
         if edges.count() == 0:

@@ -378,3 +378,17 @@ def test_sssp_rejects_unweighted():
     g = _graph([(0, 1)], blocks=1)
     with pytest.raises(ValueError, match="weighted"):
         sssp_bsp(g, [0])
+
+
+def test_from_int_edges_rejects_weighted_dedup():
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    edges = rd.from_arrow(
+        pa.table({"src": [0], "dst": [1], "w": [2.0]})
+    )
+    with pytest.raises(ValueError, match="w column"):
+        Graph.from_int_edges(edges)  # dedup defaults True
+    g = Graph.from_int_edges(edges, dedup=False)
+    assert g.n == 2 and "w" in g.edges.schema().names
