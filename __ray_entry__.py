@@ -475,6 +475,19 @@ def q_bfs_copurchase(sf_dir: str) -> rd.Dataset:
     return bfs_distances_bsp(g, [0]).distances
 
 
+def q_closeness_copurchase(sf_dir: str) -> pa.Table:
+    """Closeness centrality (Wasserman–Faust) for a 3-seed landmark
+    panel over the undirected co-purchase graph. n_reached/sum_dist are
+    int64-exact BFS reductions; closeness is one IEEE division of
+    exact-integer operands — bit-reproducible at any parallelism."""
+    from parallel_pagerank_ray.pipelines.centrality import (
+        closeness_centrality_bsp,
+    )
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return closeness_centrality_bsp(g, [0, 1, 2]).table
+
+
 def q_sssp_weighted_copurchase(sf_dir: str) -> rd.Dataset:
     """Weighted shortest-path distances from part vid 0 over the
     symmetric weighted co-purchase graph (edge length = distinct-order
@@ -1067,6 +1080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_supplier_part": q_hits_supplier_part,
         "kcore_copurchase": q_kcore_copurchase,
         "bfs_copurchase": q_bfs_copurchase,
+        "closeness_copurchase": q_closeness_copurchase,
         "sssp_weighted_copurchase": q_sssp_weighted_copurchase,
         "degree_assortativity": q_degree_assortativity,
         "degree_histogram": q_degree_histogram,
@@ -1642,6 +1656,29 @@ def oracle_sql() -> dict[str, str]:
               )
             SELECT vid, CAST(min(d) AS BIGINT) AS dist
             FROM walk GROUP BY 1
+        """,
+        "closeness_copurchase": f"""
+            WITH RECURSIVE
+            {_supplier_part_vid_graph(_COPURCHASE_SQL)},
+              walk(s, vid, d) AS (
+                SELECT t.s, t.s, 0 FROM (VALUES (0), (1), (2)) t(s)
+                UNION
+                -- depth cap bounds the SQL row space only; it sits far
+                -- above the measured eccentricity (2-3), and a short cap
+                -- would change sums and FAIL the value check
+                SELECT w.s, u.dst, w.d + 1
+                FROM walk w JOIN und u ON u.src = w.vid
+                WHERE w.d < 8
+              ),
+              dmin AS (SELECT s, vid, min(d) AS d FROM walk GROUP BY 1, 2)
+            SELECT s AS source,
+                   CAST(count(*) AS BIGINT) AS n_reached,
+                   CAST(sum(d) AS BIGINT) AS sum_dist,
+                   CASE WHEN sum(d) > 0 THEN
+                     ((count(*) - 1.0) * (count(*) - 1.0))
+                     / (((SELECT n FROM nn) - 1.0) * sum(d))
+                   ELSE 0.0 END AS closeness
+            FROM dmin GROUP BY 1
         """,
         "sssp_weighted_copurchase": f"""
             WITH RECURSIVE

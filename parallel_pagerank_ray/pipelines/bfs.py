@@ -120,6 +120,44 @@ class _BFSShard:
             {"vid": self.base + reached, "dist": self.dist[reached]}
         )
 
+    def reset(self) -> None:
+        """Forget all distances (reuse the shard for another seed set —
+        the CSR build is the expensive part, the dist vector is not)."""
+        self.dist.fill(-1)
+        self.frontier = np.array([], dtype=np.int64)
+
+    def stats(self) -> tuple[int, int]:
+        """(n_reached, sum_of_distances) over the local slice — integer
+        partials for closeness centrality, O(1) wire size."""
+        reached = self.dist >= 0
+        return int(reached.sum()), int(self.dist[reached].sum())
+
+
+def _run_bfs_rounds(
+    actors: list, P: int, seed_arr: np.ndarray, max_depth: int
+) -> tuple[int, list[dict]]:
+    """Seed + expand/absorb rounds to fixpoint over an existing shard
+    pool. Shared by single-sweep BFS and the per-seed closeness loop
+    (which reuses the pool across seeds — the CSR build dominates, the
+    rounds are ~ms)."""
+    total = sum(ray.get([a.seed.remote(seed_arr) for a in actors]))
+    it = 0
+    history: list[dict] = [{"iter": 0, "reached": total}]
+    while total and it < max_depth:
+        it += 1
+        routed = ray.get([a.expand.remote() for a in actors])
+        inbox: list[list] = [[] for _ in range(P)]
+        for row in routed:
+            for p, ref in row:
+                inbox[p].append(ref)
+        total = sum(
+            ray.get([actors[p].absorb.remote(inbox[p], it) for p in range(P)])
+        )
+        history.append({"iter": it, "reached": total})
+    if total == 0:
+        it -= 1  # the final empty round reached nothing
+    return max(it, 0), history
+
 
 def bfs_distances_bsp(
     graph: Graph,
@@ -154,24 +192,9 @@ def bfs_distances_bsp(
         )
         for p in range(P)
     ]
-    total = sum(ray.get([a.seed.remote(src_arr) for a in actors]))
-    it = 0
-    history: list[dict] = [{"iter": 0, "reached": total}]
-    while total and it < max_depth:
-        it += 1
-        routed = ray.get([a.expand.remote() for a in actors])
-        inbox: list[list] = [[] for _ in range(P)]
-        for row in routed:
-            for p, ref in row:
-                inbox[p].append(ref)
-        total = sum(
-            ray.get([actors[p].absorb.remote(inbox[p], it) for p in range(P)])
-        )
-        history.append({"iter": it, "reached": total})
-    if total == 0:
-        it -= 1  # the final empty round reached nothing
+    it, history = _run_bfs_rounds(actors, P, src_arr, max_depth)
     tables = [a.slice_table.remote() for a in actors]
     ray.wait(tables, num_returns=len(tables))
     for a in actors:
         ray.kill(a)
-    return BFSRun(distances=rd.from_arrow_refs(tables), iterations=max(it, 0), history=history)
+    return BFSRun(distances=rd.from_arrow_refs(tables), iterations=it, history=history)

@@ -392,3 +392,71 @@ def test_from_int_edges_rejects_weighted_dedup():
         Graph.from_int_edges(edges)  # dedup defaults True
     g = Graph.from_int_edges(edges, dedup=False)
     assert g.n == 2 and "w" in g.edges.schema().names
+
+
+def _closeness_expected(n, e, sources, directed=False):
+    rows = []
+    for s in sources:
+        dist = oracle.bfs_distances(n, e, [s], directed=directed)
+        reached = dist[dist >= 0]
+        r, sd = int(len(reached)), int(reached.sum())
+        c = ((r - 1.0) * (r - 1.0)) / ((n - 1.0) * float(sd)) if sd > 0 else 0.0
+        rows.append((s, r, sd, c))
+    return rows
+
+
+def test_closeness_exact_fixtures(graphs):
+    from parallel_pagerank_ray.pipelines.centrality import closeness_centrality_bsp
+
+    for name in ("small", "medium", "two_comps", "dangling4"):
+        n, e = graphs[name]
+        g = _graph(e)
+        srcs = [0, min(2, n - 1)]
+        run = closeness_centrality_bsp(g, srcs, num_parts=3)
+        got = list(
+            zip(
+                run.table.column("source").to_pylist(),
+                run.table.column("n_reached").to_pylist(),
+                run.table.column("sum_dist").to_pylist(),
+                run.table.column("closeness").to_pylist(),
+            )
+        )
+        assert got == _closeness_expected(n, e, srcs), name
+
+
+def test_closeness_directed_isolated_seed():
+    # 1 -> 0: from 0 directed, nothing is reachable -> closeness 0.0
+    from parallel_pagerank_ray.pipelines.centrality import closeness_centrality_bsp
+
+    e = [(1, 0)]
+    g = _graph(e, blocks=1)
+    run = closeness_centrality_bsp(g, [0, 1], directed=True, num_parts=2)
+    got = list(
+        zip(
+            run.table.column("source").to_pylist(),
+            run.table.column("n_reached").to_pylist(),
+            run.table.column("sum_dist").to_pylist(),
+            run.table.column("closeness").to_pylist(),
+        )
+    )
+    assert got == _closeness_expected(g.n, np.array(e), [0, 1], directed=True)
+    assert got[0][1:] == (1, 0, 0.0)
+
+
+def test_closeness_powerlaw_vs_oracle():
+    from parallel_pagerank_ray.pipelines.centrality import closeness_centrality_bsp
+    from parallel_pagerank_ray.sources.pages import powerlaw_edges
+
+    e = powerlaw_edges(400, 3, seed=5)
+    g = _graph([tuple(r) for r in e])
+    srcs = [0, 7, 41]
+    run = closeness_centrality_bsp(g, srcs, num_parts=4)
+    got = list(
+        zip(
+            run.table.column("source").to_pylist(),
+            run.table.column("n_reached").to_pylist(),
+            run.table.column("sum_dist").to_pylist(),
+            run.table.column("closeness").to_pylist(),
+        )
+    )
+    assert got == _closeness_expected(g.n, e, srcs)
