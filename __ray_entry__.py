@@ -78,6 +78,35 @@ def q_pages_links(sf_dir: str) -> rd.Dataset:
     return links_from_pages(pages)
 
 
+def q_pages_anchors(sf_dir: str) -> rd.Dataset:
+    """Anchor-text table: one (src_url, dst_url, anchor) row per href,
+    the standard web-corpus side product of link extraction."""
+    from parallel_pagerank_ray.functions.extract import ExtractAnchors
+
+    pages, _ = _pages(sf_dir)
+    return pages.map_batches(ExtractAnchors(), batch_format="pyarrow")
+
+
+def q_anchor_stats(sf_dir: str) -> rd.Dataset:
+    """Per-target anchor rollup (how the anchor corpus is consumed at
+    scale): n_refs + lexical min/max anchor per dst_url. One bucketed
+    shuffle of pre-combined rows; anchors never concatenate."""
+    from parallel_pagerank_ray.functions.extract import ExtractAnchors
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    pages, _ = _pages(sf_dir)
+    anchors = pages.map_batches(ExtractAnchors(), batch_format="pyarrow")
+    return grouped_agg(
+        anchors,
+        ["dst_url"],
+        {
+            "n_refs": ("src_url", "count"),
+            "min_anchor": ("anchor", "min"),
+            "max_anchor": ("anchor", "max"),
+        },
+    )
+
+
 def q_link_edges(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.graph_build import links_from_pages
 
@@ -1061,6 +1090,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pages_extract_text": q_pages_extract_text,
         "pages_links": q_pages_links,
+        "pages_anchors": q_pages_anchors,
+        "anchor_stats": q_anchor_stats,
         "link_edges": q_link_edges,
         "pagerank_pages_top20": q_pagerank_pages_top20,
         "edges_supplier_part": q_edges_supplier_part,
@@ -1358,6 +1389,27 @@ def oracle_sql() -> dict[str, str]:
                    ((doc_id * 7 + k.range + 1) % (SELECT count(*) FROM documents))
                    AS dst_url
             FROM documents, range(3) k
+        """,
+        "pages_anchors": """
+            SELECT 'https://docs.example/p' || doc_id AS src_url,
+                   'https://docs.example/p' ||
+                   ((doc_id * 7 + k.range + 1) % (SELECT count(*) FROM documents))
+                   AS dst_url,
+                   'link ' || k.range AS anchor
+            FROM documents, range(3) k
+        """,
+        "anchor_stats": """
+            SELECT dst_url,
+                   CAST(count(*) AS BIGINT) AS n_refs,
+                   min(anchor) AS min_anchor,
+                   max(anchor) AS max_anchor
+            FROM (
+              SELECT 'https://docs.example/p' ||
+                     ((doc_id * 7 + k.range + 1) % (SELECT count(*) FROM documents))
+                     AS dst_url,
+                     'link ' || k.range AS anchor
+              FROM documents, range(3) k)
+            GROUP BY 1
         """,
         "link_edges": """
             SELECT DISTINCT

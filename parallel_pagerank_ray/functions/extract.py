@@ -28,6 +28,7 @@ class _Extractor(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.segments: list[str] = []
         self.hrefs: list[str] = []
+        self.anchors: list[tuple[str, int]] = []  # (href, segment index)
         self._stack: list[int] = []  # indexes into segments for open text tags
 
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
@@ -35,6 +36,8 @@ class _Extractor(HTMLParser):
             for k, v in attrs:
                 if k == "href" and v is not None:
                     self.hrefs.append(v)
+                    # the a-element's text segment is appended right below
+                    self.anchors.append((v, len(self.segments)))
         if tag in _TEXT_TAGS:
             self._stack.append(len(self.segments))
             self.segments.append("")
@@ -68,6 +71,15 @@ def normalize_url(base_url: str, href: str) -> str:
 def extract_links(url: str, html: str) -> list[str]:
     """Every href value in document order, absolutized + normalized."""
     return [normalize_url(url, h) for h in _parse(html).hrefs]
+
+
+def extract_anchors(url: str, html: str) -> list[tuple[str, str]]:
+    """(dst_url, anchor_text) per href in document order — the anchor
+    text is the a-element's own text content (nested text included).
+    Same normalization as ``extract_links``; same pure-function
+    determinism, so the distributed run is byte-identical per url."""
+    p = _parse(html)
+    return [(normalize_url(url, h), p.segments[i]) for h, i in p.anchors]
 
 
 def _as_str(v: bytes | str) -> str:
@@ -122,5 +134,32 @@ class ExtractLinks:
             {
                 "src_url": pa.array(src, type=pa.string()),
                 "dst_url": pa.array(dst, type=pa.string()),
+            }
+        )
+
+
+class ExtractAnchors:
+    """Flat-map stage: pages -> (src_url, dst_url, anchor) rows — the
+    anchor-text table, the standard web-corpus side product of link
+    extraction (anchor text is a first-class relevance signal). Same
+    1->k row explosion as ExtractLinks with the a-element text carried
+    along; html never crosses this stage."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        src: list[str] = []
+        dst: list[str] = []
+        txt: list[str] = []
+        for u, h in zip(urls, htmls):
+            for link, anchor in extract_anchors(u, _as_str(h)):
+                src.append(u)
+                dst.append(link)
+                txt.append(anchor)
+        return pa.table(
+            {
+                "src_url": pa.array(src, type=pa.string()),
+                "dst_url": pa.array(dst, type=pa.string()),
+                "anchor": pa.array(txt, type=pa.string()),
             }
         )
