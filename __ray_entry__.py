@@ -116,6 +116,52 @@ def q_link_edges(sf_dir: str) -> rd.Dataset:
     return distinct(links_from_pages(pages), ["src_url", "dst_url"])
 
 
+def q_host_edges(sf_dir: str) -> rd.Dataset:
+    """Host-level webgraph rollup (the Common-Crawl host-graph product):
+    one weighted edge per (src_host, dst_host) over an 11-host synthetic
+    corpus. Vectorized host projection + one bucketed count shuffle."""
+    from parallel_pagerank_ray.pipelines.graph_build import links_from_pages
+    from parallel_pagerank_ray.pipelines.host_graph import host_edges
+    from parallel_pagerank_ray.sources.docpages import pages_from_documents
+
+    pages, _ = pages_from_documents(sf_dir, links_per_page=3, hosts=11)
+    return host_edges(links_from_pages(pages))
+
+
+def q_pagerank_hosts_top10(sf_dir: str) -> pd.DataFrame:
+    """Weighted PageRank on the coarsened host graph (intra-host edges
+    dropped, weight = cross-host link count). Integer rank order like
+    the other pagerank queries."""
+    from parallel_pagerank_ray.pipelines.graph_build import links_from_pages
+    from parallel_pagerank_ray.pipelines.host_graph import host_graph
+    from parallel_pagerank_ray.pipelines.pagerank_actors import pagerank_bsp
+    from parallel_pagerank_ray.sources.docpages import pages_from_documents
+    from parallel_pagerank_ray.util import safe_join
+
+    pages, _ = pages_from_documents(sf_dir, links_per_page=3, hosts=11)
+    g = host_graph(links_from_pages(pages), drop_self=True)
+    run = pagerank_bsp(g, d=0.85, tol=1e-3, max_iters=100)
+    joined = safe_join(
+        run.ranks.select_columns(["vid", "rank"]),
+        g.vertices,
+        join_type="inner",
+        num_partitions=4,
+        on=("vid",),
+    )
+    top = (
+        joined.select_columns(["url", "rank"])
+        .sort(["rank", "url"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "pos": np.arange(1, len(top) + 1, dtype=np.int64),
+            "host": top["url"],
+        }
+    )
+
+
 def q_pagerank_pages_top20(sf_dir: str) -> pd.DataFrame:
     from parallel_pagerank_ray.pipelines.graph_build import Graph, links_from_pages
     from parallel_pagerank_ray.pipelines.pagerank import pagerank
@@ -1092,6 +1138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_links": q_pages_links,
         "pages_anchors": q_pages_anchors,
         "anchor_stats": q_anchor_stats,
+        "host_edges": q_host_edges,
+        "pagerank_hosts_top10": q_pagerank_hosts_top10,
         "link_edges": q_link_edges,
         "pagerank_pages_top20": q_pagerank_pages_top20,
         "edges_supplier_part": q_edges_supplier_part,
@@ -1410,6 +1458,63 @@ def oracle_sql() -> dict[str, str]:
                      'link ' || k.range AS anchor
               FROM documents, range(3) k)
             GROUP BY 1
+        """,
+        "host_edges": """
+            SELECT 'h' || (doc_id % 11) || '.docs.example' AS src_host,
+                   'h' || (((doc_id * 7 + k.range + 1)
+                            % (SELECT count(*) FROM documents)) % 11)
+                       || '.docs.example' AS dst_host,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM documents, range(3) k
+            GROUP BY 1, 2
+        """,
+        "pagerank_hosts_top10": """
+            WITH RECURSIVE
+              he AS MATERIALIZED (
+                SELECT src_host AS src, dst_host AS dst,
+                       CAST(count(*) AS DOUBLE) AS w
+                FROM (SELECT 'h' || (doc_id % 11) || '.docs.example'
+                             AS src_host,
+                             'h' || (((doc_id * 7 + k.range + 1)
+                                      % (SELECT count(*) FROM documents))
+                                     % 11) || '.docs.example' AS dst_host
+                      FROM documents, range(3) k)
+                WHERE src_host <> dst_host
+                GROUP BY 1, 2),
+              verts AS MATERIALIZED (
+                SELECT DISTINCT h FROM (SELECT src AS h FROM he
+                                        UNION ALL SELECT dst FROM he)),
+              nn AS MATERIALIZED (SELECT count(*) AS n FROM verts),
+              ow AS MATERIALIZED (SELECT src AS h,
+                                         CAST(sum(w) AS DOUBLE) AS tw
+                                  FROM he GROUP BY 1),
+              pr(it, h, rank, delta) AS (
+                SELECT 0, h, 1.0 / (SELECT n FROM nn), 1e308 FROM verts
+                UNION ALL
+                SELECT x.it + 1, x.h, x.nr, abs(x.nr - x.rank)
+                FROM (
+                  SELECT p.it, p.h, p.rank,
+                         0.85 * (coalesce(c.s, 0.0)
+                                 + (SELECT coalesce(sum(q.rank), 0.0)
+                                    FROM pr q
+                                    LEFT JOIN ow dq ON dq.h = q.h
+                                    WHERE dq.h IS NULL)
+                                   / (SELECT n FROM nn))
+                           + 0.15 / (SELECT n FROM nn) AS nr
+                  FROM pr p
+                  LEFT JOIN (SELECT ee.dst, sum(q.rank * ee.w / dg.tw) AS s
+                             FROM pr q
+                             JOIN he ee ON ee.src = q.h
+                             JOIN ow dg ON dg.h = q.h
+                             GROUP BY 1) c ON c.dst = p.h
+                  WHERE (SELECT max(q.delta) FROM pr q) > 1e-3
+                    AND (SELECT sum(q.delta) FROM pr q) >= 1e-3
+                ) x
+              ),
+              last AS (SELECT * FROM pr WHERE it = (SELECT max(it) FROM pr))
+            SELECT row_number() OVER (ORDER BY rank DESC, h) AS pos,
+                   h AS host
+            FROM last ORDER BY rank DESC, h LIMIT 10
         """,
         "link_edges": """
             SELECT DISTINCT

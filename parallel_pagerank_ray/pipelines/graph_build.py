@@ -130,7 +130,7 @@ def _default_join_partitions() -> int:
 _RESOLVE_CACHE: dict[str, tuple] = {}
 
 
-def _resolve_lookup(t: pa.Table, map_ref) -> pa.Table:
+def _resolve_lookup(t: pa.Table, map_ref, extra: tuple[str, ...] = ()) -> pa.Table:
     import ray
 
     key = map_ref.hex()
@@ -145,7 +145,12 @@ def _resolve_lookup(t: pa.Table, map_ref) -> pa.Table:
     s = index.get_indexer(t.column("src_url").to_pandas())
     d = index.get_indexer(t.column("dst_url").to_pandas())
     m = (s >= 0) & (d >= 0)  # inner-join semantics: drop unknown urls
-    return pa.table({"src": vids[s[m]], "dst": vids[d[m]]})
+    cols: dict = {"src": vids[s[m]], "dst": vids[d[m]]}
+    if extra:
+        mask = pa.array(m)
+        for c in extra:
+            cols[c] = t.column(c).combine_chunks().filter(mask)
+    return pa.table(cols)
 
 
 def resolve_edges(
@@ -153,6 +158,7 @@ def resolve_edges(
     vertices: rd.Dataset,
     num_partitions: int | None = None,
     broadcast_max: int = 5_000_000,
+    extra: tuple[str, ...] = (),
 ) -> rd.Dataset:
     """links (src_url, dst_url) ⋈ vertices twice -> int edges (src, dst).
 
@@ -161,6 +167,9 @@ def resolve_edges(
     via ray.put and every batch resolves with one hash lookup — no
     shuffle at all. The two hash joins remain the unbounded-n fallback
     (at 10^12 urls the map no longer broadcasts).
+
+    ``extra`` columns (e.g. an edge weight) ride through both paths
+    unchanged.
     """
     import functools
 
@@ -174,8 +183,10 @@ def resolve_edges(
             urls = tbl.column("url").to_pandas().to_numpy()
             vids = tbl.column("vid").to_numpy()
             map_ref = ray.put((urls, vids))
-            return links.select_columns(["src_url", "dst_url"]).map_batches(
-                functools.partial(_resolve_lookup, map_ref=map_ref),
+            return links.select_columns(
+                ["src_url", "dst_url", *extra]
+            ).map_batches(
+                functools.partial(_resolve_lookup, map_ref=map_ref, extra=extra),
                 batch_format="pyarrow",
             )
     if num_partitions is None:
@@ -188,7 +199,7 @@ def resolve_edges(
         on=("src_url",),
         right_on=("url",),
     ).rename_columns({"vid": "src"})
-    e = e.select_columns(["src", "dst_url"])
+    e = e.select_columns(["src", "dst_url", *extra])
     e = safe_join(
         e,
         vertices,
@@ -197,7 +208,7 @@ def resolve_edges(
         on=("dst_url",),
         right_on=("url",),
     ).rename_columns({"vid": "dst"})
-    return e.select_columns(["src", "dst"])
+    return e.select_columns(["src", "dst", *extra])
 
 
 def dedup_edges(edges: rd.Dataset, num_buckets: int | None = None) -> rd.Dataset:

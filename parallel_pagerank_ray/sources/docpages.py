@@ -26,13 +26,20 @@ BASE = "https://docs.example/p"
 EPOCH = _dt.datetime(2025, 12, 5, 0, 0, 0)
 
 
-def doc_url(doc_id: int) -> str:
+def doc_url(doc_id: int, hosts: int = 0) -> str:
+    """``hosts > 0`` shards the corpus over that many synthetic hosts
+    (``host = doc_id mod hosts`` — closed-form, oracle-reproducible);
+    0 keeps the single-host corpus."""
+    if hosts:
+        return f"https://h{doc_id % hosts}.docs.example/p{doc_id}"
     return f"{BASE}{doc_id}"
 
 
-def doc_html(doc_id: int, text: str, n_docs: int, links_per_page: int) -> str:
+def doc_html(
+    doc_id: int, text: str, n_docs: int, links_per_page: int, hosts: int = 0
+) -> str:
     anchors = "".join(
-        f'<a href="{doc_url((doc_id * 7 + j + 1) % n_docs)}">link {j}</a>\n'
+        f'<a href="{doc_url((doc_id * 7 + j + 1) % n_docs, hosts)}">link {j}</a>\n'
         for j in range(links_per_page)
     )
     return (
@@ -50,9 +57,10 @@ def expected_text(doc_id: int, text: str, links_per_page: int) -> str:
 
 
 class _MakePages:
-    def __init__(self, n_docs: int, links_per_page: int) -> None:
+    def __init__(self, n_docs: int, links_per_page: int, hosts: int = 0) -> None:
         self.n_docs = n_docs
         self.links = links_per_page
+        self.hosts = hosts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -60,14 +68,18 @@ class _MakePages:
         langs = batch.column("lang").to_pylist()
         return pa.table(
             {
-                "url": pa.array([doc_url(i) for i in ids], type=pa.string()),
+                "url": pa.array(
+                    [doc_url(i, self.hosts) for i in ids], type=pa.string()
+                ),
                 "warc_ts": pa.array(
                     [EPOCH + _dt.timedelta(seconds=int(i)) for i in ids],
                     type=pa.timestamp("us"),
                 ),
                 "html": pa.array(
                     [
-                        doc_html(i, t, self.n_docs, self.links).encode("utf-8")
+                        doc_html(
+                            i, t, self.n_docs, self.links, self.hosts
+                        ).encode("utf-8")
                         for i, t in zip(ids, texts)
                     ],
                     type=pa.binary(),
@@ -79,7 +91,7 @@ class _MakePages:
 
 
 def pages_from_documents(
-    sf_dir: str, links_per_page: int = 3
+    sf_dir: str, links_per_page: int = 3, hosts: int = 0
 ) -> tuple[rd.Dataset, int]:
     """documents.parquet -> pages Dataset; returns (pages, n_docs)."""
     import pyarrow.parquet as pq
@@ -89,6 +101,6 @@ def pages_from_documents(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
     pages = docs.map_batches(
-        _MakePages(n_docs, links_per_page), batch_format="pyarrow"
+        _MakePages(n_docs, links_per_page, hosts), batch_format="pyarrow"
     )
     return pages, n_docs

@@ -1,0 +1,98 @@
+"""Host-level graph coarsening: projection, rollup, weighted PageRank
+on the coarsened graph — all vs direct/NumPy oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from parallel_pagerank_ray import oracle
+from parallel_pagerank_ray.pipelines.host_graph import (
+    host_edges,
+    host_graph,
+    host_of,
+)
+
+LINKS = [
+    # (src_url, dst_url): 3 hosts, self- and cross-host links, dups
+    ("https://a.ex/p1", "https://b.ex/p9"),
+    ("https://a.ex/p1", "https://b.ex/p8"),
+    ("https://a.ex/p2", "https://a.ex/p1"),
+    ("https://b.ex/p9", "https://c.ex/"),
+    ("https://b.ex/p8", "https://c.ex/x"),
+    ("https://b.ex/p8", "https://a.ex/p2"),
+    ("https://c.ex/x", "https://a.ex/p1"),
+    ("https://c.ex/x", "https://a.ex/p2"),
+]
+
+
+def _links_ds(blocks=3):
+    t = pa.table(
+        {
+            "src_url": [s for s, _ in LINKS],
+            "dst_url": [d for _, d in LINKS],
+        }
+    )
+    return rd.from_arrow(t).repartition(blocks)
+
+
+def test_host_of_vectorized():
+    urls = pa.chunked_array(
+        [["https://a.ex/p/q", "http://b.ex", "https://c.ex/"]]
+    )
+    assert host_of(urls).to_pylist() == ["a.ex", "b.ex", "c.ex"]
+
+
+def _expected_host_counts(drop_self):
+    rows = [
+        (s.split("/")[2], d.split("/")[2]) for s, d in LINKS
+    ]
+    if drop_self:
+        rows = [r for r in rows if r[0] != r[1]]
+    return (
+        pd.DataFrame(rows, columns=["src_host", "dst_host"])
+        .groupby(["src_host", "dst_host"])
+        .size()
+        .reset_index(name="w")
+        .sort_values(["src_host", "dst_host"])
+        .reset_index(drop=True)
+    )
+
+
+def test_host_edges_rollup_exact():
+    for drop_self in (False, True):
+        got = (
+            host_edges(_links_ds(), drop_self=drop_self)
+            .to_pandas()
+            .sort_values(["src_host", "dst_host"])
+            .reset_index(drop=True)
+        )
+        want = _expected_host_counts(drop_self)
+        assert got["w"].dtype == np.int64
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_host_graph_weighted_pagerank_vs_oracle():
+    from parallel_pagerank_ray.pipelines.pagerank_actors import pagerank_bsp
+
+    g = host_graph(_links_ds(), drop_self=True)
+    verts = g.vertices.to_pandas()
+    host_by_vid = dict(zip(verts["vid"], verts["url"]))
+    assert g.n == 3 and len(host_by_vid) == 3
+
+    # oracle over the manually coarsened weighted graph, mapped to vids
+    want_edges = _expected_host_counts(drop_self=True)
+    vid_by_host = {h: v for v, h in host_by_vid.items()}
+    e = np.array(
+        [
+            (vid_by_host[s], vid_by_host[d])
+            for s, d in zip(want_edges["src_host"], want_edges["dst_host"])
+        ],
+        dtype=np.int64,
+    )
+    w = want_edges["w"].to_numpy().astype(np.float64)
+    run = pagerank_bsp(g, d=0.85, tol=1e-6, num_parts=2)
+    tr = oracle.pagerank_weighted(g.n, e, w, d=0.85, tol=1e-6)
+    got = run.ranks.to_pandas().sort_values("vid")["rank"].to_numpy()
+    assert np.allclose(got, tr.ranks, atol=1e-9)
+    assert run.iterations == tr.iterations
