@@ -65,15 +65,21 @@ class _KCoreShard:
             src = np.array([], dtype=np.int64)
             dst = np.array([], dtype=np.int64)
         # degree of local vertices over the closure = one bincount (the
-        # closure gives every shard ALL edges incident to its range)
+        # closure gives every shard ALL edges incident to its range;
+        # bincount is order-independent, so src need not be sorted)
         self.deg = np.bincount(src, minlength=self.size).astype(np.int64)
         # dst-sorted edge index: for a killed global vertex v, the edges
         # pointing at v are one searchsorted range; their sources lose a
         # degree. Each dst dies at most once -> each edge is touched at
-        # most once over the whole run.
-        order = np.argsort(dst, kind="stable")
-        self.dst_sorted = dst[order]
-        self.src_for_dst = src[order]
+        # most once over the whole run. The store is built with
+        # sort_by="dst", so chunks arrive already dst-sorted — argsort
+        # only as a defense against unordered refs.
+        if dst.size and not bool(np.all(dst[1:] >= dst[:-1])):
+            order = np.argsort(dst, kind="stable")
+            dst = dst[order]
+            src = src[order]
+        self.dst_sorted = dst
+        self.src_for_dst = src
         self.alive = np.ones(self.size, dtype=bool)
 
     def initial_kill(self):
@@ -147,7 +153,7 @@ def kcore_bsp(
 
         canon = _simple_undirected(graph.edges)
     und = undirected_edges(canon, dedup=False)
-    store = EdgeShardStore.build(und, n=n, num_parts=num_parts)
+    store = EdgeShardStore.build(und, n=n, num_parts=num_parts, sort_by="dst")
     del und, canon  # release closure blocks before shard init reads the store
     P = max(1, -(-n // store.part_size))
     per_actor = per_actor_cpus(P)
