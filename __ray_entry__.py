@@ -107,6 +107,20 @@ def q_anchor_stats(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_chunk_docs(sf_dir: str) -> rd.Dataset:
+    """Sliding-window chunking (size 120, overlap 20) over documents —
+    the context-window prep step: streaming flat-map, no shuffle,
+    (doc_id, k) chunk ids need no coordination."""
+    from parallel_pagerank_ray.functions.chunking import ChunkDocuments
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        ChunkDocuments(size=120, overlap=20), batch_format="pyarrow"
+    )
+
+
 def q_link_edges(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.graph_build import links_from_pages
 
@@ -1140,6 +1154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_stats": q_anchor_stats,
         "host_edges": q_host_edges,
         "pagerank_hosts_top10": q_pagerank_hosts_top10,
+        "chunk_docs": q_chunk_docs,
         "link_edges": q_link_edges,
         "pagerank_pages_top20": q_pagerank_pages_top20,
         "edges_supplier_part": q_edges_supplier_part,
@@ -1458,6 +1473,17 @@ def oracle_sql() -> dict[str, str]:
                      'link ' || k.range AS anchor
               FROM documents, range(3) k)
             GROUP BY 1
+        """,
+        "chunk_docs": """
+            SELECT doc_id, CAST(u.s.i AS BIGINT) AS chunk_id,
+                   u.s.c AS chunk
+            FROM (
+              SELECT doc_id,
+                     unnest([{'i': k, 'c': substr(text, 1 + k*100, 120)}
+                             for k in range(0, CAST(ceil(length(text)/100.0)
+                                                    AS INT))]) AS s
+              FROM documents
+            ) u
         """,
         "host_edges": """
             SELECT 'h' || (doc_id % 11) || '.docs.example' AS src_host,

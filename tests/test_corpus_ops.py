@@ -128,3 +128,87 @@ def test_repetition_stats_exact():
     assert out["total_line_chars"].tolist() == [10, 11, 0, 17]
     assert out["n_2grams"].tolist() == [6, 1, 0, 3]
     assert out["top_2gram_count"].tolist() == [2, 1, 0, 2]
+
+
+# ---------------------------------------------------------------------------
+# sliding-window chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_window_rule():
+    import pyarrow as pa
+
+    from parallel_pagerank_ray.functions.chunking import ChunkDocuments
+
+    t = pa.table({"doc_id": [1, 2, 3], "text": ["abcdefghij", "xy", ""]})
+    out = ChunkDocuments(size=8, overlap=4)(t)
+    rows = list(
+        zip(
+            out.column("doc_id").to_pylist(),
+            out.column("chunk_id").to_pylist(),
+            out.column("chunk").to_pylist(),
+        )
+    )
+    # stride 4: ceil(10/4)=3 windows; empty doc emits nothing
+    assert rows == [
+        (1, 0, "abcdefgh"),
+        (1, 1, "efghij"),
+        (1, 2, "ij"),
+        (2, 0, "xy"),
+    ]
+
+
+def test_chunk_documents_unicode_codepoints():
+    import pyarrow as pa
+
+    from parallel_pagerank_ray.functions.chunking import ChunkDocuments
+
+    text = "héllo wörld ünïcode"  # multibyte codepoints
+    t = pa.table({"doc_id": [0], "text": [text]})
+    out = ChunkDocuments(size=6, overlap=2)(t)
+    chunks = out.column("chunk").to_pylist()
+    assert chunks[0] == text[:6] and chunks[1] == text[4:10]
+    # every codepoint position appears at least once, in order
+    stitched = chunks[0] + "".join(c[2:] for c in chunks[1:])
+    assert stitched.startswith(text[: len(stitched)])
+
+
+def test_chunk_documents_validation():
+    import pytest
+
+    from parallel_pagerank_ray.functions.chunking import ChunkDocuments
+
+    with pytest.raises(ValueError):
+        ChunkDocuments(size=0)
+    with pytest.raises(ValueError):
+        ChunkDocuments(size=4, overlap=4)
+
+
+def test_chunk_documents_distributed_matches_single():
+    from parallel_pagerank_ray.functions.chunking import ChunkDocuments
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    got = (
+        docs.repartition(5)
+        .map_batches(ChunkDocuments(size=120, overlap=20), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    raw = docs.to_pandas()
+    rows = []
+    for i, t in zip(raw["doc_id"], raw["text"]):
+        k = 0
+        while k * 100 < len(t):
+            rows.append((i, k, t[k * 100 : k * 100 + 120]))
+            k += 1
+    want = (
+        pd.DataFrame(rows, columns=["doc_id", "chunk_id", "chunk"])
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    assert got.astype({"chunk_id": "int64"}).equals(want.astype({"chunk_id": "int64"}))
