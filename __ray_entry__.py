@@ -564,6 +564,19 @@ def q_bfs_copurchase(sf_dir: str) -> rd.Dataset:
     return bfs_distances_bsp(g, [0]).distances
 
 
+def q_random_walks_copurchase(sf_dir: str) -> rd.Dataset:
+    """Deterministic DeepWalk-style corpus: 4 hash-driven walks of 8
+    steps from each of 3 seeds over the undirected co-purchase graph.
+    Routed sparse exchange per step; value-exact vs a recursive-CTE
+    walk simulation (the mod-2^31-1 hash runs verbatim in SQL)."""
+    from parallel_pagerank_ray.pipelines.random_walk import random_walks_bsp
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return random_walks_bsp(
+        g, [0, 1, 2], walks_per_seed=4, length=8, edges_canonical=True
+    ).walks
+
+
 def q_closeness_copurchase(sf_dir: str) -> pa.Table:
     """Closeness centrality (Wasserman–Faust) for a 3-seed landmark
     panel over the undirected co-purchase graph. n_reached/sum_dist are
@@ -1175,6 +1188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_copurchase": q_kcore_copurchase,
         "bfs_copurchase": q_bfs_copurchase,
         "closeness_copurchase": q_closeness_copurchase,
+        "random_walks_copurchase": q_random_walks_copurchase,
         "sssp_weighted_copurchase": q_sssp_weighted_copurchase,
         "degree_assortativity": q_degree_assortativity,
         "degree_histogram": q_degree_histogram,
@@ -1434,6 +1448,49 @@ def _embed_docs_sql(dim: int = 8, seed: int = 1234) -> str:
         SELECT d.doc_id, {sums}
         FROM documents d LEFT JOIN th ON th.doc_id = d.doc_id
         GROUP BY d.doc_id
+    """
+
+
+def _random_walks_sql() -> str:
+    """Recursive-CTE simulation of pipelines/random_walk.py's normative
+    step rule. The hash is the engine's arithmetic verbatim (affine
+    chain + squaring mod 2^31-1; every product < 2^62 in BIGINT);
+    combining the (+ vid % p) and (+ salt) adds into one mod is
+    congruence-identical to the engine's two mods."""
+    from parallel_pagerank_ray.pipelines.random_walk import salt64
+
+    p = 2147483647
+    x = (
+        f"((((((wk.seed % {p}) * 1000151) % {p}"
+        f" + wk.widx * 31 + wk.step + 1) % {p}"
+        f" * 1000121) % {p}"
+        f" + (wk.vid % {p}) + {salt64('rw')}) % {p})"
+    )
+    h = f"(({x} * {x} + {x}) % {p})"
+    return f"""
+        WITH RECURSIVE
+        {_supplier_part_vid_graph(_COPURCHASE_SQL)},
+          adj AS MATERIALIZED (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+                     AS rn
+            FROM und),
+          dg AS MATERIALIZED (SELECT src, count(*) AS d FROM und
+                              GROUP BY 1),
+          walk(seed, widx, step, vid) AS (
+            SELECT s.s, w.range, 0, s.s
+            FROM (VALUES (0), (1), (2)) s(s), range(4) w
+            UNION ALL
+            SELECT wk.seed, wk.widx, wk.step + 1, a.dst
+            FROM walk wk
+            JOIN dg ON dg.src = wk.vid
+            JOIN adj a ON a.src = wk.vid
+             AND a.rn = {h} % dg.d
+            WHERE wk.step < 8
+          )
+        SELECT CAST(seed AS BIGINT) AS seed, CAST(widx AS BIGINT) AS widx,
+               CAST(step AS BIGINT) AS step, CAST(vid AS BIGINT) AS vid
+        FROM walk
     """
 
 
@@ -1840,6 +1897,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT vid, CAST(min(d) AS BIGINT) AS dist
             FROM walk GROUP BY 1
         """,
+        "random_walks_copurchase": _random_walks_sql(),
         "closeness_copurchase": f"""
             WITH RECURSIVE
             {_supplier_part_vid_graph(_COPURCHASE_SQL)},

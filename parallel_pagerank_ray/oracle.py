@@ -360,3 +360,55 @@ def sssp_weighted(
                 heapq.heappush(heap, (nd, v))
     dist[dist == INF] = -1
     return dist
+
+
+def random_walks(
+    n: int,
+    edges: np.ndarray,
+    seeds: list[int],
+    walks_per_seed: int,
+    length: int,
+    salt: str = "rw",
+    directed: bool = False,
+) -> list[tuple[int, int, int, int]]:
+    """Reference walk corpus: (seed, widx, step, vid) rows, step 0 =
+    seed. Pure-int reimplementation of the normative hash (independent
+    of the engine's vectorized kernel): affine chain + squaring mod
+    2^31-1 over (seed, widx, step, current vid); neighbor order = dst
+    ascending over the SIMPLE graph (undirected closure without self
+    loops, or distinct directed pairs)."""
+    import hashlib
+
+    p = (1 << 31) - 1
+    s64 = int.from_bytes(hashlib.md5(salt.encode("utf-8")).digest()[:8], "big") % p
+    e = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    adj: list[set] = [set() for _ in range(n)]
+    for u, v in e:
+        u, v = int(u), int(v)
+        if directed:
+            adj[u].add(v)
+        elif u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    nbrs = [sorted(a) for a in adj]
+
+    def h(seed: int, widx: int, step: int, vid: int) -> int:
+        x = (seed % p) * 1000151 % p
+        x = (x + widx * 31 + step) % p
+        x = x * 1000121 % p
+        x = (x + vid % p) % p
+        x = (x + s64) % p
+        return (x * x + x) % p
+
+    rows: list[tuple[int, int, int, int]] = []
+    for s in seeds:
+        for w in range(walks_per_seed):
+            v = int(s)
+            rows.append((int(s), w, 0, v))
+            for t in range(1, length + 1):
+                nb = nbrs[v]
+                if not nb:
+                    break
+                v = nb[h(int(s), w, t, v) % len(nb)]
+                rows.append((int(s), w, t, v))
+    return rows

@@ -87,14 +87,15 @@ class EdgeShardStore:
         edges: rd.Dataset,
         n: int,
         num_parts: int,
-        sort_by: str = "src",
+        sort_by: str | list[str] = "src",
     ) -> "EdgeShardStore":
         """Routing is ALWAYS by src part; ``sort_by`` only fixes the
         order WITHIN each part's concatenated chunks. "src" (default)
         yields the CSR layout the scatter stages binary-search;
         "dst" yields dst-sorted shards for consumers that index by
-        destination (k-core's decrement lookup) — same one all-to-all
-        sort either way, no per-shard re-sort afterwards."""
+        destination (k-core's decrement lookup); ["src", "dst"] yields
+        rank-indexable adjacency lists (random walks) — same one
+        all-to-all sort either way, no per-shard re-sort afterwards."""
         num_parts = max(1, num_parts)
         part_size = max(1, math.ceil(n / num_parts))
         sorted_edges = edges.sort(sort_by).materialize()
