@@ -578,10 +578,12 @@ def q_random_walks_copurchase(sf_dir: str) -> rd.Dataset:
 
 
 def q_closeness_copurchase(sf_dir: str) -> pa.Table:
-    """Closeness centrality (Wasserman–Faust) for a 3-seed landmark
-    panel over the undirected co-purchase graph. n_reached/sum_dist are
-    int64-exact BFS reductions; closeness is one IEEE division of
-    exact-integer operands — bit-reproducible at any parallelism."""
+    """Closeness centrality (Wasserman–Faust) + eccentricity for a
+    3-seed landmark panel over the undirected co-purchase graph (the
+    panel max of ecc is the standard pseudo-diameter lower bound).
+    n_reached/sum_dist/ecc are int64-exact BFS reductions; closeness is
+    one IEEE division of exact-integer operands — bit-reproducible at
+    any parallelism."""
     from parallel_pagerank_ray.pipelines.centrality import (
         closeness_centrality_bsp,
     )
@@ -1915,6 +1917,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT s AS source,
                    CAST(count(*) AS BIGINT) AS n_reached,
                    CAST(sum(d) AS BIGINT) AS sum_dist,
+                   CAST(max(d) AS BIGINT) AS ecc,
                    CASE WHEN sum(d) > 0 THEN
                      ((count(*) - 1.0) * (count(*) - 1.0))
                      / (((SELECT n FROM nn) - 1.0) * sum(d))

@@ -126,11 +126,17 @@ class _BFSShard:
         self.dist.fill(-1)
         self.frontier = np.array([], dtype=np.int64)
 
-    def stats(self) -> tuple[int, int]:
-        """(n_reached, sum_of_distances) over the local slice — integer
-        partials for closeness centrality, O(1) wire size."""
+    def stats(self) -> tuple[int, int, int]:
+        """(n_reached, sum_of_distances, max_distance) over the local
+        slice — integer partials for closeness/eccentricity, O(1) wire
+        size. max_distance is -1 when nothing local is reached."""
         reached = self.dist >= 0
-        return int(reached.sum()), int(self.dist[reached].sum())
+        n = int(reached.sum())
+        return (
+            n,
+            int(self.dist[reached].sum()),
+            int(self.dist[reached].max()) if n else -1,
+        )
 
 
 def _run_bfs_rounds(

@@ -54,9 +54,11 @@ def closeness_centrality_bsp(
     default, duplicate edges harmless — BFS is duplicate-invariant).
 
     Returns one row per source in input order: ``source, n_reached,
-    sum_dist`` (int64-exact) and ``closeness`` (0.0 for isolated
-    seeds). The result is O(|sources|) rows — a driver-side table, not
-    a Dataset.
+    sum_dist, ecc`` (int64-exact; ``ecc`` = eccentricity within the
+    reachable set, 0 for isolated seeds — the max over a seed panel is
+    the standard pseudo-diameter lower bound) and ``closeness`` (0.0
+    for isolated seeds). The result is O(|sources|) rows — a
+    driver-side table, not a Dataset.
     """
     n = graph.n
     if n == 0 or not sources:
@@ -66,6 +68,7 @@ def closeness_centrality_bsp(
                     "source": pa.array([], type=pa.int64()),
                     "n_reached": pa.array([], type=pa.int64()),
                     "sum_dist": pa.array([], type=pa.int64()),
+                    "ecc": pa.array([], type=pa.int64()),
                     "closeness": pa.array([], type=pa.float64()),
                 }
             )
@@ -87,20 +90,21 @@ def closeness_centrality_bsp(
         )
         for p in range(P)
     ]
-    rows: list[tuple[int, int, int, float]] = []
+    rows: list[tuple[int, int, int, int, float]] = []
     history: list[dict] = []
     for s in src_list:
         seed = np.array([s], dtype=np.int64)
         it, _ = _run_bfs_rounds(actors, P, seed, max_depth)
         parts = ray.get([a.stats.remote() for a in actors])
-        r = sum(c for c, _ in parts)
-        sum_d = sum(d for _, d in parts)
+        r = sum(c for c, _, _ in parts)
+        sum_d = sum(d for _, d, _ in parts)
+        ecc = max(m for _, _, m in parts)  # 0 for isolated seeds
         if sum_d > 0:
             # (r-1)^2 / ((n-1)*sum_d): exact-int operands, one division
             closeness = ((r - 1.0) * (r - 1.0)) / ((n - 1.0) * float(sum_d))
         else:
             closeness = 0.0
-        rows.append((s, r, sum_d, closeness))
+        rows.append((s, r, sum_d, ecc, closeness))
         history.append({"source": s, "iterations": it, "reached": r})
         ray.get([a.reset.remote() for a in actors])
     for a in actors:
@@ -111,7 +115,8 @@ def closeness_centrality_bsp(
                 "source": pa.array([r[0] for r in rows], type=pa.int64()),
                 "n_reached": pa.array([r[1] for r in rows], type=pa.int64()),
                 "sum_dist": pa.array([r[2] for r in rows], type=pa.int64()),
-                "closeness": pa.array([r[3] for r in rows], type=pa.float64()),
+                "ecc": pa.array([r[3] for r in rows], type=pa.int64()),
+                "closeness": pa.array([r[4] for r in rows], type=pa.float64()),
             }
         ),
         history=history,

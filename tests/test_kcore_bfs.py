@@ -400,8 +400,9 @@ def _closeness_expected(n, e, sources, directed=False):
         dist = oracle.bfs_distances(n, e, [s], directed=directed)
         reached = dist[dist >= 0]
         r, sd = int(len(reached)), int(reached.sum())
+        ecc = int(reached.max()) if r else -1
         c = ((r - 1.0) * (r - 1.0)) / ((n - 1.0) * float(sd)) if sd > 0 else 0.0
-        rows.append((s, r, sd, c))
+        rows.append((s, r, sd, ecc, c))
     return rows
 
 
@@ -418,6 +419,7 @@ def test_closeness_exact_fixtures(graphs):
                 run.table.column("source").to_pylist(),
                 run.table.column("n_reached").to_pylist(),
                 run.table.column("sum_dist").to_pylist(),
+                run.table.column("ecc").to_pylist(),
                 run.table.column("closeness").to_pylist(),
             )
         )
@@ -436,11 +438,12 @@ def test_closeness_directed_isolated_seed():
             run.table.column("source").to_pylist(),
             run.table.column("n_reached").to_pylist(),
             run.table.column("sum_dist").to_pylist(),
+            run.table.column("ecc").to_pylist(),
             run.table.column("closeness").to_pylist(),
         )
     )
     assert got == _closeness_expected(g.n, np.array(e), [0, 1], directed=True)
-    assert got[0][1:] == (1, 0, 0.0)
+    assert got[0][1:] == (1, 0, 0, 0.0)
 
 
 def test_closeness_powerlaw_vs_oracle():
@@ -456,6 +459,7 @@ def test_closeness_powerlaw_vs_oracle():
             run.table.column("source").to_pylist(),
             run.table.column("n_reached").to_pylist(),
             run.table.column("sum_dist").to_pylist(),
+            run.table.column("ecc").to_pylist(),
             run.table.column("closeness").to_pylist(),
         )
     )
