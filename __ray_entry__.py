@@ -564,6 +564,19 @@ def q_bfs_copurchase(sf_dir: str) -> rd.Dataset:
     return bfs_distances_bsp(g, [0]).distances
 
 
+def q_spcount_copurchase(sf_dir: str) -> rd.Dataset:
+    """Shortest-path counts (Brandes' forward pass) from a 3-seed panel
+    over the undirected co-purchase graph: (source, vid, dist, sigma).
+    Integer path counts -> exact at any parallelism; value-checked
+    against a level-synchronous recursive-CTE oracle."""
+    from parallel_pagerank_ray.pipelines.centrality import (
+        shortest_path_counts_bsp,
+    )
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return shortest_path_counts_bsp(g, [0, 1, 2]).counts
+
+
 def q_random_walks_copurchase(sf_dir: str) -> rd.Dataset:
     """Deterministic DeepWalk-style corpus: 4 hash-driven walks of 8
     steps from each of 3 seeds over the undirected co-purchase graph.
@@ -1191,6 +1204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_copurchase": q_bfs_copurchase,
         "closeness_copurchase": q_closeness_copurchase,
         "random_walks_copurchase": q_random_walks_copurchase,
+        "spcount_copurchase": q_spcount_copurchase,
         "sssp_weighted_copurchase": q_sssp_weighted_copurchase,
         "degree_assortativity": q_degree_assortativity,
         "degree_histogram": q_degree_histogram,
@@ -1900,6 +1914,40 @@ def oracle_sql() -> dict[str, str]:
             FROM walk GROUP BY 1
         """,
         "random_walks_copurchase": _random_walks_sql(),
+        "spcount_copurchase": f"""
+            WITH RECURSIVE
+            {_supplier_part_vid_graph(_COPURCHASE_SQL)},
+              walk(s, vid, d) AS (
+                SELECT t.s, t.s, 0 FROM (VALUES (0), (1), (2)) t(s)
+                UNION
+                -- depth cap bounds the SQL row space only (cap 8 >>
+                -- measured ecc 2-3; a short cap MISSES rows and FAILS)
+                SELECT w.s, u.dst, w.d + 1
+                FROM walk w JOIN und u ON u.src = w.vid
+                WHERE w.d < 8
+              ),
+              lvl AS MATERIALIZED (SELECT s, vid, min(d) AS d
+                                   FROM walk GROUP BY 1, 2),
+              -- level-synchronous sigma: the working table at step k is
+              -- exactly level k's rows, so the recursive aggregate sums
+              -- each vertex's shortest-path counts over its level-(k-1)
+              -- in-neighbors (Brandes' forward pass)
+              sp(s, vid, d, sigma) AS (
+                SELECT t.s, t.s, 0, CAST(1 AS BIGINT)
+                FROM (VALUES (0), (1), (2)) t(s)
+                UNION ALL
+                SELECT w.s, l.vid, w.d + 1,
+                       CAST(sum(w.sigma) AS BIGINT)
+                FROM sp w
+                JOIN und u ON u.src = w.vid
+                JOIN lvl l ON l.s = w.s AND l.vid = u.dst
+                 AND l.d = w.d + 1
+                GROUP BY w.s, l.vid, w.d + 1
+              )
+            SELECT CAST(s AS BIGINT) AS source, CAST(vid AS BIGINT) AS vid,
+                   CAST(d AS BIGINT) AS dist, sigma
+            FROM sp
+        """,
         "closeness_copurchase": f"""
             WITH RECURSIVE
             {_supplier_part_vid_graph(_COPURCHASE_SQL)},

@@ -412,3 +412,38 @@ def random_walks(
                 v = nb[h(int(s), w, t, v) % len(nb)]
                 rows.append((int(s), w, t, v))
     return rows
+
+
+def shortest_path_counts(
+    n: int, edges: np.ndarray, source: int, directed: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """(dist, sigma) from ``source`` over the SIMPLE graph: dist = hop
+    count (-1 unreachable), sigma = number of distinct shortest paths
+    (Brandes' forward pass, level-synchronous)."""
+    e = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    adj: list[set] = [set() for _ in range(n)]
+    for u, v in e:
+        u, v = int(u), int(v)
+        if directed:
+            adj[u].add(v)
+        elif u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    dist = np.full(n, -1, dtype=np.int64)
+    sigma = np.zeros(n, dtype=np.int64)
+    dist[source] = 0
+    sigma[source] = 1
+    frontier = [int(source)]
+    d = 0
+    while frontier:
+        d += 1
+        contrib: dict[int, int] = {}
+        for u in frontier:
+            for v in adj[u]:
+                if dist[v] < 0:
+                    contrib[v] = contrib.get(v, 0) + int(sigma[u])
+        frontier = sorted(contrib)
+        for v in frontier:
+            dist[v] = d
+            sigma[v] = contrib[v]
+    return dist, sigma

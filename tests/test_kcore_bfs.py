@@ -464,3 +464,66 @@ def test_closeness_powerlaw_vs_oracle():
         )
     )
     assert got == _closeness_expected(g.n, e, srcs)
+
+
+def _sigma_rows(run):
+    df = run.counts.to_pandas()
+    return sorted(
+        zip(
+            df["source"].tolist(),
+            df["vid"].tolist(),
+            df["dist"].tolist(),
+            df["sigma"].tolist(),
+        )
+    )
+
+
+def _sigma_expected(n, e, sources, directed=False):
+    rows = []
+    for s in sources:
+        dist, sigma = oracle.shortest_path_counts(n, e, s, directed=directed)
+        for v in range(n):
+            if dist[v] >= 0:
+                rows.append((s, v, int(dist[v]), int(sigma[v])))
+    return sorted(rows)
+
+
+def test_sigma_exact_fixtures(graphs):
+    from parallel_pagerank_ray.pipelines.centrality import (
+        shortest_path_counts_bsp,
+    )
+
+    for name in ("small", "medium", "two_comps"):
+        n, e = graphs[name]
+        g = _graph(e)
+        run = shortest_path_counts_bsp(g, [0, 1], num_parts=3)
+        assert _sigma_rows(run) == _sigma_expected(n, e, [0, 1]), name
+
+
+def test_sigma_diamond_multiplicity():
+    from parallel_pagerank_ray.pipelines.centrality import (
+        shortest_path_counts_bsp,
+    )
+
+    # 0->{1,2}->3->{4,5}->6: sigma(3)=2, sigma(6)=4
+    e = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (3, 5), (4, 6), (5, 6)]
+    g = _graph(e, blocks=1)
+    run = shortest_path_counts_bsp(g, [0], directed=True, num_parts=2)
+    rows = {v: (d, sg) for _, v, d, sg in _sigma_rows(run)}
+    assert rows[3] == (2, 2) and rows[6] == (4, 4)
+    assert _sigma_rows(run) == _sigma_expected(g.n, np.array(e), [0], directed=True)
+
+
+def test_sigma_powerlaw_vs_oracle():
+    from parallel_pagerank_ray.pipelines.centrality import (
+        shortest_path_counts_bsp,
+    )
+    from parallel_pagerank_ray.sources.pages import powerlaw_edges
+
+    e = powerlaw_edges(300, 3, seed=8)
+    g = _graph([tuple(r) for r in e])
+    for directed in (False, True):
+        run = shortest_path_counts_bsp(g, [0, 7], directed=directed, num_parts=4)
+        assert _sigma_rows(run) == _sigma_expected(
+            g.n, np.unique(e, axis=0), [0, 7], directed=directed
+        ), directed
