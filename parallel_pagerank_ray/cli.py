@@ -185,6 +185,50 @@ def cmd_run(args) -> int:
             "iterations": run.iterations, "secs": round(time.time() - t0, 3),
         }
         _write_result(run.distances, args.workdir, "sssp", metrics)
+    elif args.algo == "closeness":
+        from parallel_pagerank_ray.pipelines.centrality import (
+            closeness_centrality_bsp,
+        )
+
+        sources = [int(s) for s in args.sources.split(",")]
+        run = closeness_centrality_bsp(g, sources, directed=args.directed)
+        import ray.data as rd
+
+        metrics = {
+            "algo": "closeness", "engine": "bsp", "sources": sources,
+            "directed": args.directed, "history": run.history,
+            "secs": round(time.time() - t0, 3),
+        }
+        _write_result(rd.from_arrow(run.table), args.workdir, "closeness", metrics)
+    elif args.algo == "spcount":
+        from parallel_pagerank_ray.pipelines.centrality import (
+            shortest_path_counts_bsp,
+        )
+
+        sources = [int(s) for s in args.sources.split(",")]
+        run = shortest_path_counts_bsp(g, sources, directed=args.directed)
+        metrics = {
+            "algo": "spcount", "engine": "bsp", "sources": sources,
+            "directed": args.directed, "history": run.history,
+            "secs": round(time.time() - t0, 3),
+        }
+        _write_result(run.counts, args.workdir, "spcount", metrics)
+    elif args.algo == "walks":
+        from parallel_pagerank_ray.pipelines.random_walk import random_walks_bsp
+
+        sources = [int(s) for s in args.sources.split(",")]
+        run = random_walks_bsp(
+            g, sources, walks_per_seed=args.walks_per_seed,
+            length=args.walk_length, directed=args.directed, salt=args.salt,
+        )
+        metrics = {
+            "algo": "walks", "engine": "bsp", "sources": sources,
+            "walks_per_seed": args.walks_per_seed,
+            "length": args.walk_length, "salt": args.salt,
+            "directed": args.directed, "iterations": run.iterations,
+            "secs": round(time.time() - t0, 3),
+        }
+        _write_result(run.walks, args.workdir, "walks", metrics)
     elif args.algo == "hits":
         from parallel_pagerank_ray.pipelines.hits import hits_bsp, hits_dataset
 
@@ -296,16 +340,28 @@ def main(argv: list[str] | None = None) -> int:
         "algo",
         choices=[
             "pagerank", "components", "labelprop", "triangles",
-            "kcore", "bfs", "sssp", "hits",
+            "kcore", "bfs", "sssp", "hits", "closeness", "spcount",
+            "walks",
         ],
     )
     add_io(run)
     run.add_argument("--k", type=int, default=2, help="k for kcore")
     run.add_argument(
-        "--sources", default="0", help="comma-separated BFS source vids"
+        "--sources", default="0",
+        help="comma-separated source vids (bfs/sssp/closeness/spcount/walks)",
     )
     run.add_argument(
-        "--directed", action="store_true", help="BFS on directed edges"
+        "--directed", action="store_true",
+        help="walk the directed edges (bfs/closeness/spcount/walks)",
+    )
+    run.add_argument(
+        "--walks-per-seed", type=int, default=4, help="walks per source"
+    )
+    run.add_argument(
+        "--walk-length", type=int, default=8, help="steps per walk"
+    )
+    run.add_argument(
+        "--salt", default="rw", help="walk-hash salt (varies the corpus)"
     )
     run.add_argument(
         "--hits-iters", type=int, default=2,

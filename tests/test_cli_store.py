@@ -88,6 +88,7 @@ def cli_args(**kw):
         tol=1e-6, damping=0.85, max_iters=1000, engine="dataset",
         checkpoint=False, algo="pagerank", plots=False,
         k=2, sources="0", directed=False, hits_iters=2,
+        walks_per_seed=4, walk_length=8, salt="rw",
     )
     defaults.update(kw)
     return argparse.Namespace(**defaults)
@@ -345,3 +346,45 @@ def test_cli_sssp_weighted(tmp_path, graphs):
     assert dict(zip(df["vid"], df["dist"])) == {
         i: int(d) for i, d in enumerate(want) if d >= 0
     }
+
+
+def test_cli_closeness_spcount_walks(tmp_path, graphs):
+    import pyarrow.parquet as pq
+
+    from parallel_pagerank_ray import cli
+
+    n, e = graphs["medium"]
+    edge_file = tmp_path / "medium.txt"
+    edge_file.write_text("\n".join(f"{u} {v}" for u, v in e) + "\n")
+
+    wd = str(tmp_path / "cl")
+    assert cli.cmd_run(
+        cli_args(algo="closeness", edges=str(edge_file), workdir=wd, sources="0,2")
+    ) == 0
+    df = pq.read_table(wd + "/closeness").to_pandas().sort_values("source")
+    for _, row in df.iterrows():
+        dist = oracle.bfs_distances(n, np.array(e), [int(row["source"])])
+        reach = dist[dist >= 0]
+        assert (row["n_reached"], row["sum_dist"], row["ecc"]) == (
+            len(reach), int(reach.sum()), int(reach.max()),
+        )
+
+    wd = str(tmp_path / "sp")
+    assert cli.cmd_run(
+        cli_args(algo="spcount", edges=str(edge_file), workdir=wd, sources="0")
+    ) == 0
+    df = pq.read_table(wd + "/spcount").to_pandas().sort_values("vid")
+    dist, sigma = oracle.shortest_path_counts(n, np.array(e), 0)
+    got = dict(zip(df["vid"], zip(df["dist"], df["sigma"])))
+    want = {v: (int(dist[v]), int(sigma[v])) for v in range(n) if dist[v] >= 0}
+    assert {k: (int(a), int(b)) for k, (a, b) in got.items()} == want
+
+    wd = str(tmp_path / "wk")
+    assert cli.cmd_run(
+        cli_args(algo="walks", edges=str(edge_file), workdir=wd,
+                 sources="0,1", walks_per_seed=2, walk_length=5)
+    ) == 0
+    df = pq.read_table(wd + "/walks").to_pandas()
+    got = sorted(zip(df["seed"], df["widx"], df["step"], df["vid"]))
+    want = sorted(oracle.random_walks(n, np.array(e), [0, 1], 2, 5))
+    assert [(int(a), int(b), int(c), int(d)) for a, b, c, d in got] == want
