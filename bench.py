@@ -121,7 +121,14 @@ def bench_queries() -> dict[str, float]:
         "triangles_copurchase",
         "kcore_copurchase",
         "bfs_copurchase",
+        "closeness_copurchase",
+        "spcount_copurchase",
+        "random_walks_copurchase",
         "hits_supplier_part",
+        "host_edges",
+        "pagerank_hosts_top10",
+        "pages_anchors",
+        "chunk_docs",
         "degree_assortativity",
         "pagerank_weighted_top20",
         "labelprop_weighted_copurchase",
