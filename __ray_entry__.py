@@ -574,7 +574,7 @@ def q_spcount_copurchase(sf_dir: str) -> rd.Dataset:
     )
 
     g = _copurchase_graph(sf_dir, dedup=True)
-    return shortest_path_counts_bsp(g, [0, 1, 2]).counts
+    return shortest_path_counts_bsp(g, [0, 1, 2], edges_canonical=True).counts
 
 
 def q_random_walks_copurchase(sf_dir: str) -> rd.Dataset:
@@ -588,6 +588,24 @@ def q_random_walks_copurchase(sf_dir: str) -> rd.Dataset:
     return random_walks_bsp(
         g, [0, 1, 2], walks_per_seed=4, length=8, edges_canonical=True
     ).walks
+
+
+def q_random_walks_weighted_copurchase(sf_dir: str) -> rd.Dataset:
+    """Weighted random-walk corpus over the symmetric weighted
+    co-purchase graph (transition probability ∝ distinct-order count):
+    cumulative-weight hash pick, value-exact vs the recursive-CTE
+    simulation."""
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.random_walk import random_walks_bsp
+    from parallel_pagerank_ray.pipelines.relational import (
+        copurchase_weighted_edges,
+    )
+    from parallel_pagerank_ray.stages.agg import global_agg
+
+    edges = copurchase_weighted_edges(sf_dir).materialize()
+    m = global_agg(edges, {"ms": ("src", "max"), "md": ("dst", "max")})
+    g = Graph(n=int(max(m["ms"], m["md"])) + 1, edges=edges)
+    return random_walks_bsp(g, [0, 1, 2], walks_per_seed=4, length=6).walks
 
 
 def q_closeness_copurchase(sf_dir: str) -> pa.Table:
@@ -1204,6 +1222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_copurchase": q_bfs_copurchase,
         "closeness_copurchase": q_closeness_copurchase,
         "random_walks_copurchase": q_random_walks_copurchase,
+        "random_walks_weighted_copurchase": q_random_walks_weighted_copurchase,
         "spcount_copurchase": q_spcount_copurchase,
         "sssp_weighted_copurchase": q_sssp_weighted_copurchase,
         "degree_assortativity": q_degree_assortativity,
@@ -1467,12 +1486,14 @@ def _embed_docs_sql(dim: int = 8, seed: int = 1234) -> str:
     """
 
 
-def _random_walks_sql() -> str:
+def _random_walks_sql(weighted: bool = False) -> str:
     """Recursive-CTE simulation of pipelines/random_walk.py's normative
     step rule. The hash is the engine's arithmetic verbatim (affine
     chain + squaring mod 2^31-1; every product < 2^62 in BIGINT);
     combining the (+ vid % p) and (+ salt) adds into one mod is
-    congruence-identical to the engine's two mods."""
+    congruence-identical to the engine's two mods. ``weighted`` picks
+    by cumulative integer weight (r = H mod W(src) landing in the
+    neighbor's [cum-w, cum) slot) instead of by neighbor rank."""
     from parallel_pagerank_ray.pipelines.random_walk import salt64
 
     p = 2147483647
@@ -1483,8 +1504,29 @@ def _random_walks_sql() -> str:
         f" + (wk.vid % {p}) + {salt64('rw')}) % {p})"
     )
     h = f"(({x} * {x} + {x}) % {p})"
-    return f"""
-        WITH RECURSIVE
+    if weighted:
+        graph = """
+          we AS MATERIALIZED (
+            SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                   CAST(count(DISTINCT a.l_orderkey) AS BIGINT) AS w
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2),
+          und AS MATERIALIZED (SELECT src, dst, w FROM we
+                               UNION ALL SELECT dst, src, w FROM we),
+          adj AS MATERIALIZED (
+            SELECT src, dst, w,
+                   sum(w) OVER (PARTITION BY src ORDER BY dst
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+            FROM und),
+          dg AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS d
+                              FROM und GROUP BY 1)"""
+        pick = f"AND {h} % dg.d >= a.cum - a.w AND {h} % dg.d < a.cum"
+        cap = 6
+    else:
+        graph = f"""
         {_supplier_part_vid_graph(_COPURCHASE_SQL)},
           adj AS MATERIALIZED (
             SELECT src, dst,
@@ -1492,7 +1534,12 @@ def _random_walks_sql() -> str:
                      AS rn
             FROM und),
           dg AS MATERIALIZED (SELECT src, count(*) AS d FROM und
-                              GROUP BY 1),
+                              GROUP BY 1)"""
+        pick = f"AND a.rn = {h} % dg.d"
+        cap = 8
+    return f"""
+        WITH RECURSIVE
+        {graph},
           walk(seed, widx, step, vid) AS (
             SELECT s.s, w.range, 0, s.s
             FROM (VALUES (0), (1), (2)) s(s), range(4) w
@@ -1501,8 +1548,8 @@ def _random_walks_sql() -> str:
             FROM walk wk
             JOIN dg ON dg.src = wk.vid
             JOIN adj a ON a.src = wk.vid
-             AND a.rn = {h} % dg.d
-            WHERE wk.step < 8
+             {pick}
+            WHERE wk.step < {cap}
           )
         SELECT CAST(seed AS BIGINT) AS seed, CAST(widx AS BIGINT) AS widx,
                CAST(step AS BIGINT) AS step, CAST(vid AS BIGINT) AS vid
@@ -1914,6 +1961,7 @@ def oracle_sql() -> dict[str, str]:
             FROM walk GROUP BY 1
         """,
         "random_walks_copurchase": _random_walks_sql(),
+        "random_walks_weighted_copurchase": _random_walks_sql(weighted=True),
         "spcount_copurchase": f"""
             WITH RECURSIVE
             {_supplier_part_vid_graph(_COPURCHASE_SQL)},

@@ -124,6 +124,7 @@ def bench_queries() -> dict[str, float]:
         "closeness_copurchase",
         "spcount_copurchase",
         "random_walks_copurchase",
+        "random_walks_weighted_copurchase",
         "hits_supplier_part",
         "host_edges",
         "pagerank_hosts_top10",

@@ -447,3 +447,56 @@ def shortest_path_counts(
             dist[v] = d
             sigma[v] = contrib[v]
     return dist, sigma
+
+
+def random_walks_weighted(
+    n: int,
+    edges: np.ndarray,
+    weights: np.ndarray,
+    seeds: list[int],
+    walks_per_seed: int,
+    length: int,
+    salt: str = "rw",
+) -> list[tuple[int, int, int, int]]:
+    """Weighted walk corpus over a caller-FINAL edge set (already
+    simple; symmetric for undirected semantics): the walk draws
+    r = H mod W(v) and moves to the first dst-ascending neighbor whose
+    cumulative integer weight exceeds r (transition probability ∝ w)."""
+    import hashlib
+
+    p = (1 << 31) - 1
+    s64 = int.from_bytes(hashlib.md5(salt.encode("utf-8")).digest()[:8], "big") % p
+    e = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    wts = np.asarray(weights, dtype=np.int64)
+    adj: list[list[tuple[int, int]]] = [[] for _ in range(n)]
+    for (u, v), w in zip(e, wts):
+        adj[int(u)].append((int(v), int(w)))
+    nbrs = [sorted(a) for a in adj]
+
+    def h(seed: int, widx: int, step: int, vid: int) -> int:
+        x = (seed % p) * 1000151 % p
+        x = (x + widx * 31 + step) % p
+        x = x * 1000121 % p
+        x = (x + vid % p) % p
+        x = (x + s64) % p
+        return (x * x + x) % p
+
+    rows: list[tuple[int, int, int, int]] = []
+    for s in seeds:
+        for widx in range(walks_per_seed):
+            v = int(s)
+            rows.append((int(s), widx, 0, v))
+            for t in range(1, length + 1):
+                nb = nbrs[v]
+                if not nb:
+                    break
+                tot = sum(w for _, w in nb)
+                r = h(int(s), widx, t, v) % tot
+                cum = 0
+                for d, w in nb:
+                    cum += w
+                    if r < cum:
+                        v = d
+                        break
+                rows.append((int(s), widx, t, v))
+    return rows

@@ -163,12 +163,16 @@ def shortest_path_counts_bsp(
     directed: bool = False,
     num_parts: int | None = None,
     max_depth: int = 10_000,
+    edges_canonical: bool = False,
 ) -> SigmaRun:
     """Per-seed shortest-path counts (source, vid, dist, sigma) —
     Brandes' forward pass, the exact-integer core of betweenness
     centrality. One BFS-shaped sweep per seed over a shard pool built
     once; sigma is duplicate-SENSITIVE, so the undirected closure is
-    built from the deduplicated simple graph."""
+    built from the deduplicated simple graph. ``edges_canonical``
+    certifies the input is already simple (undirected: src < dst,
+    distinct, no self loops; directed: distinct pairs), skipping the
+    dedup shuffle."""
     import ray.data as rd
 
     n = graph.n
@@ -183,11 +187,15 @@ def shortest_path_counts_bsp(
     if directed:
         from parallel_pagerank_ray.pipelines.graph_build import dedup_edges
 
-        simple = dedup_edges(graph.edges)
+        simple = graph.edges if edges_canonical else dedup_edges(graph.edges)
     else:
-        from parallel_pagerank_ray.pipelines.triangles import _simple_undirected
+        if edges_canonical:
+            canon = graph.edges
+        else:
+            from parallel_pagerank_ray.pipelines.triangles import _simple_undirected
 
-        simple = undirected_edges(_simple_undirected(graph.edges), dedup=False)
+            canon = _simple_undirected(graph.edges)
+        simple = undirected_edges(canon, dedup=False)
     store = EdgeShardStore.build(simple, n=n, num_parts=num_parts)
     P = max(1, -(-n // store.part_size))
     per_actor = per_actor_cpus(P)

@@ -86,9 +86,15 @@ class _WalkShard:
             chunks = ray.get(part_refs)
             src = np.concatenate([c[0] for c in chunks]) - self.base
             dst = np.concatenate([c[1] for c in chunks])
+            w = (
+                np.concatenate([c[2] for c in chunks])
+                if len(chunks[0]) > 2
+                else None
+            )
         else:
             src = np.array([], dtype=np.int64)
             dst = np.array([], dtype=np.int64)
+            w = None
         # rank-indexable adjacency: (src, dst) lexicographic. The store
         # delivers it pre-sorted (sort_by=["src","dst"]); lexsort only
         # as a defense against unordered refs.
@@ -102,8 +108,25 @@ class _WalkShard:
             if not lex_ok:
                 order = np.lexsort((dst, src))
                 src, dst = src[order], dst[order]
+                if w is not None:
+                    w = w[order]
         self.dst = dst
         self.indptr = np.searchsorted(src, np.arange(self.size + 1, dtype=np.int64))
+        # weighted pick state: running int64 weight sum in (src, dst)
+        # order; a walk at v draws r = H mod W(v) and moves to the first
+        # neighbor whose cumulative weight exceeds r (probability ∝ w
+        # under a uniform draw, deterministic under the hash draw)
+        if w is not None:
+            wi = np.rint(w).astype(np.int64)
+            if not np.array_equal(wi.astype(np.float64), w) or (
+                wi.size and wi.min() <= 0
+            ):
+                raise ValueError(
+                    "weighted walks require positive integer edge weights"
+                )
+            self.cumw = np.cumsum(wi)
+        else:
+            self.cumw = None
         self._rows: list[tuple] = []
 
     def advance(self, refs: list, step: int, last: bool) -> list:
@@ -129,8 +152,17 @@ class _WalkShard:
             return []
         s, w = seed[alive], widx[alive]
         h = walk_hash(self.s64, s, w, step + 1, v[alive])
-        idx = (h % deg[alive].astype(np.uint64)).astype(np.int64)
-        nxt = self.dst[lo[alive] + idx]
+        lo_a = lo[alive]
+        if self.cumw is None:
+            idx = (h % deg[alive].astype(np.uint64)).astype(np.int64)
+            nxt = self.dst[lo_a + idx]
+        else:
+            hi_a = lo_a + deg[alive]
+            prev = np.where(lo_a > 0, self.cumw[lo_a - 1], 0)
+            tot = (self.cumw[hi_a - 1] - prev).astype(np.uint64)
+            r = (h % tot).astype(np.int64)
+            pos = np.searchsorted(self.cumw, prev + r, side="right")
+            nxt = self.dst[pos]
         owners = nxt // self.part_size
         order = np.argsort(owners, kind="stable")
         s, w, nxt, owners = s[order], w[order], nxt[order], owners[order]
@@ -185,7 +217,14 @@ def random_walks_bsp(
     """Hash-driven walks over the SIMPLE graph (rank-indexed neighbor
     pick requires distinct edges; the undirected closure is built
     dedup-free from a canonical src<dst table). ``edges_canonical``
-    certifies ``graph.edges`` is already that canonical table."""
+    certifies ``graph.edges`` is already that canonical table.
+
+    A ``w`` column (positive integer weights) switches the neighbor
+    pick to weighted: the walk draws r = H mod W(v) and moves to the
+    first dst-ascending neighbor whose cumulative weight exceeds r
+    (transition probability ∝ w under a uniform draw). A weighted
+    table is taken as the caller's FINAL edge set — already simple and,
+    for undirected semantics, already symmetric (mirrors sssp_bsp)."""
     n = graph.n
     if n == 0 or not seeds or walks_per_seed <= 0:
         return WalkRun(walks=rd.from_items([]), iterations=0)
@@ -197,7 +236,13 @@ def random_walks_bsp(
     if num_parts is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_parts = min(256, max(4, cpus))
-    if directed:
+    try:
+        weighted = "w" in (graph.edges.schema().names or [])
+    except Exception:
+        weighted = False
+    if weighted:
+        simple = graph.edges  # caller-final weighted edge set
+    elif directed:
         from parallel_pagerank_ray.pipelines.graph_build import dedup_edges
 
         simple = graph.edges if edges_canonical else dedup_edges(graph.edges)

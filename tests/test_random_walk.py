@@ -73,3 +73,44 @@ def test_walks_salt_changes_corpus():
     assert a != b
     assert a == sorted(oracle.random_walks(g.n, e, [0], 4, 6))
     assert b == sorted(oracle.random_walks(g.n, e, [0], 4, 6, salt="other"))
+
+
+def _weighted_ds(e, w, blocks=2):
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "src": np.array([a for a, _ in e], dtype=np.int64),
+            "dst": np.array([b for _, b in e], dtype=np.int64),
+            "w": np.array(w, dtype=np.int64),
+        }
+    )
+    return rd.from_arrow(t).repartition(blocks)
+
+
+def test_weighted_walks_vs_oracle():
+    # symmetric weighted triangle + pendant, skewed weights
+    canon = [(0, 1, 1), (0, 2, 10), (1, 2, 3), (2, 3, 5)]
+    e = [(a, b) for a, b, _ in canon] + [(b, a) for a, b, _ in canon]
+    w = [c for _, _, c in canon] * 2
+    g = Graph(n=4, edges=_weighted_ds([(a, b) for a, b in e], w).materialize())
+    run = random_walks_bsp(g, [0, 3], walks_per_seed=4, length=6, num_parts=3)
+    want = sorted(
+        oracle.random_walks_weighted(4, np.array(e), np.array(w), [0, 3], 4, 6)
+    )
+    assert _rows(run) == want
+    # weight bias sanity: from 0, the w=10 edge to 2 dominates the
+    # first hops across walks
+    first = [r for r in _rows(run) if r[0] == 0 and r[2] == 1]
+    assert sum(1 for r in first if r[3] == 2) >= len(first) / 2
+
+
+def test_weighted_walks_reject_bad_weights():
+    import pytest
+
+    canon = [(0, 1, 0)]  # zero weight -> invalid
+    e = [(0, 1)]
+    g = Graph(n=2, edges=_weighted_ds(e, [0], blocks=1).materialize())
+    with pytest.raises((ValueError, Exception)):
+        random_walks_bsp(g, [0], walks_per_seed=1, length=2, num_parts=2)
