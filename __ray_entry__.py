@@ -564,6 +564,16 @@ def q_bfs_copurchase(sf_dir: str) -> rd.Dataset:
     return bfs_distances_bsp(g, [0]).distances
 
 
+def q_local_clustering(sf_dir: str) -> rd.Dataset:
+    """Per-vertex triangle counts + local clustering coefficient over
+    the co-purchase graph: (vid, tri, deg, lcc). tri/deg int64-exact;
+    lcc is one IEEE division of exact-int operands."""
+    from parallel_pagerank_ray.pipelines.triangles import per_vertex_triangles
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return per_vertex_triangles(g, edges_simple=True)
+
+
 def q_spcount_copurchase(sf_dir: str) -> rd.Dataset:
     """Shortest-path counts (Brandes' forward pass) from a 3-seed panel
     over the undirected co-purchase graph: (source, vid, dist, sigma).
@@ -1224,6 +1234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks_copurchase": q_random_walks_copurchase,
         "random_walks_weighted_copurchase": q_random_walks_weighted_copurchase,
         "spcount_copurchase": q_spcount_copurchase,
+        "local_clustering": q_local_clustering,
         "sssp_weighted_copurchase": q_sssp_weighted_copurchase,
         "degree_assortativity": q_degree_assortativity,
         "degree_histogram": q_degree_histogram,
@@ -1962,6 +1973,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "random_walks_copurchase": _random_walks_sql(),
         "random_walks_weighted_copurchase": _random_walks_sql(weighted=True),
+        "local_clustering": f"""
+            WITH canon AS MATERIALIZED ({_COPURCHASE_SQL}),
+              tri3 AS MATERIALIZED (
+                SELECT t1.src AS a, t1.dst AS b, t2.dst AS c
+                FROM canon t1
+                JOIN canon t2 ON t2.src = t1.dst
+                JOIN canon t3 ON t3.src = t1.src AND t3.dst = t2.dst),
+              corners AS (
+                SELECT a AS vid FROM tri3
+                UNION ALL SELECT b FROM tri3
+                UNION ALL SELECT c FROM tri3),
+              tc AS (SELECT vid, CAST(count(*) AS BIGINT) AS tri
+                     FROM corners GROUP BY 1),
+              dg AS (SELECT vid, CAST(count(*) AS BIGINT) AS deg FROM (
+                       SELECT src AS vid FROM canon
+                       UNION ALL SELECT dst FROM canon) GROUP BY 1)
+            SELECT d.vid, CAST(coalesce(tc.tri, 0) AS BIGINT) AS tri,
+                   d.deg,
+                   CASE WHEN d.deg >= 2 THEN
+                     (2.0 * coalesce(tc.tri, 0)) / (d.deg * (d.deg - 1.0))
+                   ELSE 0.0 END AS lcc
+            FROM dg d LEFT JOIN tc ON tc.vid = d.vid
+        """,
         "spcount_copurchase": f"""
             WITH RECURSIVE
             {_supplier_part_vid_graph(_COPURCHASE_SQL)},

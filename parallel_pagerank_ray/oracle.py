@@ -500,3 +500,18 @@ def random_walks_weighted(
                         break
                 rows.append((int(s), widx, t, v))
     return rows
+
+
+def per_vertex_triangles(n: int, edges: np.ndarray) -> np.ndarray:
+    """int64 triangle count per vertex over the simple undirected
+    closure (each triangle credits all three corners)."""
+    adj = _undirected_adj(n, edges)
+    sets = [set(a.tolist()) for a in adj]
+    tri = np.zeros(n, dtype=np.int64)
+    for v in range(n):
+        nb = adj[v]
+        for i in range(len(nb)):
+            for j in range(i + 1, len(nb)):
+                if int(nb[j]) in sets[int(nb[i])]:
+                    tri[v] += 1
+    return tri

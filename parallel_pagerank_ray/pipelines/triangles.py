@@ -43,20 +43,23 @@ def _simple_undirected(edges: rd.Dataset) -> rd.Dataset:
 _pairs_within_groups = pairs_within_groups
 
 
-def triangle_count(
+def _prepare_oriented(
     graph: Graph,
-    num_partitions: int | None = None,
-    num_buckets: int | None = None,
-    edges_simple: bool = False,
-) -> int:
-    """``edges_simple=True`` certifies ``graph.edges`` is already the
-    simple undirected canonical form (src < dst, distinct, no self
-    loops) and skips the canonicalization dedup shuffle."""
+    num_partitions: int | None,
+    num_buckets: int | None,
+    edges_simple: bool,
+):
+    """Shared prelude of the triangle pipelines: canonical simple
+    closure, undirected degree table, compact-forward orientation.
+    Returns (und, deg, oriented, num_partitions, num_buckets)."""
     n = graph.n
-    if n == 0:
-        return 0
     if num_partitions is None:
-        num_partitions = max(2, min(64, n // 100_000 + 2))
+        # bound by cluster CPUs: join aggregators reserve resources, and
+        # more partitions than CPUs can wedge a small session
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(max(8, cpus), n // 100_000 + 2))
     und = (
         graph.edges if edges_simple else _simple_undirected(graph.edges)
     ).materialize()
@@ -143,6 +146,24 @@ def triangle_count(
             )
 
         oriented = e.map_batches(orient, batch_format="numpy").materialize()
+    return und, deg, oriented, num_partitions, num_buckets
+
+
+def triangle_count(
+    graph: Graph,
+    num_partitions: int | None = None,
+    num_buckets: int | None = None,
+    edges_simple: bool = False,
+) -> int:
+    """``edges_simple=True`` certifies ``graph.edges`` is already the
+    simple undirected canonical form (src < dst, distinct, no self
+    loops) and skips the canonicalization dedup shuffle."""
+    n = graph.n
+    if n == 0:
+        return 0
+    _, _, oriented, num_partitions, num_buckets = _prepare_oriented(
+        graph, num_partitions, num_buckets, edges_simple
+    )
     n_oriented = oriented.count()
 
     # Fast path: broadcast the oriented edge set (8 B/edge key, one
@@ -259,3 +280,167 @@ def triangle_count_doulion(
     sampled = triangle_count(g2, num_partitions=num_partitions, edges_simple=True)
     est = sampled * 100**3 // rate_pct**3
     return est, sampled
+
+
+def per_vertex_triangles(
+    graph: Graph,
+    num_partitions: int | None = None,
+    num_buckets: int | None = None,
+    edges_simple: bool = False,
+) -> rd.Dataset:
+    """Per-vertex triangle counts + local clustering coefficient:
+    (vid, tri, deg, lcc) for every vertex with degree >= 1.
+
+    Same compact-forward orientation as ``triangle_count``; each closed
+    wedge (center u, out-neighbors a < b) credits all three corners.
+    tri/deg are int64-exact; lcc = (2.0*tri) / (deg*(deg-1.0)) is one
+    IEEE division of exact-integer operands (0.0 for deg < 2) —
+    bit-reproducible at any parallelism.
+
+    Scale shape: the broadcast fast path ships the sorted oriented key
+    set once (8 B/edge, same 50M-edge bound as the count) and the
+    per-bucket output is pre-combined (vid, tri) rows, O(3*triangles)
+    before the final sum; the fallback routes wedge rows + edge marks
+    through one bucketed shuffle keyed on the closing pair.
+    """
+    n = graph.n
+    if n == 0:
+        return rd.from_items([])
+    und, deg, oriented, num_partitions, num_buckets = _prepare_oriented(
+        graph, num_partitions, num_buckets, edges_simple
+    )
+    n_oriented = oriented.count()
+    nb = np.int64(n)
+
+    if n < (1 << 31) and n_oriented <= 50_000_000:
+        import ray as _ray
+
+        key_parts = [
+            (blk.column("u").to_numpy().astype(np.int64) * nb
+             + blk.column("v").to_numpy().astype(np.int64))
+            for blk in _ray.get(oriented.to_arrow_refs())
+        ]
+        edge_keys = (
+            np.sort(np.concatenate(key_parts))
+            if key_parts
+            else np.array([], dtype=np.int64)
+        )
+        keys_ref = _ray.put(edge_keys)
+
+        def wedge_corners(g: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+            keys = _ray.get(keys_ref)
+            order = np.lexsort((g["v"], g["deg_v"], g["u"]))
+            u = g["u"][order]
+            v = g["v"][order]
+            idx = np.arange(len(u))
+            ia, ib = _pairs_within_groups((u, idx), idx)
+            empty = {
+                "vid": np.array([], dtype=np.int64),
+                "tri": np.array([], dtype=np.int64),
+            }
+            if len(ia) == 0 or len(keys) == 0:
+                return empty
+            a, b = v[ia], v[ib]
+            wk = a * nb + b
+            pos = np.searchsorted(keys, wk)
+            valid = pos < len(keys)
+            match = np.zeros(len(wk), dtype=bool)
+            match[valid] = keys[pos[valid]] == wk[valid]
+            if not match.any():
+                return empty
+            corners = np.concatenate([u[ia][match], a[match], b[match]])
+            ids, cnt = np.unique(corners, return_counts=True)
+            return {"vid": ids, "tri": cnt.astype(np.int64)}
+
+        tri_rows = oriented.groupby("bucket").map_groups(
+            wedge_corners, batch_format="numpy"
+        )
+    else:
+        # shuffle fallback: wedge rows carry their center; edge rows mark
+        # closing pairs; one bucketed exchange keyed on the pair
+        def wedges_c(g: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+            order = np.lexsort((g["v"], g["deg_v"], g["u"]))
+            u = g["u"][order]
+            v = g["v"][order]
+            idx = np.arange(len(u))
+            ia, ib = _pairs_within_groups((u, idx), idx)
+            a, b = v[ia], v[ib]
+            return {
+                "a": a,
+                "b": b,
+                "c": u[ia],
+                "is_edge": np.zeros(len(a), dtype=np.int64),
+                "pb": ((a % np.int64(2147483647)) * np.int64(1_000_151)
+                       + b % np.int64(2147483647)) % np.int64(num_buckets),
+            }
+
+        def edge_marks(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+            a, b = batch["u"], batch["v"]
+            return {
+                "a": a,
+                "b": b,
+                "c": np.full(len(a), -1, dtype=np.int64),
+                "is_edge": np.ones(len(a), dtype=np.int64),
+                "pb": ((a % np.int64(2147483647)) * np.int64(1_000_151)
+                       + b % np.int64(2147483647)) % np.int64(num_buckets),
+            }
+
+        closure = drop_empty_blocks(
+            oriented.groupby("bucket").map_groups(wedges_c, batch_format="numpy")
+        ).union(oriented.map_batches(edge_marks, batch_format="numpy"))
+
+        def corners_in_bucket(g: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+            key = g["a"] * nb + g["b"]
+            edge_keys = np.unique(key[g["is_edge"] == 1])
+            wm = (g["is_edge"] == 0) & np.isin(key, edge_keys)
+            empty = {
+                "vid": np.array([], dtype=np.int64),
+                "tri": np.array([], dtype=np.int64),
+            }
+            if not wm.any():
+                return empty
+            corners = np.concatenate([g["c"][wm], g["a"][wm], g["b"][wm]])
+            ids, cnt = np.unique(corners, return_counts=True)
+            return {"vid": ids, "tri": cnt.astype(np.int64)}
+
+        tri_rows = closure.groupby("pb").map_groups(
+            corners_in_bucket, batch_format="numpy"
+        )
+
+    # every deg>=1 vertex appears in the output (tri = 0 when it closes
+    # no wedge); final sum collapses the per-bucket partials
+    def zero_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": t.column("vid"),
+                "tri": pa.array(
+                    np.zeros(t.num_rows, dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    tri_all = grouped_agg(
+        drop_empty_blocks(tri_rows).union(
+            deg.map_batches(zero_rows, batch_format="pyarrow")
+        ),
+        ["vid"],
+        {"tri": ("tri", "sum")},
+        num_buckets=num_buckets,
+    )
+    joined = safe_join(
+        tri_all,
+        deg,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("vid",),
+    )
+
+    def finish(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        tri = batch["tri"].astype(np.int64)
+        d = batch["deg"].astype(np.int64)
+        lcc = np.zeros(len(d), dtype=np.float64)
+        m = d >= 2
+        lcc[m] = (2.0 * tri[m]) / (d[m] * (d[m] - 1.0))
+        return {"vid": batch["vid"], "tri": tri, "deg": d, "lcc": lcc}
+
+    return joined.map_batches(finish, batch_format="numpy")

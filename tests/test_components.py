@@ -181,3 +181,58 @@ def test_dataset_cc_tolerates_weighted_store():
     run = connected_components(g, num_parts=2)
     got = run.components.to_pandas().sort_values("vid")["comp"].tolist()
     assert got == [0, 0, 0, 3, 3]
+
+
+def _pvt_df(run):
+    return run.to_pandas().sort_values("vid").reset_index(drop=True)
+
+
+def test_per_vertex_triangles_exact(graphs):
+    from parallel_pagerank_ray.pipelines.triangles import per_vertex_triangles
+
+    for name in ("small", "medium", "two_comps"):
+        n, e = graphs[name]
+        g = Graph.from_int_edges(edges_dataset(e, num_blocks=2))
+        df = _pvt_df(per_vertex_triangles(g))
+        want_tri = oracle.per_vertex_triangles(n, e)
+        # undirected degree over the simple closure
+        deg = np.zeros(n, dtype=np.int64)
+        canon = set()
+        for u, v in np.asarray(e).reshape(-1, 2):
+            u, v = int(u), int(v)
+            if u != v:
+                canon.add((min(u, v), max(u, v)))
+        for u, v in canon:
+            deg[u] += 1
+            deg[v] += 1
+        keep = np.nonzero(deg >= 1)[0]
+        assert df["vid"].tolist() == keep.tolist(), name
+        assert df["tri"].tolist() == want_tri[keep].tolist(), name
+        assert df["deg"].tolist() == deg[keep].tolist(), name
+        for _, r in df.iterrows():
+            want = (
+                (2.0 * r["tri"]) / (r["deg"] * (r["deg"] - 1.0))
+                if r["deg"] >= 2
+                else 0.0
+            )
+            assert r["lcc"] == want, name
+        # global count parity: sum(tri) == 3 * triangle_count
+        from parallel_pagerank_ray.pipelines.triangles import triangle_count
+
+        assert df["tri"].sum() == 3 * triangle_count(g)
+
+
+def test_per_vertex_triangles_shuffle_fallback(graphs):
+    # force the non-broadcast path by shrinking the edge bound via a
+    # large synthetic n (key space >= 2^31 triggers the fallback)
+    from parallel_pagerank_ray.pipelines import triangles as T
+
+    n, e = graphs["medium"]
+    g = Graph.from_int_edges(edges_dataset(e, num_blocks=2))
+    g2 = Graph(n=1 << 31, edges=g.edges)  # same edges, huge id space
+    df = _pvt_df(T.per_vertex_triangles(g2, num_partitions=4, num_buckets=8))
+    want_tri = oracle.per_vertex_triangles(n, e)
+    got = dict(zip(df["vid"], df["tri"]))
+    for v, t in got.items():
+        assert t == want_tri[int(v)]
+    assert sum(got.values()) == want_tri.sum()
