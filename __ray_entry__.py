@@ -142,6 +142,17 @@ def q_host_edges(sf_dir: str) -> rd.Dataset:
     return host_edges(links_from_pages(pages))
 
 
+def q_host_crawl_stats(sf_dir: str) -> rd.Dataset:
+    """Pages per (host, capture minute) over the 11-host corpus — the
+    crawl-ops rollup, exercising the warc_ts timestamp column
+    (string-formatted on both sides per the timestamp policy)."""
+    from parallel_pagerank_ray.pipelines.host_graph import host_crawl_rollup
+    from parallel_pagerank_ray.sources.docpages import pages_from_documents
+
+    pages, _ = pages_from_documents(sf_dir, links_per_page=3, hosts=11)
+    return host_crawl_rollup(pages)
+
+
 def q_pagerank_hosts_top10(sf_dir: str) -> pd.DataFrame:
     """Weighted PageRank on the coarsened host graph (intra-host edges
     dropped, weight = cross-host link count). Integer rank order like
@@ -1209,6 +1220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_anchors": q_pages_anchors,
         "anchor_stats": q_anchor_stats,
         "host_edges": q_host_edges,
+        "host_crawl_stats": q_host_crawl_stats,
         "pagerank_hosts_top10": q_pagerank_hosts_top10,
         "chunk_docs": q_chunk_docs,
         "link_edges": q_link_edges,
@@ -1623,6 +1635,15 @@ def oracle_sql() -> dict[str, str]:
                        || '.docs.example' AS dst_host,
                    CAST(count(*) AS BIGINT) AS w
             FROM documents, range(3) k
+            GROUP BY 1, 2
+        """,
+        "host_crawl_stats": """
+            SELECT 'h' || (doc_id % 11) || '.docs.example' AS host,
+                   strftime(TIMESTAMP '2025-12-05 00:00:00'
+                            + to_seconds(doc_id), '%Y-%m-%d %H:%M')
+                     AS bucket_ts,
+                   CAST(count(*) AS BIGINT) AS n_pages
+            FROM documents
             GROUP BY 1, 2
         """,
         "pagerank_hosts_top10": """

@@ -128,6 +128,7 @@ def bench_queries() -> dict[str, float]:
         "random_walks_weighted_copurchase",
         "hits_supplier_part",
         "host_edges",
+        "host_crawl_stats",
         "pagerank_hosts_top10",
         "pages_anchors",
         "chunk_docs",

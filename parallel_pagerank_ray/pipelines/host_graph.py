@@ -75,6 +75,37 @@ def host_edges(
     )
 
 
+def host_crawl_rollup(
+    pages: rd.Dataset,
+    fmt: str = "%Y-%m-%d %H:%M",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Crawl-log rollup: pages per (host, capture window) —
+    (host, bucket_ts, n_pages). The window key is ``warc_ts`` formatted
+    with ``fmt`` (string timestamps on both sides per the float/ts
+    policy); projection is pure Arrow kernels, then one bucketed count
+    shuffle. The shape every crawl-ops dashboard needs at 100 TB: rows
+    after the map-side combine are one per (host, window) per batch."""
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": host_of(t.column("url")),
+                "bucket_ts": pc.strftime(t.column("warc_ts"), format=fmt),
+            }
+        )
+
+    keyed = pages.select_columns(["url", "warc_ts"]).map_batches(
+        project, batch_format="pyarrow"
+    )
+    return grouped_agg(
+        keyed,
+        ["host", "bucket_ts"],
+        {"n_pages": ("host", "count")},
+        num_buckets=num_buckets,
+    )
+
+
 def host_graph(links: rd.Dataset, drop_self: bool = True) -> Graph:
     """Build the weighted host ``Graph`` from page links. The vertex
     set is the union of hosts appearing in the (optionally
