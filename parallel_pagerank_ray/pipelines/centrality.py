@@ -49,6 +49,24 @@ class SigmaRun:
     history: list[dict] = field(default_factory=list)
 
 
+def _exact_group_sum(inv: np.ndarray, w: np.ndarray, size: int) -> np.ndarray:
+    """Exact int64 grouped sum (np.add.at — np.bincount(weights=...)
+    accumulates in float64 and silently rounds above 2^53). A float64
+    shadow sum guards magnitude: int64 wraparound is undetectable after
+    the fact, so raise while the approximation still shows the sum
+    approaching the headroom (2^61 leaves the shadow's ulp error
+    orders of magnitude below the threshold)."""
+    out = np.zeros(size, dtype=np.int64)
+    np.add.at(out, inv, w)
+    approx = np.bincount(inv, weights=w.astype(np.float64), minlength=size)
+    if approx.max(initial=0.0) > float(1 << 61):
+        raise OverflowError(
+            "shortest-path counts exceed int64 headroom; "
+            "the graph is too dense/deep for exact sigma"
+        )
+    return out
+
+
 @ray.remote
 class _SigmaShard:
     """BFS shard that also tracks sigma = number of distinct shortest
@@ -110,12 +128,7 @@ class _SigmaShard:
         dsts = self.dst_sorted[pos]
         w = np.repeat(self.sigma[f], lens)
         ids, inv = np.unique(dsts, return_inverse=True)
-        contribs = np.bincount(inv, weights=w).astype(np.int64)
-        if contribs.max(initial=0) > (1 << 62):
-            raise OverflowError(
-                "shortest-path counts exceed int64 headroom; "
-                "the graph is too dense/deep for exact sigma"
-            )
+        contribs = _exact_group_sum(inv, w, len(ids))
         owners = ids // self.part_size  # sorted, since ids is sorted
         uniq = np.unique(owners)
         bounds = np.searchsorted(owners, uniq, "left").tolist() + [len(ids)]
@@ -137,7 +150,7 @@ class _SigmaShard:
         ids = np.concatenate([c[0] for c in got]) - self.base
         contribs = np.concatenate([c[1] for c in got])
         u, inv = np.unique(ids, return_inverse=True)
-        sums = np.bincount(inv, weights=contribs).astype(np.int64)
+        sums = _exact_group_sum(inv, contribs, len(u))
         fresh_m = self.dist[u] < 0
         fresh = u[fresh_m]
         self.dist[fresh] = depth

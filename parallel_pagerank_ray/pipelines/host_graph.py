@@ -30,10 +30,13 @@ from parallel_pagerank_ray.stages.agg import grouped_agg
 
 
 def host_of(urls: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
-    """Vectorized url -> host: the authority component of an
-    ``scheme://host/path`` url (element 2 of the '/'-split — empty
-    string for urls without an authority part). Arrow kernels only."""
-    return pc.list_element(pc.split_pattern(urls, "/"), 2)
+    """Vectorized url -> host: the authority component of a
+    ``scheme://host/path`` url; empty string for urls without an
+    authority part (mailto:, javascript:, tel:, relative refs — link
+    extraction passes non-hierarchical hrefs through verbatim, so real
+    crawl link tables contain them). Arrow kernels only."""
+    ex = pc.extract_regex(urls, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<host>[^/]*)")
+    return pc.fill_null(pc.struct_field(ex, "host"), "")
 
 
 def host_links(links: rd.Dataset) -> rd.Dataset:

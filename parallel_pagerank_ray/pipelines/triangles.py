@@ -390,7 +390,13 @@ def per_vertex_triangles(
         ).union(oriented.map_batches(edge_marks, batch_format="numpy"))
 
         def corners_in_bucket(g: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
-            key = g["a"] * nb + g["b"]
+            # bucket-LOCAL dense codes: a global a*n+b key wraps int64
+            # for n > ~2^32, which is exactly the regime this fallback
+            # serves; local ids keep the pair key < |bucket vocab|^2
+            vals = np.unique(np.concatenate([g["a"], g["b"]]))
+            la = np.searchsorted(vals, g["a"]).astype(np.int64)
+            lb = np.searchsorted(vals, g["b"]).astype(np.int64)
+            key = la * np.int64(len(vals)) + lb
             edge_keys = np.unique(key[g["is_edge"] == 1])
             wm = (g["is_edge"] == 0) & np.isin(key, edge_keys)
             empty = {

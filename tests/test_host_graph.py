@@ -43,6 +43,16 @@ def test_host_of_vectorized():
     assert host_of(urls).to_pylist() == ["a.ex", "b.ex", "c.ex"]
 
 
+def test_host_of_non_hierarchical_urls():
+    # link extraction passes mailto:/javascript:/relative hrefs through;
+    # the host projection must map them to "" instead of crashing
+    urls = pa.chunked_array(
+        [["mailto:a@b.ex", "javascript:void(0)", "tel:+1555",
+          "/relative/path", "", "ftp://files.ex/x"]]
+    )
+    assert host_of(urls).to_pylist() == ["", "", "", "", "", "files.ex"]
+
+
 def _expected_host_counts(drop_self):
     rows = [
         (s.split("/")[2], d.split("/")[2]) for s, d in LINKS
