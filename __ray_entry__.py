@@ -598,6 +598,19 @@ def q_spcount_copurchase(sf_dir: str) -> rd.Dataset:
     return shortest_path_counts_bsp(g, [0, 1, 2], edges_canonical=True).counts
 
 
+def q_betweenness_copurchase(sf_dir: str) -> rd.Dataset:
+    """Brandes betweenness from a 3-seed panel over the undirected
+    co-purchase graph: (vid, btw) nonzero dependency sums. Float
+    dependency accumulation is iterative and not bit-reproducible in
+    SQL (the one class exempted from the value gate) — values are
+    allclose-checked against the NumPy Brandes oracle in pytest,
+    including a full-panel exact-betweenness fixture."""
+    from parallel_pagerank_ray.pipelines.centrality import betweenness_bsp
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return betweenness_bsp(g, [0, 1, 2], edges_canonical=True).scores
+
+
 def q_random_walks_copurchase(sf_dir: str) -> rd.Dataset:
     """Deterministic DeepWalk-style corpus: 4 hash-driven walks of 8
     steps from each of 3 seeds over the undirected co-purchase graph.
@@ -1246,6 +1259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks_copurchase": q_random_walks_copurchase,
         "random_walks_weighted_copurchase": q_random_walks_weighted_copurchase,
         "spcount_copurchase": q_spcount_copurchase,
+        "betweenness_copurchase": q_betweenness_copurchase,
         "local_clustering": q_local_clustering,
         "sssp_weighted_copurchase": q_sssp_weighted_copurchase,
         "degree_assortativity": q_degree_assortativity,

@@ -123,6 +123,7 @@ def bench_queries() -> dict[str, float]:
         "bfs_copurchase",
         "closeness_copurchase",
         "spcount_copurchase",
+        "betweenness_copurchase",
         "local_clustering",
         "random_walks_copurchase",
         "random_walks_weighted_copurchase",

@@ -200,6 +200,16 @@ def cmd_run(args) -> int:
             "secs": round(time.time() - t0, 3),
         }
         _write_result(rd.from_arrow(run.table), args.workdir, "closeness", metrics)
+    elif args.algo == "betweenness":
+        from parallel_pagerank_ray.pipelines.centrality import betweenness_bsp
+
+        sources = [int(s) for s in args.sources.split(",")]
+        run = betweenness_bsp(g, sources)
+        metrics = {
+            "algo": "betweenness", "engine": "bsp", "sources": sources,
+            "history": run.history, "secs": round(time.time() - t0, 3),
+        }
+        _write_result(run.scores, args.workdir, "betweenness", metrics)
     elif args.algo == "spcount":
         from parallel_pagerank_ray.pipelines.centrality import (
             shortest_path_counts_bsp,
@@ -341,7 +351,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "pagerank", "components", "labelprop", "triangles",
             "kcore", "bfs", "sssp", "hits", "closeness", "spcount",
-            "walks",
+            "betweenness", "walks",
         ],
     )
     add_io(run)

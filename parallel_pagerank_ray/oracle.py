@@ -515,3 +515,41 @@ def per_vertex_triangles(n: int, edges: np.ndarray) -> np.ndarray:
                 if int(nb[j]) in sets[int(nb[i])]:
                     tri[v] += 1
     return tri
+
+
+def betweenness_from_sources(
+    n: int, edges: np.ndarray, sources: list[int], divide_pairs: bool = True
+) -> np.ndarray:
+    """Brandes betweenness dependency sums from a seed panel over the
+    simple undirected closure (sources=range(n) gives the exact
+    measure). ``divide_pairs`` applies the undirected halving."""
+    adj = _undirected_adj(n, edges)
+    btw = np.zeros(n, dtype=np.float64)
+    for s in sources:
+        dist = np.full(n, -1, dtype=np.int64)
+        sigma = np.zeros(n, dtype=np.int64)
+        dist[s] = 0
+        sigma[s] = 1
+        frontier = [int(s)]
+        order: list[int] = []
+        d = 0
+        while frontier:
+            order.extend(frontier)
+            d += 1
+            contrib: dict[int, int] = {}
+            for u in frontier:
+                for v in adj[u]:
+                    if dist[v] < 0:
+                        contrib[v] = contrib.get(v, 0) + int(sigma[u])
+            frontier = sorted(contrib)
+            for v in frontier:
+                dist[v] = d
+                sigma[v] = contrib[v]
+        delta = np.zeros(n, dtype=np.float64)
+        for w in reversed(order):
+            for u in adj[w]:
+                if dist[u] == dist[w] - 1:
+                    delta[u] += sigma[u] / sigma[w] * (1.0 + delta[w])
+        delta[s] = 0.0
+        btw += delta
+    return btw / 2.0 if divide_pairs else btw

@@ -67,8 +67,7 @@ def _exact_group_sum(inv: np.ndarray, w: np.ndarray, size: int) -> np.ndarray:
     return out
 
 
-@ray.remote
-class _SigmaShard:
+class _SigmaShardBase:
     """BFS shard that also tracks sigma = number of distinct shortest
     paths from the seed (Brandes' forward pass). Level-synchronous:
     every vertex reached at depth d receives sigma = sum of the sigmas
@@ -168,6 +167,9 @@ class _SigmaShard:
                 "sigma": self.sigma[reached],
             }
         )
+
+
+_SigmaShard = ray.remote(_SigmaShardBase)
 
 
 def shortest_path_counts_bsp(
@@ -320,3 +322,168 @@ def closeness_centrality_bsp(
         ),
         history=history,
     )
+
+
+@dataclass
+class BetweennessRun:
+    scores: "object"  # Dataset (vid, btw) — nonzero dependency sums
+    history: list[dict] = field(default_factory=list)
+
+
+class _BrandesShardBase(_SigmaShardBase):
+    """Sigma shard + Brandes' backward dependency pass. The undirected
+    closure makes the forward CSR its own reverse adjacency, so the
+    backward pass reuses it: level-d vertices send
+    term = (1 + delta(v)) / sigma(v) to their neighbors, and each owner
+    adds sigma(u) * sum(terms) to the u's at level d-1 (the
+    predecessor filter happens owner-side where dist(u) is known).
+    Float dependency sums are deterministic for a fixed partitioning
+    (fixed CSR order + shard-ordered absorb); across partitionings they
+    agree to ~1e-12 relative — betweenness is NOT in the bit-exact
+    family, hence a rows-only gate with allclose pytest oracles."""
+
+    def bwd_init(self) -> int:
+        self.delta = np.zeros(self.size, dtype=np.float64)
+        if not hasattr(self, "btw"):
+            self.btw = np.zeros(self.size, dtype=np.float64)
+        return int(self.dist.max(initial=-1))
+
+    def bwd_expand(self, d: int) -> list:
+        f = np.nonzero(self.dist == d)[0]
+        if len(f) == 0:
+            return []
+        lens = self.indptr[f + 1] - self.indptr[f]
+        m = lens > 0
+        f, lens = f[m], lens[m]
+        if len(f) == 0:
+            return []
+        starts = self.indptr[f]
+        csum = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos = (
+            np.arange(int(lens.sum())) - np.repeat(csum, lens) + np.repeat(starts, lens)
+        )
+        dsts = self.dst_sorted[pos]
+        terms = np.repeat(
+            (1.0 + self.delta[f]) / self.sigma[f].astype(np.float64), lens
+        )
+        ids, inv = np.unique(dsts, return_inverse=True)
+        tsum = np.zeros(len(ids), dtype=np.float64)
+        np.add.at(tsum, inv, terms)
+        owners = ids // self.part_size  # sorted, since ids is sorted
+        uniq = np.unique(owners)
+        bounds = np.searchsorted(owners, uniq, "left").tolist() + [len(ids)]
+        return [
+            (
+                int(p),
+                ray.put(
+                    (ids[bounds[i] : bounds[i + 1]], tsum[bounds[i] : bounds[i + 1]])
+                ),
+            )
+            for i, p in enumerate(uniq)
+        ]
+
+    def bwd_absorb(self, refs: list, d: int) -> int:
+        got = [c for c in ray.get(list(refs)) if len(c[0])]
+        if not got:
+            return 0
+        ids = np.concatenate([c[0] for c in got]) - self.base
+        terms = np.concatenate([c[1] for c in got])
+        u, inv = np.unique(ids, return_inverse=True)
+        tsum = np.zeros(len(u), dtype=np.float64)
+        np.add.at(tsum, inv, terms)
+        m = self.dist[u] == d - 1  # predecessor filter
+        sel = u[m]
+        self.delta[sel] += self.sigma[sel].astype(np.float64) * tsum[m]
+        return int(len(sel))
+
+    def accumulate_and_reset(self, seed: int) -> None:
+        """Fold this seed's dependencies into the running totals
+        (excluding the seed itself, per Brandes) and clear sweep state."""
+        local_seed = seed - self.base
+        if 0 <= local_seed < self.size:
+            self.delta[local_seed] = 0.0
+        self.btw += self.delta
+        self.reset()
+
+    def btw_rows(self, half: bool):
+        nz = np.nonzero(self.btw != 0.0)[0]
+        vals = self.btw[nz]
+        if half:
+            vals = vals / 2.0
+        return pa.table({"vid": self.base + nz, "btw": vals})
+
+
+_BrandesShard = ray.remote(_BrandesShardBase)
+
+
+def betweenness_bsp(
+    graph: Graph,
+    sources: list[int],
+    num_parts: int | None = None,
+    max_depth: int = 10_000,
+    edges_canonical: bool = False,
+    divide_pairs: bool = True,
+) -> BetweennessRun:
+    """Brandes betweenness from a seed panel over the UNDIRECTED simple
+    closure (sampled-source betweenness — the standard web-scale
+    estimator; sources=all vertices gives the exact measure). Forward
+    sigma sweep + backward dependency sweep per seed on one shard pool.
+    ``divide_pairs`` halves the sums (each unordered pair is counted
+    from both endpoints when the seed panel covers them — the standard
+    undirected convention)."""
+    import ray.data as rd
+
+    n = graph.n
+    if n == 0 or not sources:
+        return BetweennessRun(scores=rd.from_items([]))
+    src_list = [int(s) for s in sources]
+    if min(src_list) < 0 or max(src_list) >= n:
+        raise ValueError(f"source vid out of range [0, {n})")
+    if num_parts is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_parts = min(256, max(4, cpus))
+    if edges_canonical:
+        canon = graph.edges
+    else:
+        from parallel_pagerank_ray.pipelines.triangles import _simple_undirected
+
+        canon = _simple_undirected(graph.edges)
+    simple = undirected_edges(canon, dedup=False)
+    store = EdgeShardStore.build(simple, n=n, num_parts=num_parts)
+    P = max(1, -(-n // store.part_size))
+    per_actor = per_actor_cpus(P)
+    actors = [
+        _BrandesShard.options(num_cpus=per_actor).remote(
+            p, store.part_refs.get(p, []), n, store.part_size
+        )
+        for p in range(P)
+    ]
+    history: list[dict] = []
+    for s in src_list:
+        total = sum(ray.get([a.seed.remote(s) for a in actors]))
+        it = 0
+        while total and it < max_depth:
+            it += 1
+            routed = ray.get([a.expand.remote() for a in actors])
+            inbox: list[list] = [[] for _ in range(P)]
+            for row in routed:
+                for p, ref in row:
+                    inbox[p].append(ref)
+            total = sum(
+                ray.get([actors[p].absorb.remote(inbox[p], it) for p in range(P)])
+            )
+        maxd = max(ray.get([a.bwd_init.remote() for a in actors]))
+        for d in range(maxd, 0, -1):
+            routed = ray.get([a.bwd_expand.remote(d) for a in actors])
+            inbox = [[] for _ in range(P)]
+            for row in routed:
+                for p, ref in row:
+                    inbox[p].append(ref)
+            ray.get([actors[p].bwd_absorb.remote(inbox[p], d) for p in range(P)])
+        ray.get([a.accumulate_and_reset.remote(s) for a in actors])
+        history.append({"source": s, "levels": maxd})
+    tables = [a.btw_rows.remote(divide_pairs) for a in actors]
+    ray.wait(tables, num_returns=len(tables))
+    for a in actors:
+        ray.kill(a)
+    return BetweennessRun(scores=rd.from_arrow_refs(tables), history=history)

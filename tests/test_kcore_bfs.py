@@ -527,3 +527,54 @@ def test_sigma_powerlaw_vs_oracle():
         assert _sigma_rows(run) == _sigma_expected(
             g.n, np.unique(e, axis=0), [0, 7], directed=directed
         ), directed
+
+
+def _btw_map(run):
+    df = run.scores.to_pandas()
+    if len(df) == 0:  # all-zero scores -> all-empty blocks (no schema)
+        return {}
+    return dict(zip(df["vid"].tolist(), df["btw"].tolist()))
+
+
+def test_betweenness_exact_fixtures(graphs):
+    from parallel_pagerank_ray.pipelines.centrality import betweenness_bsp
+
+    for name in ("small", "medium", "two_comps"):
+        n, e = graphs[name]
+        g = _graph(e)
+        srcs = list(range(n))  # full panel == exact betweenness
+        run = betweenness_bsp(g, srcs, num_parts=3)
+        want = oracle.betweenness_from_sources(n, e, srcs)
+        got = _btw_map(run)
+        for v in range(n):
+            assert abs(got.get(v, 0.0) - want[v]) < 1e-9, (name, v)
+
+
+def test_betweenness_path_graph_closed_form():
+    from parallel_pagerank_ray.pipelines.centrality import betweenness_bsp
+
+    # path 0-1-2-3-4: B(v) = (#pairs through v) = i*(n-1-i) for vertex i
+    e = [(i, i + 1) for i in range(4)]
+    g = _graph(e, blocks=1)
+    run = betweenness_bsp(g, list(range(5)), num_parts=2)
+    got = _btw_map(run)
+    want = {1: 3.0, 2: 4.0, 3: 3.0}
+    for v, b in want.items():
+        assert abs(got[v] - b) < 1e-12, v
+    assert 0 not in got and 4 not in got  # endpoints have zero btw
+
+
+def test_betweenness_partition_invariance_powerlaw():
+    from parallel_pagerank_ray.pipelines.centrality import betweenness_bsp
+    from parallel_pagerank_ray.sources.pages import powerlaw_edges
+
+    e = powerlaw_edges(250, 3, seed=4)
+    g = _graph([tuple(r) for r in e])
+    srcs = [0, 3, 17, 41]
+    a = _btw_map(betweenness_bsp(g, srcs, num_parts=2))
+    b = _btw_map(betweenness_bsp(g, srcs, num_parts=7))
+    want = oracle.betweenness_from_sources(g.n, e, srcs)
+    assert set(a) == set(b)
+    for v in a:
+        assert abs(a[v] - b[v]) <= 1e-9 * max(1.0, abs(a[v])), v
+        assert abs(a[v] - want[v]) <= 1e-9 * max(1.0, abs(want[v])), v
