@@ -107,6 +107,30 @@ def q_anchor_stats(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_bloom_membership(sf_dir: str) -> rd.Dataset:
+    """Incremental-dedup primitive: build a Bloom filter over the
+    even-doc_id half of the corpus, probe EVERY document —
+    (doc_id, maybe_in_corpus). The bitmap is a pure function of the
+    corpus (md5-u64 keys, fixed affine bit chains mod 2^31-1 then mod
+    m), so membership INCLUDING deterministic false positives is SQL
+    value-exact."""
+    from parallel_pagerank_ray.functions.bloom import bloom_build
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    def even_half(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(
+            pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0)
+        )
+
+    corpus = docs.map_batches(even_half, batch_format="pyarrow")
+    bloom = bloom_build(corpus, "text", m=1 << 16, k=3)
+    return bloom.probe(docs, "text", keep=("doc_id",))
+
+
 def q_chunk_docs(sf_dir: str) -> rd.Dataset:
     """Sliding-window chunking (size 120, overlap 20) over documents —
     the context-window prep step: streaming flat-map, no shuffle,
@@ -1236,6 +1260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_crawl_stats": q_host_crawl_stats,
         "pagerank_hosts_top10": q_pagerank_hosts_top10,
         "chunk_docs": q_chunk_docs,
+        "bloom_membership": q_bloom_membership,
         "link_edges": q_link_edges,
         "pagerank_pages_top20": q_pagerank_pages_top20,
         "edges_supplier_part": q_edges_supplier_part,
@@ -1641,6 +1666,31 @@ def oracle_sql() -> dict[str, str]:
                                                     AS INT))]) AS s
               FROM documents
             ) u
+        """,
+        "bloom_membership": """
+            WITH x AS (
+              SELECT doc_id,
+                     CAST((CAST(('0x' || substr(md5(text), 1, 16))
+                                AS UBIGINT) % 2147483647) AS BIGINT) AS x
+              FROM documents),
+            bits AS (
+              SELECT DISTINCT b FROM (
+                SELECT (x * 1000151 + 17) % 2147483647 % 65536 AS b
+                FROM x WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT (x * 1000121 + 53) % 2147483647 % 65536
+                FROM x WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT (x * 1000003 + 97) % 2147483647 % 65536
+                FROM x WHERE doc_id % 2 = 0))
+            SELECT doc_id, CAST(
+                 (x * 1000151 + 17) % 2147483647 % 65536
+                   IN (SELECT b FROM bits)
+             AND (x * 1000121 + 53) % 2147483647 % 65536
+                   IN (SELECT b FROM bits)
+             AND (x * 1000003 + 97) % 2147483647 % 65536
+                   IN (SELECT b FROM bits) AS BIGINT) AS maybe_in_corpus
+            FROM x
         """,
         "host_edges": """
             SELECT 'h' || (doc_id % 11) || '.docs.example' AS src_host,

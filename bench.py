@@ -133,6 +133,7 @@ def bench_queries() -> dict[str, float]:
         "pagerank_hosts_top10",
         "pages_anchors",
         "chunk_docs",
+        "bloom_membership",
         "degree_assortativity",
         "pagerank_weighted_top20",
         "labelprop_weighted_copurchase",
