@@ -732,6 +732,33 @@ def q_top_tokens(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_postings_top_tokens(sf_dir: str) -> rd.Dataset:
+    """Inverted posting lists (token, doc_id, tf) for the corpus's
+    top-20 tokens: heavy-hitter pass -> broadcast vocabulary -> one
+    streaming postings map (no shuffle). The vocabulary boundary is
+    deterministic (cnt DESC, token ASC total order)."""
+    from parallel_pagerank_ray.functions.textstats import (
+        inverted_postings,
+        token_counts,
+    )
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["cnt", "token"], ascending=[False, True], kind="stable"
+        ).head(20)
+
+    top = (
+        token_counts(docs)
+        .map_batches(prune, batch_format="pandas")
+        .sort(["cnt", "token"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    return inverted_postings(docs, top["token"].tolist())
+
+
 def q_distinct_orders_kmv(sf_dir: str) -> rd.Dataset:
     """KMV distinct-count sketch over lineitem.l_orderkey: k smallest
     63-bit md5 hashes -> (k-1) * 2^63 / kth_min. kth_min is int-exact
@@ -1261,6 +1288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_hosts_top10": q_pagerank_hosts_top10,
         "chunk_docs": q_chunk_docs,
         "bloom_membership": q_bloom_membership,
+        "postings_top_tokens": q_postings_top_tokens,
         "link_edges": q_link_edges,
         "pagerank_pages_top20": q_pagerank_pages_top20,
         "edges_supplier_part": q_edges_supplier_part,
@@ -2184,6 +2212,18 @@ def oracle_sql() -> dict[str, str]:
                      AS token
               FROM documents)
             GROUP BY 1 ORDER BY cnt DESC, token LIMIT 100
+        """,
+        "postings_top_tokens": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '{TOKEN_SQL}'))
+                       AS token
+              FROM documents),
+            top AS (SELECT token FROM tok GROUP BY 1
+                    ORDER BY count(*) DESC, token LIMIT 20)
+            SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+            FROM tok WHERE token IN (SELECT token FROM top)
+            GROUP BY 1, 2
         """,
         "distinct_orders_kmv": """
             WITH h AS (

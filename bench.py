@@ -134,6 +134,7 @@ def bench_queries() -> dict[str, float]:
         "pages_anchors",
         "chunk_docs",
         "bloom_membership",
+        "postings_top_tokens",
         "degree_assortativity",
         "pagerank_weighted_top20",
         "labelprop_weighted_copurchase",

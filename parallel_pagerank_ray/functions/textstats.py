@@ -179,3 +179,51 @@ class RepetitionStats:
         for c in cols:
             out[c] = out[c].astype(np.int64)
         return out[["doc_id"] + cols]
+
+
+def inverted_postings(docs, tokens) -> "object":
+    """Posting lists for a FIXED token set: (token, doc_id, tf).
+
+    The token set is the broadcast small side (one ray.put, read
+    zero-copy per batch); documents stream through a single map — no
+    shuffle at all, and tokens outside the set never leave the map
+    stage. The standard inverted-index build for a selected vocabulary
+    (e.g. the corpus heavy hitters)."""
+    import ray
+
+    vocab = np.array(sorted(set(tokens)))
+    vocab_ref = ray.put(vocab)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        keep = ray.get(vocab_ref)
+        toks = b["text"].astype(str).str.lower().str.findall(TOKEN_RE)
+        ids = b["doc_id"].to_numpy()
+        lens = toks.str.len().fillna(0).astype(int).to_numpy()
+        empty = pd.DataFrame(
+            {
+                "token": pd.Series([], dtype=str),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "tf": pd.Series([], dtype=np.int64),
+            }
+        )
+        if lens.sum() == 0 or len(keep) == 0:
+            return empty
+        flat = np.concatenate([t for t in toks.to_numpy() if t])
+        doc = np.repeat(ids, lens)
+        pos = np.searchsorted(keep, flat)
+        pos[pos >= len(keep)] = 0
+        m = keep[pos] == flat
+        if not m.any():
+            return empty
+        g = (
+            pd.DataFrame({"token": flat[m], "doc_id": doc[m]})
+            .groupby(["token", "doc_id"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        g["tf"] = g["tf"].astype(np.int64)
+        return g
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        explode, batch_format="pandas"
+    )

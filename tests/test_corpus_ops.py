@@ -212,3 +212,36 @@ def test_chunk_documents_distributed_matches_single():
         .reset_index(drop=True)
     )
     assert got.astype({"chunk_id": "int64"}).equals(want.astype({"chunk_id": "int64"}))
+
+
+def test_inverted_postings_exact():
+    import re
+
+    from parallel_pagerank_ray.functions.textstats import (
+        TOKEN_RE,
+        inverted_postings,
+    )
+
+    texts = [
+        "the cat sat on the the mat",
+        "a dog and the cat",
+        "tokens_1 tokens_1 and 42",
+        "",
+    ]
+    vocab = ["the", "cat", "tokens_1", "absent"]
+    out = (
+        inverted_postings(_docs(texts), vocab)
+        .to_pandas()
+        .sort_values(["token", "doc_id"])
+        .reset_index(drop=True)
+    )
+    want = {}
+    for i, t in enumerate(texts):
+        for tok in re.findall(TOKEN_RE, t.lower()):
+            if tok in vocab:
+                want[(tok, i)] = want.get((tok, i), 0) + 1
+    got = {
+        (r["token"], r["doc_id"]): r["tf"] for _, r in out.iterrows()
+    }
+    assert got == want
+    assert "absent" not in set(out["token"])
