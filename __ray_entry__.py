@@ -456,6 +456,20 @@ def q_labelprop_copurchase(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_community_stats(sf_dir: str) -> rd.Dataset:
+    """Modularity sufficient statistics per LPA community over the
+    co-purchase graph: (label, size, deg_sum, internal_edges) — all
+    int64-exact (the float Q fold is driver-side, outside the gate)."""
+    from parallel_pagerank_ray.pipelines.community import community_stats
+    from parallel_pagerank_ray.pipelines.label_prop_actors import (
+        label_propagation_bsp,
+    )
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    run = label_propagation_bsp(g, max_iters=3, edges_canonical=True)
+    return community_stats(g, run.labels, edges_canonical=True)
+
+
 def q_labelprop_weighted_copurchase(sf_dir: str) -> rd.Dataset:
     """Weighted LPA over the symmetric weighted co-purchase graph
     (vote mass = distinct-order edge weight): community sizes after 3
@@ -1314,6 +1328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spcount_copurchase": q_spcount_copurchase,
         "betweenness_copurchase": q_betweenness_copurchase,
         "local_clustering": q_local_clustering,
+        "community_stats": q_community_stats,
         "sssp_weighted_copurchase": q_sssp_weighted_copurchase,
         "degree_assortativity": q_degree_assortativity,
         "degree_histogram": q_degree_histogram,
@@ -1926,6 +1941,31 @@ def oracle_sql() -> dict[str, str]:
               l2 AS MATERIALIZED {_lpa_round_sql("l1")},
               l3 AS MATERIALIZED {_lpa_round_sql("l2")}
             SELECT label, count(*) AS size FROM l3 GROUP BY 1
+        """,
+        "community_stats": f"""
+            WITH RECURSIVE
+            {_supplier_part_vid_graph(_COPURCHASE_SQL)},
+              l0 AS MATERIALIZED (SELECT vid, vid AS label FROM v),
+              l1 AS MATERIALIZED {_lpa_round_sql("l0")},
+              l2 AS MATERIALIZED {_lpa_round_sql("l1")},
+              l3 AS MATERIALIZED {_lpa_round_sql("l2")},
+              szs AS (SELECT label, CAST(count(*) AS BIGINT) AS size
+                      FROM l3 GROUP BY 1),
+              dsm AS (SELECT a.label, CAST(count(*) AS BIGINT) AS deg_sum
+                      FROM und u JOIN l3 a ON a.vid = u.src GROUP BY 1),
+              ie AS (SELECT a.label,
+                            CAST(count(*) AS BIGINT) AS internal_edges
+                     FROM e JOIN l3 a ON a.vid = e.src
+                            JOIN l3 b ON b.vid = e.dst
+                     WHERE a.label = b.label AND e.src <> e.dst
+                     GROUP BY 1)
+            SELECT s.label, s.size,
+                   CAST(coalesce(dsm.deg_sum, 0) AS BIGINT) AS deg_sum,
+                   CAST(coalesce(ie.internal_edges, 0) AS BIGINT)
+                     AS internal_edges
+            FROM szs s
+            LEFT JOIN dsm ON dsm.label = s.label
+            LEFT JOIN ie ON ie.label = s.label
         """,
         "labelprop_weighted_copurchase": f"""
             WITH RECURSIVE

@@ -138,6 +138,7 @@ def bench_queries() -> dict[str, float]:
         "degree_assortativity",
         "pagerank_weighted_top20",
         "labelprop_weighted_copurchase",
+        "community_stats",
         "sssp_weighted_copurchase",
         "neighbor_sample",
         "revenue_by_nation",

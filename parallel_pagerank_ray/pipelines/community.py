@@ -1,0 +1,162 @@
+"""Community quality statistics: integer-exact modularity sufficient
+statistics per community over the simple undirected closure.
+
+Beyond-reference capability: given any (vid, label) assignment (LPA,
+CC, or external), emit per community
+
+    size            member count
+    deg_sum         sum of closure degrees over members (2m_c + ext)
+    internal_edges  canonical edges with both endpoints in the community
+
+— the sufficient statistics of Newman modularity
+(Q = Σ_c [ internal_c/m − (deg_sum_c / 2m)² ]); the statistics are
+int64-exact and SQL-value-checkable, the float Q is one driver-side
+fold the caller owns (cross-community float accumulation is excluded
+from the value gate by policy).
+
+Scale shape: the label attachment is a broadcast vector when n·8 B
+fits plasma comfortably and two hash joins beyond; every downstream
+row is a per-batch pre-combined (label, partial) triple, so ONE
+bucketed shuffle produces the result regardless of community count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from parallel_pagerank_ray.pipelines.graph_build import Graph
+from parallel_pagerank_ray.stages.agg import grouped_agg
+from parallel_pagerank_ray.util import safe_join
+
+
+def _stat_rows(
+    ls: np.ndarray, ld: np.ndarray
+) -> dict[str, np.ndarray]:
+    """Per-batch combined (label, size=0, deg_sum, internal) rows from
+    the two endpoint-label arrays of canonical edges."""
+    cat = np.concatenate([ls, ld])
+    u, c = np.unique(cat, return_counts=True)
+    rows = {
+        "label": u,
+        "size": np.zeros(len(u), dtype=np.int64),
+        "deg_sum": c.astype(np.int64),
+        "internal_edges": np.zeros(len(u), dtype=np.int64),
+    }
+    m = ls == ld
+    if m.any():
+        ui, ci = np.unique(ls[m], return_counts=True)
+        rows2 = {
+            "label": ui,
+            "size": np.zeros(len(ui), dtype=np.int64),
+            "deg_sum": np.zeros(len(ui), dtype=np.int64),
+            "internal_edges": ci.astype(np.int64),
+        }
+        rows = {k: np.concatenate([rows[k], rows2[k]]) for k in rows}
+    return rows
+
+
+def community_stats(
+    graph: Graph,
+    labels: rd.Dataset,
+    edges_canonical: bool = False,
+    num_partitions: int | None = None,
+    num_buckets: int | None = None,
+    broadcast_max_bytes: int = 256 << 20,
+) -> rd.Dataset:
+    """(label, size, deg_sum, internal_edges) per community.
+
+    ``labels`` is a (vid, label) Dataset covering every vertex;
+    ``edges_canonical`` certifies ``graph.edges`` is already the simple
+    undirected canonical form (src < dst, distinct, no self loops)."""
+    n = graph.n
+    if edges_canonical:
+        canon = graph.edges
+    else:
+        from parallel_pagerank_ray.pipelines.triangles import _simple_undirected
+
+        canon = _simple_undirected(graph.edges)
+
+    def size_rows(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t.column("label").to_numpy(), return_counts=True)
+        z = np.zeros(len(u), dtype=np.int64)
+        return pa.table(
+            {
+                "label": u,
+                "size": c.astype(np.int64),
+                "deg_sum": z,
+                "internal_edges": z,
+            }
+        )
+
+    sizes = labels.select_columns(["label"]).map_batches(
+        size_rows, batch_format="pyarrow"
+    )
+
+    if n * 8 <= broadcast_max_bytes:
+        lab_vec = np.full(n, -1, dtype=np.int64)
+        for blk in ray.get(labels.to_arrow_refs()):
+            if blk.num_rows:
+                lab_vec[blk.column("vid").to_numpy()] = blk.column(
+                    "label"
+                ).to_numpy()
+        lab_ref = ray.put(lab_vec)
+
+        def edge_rows(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+            lab = ray.get(lab_ref)
+            return _stat_rows(lab[batch["src"]], lab[batch["dst"]])
+
+        edge_stats = canon.map_batches(edge_rows, batch_format="numpy")
+    else:
+        if num_partitions is None:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            num_partitions = max(8, cpus)
+        e = safe_join(
+            canon,
+            labels,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("vid",),
+        ).rename_columns({"label": "ls"})
+        e = safe_join(
+            e.select_columns(["dst", "ls"]),
+            labels,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("dst",),
+            right_on=("vid",),
+        ).rename_columns({"label": "ld"})
+
+        def edge_rows_joined(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+            return _stat_rows(
+                batch["ls"].astype(np.int64), batch["ld"].astype(np.int64)
+            )
+
+        edge_stats = e.map_batches(edge_rows_joined, batch_format="numpy")
+
+    return grouped_agg(
+        sizes.union(edge_stats),
+        ["label"],
+        {
+            "size": ("size", "sum"),
+            "deg_sum": ("deg_sum", "sum"),
+            "internal_edges": ("internal_edges", "sum"),
+        },
+        num_buckets=num_buckets,
+    )
+
+
+def modularity(stats: pd.DataFrame) -> float:
+    """Driver-side Newman modularity from the exact statistics
+    (float fold — outside the bit-exact family by design)."""
+    two_m = float(stats["deg_sum"].sum())
+    if two_m == 0:
+        return 0.0
+    m = two_m / 2.0
+    return float(
+        (stats["internal_edges"] / m - (stats["deg_sum"] / two_m) ** 2).sum()
+    )
