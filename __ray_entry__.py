@@ -724,26 +724,32 @@ def q_degree_assortativity(sf_dir: str) -> rd.Dataset:
     return degree_assortativity_stats(g.edges, g.n)
 
 
-def q_top_tokens(sf_dir: str) -> rd.Dataset:
-    """Top-100 corpus tokens (cnt DESC, token ASC — total order, so the
-    limit boundary is deterministic). Map-side per-batch pre-count;
-    the shuffle moves one row per distinct token per batch. The global
-    top-100 is a subset of the union of per-block top-100s, so a
-    per-block prune caps the final sort at O(blocks x 100) rows — a
-    web-scale vocabulary never sorts whole."""
+def _top_k_tokens(docs: rd.Dataset, k: int) -> rd.Dataset:
+    """Top-k corpus tokens (cnt DESC, token ASC — total order, so the
+    limit boundary is deterministic). The global top-k is a subset of
+    the union of per-block top-k's, so a per-block prune caps the
+    final sort at O(blocks x k) rows — a web-scale vocabulary never
+    sorts whole. Shared by the heavy-hitter and postings queries (ONE
+    definition of the vocabulary boundary)."""
     from parallel_pagerank_ray.functions.textstats import token_counts
 
     def prune(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(
             ["cnt", "token"], ascending=[False, True], kind="stable"
-        ).head(100)
+        ).head(k)
 
     return (
-        token_counts(_documents(sf_dir, ["doc_id", "text"]))
+        token_counts(docs)
         .map_batches(prune, batch_format="pandas")
         .sort(["cnt", "token"], descending=[True, False])
-        .limit(100)
+        .limit(k)
     )
+
+
+def q_top_tokens(sf_dir: str) -> rd.Dataset:
+    """Top-100 corpus tokens: map-side per-batch pre-count, the shuffle
+    moves one row per distinct token per batch."""
+    return _top_k_tokens(_documents(sf_dir, ["doc_id", "text"]), 100)
 
 
 def q_postings_top_tokens(sf_dir: str) -> rd.Dataset:
@@ -751,25 +757,10 @@ def q_postings_top_tokens(sf_dir: str) -> rd.Dataset:
     top-20 tokens: heavy-hitter pass -> broadcast vocabulary -> one
     streaming postings map (no shuffle). The vocabulary boundary is
     deterministic (cnt DESC, token ASC total order)."""
-    from parallel_pagerank_ray.functions.textstats import (
-        inverted_postings,
-        token_counts,
-    )
+    from parallel_pagerank_ray.functions.textstats import inverted_postings
 
     docs = _documents(sf_dir, ["doc_id", "text"])
-
-    def prune(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(
-            ["cnt", "token"], ascending=[False, True], kind="stable"
-        ).head(20)
-
-    top = (
-        token_counts(docs)
-        .map_batches(prune, batch_format="pandas")
-        .sort(["cnt", "token"], descending=[True, False])
-        .limit(20)
-        .to_pandas()
-    )
+    top = _top_k_tokens(docs, 20).to_pandas()
     return inverted_postings(docs, top["token"].tolist())
 
 

@@ -203,6 +203,11 @@ def cmd_run(args) -> int:
     elif args.algo == "betweenness":
         from parallel_pagerank_ray.pipelines.centrality import betweenness_bsp
 
+        if args.directed:
+            raise SystemExit(
+                "betweenness runs on the undirected closure only "
+                "(drop --directed)"
+            )
         sources = [int(s) for s in args.sources.split(",")]
         run = betweenness_bsp(g, sources)
         metrics = {

@@ -10,10 +10,12 @@ deterministic false positives is value-checkable in SQL).
 
 Scale shape: the build emits per-batch-distinct bit positions (≤ k
 rows per distinct key, collapsed again by a bucketed distinct), then
-packs one bitmap on the driver and ships it ONCE via ray.put — probes
-read it zero-copy. The bitmap must fit plasma: m = 2^35 bits = 4 GiB
-serves ~3B keys at ~1% false-positive rate with k=3; beyond that,
-partition the keyspace and probe per partition.
+packs one bitmap (np.packbits — m BITS, not bytes) on the driver and
+ships it ONCE via ray.put — probes read it zero-copy. The mod-2^31-1
+chain bounds m at 2^31-1 bits (enforced): a full-width filter is
+256 MiB packed and serves ~150M keys at ~1% false-positive rate with
+k=3; beyond that, partition the keyspace (e.g. by key hash) and build
+one filter per partition.
 """
 
 from __future__ import annotations
@@ -54,6 +56,10 @@ def bloom_build(
     emission, bucketed distinct, one driver pack + ray.put)."""
     if k > len(BLOOM_A):
         raise ValueError(f"k <= {len(BLOOM_A)} supported (fixed hash family)")
+    if not 0 < m <= int(P31):
+        # positions are residues mod 2^31-1: a larger m would leave the
+        # bits beyond 2^31-1 permanently dead (silent fp blowup)
+        raise ValueError(f"m must be in (0, {int(P31)}] (mod-2^31-1 chain)")
 
     def emit(t: pa.Table) -> pa.Table:
         keys = _keys_u64(t.column(text_col).to_pylist())
@@ -67,7 +73,8 @@ def bloom_build(
     for blk in ray.get(pos_ds.to_arrow_refs()):
         if blk.num_rows:
             bits[blk.column("b").to_numpy()] = True
-    return BloomRef(m=m, k=k, ref=ray.put(bits))
+    # ship m BITS, not m bytes: packbits cuts the broadcast 8x
+    return BloomRef(m=m, k=k, ref=ray.put(np.packbits(bits, bitorder="little")))
 
 
 class BloomRef:
@@ -90,13 +97,15 @@ class BloomRef:
         m, k, ref = self.m, self.k, self.ref
 
         def probe_batch(t: pa.Table) -> pa.Table:
-            bits = ray.get(ref)
+            packed = ray.get(ref)  # little-endian packed bit array
             keys = _keys_u64(t.column(text_col).to_pylist())
-            hit = (
-                bits[bit_positions(keys, m, k).astype(np.int64)].all(axis=1)
-                if len(keys)
-                else np.zeros(0, dtype=bool)
-            )
+            if len(keys):
+                pos = bit_positions(keys, m, k).astype(np.int64)
+                hit = (
+                    (packed[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+                ).astype(bool).all(axis=1)
+            else:
+                hit = np.zeros(0, dtype=bool)
             cols = {c: t.column(c) for c in keep}
             cols[out_col] = pa.array(hit.astype(np.int64), type=pa.int64())
             return pa.table(cols)

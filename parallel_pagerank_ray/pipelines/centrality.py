@@ -110,24 +110,30 @@ class _SigmaShardBase:
         self.sigma.fill(0)
         self.frontier = np.array([], dtype=np.int64)
 
-    def expand(self) -> list:
-        f = self.frontier
+    def _gather_neighbors(
+        self, f: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(kept frontier rows, their out-degrees, concatenated dsts)
+        — the CSR walk shared by the forward and backward sweeps."""
         if len(f) == 0:
-            return []
+            e = np.array([], dtype=np.int64)
+            return e, e, e
         lens = self.indptr[f + 1] - self.indptr[f]
         m = lens > 0
         f, lens = f[m], lens[m]
         if len(f) == 0:
-            return []
+            e = np.array([], dtype=np.int64)
+            return e, e, e
         starts = self.indptr[f]
         csum = np.concatenate(([0], np.cumsum(lens)[:-1]))
         pos = (
             np.arange(int(lens.sum())) - np.repeat(csum, lens) + np.repeat(starts, lens)
         )
-        dsts = self.dst_sorted[pos]
-        w = np.repeat(self.sigma[f], lens)
-        ids, inv = np.unique(dsts, return_inverse=True)
-        contribs = _exact_group_sum(inv, w, len(ids))
+        return f, lens, self.dst_sorted[pos]
+
+    def _route_by_owner(self, ids: np.ndarray, vals: np.ndarray) -> list:
+        """Split (sorted ids, vals) into per-owner-shard plasma puts —
+        the routed-exchange half shared by both sweeps."""
         owners = ids // self.part_size  # sorted, since ids is sorted
         uniq = np.unique(owners)
         bounds = np.searchsorted(owners, uniq, "left").tolist() + [len(ids)]
@@ -135,11 +141,20 @@ class _SigmaShardBase:
             (
                 int(p),
                 ray.put(
-                    (ids[bounds[i] : bounds[i + 1]], contribs[bounds[i] : bounds[i + 1]])
+                    (ids[bounds[i] : bounds[i + 1]], vals[bounds[i] : bounds[i + 1]])
                 ),
             )
             for i, p in enumerate(uniq)
         ]
+
+    def expand(self) -> list:
+        f, lens, dsts = self._gather_neighbors(self.frontier)
+        if len(dsts) == 0:
+            return []
+        w = np.repeat(self.sigma[f], lens)
+        ids, inv = np.unique(dsts, return_inverse=True)
+        contribs = _exact_group_sum(inv, w, len(ids))
+        return self._route_by_owner(ids, contribs)
 
     def absorb(self, refs: list, depth: int) -> int:
         got = [c for c in ray.get(list(refs)) if len(c[0])]
@@ -346,41 +361,25 @@ class _BrandesShardBase(_SigmaShardBase):
         self.delta = np.zeros(self.size, dtype=np.float64)
         if not hasattr(self, "btw"):
             self.btw = np.zeros(self.size, dtype=np.float64)
+        # bucket local vertices by dist ONCE (one argsort) so each
+        # backward level indexes its slice instead of rescanning the
+        # whole dist array per level (O(n*ecc) on high-diameter graphs)
+        self._by_dist = np.argsort(self.dist, kind="stable")
+        self._dist_sorted = self.dist[self._by_dist]
         return int(self.dist.max(initial=-1))
 
     def bwd_expand(self, d: int) -> list:
-        f = np.nonzero(self.dist == d)[0]
-        if len(f) == 0:
+        lo, hi = np.searchsorted(self._dist_sorted, [d, d + 1])
+        f, lens, dsts = self._gather_neighbors(self._by_dist[lo:hi])
+        if len(dsts) == 0:
             return []
-        lens = self.indptr[f + 1] - self.indptr[f]
-        m = lens > 0
-        f, lens = f[m], lens[m]
-        if len(f) == 0:
-            return []
-        starts = self.indptr[f]
-        csum = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        pos = (
-            np.arange(int(lens.sum())) - np.repeat(csum, lens) + np.repeat(starts, lens)
-        )
-        dsts = self.dst_sorted[pos]
         terms = np.repeat(
             (1.0 + self.delta[f]) / self.sigma[f].astype(np.float64), lens
         )
         ids, inv = np.unique(dsts, return_inverse=True)
         tsum = np.zeros(len(ids), dtype=np.float64)
         np.add.at(tsum, inv, terms)
-        owners = ids // self.part_size  # sorted, since ids is sorted
-        uniq = np.unique(owners)
-        bounds = np.searchsorted(owners, uniq, "left").tolist() + [len(ids)]
-        return [
-            (
-                int(p),
-                ray.put(
-                    (ids[bounds[i] : bounds[i + 1]], tsum[bounds[i] : bounds[i + 1]])
-                ),
-            )
-            for i, p in enumerate(uniq)
-        ]
+        return self._route_by_owner(ids, tsum)
 
     def bwd_absorb(self, refs: list, d: int) -> int:
         got = [c for c in ray.get(list(refs)) if len(c[0])]

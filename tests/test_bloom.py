@@ -77,3 +77,12 @@ def test_bit_positions_bounds():
     pos = bit_positions(keys, 128, 3)
     assert pos.shape == (100, 3)
     assert int(pos.max()) < 128
+
+
+def test_bloom_rejects_oversized_m():
+    import pytest
+
+    from parallel_pagerank_ray.functions.bloom import bloom_build
+
+    with pytest.raises(ValueError, match="mod-2\\^31-1"):
+        bloom_build(_docs(["a"]), "text", m=(1 << 31))  # > 2^31 - 1

@@ -388,3 +388,30 @@ def test_cli_closeness_spcount_walks(tmp_path, graphs):
     got = sorted(zip(df["seed"], df["widx"], df["step"], df["vid"]))
     want = sorted(oracle.random_walks(n, np.array(e), [0, 1], 2, 5))
     assert [(int(a), int(b), int(c), int(d)) for a, b, c, d in got] == want
+
+
+def test_cli_betweenness_and_directed_rejection(tmp_path, graphs):
+    import pyarrow.parquet as pq
+    import pytest
+
+    from parallel_pagerank_ray import cli
+
+    n, e = graphs["medium"]
+    edge_file = tmp_path / "medium.txt"
+    edge_file.write_text("\n".join(f"{u} {v}" for u, v in e) + "\n")
+
+    wd = str(tmp_path / "bt")
+    assert cli.cmd_run(
+        cli_args(algo="betweenness", edges=str(edge_file), workdir=wd, sources="0,1")
+    ) == 0
+    df = pq.read_table(wd + "/betweenness").to_pandas()
+    want = oracle.betweenness_from_sources(n, np.array(e), [0, 1])
+    got = dict(zip(df["vid"], df["btw"]))
+    for v in range(n):
+        assert abs(got.get(v, 0.0) - want[v]) < 1e-9, v
+
+    with pytest.raises(SystemExit, match="undirected closure"):
+        cli.cmd_run(
+            cli_args(algo="betweenness", edges=str(edge_file),
+                     workdir=wd, sources="0", directed=True)
+        )
