@@ -182,3 +182,92 @@ def test_quantile_rule_matches_duckdb(vals, q):
     s = sorted(vals)
     got = s[max(0, math.ceil(q * len(s)) - 1)]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-2-close kernels: chunking window rule, bloom positions/packing,
+# walk-hash SQL-arithmetic identity
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(TEXTS, st.integers(1, 20), st.integers(0, 19))
+def test_chunk_windows_cover_and_reassemble(text, size, overlap):
+    import pyarrow as pa
+
+    from parallel_pagerank_ray.functions.chunking import ChunkDocuments
+
+    if overlap >= size:
+        overlap = size - 1
+    t = pa.table({"doc_id": [0], "text": [text]})
+    out = ChunkDocuments(size=size, overlap=overlap)(t)
+    chunks = out.column("chunk").to_pylist()
+    stride = size - overlap
+    if not text:
+        assert chunks == []
+        return
+    # window rule: chunk k == text[k*stride : k*stride+size], count exact
+    assert len(chunks) == -(-len(text) // stride)
+    for k, c in enumerate(chunks):
+        assert c == text[k * stride : k * stride + size]
+    # overlap-stripped reassembly reproduces the original text
+    stitched = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+    assert stitched == text
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(TEXTS, min_size=0, max_size=25, unique=True),
+    st.lists(TEXTS, min_size=0, max_size=25),
+    st.sampled_from([16, 64, 257, 1 << 14]),
+)
+def test_bloom_positions_never_false_negative(corpus, probes, m):
+    from parallel_pagerank_ray.functions.bloom import bit_positions
+    from parallel_pagerank_ray.functions.hashing import md5_u64
+
+    ck = np.array([md5_u64(t) for t in corpus], dtype=np.uint64)
+    pk = np.array([md5_u64(t) for t in probes], dtype=np.uint64)
+    bits = np.zeros(m, dtype=bool)
+    if len(ck):
+        bits[bit_positions(ck, m).astype(np.int64)] = True
+    packed = np.packbits(bits, bitorder="little")
+    member = set(corpus)
+    for t, key in zip(probes, pk):
+        pos = bit_positions(np.array([key], dtype=np.uint64), m)[0].astype(
+            np.int64
+        )
+        hit_bool = bool(bits[pos].all())
+        hit_packed = bool((((packed[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1) == 1).all())
+        assert hit_bool == hit_packed  # packing is lossless
+        if t in member:
+            assert hit_bool  # no false negatives, ever
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(0, 10**12),
+    st.integers(0, 63),
+    st.integers(1, 50),
+    st.integers(0, 10**12),
+)
+def test_walk_hash_matches_pure_int_chain(seed, widx, step, vid):
+    from parallel_pagerank_ray.pipelines.random_walk import salt64, walk_hash
+
+    p = (1 << 31) - 1
+    s64 = salt64("rw")
+    got = int(
+        walk_hash(
+            s64,
+            np.array([seed], dtype=np.int64),
+            np.array([widx], dtype=np.int64),
+            step,
+            np.array([vid], dtype=np.int64),
+        )[0]
+    )
+    # the SQL oracle's expression, pure ints
+    x = (seed % p) * 1000151 % p
+    x = (x + widx * 31 + step) % p
+    x = x * 1000121 % p
+    x = (x + vid % p) % p
+    x = (x + s64) % p
+    assert got == (x * x + x) % p
