@@ -1257,6 +1257,22 @@ def q_revenue_by_nation(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_distinct_parts_per_nation(sf_dir: str) -> rd.Dataset:
+    """COUNT(DISTINCT) by group: distinct parts shipped per supplier
+    nation — per-batch pair distinct, one bucketed global distinct,
+    broadcast dimension lookups (no shuffle joins)."""
+    from parallel_pagerank_ray.pipelines.relational import (
+        distinct_parts_per_nation,
+        read_table,
+    )
+
+    return distinct_parts_per_nation(
+        read_table(sf_dir, "lineitem", ["l_suppkey", "l_partkey"]),
+        read_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        read_table(sf_dir, "nation"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1320,6 +1336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "betweenness_copurchase": q_betweenness_copurchase,
         "local_clustering": q_local_clustering,
         "community_stats": q_community_stats,
+        "distinct_parts_per_nation": q_distinct_parts_per_nation,
         "sssp_weighted_copurchase": q_sssp_weighted_copurchase,
         "degree_assortativity": q_degree_assortativity,
         "degree_histogram": q_degree_histogram,
@@ -2644,6 +2661,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN lstat l USING (doc_id)
             JOIN tstat t USING (doc_id)
             LEFT JOIN gstat g USING (doc_id)
+        """,
+        "distinct_parts_per_nation": """
+            SELECT n.n_name,
+                   CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS n_parts
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            GROUP BY 1
         """,
         "revenue_by_nation": """
             WITH rev AS (

@@ -142,6 +142,7 @@ def bench_queries() -> dict[str, float]:
         "sssp_weighted_copurchase",
         "neighbor_sample",
         "revenue_by_nation",
+        "distinct_parts_per_nation",
         "doc_repetition",
         "top_tokens",
         "distinct_orders_kmv",

@@ -415,3 +415,74 @@ def range_join(
 
     out = msgs.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
     return drop_empty_blocks(out)
+
+
+def distinct_parts_per_nation(
+    lineitem: rd.Dataset,
+    supplier: rd.Dataset,
+    nation: rd.Dataset,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """COUNT(DISTINCT) by group at scale: distinct parts ever shipped
+    by each nation's suppliers — (n_name, n_parts), integer-exact.
+
+    Shape: per-batch distinct (suppkey, partkey) pairs first (map-side
+    combine), ONE bucketed global distinct, then the supplier->nation
+    map (10^4 rows) and nation names (25 rows) attach via broadcast
+    lookups — the naive plan's two shuffle joins never happen, and no
+    stage ever materializes per-occurrence rows past the first map.
+    """
+    import ray
+
+    from parallel_pagerank_ray.stages.agg import distinct, grouped_agg
+
+    pairs = distinct(
+        lineitem.select_columns(["l_suppkey", "l_partkey"]),
+        ["l_suppkey", "l_partkey"],
+        num_buckets=num_buckets,
+    )
+    sup = pa.concat_tables(ray.get(supplier.to_arrow_refs()))
+    sup_map: dict[int, int] = dict(
+        zip(
+            sup.column("s_suppkey").to_pylist(),
+            sup.column("s_nationkey").to_pylist(),
+        )
+    )
+    sup_ref = ray.put(sup_map)
+
+    def to_nation(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(sup_ref)
+        return pd.DataFrame(
+            {
+                "nationkey": df["l_suppkey"].map(lookup).astype(np.int64),
+                "l_partkey": df["l_partkey"].to_numpy(),
+            }
+        )
+
+    nk_pairs = distinct(
+        pairs.map_batches(to_nation, batch_format="pandas"),
+        ["nationkey", "l_partkey"],
+        num_buckets=num_buckets,
+    )
+    counts = grouped_agg(
+        nk_pairs,
+        ["nationkey"],
+        {"n_parts": ("l_partkey", "count")},
+        num_buckets=8,
+    )
+    nat = pa.concat_tables(ray.get(nation.to_arrow_refs()))
+    names = dict(
+        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    )
+    names_ref = ray.put(names)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(names_ref)
+        return pd.DataFrame(
+            {
+                "n_name": df["nationkey"].map(lookup),
+                "n_parts": df["n_parts"].astype(np.int64),
+            }
+        )
+
+    return counts.map_batches(attach, batch_format="pandas")
