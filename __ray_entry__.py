@@ -177,6 +177,18 @@ def q_host_crawl_stats(sf_dir: str) -> rd.Dataset:
     return host_crawl_rollup(pages)
 
 
+def q_host_cocitation(sf_dir: str) -> rd.Dataset:
+    """Related-domain discovery: host pairs ranked by shared distinct
+    link targets over the 11-host corpus — the co-citation kernel
+    (bucketed in-group pairs keyed on the target)."""
+    from parallel_pagerank_ray.pipelines.graph_build import links_from_pages
+    from parallel_pagerank_ray.pipelines.host_graph import host_cocitation
+    from parallel_pagerank_ray.sources.docpages import pages_from_documents
+
+    pages, _ = pages_from_documents(sf_dir, links_per_page=3, hosts=11)
+    return host_cocitation(links_from_pages(pages))
+
+
 def q_pagerank_hosts_top10(sf_dir: str) -> pd.DataFrame:
     """Weighted PageRank on the coarsened host graph (intra-host edges
     dropped, weight = cross-host link count). Integer rank order like
@@ -1306,6 +1318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_stats": q_anchor_stats,
         "host_edges": q_host_edges,
         "host_crawl_stats": q_host_crawl_stats,
+        "host_cocitation": q_host_cocitation,
         "pagerank_hosts_top10": q_pagerank_hosts_top10,
         "chunk_docs": q_chunk_docs,
         "bloom_membership": q_bloom_membership,
@@ -1750,6 +1763,19 @@ def oracle_sql() -> dict[str, str]:
                        || '.docs.example' AS dst_host,
                    CAST(count(*) AS BIGINT) AS w
             FROM documents, range(3) k
+            GROUP BY 1, 2
+        """,
+        "host_cocitation": """
+            WITH hl AS (
+              SELECT DISTINCT
+                     'h' || (doc_id % 11) || '.docs.example' AS src,
+                     'h' || (((doc_id * 7 + k.range + 1)
+                              % (SELECT count(*) FROM documents)) % 11)
+                         || '.docs.example' AS dst
+              FROM documents, range(3) k)
+            SELECT a.src AS host_a, b.src AS host_b,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM hl a JOIN hl b ON a.dst = b.dst AND a.src < b.src
             GROUP BY 1, 2
         """,
         "host_crawl_stats": """

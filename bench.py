@@ -130,6 +130,7 @@ def bench_queries() -> dict[str, float]:
         "hits_supplier_part",
         "host_edges",
         "host_crawl_stats",
+        "host_cocitation",
         "pagerank_hosts_top10",
         "pages_anchors",
         "chunk_docs",

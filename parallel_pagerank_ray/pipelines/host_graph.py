@@ -17,6 +17,7 @@ sets, hash-join fallback for unbounded ones).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -129,3 +130,90 @@ def host_graph(links: rd.Dataset, drop_self: bool = True) -> Graph:
         batch_format="pyarrow",
     )
     return Graph(n=verts.count(), edges=edges.materialize(), vertices=verts)
+
+
+def host_cocitation(
+    links: rd.Dataset, num_buckets: int | None = None
+) -> rd.Dataset:
+    """Related-domain discovery by co-citation: (host_a, host_b, w)
+    where w = number of DISTINCT link targets both hosts point at
+    (host_a < host_b lexicographically).
+
+    Shape: hosts are dictionary-encoded through the page-graph vid
+    machinery (strings never enter the pair kernel), the (src, dst)
+    host-pair table is globally deduplicated (a host citing one target
+    many times counts once), and pair generation is the bucketed
+    in-group kernel keyed on the TARGET — group size = a target's
+    citing-host count, the quantity a caller caps when targets are
+    pathological hubs (same contract as the co-purchase kernel)."""
+    import ray
+
+    from parallel_pagerank_ray.pipelines.graph_build import (
+        assign_vertex_ids,
+        dedup_edges,
+        resolve_edges,
+    )
+    from parallel_pagerank_ray.stages.agg import (
+        grouped_agg,
+        pairs_within_groups,
+        resolve_num_buckets,
+    )
+
+    hl = host_links(links).rename_columns(
+        {"src_host": "src_url", "dst_host": "dst_url"}
+    ).materialize()
+    verts = assign_vertex_ids(hl).materialize()
+    pairs_int = dedup_edges(resolve_edges(hl, verts))
+    if num_buckets is None:
+        num_buckets = resolve_num_buckets(pairs_int)
+
+    def bucketed(b: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        b["__b"] = (b["dst"] % num_buckets).astype(np.int64)
+        return b
+
+    def pairs(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        tgt = g["dst"].to_numpy()
+        src = g["src"].to_numpy()
+        a, b = pairs_within_groups((tgt, src), src)
+        # srcs are distinct within a target (post-dedup) -> a < b always
+        out = (
+            pd.DataFrame({"a": a, "b": b})
+            .groupby(["a", "b"], sort=False)
+            .size()
+            .reset_index(name="w")
+        )
+        out["w"] = out["w"].astype(np.int64)
+        return out
+
+    counts = grouped_agg(
+        pairs_int.map_batches(bucketed, batch_format="numpy")
+        .groupby("__b")
+        .map_groups(pairs, batch_format="pandas"),
+        ["a", "b"],
+        {"w": ("w", "sum")},
+        num_buckets=num_buckets,
+    )
+    vt = pa.concat_tables(ray.get(verts.to_arrow_refs()))
+    host_by_vid = dict(
+        zip(vt.column("vid").to_pylist(), vt.column("url").to_pylist())
+    )
+    names_ref = ray.put(host_by_vid)
+
+    def attach(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        lookup = ray.get(names_ref)
+        ha = df["a"].map(lookup)
+        hb = df["b"].map(lookup)
+        swap = ha > hb  # vid order != lexicographic order
+        return pd.DataFrame(
+            {
+                "host_a": ha.where(~swap, hb),
+                "host_b": hb.where(~swap, ha),
+                "w": df["w"].astype(np.int64),
+            }
+        )
+
+    return counts.map_batches(attach, batch_format="pandas")

@@ -106,3 +106,27 @@ def test_host_graph_weighted_pagerank_vs_oracle():
     got = run.ranks.to_pandas().sort_values("vid")["rank"].to_numpy()
     assert np.allclose(got, tr.ranks, atol=1e-9)
     assert run.iterations == tr.iterations
+
+
+def test_host_cocitation_exact():
+    from parallel_pagerank_ray.pipelines.host_graph import host_cocitation
+
+    got = (
+        host_cocitation(_links_ds(), num_buckets=4)
+        .to_pandas()
+        .sort_values(["host_a", "host_b"])
+        .reset_index(drop=True)
+    )
+    # direct: distinct (src_host, dst_host) pairs; w = shared targets
+    hp = sorted({(s.split("/")[2], d.split("/")[2]) for s, d in LINKS})
+    by_target: dict = {}
+    for s, d in hp:
+        by_target.setdefault(d, set()).add(s)
+    want: dict = {}
+    for srcs in by_target.values():
+        srcs = sorted(srcs)
+        for i in range(len(srcs)):
+            for j in range(i + 1, len(srcs)):
+                want[(srcs[i], srcs[j])] = want.get((srcs[i], srcs[j]), 0) + 1
+    rows = {(r["host_a"], r["host_b"]): r["w"] for _, r in got.iterrows()}
+    assert rows == want
