@@ -650,11 +650,12 @@ def q_spcount_copurchase(sf_dir: str) -> rd.Dataset:
 
 def q_betweenness_copurchase(sf_dir: str) -> rd.Dataset:
     """Brandes betweenness from a 3-seed panel over the undirected
-    co-purchase graph: (vid, btw) nonzero dependency sums. Float
-    dependency accumulation is iterative and not bit-reproducible in
-    SQL (the one class exempted from the value gate) — values are
-    allclose-checked against the NumPy Brandes oracle in pytest,
-    including a full-panel exact-betweenness fixture."""
+    co-purchase graph: (vid, btw) nonzero dependency sums. Value-exact:
+    the backward dependency fold runs in a canonical order (per
+    destination, strict left fold of (1+delta(w))/sigma(w) over senders
+    w ascending, then * sigma) shared bitwise by the engine, the NumPy
+    oracle, and the DuckDB list_reduce oracle — so even this iterative
+    float64 pipeline hash-matches the SQL gate at any partitioning."""
     from parallel_pagerank_ray.pipelines.centrality import betweenness_bsp
 
     g = _copurchase_graph(sf_dir, dedup=True)
@@ -2216,6 +2217,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(s AS BIGINT) AS source, CAST(vid AS BIGINT) AS vid,
                    CAST(d AS BIGINT) AS dist, sigma
             FROM sp
+        """,
+        "betweenness_copurchase": f"""
+            WITH RECURSIVE
+            {_supplier_part_vid_graph(_COPURCHASE_SQL)},
+              walk(s, vid, d) AS (
+                SELECT t.s, t.s, 0 FROM (VALUES (0), (1), (2)) t(s)
+                UNION
+                -- depth cap bounds the SQL row space only (cap 8 >>
+                -- measured ecc 2-3; a short cap MISSES rows and FAILS)
+                SELECT w.s, u.dst, w.d + 1
+                FROM walk w JOIN und u ON u.src = w.vid
+                WHERE w.d < 8
+              ),
+              lvl AS MATERIALIZED (SELECT s, vid, min(d) AS d
+                                   FROM walk GROUP BY 1, 2),
+              sp(s, vid, d, sigma) AS (
+                SELECT t.s, t.s, 0, CAST(1 AS BIGINT)
+                FROM (VALUES (0), (1), (2)) t(s)
+                UNION ALL
+                SELECT w.s, l.vid, w.d + 1,
+                       CAST(sum(w.sigma) AS BIGINT)
+                FROM sp w
+                JOIN und u ON u.src = w.vid
+                JOIN lvl l ON l.s = w.s AND l.vid = u.dst
+                 AND l.d = w.d + 1
+                GROUP BY w.s, l.vid, w.d + 1
+              ),
+              spm AS MATERIALIZED (SELECT * FROM sp),
+              md AS MATERIALIZED (SELECT max(d) AS maxd FROM spm),
+              -- Brandes backward pass, level-synchronous DESCENDING:
+              -- the working table at step k holds every seed's rows at
+              -- global level maxd-k; each step computes level-(k+1)
+              -- deltas as sigma(u) * strict-left-fold of
+              -- (1+delta(w))/sigma(w) over senders w ASCENDING —
+              -- list_reduce over an ordered list is a strict
+              -- sequential fold, the exact order the engine and the
+              -- NumPy oracle use, so the float64 values are
+              -- bit-identical
+              bwd(s, vid, d, sigma, delta) AS (
+                SELECT s, vid, d, sigma, CAST(0.0 AS DOUBLE)
+                FROM spm WHERE d = (SELECT maxd FROM md)
+                UNION ALL
+                SELECT n.s, n.vid, n.d, n.sigma,
+                       coalesce(CAST(n.sigma AS DOUBLE) * f.t, 0.0)
+                FROM spm n
+                LEFT JOIN (
+                  SELECT b.s, u.dst AS vid,
+                         list_reduce(
+                           list((1.0 + b.delta) / CAST(b.sigma AS DOUBLE)
+                                ORDER BY b.vid),
+                           (x, y) -> x + y) AS t
+                  FROM bwd b JOIN und u ON u.src = b.vid
+                  GROUP BY 1, 2
+                ) f ON f.s = n.s AND f.vid = n.vid
+                WHERE n.d = (SELECT max(b2.d) - 1 FROM bwd b2)
+              )
+            SELECT vid, btw FROM (
+              SELECT CAST(vid AS BIGINT) AS vid,
+                     list_reduce(list(delta ORDER BY s), (x, y) -> x + y)
+                       / 2.0 AS btw
+              FROM bwd WHERE vid <> s GROUP BY vid
+            ) WHERE btw <> 0.0
         """,
         "closeness_copurchase": f"""
             WITH RECURSIVE

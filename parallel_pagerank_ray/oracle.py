@@ -522,7 +522,14 @@ def betweenness_from_sources(
 ) -> np.ndarray:
     """Brandes betweenness dependency sums from a seed panel over the
     simple undirected closure (sources=range(n) gives the exact
-    measure). ``divide_pairs`` applies the undirected halving."""
+    measure). ``divide_pairs`` applies the undirected halving.
+
+    Float accumulation follows the engine's CANONICAL order so the
+    comparison is bit-exact, not just allclose: per destination u,
+    delta(u) = sigma(u) * fold(terms) where the fold is a strict
+    left-to-right sum of (1 + delta(w)) / sigma(w) over level-(d+1)
+    senders w in ascending-vid order (centrality._BrandesShardBase and
+    the DuckDB list_reduce oracle use the identical order)."""
     adj = _undirected_adj(n, edges)
     btw = np.zeros(n, dtype=np.float64)
     for s in sources:
@@ -531,10 +538,8 @@ def betweenness_from_sources(
         dist[s] = 0
         sigma[s] = 1
         frontier = [int(s)]
-        order: list[int] = []
         d = 0
         while frontier:
-            order.extend(frontier)
             d += 1
             contrib: dict[int, int] = {}
             for u in frontier:
@@ -545,11 +550,19 @@ def betweenness_from_sources(
             for v in frontier:
                 dist[v] = d
                 sigma[v] = contrib[v]
+        maxd = int(dist.max(initial=0))
         delta = np.zeros(n, dtype=np.float64)
-        for w in reversed(order):
-            for u in adj[w]:
-                if dist[u] == dist[w] - 1:
-                    delta[u] += sigma[u] / sigma[w] * (1.0 + delta[w])
+        for lev in range(maxd, 0, -1):
+            senders = np.nonzero(dist == lev)[0]  # ascending vid
+            terms: dict[int, float] = {}
+            for w in senders:
+                t = (1.0 + delta[w]) / np.float64(sigma[w])
+                for u in adj[w]:
+                    if dist[u] == lev - 1:
+                        # strict sequential fold in ascending-w order
+                        terms[int(u)] = terms.get(int(u), 0.0) + t
+            for u, tsum in terms.items():
+                delta[u] += np.float64(sigma[u]) * tsum
         delta[s] = 0.0
         btw += delta
     return btw / 2.0 if divide_pairs else btw

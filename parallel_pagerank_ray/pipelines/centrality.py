@@ -345,17 +345,49 @@ class BetweennessRun:
     history: list[dict] = field(default_factory=list)
 
 
+def seq_group_sum(vals: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Strict LEFT-TO-RIGHT float64 fold per contiguous segment —
+    ((v0+v1)+v2)+... exactly. np.add.reduce/reduceat use pairwise
+    (blocked) summation, so they canNOT serve here: the engine's
+    betweenness gate reproduces this fold in SQL via
+    list_reduce(list(x ORDER BY ...)), which is a strict left fold, and
+    the two must agree bitwise. Vectorized as a ragged-column sweep:
+    pass k adds element k of every still-active segment, so the loop
+    runs max(lens) times over a shrinking index set — O(total elements)
+    adds, with per-pass overhead bounded by the largest in-level degree
+    (fine even for web hubs: one numpy op per depth-of-hub)."""
+    out = vals[starts].copy() if len(starts) else np.array([], dtype=np.float64)
+    if len(starts) == 0:
+        return out
+    idx = np.arange(len(starts))
+    act_starts, act_lens = starts, lens
+    for k in range(1, int(lens.max(initial=0))):
+        m = act_lens > k
+        if not m.all():
+            idx, act_starts, act_lens = idx[m], act_starts[m], act_lens[m]
+        if len(idx) == 0:
+            break
+        out[idx] += vals[act_starts + k]
+    return out
+
+
 class _BrandesShardBase(_SigmaShardBase):
     """Sigma shard + Brandes' backward dependency pass. The undirected
     closure makes the forward CSR its own reverse adjacency, so the
-    backward pass reuses it: level-d vertices send
-    term = (1 + delta(v)) / sigma(v) to their neighbors, and each owner
-    adds sigma(u) * sum(terms) to the u's at level d-1 (the
-    predecessor filter happens owner-side where dist(u) is known).
-    Float dependency sums are deterministic for a fixed partitioning
-    (fixed CSR order + shard-ordered absorb); across partitionings they
-    agree to ~1e-12 relative — betweenness is NOT in the bit-exact
-    family, hence a rows-only gate with allclose pytest oracles."""
+    backward pass reuses it: level-d vertices send per-edge terms
+    term(w) = (1 + delta(w)) / sigma(w) to their neighbors, and each
+    owner computes delta(u) = sigma(u) * fold(terms) for the u's at
+    level d-1 (the predecessor filter happens owner-side where dist(u)
+    is known). The fold is a strict sequential sum over senders w in
+    GLOBALLY ASCENDING vid order — shards own contiguous vid ranges and
+    emit (dst, w)-sorted pairs, so concatenating inboxes in shard order
+    and stable-sorting by dst recovers the global (dst, w) order with
+    no extra wire data. That makes the float64 dependency sums
+    bit-reproducible at ANY partitioning and SQL-expressible
+    (list_reduce over an ORDER BY w list), which is what turns the
+    betweenness driver gate value-exact. Wire cost is per-edge instead
+    of per-unique-dst — still O(level out-edges), the same order as the
+    forward scatter."""
 
     def bwd_init(self) -> int:
         self.delta = np.zeros(self.size, dtype=np.float64)
@@ -369,6 +401,8 @@ class _BrandesShardBase(_SigmaShardBase):
         return int(self.dist.max(initial=-1))
 
     def bwd_expand(self, d: int) -> list:
+        # _by_dist is a stable argsort, so the level slice f is already
+        # ascending in local vid — pairs come out in (w, dst) order
         lo, hi = np.searchsorted(self._dist_sorted, [d, d + 1])
         f, lens, dsts = self._gather_neighbors(self._by_dist[lo:hi])
         if len(dsts) == 0:
@@ -376,20 +410,26 @@ class _BrandesShardBase(_SigmaShardBase):
         terms = np.repeat(
             (1.0 + self.delta[f]) / self.sigma[f].astype(np.float64), lens
         )
-        ids, inv = np.unique(dsts, return_inverse=True)
-        tsum = np.zeros(len(ids), dtype=np.float64)
-        np.add.at(tsum, inv, terms)
-        return self._route_by_owner(ids, tsum)
+        # per-edge emission in (dst, w) order: stable sort by dst keeps
+        # the ascending-w order within each dst
+        order = np.argsort(dsts, kind="stable")
+        return self._route_by_owner(dsts[order], terms[order])
 
     def bwd_absorb(self, refs: list, d: int) -> int:
+        # refs arrive in ascending sender-shard order = ascending w
+        # ranges; each payload is (dst, w)-sorted, so concat + stable
+        # sort by dst yields the GLOBAL (dst, w) order — the canonical
+        # fold order shared with the NumPy and SQL oracles
         got = [c for c in ray.get(list(refs)) if len(c[0])]
         if not got:
             return 0
         ids = np.concatenate([c[0] for c in got]) - self.base
         terms = np.concatenate([c[1] for c in got])
-        u, inv = np.unique(ids, return_inverse=True)
-        tsum = np.zeros(len(u), dtype=np.float64)
-        np.add.at(tsum, inv, terms)
+        order = np.argsort(ids, kind="stable")
+        ids, terms = ids[order], terms[order]
+        u, starts = np.unique(ids, return_index=True)
+        lens = np.diff(np.append(starts, len(ids)))
+        tsum = seq_group_sum(terms, starts, lens)
         m = self.dist[u] == d - 1  # predecessor filter
         sel = u[m]
         self.delta[sel] += self.sigma[sel].astype(np.float64) * tsum[m]
