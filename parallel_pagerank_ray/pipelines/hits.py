@@ -118,20 +118,28 @@ def hits_bsp(graph: Graph, iters: int = 2, num_parts: int | None = None) -> HITS
         )
         for p in range(P)
     ]
-    history: list[dict] = []
-    for it in range(1, iters + 1):
-        refs = ray.get([a.scatter_auth.remote() for a in actors])
-        amax = max(ray.get([a.gather_auth.remote(refs) for a in actors]))
-        slices = ray.get([a.a_slice.remote() for a in actors])
-        hmax = max(ray.get([a.hub_update.remote(slices) for a in actors]))
-        history.append({"iter": it, "auth_max": amax, "hub_max": hmax})
-        if max(amax, hmax) > _INT64_GUARD // max(1, n):
+    def _check(val: int, it: int) -> None:
+        # the invariant each PHASE needs from the previous one: inputs
+        # <= 2^61/n keep the next sum-of-<=n-terms under 2^61. Checking
+        # only once per iteration would let hub_update wrap int64
+        # silently (h_t can reach outdeg * a_max) before the guard ran.
+        if val > _INT64_GUARD // max(1, n):
             for a in actors:
                 ray.kill(a)
             raise OverflowError(
                 f"HITS int64 headroom exhausted at iter {it} "
-                f"(max score {max(amax, hmax)}); lower iters"
+                f"(max score {val}); lower iters"
             )
+
+    history: list[dict] = []
+    for it in range(1, iters + 1):
+        refs = ray.get([a.scatter_auth.remote() for a in actors])
+        amax = max(ray.get([a.gather_auth.remote(refs) for a in actors]))
+        _check(amax, it)  # BEFORE hub_update reads the auth vector
+        slices = ray.get([a.a_slice.remote() for a in actors])
+        hmax = max(ray.get([a.hub_update.remote(slices) for a in actors]))
+        history.append({"iter": it, "auth_max": amax, "hub_max": hmax})
+        _check(hmax, it)  # before the next iteration's scatter_auth
     tables = [a.slice_table.remote() for a in actors]
     ray.wait(tables, num_returns=len(tables))
     for a in actors:
@@ -189,13 +197,15 @@ def hits_dataset(
 
     for it in range(1, iters + 1):
         a = _weighted_sum(h, "src", "dst")
+        amax = int(global_agg(a, {"m": ("val", "max")})["m"])
+        # check BETWEEN the two sums: the hub sum can reach
+        # outdeg * amax and wrap int64 before an end-of-iter guard
+        if amax > _INT64_GUARD // max(1, n):
+            raise OverflowError(f"HITS int64 headroom exhausted at iter {it}")
         h = _weighted_sum(a, "dst", "src")
-        mx = max(
-            int(global_agg(a, {"m": ("val", "max")})["m"]),
-            int(global_agg(h, {"m": ("val", "max")})["m"]),
-        )
-        history.append({"iter": it, "score_max": mx})
-        if mx > _INT64_GUARD // max(1, n):
+        hmax = int(global_agg(h, {"m": ("val", "max")})["m"])
+        history.append({"iter": it, "score_max": max(amax, hmax)})
+        if hmax > _INT64_GUARD // max(1, n):
             raise OverflowError(f"HITS int64 headroom exhausted at iter {it}")
 
     # final table: every vertex, 0 where a score table has no row

@@ -133,7 +133,9 @@ def host_graph(links: rd.Dataset, drop_self: bool = True) -> Graph:
 
 
 def host_cocitation(
-    links: rd.Dataset, num_buckets: int | None = None
+    links: rd.Dataset,
+    num_buckets: int | None = None,
+    broadcast_max: int = 5_000_000,
 ) -> rd.Dataset:
     """Related-domain discovery by co-citation: (host_a, host_b, w)
     where w = number of DISTINCT link targets both hosts point at
@@ -195,18 +197,10 @@ def host_cocitation(
         {"w": ("w", "sum")},
         num_buckets=num_buckets,
     )
-    vt = pa.concat_tables(ray.get(verts.to_arrow_refs()))
-    host_by_vid = dict(
-        zip(vt.column("vid").to_pylist(), vt.column("url").to_pylist())
-    )
-    names_ref = ray.put(host_by_vid)
-
-    def attach(df: "pd.DataFrame") -> "pd.DataFrame":
+    def normalize(df: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
 
-        lookup = ray.get(names_ref)
-        ha = df["a"].map(lookup)
-        hb = df["b"].map(lookup)
+        ha, hb = df["host_a"], df["host_b"]
         swap = ha > hb  # vid order != lexicographic order
         return pd.DataFrame(
             {
@@ -216,4 +210,45 @@ def host_cocitation(
             }
         )
 
-    return counts.map_batches(attach, batch_format="pandas")
+    # vid -> host-name attach: broadcast only while the host vertex
+    # table is genuinely small-side (<= broadcast_max rows); a crawl
+    # has ~10^8 hosts, where the dict would be tens of GB of driver
+    # heap — fall back to two hash joins (same resolve_edges contract)
+    if verts.count() <= broadcast_max:
+        vt = pa.concat_tables(ray.get(verts.to_arrow_refs()))
+        host_by_vid = dict(
+            zip(vt.column("vid").to_pylist(), vt.column("url").to_pylist())
+        )
+        names_ref = ray.put(host_by_vid)
+
+        def attach(df: "pd.DataFrame") -> "pd.DataFrame":
+            import pandas as pd
+
+            lookup = ray.get(names_ref)
+            return normalize(
+                pd.DataFrame(
+                    {
+                        "host_a": df["a"].map(lookup),
+                        "host_b": df["b"].map(lookup),
+                        "w": df["w"],
+                    }
+                )
+            )
+
+        return counts.map_batches(attach, batch_format="pandas")
+
+    from parallel_pagerank_ray.pipelines.graph_build import (
+        _default_join_partitions,
+    )
+    from parallel_pagerank_ray.util import safe_join
+
+    parts = _default_join_partitions()
+    j = safe_join(
+        counts, verts, join_type="inner", num_partitions=parts,
+        on=("a",), right_on=("vid",),
+    ).rename_columns({"url": "host_a"}).select_columns(["host_a", "b", "w"])
+    j = safe_join(
+        j, verts, join_type="inner", num_partitions=parts,
+        on=("b",), right_on=("vid",),
+    ).rename_columns({"url": "host_b"}).select_columns(["host_a", "host_b", "w"])
+    return j.map_batches(normalize, batch_format="pandas")

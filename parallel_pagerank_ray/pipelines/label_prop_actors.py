@@ -48,17 +48,16 @@ class _LPAShard:
             chunks = ray.get(part_refs)
             src = np.concatenate([c[0] for c in chunks]) - self.base
             dst = np.concatenate([c[1] for c in chunks])
-            w = (
-                np.concatenate([c[2] for c in chunks]).astype(np.int64)
-                if len(chunks[0]) > 2
-                else None
-            )
+            if len(chunks[0]) > 2:
+                from parallel_pagerank_ray.stages.csr_store import int_weights
+
+                w = int_weights(np.concatenate([c[2] for c in chunks]))
+            else:
+                w = None
         else:
             src = np.array([], dtype=np.int64)
             dst = np.array([], dtype=np.int64)
             w = None
-        if w is not None and len(w) and not bool((w > 0).all()):
-            raise ValueError("edge weights must be positive and non-null")
         # pre-bucket edges by destination shard once (reused every round)
         db = dst // part_size
         order = np.argsort(db, kind="stable")

@@ -117,14 +117,9 @@ class _WalkShard:
         # neighbor whose cumulative weight exceeds r (probability ∝ w
         # under a uniform draw, deterministic under the hash draw)
         if w is not None:
-            wi = np.rint(w).astype(np.int64)
-            if not np.array_equal(wi.astype(np.float64), w) or (
-                wi.size and wi.min() <= 0
-            ):
-                raise ValueError(
-                    "weighted walks require positive integer edge weights"
-                )
-            self.cumw = np.cumsum(wi)
+            from parallel_pagerank_ray.stages.csr_store import int_weights
+
+            self.cumw = np.cumsum(int_weights(w))
         else:
             self.cumw = None
         self._rows: list[tuple] = []

@@ -422,6 +422,7 @@ def distinct_parts_per_nation(
     supplier: rd.Dataset,
     nation: rd.Dataset,
     num_buckets: int | None = None,
+    broadcast_max: int = 5_000_000,
 ) -> rd.Dataset:
     """COUNT(DISTINCT) by group at scale: distinct parts ever shipped
     by each nation's suppliers — (n_name, n_parts), integer-exact.
@@ -441,26 +442,48 @@ def distinct_parts_per_nation(
         ["l_suppkey", "l_partkey"],
         num_buckets=num_buckets,
     )
-    sup = pa.concat_tables(ray.get(supplier.to_arrow_refs()))
-    sup_map: dict[int, int] = dict(
-        zip(
-            sup.column("s_suppkey").to_pylist(),
-            sup.column("s_nationkey").to_pylist(),
+    # supplier->nation attach: the supplier table is O(SF) rows (10M at
+    # sf1000) — broadcast the dict only while it is genuinely small
+    # side, else hash-join (same guard contract as resolve_edges)
+    if supplier.count() <= broadcast_max:
+        sup = pa.concat_tables(ray.get(supplier.to_arrow_refs()))
+        sup_map: dict[int, int] = dict(
+            zip(
+                sup.column("s_suppkey").to_pylist(),
+                sup.column("s_nationkey").to_pylist(),
+            )
         )
-    )
-    sup_ref = ray.put(sup_map)
+        sup_ref = ray.put(sup_map)
 
-    def to_nation(df: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(sup_ref)
-        return pd.DataFrame(
-            {
-                "nationkey": df["l_suppkey"].map(lookup).astype(np.int64),
-                "l_partkey": df["l_partkey"].to_numpy(),
-            }
+        def to_nation(df: pd.DataFrame) -> pd.DataFrame:
+            lookup = ray.get(sup_ref)
+            return pd.DataFrame(
+                {
+                    "nationkey": df["l_suppkey"].map(lookup).astype(np.int64),
+                    "l_partkey": df["l_partkey"].to_numpy(),
+                }
+            )
+
+        keyed = pairs.map_batches(to_nation, batch_format="pandas")
+    else:
+        from parallel_pagerank_ray.pipelines.graph_build import (
+            _default_join_partitions,
+        )
+        from parallel_pagerank_ray.util import safe_join
+
+        keyed = safe_join(
+            pairs,
+            supplier.select_columns(["s_suppkey", "s_nationkey"]),
+            join_type="inner",
+            num_partitions=_default_join_partitions(),
+            on=("l_suppkey",),
+            right_on=("s_suppkey",),
+        ).rename_columns({"s_nationkey": "nationkey"}).select_columns(
+            ["nationkey", "l_partkey"]
         )
 
     nk_pairs = distinct(
-        pairs.map_batches(to_nation, batch_format="pandas"),
+        keyed,
         ["nationkey", "l_partkey"],
         num_buckets=num_buckets,
     )

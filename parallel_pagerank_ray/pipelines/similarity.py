@@ -271,19 +271,17 @@ def knn_lsh(
         sims[qi[probe][:, None] == ids[None, :]] = -np.inf
         kk = min(k, sims.shape[1])
         part = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+        # vectorized result assembly: rows = queries repeated k-wide,
+        # columns = the argpartition picks, -inf self-matches masked
         qsel = qi[probe]
-        rows_q, rows_n, rows_s = [], [], []
-        for r in range(len(qsel)):
-            for col in part[r]:
-                if np.isfinite(sims[r, col]):
-                    rows_q.append(int(qsel[r]))
-                    rows_n.append(int(ids[col]))
-                    rows_s.append(float(sims[r, col]))
+        flat = part.ravel()
+        svals = sims[np.repeat(np.arange(len(qsel)), kk), flat]
+        keep = np.isfinite(svals)
         return pd.DataFrame(
             {
-                "query_id": np.array(rows_q, dtype=np.int64),
-                "neighbor_id": np.array(rows_n, dtype=np.int64),
-                "sim": np.array(rows_s, dtype=np.float64),
+                "query_id": np.repeat(qsel, kk)[keep],
+                "neighbor_id": ids[flat][keep].astype(np.int64),
+                "sim": svals[keep],
             }
         )
 
@@ -440,19 +438,17 @@ def knn_ivf(
         sims[qi[probe][:, None] == ids[None, :]] = -np.inf
         kk = min(k, sims.shape[1])
         part = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+        # vectorized result assembly: rows = queries repeated k-wide,
+        # columns = the argpartition picks, -inf self-matches masked
         qsel = qi[probe]
-        rows_q, rows_n, rows_s = [], [], []
-        for r in range(len(qsel)):
-            for col in part[r]:
-                if np.isfinite(sims[r, col]):
-                    rows_q.append(int(qsel[r]))
-                    rows_n.append(int(ids[col]))
-                    rows_s.append(float(sims[r, col]))
+        flat = part.ravel()
+        svals = sims[np.repeat(np.arange(len(qsel)), kk), flat]
+        keep = np.isfinite(svals)
         return pd.DataFrame(
             {
-                "query_id": np.array(rows_q, dtype=np.int64),
-                "neighbor_id": np.array(rows_n, dtype=np.int64),
-                "sim": np.array(rows_s, dtype=np.float64),
+                "query_id": np.repeat(qsel, kk)[keep],
+                "neighbor_id": ids[flat][keep].astype(np.int64),
+                "sim": svals[keep],
             }
         )
 

@@ -52,13 +52,13 @@ class _SSSPShard:
             dst = np.concatenate([c[1] for c in chunks])
             if len(chunks[0]) < 3:
                 raise ValueError("SSSP needs a weighted edge store (w column)")
-            w = np.concatenate([c[2] for c in chunks]).astype(np.int64)
+            from parallel_pagerank_ray.stages.csr_store import int_weights
+
+            w = int_weights(np.concatenate([c[2] for c in chunks]))
         else:
             src = np.array([], dtype=np.int64)
             dst = np.array([], dtype=np.int64)
             w = np.array([], dtype=np.int64)
-        if len(w) and not bool((w > 0).all()):
-            raise ValueError("edge weights must be positive integers")
         # local CSR by src (store delivers src-sorted chunks)
         if src.size and not bool(np.all(src[1:] >= src[:-1])):
             order = np.argsort(src, kind="stable")

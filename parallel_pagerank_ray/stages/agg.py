@@ -103,9 +103,15 @@ def _combine_arrow(t: pa.Table, keys: list[str], specs: Spec) -> pa.Table:
     aggs: list[tuple] = []
     produced: dict[str, str] = {}  # arrow output name -> out col
     count_outs: list[str] = []
+    dup_outs: list[tuple[str, str]] = []  # (dup out name, source out name)
     for out, (col, how) in specs.items():
         if how == "count":
             count_outs.append(out)
+        elif f"{col}_{how}" in produced:
+            # two spec entries sharing (col, how): Arrow would emit two
+            # columns with the SAME name and the rename would map both
+            # to the last out — alias the duplicate off the first
+            dup_outs.append((out, produced[f"{col}_{how}"]))
         else:
             aggs.append((col, how))
             produced[f"{col}_{how}"] = out
@@ -116,6 +122,8 @@ def _combine_arrow(t: pa.Table, keys: list[str], specs: Spec) -> pa.Table:
     g = g.rename_columns([produced.get(n, n) for n in g.column_names])
     for extra in count_outs[1:]:
         g = g.append_column(extra, g.column(count_outs[0]))
+    for extra, src in dup_outs:
+        g = g.append_column(extra, g.column(src))
     # keys first, then spec columns (stable public layout)
     return g.select(keys + list(specs))
 

@@ -120,6 +120,28 @@ _CONCAT_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
 _CONCAT_CACHE_MAX_EDGES = 1 << 27  # ~2 GiB of int64 pairs per worker process
 
 
+def int_weights(w: "np.ndarray") -> "np.ndarray":
+    """Validate-then-cast edge weights to positive int64.
+
+    The engine's integer-weight contract (weighted SSSP/LPA/walks) must
+    REJECT non-integer float weights, not silently truncate them:
+    ``astype(np.int64)`` turns w=2.7 into 2 and quietly changes
+    shortest-path distances / vote masses. Mirrors _WalkShard's rint
+    round-trip; integer inputs skip the float check. ``not (wi > 0)``
+    (rather than ``min <= 0``) also catches NaN from parquet nulls."""
+    import numpy as np
+
+    if np.issubdtype(w.dtype, np.floating):
+        wi = np.rint(w).astype(np.int64)
+        if not np.array_equal(wi.astype(np.float64), w):
+            raise ValueError("edge weights must be positive integers")
+    else:
+        wi = w.astype(np.int64)
+    if len(wi) and not bool((wi > 0).all()):
+        raise ValueError("edge weights must be positive integers")
+    return wi
+
+
 def per_actor_cpus(num_parts: int) -> float:
     """Fractional CPU reservation per BSP shard actor, FLOORED so that
     ``num_parts * per_actor <= cpus - 1``: long-lived actors reserving

@@ -60,3 +60,37 @@ def test_bucket_count_never_changes_results(keyed_ds, monkeypatch):
     ).to_pandas().sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(base, auto)
     pd.testing.assert_frame_equal(base, run(101))
+
+
+def test_duplicate_col_how_spec(keyed_ds):
+    """Two spec entries sharing (col, how) must both be produced
+    (ADVICE r2: Arrow emits two same-named columns and the rename
+    mapped both to the last out name, breaking the final select)."""
+    got = (
+        grouped_agg(
+            keyed_ds,
+            ["k"],
+            {
+                "x": ("v", "sum"),
+                "y": ("v", "sum"),
+                "c1": ("k", "count"),
+                "c2": ("k", "count"),
+            },
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    df = keyed_ds.to_pandas()
+    want = (
+        df.groupby("k")
+        .agg(x=("v", "sum"), c1=("v", "size"))
+        .reset_index()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["x"].tolist() == want["x"].tolist()
+    assert got["y"].tolist() == want["x"].tolist()
+    assert got["c1"].tolist() == want["c1"].tolist()
+    assert got["c2"].tolist() == want["c1"].tolist()

@@ -161,6 +161,30 @@ def test_revenue_by_nation_vs_duckdb(ddb):
         assert got[c].to_numpy().tolist() == exp[c].to_numpy().tolist()
 
 
+def test_distinct_parts_per_nation_join_fallback_identical():
+    """broadcast_max=0 forces the supplier hash-join path; the output
+    must be identical to the broadcast fast path."""
+    from parallel_pagerank_ray.pipelines.relational import (
+        distinct_parts_per_nation,
+    )
+
+    args = (
+        read_table(SF, "lineitem", ["l_suppkey", "l_partkey"]),
+        read_table(SF, "supplier", ["s_suppkey", "s_nationkey"]),
+        read_table(SF, "nation", ["n_nationkey", "n_name"]),
+    )
+    fast = (
+        distinct_parts_per_nation(*args, num_buckets=8)
+        .to_pandas().sort_values("n_name").reset_index(drop=True)
+    )
+    joined = (
+        distinct_parts_per_nation(*args, num_buckets=8, broadcast_max=0)
+        .to_pandas().sort_values("n_name").reset_index(drop=True)
+    )
+    assert fast["n_name"].tolist() == joined["n_name"].tolist()
+    assert fast["n_parts"].tolist() == joined["n_parts"].tolist()
+
+
 def test_multimodal_stages():
     payloads = [b"\x00\x01binary-ish" * 50, b"tiny", b""]
     t = pa.table(

@@ -130,3 +130,26 @@ def test_host_cocitation_exact():
                 want[(srcs[i], srcs[j])] = want.get((srcs[i], srcs[j]), 0) + 1
     rows = {(r["host_a"], r["host_b"]): r["w"] for _, r in got.iterrows()}
     assert rows == want
+
+
+def test_host_cocitation_join_fallback_identical():
+    """broadcast_max=0 forces the hash-join attach path; the output
+    must be identical to the guarded broadcast fast path."""
+    from parallel_pagerank_ray.pipelines.host_graph import host_cocitation
+
+    fast = (
+        host_cocitation(_links_ds(), num_buckets=4)
+        .to_pandas()
+        .sort_values(["host_a", "host_b"])
+        .reset_index(drop=True)
+    )
+    joined = (
+        host_cocitation(_links_ds(), num_buckets=4, broadcast_max=0)
+        .to_pandas()
+        .sort_values(["host_a", "host_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        joined[["host_a", "host_b", "w"]], fast[["host_a", "host_b", "w"]],
+        check_dtype=False,
+    )

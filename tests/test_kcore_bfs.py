@@ -380,6 +380,43 @@ def test_sssp_rejects_unweighted():
         sssp_bsp(g, [0])
 
 
+def test_fractional_weights_rejected_not_truncated():
+    """w=2.7 must raise, not silently become 2 (integer-weight
+    contract, same rint round-trip as _WalkShard)."""
+    import pytest
+
+    from parallel_pagerank_ray.pipelines.label_prop_actors import (
+        label_propagation_bsp,
+    )
+    from parallel_pagerank_ray.pipelines.sssp import sssp_bsp
+
+    e = np.array([[0, 1], [1, 0], [1, 2], [2, 1]])
+    w = np.array([2.7, 2.7, 1.0, 1.0])
+    g = Graph(n=3, edges=_weighted_ds(e, w, blocks=1))
+    with pytest.raises(Exception, match="positive integer"):
+        sssp_bsp(g, [0])
+    with pytest.raises(Exception, match="positive integer"):
+        label_propagation_bsp(g, max_iters=2, edges_symmetric=True)
+
+
+def test_int_weights_validator():
+    import pytest
+
+    from parallel_pagerank_ray.stages.csr_store import int_weights
+
+    assert int_weights(np.array([1.0, 2.0])).tolist() == [1, 2]
+    assert int_weights(np.array([3, 4], dtype=np.int32)).dtype == np.int64
+    for bad in (
+        np.array([1.5]),
+        np.array([0.0]),
+        np.array([-1.0]),
+        np.array([np.nan]),
+        np.array([0], dtype=np.int64),
+    ):
+        with pytest.raises(ValueError, match="positive integer"):
+            int_weights(bad)
+
+
 def test_from_int_edges_rejects_weighted_dedup():
     import pyarrow as pa
     import pytest

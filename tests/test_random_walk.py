@@ -113,5 +113,5 @@ def test_weighted_walks_reject_bad_weights():
     g = Graph(n=2, edges=_weighted_ds(e, [0], blocks=1).materialize())
     # the ValueError raises in the actor __init__; Ray surfaces it as a
     # RayActorError wrapping the original message
-    with pytest.raises(Exception, match="positive integer edge weights"):
+    with pytest.raises(Exception, match="positive integer"):
         random_walks_bsp(g, [0], walks_per_seed=1, length=2, num_parts=2)
