@@ -410,6 +410,33 @@ def _copurchase_graph(sf_dir: str, dedup: bool):
     return g
 
 
+_COPURCHASE_UND_STORES: dict = {}
+
+
+def _copurchase_und_store(sf_dir: str):
+    """One EdgeShardStore of the undirected simple-closure co-purchase
+    graph per process, shared by the sweep family (bfs / closeness /
+    spcount / betweenness) — each used to rebuild the same closure +
+    shard shuffle per query. Results are shard-layout-invariant for
+    all four (integer sweeps; betweenness's canonical global fold), so
+    sharing changes latency only."""
+    from parallel_pagerank_ray.pipelines.graph_build import undirected_edges
+    from parallel_pagerank_ray.stages.csr_store import (
+        EdgeShardStore,
+        sweep_num_parts,
+    )
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    got = _COPURCHASE_UND_STORES.get(sf_dir)
+    if got is None:
+        simple = undirected_edges(g.edges, dedup=False)
+        got = EdgeShardStore.build(
+            simple, n=g.n, num_parts=sweep_num_parts(2 * g.edges.count())
+        )
+        _COPURCHASE_UND_STORES[sf_dir] = got
+    return g, got
+
+
 def q_components_copurchase(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.components_actors import (
         connected_components_bsp,
@@ -621,8 +648,8 @@ def q_bfs_copurchase(sf_dir: str) -> rd.Dataset:
     graph: (vid, dist) for reached vertices. Integer hops -> exact."""
     from parallel_pagerank_ray.pipelines.bfs import bfs_distances_bsp
 
-    g = _copurchase_graph(sf_dir, dedup=True)
-    return bfs_distances_bsp(g, [0]).distances
+    g, store = _copurchase_und_store(sf_dir)
+    return bfs_distances_bsp(g, [0], store=store).distances
 
 
 def q_local_clustering(sf_dir: str) -> rd.Dataset:
@@ -644,8 +671,10 @@ def q_spcount_copurchase(sf_dir: str) -> rd.Dataset:
         shortest_path_counts_bsp,
     )
 
-    g = _copurchase_graph(sf_dir, dedup=True)
-    return shortest_path_counts_bsp(g, [0, 1, 2], edges_canonical=True).counts
+    g, store = _copurchase_und_store(sf_dir)
+    return shortest_path_counts_bsp(
+        g, [0, 1, 2], edges_canonical=True, store=store
+    ).counts
 
 
 def q_betweenness_copurchase(sf_dir: str) -> rd.Dataset:
@@ -658,8 +687,10 @@ def q_betweenness_copurchase(sf_dir: str) -> rd.Dataset:
     float64 pipeline hash-matches the SQL gate at any partitioning."""
     from parallel_pagerank_ray.pipelines.centrality import betweenness_bsp
 
-    g = _copurchase_graph(sf_dir, dedup=True)
-    return betweenness_bsp(g, [0, 1, 2], edges_canonical=True).scores
+    g, store = _copurchase_und_store(sf_dir)
+    return betweenness_bsp(
+        g, [0, 1, 2], edges_canonical=True, store=store
+    ).scores
 
 
 def q_random_walks_copurchase(sf_dir: str) -> rd.Dataset:
@@ -704,8 +735,8 @@ def q_closeness_copurchase(sf_dir: str) -> pa.Table:
         closeness_centrality_bsp,
     )
 
-    g = _copurchase_graph(sf_dir, dedup=True)
-    return closeness_centrality_bsp(g, [0, 1, 2]).table
+    g, store = _copurchase_und_store(sf_dir)
+    return closeness_centrality_bsp(g, [0, 1, 2], store=store).table
 
 
 def q_sssp_weighted_copurchase(sf_dir: str) -> rd.Dataset:

@@ -83,6 +83,15 @@ def bench_pagerank() -> dict:
     t0 = time.time()
     pagerank_bsp(g, d=0.85, tol=0.0, max_iters=PR_ITERS, store=store)
     bsp_s = time.time() - t0
+    # float32 exchange leg: halves wire bytes for multi-node clusters;
+    # single-node it should measure within noise of float64 (plasma is
+    # shared memory) — benchmarked so the cluster-targeted mode can't rot
+    t0 = time.time()
+    pagerank_bsp(
+        g, d=0.85, tol=0.0, max_iters=PR_ITERS, store=store,
+        exchange_dtype="float32",
+    )
+    bsp32_s = time.time() - t0
     return {
         "n_vertices": g.n,
         "n_edges": int(n_edges),
@@ -97,6 +106,11 @@ def bench_pagerank() -> dict:
             "iterate_sec": round(bsp_s, 3),
             "sec_per_superstep": round(bsp_s / PR_ITERS, 4),
             "edges_per_sec_per_superstep": round(n_edges * PR_ITERS / bsp_s, 1),
+        },
+        "bsp_engine_f32_exchange": {
+            "iterate_sec": round(bsp32_s, 3),
+            "sec_per_superstep": round(bsp32_s / PR_ITERS, 4),
+            "edges_per_sec_per_superstep": round(n_edges * PR_ITERS / bsp32_s, 1),
         },
         # headline = best engine (both oracle-exact; see tests/)
         "sec_per_superstep": round(min(iter_s / ds_iters, bsp_s / PR_ITERS), 4),

@@ -29,7 +29,11 @@ import ray
 import ray.data as rd
 
 from parallel_pagerank_ray.pipelines.graph_build import Graph, undirected_edges
-from parallel_pagerank_ray.stages.csr_store import EdgeShardStore, per_actor_cpus
+from parallel_pagerank_ray.stages.csr_store import (
+    EdgeShardStore,
+    per_actor_cpus,
+    sweep_num_parts,
+)
 
 
 @dataclass
@@ -171,11 +175,13 @@ def bfs_distances_bsp(
     directed: bool = False,
     num_parts: int | None = None,
     max_depth: int = 10_000,
+    store: EdgeShardStore | None = None,
 ) -> BFSRun:
     """Hop distances from ``sources`` (closest source wins). The
     undirected mode (default) walks the symmetric closure WITHOUT a
     dedup shuffle — BFS is duplicate-invariant, so closure duplicates
-    are harmless."""
+    are harmless. A prebuilt ``store`` (holding the matching closure)
+    skips the closure + shard shuffle."""
     n = graph.n
     if n == 0 or not sources:
         return BFSRun(distances=rd.from_items([]), iterations=0)
@@ -183,13 +189,16 @@ def bfs_distances_bsp(
     if src_arr.min() < 0 or src_arr.max() >= n:
         # validate before any store build / actor spawn
         raise ValueError(f"source vid out of range [0, {n})")
-    if num_parts is None:
-        # frontier exchange is sparse (no dense per-part vectors), so
-        # shards are cheap — one per CPU parallelizes the CSR build
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_parts = min(256, max(4, cpus))
-    edges = graph.edges if directed else undirected_edges(graph.edges, dedup=False)
-    store = EdgeShardStore.build(edges, n=n, num_parts=num_parts)
+    if store is None:
+        if num_parts is None:
+            # frontier exchange is sparse (no dense per-part vectors):
+            # edge-scaled shard count, one per CPU at web scale
+            ne = graph.edges.count()
+            num_parts = sweep_num_parts(ne if directed else 2 * ne)
+        edges = (
+            graph.edges if directed else undirected_edges(graph.edges, dedup=False)
+        )
+        store = EdgeShardStore.build(edges, n=n, num_parts=num_parts)
     P = max(1, -(-n // store.part_size))
     per_actor = per_actor_cpus(P)
     actors = [

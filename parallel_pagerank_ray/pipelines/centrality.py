@@ -34,7 +34,11 @@ import ray
 
 from parallel_pagerank_ray.pipelines.bfs import _BFSShard, _run_bfs_rounds
 from parallel_pagerank_ray.pipelines.graph_build import Graph, undirected_edges
-from parallel_pagerank_ray.stages.csr_store import EdgeShardStore, per_actor_cpus
+from parallel_pagerank_ray.stages.csr_store import (
+    EdgeShardStore,
+    per_actor_cpus,
+    sweep_num_parts,
+)
 
 
 @dataclass
@@ -194,6 +198,7 @@ def shortest_path_counts_bsp(
     num_parts: int | None = None,
     max_depth: int = 10_000,
     edges_canonical: bool = False,
+    store: EdgeShardStore | None = None,
 ) -> SigmaRun:
     """Per-seed shortest-path counts (source, vid, dist, sigma) —
     Brandes' forward pass, the exact-integer core of betweenness
@@ -202,7 +207,9 @@ def shortest_path_counts_bsp(
     built from the deduplicated simple graph. ``edges_canonical``
     certifies the input is already simple (undirected: src < dst,
     distinct, no self loops; directed: distinct pairs), skipping the
-    dedup shuffle."""
+    dedup shuffle. A caller running several sweep queries over one
+    graph passes a prebuilt ``store`` (MUST hold the matching simple
+    closure) and skips the closure + shard shuffle entirely."""
     import ray.data as rd
 
     n = graph.n
@@ -211,22 +218,27 @@ def shortest_path_counts_bsp(
     src_list = [int(s) for s in sources]
     if min(src_list) < 0 or max(src_list) >= n:
         raise ValueError(f"source vid out of range [0, {n})")
-    if num_parts is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_parts = min(256, max(4, cpus))
-    if directed:
-        from parallel_pagerank_ray.pipelines.graph_build import dedup_edges
+    if store is None:
+        if directed:
+            from parallel_pagerank_ray.pipelines.graph_build import dedup_edges
 
-        simple = graph.edges if edges_canonical else dedup_edges(graph.edges)
-    else:
-        if edges_canonical:
-            canon = graph.edges
+            simple = graph.edges if edges_canonical else dedup_edges(graph.edges)
         else:
-            from parallel_pagerank_ray.pipelines.triangles import _simple_undirected
+            if edges_canonical:
+                canon = graph.edges
+            else:
+                from parallel_pagerank_ray.pipelines.triangles import (
+                    _simple_undirected,
+                )
 
-            canon = _simple_undirected(graph.edges)
-        simple = undirected_edges(canon, dedup=False)
-    store = EdgeShardStore.build(simple, n=n, num_parts=num_parts)
+                canon = _simple_undirected(graph.edges)
+            simple = undirected_edges(canon, dedup=False)
+        if num_parts is None:
+            # metadata-cheap upper bound (pre-dedup, doubled closure) —
+            # num_parts is a parallelism knob, never a result knob
+            ne = graph.edges.count()
+            num_parts = sweep_num_parts(ne if directed else 2 * ne)
+        store = EdgeShardStore.build(simple, n=n, num_parts=num_parts)
     P = max(1, -(-n // store.part_size))
     per_actor = per_actor_cpus(P)
     actors = [
@@ -265,6 +277,7 @@ def closeness_centrality_bsp(
     directed: bool = False,
     num_parts: int | None = None,
     max_depth: int = 10_000,
+    store: EdgeShardStore | None = None,
 ) -> ClosenessRun:
     """Per-seed closeness over ``graph`` (undirected closure by
     default, duplicate edges harmless — BFS is duplicate-invariant).
@@ -292,12 +305,14 @@ def closeness_centrality_bsp(
     src_list = [int(s) for s in sources]
     if min(src_list) < 0 or max(src_list) >= n:
         raise ValueError(f"source vid out of range [0, {n})")
-    if num_parts is None:
-        # sparse frontier exchange -> shards are cheap, one per CPU
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_parts = min(256, max(4, cpus))
-    edges = graph.edges if directed else undirected_edges(graph.edges, dedup=False)
-    store = EdgeShardStore.build(edges, n=n, num_parts=num_parts)
+    if store is None:
+        if num_parts is None:
+            ne = graph.edges.count()
+            num_parts = sweep_num_parts(ne if directed else 2 * ne)
+        edges = (
+            graph.edges if directed else undirected_edges(graph.edges, dedup=False)
+        )
+        store = EdgeShardStore.build(edges, n=n, num_parts=num_parts)
     P = max(1, -(-n // store.part_size))
     per_actor = per_actor_cpus(P)
     actors = [
@@ -462,6 +477,7 @@ def betweenness_bsp(
     max_depth: int = 10_000,
     edges_canonical: bool = False,
     divide_pairs: bool = True,
+    store: EdgeShardStore | None = None,
 ) -> BetweennessRun:
     """Brandes betweenness from a seed panel over the UNDIRECTED simple
     closure (sampled-source betweenness — the standard web-scale
@@ -478,17 +494,17 @@ def betweenness_bsp(
     src_list = [int(s) for s in sources]
     if min(src_list) < 0 or max(src_list) >= n:
         raise ValueError(f"source vid out of range [0, {n})")
-    if num_parts is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_parts = min(256, max(4, cpus))
-    if edges_canonical:
-        canon = graph.edges
-    else:
-        from parallel_pagerank_ray.pipelines.triangles import _simple_undirected
+    if store is None:
+        if edges_canonical:
+            canon = graph.edges
+        else:
+            from parallel_pagerank_ray.pipelines.triangles import _simple_undirected
 
-        canon = _simple_undirected(graph.edges)
-    simple = undirected_edges(canon, dedup=False)
-    store = EdgeShardStore.build(simple, n=n, num_parts=num_parts)
+            canon = _simple_undirected(graph.edges)
+        simple = undirected_edges(canon, dedup=False)
+        if num_parts is None:
+            num_parts = sweep_num_parts(2 * graph.edges.count())
+        store = EdgeShardStore.build(simple, n=n, num_parts=num_parts)
     P = max(1, -(-n // store.part_size))
     per_actor = per_actor_cpus(P)
     actors = [
