@@ -932,6 +932,28 @@ def q_dedup_exact(sf_dir: str) -> rd.Dataset:
     return exact_dedup(_documents(sf_dir, ["doc_id", "text"]))
 
 
+def q_doc_fingerprints(sf_dir: str) -> rd.Dataset:
+    """Winnowing fingerprints (SIGMOD'03 MOSS scheme) per document:
+    (doc_id, pos, fp) — rightmost-tie minima over every window of 8
+    consecutive 16-gram mod-2^31-1 hashes. Integer-exact selection;
+    the DuckDB oracle reproduces every row."""
+    from parallel_pagerank_ray.pipelines.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_documents(sf_dir, ["doc_id", "text"]), k=16, w=8)
+
+
+def q_winnow_candidates(sf_dir: str) -> rd.Dataset:
+    """Containment/near-dup candidates by shared winnowing
+    fingerprints: (doc_a, doc_b, shared >= 4). Catches partial overlap
+    (quoted spans, boilerplate) that whole-doc MinHash similarity
+    misses; integer-exact."""
+    from parallel_pagerank_ray.pipelines.dedup import winnow_candidates
+
+    return winnow_candidates(
+        _documents(sf_dir, ["doc_id", "text"]), k=16, w=8, min_shared=4
+    )
+
+
 def q_dedup_shingle_jaccard(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.dedup import shingle_jaccard_pairs
 
@@ -1394,6 +1416,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_source": q_top_docs_per_source,
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
+        "doc_fingerprints": q_doc_fingerprints,
+        "winnow_candidates": q_winnow_candidates,
         "dedup_shingle_jaccard": q_dedup_shingle_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1571,6 +1595,57 @@ def _minhash_lsh_sql(
           ON a.band = b.band AND a.key1 = b.key1 AND a.key2 = b.key2
          AND a.doc_id < b.doc_id
     """
+
+
+def _winnow_sql(k: int = 8, w: int = 4, candidates: bool = False,
+                min_shared: int = 2) -> str:
+    """DuckDB mirror of pipelines.dedup.winnow_fingerprints /
+    winnow_candidates: the same mod-2^31-1 k-gram Horner chain (shared
+    with the MinHash oracle), windows of ``w`` consecutive hashes, min
+    per window with the RIGHTMOST position on ties, distinct
+    selections. Integer arithmetic end to end."""
+    from parallel_pagerank_ray.functions import hashing as H
+
+    p, R = int(H.P31), int(H.SHINGLE_R)
+    horner = "CAST(ascii(substr(text, x, 1)) AS BIGINT)"
+    for i in range(1, k):
+        horner = f"(({horner}) * {R} + ascii(substr(text, x + {i}, 1))) % {p}"
+    shs = (
+        f"[{{'j': x - 1, 'h': ({horner})}} "
+        f"for x in range(1, greatest(length(text) - {k - 2}, 2))]"
+    )
+    base = f"""
+        WITH sh AS MATERIALIZED (
+          SELECT doc_id, s['j'] AS j, s['h'] AS h FROM (
+            SELECT doc_id, unnest({shs}) AS s FROM documents)),
+        nsh AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        starts AS MATERIALIZED (
+          SELECT sh.doc_id, sh.j AS i FROM sh JOIN nsh USING (doc_id)
+          WHERE sh.j <= greatest(n - {w}, 0)),
+        wins AS MATERIALIZED (
+          SELECT st.doc_id, st.i, min(s2.h) AS fp
+          FROM starts st JOIN sh s2 ON s2.doc_id = st.doc_id
+           AND s2.j BETWEEN st.i AND st.i + {w - 1}
+          GROUP BY 1, 2),
+        sel AS MATERIALIZED (
+          SELECT DISTINCT wn.doc_id, pos, fp FROM (
+            SELECT wn.doc_id, max(s2.j) AS pos, wn.fp
+            FROM wins wn JOIN sh s2 ON s2.doc_id = wn.doc_id
+             AND s2.j BETWEEN wn.i AND wn.i + {w - 1} AND s2.h = wn.fp
+            GROUP BY wn.doc_id, wn.i, wn.fp) wn)
+    """
+    if not candidates:
+        return base + """
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos, CAST(fp AS BIGINT) AS fp
+        FROM sel
+        """
+    return base + f"""
+        , dfp AS (SELECT DISTINCT doc_id, fp FROM sel)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS shared
+        FROM dfp a JOIN dfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+        """
 
 
 def _simhash_sql(max_hamming: int = 3) -> str:
@@ -2498,6 +2573,9 @@ def oracle_sql() -> dict[str, str]:
                    fingerprint
             FROM t
         """,
+        "doc_fingerprints": _winnow_sql(k=16, w=8),
+        "winnow_candidates": _winnow_sql(k=16, w=8, candidates=True,
+                                         min_shared=4),
         "dedup_exact": """
             SELECT md5(text) AS fingerprint,
                    min(doc_id) AS keeper,

@@ -91,6 +91,27 @@ def band_keys31(sig: np.ndarray, bands: int) -> tuple[np.ndarray, np.ndarray]:
     return k1, k2
 
 
+def winnow_select(h: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken,
+    SIGMOD'03 — the MOSS scheme): over every window of ``w``
+    consecutive k-gram hashes select the minimum, RIGHTMOST position on
+    ties; return the distinct selected (position, hash) pairs in
+    position order. Guarantees a fingerprint in every length-(w+k-1)
+    character span while storing ~2/(w+1) of the hashes. A sequence
+    shorter than ``w`` is one window. Integer min is order-free, so the
+    selection is trivially partition- and SQL-reproducible."""
+    n = len(h)
+    if n == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.uint64)
+    ww = min(w, n)
+    win = np.lib.stride_tricks.sliding_window_view(h, ww)
+    # rightmost argmin = (ww-1) - argmin of the reversed window
+    am = (ww - 1) - win[:, ::-1].argmin(axis=1)
+    pos = np.arange(len(win), dtype=np.int64) + am
+    upos = np.unique(pos)
+    return upos, h[upos]
+
+
 def md5_u64(s: str) -> int:
     """First 8 md5 digest bytes, big-endian — equals DuckDB's
     ``CAST(('0x' || substr(md5(s), 1, 16)) AS UBIGINT)``."""

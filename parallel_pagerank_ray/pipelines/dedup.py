@@ -352,3 +352,100 @@ def embedding_near_dup(
         .map_groups(pairs, batch_format="pandas")
     )
     return drop_empty_blocks(out)
+
+
+def winnow_fingerprints(
+    docs: rd.Dataset, k: int = 8, w: int = 4
+) -> rd.Dataset:
+    """Winnowing document fingerprints (Schleimer–Wilkerson–Aiken,
+    SIGMOD'03): (doc_id, pos, fp) — per doc, the distinct
+    rightmost-tie minima over every window of ``w`` consecutive
+    k-char-gram hashes (the MOSS plagiarism-detection fingerprint,
+    the standard rolling-hash doc signature for containment/overlap
+    detection where MinHash only captures whole-document similarity).
+
+    Scale shape: stateless flat-map (no shuffle); output is ~2/(w+1)
+    of the k-gram stream. Hashes are the engine's mod-2^31-1 Horner
+    chain, so selection is integer-exact and the DuckDB oracle
+    reproduces every row (hash-gated)."""
+
+    def stage(b: pd.DataFrame) -> pd.DataFrame:
+        ids: list[np.ndarray] = []
+        poss: list[np.ndarray] = []
+        fps: list[np.ndarray] = []
+        for doc_id, text in zip(
+            b["doc_id"].astype(np.int64), b["text"].astype(str)
+        ):
+            h = H.shingle_hashes31(text, k)
+            pos, fp = H.winnow_select(h, w)
+            ids.append(np.full(len(pos), doc_id, dtype=np.int64))
+            poss.append(pos)
+            fps.append(fp.astype(np.int64))
+        e = np.array([], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(ids) if ids else e,
+                "pos": np.concatenate(poss) if poss else e,
+                "fp": np.concatenate(fps) if fps else e,
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        stage, batch_format="pandas"
+    )
+
+
+def winnow_candidates(
+    docs: rd.Dataset,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Near-dup/containment candidates from shared winnowing
+    fingerprints: (doc_a, doc_b, shared) with doc_a < doc_b and
+    shared >= ``min_shared`` distinct fingerprints in common.
+
+    Shape: distinct (doc_id, fp) first (a fp repeated inside one doc
+    counts once), pair generation with the bucketed in-group kernel
+    keyed on fp — group size = a fingerprint's doc frequency, the
+    quantity a caller caps when boilerplate fingerprints are
+    pathological hubs (same contract as the co-purchase kernel)."""
+    dfp = distinct(winnow_fingerprints(docs, k=k, w=w), ["doc_id", "fp"])
+    if num_buckets is None:
+        from parallel_pagerank_ray.stages.agg import resolve_num_buckets
+
+        num_buckets = resolve_num_buckets(dfp)
+
+    def bucketed(b: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        b["__b"] = (b["fp"] % num_buckets).astype(np.int64)
+        return b
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a, b2 = pairs_within_groups(
+            (g["fp"].to_numpy(), g["doc_id"].to_numpy()), g["doc_id"].to_numpy()
+        )
+        out = (
+            pd.DataFrame({"doc_a": a, "doc_b": b2})
+            .groupby(["doc_a", "doc_b"], sort=False)
+            .size()
+            .reset_index(name="shared")
+        )
+        out["shared"] = out["shared"].astype(np.int64)
+        return out
+
+    counts = grouped_agg(
+        dfp.map_batches(bucketed, batch_format="numpy")
+        .groupby("__b")
+        .map_groups(pairs, batch_format="pandas"),
+        ["doc_a", "doc_b"],
+        {"shared": ("shared", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def thresh(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t.column("shared"), min_shared))
+
+    return counts.map_batches(thresh, batch_format="pyarrow")

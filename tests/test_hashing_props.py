@@ -271,3 +271,51 @@ def test_walk_hash_matches_pure_int_chain(seed, widx, step, vid):
     x = (x + vid % p) % p
     x = (x + s64) % p
     assert got == (x * x + x) % p
+
+
+def test_winnow_select_matches_naive_reference():
+    """winnow_select == the literal SIGMOD'03 rule (window min,
+    rightmost tie, distinct selections) on tie-heavy random inputs,
+    including empty and shorter-than-window sequences."""
+    import numpy as np
+
+    from parallel_pagerank_ray.functions.hashing import winnow_select
+
+    def ref(h, w):
+        n = len(h)
+        if n == 0:
+            return []
+        ww = min(w, n)
+        seen = {}
+        for i in range(n - ww + 1):
+            win = h[i : i + ww]
+            m = win.min()
+            pos = i + max(j for j in range(ww) if win[j] == m)
+            seen[pos] = h[pos]
+        return sorted(seen.items())
+
+    rng = np.random.default_rng(0)
+    for _ in range(300):
+        n = int(rng.integers(0, 40))
+        h = rng.integers(0, 8, size=n).astype(np.uint64)  # dense ties
+        p, f = winnow_select(h, 4)
+        assert list(zip(p.tolist(), f.tolist())) == ref(h, 4)
+
+
+def test_winnow_coverage_guarantee():
+    """Every window of w consecutive k-gram hashes contains a selected
+    position — the winnowing guarantee that any sufficiently long
+    shared substring yields a shared fingerprint."""
+    import numpy as np
+
+    from parallel_pagerank_ray.functions.hashing import winnow_select
+
+    rng = np.random.default_rng(1)
+    for _ in range(50):
+        n = int(rng.integers(8, 200))
+        w = int(rng.integers(2, 9))
+        h = rng.integers(0, 1 << 31, size=n).astype(np.uint64)
+        pos, _ = winnow_select(h, w)
+        ps = set(pos.tolist())
+        for i in range(n - w + 1):
+            assert any(j in ps for j in range(i, i + w)), (i, w)
