@@ -124,6 +124,7 @@ def revenue_by_nation(
     nation: rd.Dataset,
     region: rd.Dataset,
     num_partitions: int | None = None,
+    broadcast_max: int = 5_000_000,
 ) -> rd.Dataset:
     """TPC-H Q5 shape: orders ⋈ customer ⋈ nation ⋈ region, revenue
     rolled up per nation. One row per nation with >= 1 ordering
@@ -166,14 +167,38 @@ def revenue_by_nation(
         ["o_custkey"],
         {"n_orders": ("cents", "count"), "cents": ("cents", "sum")},
     )
-    cust_rev = safe_join(
-        rev,
-        customer.select_columns(["c_custkey", "c_nationkey"]),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-    )
+    # customer -> nationkey attach: broadcast while the customer table
+    # is genuinely small side (<= broadcast_max rows; it is O(SF) —
+    # 150M at sf1000, where the hash join below takes over). Same
+    # guard contract as resolve_edges / distinct_parts_per_nation.
+    cust = customer.select_columns(["c_custkey", "c_nationkey"])
+    if cust.count() <= broadcast_max:
+        ct = pa.concat_tables(ray.get(cust.to_arrow_refs()))
+        cmap_ref = ray.put(
+            (
+                pd.Index(ct.column("c_custkey").to_numpy()),
+                ct.column("c_nationkey").to_numpy(),
+            )
+        )
+
+        def attach_nation(df: pd.DataFrame) -> pd.DataFrame:
+            idx, v = ray.get(cmap_ref)
+            pos = idx.get_indexer(df["o_custkey"].to_numpy())
+            m = pos >= 0  # inner-join semantics: drop unknown custkeys
+            out = df.loc[m].reset_index(drop=True)
+            out["c_nationkey"] = v[pos[m]]
+            return out
+
+        cust_rev = rev.map_batches(attach_nation, batch_format="pandas")
+    else:
+        cust_rev = safe_join(
+            rev,
+            cust,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
     per_nation = grouped_agg(
         cust_rev,
         ["c_nationkey"],

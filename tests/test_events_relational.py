@@ -161,6 +161,29 @@ def test_revenue_by_nation_vs_duckdb(ddb):
         assert got[c].to_numpy().tolist() == exp[c].to_numpy().tolist()
 
 
+def test_revenue_by_nation_join_fallback_identical():
+    """broadcast_max=0 forces the customer hash-join path; identical
+    output to the broadcast fast path."""
+    from parallel_pagerank_ray.pipelines.relational import revenue_by_nation
+
+    args = (
+        read_table(SF, "orders", ["o_custkey", "o_totalprice"]),
+        read_table(SF, "customer", ["c_custkey", "c_nationkey"]),
+        read_table(SF, "nation"),
+        read_table(SF, "region"),
+    )
+    fast = (
+        revenue_by_nation(*args)
+        .to_pandas().sort_values(["r_name", "n_name"]).reset_index(drop=True)
+    )
+    joined = (
+        revenue_by_nation(*args, broadcast_max=0)
+        .to_pandas().sort_values(["r_name", "n_name"]).reset_index(drop=True)
+    )
+    for c in fast.columns:
+        assert fast[c].tolist() == joined[c].tolist(), c
+
+
 def test_distinct_parts_per_nation_join_fallback_identical():
     """broadcast_max=0 forces the supplier hash-join path; the output
     must be identical to the broadcast fast path."""
