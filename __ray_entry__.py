@@ -337,16 +337,9 @@ def q_pagerank_weighted_top20(sf_dir: str) -> pd.DataFrame:
     rank * w / W(src). Integer rank-order output like the other
     pagerank queries; the BSP engine detects the w column in the shard
     store automatically."""
-    from parallel_pagerank_ray.pipelines.graph_build import Graph
     from parallel_pagerank_ray.pipelines.pagerank_actors import pagerank_bsp
-    from parallel_pagerank_ray.pipelines.relational import (
-        copurchase_weighted_edges,
-    )
-    from parallel_pagerank_ray.stages.agg import global_agg
 
-    edges = copurchase_weighted_edges(sf_dir).materialize()
-    m = global_agg(edges, {"ms": ("src", "max"), "md": ("dst", "max")})
-    g = Graph(n=int(max(m["ms"], m["md"])) + 1, edges=edges)
+    g = _copurchase_weighted_graph(sf_dir)
     run = pagerank_bsp(g, d=0.85, tol=1e-3, max_iters=100)
     top = (
         run.ranks.select_columns(["vid", "rank"])
@@ -437,6 +430,28 @@ def _copurchase_und_store(sf_dir: str):
     return g, got
 
 
+_COPURCHASE_WEIGHTED: dict = {}
+
+
+def _copurchase_weighted_graph(sf_dir: str):
+    """Symmetric weighted co-purchase Graph, built once per process —
+    three gate queries (weighted LPA / walks / SSSP) were each paying
+    the lineitem self-join + rollup."""
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.relational import (
+        copurchase_weighted_edges,
+    )
+    from parallel_pagerank_ray.stages.agg import global_agg
+
+    g = _COPURCHASE_WEIGHTED.get(sf_dir)
+    if g is None:
+        edges = copurchase_weighted_edges(sf_dir).materialize()
+        m = global_agg(edges, {"ms": ("src", "max"), "md": ("dst", "max")})
+        g = Graph(n=int(max(m["ms"], m["md"])) + 1, edges=edges)
+        _COPURCHASE_WEIGHTED[sf_dir] = g
+    return g
+
+
 def q_components_copurchase(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.components_actors import (
         connected_components_bsp,
@@ -513,18 +528,12 @@ def q_labelprop_weighted_copurchase(sf_dir: str) -> rd.Dataset:
     """Weighted LPA over the symmetric weighted co-purchase graph
     (vote mass = distinct-order edge weight): community sizes after 3
     synchronous rounds. Integer vote sums -> exact at any parallelism."""
-    from parallel_pagerank_ray.pipelines.graph_build import Graph
     from parallel_pagerank_ray.pipelines.label_prop_actors import (
         label_propagation_bsp,
     )
-    from parallel_pagerank_ray.pipelines.relational import (
-        copurchase_weighted_edges,
-    )
-    from parallel_pagerank_ray.stages.agg import global_agg, grouped_agg
+    from parallel_pagerank_ray.stages.agg import grouped_agg
 
-    edges = copurchase_weighted_edges(sf_dir).materialize()
-    m = global_agg(edges, {"ms": ("src", "max"), "md": ("dst", "max")})
-    g = Graph(n=int(max(m["ms"], m["md"])) + 1, edges=edges)
+    g = _copurchase_weighted_graph(sf_dir)
     run = label_propagation_bsp(g, max_iters=3, edges_symmetric=True)
     return grouped_agg(
         run.labels, ["label"], {"size": ("vid", "count")}, num_buckets=8
@@ -711,16 +720,9 @@ def q_random_walks_weighted_copurchase(sf_dir: str) -> rd.Dataset:
     co-purchase graph (transition probability ∝ distinct-order count):
     cumulative-weight hash pick, value-exact vs the recursive-CTE
     simulation."""
-    from parallel_pagerank_ray.pipelines.graph_build import Graph
     from parallel_pagerank_ray.pipelines.random_walk import random_walks_bsp
-    from parallel_pagerank_ray.pipelines.relational import (
-        copurchase_weighted_edges,
-    )
-    from parallel_pagerank_ray.stages.agg import global_agg
 
-    edges = copurchase_weighted_edges(sf_dir).materialize()
-    m = global_agg(edges, {"ms": ("src", "max"), "md": ("dst", "max")})
-    g = Graph(n=int(max(m["ms"], m["md"])) + 1, edges=edges)
+    g = _copurchase_weighted_graph(sf_dir)
     return random_walks_bsp(g, [0, 1, 2], walks_per_seed=4, length=6).walks
 
 
@@ -743,16 +745,9 @@ def q_sssp_weighted_copurchase(sf_dir: str) -> rd.Dataset:
     """Weighted shortest-path distances from part vid 0 over the
     symmetric weighted co-purchase graph (edge length = distinct-order
     count): (vid, dist). Integer relaxation -> exact."""
-    from parallel_pagerank_ray.pipelines.graph_build import Graph
-    from parallel_pagerank_ray.pipelines.relational import (
-        copurchase_weighted_edges,
-    )
     from parallel_pagerank_ray.pipelines.sssp import sssp_bsp
-    from parallel_pagerank_ray.stages.agg import global_agg
 
-    edges = copurchase_weighted_edges(sf_dir).materialize()
-    m = global_agg(edges, {"ms": ("src", "max"), "md": ("dst", "max")})
-    g = Graph(n=int(max(m["ms"], m["md"])) + 1, edges=edges)
+    g = _copurchase_weighted_graph(sf_dir)
     return sssp_bsp(g, [0]).distances
 
 
