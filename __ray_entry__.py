@@ -949,6 +949,22 @@ def q_winnow_candidates(sf_dir: str) -> rd.Dataset:
     )
 
 
+_TFIDF_QUERY = ["hash", "join", "stream", "window", "sort"]
+
+
+def q_tfidf_search(sf_dir: str) -> pa.Table:
+    """Top-20 documents for a fixed 5-token query by integer tf-idf
+    (score = sum tf * (10^6 // df); floor-division idf keeps the whole
+    ranking int64-exact — the integer-HITS move applied to retrieval).
+    Total order (score DESC, doc_id ASC) makes the limit boundary
+    deterministic."""
+    from parallel_pagerank_ray.functions.textstats import tfidf_search
+
+    return tfidf_search(
+        _documents(sf_dir, ["doc_id", "text"]), _TFIDF_QUERY, k=20
+    )
+
+
 def q_dedup_shingle_jaccard(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.dedup import shingle_jaccard_pairs
 
@@ -1413,6 +1429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "doc_fingerprints": q_doc_fingerprints,
         "winnow_candidates": q_winnow_candidates,
+        "tfidf_search": q_tfidf_search,
         "dedup_shingle_jaccard": q_dedup_shingle_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -2568,6 +2585,24 @@ def oracle_sql() -> dict[str, str]:
                    fingerprint
             FROM t
         """,
+        "tfidf_search": f'''
+            WITH tok AS MATERIALIZED (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '{TOKEN_SQL}'))
+                       AS token
+              FROM documents),
+            tf AS MATERIALIZED (
+              SELECT doc_id, token, count(*) AS tf FROM tok
+              WHERE token IN ('hash', 'join', 'stream', 'window', 'sort')
+              GROUP BY 1, 2),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            sc AS (SELECT tf.doc_id,
+                          sum(tf.tf * (1000000 // df.df)) AS score
+                   FROM tf JOIN df USING (token) GROUP BY 1)
+            SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS pos,
+                   doc_id, CAST(score AS BIGINT) AS score
+            FROM sc ORDER BY score DESC, doc_id LIMIT 20
+        ''',
         "doc_fingerprints": _winnow_sql(k=16, w=8),
         "winnow_candidates": _winnow_sql(k=16, w=8, candidates=True,
                                          min_shared=4),

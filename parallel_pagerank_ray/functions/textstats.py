@@ -227,3 +227,103 @@ def inverted_postings(docs, tokens) -> "object":
     return docs.select_columns(["doc_id", "text"]).map_batches(
         explode, batch_format="pandas"
     )
+
+
+def tfidf_search(
+    docs,
+    query_tokens: list[str],
+    k: int = 20,
+    scale: int = 1_000_000,
+):
+    """Top-k documents for a fixed query token set by INTEGER tf-idf:
+    score(d) = sum over query tokens t of tf(d, t) * (scale // df(t)),
+    df = number of docs containing t. Integer idf (floor division, the
+    same move as the integer-HITS gate: a monotone idf surrogate keeps
+    the whole scoring pipeline int64-exact and SQL-value-checkable —
+    no transcendental log whose last ulp could differ between
+    runtimes). Returns (pos, doc_id, score), score DESC / doc_id ASC.
+
+    Scale shape: every intermediate is bounded by docs x |query| rows —
+    per-batch tf partials for the query vocabulary only, one bucketed
+    (doc_id, token) combine, a driver-side df fetch of <= |query| rows
+    broadcast back as weights, one bucketed per-doc sum, sort+limit.
+    The corpus text never leaves the first map.
+    """
+    import pyarrow as pa
+    import ray
+
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+    from parallel_pagerank_ray.util import drop_empty_blocks
+
+    qset = sorted(set(query_tokens))
+
+    def tf_partial(b: pd.DataFrame) -> pd.DataFrame:
+        doc = b["doc_id"].astype(np.int64).to_numpy()
+        toks = b["text"].astype(str).str.lower().str.findall(TOKEN_RE)
+        nt = toks.str.len().to_numpy()
+        tdoc = np.repeat(doc, nt)
+        flat = (
+            np.concatenate(toks.to_numpy())
+            if len(toks)
+            else np.array([], dtype=object)
+        )
+        df = pd.DataFrame({"doc_id": tdoc, "token": flat})
+        df = df[df["token"].isin(qset)]
+        out = (
+            df.groupby(["doc_id", "token"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        out["tf"] = out["tf"].astype(np.int64)
+        return out
+
+    tf = grouped_agg(
+        drop_empty_blocks(
+            docs.select_columns(["doc_id", "text"]).map_batches(
+                tf_partial, batch_format="pandas"
+            )
+        ),
+        ["doc_id", "token"],
+        {"tf": ("tf", "sum")},
+        num_buckets=32,
+    ).materialize()
+    # df per query token: <= |query| rows — driver-side by design
+    dft = grouped_agg(
+        tf, ["token"], {"df": ("doc_id", "count")}, num_buckets=8
+    ).to_pandas()
+    weights = {
+        t: scale // int(n) for t, n in zip(dft["token"], dft["df"]) if n > 0
+    }
+    w_ref = ray.put(weights)
+
+    def score_partial(b: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(w_ref)
+        out = pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype(np.int64),
+                "score": (
+                    b["tf"].astype(np.int64)
+                    * b["token"].map(w).astype(np.int64)
+                ),
+            }
+        )
+        return out
+
+    scores = grouped_agg(
+        tf.map_batches(score_partial, batch_format="pandas"),
+        ["doc_id"],
+        {"score": ("score", "sum")},
+        num_buckets=32,
+    )
+    top = (
+        scores.sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "pos": np.arange(1, len(top) + 1, dtype=np.int64),
+            "doc_id": top["doc_id"].to_numpy().astype(np.int64),
+            "score": top["score"].to_numpy().astype(np.int64),
+        }
+    )

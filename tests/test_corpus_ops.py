@@ -245,3 +245,52 @@ def test_inverted_postings_exact():
     }
     assert got == want
     assert "absent" not in set(out["token"])
+
+
+def test_tfidf_search_matches_pandas_reference():
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.functions.textstats import tfidf_search
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "hash join hash join stream",
+                "window sort window",
+                "the quick brown fox",          # no query tokens
+                "hash",
+                "stream stream stream sort",
+                "join window hash sort stream",
+            ],
+        }
+    )
+    got = tfidf_search(
+        rd.from_arrow(pa.Table.from_pandas(docs)).repartition(3),
+        ["hash", "join", "stream", "window", "sort"],
+        k=4,
+    ).to_pandas()
+
+    # literal integer-idf reference
+    tok = re.compile(r"[A-Za-z0-9_]+")
+    q = {"hash", "join", "stream", "window", "sort"}
+    tf: dict = {}
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        for w in tok.findall(t.lower()):
+            if w in q:
+                tf[(d, w)] = tf.get((d, w), 0) + 1
+    df: dict = {}
+    for (_, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    score: dict = {}
+    for (d, w), c in tf.items():
+        score[d] = score.get(d, 0) + c * (1_000_000 // df[w])
+    want = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    assert got["doc_id"].tolist() == [d for d, _ in want]
+    assert got["score"].tolist() == [s for _, s in want]
+    assert got["pos"].tolist() == [1, 2, 3, 4]
