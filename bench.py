@@ -164,6 +164,9 @@ def bench_queries() -> dict[str, float]:
         "price_quantiles",
         "text_stats",
         "dedup_exact",
+        "doc_fingerprints",
+        "winnow_candidates",
+        "tfidf_search",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "knn_cosine",
