@@ -154,16 +154,33 @@ def q_link_edges(sf_dir: str) -> rd.Dataset:
     return distinct(links_from_pages(pages), ["src_url", "dst_url"])
 
 
+_HOST_CACHE: dict = {}
+
+
+def _host_pages_links(sf_dir: str):
+    """Synthetic 11-host page corpus + extracted links, built once per
+    process — four host-family gate queries share them."""
+    from parallel_pagerank_ray.pipelines.graph_build import links_from_pages
+    from parallel_pagerank_ray.sources.docpages import pages_from_documents
+
+    got = _HOST_CACHE.get(sf_dir)
+    if got is None:
+        pages, _ = pages_from_documents(sf_dir, links_per_page=3, hosts=11)
+        pages = pages.materialize()
+        links = links_from_pages(pages).materialize()
+        got = (pages, links)
+        _HOST_CACHE[sf_dir] = got
+    return got
+
+
 def q_host_edges(sf_dir: str) -> rd.Dataset:
     """Host-level webgraph rollup (the Common-Crawl host-graph product):
     one weighted edge per (src_host, dst_host) over an 11-host synthetic
     corpus. Vectorized host projection + one bucketed count shuffle."""
-    from parallel_pagerank_ray.pipelines.graph_build import links_from_pages
     from parallel_pagerank_ray.pipelines.host_graph import host_edges
-    from parallel_pagerank_ray.sources.docpages import pages_from_documents
 
-    pages, _ = pages_from_documents(sf_dir, links_per_page=3, hosts=11)
-    return host_edges(links_from_pages(pages))
+    _, links = _host_pages_links(sf_dir)
+    return host_edges(links)
 
 
 def q_host_crawl_stats(sf_dir: str) -> rd.Dataset:
@@ -171,9 +188,8 @@ def q_host_crawl_stats(sf_dir: str) -> rd.Dataset:
     crawl-ops rollup, exercising the warc_ts timestamp column
     (string-formatted on both sides per the timestamp policy)."""
     from parallel_pagerank_ray.pipelines.host_graph import host_crawl_rollup
-    from parallel_pagerank_ray.sources.docpages import pages_from_documents
 
-    pages, _ = pages_from_documents(sf_dir, links_per_page=3, hosts=11)
+    pages, _ = _host_pages_links(sf_dir)
     return host_crawl_rollup(pages)
 
 
@@ -181,26 +197,22 @@ def q_host_cocitation(sf_dir: str) -> rd.Dataset:
     """Related-domain discovery: host pairs ranked by shared distinct
     link targets over the 11-host corpus — the co-citation kernel
     (bucketed in-group pairs keyed on the target)."""
-    from parallel_pagerank_ray.pipelines.graph_build import links_from_pages
     from parallel_pagerank_ray.pipelines.host_graph import host_cocitation
-    from parallel_pagerank_ray.sources.docpages import pages_from_documents
 
-    pages, _ = pages_from_documents(sf_dir, links_per_page=3, hosts=11)
-    return host_cocitation(links_from_pages(pages))
+    _, links = _host_pages_links(sf_dir)
+    return host_cocitation(links)
 
 
 def q_pagerank_hosts_top10(sf_dir: str) -> pd.DataFrame:
     """Weighted PageRank on the coarsened host graph (intra-host edges
     dropped, weight = cross-host link count). Integer rank order like
     the other pagerank queries."""
-    from parallel_pagerank_ray.pipelines.graph_build import links_from_pages
     from parallel_pagerank_ray.pipelines.host_graph import host_graph
     from parallel_pagerank_ray.pipelines.pagerank_actors import pagerank_bsp
-    from parallel_pagerank_ray.sources.docpages import pages_from_documents
     from parallel_pagerank_ray.util import safe_join
 
-    pages, _ = pages_from_documents(sf_dir, links_per_page=3, hosts=11)
-    g = host_graph(links_from_pages(pages), drop_self=True)
+    _, links = _host_pages_links(sf_dir)
+    g = host_graph(links, drop_self=True)
     run = pagerank_bsp(g, d=0.85, tol=1e-3, max_iters=100)
     joined = safe_join(
         run.ranks.select_columns(["vid", "rank"]),
