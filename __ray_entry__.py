@@ -977,6 +977,20 @@ def q_tfidf_search(sf_dir: str) -> pa.Table:
     )
 
 
+def q_decontaminate(sf_dir: str) -> rd.Dataset:
+    """Benchmark decontamination flags: n-gram (16-char) overlap of
+    every document against a 2-doc 'benchmark set' (doc_id 0 and 1) —
+    the standard eval-contamination rule. Benchmark hashes broadcast
+    once; corpus side is one shuffle-free map. Integer-exact."""
+    from parallel_pagerank_ray.pipelines.dedup import contamination_flags
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    bench = docs.filter(
+        expr="doc_id <= 1"
+    )
+    return contamination_flags(docs, bench, k=16)
+
+
 def q_dedup_shingle_jaccard(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.dedup import shingle_jaccard_pairs
 
@@ -1442,6 +1456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": q_doc_fingerprints,
         "winnow_candidates": q_winnow_candidates,
         "tfidf_search": q_tfidf_search,
+        "decontaminate": q_decontaminate,
         "dedup_shingle_jaccard": q_dedup_shingle_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1670,6 +1685,33 @@ def _winnow_sql(k: int = 8, w: int = 4, candidates: bool = False,
         FROM dfp a JOIN dfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING count(*) >= {min_shared}
         """
+
+
+def _decontaminate_sql(k: int = 16) -> str:
+    """DuckDB mirror of pipelines.dedup.contamination_flags over the
+    doc_id-in-(0,1) benchmark set: same k-gram Horner chain, n_hits =
+    count of shingle POSITIONS whose hash appears in the benchmark's
+    distinct-hash set."""
+    from parallel_pagerank_ray.functions import hashing as H
+
+    p, R = int(H.P31), int(H.SHINGLE_R)
+    horner = "CAST(ascii(substr(text, x, 1)) AS BIGINT)"
+    for i in range(1, k):
+        horner = f"(({horner}) * {R} + ascii(substr(text, x + {i}, 1))) % {p}"
+    shs = f"[({horner}) for x in range(1, greatest(length(text) - {k - 2}, 2))]"
+    return f"""
+        WITH sh AS MATERIALIZED (
+          SELECT doc_id, unnest({shs}) AS h FROM documents),
+        bench AS MATERIALIZED (
+          SELECT DISTINCT h FROM sh WHERE doc_id <= 1),
+        hits AS (SELECT doc_id, count(*) AS n_hits FROM sh
+                 WHERE h IN (SELECT h FROM bench) GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+               coalesce(hits.n_hits, 0) > 0 AS contaminated
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN hits ON hits.doc_id = d.doc_id
+    """
 
 
 def _simhash_sql(max_hamming: int = 3) -> str:
@@ -2615,6 +2657,7 @@ def oracle_sql() -> dict[str, str]:
                    doc_id, CAST(score AS BIGINT) AS score
             FROM sc ORDER BY score DESC, doc_id LIMIT 20
         ''',
+        "decontaminate": _decontaminate_sql(k=16),
         "doc_fingerprints": _winnow_sql(k=16, w=8),
         "winnow_candidates": _winnow_sql(k=16, w=8, candidates=True,
                                          min_shared=4),

@@ -449,3 +449,66 @@ def winnow_candidates(
         return t.filter(pc.greater_equal(t.column("shared"), min_shared))
 
     return counts.map_batches(thresh, batch_format="pyarrow")
+
+
+def contamination_flags(
+    docs: rd.Dataset,
+    benchmark_docs: rd.Dataset,
+    k: int = 16,
+    broadcast_max: int = 50_000_000,
+) -> rd.Dataset:
+    """Benchmark decontamination: (doc_id, n_hits, contaminated) —
+    n_hits = number of k-char-gram POSITIONS in the doc whose hash
+    appears anywhere in the benchmark corpus (the standard n-gram
+    overlap rule for removing eval-set contamination from training
+    data). Integer-exact, SQL-gated.
+
+    Shape: the benchmark side is small by definition (an eval set) —
+    its distinct shingle hashes are collected once and broadcast via
+    ray.put (guarded at ``broadcast_max`` hashes; beyond that a
+    caller should bucket by hash range and run per-bucket passes).
+    The corpus side is one stateless map: vectorized shingle hashing +
+    np.isin against the sorted benchmark array. No shuffle at all.
+    """
+    import ray
+
+    bench_parts = [
+        np.unique(
+            np.concatenate(
+                [H.shingle_hashes31(t, k) for t in b["text"].astype(str)]
+            )
+            if len(b)
+            else np.array([], dtype=np.uint64)
+        )
+        for b in benchmark_docs.select_columns(["text"]).iter_batches(
+            batch_format="pandas"
+        )
+    ]
+    bench = (
+        np.unique(np.concatenate(bench_parts))
+        if bench_parts
+        else np.array([], dtype=np.uint64)
+    )
+    if len(bench) > broadcast_max:
+        raise ValueError(
+            f"benchmark shingle set ({len(bench)}) exceeds broadcast_max "
+            f"({broadcast_max}); bucket by hash range and run per bucket"
+        )
+    bench_ref = ray.put(bench)
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        bh = ray.get(bench_ref)
+        ids = b["doc_id"].astype(np.int64).to_numpy()
+        hits = np.zeros(len(ids), dtype=np.int64)
+        for i, t in enumerate(b["text"].astype(str)):
+            h = H.shingle_hashes31(t, k)
+            pos = np.searchsorted(bh, h)
+            ok = pos < len(bh)
+            hits[i] = int(np.count_nonzero(bh[pos[ok]] == h[ok]))
+        return pd.DataFrame(
+            {"doc_id": ids, "n_hits": hits, "contaminated": hits > 0}
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        flag, batch_format="pandas"
+    )

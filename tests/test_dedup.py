@@ -90,3 +90,42 @@ def test_embedding_near_dup_planted():
     out = dedup.embedding_near_dup(rd.from_arrow(t), threshold=0.98).to_pandas()
     got = set(zip(out.vec_a, out.vec_b))
     assert (4, 17) in got
+
+
+def test_contamination_flags_planted():
+    """A doc quoting a 16-char span of a benchmark doc is flagged with
+    the exact positional hit count; clean docs are not."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.pipelines.dedup import contamination_flags
+
+    bench_text = "the secret benchmark answer key sequence"
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                bench_text,                                   # the benchmark itself
+                "prefix " + bench_text[5:27] + " suffix",     # quotes a span
+                "completely unrelated wording here none",     # clean
+                "xyz",                                        # shorter than k
+            ],
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(docs)).repartition(2)
+    bench = ds.filter(expr="doc_id == 0")
+    got = (
+        contamination_flags(ds, bench, k=16)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["contaminated"].tolist() == [True, True, False, False]
+    # doc 0 hits at every position; doc 1: 7 grams inside the quoted
+    # 22-char span + 1 boundary gram ('enchmark answer ') whose
+    # trailing space from " suffix" also matches the benchmark = 8
+    assert got["n_hits"][0] == len(bench_text) - 16 + 1
+    assert got["n_hits"][1] == 8
+    assert got["n_hits"][2] == 0 and got["n_hits"][3] == 0
