@@ -503,6 +503,26 @@ def q_component_size_histogram(sf_dir: str) -> rd.Dataset:
     )
 
 
+_LPA_RUNS: dict = {}
+
+
+def _labelprop_run(sf_dir: str):
+    """The canonical 3-round LPA over the deduplicated co-purchase
+    graph, run once per process — labelprop_copurchase and
+    community_stats consume the same labels."""
+    from parallel_pagerank_ray.pipelines.label_prop_actors import (
+        label_propagation_bsp,
+    )
+
+    got = _LPA_RUNS.get(sf_dir)
+    if got is None:
+        g = _copurchase_graph(sf_dir, dedup=True)
+        run = label_propagation_bsp(g, max_iters=3, edges_canonical=True)
+        got = (g, run.labels.materialize())
+        _LPA_RUNS[sf_dir] = got
+    return got
+
+
 def q_labelprop_copurchase(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.label_prop_actors import (
         label_propagation_bsp,
@@ -515,10 +535,9 @@ def q_labelprop_copurchase(sf_dir: str) -> rd.Dataset:
     # its global dedup (per-bucket dedup alone isn't global); the
     # closure-level dedup over the DOUBLED table is skipped because the
     # input is canonical (src < dst, distinct) -> closure is dup-free
-    g = _copurchase_graph(sf_dir, dedup=True)
-    run = label_propagation_bsp(g, max_iters=3, edges_canonical=True)
+    _, labels = _labelprop_run(sf_dir)
     return grouped_agg(
-        run.labels, ["label"], {"size": ("vid", "count")}, num_buckets=8
+        labels, ["label"], {"size": ("vid", "count")}, num_buckets=8
     )
 
 
@@ -527,13 +546,9 @@ def q_community_stats(sf_dir: str) -> rd.Dataset:
     co-purchase graph: (label, size, deg_sum, internal_edges) — all
     int64-exact (the float Q fold is driver-side, outside the gate)."""
     from parallel_pagerank_ray.pipelines.community import community_stats
-    from parallel_pagerank_ray.pipelines.label_prop_actors import (
-        label_propagation_bsp,
-    )
 
-    g = _copurchase_graph(sf_dir, dedup=True)
-    run = label_propagation_bsp(g, max_iters=3, edges_canonical=True)
-    return community_stats(g, run.labels, edges_canonical=True)
+    g, labels = _labelprop_run(sf_dir)
+    return community_stats(g, labels, edges_canonical=True)
 
 
 def q_labelprop_weighted_copurchase(sf_dir: str) -> rd.Dataset:
