@@ -31,6 +31,16 @@ def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
     return rd.from_arrow_refs(refs)
 
 
+def _strip_meta(t) -> "object":
+    """Zero-copy schema-metadata strip (shares all buffers). Parquet-
+    and pandas-origin blocks carry a b'pandas' metadata dict that makes
+    ``pyarrow.Schema`` UNHASHABLE, so Ray 2.49's hash-shuffle join logs
+    'Failed to hash the schemas (for deduplication)' per aggregator and
+    skips its schema dedup. Fused into the upstream execution, so it
+    adds no extra pass."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
 def safe_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -47,6 +57,8 @@ def safe_join(
     for some partitions). Compacting refs first costs one
     materialization per side but no row movement.
     """
+    left = left.map_batches(_strip_meta, batch_format="pyarrow")
+    right = right.map_batches(_strip_meta, batch_format="pyarrow")
     return drop_empty_blocks(left).join(
         drop_empty_blocks(right),
         join_type=join_type,
