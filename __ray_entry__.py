@@ -1020,6 +1020,21 @@ def q_dedup_minhash_lsh(sf_dir: str) -> rd.Dataset:
     return minhash_lsh_candidates(_documents(sf_dir, ["doc_id", "text"]))
 
 
+def q_dedup_keepers(sf_dir: str) -> rd.Dataset:
+    """End-to-end near-dup collapse: MinHash-LSH candidates -> connected
+    components over the candidate graph -> (doc_id, keeper) with keeper
+    = min doc_id per cluster (isolated docs keep themselves). The full
+    fuzzy-dedup pipeline a training corpus actually runs; integer-exact
+    and value-checked against the LSH SQL + min-label recursive CTE."""
+    from parallel_pagerank_ray.pipelines.dedup import (
+        dedup_keepers,
+        minhash_lsh_candidates,
+    )
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    return dedup_keepers(docs, minhash_lsh_candidates(docs))
+
+
 def q_dedup_simhash(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.dedup import simhash_candidates
 
@@ -1474,6 +1489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "dedup_shingle_jaccard": q_dedup_shingle_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_keepers": q_dedup_keepers,
         "dedup_simhash": q_dedup_simhash,
         "embed_docs": q_embed_docs,
         "payload_meta": q_payload_meta,
@@ -2672,6 +2688,34 @@ def oracle_sql() -> dict[str, str]:
                    doc_id, CAST(score AS BIGINT) AS score
             FROM sc ORDER BY score DESC, doc_id LIMIT 20
         ''',
+        "dedup_keepers": f"""
+            WITH RECURSIVE
+              cand AS MATERIALIZED (
+                SELECT doc_a, doc_b FROM ({_minhash_lsh_sql()})),
+              nn AS MATERIALIZED (
+                SELECT max(doc_id) + 1 AS n FROM documents),
+              v(vid) AS (SELECT 0 UNION ALL
+                         SELECT vid + 1 FROM v
+                         WHERE vid + 1 < (SELECT n FROM nn)),
+              und AS MATERIALIZED (
+                SELECT doc_a AS src, doc_b AS dst FROM cand
+                UNION ALL SELECT doc_b, doc_a FROM cand),
+              cc(it, vid, comp, ch) AS (
+                SELECT 0, vid, vid, 1 FROM v
+                UNION ALL
+                SELECT c.it + 1, c.vid,
+                       least(c.comp, coalesce(m.mn, c.comp)),
+                       CASE WHEN least(c.comp, coalesce(m.mn, c.comp))
+                                 <> c.comp THEN 1 ELSE 0 END
+                FROM cc c
+                LEFT JOIN (SELECT u.dst AS vid, min(c2.comp) AS mn
+                           FROM cc c2 JOIN und u ON u.src = c2.vid
+                           GROUP BY 1) m ON m.vid = c.vid
+                WHERE (SELECT max(c3.ch) FROM cc c3) = 1
+              )
+            SELECT vid AS doc_id, comp AS keeper FROM cc
+            WHERE it = (SELECT max(it) FROM cc)
+        """,
         "decontaminate": _decontaminate_sql(k=16),
         "doc_fingerprints": _winnow_sql(k=16, w=8),
         "winnow_candidates": _winnow_sql(k=16, w=8, candidates=True,

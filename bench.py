@@ -167,6 +167,8 @@ def bench_queries() -> dict[str, float]:
         "doc_fingerprints",
         "winnow_candidates",
         "tfidf_search",
+        "decontaminate",
+        "dedup_keepers",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "knn_cosine",

@@ -512,3 +512,37 @@ def contamination_flags(
     return docs.select_columns(["doc_id", "text"]).map_batches(
         flag, batch_format="pandas"
     )
+
+
+def dedup_keepers(
+    docs: rd.Dataset,
+    candidate_pairs: rd.Dataset,
+    pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+) -> rd.Dataset:
+    """The dedup ENDGAME: collapse near-dup candidate pairs into
+    clusters and pick one keeper per cluster — (doc_id, keeper) for
+    EVERY doc, keeper = min doc_id in its connected component of the
+    candidate graph (isolated docs keep themselves). Compose with any
+    candidate generator (MinHash-LSH, SimHash, winnowing, embedding
+    near-dup).
+
+    Shape: the pair graph is tiny relative to the corpus (candidates
+    only), and components run on the engine's pointer-jumping BSP CC —
+    O(log n) rounds, no driver materialization. At 10^12 docs the CC
+    Dataset fallback engages automatically (same semantics, bounded
+    memory)."""
+    from parallel_pagerank_ray.pipelines.components_actors import (
+        connected_components_bsp,
+    )
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.stages.agg import global_agg
+
+    a, b = pair_cols
+    m = global_agg(docs.select_columns(["doc_id"]), {"mx": ("doc_id", "max")})
+    n = int(m["mx"]) + 1
+    edges = candidate_pairs.select_columns([a, b]).rename_columns(
+        {a: "src", b: "dst"}
+    )
+    g = Graph(n=n, edges=edges.materialize())
+    run = connected_components_bsp(g)
+    return run.components.rename_columns({"vid": "doc_id", "comp": "keeper"})

@@ -129,3 +129,31 @@ def test_contamination_flags_planted():
     assert got["n_hits"][0] == len(bench_text) - 16 + 1
     assert got["n_hits"][1] == 8
     assert got["n_hits"][2] == 0 and got["n_hits"][3] == 0
+
+
+def test_dedup_keepers_clusters_and_isolated():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.pipelines.dedup import dedup_keepers
+
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(7, dtype=np.int64), "text": ["x"] * 7}
+    )
+    # clusters: {0,3,5} via chained pairs, {2,6}; isolated: 1, 4
+    pairs = pd.DataFrame(
+        {"doc_a": [0, 3, 2], "doc_b": [3, 5, 6]}, dtype=np.int64
+    )
+    got = (
+        dedup_keepers(
+            rd.from_arrow(pa.Table.from_pandas(docs)),
+            rd.from_arrow(pa.Table.from_pandas(pairs)).repartition(2),
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == list(range(7))
+    assert got["keeper"].tolist() == [0, 1, 2, 0, 4, 0, 2]
