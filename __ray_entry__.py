@@ -473,8 +473,10 @@ def q_components_copurchase(sf_dir: str) -> rd.Dataset:
 
     # BSP engine (pointer-jumping, O(log n) rounds); the Dataset engine
     # (same semantics, bounded memory at any n) is exercised in pytest.
-    # min-label is duplicate-edge-invariant -> skip the pair dedup
-    g = _copurchase_graph(sf_dir, dedup=False)
+    # min-label is duplicate-edge-invariant, so ANY copurchase variant
+    # works — use the canonical cached graph every other copurchase
+    # query shares (one build per process instead of two)
+    g = _copurchase_graph(sf_dir, dedup=True)
     run = connected_components_bsp(g)
     return grouped_agg(
         run.components, ["comp"], {"size": ("vid", "count")}, num_buckets=8
@@ -570,10 +572,13 @@ def q_labelprop_weighted_copurchase(sf_dir: str) -> rd.Dataset:
 def q_triangles_copurchase(sf_dir: str) -> pd.DataFrame:
     from parallel_pagerank_ray.pipelines.triangles import triangle_count
 
-    # triangle_count dedups internally (_simple_undirected) -> skip the
-    # redundant pair-dedup shuffle here
-    g = _copurchase_graph(sf_dir, dedup=False)
-    return pd.DataFrame({"triangles": np.array([triangle_count(g)], dtype=np.int64)})
+    # the cached canonical graph (src < dst, distinct) lets
+    # triangle_count skip its internal canonicalization shuffle
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return pd.DataFrame(
+        {"triangles": np.array(
+            [triangle_count(g, edges_simple=True)], dtype=np.int64)}
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -594,7 +599,7 @@ def q_triangles_doulion(sf_dir: str) -> pd.DataFrame:
         triangle_count_doulion,
     )
 
-    g = _copurchase_graph(sf_dir, dedup=False)
+    g = _copurchase_graph(sf_dir, dedup=True)
     est, sampled = triangle_count_doulion(g, rate_pct=25)
     return pd.DataFrame(
         {
@@ -608,17 +613,15 @@ def q_clustering_coefficient(sf_dir: str) -> pd.DataFrame:
     """Global clustering coefficient of the co-purchase graph:
     3 * triangles / wedges, wedges = sum C(deg, 2) over the undirected
     simple closure. Integers + one IEEE division -> bit-reproducible."""
-    from parallel_pagerank_ray.pipelines.triangles import (
-        _simple_undirected,
-        triangle_count,
-    )
-
+    from parallel_pagerank_ray.pipelines.triangles import triangle_count
     from parallel_pagerank_ray.stages.agg import global_agg, grouped_agg
 
-    g = _copurchase_graph(sf_dir, dedup=False)
-    tri = triangle_count(g)
+    g = _copurchase_graph(sf_dir, dedup=True)
+    tri = triangle_count(g, edges_simple=True)
 
-    und = _simple_undirected(g.edges)
+    # the canonical cached edges (src < dst, distinct) ARE the simple
+    # undirected closure _simple_undirected would produce
+    und = g.edges
 
     def endpoints(t: pa.Table) -> pa.Table:
         import pyarrow as _pa
