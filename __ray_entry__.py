@@ -600,7 +600,7 @@ def q_triangles_doulion(sf_dir: str) -> pd.DataFrame:
     )
 
     g = _copurchase_graph(sf_dir, dedup=True)
-    est, sampled = triangle_count_doulion(g, rate_pct=25)
+    est, sampled = triangle_count_doulion(g, rate_pct=25, edges_simple=True)
     return pd.DataFrame(
         {
             "triangles_est": np.array([est], dtype=np.int64),

@@ -31,6 +31,7 @@ import ray.data as rd
 from parallel_pagerank_ray.pipelines.graph_build import Graph, undirected_edges
 from parallel_pagerank_ray.stages.csr_store import (
     EdgeShardStore,
+    edge_count_hint,
     per_actor_cpus,
     sweep_num_parts,
 )
@@ -192,9 +193,15 @@ def bfs_distances_bsp(
     if store is None:
         if num_parts is None:
             # frontier exchange is sparse (no dense per-part vectors):
-            # edge-scaled shard count, one per CPU at web scale
-            ne = graph.edges.count()
-            num_parts = sweep_num_parts(ne if directed else 2 * ne)
+            # edge-scaled shard count, one per CPU at web scale.
+            # Metadata probe only — never execute a lazy chain to size
+            # a parallelism knob (it would run again in the build)
+            ne = edge_count_hint(graph.edges)
+            if ne is None:
+                cpus = int(ray.cluster_resources().get("CPU", 8))
+                num_parts = min(256, max(4, cpus))
+            else:
+                num_parts = sweep_num_parts(ne if directed else 2 * ne)
         edges = (
             graph.edges if directed else undirected_edges(graph.edges, dedup=False)
         )

@@ -36,6 +36,7 @@ from parallel_pagerank_ray.pipelines.bfs import _BFSShard, _run_bfs_rounds
 from parallel_pagerank_ray.pipelines.graph_build import Graph, undirected_edges
 from parallel_pagerank_ray.stages.csr_store import (
     EdgeShardStore,
+    edge_count_hint,
     per_actor_cpus,
     sweep_num_parts,
 )
@@ -234,10 +235,15 @@ def shortest_path_counts_bsp(
                 canon = _simple_undirected(graph.edges)
             simple = undirected_edges(canon, dedup=False)
         if num_parts is None:
-            # metadata-cheap upper bound (pre-dedup, doubled closure) —
-            # num_parts is a parallelism knob, never a result knob
-            ne = graph.edges.count()
-            num_parts = sweep_num_parts(ne if directed else 2 * ne)
+            # metadata-only upper bound (pre-dedup, doubled closure) —
+            # num_parts is a parallelism knob, never a result knob;
+            # never execute a lazy chain to size it
+            ne = edge_count_hint(graph.edges)
+            if ne is None:
+                cpus = int(ray.cluster_resources().get("CPU", 8))
+                num_parts = min(256, max(4, cpus))
+            else:
+                num_parts = sweep_num_parts(ne if directed else 2 * ne)
         store = EdgeShardStore.build(simple, n=n, num_parts=num_parts)
     P = max(1, -(-n // store.part_size))
     per_actor = per_actor_cpus(P)
@@ -307,8 +313,12 @@ def closeness_centrality_bsp(
         raise ValueError(f"source vid out of range [0, {n})")
     if store is None:
         if num_parts is None:
-            ne = graph.edges.count()
-            num_parts = sweep_num_parts(ne if directed else 2 * ne)
+            ne = edge_count_hint(graph.edges)
+            if ne is None:
+                cpus = int(ray.cluster_resources().get("CPU", 8))
+                num_parts = min(256, max(4, cpus))
+            else:
+                num_parts = sweep_num_parts(ne if directed else 2 * ne)
         edges = (
             graph.edges if directed else undirected_edges(graph.edges, dedup=False)
         )
@@ -503,7 +513,12 @@ def betweenness_bsp(
             canon = _simple_undirected(graph.edges)
         simple = undirected_edges(canon, dedup=False)
         if num_parts is None:
-            num_parts = sweep_num_parts(2 * graph.edges.count())
+            ne = edge_count_hint(graph.edges)
+            if ne is None:
+                cpus = int(ray.cluster_resources().get("CPU", 8))
+                num_parts = min(256, max(4, cpus))
+            else:
+                num_parts = sweep_num_parts(2 * ne)
         store = EdgeShardStore.build(simple, n=n, num_parts=num_parts)
     P = max(1, -(-n // store.part_size))
     per_actor = per_actor_cpus(P)

@@ -172,14 +172,16 @@ def revenue_by_nation(
     # 150M at sf1000, where the hash join below takes over). Same
     # guard contract as resolve_edges / distinct_parts_per_nation.
     cust = customer.select_columns(["c_custkey", "c_nationkey"])
+    cidx = None
     if cust.count() <= broadcast_max:
         ct = pa.concat_tables(ray.get(cust.to_arrow_refs()))
-        cmap_ref = ray.put(
-            (
-                pd.Index(ct.column("c_custkey").to_numpy()),
-                ct.column("c_nationkey").to_numpy(),
-            )
-        )
+        cidx = pd.Index(ct.column("c_custkey").to_numpy())
+        if not cidx.is_unique:
+            # get_indexer requires unique keys; a duplicated custkey
+            # must keep the hash-join's fan-out semantics, not crash
+            cidx = None
+    if cidx is not None:
+        cmap_ref = ray.put((cidx, ct.column("c_nationkey").to_numpy()))
 
         def attach_nation(df: pd.DataFrame) -> pd.DataFrame:
             idx, v = ray.get(cmap_ref)
@@ -496,6 +498,14 @@ def distinct_parts_per_nation(
         )
         from parallel_pagerank_ray.util import safe_join
 
+        def _cast64(t: pa.Table) -> pa.Table:
+            # match the broadcast path's int64 nationkey so the output
+            # schema never depends on which side of the guard ran
+            i = t.schema.get_field_index("nationkey")
+            return t.set_column(
+                i, "nationkey", pc.cast(t.column("nationkey"), pa.int64())
+            )
+
         keyed = safe_join(
             pairs,
             supplier.select_columns(["s_suppkey", "s_nationkey"]),
@@ -505,7 +515,7 @@ def distinct_parts_per_nation(
             right_on=("s_suppkey",),
         ).rename_columns({"s_nationkey": "nationkey"}).select_columns(
             ["nationkey", "l_partkey"]
-        )
+        ).map_batches(_cast64, batch_format="pyarrow")
 
     nk_pairs = distinct(
         keyed,

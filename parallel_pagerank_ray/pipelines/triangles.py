@@ -246,6 +246,7 @@ def triangle_count_doulion(
     rate_pct: int = 25,
     salt: str = "doulion",
     num_partitions: int | None = None,
+    edges_simple: bool = False,
 ) -> tuple[int, int]:
     """DOULION-style approximate triangle count (Tsourakakis et al.,
     KDD'09): keep each undirected-canonical edge with probability
@@ -273,9 +274,8 @@ def triangle_count_doulion(
         )
         return t.filter(mask)
 
-    samp = _simple_undirected(graph.edges).map_batches(
-        keep, batch_format="pyarrow"
-    )
+    canon = graph.edges if edges_simple else _simple_undirected(graph.edges)
+    samp = canon.map_batches(keep, batch_format="pyarrow")
     g2 = Graph.from_int_edges(samp, dedup=False)
     sampled = triangle_count(g2, num_partitions=num_partitions, edges_simple=True)
     est = sampled * 100**3 // rate_pct**3

@@ -120,6 +120,19 @@ _CONCAT_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
 _CONCAT_CACHE_MAX_EDGES = 1 << 27  # ~2 GiB of int64 pairs per worker process
 
 
+def edge_count_hint(ds) -> "int | None":
+    """Metadata-only row-count probe (None when unknown). Sizing a
+    shard pool must NEVER execute a lazy pipeline just to pick a
+    parallelism knob — ``Dataset.count()`` on an unmaterialized chain
+    runs the whole upstream once, and the store build then runs it
+    again."""
+    try:
+        n = ds._logical_plan.dag.infer_metadata().num_rows
+    except Exception:
+        return None
+    return int(n) if n is not None else None
+
+
 def sweep_num_parts(num_edges: int, edges_per_part: int = 2_000_000) -> int:
     """Shard count for sparse-frontier sweep engines (BFS / closeness /
     sigma / betweenness): scale with EDGES, capped at one shard per
