@@ -617,3 +617,49 @@ def test_betweenness_partition_invariance_powerlaw():
     for v in a:
         assert a[v] == b[v], v
         assert a[v] == want[v], v
+
+
+def test_sweep_num_parts_and_edge_count_hint():
+    import ray.data as rd
+
+    from parallel_pagerank_ray.stages.csr_store import (
+        edge_count_hint,
+        sweep_num_parts,
+    )
+
+    # edge-scaled, floored at 4, capped at CPU count (session has 4)
+    assert sweep_num_parts(1_000) == 4
+    assert sweep_num_parts(10_000_000) == 4  # cpu cap in the test session
+    ds = rd.range(10).materialize()
+    assert edge_count_hint(ds) == 10
+    lazy = rd.range(10).map_batches(lambda b: b, batch_format="numpy")
+    # unknown metadata must return None, never execute the pipeline
+    assert edge_count_hint(lazy) is None
+
+
+def test_prebuilt_store_matches_selfbuilt(graphs):
+    from parallel_pagerank_ray.pipelines.bfs import bfs_distances_bsp
+    from parallel_pagerank_ray.pipelines.centrality import (
+        betweenness_bsp,
+        shortest_path_counts_bsp,
+    )
+    from parallel_pagerank_ray.pipelines.graph_build import undirected_edges
+    from parallel_pagerank_ray.pipelines.triangles import _simple_undirected
+    from parallel_pagerank_ray.stages.csr_store import EdgeShardStore
+
+    n, e = graphs["medium"]
+    g = _graph(e)
+    simple = undirected_edges(_simple_undirected(g.edges), dedup=False)
+    store = EdgeShardStore.build(simple, n=g.n, num_parts=3)
+
+    a = bfs_distances_bsp(g, [0]).distances.to_pandas().sort_values("vid")
+    b = bfs_distances_bsp(g, [0], store=store).distances.to_pandas().sort_values("vid")
+    assert a["dist"].tolist() == b["dist"].tolist()
+
+    sa = _sigma_rows(shortest_path_counts_bsp(g, [0], edges_canonical=False))
+    sb = _sigma_rows(shortest_path_counts_bsp(g, [0], store=store))
+    assert sa == sb
+
+    ba = _btw_map(betweenness_bsp(g, [0, 1]))
+    bb = _btw_map(betweenness_bsp(g, [0, 1], store=store))
+    assert ba == bb  # bit-exact: canonical fold order
