@@ -29,7 +29,16 @@ def to_pandas(res) -> pd.DataFrame:
     import ray.data as rd
 
     if isinstance(res, rd.Dataset):
-        return res.to_pandas()
+        df = res.to_pandas()
+        if len(df) == 0 and len(df.columns) == 0:
+            # Ray 2.49 quirk: to_pandas() of an all-empty Dataset drops
+            # the columns even though ds.schema() knows them (seen on
+            # kcore at sf0.001, whose 80-core is legitimately empty)
+            try:
+                df = pd.DataFrame({c: [] for c in res.schema().names})
+            except Exception:
+                pass
+        return df
     if isinstance(res, pa.Table):
         return res.to_pandas()
     return res
