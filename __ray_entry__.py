@@ -979,6 +979,32 @@ def q_winnow_candidates(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_winnow_candidates_capped(sf_dir: str) -> rd.Dataset:
+    """winnow_candidates with the hub-skew guard engaged (max_df=5):
+    fingerprints shared by more than 5 docs pair nothing — the standard
+    boilerplate cap that keeps pair generation from going quadratic on
+    templated text at crawl scale. Deterministic (pure function of df),
+    so the DuckDB oracle reproduces the drop with one HAVING clause."""
+    from parallel_pagerank_ray.pipelines.dedup import winnow_candidates
+
+    return winnow_candidates(
+        _documents(sf_dir, ["doc_id", "text"]), k=16, w=8, min_shared=2,
+        max_df=5,
+    )
+
+
+def q_winnow_overflow(sf_dir: str) -> rd.Dataset:
+    """Overflow telemetry for the winnow hub cap: (fp, df) for every
+    fingerprint whose doc frequency exceeds max_df=5 — exactly the
+    fingerprints ``winnow_candidates(max_df=5)`` drops, so cap effects
+    are observable rather than silent."""
+    from parallel_pagerank_ray.pipelines.dedup import winnow_overflow
+
+    return winnow_overflow(
+        _documents(sf_dir, ["doc_id", "text"]), k=16, w=8, max_df=5
+    )
+
+
 _TFIDF_QUERY = ["hash", "join", "stream", "window", "sort"]
 
 
@@ -1021,6 +1047,30 @@ def q_dedup_minhash_lsh(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.dedup import minhash_lsh_candidates
 
     return minhash_lsh_candidates(_documents(sf_dir, ["doc_id", "text"]))
+
+
+def q_dedup_minhash_lsh_capped(sf_dir: str) -> rd.Dataset:
+    """minhash_lsh_candidates with the hub-skew guard engaged
+    (max_bucket=2): LSH buckets holding more than 2 docs emit no pairs.
+    At crawl scale this is the cap that stops a templated-page bucket
+    shared by millions of docs from forcing O(hub^2) pairs in one
+    group; true near-dups still surface through their other bands."""
+    from parallel_pagerank_ray.pipelines.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _documents(sf_dir, ["doc_id", "text"]), max_bucket=2
+    )
+
+
+def q_lsh_bucket_overflow(sf_dir: str) -> rd.Dataset:
+    """Overflow telemetry for the LSH hub cap: (band, key1, key2, size)
+    for every bucket larger than max_bucket=2 — exactly the buckets
+    ``minhash_lsh_candidates(max_bucket=2)`` drops."""
+    from parallel_pagerank_ray.pipelines.dedup import lsh_bucket_overflow
+
+    return lsh_bucket_overflow(
+        _documents(sf_dir, ["doc_id", "text"]), max_bucket=2
+    )
 
 
 def q_dedup_keepers(sf_dir: str) -> rd.Dataset:
@@ -1488,10 +1538,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "doc_fingerprints": q_doc_fingerprints,
         "winnow_candidates": q_winnow_candidates,
+        "winnow_candidates_capped": q_winnow_candidates_capped,
+        "winnow_overflow": q_winnow_overflow,
         "tfidf_search": q_tfidf_search,
         "decontaminate": q_decontaminate,
         "dedup_shingle_jaccard": q_dedup_shingle_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_lsh_capped": q_dedup_minhash_lsh_capped,
+        "lsh_bucket_overflow": q_lsh_bucket_overflow,
         "dedup_keepers": q_dedup_keepers,
         "dedup_simhash": q_dedup_simhash,
         "embed_docs": q_embed_docs,
@@ -1627,12 +1681,18 @@ def _lpa_weighted_round_sql(prev: str) -> str:
 
 
 def _minhash_lsh_sql(
-    num_perm: int = 128, bands: int = 16, k: int = 5, seed: int = 42
+    num_perm: int = 128, bands: int = 16, k: int = 5, seed: int = 42,
+    max_bucket: int | None = None, overflow: bool = False,
 ) -> str:
     """DuckDB mirror of pipelines.dedup.minhash_lsh_candidates: the same
     mod-2^31-1 shingle/permutation/band-fold arithmetic (every product
     < 2^62, so BIGINT and numpy uint64 agree exactly), same (band, key1,
-    key2) bucket tuples, same distinct (doc_a, doc_b) output."""
+    key2) bucket tuples, same distinct (doc_a, doc_b) output.
+
+    ``max_bucket``: mirror the hub-skew guard — buckets holding more
+    docs than the cap emit no pairs (one HAVING clause).
+    ``overflow=True`` instead returns the dropped buckets themselves,
+    mirroring ``lsh_bucket_overflow``."""
     from parallel_pagerank_ray.functions import hashing as H
 
     a, b = H.minhash_params31(num_perm, seed=seed)
@@ -1659,10 +1719,28 @@ def _minhash_lsh_sql(
             f"SELECT doc_id, {bnd} AS band, {f1} AS key1, {f2} AS key2 FROM sigs"
         )
     union = "\nUNION ALL\n".join(rows)
-    return f"""
+    base = f"""
         WITH shs AS MATERIALIZED (SELECT doc_id, {shs} AS sh FROM documents),
              sigs AS MATERIALIZED (SELECT doc_id, {sig_cols} FROM shs),
              br AS MATERIALIZED ({union})
+    """
+    if overflow:
+        return base + f"""
+        SELECT CAST(band AS BIGINT) AS band, key1, key2,
+               CAST(count(*) AS BIGINT) AS size
+        FROM br GROUP BY 1, 2, 3 HAVING count(*) > {max_bucket}
+        """
+    if max_bucket is not None:
+        return base + f"""
+        , ok AS (SELECT band, key1, key2 FROM br
+                 GROUP BY 1, 2, 3 HAVING count(*) <= {max_bucket})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM br a JOIN br b
+          ON a.band = b.band AND a.key1 = b.key1 AND a.key2 = b.key2
+         AND a.doc_id < b.doc_id
+        JOIN ok ON ok.band = a.band AND ok.key1 = a.key1 AND ok.key2 = a.key2
+    """
+    return base + """
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM br a JOIN br b
           ON a.band = b.band AND a.key1 = b.key1 AND a.key2 = b.key2
@@ -1671,12 +1749,18 @@ def _minhash_lsh_sql(
 
 
 def _winnow_sql(k: int = 8, w: int = 4, candidates: bool = False,
-                min_shared: int = 2) -> str:
+                min_shared: int = 2, max_df: int | None = None,
+                overflow: bool = False) -> str:
     """DuckDB mirror of pipelines.dedup.winnow_fingerprints /
     winnow_candidates: the same mod-2^31-1 k-gram Horner chain (shared
     with the MinHash oracle), windows of ``w`` consecutive hashes, min
     per window with the RIGHTMOST position on ties, distinct
-    selections. Integer arithmetic end to end."""
+    selections. Integer arithmetic end to end.
+
+    ``max_df``: mirror the hub-skew guard — fingerprints whose doc
+    frequency exceeds the cap pair nothing (one HAVING clause).
+    ``overflow=True`` instead returns the dropped (fp, df) rows,
+    mirroring ``winnow_overflow``."""
     from parallel_pagerank_ray.functions import hashing as H
 
     p, R = int(H.P31), int(H.SHINGLE_R)
@@ -1707,16 +1791,30 @@ def _winnow_sql(k: int = 8, w: int = 4, candidates: bool = False,
              AND s2.j BETWEEN wn.i AND wn.i + {w - 1} AND s2.h = wn.fp
             GROUP BY wn.doc_id, wn.i, wn.fp) wn)
     """
+    if overflow:
+        return base + f"""
+        , dfp AS (SELECT DISTINCT doc_id, fp FROM sel)
+        SELECT CAST(fp AS BIGINT) AS fp, CAST(count(*) AS BIGINT) AS df
+        FROM dfp GROUP BY 1 HAVING count(*) > {max_df}
+        """
     if not candidates:
         return base + """
         SELECT doc_id, CAST(pos AS BIGINT) AS pos, CAST(fp AS BIGINT) AS fp
         FROM sel
         """
+    cap = (
+        f"""
+        , ok AS (SELECT fp FROM dfp GROUP BY fp HAVING count(*) <= {max_df})
+        """
+        if max_df is not None
+        else ""
+    )
+    capjoin = " JOIN ok ON ok.fp = a.fp" if max_df is not None else ""
     return base + f"""
-        , dfp AS (SELECT DISTINCT doc_id, fp FROM sel)
+        , dfp AS (SELECT DISTINCT doc_id, fp FROM sel){cap}
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(count(*) AS BIGINT) AS shared
-        FROM dfp a JOIN dfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        FROM dfp a JOIN dfp b ON a.fp = b.fp AND a.doc_id < b.doc_id{capjoin}
         GROUP BY 1, 2 HAVING count(*) >= {min_shared}
         """
 
@@ -2723,6 +2821,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": _winnow_sql(k=16, w=8),
         "winnow_candidates": _winnow_sql(k=16, w=8, candidates=True,
                                          min_shared=4),
+        "winnow_candidates_capped": _winnow_sql(k=16, w=8, candidates=True,
+                                                min_shared=2, max_df=5),
+        "winnow_overflow": _winnow_sql(k=16, w=8, max_df=5, overflow=True),
         "dedup_exact": """
             SELECT md5(text) AS fingerprint,
                    min(doc_id) AS keeper,
@@ -2759,6 +2860,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embed_docs": _embed_docs_sql(dim=8),
         "dedup_minhash_lsh": _minhash_lsh_sql(),
+        "dedup_minhash_lsh_capped": _minhash_lsh_sql(max_bucket=2),
+        "lsh_bucket_overflow": _minhash_lsh_sql(max_bucket=2, overflow=True),
         "dedup_simhash": _simhash_sql(max_hamming=3),
         "sample_frames": """
             SELECT doc_id, k.range AS frame_idx,

@@ -157,12 +157,29 @@ class _SignatureStage:
         )
 
 
+def _lsh_signature_rows(
+    docs: rd.Dataset,
+    num_perm: int,
+    bands: int,
+    k: int,
+    concurrency: int | None,
+) -> rd.Dataset:
+    """Shared (band, key1, key2, doc_id) row stage for the LSH candidate
+    and overflow-telemetry queries."""
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _SignatureStage(num_perm=num_perm, bands=bands, k=k),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
 def minhash_lsh_candidates(
     docs: rd.Dataset,
     num_perm: int = 128,
     bands: int = 16,
     k: int = 5,
     concurrency: int | None = None,
+    max_bucket: int | None = None,
 ) -> rd.Dataset:
     """MinHash + LSH near-dup candidate pairs: (doc_a, doc_b), doc_a < doc_b.
 
@@ -173,12 +190,16 @@ def minhash_lsh_candidates(
     pairs -> global pair dedup (second groupby). Both shuffles move only
     small integer rows. ``concurrency=None`` lets every CPU run the
     signature stage (fixed caps serialize at high core counts).
+
+    ``max_bucket``: hub-skew guard — an LSH bucket (band, key1, key2)
+    holding MORE than this many docs emits no pairs. A templated page
+    shared by 10M docs would otherwise force 5e13 in-bucket pairs in one
+    group; true near-dup pairs still surface through their other bands.
+    The drop is a pure function of bucket size (deterministic,
+    SQL-reproducible); dropped buckets are observable via
+    ``lsh_bucket_overflow``.
     """
-    sig_rows = docs.select_columns(["doc_id", "text"]).map_batches(
-        _SignatureStage(num_perm=num_perm, bands=bands, k=k),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+    sig_rows = _lsh_signature_rows(docs, num_perm, bands, k, concurrency)
 
     # meta-bucket the (band, key) LSH buckets so each map_groups call
     # handles thousands of buckets vectorized (pairs_within_groups) —
@@ -204,8 +225,13 @@ def minhash_lsh_candidates(
         ids = group["doc_id"].to_numpy()
         # exact (band, key1, key2) tuple grouping — a folded composite
         # hash could merge distinct LSH buckets on a collision and emit
-        # spurious pairs
-        a, b = pairs_within_groups((band, key1, key2, ids), ids)
+        # spurious pairs. One doc appears at most once per (band, key)
+        # tuple, so the run length IS the bucket's doc count and
+        # max_group enforces the global per-bucket cap here with no
+        # extra shuffle.
+        a, b = pairs_within_groups(
+            (band, key1, key2, ids), ids, max_group=max_bucket
+        )
         return pd.DataFrame({"doc_a": a, "doc_b": b})
 
     pairs = (
@@ -214,6 +240,34 @@ def minhash_lsh_candidates(
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     return distinct(drop_empty_blocks(pairs), ["doc_a", "doc_b"])
+
+
+def lsh_bucket_overflow(
+    docs: rd.Dataset,
+    num_perm: int = 128,
+    bands: int = 16,
+    k: int = 5,
+    max_bucket: int = 1000,
+    concurrency: int | None = None,
+) -> rd.Dataset:
+    """Overflow telemetry for ``minhash_lsh_candidates(max_bucket=...)``:
+    (band, key1, key2, size) for every LSH bucket whose doc count
+    exceeds the cap — i.e. exactly the buckets the candidate kernel
+    drops. One bucketed grouped_agg over the small signature rows;
+    integer-exact and SQL-reproducible."""
+    import pyarrow.compute as pc
+
+    sig_rows = _lsh_signature_rows(docs, num_perm, bands, k, concurrency)
+    sizes = grouped_agg(
+        sig_rows,
+        ["band", "key1", "key2"],
+        {"size": ("doc_id", "count")},
+    )
+
+    def over(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("size"), max_bucket))
+
+    return sizes.map_batches(over, batch_format="pyarrow")
 
 
 class _SimhashStage:
@@ -401,6 +455,7 @@ def winnow_candidates(
     w: int = 4,
     min_shared: int = 2,
     num_buckets: int | None = None,
+    max_df: int | None = None,
 ) -> rd.Dataset:
     """Near-dup/containment candidates from shared winnowing
     fingerprints: (doc_a, doc_b, shared) with doc_a < doc_b and
@@ -408,9 +463,17 @@ def winnow_candidates(
 
     Shape: distinct (doc_id, fp) first (a fp repeated inside one doc
     counts once), pair generation with the bucketed in-group kernel
-    keyed on fp — group size = a fingerprint's doc frequency, the
-    quantity a caller caps when boilerplate fingerprints are
-    pathological hubs (same contract as the co-purchase kernel)."""
+    keyed on fp.
+
+    ``max_df``: hub-skew guard — a fingerprint whose doc frequency
+    exceeds the cap emits NO pairs (boilerplate/license-header
+    fingerprints shared by millions of docs would otherwise go
+    quadratic inside one group). The bucket key is ``fp % num_buckets``
+    so a fingerprint's full posting lands in ONE group and the in-group
+    run length IS its global df — the cap is enforced exactly with no
+    extra shuffle, deterministically (pure function of df), and the
+    DuckDB oracle reproduces it with one HAVING clause. Dropped
+    fingerprints are observable via ``winnow_overflow``."""
     dfp = distinct(winnow_fingerprints(docs, k=k, w=w), ["doc_id", "fp"])
     if num_buckets is None:
         from parallel_pagerank_ray.stages.agg import resolve_num_buckets
@@ -423,7 +486,9 @@ def winnow_candidates(
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         a, b2 = pairs_within_groups(
-            (g["fp"].to_numpy(), g["doc_id"].to_numpy()), g["doc_id"].to_numpy()
+            (g["fp"].to_numpy(), g["doc_id"].to_numpy()),
+            g["doc_id"].to_numpy(),
+            max_group=max_df,
         )
         out = (
             pd.DataFrame({"doc_a": a, "doc_b": b2})
@@ -451,6 +516,25 @@ def winnow_candidates(
     return counts.map_batches(thresh, batch_format="pyarrow")
 
 
+def winnow_overflow(
+    docs: rd.Dataset, k: int = 8, w: int = 4, max_df: int = 1000
+) -> rd.Dataset:
+    """Overflow telemetry for ``winnow_candidates(max_df=...)``:
+    (fp, df) for every winnowing fingerprint whose doc frequency
+    exceeds the cap — exactly the fingerprints the candidate kernel
+    drops. One bucketed grouped_agg over the distinct (doc_id, fp)
+    rows; integer-exact and SQL-reproducible."""
+    import pyarrow.compute as pc
+
+    dfp = distinct(winnow_fingerprints(docs, k=k, w=w), ["doc_id", "fp"])
+    sizes = grouped_agg(dfp, ["fp"], {"df": ("doc_id", "count")})
+
+    def over(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("df"), max_df))
+
+    return sizes.map_batches(over, batch_format="pyarrow")
+
+
 def contamination_flags(
     docs: rd.Dataset,
     benchmark_docs: rd.Dataset,
@@ -465,10 +549,14 @@ def contamination_flags(
 
     Shape: the benchmark side is small by definition (an eval set) —
     its distinct shingle hashes are collected once and broadcast via
-    ray.put (guarded at ``broadcast_max`` hashes; beyond that a
-    caller should bucket by hash range and run per-bucket passes).
+    ray.put. Beyond ``broadcast_max`` hashes the set is split into
+    sorted hash-RANGE chunks of at most ``broadcast_max`` each, every
+    chunk placed in plasma separately, and each corpus task folds its
+    membership counts chunk by chunk (disjoint ranges sum exactly) —
+    the operator degrades instead of failing, matching the broadcast
+    guard contract used elsewhere (host_cocitation, revenue_by_nation).
     The corpus side is one stateless map: vectorized shingle hashing +
-    np.isin against the sorted benchmark array. No shuffle at all.
+    searchsorted membership per chunk. No shuffle at all.
     """
     import ray
 
@@ -489,22 +577,24 @@ def contamination_flags(
         if bench_parts
         else np.array([], dtype=np.uint64)
     )
-    if len(bench) > broadcast_max:
-        raise ValueError(
-            f"benchmark shingle set ({len(bench)}) exceeds broadcast_max "
-            f"({broadcast_max}); bucket by hash range and run per bucket"
-        )
-    bench_ref = ray.put(bench)
+    # sorted hash-range chunks, each <= broadcast_max (usually one)
+    n_chunks = max(1, -(-len(bench) // broadcast_max))
+    chunk_refs = [
+        ray.put(np.ascontiguousarray(c)) for c in np.array_split(bench, n_chunks)
+    ]
 
     def flag(b: pd.DataFrame) -> pd.DataFrame:
-        bh = ray.get(bench_ref)
         ids = b["doc_id"].astype(np.int64).to_numpy()
         hits = np.zeros(len(ids), dtype=np.int64)
-        for i, t in enumerate(b["text"].astype(str)):
-            h = H.shingle_hashes31(t, k)
-            pos = np.searchsorted(bh, h)
-            ok = pos < len(bh)
-            hits[i] = int(np.count_nonzero(bh[pos[ok]] == h[ok]))
+        doc_hashes = [H.shingle_hashes31(t, k) for t in b["text"].astype(str)]
+        for ref in chunk_refs:
+            bh = ray.get(ref)
+            if not len(bh):
+                continue
+            for i, h in enumerate(doc_hashes):
+                pos = np.searchsorted(bh, h)
+                ok = pos < len(bh)
+                hits[i] += int(np.count_nonzero(bh[pos[ok]] == h[ok]))
         return pd.DataFrame(
             {"doc_id": ids, "n_hits": hits, "contaminated": hits > 0}
         )
@@ -518,31 +608,183 @@ def dedup_keepers(
     docs: rd.Dataset,
     candidate_pairs: rd.Dataset,
     pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+    broadcast_max: int = 5_000_000,
 ) -> rd.Dataset:
     """The dedup ENDGAME: collapse near-dup candidate pairs into
     clusters and pick one keeper per cluster — (doc_id, keeper) for
-    EVERY doc, keeper = min doc_id in its connected component of the
-    candidate graph (isolated docs keep themselves). Compose with any
-    candidate generator (MinHash-LSH, SimHash, winnowing, embedding
-    near-dup).
+    EVERY doc in ``docs`` (and only those), keeper = min doc_id in its
+    connected component of the candidate graph (isolated docs keep
+    themselves). Compose with any candidate generator (MinHash-LSH,
+    SimHash, winnowing, embedding near-dup).
 
-    Shape: the pair graph is tiny relative to the corpus (candidates
-    only), and components run on the engine's pointer-jumping BSP CC —
-    O(log n) rounds, no driver materialization. At 10^12 docs the CC
-    Dataset fallback engages automatically (same semantics, bounded
-    memory)."""
+    Shape: only docs that appear in a candidate pair enter the CC — the
+    paired ids are densified first (``assign_int_ids``), so the BSP
+    component vectors are sized by the CANDIDATE set, never by
+    max(doc_id): sparse/hashed 64-bit ids cost nothing, and ids absent
+    from ``docs`` never produce phantom rows. While the paired set fits
+    ``broadcast_max`` (the common case — candidates ≪ corpus) the whole
+    cluster->keeper resolution folds driver-side in numpy and attaches
+    to the corpus via ONE broadcast map (zero joins); beyond the guard
+    it degrades to hash joins + a distributed min-per-component
+    aggregate (same results, tested by shrinking the guard)."""
+    import ray
+
     from parallel_pagerank_ray.pipelines.components_actors import (
         connected_components_bsp,
     )
-    from parallel_pagerank_ray.pipelines.graph_build import Graph
-    from parallel_pagerank_ray.stages.agg import global_agg
+    from parallel_pagerank_ray.pipelines.graph_build import (
+        Graph,
+        _default_join_partitions,
+        assign_int_ids,
+    )
+    from parallel_pagerank_ray.util import safe_join
 
     a, b = pair_cols
-    m = global_agg(docs.select_columns(["doc_id"]), {"mx": ("doc_id", "max")})
-    n = int(m["mx"]) + 1
-    edges = candidate_pairs.select_columns([a, b]).rename_columns(
-        {a: "src", b: "dst"}
+
+    def self_keeper(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids64 = pc.cast(t.column("doc_id"), pa.int64())
+        return pa.table({"doc_id": ids64, "keeper": ids64})
+
+    # one empty typed block unioned onto every return path so an empty
+    # corpus still yields the (doc_id, keeper) int64 schema
+    schema_block = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "keeper": pa.array([], type=pa.int64()),
+            }
+        )
     )
-    g = Graph(n=n, edges=edges.materialize())
-    run = connected_components_bsp(g)
-    return run.components.rename_columns({"vid": "doc_id", "comp": "keeper"})
+
+    endpoints = (
+        candidate_pairs.select_columns([a])
+        .rename_columns({a: "doc_id"})
+        .union(candidate_pairs.select_columns([b]).rename_columns({b: "doc_id"}))
+    )
+    vmap = assign_int_ids(distinct(endpoints, ["doc_id"])).materialize()
+    m = vmap.count()
+    docs_ids = docs.select_columns(["doc_id"])
+    if m == 0:  # no candidates (or empty corpus): everyone keeps themselves
+        return schema_block.union(
+            docs_ids.map_batches(self_keeper, batch_format="pyarrow")
+        )
+
+    if m <= broadcast_max:
+        vt = pa.concat_tables(
+            [t for t in ray.get(vmap.to_arrow_refs()) if t.num_rows]
+        ).combine_chunks()
+        doc_ids = vt.column("doc_id").to_numpy()
+        vids = vt.column("vid").to_numpy()
+        doc_of = np.empty(m, dtype=np.int64)  # dense vid -> original doc_id
+        doc_of[vids] = doc_ids
+        idx = pd.Index(doc_ids)
+        map_ref = ray.put((idx, vids))
+
+        def to_dense(df: pd.DataFrame) -> pd.DataFrame:
+            ix, vv = ray.get(map_ref)
+            return pd.DataFrame(
+                {
+                    "src": vv[ix.get_indexer(df[a].to_numpy())],
+                    "dst": vv[ix.get_indexer(df[b].to_numpy())],
+                }
+            )
+
+        edges = candidate_pairs.select_columns([a, b]).map_batches(
+            to_dense, batch_format="pandas"
+        )
+        g = Graph(n=m, edges=edges.materialize())
+        comp_rows = pa.concat_tables(
+            [
+                t
+                for t in ray.get(
+                    connected_components_bsp(g).components.materialize()
+                    .to_arrow_refs()
+                )
+                if t.num_rows
+            ]
+        ).combine_chunks()
+        cvid = comp_rows.column("vid").to_numpy()
+        ccomp = comp_rows.column("comp").to_numpy()
+        # keeper per component = min ORIGINAL doc_id (dense assignment
+        # is not order-preserving, so min dense vid is not enough)
+        keeper_of = np.full(m, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(keeper_of, ccomp, doc_of[cvid])
+        keeper_by_doc = np.empty(m, dtype=np.int64)
+        keeper_by_doc[cvid] = keeper_of[ccomp]
+        keep_ref = ray.put((idx, keeper_by_doc[vids]))
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            ix, kp = ray.get(keep_ref)
+            ids = df["doc_id"].to_numpy().astype(np.int64)
+            pos = ix.get_indexer(ids)
+            out = ids.copy()  # isolated docs keep themselves
+            hit = pos >= 0
+            out[hit] = kp[pos[hit]]
+            return pd.DataFrame({"doc_id": ids, "keeper": out})
+
+        return schema_block.union(
+            docs_ids.map_batches(attach, batch_format="pandas")
+        )
+
+    # scale fallback: hash joins end to end, no driver vectors
+    nparts = _default_join_partitions()
+    e1 = safe_join(
+        candidate_pairs.select_columns([a, b]),
+        vmap,
+        join_type="inner",
+        num_partitions=nparts,
+        on=(a,),
+        right_on=("doc_id",),
+    ).rename_columns({"vid": "src"})
+    edges = (
+        safe_join(
+            e1.select_columns([b, "src"]),
+            vmap,
+            join_type="inner",
+            num_partitions=nparts,
+            on=(b,),
+            right_on=("doc_id",),
+        )
+        .rename_columns({"vid": "dst"})
+        .select_columns(["src", "dst"])
+    )
+    g = Graph(n=m, edges=edges.materialize())
+    comp = connected_components_bsp(g).components  # (vid, comp)
+    withdoc = safe_join(
+        comp,
+        vmap,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("vid",),
+    )  # (vid, comp, doc_id)
+    keepers = grouped_agg(
+        withdoc.select_columns(["comp", "doc_id"]),
+        ["comp"],
+        {"keeper": ("doc_id", "min")},
+    )
+    paired = safe_join(
+        withdoc.select_columns(["doc_id", "comp"]),
+        keepers,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("comp",),
+    ).select_columns(["doc_id", "keeper"])
+    joined = safe_join(
+        docs_ids,
+        paired.rename_columns({"doc_id": "p_doc_id"}),
+        join_type="left_outer",
+        num_partitions=nparts,
+        on=("doc_id",),
+        right_on=("p_doc_id",),
+    )
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids64 = pc.cast(t.column("doc_id"), pa.int64())
+        kp = pc.coalesce(pc.cast(t.column("keeper"), pa.int64()), ids64)
+        return pa.table({"doc_id": ids64, "keeper": kp})
+
+    return schema_block.union(joined.map_batches(coalesce, batch_format="pyarrow"))

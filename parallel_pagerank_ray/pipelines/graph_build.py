@@ -119,6 +119,78 @@ def assign_vertex_ids(links: rd.Dataset, num_buckets: int = 64) -> rd.Dataset:
     )
 
 
+def assign_int_ids(
+    ids: rd.Dataset, col: str = "doc_id", num_buckets: int = 64
+) -> rd.Dataset:
+    """Distinct int keys -> (col, vid) with dense vid 0..N-1.
+
+    The integer-key sibling of ``assign_vertex_ids`` (same
+    bucket-enumerate-offset shape, no global sort): per-batch distinct,
+    stable hash bucket, per-bucket sorted dedup with a local index,
+    driver-side prefix-sum of the (tiny) per-bucket counts, final
+    offset-add map. Deterministic for a given key set at any
+    parallelism. Used to densify sparse/hashed 64-bit ids before
+    running a BSP vertex algorithm whose state vectors are sized by
+    the dense domain, never by max(id)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ut = (
+            t.select([col])
+            .group_by([col], use_threads=False)
+            .aggregate([])
+        )
+        h = pd.util.hash_pandas_object(
+            ut.column(col).to_pandas(), index=False, hash_key=_HASH_KEY
+        )
+        b = (h.to_numpy() % np.uint64(num_buckets)).astype(np.int64)
+        return ut.append_column("bucket", pa.array(b))
+
+    def enumerate_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=col).sort_values(col)
+        return pd.DataFrame(
+            {
+                col: g[col].to_numpy(),
+                "bucket": g["bucket"].to_numpy(),
+                "local_idx": np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    per_bucket = drop_empty_blocks(
+        ids.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(enumerate_bucket, batch_format="pandas")
+    ).materialize()
+
+    counts = per_bucket.map_batches(
+        lambda df: df.groupby("bucket", sort=False).size().reset_index(name="n")
+        if len(df)
+        else pd.DataFrame(),
+        batch_format="pandas",
+    ).take_all()
+    counts_by_bucket: dict[int, int] = {}
+    for r in counts:
+        counts_by_bucket[int(r["bucket"])] = (
+            counts_by_bucket.get(int(r["bucket"]), 0) + int(r["n"])
+        )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(counts_by_bucket):
+        offsets[b] = acc
+        acc += counts_by_bucket[b]
+
+    def add_offset(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame()
+        base = df["bucket"].map(offsets).to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {col: df[col].to_numpy(), "vid": base + df["local_idx"].to_numpy()}
+        )
+
+    return drop_empty_blocks(
+        per_bucket.map_batches(add_offset, batch_format="pandas")
+    )
+
+
 def _default_join_partitions() -> int:
     import ray
 

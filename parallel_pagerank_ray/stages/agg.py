@@ -236,7 +236,9 @@ def grouped_topk(
 
 
 def pairs_within_groups(
-    sort_keys: tuple[np.ndarray, ...], values: np.ndarray
+    sort_keys: tuple[np.ndarray, ...],
+    values: np.ndarray,
+    max_group: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """All ordered pairs (values[i], values[j]) with i<j inside each run
     of equal group keys — fully vectorized (no per-group Python).
@@ -246,6 +248,12 @@ def pairs_within_groups(
     composite hash, so distinct buckets never merge on a hash
     collision). Emitted pairs follow the within-group order. Used by
     triangle wedges and LSH-bucket pair generation.
+
+    ``max_group``: the hub-skew guard — groups with MORE than this many
+    rows emit NO pairs (the standard MinHash-LSH move for boilerplate
+    fingerprints / templated-page buckets whose all-pairs output would
+    be quadratic in the hub size). The drop rule is a pure function of
+    group size, so a SQL oracle reproduces it with one HAVING clause.
     """
     *groups, sub = sort_keys
     order = np.lexsort((sub, *reversed(groups)))
@@ -264,6 +272,8 @@ def pairs_within_groups(
     start = np.concatenate(([0], np.cumsum(run_len)[:-1]))
     local = np.arange(n) - start[run_id]
     rep = run_len[run_id] - local - 1  # each row pairs with the rows after it
+    if max_group is not None:
+        rep[run_len[run_id] > max_group] = 0  # hub groups: no pairs
     total = int(rep.sum())
     if total == 0:
         e = np.array([], dtype=values.dtype)

@@ -157,3 +157,168 @@ def test_dedup_keepers_clusters_and_isolated():
     )
     assert got["doc_id"].tolist() == list(range(7))
     assert got["keeper"].tolist() == [0, 1, 2, 0, 4, 0, 2]
+
+
+def test_pairs_within_groups_max_group():
+    from parallel_pagerank_ray.stages.agg import pairs_within_groups
+
+    # groups: key 1 -> 2 rows, key 2 -> 4 rows (hub), key 3 -> 3 rows
+    keys = np.array([1, 1, 2, 2, 2, 2, 3, 3, 3], dtype=np.int64)
+    vals = np.array([10, 11, 20, 21, 22, 23, 30, 31, 32], dtype=np.int64)
+    a, b = pairs_within_groups((keys, vals), vals, max_group=3)
+    got = set(zip(a.tolist(), b.tolist()))
+    # the 4-row hub emits nothing; the <=3-row groups emit all pairs
+    assert got == {(10, 11), (30, 31), (30, 32), (31, 32)}
+    # no cap -> hub pairs included
+    a2, b2 = pairs_within_groups((keys, vals), vals)
+    assert len(a2) == 1 + 6 + 3
+
+
+def _hub_docs(n_hub: int = 12, n_uniq: int = 6):
+    """Corpus with one templated 'boilerplate' text shared by n_hub docs
+    plus n_uniq unique docs."""
+    rng = np.random.default_rng(11)
+    words = BASE.split()
+    texts = ["identical boilerplate license header text " * 3] * n_hub
+    texts += [" ".join(rng.permutation(words)) for _ in range(n_uniq)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    return rd.from_arrow(t)
+
+
+def test_minhash_lsh_max_bucket_caps_hub():
+    docs = _hub_docs()
+    uncapped = dedup.minhash_lsh_candidates(docs, num_perm=32, bands=8).to_pandas()
+    # the 12-doc hub forms 66 pairs without a cap
+    assert len(uncapped) >= 66
+    capped = dedup.minhash_lsh_candidates(
+        docs, num_perm=32, bands=8, max_bucket=8
+    ).to_pandas()
+    # every hub bucket has 12 > 8 docs -> dropped
+    assert capped.empty or (
+        (capped["doc_a"] >= 12) | (capped["doc_b"] >= 12)
+    ).all()
+    over = dedup.lsh_bucket_overflow(
+        docs, num_perm=32, bands=8, max_bucket=8
+    ).to_pandas()
+    assert len(over) == 8  # one overflowing bucket per band
+    assert (over["size"] == 12).all()
+
+
+def test_winnow_max_df_caps_hub_and_overflow():
+    docs = _hub_docs()
+    uncapped = dedup.winnow_candidates(docs, k=8, w=4, min_shared=1).to_pandas()
+    assert len(uncapped[(uncapped.doc_a < 12) & (uncapped.doc_b < 12)]) == 66
+    capped = dedup.winnow_candidates(
+        docs, k=8, w=4, min_shared=1, max_df=8
+    ).to_pandas()
+    assert capped.empty or (
+        (capped["doc_a"] >= 12) | (capped["doc_b"] >= 12)
+    ).all()
+    over = dedup.winnow_overflow(docs, k=8, w=4, max_df=8).to_pandas()
+    assert len(over) > 0 and (over["df"] == 12).all()
+    # a fingerprint df <= cap (unique docs) never appears in overflow
+    assert (over["df"] > 8).all()
+
+
+def test_assign_int_ids_dense_and_deterministic():
+    from parallel_pagerank_ray.pipelines.graph_build import assign_int_ids
+
+    ids = np.array([10**15 + 7, 3, 999, 10**15 + 7, 42, 3], dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids)})).repartition(3)
+    got = assign_int_ids(ds).to_pandas().sort_values("doc_id")
+    assert sorted(got["vid"].tolist()) == [0, 1, 2, 3]  # dense 0..N-1
+    assert len(got) == 4
+    # deterministic across runs / partitionings
+    got2 = (
+        assign_int_ids(ds.repartition(1)).to_pandas().sort_values("doc_id")
+    )
+    assert got["vid"].tolist() == got2["vid"].tolist()
+
+
+def test_dedup_keepers_sparse_ids_and_join_fallback():
+    """Sparse 64-bit doc_ids must not inflate the CC vectors or emit
+    phantom rows; the hash-join fallback (broadcast_max=0 forces it)
+    must produce identical results."""
+    import pandas as pd
+
+    from parallel_pagerank_ray.pipelines.dedup import dedup_keepers
+
+    big = 10**15
+    doc_ids = np.array([big, big + 5, 3, 7, big + 9], dtype=np.int64)
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(doc_ids), "text": pa.array(["x"] * 5)})
+    )
+    # cluster {big, big+5, 3}; isolated: 7, big+9
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([big, 3], type=pa.int64()),
+                "doc_b": pa.array([big + 5, big], type=pa.int64()),
+            }
+        )
+    ).repartition(2)
+    want = {big: 3, big + 5: 3, 3: 3, 7: 7, big + 9: big + 9}
+    for bmax in (5_000_000, 0):
+        got = (
+            dedup_keepers(docs, pairs, broadcast_max=bmax)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert len(got) == 5  # exactly the docs, no phantom vids
+        assert {int(d): int(k) for d, k in zip(got.doc_id, got.keeper)} == want
+
+
+def test_dedup_keepers_empty_docs():
+    from parallel_pagerank_ray.pipelines.dedup import dedup_keepers
+
+    empty = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], type=pa.int64()), "text": pa.array([], type=pa.string())})
+    )
+    pairs = rd.from_arrow(
+        pa.table({"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())})
+    )
+    out = dedup_keepers(empty, pairs)
+    # Dataset-level schema must survive the empty corpus (to_pandas on
+    # an all-empty Dataset drops columns — a Ray quirk, not ours)
+    assert out.schema().names == ["doc_id", "keeper"]
+    assert out.count() == 0
+
+
+def test_contamination_flags_chunked_fallback_matches():
+    """A tiny broadcast_max forces the hash-range-chunked path; results
+    must equal the single-chunk broadcast path exactly."""
+    import pandas as pd
+
+    from parallel_pagerank_ray.pipelines.dedup import contamination_flags
+
+    rng = np.random.default_rng(5)
+    words = BASE.split()
+    texts = [" ".join(rng.permutation(words)) for _ in range(12)]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(12), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    ).repartition(3)
+    bench = docs.filter(expr="doc_id <= 2")
+    one = (
+        contamination_flags(docs, bench, k=16)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    chunked = (
+        contamination_flags(docs, bench, k=16, broadcast_max=7)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(one, chunked)
+    assert bool(one["contaminated"][0]) is True  # bench doc flags itself
