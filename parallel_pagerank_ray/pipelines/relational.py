@@ -171,9 +171,13 @@ def revenue_by_nation(
     # is genuinely small side (<= broadcast_max rows; it is O(SF) —
     # 150M at sf1000, where the hash join below takes over). Same
     # guard contract as resolve_edges / distinct_parts_per_nation.
-    cust = customer.select_columns(["c_custkey", "c_nationkey"])
+    from parallel_pagerank_ray.util import count_rows_once
+
+    n_cust, cust = count_rows_once(
+        customer.select_columns(["c_custkey", "c_nationkey"])
+    )
     cidx = None
-    if cust.count() <= broadcast_max:
+    if n_cust <= broadcast_max:
         ct = pa.concat_tables(ray.get(cust.to_arrow_refs()))
         cidx = pd.Index(ct.column("c_custkey").to_numpy())
         if not cidx.is_unique:
@@ -472,7 +476,10 @@ def distinct_parts_per_nation(
     # supplier->nation attach: the supplier table is O(SF) rows (10M at
     # sf1000) — broadcast the dict only while it is genuinely small
     # side, else hash-join (same guard contract as resolve_edges)
-    if supplier.count() <= broadcast_max:
+    from parallel_pagerank_ray.util import count_rows_once
+
+    n_sup, supplier = count_rows_once(supplier)
+    if n_sup <= broadcast_max:
         sup = pa.concat_tables(ray.get(supplier.to_arrow_refs()))
         sup_map: dict[int, int] = dict(
             zip(

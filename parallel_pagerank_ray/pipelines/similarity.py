@@ -38,6 +38,22 @@ def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return flat.reshape(n, -1).astype(np.float64, copy=False)
 
 
+def _rows_to_matrix(col) -> np.ndarray:
+    """pandas Series of fixed-length vectors -> (n, dim) float64 matrix.
+
+    One C-level concatenate over the row arrays (Ray's pandas block
+    layout stores a list<float> column as ndarray rows) — no per-row
+    Python in the bucket-kernel hot path; falls back to a per-row
+    build only for ragged/odd inputs."""
+    vals = col.to_numpy()
+    try:
+        return np.concatenate(vals).astype(np.float64, copy=False).reshape(
+            len(vals), -1
+        )
+    except ValueError:
+        return np.asarray([np.asarray(v, dtype=np.float64) for v in vals])
+
+
 def _normalize(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -64,22 +80,21 @@ class _BruteScore:
         self_m = q_ids[:, None] == ids[None, :]
         sims[self_m] = -np.inf
         k = min(self.k, sims.shape[1])
-        # partial top-k per query within this batch
+        # partial top-k per query within this batch, assembled with the
+        # same repeat/ravel/finite-mask pattern as score_bucket — no
+        # per-row Python in this per-corpus-batch hot path
         part = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
-        rows_q: list[int] = []
-        rows_n: list[int] = []
-        rows_s: list[float] = []
-        for qi in range(len(q_ids)):
-            for col in part[qi]:
-                if np.isfinite(sims[qi, col]):
-                    rows_q.append(int(q_ids[qi]))
-                    rows_n.append(int(ids[col]))
-                    rows_s.append(float(sims[qi, col]))
+        top = sims[np.arange(len(q_ids))[:, None], part].ravel()
+        keep = np.isfinite(top)
         return pa.table(
             {
-                "query_id": pa.array(rows_q, type=pa.int64()),
-                "neighbor_id": pa.array(rows_n, type=pa.int64()),
-                "sim": pa.array(rows_s, type=pa.float64()),
+                "query_id": pa.array(
+                    np.repeat(q_ids.astype(np.int64), k)[keep]
+                ),
+                "neighbor_id": pa.array(
+                    ids[part.ravel()[keep]].astype(np.int64)
+                ),
+                "sim": pa.array(top[keep], type=pa.float64()),
             }
         )
 
@@ -264,9 +279,7 @@ def knn_lsh(
         if not probe.any():
             return empty  # bucket pruned: no matmul, no scan
         ids = g[id_col].to_numpy()
-        mat = _normalize(
-            np.asarray([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
-        )
+        mat = _normalize(_rows_to_matrix(g[vec_col]))
         sims = qm[probe] @ mat.T
         sims[qi[probe][:, None] == ids[None, :]] = -np.inf
         kk = min(k, sims.shape[1])
@@ -431,9 +444,7 @@ def knn_ivf(
         if not probe.any():
             return empty  # cell pruned: never scored
         ids = g[id_col].to_numpy()
-        mat = _normalize(
-            np.asarray([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
-        )
+        mat = _normalize(_rows_to_matrix(g[vec_col]))
         sims = qm[probe] @ mat.T
         sims[qi[probe][:, None] == ids[None, :]] = -np.inf
         kk = min(k, sims.shape[1])

@@ -31,6 +31,25 @@ def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
     return rd.from_arrow_refs(refs)
 
 
+def count_rows_once(ds: rd.Dataset) -> tuple[int, rd.Dataset]:
+    """(row_count, dataset) without executing a lazy chain twice.
+
+    ``Dataset.count()`` on an unmaterialized chain runs the whole
+    upstream once — and a broadcast-vs-join guard that counts, then
+    executes the chosen path, scans the input twice. Probe the
+    metadata first (free for parquet reads / simple projections); only
+    when the plan cannot answer from metadata, materialize ONCE and
+    return the materialized dataset so the caller's chosen path reuses
+    the same blocks."""
+    from parallel_pagerank_ray.stages.csr_store import edge_count_hint
+
+    hint = edge_count_hint(ds)
+    if hint is not None:
+        return hint, ds
+    mat = ds.materialize()
+    return mat.count(), mat
+
+
 def _strip_meta(t) -> "object":
     """Zero-copy schema-metadata strip (shares all buffers). Parquet-
     and pandas-origin blocks carry a b'pandas' metadata dict that makes
