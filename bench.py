@@ -106,17 +106,101 @@ def bench_pagerank() -> dict:
             "iterate_sec": round(bsp_s, 3),
             "sec_per_superstep": round(bsp_s / PR_ITERS, 4),
             "edges_per_sec_per_superstep": round(n_edges * PR_ITERS / bsp_s, 1),
+            # dense exchange: each of P parts ships an n-long segment
+            # set per superstep -> P * n * dtype bytes on the wire
+            "exchange_bytes_per_superstep": _exchange_bytes(g.n, store, 8),
+            "exchange_MB_per_sec": round(
+                _exchange_bytes(g.n, store, 8) / (bsp_s / PR_ITERS) / 1e6, 1
+            ),
         },
         "bsp_engine_f32_exchange": {
             "iterate_sec": round(bsp32_s, 3),
             "sec_per_superstep": round(bsp32_s / PR_ITERS, 4),
             "edges_per_sec_per_superstep": round(n_edges * PR_ITERS / bsp32_s, 1),
+            "exchange_bytes_per_superstep": _exchange_bytes(g.n, store, 4),
+            "exchange_MB_per_sec": round(
+                _exchange_bytes(g.n, store, 4) / (bsp32_s / PR_ITERS) / 1e6, 1
+            ),
         },
         # headline = best engine (both oracle-exact; see tests/)
         "sec_per_superstep": round(min(iter_s / ds_iters, bsp_s / PR_ITERS), 4),
         "edges_per_sec_per_superstep": round(
             n_edges / min(iter_s / ds_iters, bsp_s / PR_ITERS), 1
         ),
+    }
+
+
+def _exchange_bytes(n: int, store, dtype_size: int) -> int:
+    """Per-superstep BSP exchange traffic: each of P parts ships its
+    contribution segments covering all n vertices -> P * n * dtype
+    bytes cross the wire (plasma single-node; network on a cluster)."""
+    P = max(1, -(-n // store.part_size))
+    return P * n * dtype_size
+
+
+def bench_scale10m() -> dict:
+    """Standing 10M-vertex / ~100M-edge leg (VERDICT r3 item 7): graph
+    build, BSP PageRank superstep (f64 + f32 exchange) and connected
+    components end-to-end, each round — so scale regressions surface
+    the way sweep regressions do. Skip with BENCH_10M=0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.pipelines.components_actors import (
+        connected_components_bsp,
+    )
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.pagerank_actors import pagerank_bsp
+    from parallel_pagerank_ray.sources.pages import powerlaw_edges
+    from parallel_pagerank_ray.stages.csr_store import EdgeShardStore
+
+    n_nodes = int(os.environ.get("BENCH_10M_NODES", "10000000"))
+    e = powerlaw_edges(n_nodes, PR_AVG_DEG, seed=42)
+    edges = rd.from_arrow(
+        pa.table({"src": e[:, 0], "dst": e[:, 1]})
+    ).repartition(NUM_CPUS)
+    del e
+    t0 = time.time()
+    g = Graph.from_int_edges(edges, dedup=True)
+    n_edges = int(g.edges.count())
+    build_s = time.time() - t0
+    t0 = time.time()
+    store = EdgeShardStore.build(g.edges, n=g.n, num_parts=32)
+    store_s = time.time() - t0
+    pagerank_bsp(g, d=0.85, tol=0.0, max_iters=1, store=store)  # warm
+    iters = 5
+    t0 = time.time()
+    pagerank_bsp(g, d=0.85, tol=0.0, max_iters=iters, store=store)
+    pr_s = time.time() - t0
+    t0 = time.time()
+    pagerank_bsp(
+        g, d=0.85, tol=0.0, max_iters=iters, store=store,
+        exchange_dtype="float32",
+    )
+    pr32_s = time.time() - t0
+    t0 = time.time()
+    cc = connected_components_bsp(g)
+    cc_s = time.time() - t0
+    return {
+        "n_vertices": g.n,
+        "n_edges": n_edges,
+        "build_sec": round(build_s, 2),
+        "store_sec": round(store_s, 2),
+        "pagerank_sec_per_superstep": round(pr_s / iters, 4),
+        "pagerank_edges_per_sec_per_superstep": round(
+            n_edges * iters / pr_s, 1
+        ),
+        "exchange_bytes_per_superstep": _exchange_bytes(g.n, store, 8),
+        "exchange_MB_per_sec": round(
+            _exchange_bytes(g.n, store, 8) / (pr_s / iters) / 1e6, 1
+        ),
+        "f32_sec_per_superstep": round(pr32_s / iters, 4),
+        "f32_exchange_bytes_per_superstep": _exchange_bytes(g.n, store, 4),
+        "f32_exchange_MB_per_sec": round(
+            _exchange_bytes(g.n, store, 4) / (pr32_s / iters) / 1e6, 1
+        ),
+        "components_sec": round(cc_s, 2),
+        "components_iterations": cc.iterations,
     }
 
 
@@ -210,6 +294,13 @@ def run_once(include_queries: bool = True) -> dict:
         ray.shutdown()
         _init_ray()
     pr = bench_pagerank()
+    scale10m = None
+    if os.environ.get("BENCH_10M", "1") != "0":
+        # own fresh session: the 100M-edge build floods the object
+        # store and would degrade nothing else this way
+        ray.shutdown()
+        _init_ray()
+        scale10m = bench_scale10m()
     total = time.time() - t0
     import ray
 
@@ -221,6 +312,7 @@ def run_once(include_queries: bool = True) -> dict:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "pagerank": pr,
+        "scale_10m": scale10m,
     }
     ray.shutdown()
     return result
