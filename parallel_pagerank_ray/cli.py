@@ -329,6 +329,7 @@ def cmd_analyze(args) -> int:
     from parallel_pagerank_ray.functions.recommend import (
         analyze_graph,
         recommend_engine,
+        reference_report,
     )
 
     g = _load_graph(args)
@@ -336,6 +337,9 @@ def cmd_analyze(args) -> int:
     out = {"analysis": analysis}
     if analysis is not None:
         out["recommendation"] = recommend_engine(analysis)
+        # dashboard-parity payload (the reference UI's full analytics
+        # document: tier texts, best method, per-method predictions)
+        out["reference_report"] = reference_report(analysis)
     print(json.dumps(out, indent=1, sort_keys=True))
     return 0
 

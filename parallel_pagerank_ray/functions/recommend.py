@@ -143,3 +143,126 @@ def recommend_engine(
             "is redistributed each superstep (no overhead beyond that)."
         )
     return {"engine": engine, "notes": notes}
+
+
+def reference_report(analysis: dict[str, Any]) -> dict[str, Any]:
+    """Dashboard-parity recommendation payload: the reference's full
+    analytics output (/root/reference/dashboard/app.py:549-612) as one
+    JSON-able document — the same size/density/structure/isolated
+    tier texts, the same best-method pick, and the same per-method
+    complexity + expected-performance predictions with the reference's
+    exact thresholds. The dashboard's Status / "Actual Time" columns
+    are subprocess RUN state (which executables exist / last run), not
+    graph analytics, so they are not reproduced here.
+    """
+    n = int(analysis["num_nodes"])
+    e = int(analysis["num_edges"])
+    density = float(analysis["density"])
+
+    recommendations: list[dict[str, str]] = []
+    # size tier (app.py:548-560)
+    if n < 100:
+        recommendations.append(
+            {
+                "kind": "size",
+                "tier": "Small Graph",
+                "text": "Serial implementation is optimal for graphs "
+                "this size; parallel overhead would outweigh benefits.",
+            }
+        )
+        best_method = "Serial"
+    elif n < 10_000:
+        recommendations.append(
+            {
+                "kind": "size",
+                "tier": "Medium Graph",
+                "text": "Pthreads typically performs best at this size "
+                "on multi-core systems.",
+            }
+        )
+        best_method = "Pthreads"
+    else:
+        recommendations.append(
+            {
+                "kind": "size",
+                "tier": "Large Graph",
+                "text": "MPI is recommended at this size, especially "
+                "on clusters.",
+            }
+        )
+        best_method = "MPI"
+    # density tier (app.py:562-566)
+    if density > 0.5:
+        recommendations.append(
+            {
+                "kind": "density",
+                "tier": "Dense Graph",
+                "text": "High edge density means more computation per "
+                "node; parallel methods should show significant speedup.",
+            }
+        )
+    elif density < 0.1:
+        recommendations.append(
+            {
+                "kind": "density",
+                "tier": "Sparse Graph",
+                "text": "Low edge density means less computation; "
+                "serial may suffice unless the graph is very large.",
+            }
+        )
+    # structure (app.py:568-570)
+    if analysis["is_scale_free"]:
+        recommendations.append(
+            {
+                "kind": "structure",
+                "tier": "Scale-Free Structure",
+                "text": "Uneven degree distribution; parallel methods "
+                "may show load imbalance — monitor utilization.",
+            }
+        )
+    # isolated nodes (app.py:572-573)
+    if analysis["num_isolated"] > 0:
+        recommendations.append(
+            {
+                "kind": "isolated",
+                "tier": "Isolated Nodes",
+                "text": f"{analysis['num_isolated']} isolated nodes "
+                "detected; they don't affect PageRank but add overhead.",
+            }
+        )
+
+    # per-method predictions (app.py:580-612), same thresholds
+    predictions: list[dict[str, str]] = []
+    for method in ("Serial", "Pthreads", "MPI"):
+        if method == "Serial":
+            complexity = f"O({e} x I)"
+            expected = "Baseline performance - no parallelization overhead"
+        elif method == "Pthreads":
+            complexity = f"O({e} x I / P)"
+            if n > 1000 and density > 0.2:
+                expected = "Good speedup expected (2-4x on 4 cores)"
+            elif n > 100:
+                expected = "Moderate speedup expected (1.5-2x on 4 cores)"
+            else:
+                expected = "Limited speedup (small graph - overhead dominates)"
+        else:
+            complexity = f"O({e} x I / P + comm)"
+            if n > 10_000:
+                expected = "Good speedup expected (scales with processes)"
+            elif n > 1000:
+                expected = "Moderate speedup (network overhead)"
+            else:
+                expected = "Overhead may dominate (small graph)"
+        predictions.append(
+            {
+                "method": method,
+                "complexity": complexity,
+                "expected_performance": expected,
+            }
+        )
+
+    return {
+        "best_method": best_method,
+        "recommendations": recommendations,
+        "performance_prediction": predictions,
+    }

@@ -415,3 +415,68 @@ def test_cli_betweenness_and_directed_rejection(tmp_path, graphs):
             cli_args(algo="betweenness", edges=str(edge_file),
                      workdir=wd, sources="0", directed=True)
         )
+
+
+def test_reference_report_golden_fixtures():
+    """Dashboard-parity analyze payload pinned against golden files on
+    the reference's three committed fixtures (VERDICT r3 item 8). The
+    golden docs also pin the tier thresholds: any drift in the ported
+    heuristics (app.py:549-612) shows as a diff here."""
+    import json
+    import os
+
+    from parallel_pagerank_ray.functions.recommend import (
+        analyze_graph,
+        recommend_engine,
+        reference_report,
+    )
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.sources.edge_list import read_edge_list
+
+    fixtures = {
+        "small": "/root/reference/pagerank_mpi/small_graph.txt",
+        "medium": "/root/reference/sample_graphs/medium_graph.txt",
+        "large": "/root/reference/sample_graphs/large_graph.txt",
+    }
+    golden_dir = os.path.join(os.path.dirname(__file__), "golden")
+    for name, path in fixtures.items():
+        if not os.path.exists(path):
+            continue  # reference tree absent in some environments
+        g = Graph.from_int_edges(read_edge_list(path).materialize())
+        analysis = analyze_graph(g.n, g.edges)
+        doc = {
+            "analysis": analysis,
+            "recommendation": recommend_engine(analysis),
+            "reference_report": reference_report(analysis),
+        }
+        with open(os.path.join(golden_dir, f"analyze_{name}.json")) as f:
+            want = json.load(f)
+        # round-trip through json so float repr matches the golden file
+        assert json.loads(json.dumps(doc, sort_keys=True)) == want, name
+
+
+def test_reference_report_tiers():
+    """Tier boundaries of the dashboard-parity payload: the reference's
+    size thresholds (100 / 10k) and prediction strings."""
+    from parallel_pagerank_ray.functions.recommend import reference_report
+
+    base = {
+        "num_edges": 5000,
+        "density": 0.3,
+        "is_scale_free": False,
+        "num_isolated": 0,
+    }
+    small = reference_report({**base, "num_nodes": 99})
+    med = reference_report({**base, "num_nodes": 100})
+    large = reference_report({**base, "num_nodes": 10_000})
+    assert small["best_method"] == "Serial"
+    assert med["best_method"] == "Pthreads"
+    assert large["best_method"] == "MPI"
+    preds = {p["method"]: p for p in large["performance_prediction"]}
+    assert preds["Serial"]["complexity"] == "O(5000 x I)"
+    assert preds["Pthreads"]["expected_performance"].startswith("Good speedup")
+    assert preds["MPI"]["expected_performance"].startswith("Moderate speedup")
+    # dense flag fires above 0.5
+    dense = reference_report({**base, "num_nodes": 50, "density": 0.6})
+    kinds = {r["kind"] for r in dense["recommendations"]}
+    assert "density" in kinds
