@@ -1035,6 +1035,50 @@ def q_decontaminate(sf_dir: str) -> rd.Dataset:
     return contamination_flags(docs, bench, k=16)
 
 
+def _pii_docs(sf_dir: str) -> rd.Dataset:
+    """documents with deterministic planted PII (the corpus itself has
+    no digits, so an unplanted gate would be vacuous): docs with
+    doc_id%5==0 gain an email + an IPv4, docs with doc_id%7==0 gain a
+    phone number — all derived from doc_id, so the DuckDB oracle
+    reproduces the planting with string concatenation."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+
+    def inject(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype(np.int64)
+        t = df["text"].astype(str)
+        s = ids.astype(str)
+        extra5 = (
+            " contact user" + s + "@example.com from 10.0."
+            + (ids % 256).astype(str) + "." + (ids % 100).astype(str)
+        )
+        extra7 = " call 555-123-" + (1000 + ids % 9000).astype(str)
+        t = t.where(ids % 5 != 0, t + extra5)
+        t = t.where(ids % 7 != 0, t + extra7)
+        return pd.DataFrame({"doc_id": ids.to_numpy(), "text": t.to_numpy()})
+
+    return docs.map_batches(inject, batch_format="pandas")
+
+
+def q_pii_scan(sf_dir: str) -> rd.Dataset:
+    """PII detection counts per doc (emails / IPv4 / phones) over the
+    planted corpus — one stateless vectorized map, value-exact vs the
+    DuckDB regexp_extract_all mirror (RE2-compatible patterns)."""
+    from parallel_pagerank_ray.functions.pii import pii_scan
+
+    return pii_scan(_pii_docs(sf_dir))
+
+
+def q_pii_redact(sf_dir: str) -> rd.Dataset:
+    """PII redaction: matches replaced by typed tokens in a fixed rule
+    order; byte-exact vs the nested regexp_replace oracle."""
+    from parallel_pagerank_ray.functions.pii import pii_redact
+
+    return pii_redact(_pii_docs(sf_dir))
+
+
 def q_dedup_shingle_jaccard(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.dedup import shingle_jaccard_pairs
 
@@ -1542,6 +1586,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_overflow": q_winnow_overflow,
         "tfidf_search": q_tfidf_search,
         "decontaminate": q_decontaminate,
+        "pii_scan": q_pii_scan,
+        "pii_redact": q_pii_redact,
         "dedup_shingle_jaccard": q_dedup_shingle_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_capped": q_dedup_minhash_lsh_capped,
@@ -1816,6 +1862,50 @@ def _winnow_sql(k: int = 8, w: int = 4, candidates: bool = False,
                CAST(count(*) AS BIGINT) AS shared
         FROM dfp a JOIN dfp b ON a.fp = b.fp AND a.doc_id < b.doc_id{capjoin}
         GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+        """
+
+
+def _pii_sql(redact: bool = False) -> str:
+    """DuckDB mirror of functions.pii over the planted corpus: same
+    RE2-compatible patterns, counts via regexp_extract_all, redaction
+    via nested global regexp_replace in the same fixed rule order."""
+    from parallel_pagerank_ray.functions.pii import EMAIL, IPV4, PHONE
+
+    base = """
+        WITH pii AS MATERIALIZED (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com from 10.0.'
+                   || CAST(doc_id % 256 AS VARCHAR) || '.'
+                   || CAST(doc_id % 100 AS VARCHAR)
+              ELSE text END)
+            || (CASE WHEN doc_id % 7 = 0
+              THEN ' call 555-123-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+              ELSE '' END) AS text
+          FROM documents)
+    """
+    if redact:
+        return base + f"""
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '{EMAIL}', '<EMAIL>', 'g'),
+            '{IPV4}', '<IPV4>', 'g'),
+            '{PHONE}', '<PHONE>', 'g') AS text
+        FROM pii
+        """
+    return base + f"""
+        SELECT doc_id,
+          CAST(length(regexp_extract_all(text, '{EMAIL}')) AS BIGINT)
+            AS n_emails,
+          CAST(length(regexp_extract_all(text, '{IPV4}')) AS BIGINT)
+            AS n_ipv4,
+          CAST(length(regexp_extract_all(text, '{PHONE}')) AS BIGINT)
+            AS n_phones,
+          (length(regexp_extract_all(text, '{EMAIL}'))
+           + length(regexp_extract_all(text, '{IPV4}'))
+           + length(regexp_extract_all(text, '{PHONE}'))) > 0 AS has_pii
+        FROM pii
         """
 
 
@@ -2818,6 +2908,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE it = (SELECT max(it) FROM cc)
         """,
         "decontaminate": _decontaminate_sql(k=16),
+        "pii_scan": _pii_sql(),
+        "pii_redact": _pii_sql(redact=True),
         "doc_fingerprints": _winnow_sql(k=16, w=8),
         "winnow_candidates": _winnow_sql(k=16, w=8, candidates=True,
                                          min_shared=4),

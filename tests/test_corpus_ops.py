@@ -294,3 +294,42 @@ def test_tfidf_search_matches_pandas_reference():
     assert got["doc_id"].tolist() == [d for d, _ in want]
     assert got["score"].tolist() == [s for _, s in want]
     assert got["pos"].tolist() == [1, 2, 3, 4]
+
+
+def test_pii_scan_and_redact():
+    """Planted-example PII: counts per category and byte-exact
+    redaction with the fixed email->ipv4->phone rule order."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.functions.pii import pii_redact, pii_scan
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": [
+                "reach me at alice.b-c+x@sub.example.org today",
+                "server 192.168.1.254 and 10.0.0.1 are up",
+                "call 555-123-4567 or 555.987.6543 now",
+                "clean document with no contact data",
+                "bob@x.io pinged 8.8.8.8 then dialed 111-222-3333",
+            ],
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(docs)).repartition(2)
+    got = pii_scan(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got["n_emails"].tolist() == [1, 0, 0, 0, 1]
+    assert got["n_ipv4"].tolist() == [0, 2, 0, 0, 1]
+    assert got["n_phones"].tolist() == [0, 0, 2, 0, 1]
+    assert got["has_pii"].tolist() == [True, True, True, False, True]
+
+    red = (
+        pii_redact(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert red["text"][0] == "reach me at <EMAIL> today"
+    assert red["text"][1] == "server <IPV4> and <IPV4> are up"
+    assert red["text"][2] == "call <PHONE> or <PHONE> now"
+    assert red["text"][3] == "clean document with no contact data"
+    assert red["text"][4] == "<EMAIL> pinged <IPV4> then dialed <PHONE>"
