@@ -1079,6 +1079,91 @@ def q_pii_redact(sf_dir: str) -> rd.Dataset:
     return pii_redact(_pii_docs(sf_dir))
 
 
+def q_clean_corpus(sf_dir: str) -> rd.Dataset:
+    """Decontaminated corpus: documents anti-joined against the
+    contaminated doc_id set (the benchmark docs 0/1 and anything
+    quoting a 16-gram of them) — the filter stage a training pipeline
+    runs AFTER decontamination flags. Broadcast ``np.isin`` path under
+    the guard; hash left_outer + null filter beyond."""
+    from parallel_pagerank_ray.pipelines.dedup import contamination_flags
+    from parallel_pagerank_ray.util import anti_join
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    bench = docs.filter(expr="doc_id <= 1")
+    flags = contamination_flags(docs, bench, k=16)
+    bad = flags.filter(expr="contaminated")
+    return anti_join(docs, bad, on="doc_id")
+
+
+def q_top_bigrams(sf_dir: str) -> rd.Dataset:
+    """Top-20 corpus bigrams (adjacent-token pairs within a doc),
+    cnt DESC / bigram ASC total order — the n-gram statistics pass a
+    corpus-analysis pipeline runs beside unigram heavy hitters."""
+    from parallel_pagerank_ray.functions.textstats import bigram_counts
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["cnt", "bigram"], ascending=[False, True], kind="stable"
+        ).head(20)
+
+    return (
+        bigram_counts(_documents(sf_dir, ["doc_id", "text"]))
+        .map_batches(prune, batch_format="pandas")
+        .sort(["cnt", "bigram"], descending=[True, False])
+        .limit(20)
+    )
+
+
+def q_price_quantiles_by_flag(sf_dir: str) -> rd.Dataset:
+    """quantile_disc per group, fully distributed: exact 25/50/75th
+    percentile of l_extendedprice (integer cents) per l_returnflag —
+    no driver walk, one histogram shuffle + per-group kernel."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from parallel_pagerank_ray.stages.agg import grouped_exact_quantiles
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"],
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "c": pc.cast(
+                    pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return grouped_exact_quantiles(
+        li.map_batches(cents, batch_format="pyarrow"),
+        ["l_returnflag"],
+        "c",
+        [0.25, 0.5, 0.75],
+    )
+
+
+def q_events_hourly_users(sf_dir: str) -> rd.Dataset:
+    """Exact windowed cardinality: distinct users per tumbling hour —
+    per-batch distinct (hour, user) pairs, one bucketed global
+    distinct, tiny per-hour count; raw events never shuffle."""
+    from parallel_pagerank_ray.pipelines.events import hourly_distinct_users
+    from parallel_pagerank_ray.pipelines.relational import read_table
+
+    out = hourly_distinct_users(read_table(sf_dir, "events"))
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["hour"] = df["hour"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        return df
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
 def q_dedup_shingle_jaccard(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.dedup import shingle_jaccard_pairs
 
@@ -1574,6 +1659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": q_top_tokens,
         "distinct_orders_kmv": q_distinct_orders_kmv,
         "price_quantiles": q_price_quantiles,
+        "price_quantiles_by_flag": q_price_quantiles_by_flag,
         "sample_docs": q_sample_docs,
         "stratified_sample": q_stratified_sample,
         "quality_filter": q_quality_filter,
@@ -1588,6 +1674,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "pii_scan": q_pii_scan,
         "pii_redact": q_pii_redact,
+        "clean_corpus": q_clean_corpus,
+        "top_bigrams": q_top_bigrams,
         "dedup_shingle_jaccard": q_dedup_shingle_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_capped": q_dedup_minhash_lsh_capped,
@@ -1605,6 +1693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_full_probe": q_knn_ivf_full_probe,
         "embedding_near_dup": q_embedding_near_dup,
         "events_hourly": q_events_hourly,
+        "events_hourly_users": q_events_hourly_users,
         "events_topk_users": q_events_topk_users,
         "events_hopping": q_events_hopping,
         "sessionize": q_sessionize,
@@ -2780,6 +2869,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 0.75, quantile_disc(c, 0.75) FROM c
             UNION ALL SELECT 0.875, quantile_disc(c, 0.875) FROM c
         """,
+        "price_quantiles_by_flag": """
+            WITH c AS (SELECT l_returnflag,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                              AS c FROM lineitem)
+            SELECT l_returnflag, 0.25 AS q,
+                   quantile_disc(c, 0.25) AS value FROM c GROUP BY 1
+            UNION ALL SELECT l_returnflag, 0.5, quantile_disc(c, 0.5)
+                      FROM c GROUP BY 1
+            UNION ALL SELECT l_returnflag, 0.75, quantile_disc(c, 0.75)
+                      FROM c GROUP BY 1
+        """,
         "degree_histogram": f"""
             WITH e AS ({_SUPP_PART_SQL}),
                  deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY 1)
@@ -2910,6 +3010,21 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_sql(k=16),
         "pii_scan": _pii_sql(),
         "pii_redact": _pii_sql(redact=True),
+        "clean_corpus": f"""
+            SELECT d.doc_id, d.text FROM documents d
+            WHERE d.doc_id NOT IN (
+              SELECT doc_id FROM ({_decontaminate_sql(k=16)})
+              WHERE contaminated)
+        """,
+        "top_bigrams": f"""
+            WITH l AS (SELECT regexp_extract_all(lower(text), '{TOKEN_SQL}')
+                              AS l FROM documents),
+            big AS (SELECT unnest(
+                      [l[i] || ' ' || l[i + 1] for i in range(1, len(l))])
+                      AS bigram FROM l)
+            SELECT bigram, CAST(count(*) AS BIGINT) AS cnt FROM big
+            GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20
+        """,
         "doc_fingerprints": _winnow_sql(k=16, w=8),
         "winnow_candidates": _winnow_sql(k=16, w=8, candidates=True,
                                          min_shared=4),
@@ -3010,6 +3125,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT hour, user_id, value_cents FROM pu
             QUALIFY row_number() OVER (
               PARTITION BY hour ORDER BY value_cents DESC, user_id) <= 3
+        """,
+        "events_hourly_users": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                     AS hour,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
         """,
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -109,6 +109,48 @@ def token_counts(docs, num_buckets: int | None = None):
     return grouped_agg(rows, ["token"], {"cnt": ("cnt", "sum")}, num_buckets=num_buckets)
 
 
+def bigram_counts(
+    docs: "rd.Dataset", num_buckets: int | None = None
+) -> "rd.Dataset":
+    """Corpus bigram frequencies: (bigram, cnt) where bigram = two
+    ADJACENT tokens of one document joined by a single space (no
+    cross-document pairs).
+
+    Same heavy-hitter shape as ``token_counts``: each batch pre-counts
+    its bigrams vectorized (one concatenate over the per-doc token
+    arrays, boundary positions masked out — no per-pair Python), the
+    shuffle moves one row per distinct bigram per batch, one bucketed
+    grouped_agg sums."""
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].astype(str).str.lower().str.findall(TOKEN_RE)
+        arrs = [t for t in toks.to_numpy() if len(t) >= 2]
+        empty = pd.DataFrame(
+            {"bigram": pd.Series([], dtype=str),
+             "cnt": pd.Series([], dtype=np.int64)}
+        )
+        if not arrs:
+            return empty
+        flat = np.concatenate(arrs)
+        # mask the last token of every doc: it starts no bigram
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        ends = np.cumsum(lens) - 1
+        valid = np.ones(len(flat) - 1, dtype=bool)
+        valid[ends[:-1]] = False  # pairs straddling doc boundaries
+        left = pd.Series(flat[:-1][valid])
+        right = pd.Series(flat[1:][valid])
+        if not len(left):
+            return empty
+        vc = (left + " " + right).value_counts()
+        return pd.DataFrame(
+            {"bigram": vc.index.to_numpy(), "cnt": vc.to_numpy().astype(np.int64)}
+        )
+
+    rows = docs.select_columns(["text"]).map_batches(explode, batch_format="pandas")
+    return grouped_agg(rows, ["bigram"], {"cnt": ("cnt", "sum")}, num_buckets=num_buckets)
+
+
 class RepetitionStats:
     """Gopher-style repetition signals per document (Rae et al. 2021,
     "Scaling Language Models" §A1.1 quality heuristics), as INTEGER

@@ -46,6 +46,29 @@ def hourly_rollup(events: rd.Dataset) -> rd.Dataset:
     )
 
 
+def hourly_distinct_users(events: rd.Dataset) -> rd.Dataset:
+    """Tumbling 1-hour window exact COUNT(DISTINCT user_id):
+    (hour, n_users). Two-level shape that never moves raw events:
+    per-batch distinct (hour, user) pairs first (map-side combine),
+    one bucketed global distinct, then a tiny per-hour count — the
+    standard exact windowed-cardinality plan at scale."""
+    from parallel_pagerank_ray.stages.agg import distinct, grouped_agg
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"hour": df["ts"].dt.floor("h"), "user_id": df["user_id"]}
+        )
+        return out.drop_duplicates()
+
+    pairs = distinct(
+        events.select_columns(["ts", "user_id"]).map_batches(
+            keyed, batch_format="pandas"
+        ),
+        ["hour", "user_id"],
+    )
+    return grouped_agg(pairs, ["hour"], {"n_users": ("user_id", "count")})
+
+
 def hopping_rollup(
     events: rd.Dataset, size_minutes: int = 60, hop_minutes: int = 30
 ) -> rd.Dataset:

@@ -323,6 +323,57 @@ def global_agg(ds: rd.Dataset, specs: Spec) -> dict[str, float | int]:
     return result
 
 
+def grouped_exact_quantiles(
+    ds: rd.Dataset,
+    group_cols: "list[str]",
+    col: str,
+    qs: "list[float]",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Exact discrete quantiles PER GROUP: (group..., q, value) with
+    DuckDB ``quantile_disc`` semantics — value at sorted index
+    max(0, ceil(q * n) - 1) within the group.
+
+    Fully distributed (unlike ``exact_quantiles``' driver walk): one
+    bucketed grouped_agg builds the per-(group, value) histogram, then
+    a per-group kernel walks each group's cumulative counts. Scale
+    contract: one GROUP's distinct-value histogram fits a worker —
+    bounded domains (prices-in-cents, lengths, degrees); pre-round or
+    bucket unbounded columns first. Use binary-exact q values so
+    ceil(q * n) has no cross-engine float rounding edge."""
+    import math
+
+    group_cols = list(group_cols)
+    hist = grouped_agg(
+        ds.select_columns(group_cols + [col]),
+        group_cols + [col],
+        {"cnt": (col, "count")},
+        num_buckets=num_buckets,
+    )
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(col, kind="stable")
+        vals = g[col].to_numpy()
+        cum = np.cumsum(g["cnt"].to_numpy().astype(np.int64))
+        n = int(cum[-1])
+        out = {c: np.repeat(g[c].iloc[:1].to_numpy(), len(qs)) for c in group_cols}
+        out["q"] = np.array([float(q) for q in qs], dtype=np.float64)
+        out["value"] = np.array(
+            [
+                int(vals[int(np.searchsorted(cum, max(0, math.ceil(q * n) - 1) + 1, "left"))])
+                for q in qs
+            ],
+            dtype=np.int64,
+        )
+        return pd.DataFrame(out)
+
+    from parallel_pagerank_ray.util import drop_empty_blocks as _deb
+
+    return _deb(
+        hist.groupby(group_cols).map_groups(per_group, batch_format="pandas")
+    )
+
+
 def exact_quantiles(
     ds: rd.Dataset, col: str, qs: list[float], num_buckets: int | None = None
 ) -> rd.Dataset:

@@ -50,6 +50,80 @@ def count_rows_once(ds: rd.Dataset) -> tuple[int, rd.Dataset]:
     return mat.count(), mat
 
 
+def anti_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    right_on: str | None = None,
+    broadcast_max: int = 5_000_000,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Rows of ``left`` whose ``on`` key does NOT appear in ``right`` —
+    the blocklist/decontamination filter shape.
+
+    Scale shape: the distinct right-key set broadcasts once via
+    ``ray.put`` while it fits ``broadcast_max`` (blocklists are small
+    by nature), and each left batch filters with one vectorized
+    ``np.isin`` — zero shuffles, left never moves. Beyond the guard it
+    degrades to one hash left_outer join + null filter (same results;
+    tested by shrinking the guard)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from parallel_pagerank_ray.stages.agg import distinct
+
+    right_on = right_on or on
+    keys = distinct(right.select_columns([right_on]), [right_on])
+    n_keys, keys = count_rows_once(keys)
+    if n_keys <= broadcast_max:
+        parts = [
+            t.column(right_on).to_numpy()
+            for t in ray.get(keys.to_arrow_refs())
+            if t.num_rows
+        ]
+        arr = np.sort(np.concatenate(parts)) if parts else np.array([])
+        key_ref = ray.put(arr)
+
+        def drop(t: pa.Table) -> pa.Table:
+            block = ray.get(key_ref)
+            vals = t.column(on).to_numpy()
+            return t.filter(pa.array(~np.isin(vals, block)))
+
+        return left.map_batches(drop, batch_format="pyarrow")
+
+    # scale fallback: hash join with a marker column, keep null marker
+    from parallel_pagerank_ray.pipelines.graph_build import (
+        _default_join_partitions,
+    )
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+
+    def mark(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__present", pa.array(np.ones(t.num_rows, dtype=np.int8))
+        )
+
+    marked = keys.map_batches(mark, batch_format="pyarrow")
+    joined = safe_join(
+        left,
+        marked,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(right_on,),
+    )
+
+    def keep_missing(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t.column("__present"))).drop_columns(
+            ["__present"]
+            + ([right_on] if right_on != on and right_on in t.column_names else [])
+        )
+
+    return joined.map_batches(keep_missing, batch_format="pyarrow")
+
+
 def _strip_meta(t) -> "object":
     """Zero-copy schema-metadata strip (shares all buffers). Parquet-
     and pandas-origin blocks carry a b'pandas' metadata dict that makes

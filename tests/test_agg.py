@@ -94,3 +94,67 @@ def test_duplicate_col_how_spec(keyed_ds):
     assert got["y"].tolist() == want["x"].tolist()
     assert got["c1"].tolist() == want["c1"].tolist()
     assert got["c2"].tolist() == want["c1"].tolist()
+
+
+def test_grouped_exact_quantiles_matches_numpy():
+    """Per-group quantile_disc semantics: value at sorted index
+    max(0, ceil(q*n)-1) within each group, at any partitioning."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.stages.agg import grouped_exact_quantiles
+
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 4, 500)
+    v = rng.integers(-1000, 1000, 500)
+    ds = rd.from_arrow(
+        pa.table({"grp": pa.array(g), "v": pa.array(v)})
+    ).repartition(7)
+    qs = [0.25, 0.5, 0.75]
+    got = (
+        grouped_exact_quantiles(ds, ["grp"], "v", qs)
+        .to_pandas()
+        .sort_values(["grp", "q"])
+        .reset_index(drop=True)
+    )
+    for grp in range(4):
+        vals = np.sort(v[g == grp])
+        n = len(vals)
+        for q in qs:
+            want = int(vals[max(0, math.ceil(q * n) - 1)])
+            row = got[(got.grp == grp) & (got.q == q)]
+            assert int(row["value"].iloc[0]) == want, (grp, q)
+
+
+def test_anti_join_broadcast_and_fallback():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.util import anti_join
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(np.arange(20, dtype=np.int64)),
+                "x": pa.array([f"v{i}" for i in range(20)]),
+            }
+        )
+    ).repartition(3)
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([3, 3, 7, 11, 99], type=pa.int64())})
+    ).repartition(2)
+    want = sorted(set(range(20)) - {3, 7, 11})
+    for bmax in (5_000_000, 0):
+        got = (
+            anti_join(left, right, on="k", broadcast_max=bmax)
+            .to_pandas()
+            .sort_values("k")
+        )
+        assert got["k"].tolist() == want, bmax
+        assert got["x"].tolist() == [f"v{i}" for i in want], bmax

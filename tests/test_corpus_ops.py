@@ -333,3 +333,28 @@ def test_pii_scan_and_redact():
     assert red["text"][2] == "call <PHONE> or <PHONE> now"
     assert red["text"][3] == "clean document with no contact data"
     assert red["text"][4] == "<EMAIL> pinged <IPV4> then dialed <PHONE>"
+
+
+def test_bigram_counts_planted():
+    """Bigrams never cross document boundaries; counts are exact."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.functions.textstats import bigram_counts
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "the cat sat",        # the cat / cat sat
+                "the cat",            # the cat
+                "sat",                # no bigram (1 token)
+                "CAT sat the cat",    # cat sat / sat the / the cat (lowered)
+            ],
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(docs)).repartition(2)
+    got = bigram_counts(ds).to_pandas().set_index("bigram")["cnt"].to_dict()
+    assert got == {"the cat": 3, "cat sat": 2, "sat the": 1}

@@ -473,3 +473,28 @@ def test_windowed_topk_users_vs_duckdb(ddb):
     assert got["user_id"].tolist() == exp["user_id"].tolist()
     assert got["value_cents"].tolist() == exp["value_cents"].tolist()
     assert (got.groupby("hour").size() <= 3).all()
+
+
+def test_hourly_distinct_users():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.pipelines.events import hourly_distinct_users
+
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 10:05", "2024-01-01 10:55", "2024-01-01 10:59",
+            "2024-01-01 11:01", "2024-01-01 11:30",
+        ]
+    )
+    ev = pd.DataFrame({"ts": ts, "user_id": [1, 1, 2, 1, 3]})
+    ds = rd.from_arrow(pa.Table.from_pandas(ev)).repartition(2)
+    got = (
+        hourly_distinct_users(ds)
+        .to_pandas()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    assert got["n_users"].tolist() == [2, 2]  # hour 10: {1,2}; 11: {1,3}
