@@ -235,6 +235,92 @@ def q_pagerank_hosts_top10(sf_dir: str) -> pd.DataFrame:
     )
 
 
+_HOST_SCC_CACHE: dict = {}
+
+
+def _host_scc(sf_dir: str):
+    """Shared prelude for the SCC-family host queries (built once per
+    process): the directed 11-host graph, its SCC run, and the
+    per-vertex (vid, url, scc_id, scc_host) table — scc_host = max
+    member host string, a pure function of component membership
+    (SQL-reproducible regardless of the engine's internal vid-based
+    root labels)."""
+    from parallel_pagerank_ray.pipelines.host_graph import host_graph
+    from parallel_pagerank_ray.pipelines.scc import scc_bsp
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+    from parallel_pagerank_ray.util import safe_join
+
+    got = _HOST_SCC_CACHE.get(sf_dir)
+    if got is not None:
+        return got
+    _, links = _host_pages_links(sf_dir)
+    g = host_graph(links, drop_self=True)
+    run = scc_bsp(g)
+    j = safe_join(
+        run.assignments,
+        g.vertices,
+        join_type="inner",
+        num_partitions=4,
+        on=("vid",),
+    )
+    labels = grouped_agg(j, ["scc_id"], {"scc_host": ("url", "max")})
+    labeled = safe_join(
+        j, labels, join_type="inner", num_partitions=4, on=("scc_id",)
+    ).materialize()
+    got = (g, run, labeled)
+    _HOST_SCC_CACHE[sf_dir] = got
+    return got
+
+
+def q_scc_hosts(sf_dir: str) -> pd.DataFrame:
+    """Strongly connected components of the directed host webgraph
+    (FW-BW coloring BSP, pipelines/scc.py): (host, scc_host) with
+    scc_host = the max host string in the component — the
+    vertex-to-SCC map behind Broder-style web structure analysis."""
+    _, _, labeled = _host_scc(sf_dir)
+    out = labeled.select_columns(["url", "scc_host"]).to_pandas()
+    return (
+        out.rename(columns={"url": "host"})
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+
+
+def q_bowtie_hosts(sf_dir: str) -> pd.DataFrame:
+    """Bowtie decomposition of the host webgraph (Broder WWW'00):
+    (host, cls) with cls in {CORE, IN, OUT, OTHER}. Core = largest SCC
+    (ties by max scc_host string); IN/OUT via two directed multi-source
+    BFS sweeps seeded from the core."""
+    from parallel_pagerank_ray.pipelines.scc import bowtie_classes
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+    from parallel_pagerank_ray.util import safe_join
+
+    g, run, labeled = _host_scc(sf_dir)
+    sizes = grouped_agg(
+        labeled, ["scc_id", "scc_host"], {"sz": ("vid", "count")}
+    )
+    # bounded fold: one (sz, scc_host, scc_id) triple per batch reaches
+    # the driver, never the full component-size table
+    best = None
+    for b in sizes.iter_batches(batch_format="pandas"):
+        if len(b):
+            row = b.sort_values(
+                ["sz", "scc_host"], ascending=[False, False]
+            ).iloc[0]
+            cand = (int(row["sz"]), str(row["scc_host"]), int(row["scc_id"]))
+            best = cand if best is None else max(best, cand)
+    bt = bowtie_classes(g, run.assignments, core_scc=best[2])
+    out = safe_join(
+        bt, g.vertices, join_type="inner", num_partitions=4, on=("vid",)
+    ).to_pandas()
+    return (
+        out[["url", "cls"]]
+        .rename(columns={"url": "host"})
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+
+
 def q_pagerank_pages_top20(sf_dir: str) -> pd.DataFrame:
     from parallel_pagerank_ray.pipelines.graph_build import Graph, links_from_pages
     from parallel_pagerank_ray.pipelines.pagerank import pagerank
@@ -1623,6 +1709,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_crawl_stats": q_host_crawl_stats,
         "host_cocitation": q_host_cocitation,
         "pagerank_hosts_top10": q_pagerank_hosts_top10,
+        "scc_hosts": q_scc_hosts,
+        "bowtie_hosts": q_bowtie_hosts,
         "chunk_docs": q_chunk_docs,
         "bloom_membership": q_bloom_membership,
         "postings_top_tokens": q_postings_top_tokens,
@@ -2318,6 +2406,82 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_number() OVER (ORDER BY rank DESC, h) AS pos,
                    h AS host
             FROM last ORDER BY rank DESC, h LIMIT 10
+        """,
+        "scc_hosts": """
+            WITH RECURSIVE
+              he AS MATERIALIZED (
+                SELECT DISTINCT src_host AS s, dst_host AS d
+                FROM (SELECT 'h' || (doc_id % 11) || '.docs.example'
+                             AS src_host,
+                             'h' || (((doc_id * 7 + k.range + 1)
+                                      % (SELECT count(*) FROM documents))
+                                     % 11) || '.docs.example' AS dst_host
+                      FROM documents, range(3) k)
+                WHERE src_host <> dst_host),
+              verts AS MATERIALIZED (
+                SELECT DISTINCT h FROM (SELECT s AS h FROM he
+                                        UNION ALL SELECT d FROM he)),
+              reach(s, d) AS (
+                SELECT s, d FROM he
+                UNION
+                SELECT r.s, e.d FROM reach r JOIN he e ON r.d = e.s),
+              mutual AS (
+                SELECT r1.s AS a, r1.d AS b
+                FROM reach r1 JOIN reach r2
+                  ON r1.s = r2.d AND r1.d = r2.s)
+            SELECT v.h AS host,
+                   GREATEST(v.h, coalesce(MAX(m.b), v.h)) AS scc_host
+            FROM verts v LEFT JOIN mutual m ON m.a = v.h
+            GROUP BY v.h
+            ORDER BY host
+        """,
+        "bowtie_hosts": """
+            WITH RECURSIVE
+              he AS MATERIALIZED (
+                SELECT DISTINCT src_host AS s, dst_host AS d
+                FROM (SELECT 'h' || (doc_id % 11) || '.docs.example'
+                             AS src_host,
+                             'h' || (((doc_id * 7 + k.range + 1)
+                                      % (SELECT count(*) FROM documents))
+                                     % 11) || '.docs.example' AS dst_host
+                      FROM documents, range(3) k)
+                WHERE src_host <> dst_host),
+              verts AS MATERIALIZED (
+                SELECT DISTINCT h FROM (SELECT s AS h FROM he
+                                        UNION ALL SELECT d FROM he)),
+              reach(s, d) AS (
+                SELECT s, d FROM he
+                UNION
+                SELECT r.s, e.d FROM reach r JOIN he e ON r.d = e.s),
+              mutual AS MATERIALIZED (
+                SELECT r1.s AS a, r1.d AS b
+                FROM reach r1 JOIN reach r2
+                  ON r1.s = r2.d AND r1.d = r2.s),
+              scc AS MATERIALIZED (
+                SELECT v.h AS host,
+                       GREATEST(v.h, coalesce(MAX(m.b), v.h)) AS scc_host
+                FROM verts v LEFT JOIN mutual m ON m.a = v.h
+                GROUP BY v.h),
+              giant AS MATERIALIZED (
+                SELECT scc_host FROM (
+                  SELECT scc_host, count(*) AS sz FROM scc GROUP BY 1)
+                ORDER BY sz DESC, scc_host DESC LIMIT 1),
+              core AS MATERIALIZED (
+                SELECT host FROM scc
+                WHERE scc_host = (SELECT scc_host FROM giant))
+            SELECT s.host,
+                   CASE
+                     WHEN s.host IN (SELECT host FROM core) THEN 'CORE'
+                     WHEN EXISTS (SELECT 1 FROM reach r
+                                  JOIN core c ON r.d = c.host
+                                  WHERE r.s = s.host) THEN 'IN'
+                     WHEN EXISTS (SELECT 1 FROM reach r
+                                  JOIN core c ON r.s = c.host
+                                  WHERE r.d = s.host) THEN 'OUT'
+                     ELSE 'OTHER'
+                   END AS cls
+            FROM scc s
+            ORDER BY host
         """,
         "link_edges": """
             SELECT DISTINCT

@@ -566,3 +566,50 @@ def betweenness_from_sources(
         delta[s] = 0.0
         btw += delta
     return btw / 2.0 if divide_pairs else btw
+
+
+def strongly_connected_components(n: int, edges: np.ndarray) -> np.ndarray:
+    """SCC via iterative Kosaraju; scc id = MAX member vid (matching
+    the coloring engine's deterministic root rule, pipelines/scc.py)."""
+    edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    fwd: list[list[int]] = [[] for _ in range(n)]
+    bwd: list[list[int]] = [[] for _ in range(n)]
+    for u, v in edges:
+        fwd[int(u)].append(int(v))
+        bwd[int(v)].append(int(u))
+    seen = np.zeros(n, dtype=bool)
+    order: list[int] = []
+    for s in range(n):
+        if seen[s]:
+            continue
+        seen[s] = True
+        stack: list[tuple[int, int]] = [(s, 0)]
+        while stack:
+            v, i = stack[-1]
+            if i < len(fwd[v]):
+                stack[-1] = (v, i + 1)
+                w = fwd[v][i]
+                if not seen[w]:
+                    seen[w] = True
+                    stack.append((w, 0))
+            else:
+                order.append(v)
+                stack.pop()
+    comp = np.full(n, -1, dtype=np.int64)
+    for s in reversed(order):
+        if comp[s] >= 0:
+            continue
+        comp[s] = s
+        members = [s]
+        dfs = [s]
+        while dfs:
+            v = dfs.pop()
+            for w in bwd[v]:
+                if comp[w] < 0:
+                    comp[w] = s
+                    members.append(w)
+                    dfs.append(w)
+        mx = max(members)
+        for v in members:
+            comp[v] = mx
+    return comp

@@ -1,0 +1,479 @@
+"""Strongly connected components + bowtie decomposition on the BSP
+actor harness — the canonical directed-web-graph structure analysis
+(Broder et al., "Graph structure in the Web", WWW 2000).
+
+Beyond-reference capability (the reference's MPI engine has no
+reachability or component operator at all). Algorithm: distributed
+trim + forward-max coloring + in-color backward sweep (the
+Orzan / Multistep family — Slota, Rajamanickam, Madduri IPDPS'14),
+expressed as frontier-sparse BSP supersteps over the same contiguous
+vid-range shard layout every other BSP pipeline here uses:
+
+    trim      vertices with zero in-degree or zero out-degree among
+              still-active vertices are singleton SCCs; repeat to
+              fixpoint (kills the tendril mass of a web crawl cheaply)
+    color     forward max-label propagation to fixpoint:
+              color(v) = max{ u : u reaches v } (frontier-sparse,
+              like BFS — per-round traffic is O(changed out-edges))
+    sweep     every root r (color(r) == r) starts a BACKWARD BFS
+              restricted to its own color; every vertex it reaches is
+              in SCC(r) (v has color r => r reaches v; v reaches r =>
+              mutual).  All roots sweep simultaneously — colors
+              partition the active set, so the sweeps never collide.
+    repeat    un-swept colored vertices re-color among themselves;
+              each outer round removes >= 1 SCC per color root.
+
+The SCC id is therefore the MAX member vid — a pure function of the
+partition (deterministic at any shard count, SQL-reproducible via a
+mutual-reachability closure).
+
+Scale shape: shard state is O(E_p + size) (fwd CSR by src, bwd CSR by
+dst, three per-vertex slices); every exchange routes by owner shard
+(no broadcast), and all traffic is frontier-sparse.  Outer-round count
+is the coloring peel depth — small on web graphs (few large SCCs, low
+diameter); a pathological chain degrades to O(n) rounds, which is the
+documented trade of every coloring-family SCC algorithm.  Duplicate
+edges and self-loops are harmless (max/BFS are duplicate-invariant),
+so callers may pass non-deduped edge tables and skip that shuffle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from parallel_pagerank_ray.pipelines.graph_build import Graph
+from parallel_pagerank_ray.stages.csr_store import (
+    EdgeShardStore,
+    edge_count_hint,
+    per_actor_cpus,
+    sweep_num_parts,
+)
+
+
+@dataclass
+class SCCRun:
+    assignments: rd.Dataset  # (vid, scc_id) for ALL vids in [0, n)
+    iterations: int  # total supersteps (trim + color + sweep rounds)
+    outer_rounds: int  # color/sweep peel levels
+    history: list[dict] = field(default_factory=list)
+
+
+def _csr(src: np.ndarray, dst: np.ndarray, base: int, size: int):
+    """Local CSR over ids already routed to this shard (src in range)."""
+    loc = src - base
+    if loc.size and not bool(np.all(loc[1:] >= loc[:-1])):
+        order = np.argsort(loc, kind="stable")
+        loc, dst = loc[order], dst[order]
+    indptr = np.searchsorted(loc, np.arange(size + 1, dtype=np.int64))
+    return indptr, dst
+
+
+def _gather(indptr: np.ndarray, adj: np.ndarray, verts: np.ndarray):
+    """Concatenated adjacency of ``verts`` (local indices) plus the
+    repeat-count per vertex — one vectorized ragged gather."""
+    lens = indptr[verts + 1] - indptr[verts]
+    m = lens > 0
+    verts, lens = verts[m], lens[m]
+    if len(verts) == 0:
+        empty = np.array([], dtype=np.int64)
+        return empty, empty, empty
+    starts = indptr[verts]
+    csum = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    pos = (
+        np.arange(int(lens.sum()), dtype=np.int64)
+        - np.repeat(csum, lens)
+        + np.repeat(starts, lens)
+    )
+    return adj[pos], np.repeat(verts, lens), lens
+
+
+def _route(ids: np.ndarray, part_size: int, payload: np.ndarray | None = None):
+    """Split (ids[, payload]) by owner shard -> [(part, ref), ...].
+    ids need not be sorted; one argsort, then contiguous slices."""
+    if len(ids) == 0:
+        return []
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    payload = payload[order] if payload is not None else None
+    owners = ids // part_size
+    uniq, bounds = np.unique(owners, return_index=True)
+    bounds = bounds.tolist() + [len(ids)]
+    out = []
+    for i, p in enumerate(uniq):
+        sl = slice(bounds[i], bounds[i + 1])
+        data = ids[sl] if payload is None else (ids[sl], payload[sl])
+        out.append((int(p), ray.put(data)))
+    return out
+
+
+@ray.remote
+class _SCCShard:
+    def __init__(
+        self, part: int, fwd_refs: list, bwd_refs: list, n: int, part_size: int
+    ) -> None:
+        self.base = part * part_size
+        self.size = max(0, min(part_size, n - self.base))
+        self.part_size = part_size
+
+        def load(refs):
+            if refs:
+                chunks = ray.get(refs)
+                return (
+                    np.concatenate([c[0] for c in chunks]),
+                    np.concatenate([c[1] for c in chunks]),
+                )
+            e = np.array([], dtype=np.int64)
+            return e, e
+
+        fs, fd = load(fwd_refs)  # out-edges of owned vids
+        bs, bd = load(bwd_refs)  # in-edges of owned vids (reversed table)
+        self.f_indptr, self.f_adj = _csr(fs, fd, self.base, self.size)
+        self.b_indptr, self.b_adj = _csr(bs, bd, self.base, self.size)
+        self.scc = np.full(self.size, -1, dtype=np.int64)
+        self.color = np.full(self.size, -1, dtype=np.int64)
+        self.frontier = np.array([], dtype=np.int64)
+        self._mark = np.zeros(self.size, dtype=bool)
+
+    # ---- trim: zero active-in-degree / zero active-out-degree ----
+
+    def trim_expand(self, direction: str) -> list:
+        """Walk every ACTIVE local vertex's fwd (resp. bwd) adjacency
+        and emit the target ids, routed by owner.  A target that
+        receives >=1 id from an active source has nonzero active
+        in-degree (fwd pass) / active out-degree (bwd pass)."""
+        act = np.nonzero(self.scc < 0)[0]
+        indptr, adj = (
+            (self.f_indptr, self.f_adj)
+            if direction == "fwd"
+            else (self.b_indptr, self.b_adj)
+        )
+        ids, _, _ = _gather(indptr, adj, act)
+        return _route(np.unique(ids), self.part_size)
+
+    def mark_reset(self) -> None:
+        self._mark.fill(False)
+
+    def mark_absorb(self, refs: list) -> None:
+        for ids in ray.get(list(refs)):
+            if len(ids):
+                self._mark[ids - self.base] = True
+
+    def trim_apply_half(self) -> np.ndarray:
+        """Active vertices NOT marked this half-round are trim
+        candidates; returns their local indices (applied after both
+        halves by trim_commit so in/out use the SAME active set)."""
+        act = self.scc < 0
+        return np.nonzero(act & ~self._mark)[0]
+
+    def trim_commit(self, first: np.ndarray, second: np.ndarray) -> int:
+        doomed = np.union1d(first, second)
+        self.scc[doomed] = self.base + doomed
+        return int(len(doomed))
+
+    # ---- coloring: forward max-label propagation ----
+
+    def color_init(self) -> int:
+        act = np.nonzero(self.scc < 0)[0]
+        self.color[act] = self.base + act
+        self.frontier = act
+        return int(len(act))
+
+    def color_expand(self) -> list:
+        """Push the frontier's colors along fwd edges; local
+        max-combine per destination before routing."""
+        dsts, srcs, _ = _gather(self.f_indptr, self.f_adj, self.frontier)
+        if len(dsts) == 0:
+            return []
+        cols = self.color[srcs]
+        order = np.lexsort((cols, dsts))
+        dsts, cols = dsts[order], cols[order]
+        uniq, starts = np.unique(dsts, return_index=True)
+        best = cols[np.concatenate((starts[1:], [len(cols)])) - 1]  # max per dst
+        return _route(uniq, self.part_size, best)
+
+    def color_absorb(self, refs: list) -> int:
+        parts = [c for c in ray.get(list(refs)) if len(c[0])]
+        if not parts:
+            self.frontier = np.array([], dtype=np.int64)
+            return 0
+        ids = np.concatenate([p[0] for p in parts]) - self.base
+        cols = np.concatenate([p[1] for p in parts])
+        order = np.lexsort((cols, ids))
+        ids, cols = ids[order], cols[order]
+        uniq, starts = np.unique(ids, return_index=True)
+        best = cols[np.concatenate((starts[1:], [len(cols)])) - 1]
+        act = self.scc[uniq] < 0
+        uniq, best = uniq[act], best[act]
+        upd = best > self.color[uniq]
+        changed = uniq[upd]
+        self.color[changed] = best[upd]
+        self.frontier = changed
+        return int(len(changed))
+
+    # ---- backward sweep within color ----
+
+    def sweep_seed(self) -> int:
+        act = self.scc < 0
+        roots = np.nonzero(act & (self.color == self.base + np.arange(self.size)))[0]
+        self.scc[roots] = self.base + roots
+        self.frontier = roots
+        return int(len(roots))
+
+    def sweep_expand(self) -> list:
+        """Walk bwd edges of the just-assigned frontier, shipping the
+        frontier vertex's SCC color to each in-neighbor."""
+        srcs, fverts, _ = _gather(self.b_indptr, self.b_adj, self.frontier)
+        if len(srcs) == 0:
+            return []
+        cols = self.scc[fverts]
+        # dedup (src, color) pairs — duplicates only cost wire bytes
+        key = np.lexsort((cols, srcs))
+        srcs, cols = srcs[key], cols[key]
+        keep = np.ones(len(srcs), dtype=bool)
+        keep[1:] = (srcs[1:] != srcs[:-1]) | (cols[1:] != cols[:-1])
+        return _route(srcs[keep], self.part_size, cols[keep])
+
+    def sweep_absorb(self, refs: list) -> int:
+        parts = [c for c in ray.get(list(refs)) if len(c[0])]
+        if not parts:
+            self.frontier = np.array([], dtype=np.int64)
+            return 0
+        ids = np.concatenate([p[0] for p in parts]) - self.base
+        cols = np.concatenate([p[1] for p in parts])
+        take = (self.scc[ids] < 0) & (self.color[ids] == cols)
+        ids, cols = ids[take], cols[take]
+        # a vertex matches at most ONE color (its own), so duplicates
+        # across refs agree — plain unique is safe
+        ids, first = np.unique(ids, return_index=True)
+        self.scc[ids] = cols[first]
+        self.frontier = ids
+        return int(len(ids))
+
+    def n_active(self) -> int:
+        return int(np.count_nonzero(self.scc < 0))
+
+    def slice_table(self):
+        vids = self.base + np.arange(self.size, dtype=np.int64)
+        return pa.table({"vid": vids, "scc_id": self.scc})
+
+
+def _exchange(actors, P, expand_calls):
+    """Generic routed exchange: run expand on every shard, deliver each
+    routed ref list to its owner's inbox."""
+    routed = ray.get(expand_calls)
+    inbox: list[list] = [[] for _ in range(P)]
+    for row in routed:
+        for p, ref in row:
+            inbox[p].append(ref)
+    return inbox
+
+
+def scc_bsp(
+    graph: Graph,
+    num_parts: int | None = None,
+    trim: bool = True,
+    max_trim_rounds: int = 1000,
+    max_outer: int = 100_000,
+) -> SCCRun:
+    """Exact SCC ids (max member vid) for every vid in [0, n).
+
+    ``trim`` peels zero-in/zero-out-degree singletons to fixpoint first
+    (cheap, kills crawl tendrils); the coloring loop handles the rest.
+    """
+    n = graph.n
+    if n == 0:
+        return SCCRun(
+            assignments=rd.from_arrow(
+                pa.table(
+                    {
+                        "vid": pa.array([], type=pa.int64()),
+                        "scc_id": pa.array([], type=pa.int64()),
+                    }
+                )
+            ),
+            iterations=0,
+            outer_rounds=0,
+        )
+    edges = graph.edges.select_columns(["src", "dst"])
+    if num_parts is None:
+        ne = edge_count_hint(edges)
+        if ne is None:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            num_parts = min(256, max(4, cpus))
+        else:
+            num_parts = sweep_num_parts(2 * ne)
+    fwd = EdgeShardStore.build(edges, n=n, num_parts=num_parts)
+    rev = edges.map_batches(
+        lambda t: pa.table({"src": t.column("dst"), "dst": t.column("src")}),
+        batch_format="pyarrow",
+    )
+    bwd = EdgeShardStore.build(rev, n=n, num_parts=num_parts)
+    P = max(1, -(-n // fwd.part_size))
+    per_actor = per_actor_cpus(P)
+    actors = [
+        _SCCShard.options(num_cpus=per_actor).remote(
+            p, fwd.part_refs.get(p, []), bwd.part_refs.get(p, []), n, fwd.part_size
+        )
+        for p in range(P)
+    ]
+    it = 0
+    history: list[dict] = []
+
+    def mark_pass(direction: str) -> None:
+        ray.get([a.mark_reset.remote() for a in actors])
+        inbox = _exchange(
+            actors, P, [a.trim_expand.remote(direction) for a in actors]
+        )
+        ray.get([actors[p].mark_absorb.remote(inbox[p]) for p in range(P)])
+
+    if trim:
+        for _ in range(max_trim_rounds):
+            it += 1
+            mark_pass("fwd")  # marks nonzero active in-degree
+            in_cand = [a.trim_apply_half.remote() for a in actors]
+            mark_pass("bwd")  # marks nonzero active out-degree
+            out_cand = [a.trim_apply_half.remote() for a in actors]
+            removed = sum(
+                ray.get(
+                    [
+                        actors[p].trim_commit.remote(in_cand[p], out_cand[p])
+                        for p in range(P)
+                    ]
+                )
+            )
+            history.append({"phase": "trim", "iter": it, "removed": removed})
+            if removed == 0:
+                break
+
+    outer = 0
+    active = sum(ray.get([a.n_active.remote() for a in actors]))
+    while active and outer < max_outer:
+        outer += 1
+        changed = sum(ray.get([a.color_init.remote() for a in actors]))
+        while changed:
+            it += 1
+            inbox = _exchange(actors, P, [a.color_expand.remote() for a in actors])
+            changed = sum(
+                ray.get([actors[p].color_absorb.remote(inbox[p]) for p in range(P)])
+            )
+        assigned = sum(ray.get([a.sweep_seed.remote() for a in actors]))
+        while assigned:
+            it += 1
+            inbox = _exchange(actors, P, [a.sweep_expand.remote() for a in actors])
+            assigned = sum(
+                ray.get([actors[p].sweep_absorb.remote(inbox[p]) for p in range(P)])
+            )
+        active = sum(ray.get([a.n_active.remote() for a in actors]))
+        history.append({"phase": "sweep", "outer": outer, "active_left": active})
+
+    tables = [a.slice_table.remote() for a in actors]
+    ray.wait(tables, num_returns=len(tables))
+    for a in actors:
+        ray.kill(a)
+    return SCCRun(
+        assignments=rd.from_arrow_refs(tables),
+        iterations=it,
+        outer_rounds=outer,
+        history=history,
+    )
+
+
+def bowtie_classes(
+    graph: Graph,
+    assignments: rd.Dataset,
+    core_scc: int | None = None,
+    num_parts: int | None = None,
+) -> rd.Dataset:
+    """Bowtie decomposition (Broder WWW'00): (vid, cls) with cls in
+    {CORE, IN, OUT, OTHER}.  CORE = the giant SCC; IN = reaches the
+    core but is outside it; OUT = reachable from the core; OTHER =
+    tendrils / tubes / disconnected mass.
+
+    ``core_scc``: scc_id of the component to treat as the core; when
+    None, the largest component wins (ties broken by max scc_id) via a
+    bucketed count + bounded per-partition top-1 fold — no global sort.
+
+    Scale note: the core seed set is pulled to the driver as one int64
+    array before the two directed BFS sweeps (fine up to ~10^8 core
+    vertices); past that, seed the BFS shards from the assignment
+    shards directly (routed per-part, the same exchange idiom) rather
+    than through the driver.
+    """
+    from parallel_pagerank_ray.pipelines.bfs import bfs_distances_bsp
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    n = graph.n
+    sizes = grouped_agg(assignments, ["scc_id"], {"sz": ("vid", "count")})
+    if core_scc is None:
+        best = (-1, -1)
+        for b in sizes.iter_batches(batch_format="pandas"):
+            if len(b):
+                row = b.sort_values(["sz", "scc_id"], ascending=False).iloc[0]
+                best = max(best, (int(row["sz"]), int(row["scc_id"])))
+        core_scc = best[1]
+    import pyarrow.compute as pc
+
+    core = assignments.map_batches(
+        lambda t, c=core_scc: t.filter(pc.equal(t.column("scc_id"), c)),
+        batch_format="pyarrow",
+    ).select_columns(["vid"])
+    seeds = np.concatenate(
+        [b["vid"] for b in core.iter_batches(batch_format="numpy")]
+        or [np.array([], dtype=np.int64)]
+    ).astype(np.int64)
+    fwd_run = bfs_distances_bsp(
+        graph, sources=list(seeds), directed=True, num_parts=num_parts
+    )
+    rev_edges = graph.edges.select_columns(["src", "dst"]).map_batches(
+        lambda t: pa.table({"src": t.column("dst"), "dst": t.column("src")}),
+        batch_format="pyarrow",
+    )
+    rev_graph = Graph(n=n, edges=rev_edges, vertices=graph.vertices)
+    bwd_run = bfs_distances_bsp(
+        rev_graph, sources=list(seeds), directed=True, num_parts=num_parts
+    )
+
+    def flag(ds: rd.Dataset, col: str) -> rd.Dataset:
+        return ds.map_batches(
+            lambda t, c=col: pa.table(
+                {"vid": t.column("vid"), c: np.ones(len(t), dtype=bool)}
+            ),
+            batch_format="pyarrow",
+        )
+
+    from parallel_pagerank_ray.util import safe_join
+
+    out = safe_join(
+        assignments,
+        flag(fwd_run.distances, "fwd"),
+        join_type="left_outer",
+        num_partitions=num_parts or 8,
+        on=("vid",),
+    )
+    out = safe_join(
+        out,
+        flag(bwd_run.distances, "bwd"),
+        join_type="left_outer",
+        num_partitions=num_parts or 8,
+        on=("vid",),
+    )
+
+    def classify(b, core_id=core_scc):
+        import pandas as pd
+
+        # joined flag columns hold only True or null -> notna IS the flag
+        fwd = b["fwd"].notna().to_numpy()
+        bwd = b["bwd"].notna().to_numpy()
+        core_m = b["scc_id"].to_numpy() == core_id
+        cls = np.full(len(b), "OTHER", dtype=object)
+        cls[fwd] = "OUT"  # reachable from core
+        cls[bwd] = "IN"  # reaches core (reached in the reversed graph)
+        cls[core_m] = "CORE"
+        return pd.DataFrame({"vid": b["vid"].to_numpy(), "cls": cls})
+
+    return out.map_batches(classify, batch_format="pandas")
