@@ -321,6 +321,20 @@ def q_bowtie_hosts(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_host_reciprocity(sf_dir: str) -> rd.Dataset:
+    """Mutual-linking statistic of the directed host webgraph: the
+    fraction of cross-host edges whose reverse edge exists. One
+    bucketed dir-bit combine; ints + one division -> value-exact."""
+    from parallel_pagerank_ray.pipelines.graph_build import edge_reciprocity
+    from parallel_pagerank_ray.pipelines.host_graph import host_edges
+
+    _, links = _host_pages_links(sf_dir)
+    he = host_edges(links, drop_self=True).rename_columns(
+        {"src_host": "src", "dst_host": "dst"}
+    )
+    return edge_reciprocity(he)
+
+
 def q_pagerank_pages_top20(sf_dir: str) -> pd.DataFrame:
     from parallel_pagerank_ray.pipelines.graph_build import Graph, links_from_pages
     from parallel_pagerank_ray.pipelines.pagerank import pagerank
@@ -857,6 +871,20 @@ def q_closeness_copurchase(sf_dir: str) -> pa.Table:
     return closeness_centrality_bsp(g, [0, 1, 2], store=store).table
 
 
+def q_harmonic_copurchase(sf_dir: str) -> pa.Table:
+    """Harmonic centrality (Marchiori–Latora) for the 3-seed landmark
+    panel over the undirected co-purchase graph: per-seed sum of 1/d
+    over reached vertices. Integer distance histograms + a canonical
+    ascending-d sequential fold -> bit-reproducible at any parallelism
+    (the betweenness fold rule)."""
+    from parallel_pagerank_ray.pipelines.centrality import (
+        harmonic_centrality_bsp,
+    )
+
+    g, store = _copurchase_und_store(sf_dir)
+    return harmonic_centrality_bsp(g, [0, 1, 2], store=store)
+
+
 def q_sssp_weighted_copurchase(sf_dir: str) -> rd.Dataset:
     """Weighted shortest-path distances from part vid 0 over the
     symmetric weighted co-purchase graph (edge length = distinct-order
@@ -865,6 +893,17 @@ def q_sssp_weighted_copurchase(sf_dir: str) -> rd.Dataset:
 
     g = _copurchase_weighted_graph(sf_dir)
     return sssp_bsp(g, [0]).distances
+
+
+def q_link_prediction_copurchase(sf_dir: str) -> rd.Dataset:
+    """Top-20 recommended (non-adjacent) part pairs by common
+    co-purchase neighbors, with Jaccard + preferential-attachment
+    scores (Liben-Nowell–Kleinberg link prediction). cn/pref_attach
+    int64-exact; jaccard is one division of exact ints."""
+    from parallel_pagerank_ray.pipelines.linkpred import link_prediction_topk
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return link_prediction_topk(g, k=20)
 
 
 def q_degree_assortativity(sf_dir: str) -> rd.Dataset:
@@ -1711,6 +1750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_hosts_top10": q_pagerank_hosts_top10,
         "scc_hosts": q_scc_hosts,
         "bowtie_hosts": q_bowtie_hosts,
+        "host_reciprocity": q_host_reciprocity,
         "chunk_docs": q_chunk_docs,
         "bloom_membership": q_bloom_membership,
         "postings_top_tokens": q_postings_top_tokens,
@@ -1734,6 +1774,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_copurchase": q_kcore_copurchase,
         "bfs_copurchase": q_bfs_copurchase,
         "closeness_copurchase": q_closeness_copurchase,
+        "harmonic_copurchase": q_harmonic_copurchase,
+        "link_prediction_copurchase": q_link_prediction_copurchase,
         "random_walks_copurchase": q_random_walks_copurchase,
         "random_walks_weighted_copurchase": q_random_walks_weighted_copurchase,
         "spcount_copurchase": q_spcount_copurchase,
@@ -2483,6 +2525,24 @@ def oracle_sql() -> dict[str, str]:
             FROM scc s
             ORDER BY host
         """,
+        "host_reciprocity": """
+            WITH he AS MATERIALIZED (
+              SELECT DISTINCT src_host AS s, dst_host AS d
+              FROM (SELECT 'h' || (doc_id % 11) || '.docs.example'
+                           AS src_host,
+                           'h' || (((doc_id * 7 + k.range + 1)
+                                    % (SELECT count(*) FROM documents))
+                                   % 11) || '.docs.example' AS dst_host
+                    FROM documents, range(3) k)
+              WHERE src_host <> dst_host)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM he) AS n_edges,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM he a JOIN he b ON a.s = b.d AND a.d = b.s)
+                     AS n_reciprocal,
+                   CAST((SELECT count(*) FROM he a
+                         JOIN he b ON a.s = b.d AND a.d = b.s) AS DOUBLE)
+                     / (SELECT count(*) FROM he) AS reciprocity
+        """,
         "link_edges": """
             SELECT DISTINCT
                    'https://docs.example/p' || doc_id AS src_url,
@@ -2950,6 +3010,59 @@ def oracle_sql() -> dict[str, str]:
                      / (((SELECT n FROM nn) - 1.0) * sum(d))
                    ELSE 0.0 END AS closeness
             FROM dmin GROUP BY 1
+        """,
+        "link_prediction_copurchase": f"""
+            WITH e AS MATERIALIZED ({_COPURCHASE_SQL}),
+            und AS MATERIALIZED (
+              SELECT src, dst FROM e WHERE src <> dst
+              UNION ALL SELECT dst, src FROM e WHERE src <> dst),
+            deg AS (SELECT src AS vv, CAST(count(*) AS BIGINT) AS deg
+                    FROM und GROUP BY 1),
+            cnt AS (SELECT x.dst AS u, y.dst AS v,
+                           CAST(count(*) AS BIGINT) AS cn
+                    FROM und x JOIN und y
+                      ON x.src = y.src AND x.dst < y.dst
+                    GROUP BY 1, 2),
+            nonadj AS (
+              SELECT c.u, c.v, c.cn FROM cnt c
+              LEFT JOIN e ON e.src = c.u AND e.dst = c.v
+              WHERE e.src IS NULL)
+            SELECT n.u AS src, n.v AS dst, n.cn,
+                   CAST(n.cn AS DOUBLE) / (du.deg + dv.deg - n.cn)
+                     AS jaccard,
+                   du.deg * dv.deg AS pref_attach
+            FROM nonadj n
+            JOIN deg du ON du.vv = n.u
+            JOIN deg dv ON dv.vv = n.v
+            ORDER BY n.cn DESC, src, dst
+            LIMIT 20
+        """,
+        "harmonic_copurchase": f"""
+            WITH RECURSIVE
+            {_supplier_part_vid_graph(_COPURCHASE_SQL)},
+              walk(s, vid, d) AS (
+                SELECT t.s, t.s, 0 FROM (VALUES (0), (1), (2)) t(s)
+                UNION
+                -- depth cap far above the measured ecc (2-3): a short
+                -- cap would change the fold and FAIL the value check
+                SELECT w.s, u.dst, w.d + 1
+                FROM walk w JOIN und u ON u.src = w.vid
+                WHERE w.d < 8
+              ),
+              dmin AS (SELECT s, vid, min(d) AS d FROM walk GROUP BY 1, 2),
+              hist AS (SELECT s, d, count(*) AS cnt
+                       FROM dmin WHERE d > 0 GROUP BY 1, 2),
+              har AS (SELECT s,
+                             list_reduce(
+                               list(CAST(cnt AS DOUBLE) / d ORDER BY d),
+                               (a, b) -> a + b) AS harmonic
+                      FROM hist GROUP BY 1)
+            SELECT m.s AS source,
+                   CAST(count(*) AS BIGINT) AS n_reached,
+                   CAST(max(m.d) AS BIGINT) AS ecc,
+                   coalesce(any_value(h.harmonic), 0.0) AS harmonic
+            FROM dmin m LEFT JOIN har h ON h.s = m.s
+            GROUP BY m.s
         """,
         "sssp_weighted_copurchase": f"""
             WITH RECURSIVE

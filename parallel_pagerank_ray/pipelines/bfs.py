@@ -131,6 +131,16 @@ class _BFSShard:
         self.dist.fill(-1)
         self.frontier = np.array([], dtype=np.int64)
 
+    def hist(self) -> np.ndarray:
+        """Distance histogram over the local slice (index = distance,
+        value = count; index 0 counts the seeds). O(ecc) wire size —
+        the integer partial behind harmonic centrality's canonical
+        sequential fold."""
+        reached = self.dist >= 0
+        if not reached.any():
+            return np.zeros(0, dtype=np.int64)
+        return np.bincount(self.dist[reached]).astype(np.int64)
+
     def stats(self) -> tuple[int, int, int]:
         """(n_reached, sum_of_distances, max_distance) over the local
         slice — integer partials for closeness/eccentricity, O(1) wire

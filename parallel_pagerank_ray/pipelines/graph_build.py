@@ -544,3 +544,70 @@ def degree_assortativity_stats(
         pa.table({k: pa.array([int(row[k])], type=pa.int64()) for k in
                   ("m2", "sum_x", "sum_xy", "sum_x2")})
     )
+
+
+def edge_reciprocity(
+    edges: rd.Dataset, num_buckets: int | None = None
+) -> rd.Dataset:
+    """Reciprocity of a DISTINCT directed edge table: one row
+    ``(n_edges, n_reciprocal, reciprocity)`` — the fraction of
+    non-self edges (u, v) whose reverse (v, u) also exists (the
+    standard directed-webgraph mutual-linking statistic).
+
+    Shape: canonicalize each edge to (lo, hi, dir-bit), ONE bucketed
+    combine sums the dir-bits per unordered pair (distinct input =>
+    sums are exactly 1, 2, or 3; 3 = reciprocal), then O(1) integer
+    partials fold driver-side. ``reciprocity`` is one IEEE division of
+    exact-int operands — bit-reproducible at any parallelism.
+    """
+    from parallel_pagerank_ray.stages.agg import global_agg, grouped_agg
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column("src").combine_chunks().to_numpy(zero_copy_only=False)
+        d = t.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
+        m = s != d
+        s, d = s[m], d[m]
+        fwd = s < d
+        return pa.table(
+            {
+                "lo": np.where(fwd, s, d),
+                "hi": np.where(fwd, d, s),
+                "dir": np.where(fwd, np.int64(1), np.int64(2)),
+            }
+        )
+
+    pairs = grouped_agg(
+        edges.select_columns(["src", "dst"]).map_batches(
+            canon, batch_format="pyarrow"
+        ),
+        ["lo", "hi"],
+        {"dirs": ("dir", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def partial(b: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        dirs = b["dirs"]
+        recip = dirs == 3
+        one = np.array([0], dtype=np.int64)
+        return {
+            "n_edges": one + int(np.where(recip, 2, 1).sum()) if len(dirs)
+            else one,
+            "n_reciprocal": one + 2 * int(recip.sum()),
+        }
+
+    row = global_agg(
+        pairs.map_batches(partial, batch_format="numpy"),
+        {"n_edges": ("n_edges", "sum"), "n_reciprocal": ("n_reciprocal", "sum")},
+    )
+    ne, nr = int(row["n_edges"]), int(row["n_reciprocal"])
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_edges": pa.array([ne], type=pa.int64()),
+                "n_reciprocal": pa.array([nr], type=pa.int64()),
+                "reciprocity": pa.array(
+                    [float(nr) / float(ne) if ne else 0.0], type=pa.float64()
+                ),
+            }
+        )
+    )

@@ -663,3 +663,48 @@ def test_prebuilt_store_matches_selfbuilt(graphs):
     ba = _btw_map(betweenness_bsp(g, [0, 1]))
     bb = _btw_map(betweenness_bsp(g, [0, 1], store=store))
     assert ba == bb  # bit-exact: canonical fold order
+
+
+def _harmonic_expected(n, e, sources, directed=False):
+    rows = []
+    for s in sources:
+        dist = oracle.bfs_distances(n, e, [s], directed=directed)
+        reached = dist[dist >= 0]
+        hist = np.bincount(reached) if len(reached) else np.zeros(1, np.int64)
+        h = 0.0
+        for d in range(1, len(hist)):  # same canonical ascending fold
+            if hist[d]:
+                h = h + float(hist[d]) / float(d)
+        ecc = int(reached.max()) if len(reached) else 0
+        rows.append((s, int(len(reached)), ecc, h))
+    return rows
+
+
+def test_harmonic_exact_fixtures(graphs):
+    from parallel_pagerank_ray.pipelines.centrality import harmonic_centrality_bsp
+
+    for name in ("small", "medium", "two_comps", "dangling4"):
+        n, e = graphs[name]
+        g = _graph(e)
+        srcs = [0, min(2, n - 1)]
+        for parts in (1, 3):
+            t = harmonic_centrality_bsp(g, srcs, num_parts=parts)
+            got = list(
+                zip(
+                    t.column("source").to_pylist(),
+                    t.column("n_reached").to_pylist(),
+                    t.column("ecc").to_pylist(),
+                    t.column("harmonic").to_pylist(),
+                )
+            )
+            assert got == _harmonic_expected(n, e, srcs), (name, parts)
+
+
+def test_harmonic_directed_and_isolated():
+    from parallel_pagerank_ray.pipelines.centrality import harmonic_centrality_bsp
+
+    # 1 -> 0: from 0 directed nothing reachable -> harmonic 0.0
+    g = _graph([(1, 0)], blocks=1)
+    t = harmonic_centrality_bsp(g, [0, 1], directed=True, num_parts=2)
+    assert t.column("harmonic").to_pylist() == [0.0, 1.0]
+    assert t.column("n_reached").to_pylist() == [1, 2]
