@@ -309,7 +309,13 @@ def q_bowtie_hosts(sf_dir: str) -> pd.DataFrame:
             ).iloc[0]
             cand = (int(row["sz"]), str(row["scc_host"]), int(row["scc_id"]))
             best = cand if best is None else max(best, cand)
-    bt = bowtie_classes(g, run.assignments, core_scc=best[2])
+    bt = bowtie_classes(
+        g,
+        run.assignments,
+        core_scc=best[2],
+        fwd_store=run.fwd_store,
+        bwd_store=run.bwd_store,
+    )
     out = safe_join(
         bt, g.vertices, join_type="inner", num_partitions=4, on=("vid",)
     ).to_pandas()

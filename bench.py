@@ -92,7 +92,23 @@ def bench_pagerank() -> dict:
         exchange_dtype="float32",
     )
     bsp32_s = time.time() - t0
+    # north-metric second half: iterations-to-convergence at an L1
+    # tolerance (pagerank_mpi.c exit semantics) on the same graph/store
+    conv_tol = float(os.environ.get("BENCH_PR_TOL", "1e-6"))
+    t0 = time.time()
+    conv = pagerank_bsp(g, d=0.85, tol=conv_tol, max_iters=500, store=store)
+    conv_s = time.time() - t0
     return {
+        "convergence": {
+            "tol": conv_tol,
+            "iterations": conv.iterations,
+            "exit_reason": conv.exit_reason,
+            "final_l1": conv.history[-1]["l1"] if conv.history else None,
+            "wall_sec": round(conv_s, 3),
+            "edges_per_sec": round(
+                n_edges * conv.iterations / conv_s, 1
+            ) if conv.iterations else None,
+        },
         "n_vertices": g.n,
         "n_edges": int(n_edges),
         "iterations": PR_ITERS,
@@ -258,6 +274,11 @@ def bench_queries() -> dict[str, float]:
         "knn_cosine",
         "knn_ivf",
         "embedding_near_dup",
+        "scc_hosts",
+        "bowtie_hosts",
+        "host_reciprocity",
+        "harmonic_copurchase",
+        "link_prediction_copurchase",
         "events_hourly",
         "sessionize",
         "events_asof",

@@ -61,6 +61,10 @@ class SCCRun:
     iterations: int  # total supersteps (trim + color + sweep rounds)
     outer_rounds: int  # color/sweep peel levels
     history: list[dict] = field(default_factory=list)
+    # built shard stores, reusable by downstream directed sweeps
+    # (bowtie_classes) — plasma refs, independent of the SCC actors
+    fwd_store: EdgeShardStore | None = None
+    bwd_store: EdgeShardStore | None = None
 
 
 def _csr(src: np.ndarray, dst: np.ndarray, base: int, size: int):
@@ -279,6 +283,8 @@ def scc_bsp(
     trim: bool = True,
     max_trim_rounds: int = 1000,
     max_outer: int = 100_000,
+    fwd_store: EdgeShardStore | None = None,
+    bwd_store: EdgeShardStore | None = None,
 ) -> SCCRun:
     """Exact SCC ids (max member vid) for every vid in [0, n).
 
@@ -307,12 +313,19 @@ def scc_bsp(
             num_parts = min(256, max(4, cpus))
         else:
             num_parts = sweep_num_parts(2 * ne)
-    fwd = EdgeShardStore.build(edges, n=n, num_parts=num_parts)
-    rev = edges.map_batches(
-        lambda t: pa.table({"src": t.column("dst"), "dst": t.column("src")}),
-        batch_format="pyarrow",
-    )
-    bwd = EdgeShardStore.build(rev, n=n, num_parts=num_parts)
+    fwd = fwd_store or EdgeShardStore.build(edges, n=n, num_parts=num_parts)
+    if bwd_store is None:
+        rev = edges.map_batches(
+            lambda t: pa.table(
+                {"src": t.column("dst"), "dst": t.column("src")}
+            ),
+            batch_format="pyarrow",
+        )
+        bwd = EdgeShardStore.build(rev, n=n, num_parts=num_parts)
+    else:
+        bwd = bwd_store
+    if bwd.part_size != fwd.part_size:
+        raise ValueError("fwd/bwd stores must share part_size")
     P = max(1, -(-n // fwd.part_size))
     per_actor = per_actor_cpus(P)
     actors = [
@@ -380,6 +393,8 @@ def scc_bsp(
         iterations=it,
         outer_rounds=outer,
         history=history,
+        fwd_store=fwd,
+        bwd_store=bwd,
     )
 
 
@@ -388,6 +403,8 @@ def bowtie_classes(
     assignments: rd.Dataset,
     core_scc: int | None = None,
     num_parts: int | None = None,
+    fwd_store: EdgeShardStore | None = None,
+    bwd_store: EdgeShardStore | None = None,
 ) -> rd.Dataset:
     """Bowtie decomposition (Broder WWW'00): (vid, cls) with cls in
     {CORE, IN, OUT, OTHER}.  CORE = the giant SCC; IN = reaches the
@@ -427,15 +444,28 @@ def bowtie_classes(
         or [np.array([], dtype=np.int64)]
     ).astype(np.int64)
     fwd_run = bfs_distances_bsp(
-        graph, sources=list(seeds), directed=True, num_parts=num_parts
+        graph,
+        sources=list(seeds),
+        directed=True,
+        num_parts=num_parts,
+        store=fwd_store,
     )
-    rev_edges = graph.edges.select_columns(["src", "dst"]).map_batches(
-        lambda t: pa.table({"src": t.column("dst"), "dst": t.column("src")}),
-        batch_format="pyarrow",
-    )
-    rev_graph = Graph(n=n, edges=rev_edges, vertices=graph.vertices)
+    if bwd_store is None:
+        rev_edges = graph.edges.select_columns(["src", "dst"]).map_batches(
+            lambda t: pa.table(
+                {"src": t.column("dst"), "dst": t.column("src")}
+            ),
+            batch_format="pyarrow",
+        )
+        rev_graph = Graph(n=n, edges=rev_edges, vertices=graph.vertices)
+    else:
+        rev_graph = Graph(n=n, edges=graph.edges, vertices=graph.vertices)
     bwd_run = bfs_distances_bsp(
-        rev_graph, sources=list(seeds), directed=True, num_parts=num_parts
+        rev_graph,
+        sources=list(seeds),
+        directed=True,
+        num_parts=num_parts,
+        store=bwd_store,
     )
 
     def flag(ds: rd.Dataset, col: str) -> rd.Dataset:
