@@ -327,6 +327,69 @@ def q_bowtie_hosts(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_spam_mass_hosts(sf_dir: str) -> pd.DataFrame:
+    """TrustRank spam mass (Gyöngyi et al., VLDB'04): rank hosts by
+    (pr - tr) / pr where pr = weighted host PageRank and tr =
+    TrustRank (the same iteration personalized to a trusted seed set —
+    here the 2 lexicographically smallest hosts). High mass = rank
+    earned mostly from untrusted regions of the webgraph. Both runs
+    are bit-reproducible, so the mass RATIO order is value-exact; the
+    emitted row is integer (pos, host) per the float policy."""
+    from parallel_pagerank_ray.pipelines.host_graph import host_graph
+    from parallel_pagerank_ray.pipelines.pagerank_actors import pagerank_bsp
+    from parallel_pagerank_ray.util import safe_join
+
+    _, links = _host_pages_links(sf_dir)
+    g = host_graph(links, drop_self=True)
+    base = pagerank_bsp(g, d=0.85, tol=1e-3, max_iters=100)
+
+    # trusted seed pick: per-batch prune -> tiny global sort (the seed
+    # set is O(2) rows on the wire regardless of vertex count)
+    def prune2(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values("url").head(2)
+
+    seeds_df = (
+        g.vertices.map_batches(prune2, batch_format="pandas")
+        .sort("url")
+        .limit(2)
+        .to_pandas()
+    )
+    e = np.zeros(g.n, dtype=np.float64)
+    e[seeds_df["vid"].to_numpy()] = 1.0 / len(seeds_df)
+    tr = pagerank_bsp(g, d=0.85, tol=1e-3, max_iters=100, personalization=e)
+
+    joined = safe_join(
+        base.ranks.select_columns(["vid", "rank"]),
+        tr.ranks.select_columns(["vid", "rank"]).rename_columns(
+            {"rank": "trust"}
+        ),
+        join_type="inner",
+        num_partitions=4,
+        on=("vid",),
+    )
+    def mass(b: pd.DataFrame) -> pd.DataFrame:
+        p = b["rank"].to_numpy()
+        t = b["trust"].to_numpy()
+        return pd.DataFrame({"url": b["url"], "mass": (p - t) / p})
+
+    top = (
+        safe_join(
+            joined, g.vertices, join_type="inner", num_partitions=4,
+            on=("vid",),
+        )
+        .map_batches(mass, batch_format="pandas")
+        .sort(["mass", "url"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "pos": np.arange(1, len(top) + 1, dtype=np.int64),
+            "host": top["url"],
+        }
+    )
+
+
 def q_host_reciprocity(sf_dir: str) -> rd.Dataset:
     """Mutual-linking statistic of the directed host webgraph: the
     fraction of cross-host edges whose reverse edge exists. One
@@ -1757,6 +1820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc_hosts": q_scc_hosts,
         "bowtie_hosts": q_bowtie_hosts,
         "host_reciprocity": q_host_reciprocity,
+        "spam_mass_hosts": q_spam_mass_hosts,
         "chunk_docs": q_chunk_docs,
         "bloom_membership": q_bloom_membership,
         "postings_top_tokens": q_postings_top_tokens,
@@ -2530,6 +2594,92 @@ def oracle_sql() -> dict[str, str]:
                    END AS cls
             FROM scc s
             ORDER BY host
+        """,
+        "spam_mass_hosts": """
+            WITH RECURSIVE
+              he AS MATERIALIZED (
+                SELECT src_host AS src, dst_host AS dst,
+                       CAST(count(*) AS DOUBLE) AS w
+                FROM (SELECT 'h' || (doc_id % 11) || '.docs.example'
+                             AS src_host,
+                             'h' || (((doc_id * 7 + k.range + 1)
+                                      % (SELECT count(*) FROM documents))
+                                     % 11) || '.docs.example' AS dst_host
+                      FROM documents, range(3) k)
+                WHERE src_host <> dst_host
+                GROUP BY 1, 2),
+              verts AS MATERIALIZED (
+                SELECT DISTINCT h FROM (SELECT src AS h FROM he
+                                        UNION ALL SELECT dst FROM he)),
+              nn AS MATERIALIZED (SELECT count(*) AS n FROM verts),
+              ow AS MATERIALIZED (SELECT src AS h,
+                                         CAST(sum(w) AS DOUBLE) AS tw
+                                  FROM he GROUP BY 1),
+              ee AS MATERIALIZED (
+                -- CAST matters: bare 0.5/0.0 literals type the CASE as
+                -- DECIMAL(2,1), which would quantize every recursive
+                -- rank to one decimal place (observed: non-convergence)
+                SELECT h, CAST(CASE WHEN h IN (SELECT h FROM verts
+                                               ORDER BY h LIMIT 2)
+                               THEN 0.5 ELSE 0.0 END AS DOUBLE) AS ev
+                FROM verts),
+              pr(it, h, rank, delta) AS (
+                SELECT 0, h, 1.0 / (SELECT n FROM nn), 1e308 FROM verts
+                UNION ALL
+                SELECT x.it + 1, x.h, x.nr, abs(x.nr - x.rank)
+                FROM (
+                  SELECT p.it, p.h, p.rank,
+                         0.85 * (coalesce(c.s, 0.0)
+                                 + (SELECT coalesce(sum(q.rank), 0.0)
+                                    FROM pr q
+                                    LEFT JOIN ow dq ON dq.h = q.h
+                                    WHERE dq.h IS NULL)
+                                   / (SELECT n FROM nn))
+                           + 0.15 / (SELECT n FROM nn) AS nr
+                  FROM pr p
+                  LEFT JOIN (SELECT ee2.dst, sum(q.rank * ee2.w / dg.tw) AS s
+                             FROM pr q
+                             JOIN he ee2 ON ee2.src = q.h
+                             JOIN ow dg ON dg.h = q.h
+                             GROUP BY 1) c ON c.dst = p.h
+                  WHERE (SELECT max(q.delta) FROM pr q) > 1e-3
+                    AND (SELECT sum(q.delta) FROM pr q) >= 1e-3
+                ) x
+              ),
+              tr(it, h, rank, delta) AS (
+                SELECT 0, h, ev, 1e308 FROM ee
+                UNION ALL
+                SELECT x.it + 1, x.h, x.nr, abs(x.nr - x.rank)
+                FROM (
+                  SELECT p.it, p.h, p.rank,
+                         0.85 * (coalesce(c.s, 0.0)
+                                 + (SELECT coalesce(sum(q.rank), 0.0)
+                                    FROM tr q
+                                    LEFT JOIN ow dq ON dq.h = q.h
+                                    WHERE dq.h IS NULL) * pe.ev)
+                           + 0.15 * pe.ev AS nr
+                  FROM tr p
+                  JOIN ee pe ON pe.h = p.h
+                  LEFT JOIN (SELECT ee2.dst, sum(q.rank * ee2.w / dg.tw) AS s
+                             FROM tr q
+                             JOIN he ee2 ON ee2.src = q.h
+                             JOIN ow dg ON dg.h = q.h
+                             GROUP BY 1) c ON c.dst = p.h
+                  WHERE (SELECT max(q.delta) FROM tr q) > 1e-3
+                    AND (SELECT sum(q.delta) FROM tr q) >= 1e-3
+                ) x
+              ),
+              lastp AS (SELECT h, rank FROM pr
+                        WHERE it = (SELECT max(it) FROM pr)),
+              lastt AS (SELECT h, rank AS trust FROM tr
+                        WHERE it = (SELECT max(it) FROM tr))
+            SELECT row_number() OVER (
+                     ORDER BY (p.rank - t.trust) / p.rank DESC, p.h
+                   ) AS pos,
+                   p.h AS host
+            FROM lastp p JOIN lastt t ON t.h = p.h
+            ORDER BY (p.rank - t.trust) / p.rank DESC, p.h
+            LIMIT 10
         """,
         "host_reciprocity": """
             WITH he AS MATERIALIZED (

@@ -277,6 +277,7 @@ def bench_queries() -> dict[str, float]:
         "scc_hosts",
         "bowtie_hosts",
         "host_reciprocity",
+        "spam_mass_hosts",
         "harmonic_copurchase",
         "link_prediction_copurchase",
         "events_hourly",

@@ -256,10 +256,14 @@ def pagerank_weighted(
     d: float = 0.85,
     tol: float = 1e-6,
     max_iters: int = 1000,
+    e: np.ndarray | None = None,
 ) -> PageRankTrace:
     """Weighted power-iteration PageRank: edge contribution is
     p0[src] * w_e / W(src) with W = out-weight sum; dangling = vertices
-    with no out-edges. Same dual stop rule as ``pagerank``."""
+    with no out-edges. Same dual stop rule as ``pagerank``.
+    ``e``: personalization vector (TrustRank when concentrated on a
+    trusted seed set) — init, teleport and dangling mass all use e
+    instead of 1/n, matching the engine's personalized update."""
     edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
     weights = np.asarray(weights, dtype=np.float64)
     src, dst = edges[:, 0], edges[:, 1]
@@ -270,7 +274,11 @@ def pagerank_weighted(
     f = np.zeros(len(edges), dtype=np.float64)
     if len(edges):
         f = weights / W[src]
-    p1 = np.full(n, 1.0 / n, dtype=np.float64)
+    p1 = (
+        np.full(n, 1.0 / n, dtype=np.float64)
+        if e is None
+        else np.asarray(e, dtype=np.float64).copy()
+    )
     max_err = np.inf
     it = 0
     hist: list[tuple[int, float, float, float]] = []
@@ -281,7 +289,10 @@ def pagerank_weighted(
         contrib = np.zeros(n, dtype=np.float64)
         if len(edges):
             np.add.at(contrib, dst, p0[src] * f)
-        p1 = d * (contrib + dangling / n) + (1.0 - d) / n
+        if e is None:
+            p1 = d * (contrib + dangling / n) + (1.0 - d) / n
+        else:
+            p1 = d * (contrib + dangling * e) + (1.0 - d) * e
         err = np.abs(p1 - p0)
         l1 = float(err.sum())
         max_err = float(err.max())

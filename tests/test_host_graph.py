@@ -153,3 +153,38 @@ def test_host_cocitation_join_fallback_identical():
         joined[["host_a", "host_b", "w"]], fast[["host_a", "host_b", "w"]],
         check_dtype=False,
     )
+
+
+def test_trustrank_weighted_personalized_vs_oracle():
+    """Weighted + personalized pagerank together (the TrustRank /
+    spam-mass combination): engine matches the numpy oracle with
+    identical iteration counts, and spam mass orders sanely."""
+    from parallel_pagerank_ray.pipelines.pagerank_actors import pagerank_bsp
+
+    g = host_graph(_links_ds(), drop_self=True)
+    verts = g.vertices.to_pandas()
+    vid_by_host = {h: v for h, v in zip(verts["url"], verts["vid"])}
+    want_edges = _expected_host_counts(drop_self=True)
+    e = np.array(
+        [
+            (vid_by_host[s], vid_by_host[d])
+            for s, d in zip(want_edges["src_host"], want_edges["dst_host"])
+        ],
+        dtype=np.int64,
+    )
+    w = want_edges["w"].to_numpy().astype(np.float64)
+    seed_host = sorted(vid_by_host)[0]
+    ev = np.zeros(g.n, dtype=np.float64)
+    ev[vid_by_host[seed_host]] = 1.0
+    run = pagerank_bsp(
+        g, d=0.85, tol=1e-6, num_parts=2, personalization=ev
+    )
+    tr = oracle.pagerank_weighted(g.n, e, w, d=0.85, tol=1e-6, e=ev)
+    got = run.ranks.to_pandas().sort_values("vid")["rank"].to_numpy()
+    assert np.allclose(got, tr.ranks, atol=1e-12)
+    assert run.iterations == tr.iterations
+
+    base = oracle.pagerank_weighted(g.n, e, w, d=0.85, tol=1e-6)
+    mass = (base.ranks - tr.ranks) / base.ranks
+    # the trusted seed's own mass must be minimal
+    assert int(np.argmin(mass)) == vid_by_host[seed_host]
