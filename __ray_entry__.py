@@ -390,6 +390,36 @@ def q_spam_mass_hosts(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_canonical_urls(sf_dir: str) -> rd.Dataset:
+    """URL canonicalization over a deterministically dirtied url table
+    (mixed-case scheme/host, default ports, fragments, unsorted query
+    params, trailing slashes): (doc_id, url, canon_url), value-exact
+    strings — the normalization stage ahead of crawl frontier dedup."""
+    from parallel_pagerank_ray.functions.urlnorm import canonicalize_urls
+
+    docs = _documents(sf_dir, ["doc_id"])
+
+    def dirty(b: pd.DataFrame) -> pd.DataFrame:
+        i = b["doc_id"].astype(np.int64)
+        url = (
+            np.where(i % 2 == 0, "HTTPS", "https").astype(object)
+            + "://"
+            + np.where(i % 3 == 0, "Docs.Example", "docs.example")
+            + np.where(i % 4 == 0, ":443", "")
+            + "/p"
+            + i.astype(str)
+            + np.where(i % 5 == 0, "/", "")
+            + np.where(i % 7 == 0, "?b=2&a=1", "")
+            + np.where(i % 3 == 1, "#s" + i.astype(str), "")
+        )
+        url = pd.Series(url, index=b.index)
+        return pd.DataFrame(
+            {"doc_id": i, "url": url, "canon_url": canonicalize_urls(url)}
+        )
+
+    return docs.map_batches(dirty, batch_format="pandas")
+
+
 def q_host_reciprocity(sf_dir: str) -> rd.Dataset:
     """Mutual-linking statistic of the directed host webgraph: the
     fraction of cross-host edges whose reverse edge exists. One
@@ -1821,6 +1851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bowtie_hosts": q_bowtie_hosts,
         "host_reciprocity": q_host_reciprocity,
         "spam_mass_hosts": q_spam_mass_hosts,
+        "canonical_urls": q_canonical_urls,
         "chunk_docs": q_chunk_docs,
         "bloom_membership": q_bloom_membership,
         "postings_top_tokens": q_postings_top_tokens,
@@ -2680,6 +2711,59 @@ def oracle_sql() -> dict[str, str]:
             FROM lastp p JOIN lastt t ON t.h = p.h
             ORDER BY (p.rank - t.trust) / p.rank DESC, p.h
             LIMIT 10
+        """,
+        "canonical_urls": """
+            WITH dirty AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0 THEN 'HTTPS'
+                          ELSE 'https' END || '://' ||
+                     CASE WHEN doc_id % 3 = 0 THEN 'Docs.Example'
+                          ELSE 'docs.example' END ||
+                     CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END ||
+                     '/p' || doc_id ||
+                     CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+                     CASE WHEN doc_id % 7 = 0 THEN '?b=2&a=1'
+                          ELSE '' END ||
+                     CASE WHEN doc_id % 3 = 1 THEN '#s' || doc_id
+                          ELSE '' END AS url
+              FROM documents),
+            split AS (
+              SELECT doc_id, url,
+                     split_part(split_part(url, '#', 1), '?', 1) AS base,
+                     split_part(split_part(url, '#', 1), '?', 2) AS q
+              FROM dirty),
+            parts AS (
+              SELECT doc_id, url, q,
+                     lower(split_part(base, '://', 1)) AS scheme,
+                     lower(split_part(split_part(base, '://', 2),
+                                      '/', 1)) AS hostport,
+                     CASE WHEN strpos(split_part(base, '://', 2), '/') > 0
+                          THEN '/' || split_part(
+                                 split_part(base, '://', 2), '/', 2)
+                          ELSE '/' END AS path
+              FROM split),
+            normd AS (
+              SELECT doc_id, url, q, scheme,
+                     CASE WHEN scheme = 'https'
+                               AND hostport LIKE '%:443'
+                          THEN substr(hostport, 1,
+                                      length(hostport) - 4)
+                          WHEN scheme = 'http'
+                               AND hostport LIKE '%:80'
+                          THEN substr(hostport, 1,
+                                      length(hostport) - 3)
+                          ELSE hostport END AS hostport,
+                     CASE WHEN length(path) > 1 AND path LIKE '%/'
+                          THEN substr(path, 1, length(path) - 1)
+                          ELSE path END AS path
+              FROM parts)
+            SELECT doc_id, url,
+                   scheme || '://' || hostport || path ||
+                   CASE WHEN q <> ''
+                        THEN '?' || array_to_string(
+                               list_sort(string_split(q, '&')), '&')
+                        ELSE '' END AS canon_url
+            FROM normd
         """,
         "host_reciprocity": """
             WITH he AS MATERIALIZED (

@@ -98,7 +98,23 @@ def bench_pagerank() -> dict:
     t0 = time.time()
     conv = pagerank_bsp(g, d=0.85, tol=conv_tol, max_iters=500, store=store)
     conv_s = time.time() - t0
+    # SCC leg: trim + FW-BW coloring on the same directed graph (the
+    # round-4 web-structure operator) — end-to-end incl. its two
+    # store builds
+    from parallel_pagerank_ray.pipelines.scc import scc_bsp
+
+    t0 = time.time()
+    scc_run = scc_bsp(g)
+    scc_s = time.time() - t0
     return {
+        "scc": {
+            "wall_sec": round(scc_s, 2),
+            "supersteps": scc_run.iterations,
+            "outer_rounds": scc_run.outer_rounds,
+            # end-to-end throughput (supersteps are frontier-sparse,
+            # so per-superstep edges/s would overstate)
+            "edges_per_sec": round(n_edges / scc_s, 1),
+        },
         "convergence": {
             "tol": conv_tol,
             "iterations": conv.iterations,
@@ -278,6 +294,7 @@ def bench_queries() -> dict[str, float]:
         "bowtie_hosts",
         "host_reciprocity",
         "spam_mass_hosts",
+        "canonical_urls",
         "harmonic_copurchase",
         "link_prediction_copurchase",
         "events_hourly",
