@@ -984,6 +984,18 @@ def q_harmonic_copurchase(sf_dir: str) -> pa.Table:
     return harmonic_centrality_bsp(g, [0, 1, 2], store=store)
 
 
+def q_pseudo_diameter_copurchase(sf_dir: str) -> pa.Table:
+    """Pseudo-diameter (iterated double-sweep BFS from vid 0) of the
+    undirected co-purchase graph: (start, peripheral, diameter_lb),
+    int64-exact with total-order tie-breaks."""
+    from parallel_pagerank_ray.pipelines.centrality import (
+        pseudo_diameter_bsp,
+    )
+
+    g, store = _copurchase_und_store(sf_dir)
+    return pseudo_diameter_bsp(g, start=0, sweeps=2, store=store)
+
+
 def q_sssp_weighted_copurchase(sf_dir: str) -> rd.Dataset:
     """Weighted shortest-path distances from part vid 0 over the
     symmetric weighted co-purchase graph (edge length = distinct-order
@@ -1877,6 +1889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "closeness_copurchase": q_closeness_copurchase,
         "harmonic_copurchase": q_harmonic_copurchase,
         "link_prediction_copurchase": q_link_prediction_copurchase,
+        "pseudo_diameter_copurchase": q_pseudo_diameter_copurchase,
         "random_walks_copurchase": q_random_walks_copurchase,
         "random_walks_weighted_copurchase": q_random_walks_weighted_copurchase,
         "spcount_copurchase": q_spcount_copurchase,
@@ -3303,6 +3316,37 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(any_value(h.harmonic), 0.0) AS harmonic
             FROM dmin m LEFT JOIN har h ON h.s = m.s
             GROUP BY m.s
+        """,
+        "pseudo_diameter_copurchase": f"""
+            WITH RECURSIVE
+            {_supplier_part_vid_graph(_COPURCHASE_SQL)},
+              w1(vid, d) AS (
+                SELECT 0, 0
+                UNION
+                SELECT u.dst, w.d + 1 FROM w1 w
+                JOIN und u ON u.src = w.vid WHERE w.d < 8
+              ),
+              d1 AS (SELECT vid, min(d) AS d FROM w1 GROUP BY 1),
+              far1 AS MATERIALIZED (
+                SELECT vid, d FROM d1 ORDER BY d DESC, vid LIMIT 1),
+              w2(vid, d) AS (
+                SELECT vid, 0 FROM far1
+                UNION
+                SELECT u.dst, w.d + 1 FROM w2 w
+                JOIN und u ON u.src = w.vid WHERE w.d < 8
+              ),
+              d2 AS (SELECT vid, min(d) AS d FROM w2 GROUP BY 1),
+              far2 AS MATERIALIZED (
+                SELECT vid, d FROM d2 ORDER BY d DESC, vid LIMIT 1)
+            SELECT CAST(0 AS BIGINT) AS start,
+                   CAST(CASE WHEN (SELECT d FROM far2) >
+                                  (SELECT d FROM far1)
+                        THEN (SELECT vid FROM far2)
+                        ELSE (SELECT vid FROM far1) END AS BIGINT)
+                     AS peripheral,
+                   CAST(greatest((SELECT d FROM far1),
+                                 (SELECT d FROM far2)) AS BIGINT)
+                     AS diameter_lb
         """,
         "sssp_weighted_copurchase": f"""
             WITH RECURSIVE

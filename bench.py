@@ -295,6 +295,7 @@ def bench_queries() -> dict[str, float]:
         "host_reciprocity",
         "spam_mass_hosts",
         "canonical_urls",
+        "pseudo_diameter_copurchase",
         "harmonic_copurchase",
         "link_prediction_copurchase",
         "events_hourly",

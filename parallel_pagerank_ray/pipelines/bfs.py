@@ -141,6 +141,17 @@ class _BFSShard:
             return np.zeros(0, dtype=np.int64)
         return np.bincount(self.dist[reached]).astype(np.int64)
 
+    def far_vertex(self) -> tuple[int, int]:
+        """(max local distance, min vid at that distance) — the O(1)
+        partial behind the pseudo-diameter double sweep; (-1, -1) when
+        nothing local is reached."""
+        reached = np.nonzero(self.dist >= 0)[0]
+        if not len(reached):
+            return (-1, -1)
+        dmax = int(self.dist[reached].max())
+        at = reached[self.dist[reached] == dmax]
+        return (dmax, int(self.base + at.min()))
+
     def stats(self) -> tuple[int, int, int]:
         """(n_reached, sum_of_distances, max_distance) over the local
         slice — integer partials for closeness/eccentricity, O(1) wire

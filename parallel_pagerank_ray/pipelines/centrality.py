@@ -444,6 +444,82 @@ def harmonic_centrality_bsp(
     )
 
 
+def pseudo_diameter_bsp(
+    graph: Graph,
+    start: int = 0,
+    sweeps: int = 2,
+    directed: bool = False,
+    num_parts: int | None = None,
+    store: EdgeShardStore | None = None,
+) -> pa.Table:
+    """Pseudo-diameter by iterated double sweep (Magnien–Latapy–Habib):
+    BFS from ``start``, hop to the farthest reached vertex (max dist,
+    tie-break min vid — a total order, SQL-reproducible), repeat
+    ``sweeps`` times; the max eccentricity seen is a lower bound on the
+    true diameter that is exact on trees and near-exact on web-ish
+    graphs. One row: (start, peripheral, diameter_lb), all int64.
+
+    Each hop reuses the same shard pool (the CSR build dominates); the
+    farthest-vertex pick folds one (dist, vid) pair per shard — O(P)
+    driver traffic per sweep."""
+    n = graph.n
+    if n == 0:
+        return pa.table(
+            {
+                "start": pa.array([], type=pa.int64()),
+                "peripheral": pa.array([], type=pa.int64()),
+                "diameter_lb": pa.array([], type=pa.int64()),
+            }
+        )
+    if not 0 <= start < n:
+        raise ValueError(f"start vid out of range [0, {n})")
+    if store is None:
+        if num_parts is None:
+            ne = edge_count_hint(graph.edges)
+            if ne is None:
+                cpus = int(ray.cluster_resources().get("CPU", 8))
+                num_parts = min(256, max(4, cpus))
+            else:
+                num_parts = sweep_num_parts(ne if directed else 2 * ne)
+        edges = (
+            graph.edges if directed else undirected_edges(graph.edges, dedup=False)
+        )
+        store = EdgeShardStore.build(edges, n=n, num_parts=num_parts)
+    P = max(1, -(-n // store.part_size))
+    per_actor = per_actor_cpus(P)
+    actors = [
+        _BFSShard.options(num_cpus=per_actor).remote(
+            p, store.part_refs.get(p, []), n, store.part_size
+        )
+        for p in range(P)
+    ]
+    cur = int(start)
+    best = 0
+    peripheral = cur
+    for _ in range(max(1, sweeps)):
+        _run_bfs_rounds(actors, P, np.array([cur], dtype=np.int64), 10_000)
+        parts = ray.get([a.far_vertex.remote() for a in actors])
+        ecc, far = max(
+            ((d, -v) for d, v in parts if v >= 0), default=(0, -cur)
+        )
+        far = -far
+        if ecc > best:
+            best, peripheral = int(ecc), int(far)
+        ray.get([a.reset.remote() for a in actors])
+        if far == cur or ecc == 0:
+            break
+        cur = far
+    for a in actors:
+        ray.kill(a)
+    return pa.table(
+        {
+            "start": pa.array([int(start)], type=pa.int64()),
+            "peripheral": pa.array([peripheral], type=pa.int64()),
+            "diameter_lb": pa.array([best], type=pa.int64()),
+        }
+    )
+
+
 @dataclass
 class BetweennessRun:
     scores: "object"  # Dataset (vid, btw) — nonzero dependency sums

@@ -708,3 +708,41 @@ def test_harmonic_directed_and_isolated():
     t = harmonic_centrality_bsp(g, [0, 1], directed=True, num_parts=2)
     assert t.column("harmonic").to_pylist() == [0.0, 1.0]
     assert t.column("n_reached").to_pylist() == [1, 2]
+
+
+def test_pseudo_diameter_double_sweep(graphs):
+    from parallel_pagerank_ray.pipelines.centrality import pseudo_diameter_bsp
+
+    for name in ("small", "medium", "two_comps", "dangling4"):
+        n, e = graphs[name]
+        g = _graph(e)
+        t = pseudo_diameter_bsp(g, start=0, sweeps=2, num_parts=3)
+        lb = t.column("diameter_lb").to_pylist()[0]
+        peri = t.column("peripheral").to_pylist()[0]
+        # oracle: true diameter of vid 0's component + both sweeps
+        d0 = oracle.bfs_distances(n, e, [0])
+        ecc1 = int(d0.max())
+        far1 = int(np.nonzero(d0 == ecc1)[0].min())
+        d1 = oracle.bfs_distances(n, e, [far1])
+        ecc2 = int(d1.max())
+        want_lb = max(ecc1, ecc2)
+        want_peri = far1 if ecc2 <= ecc1 else int(
+            np.nonzero(d1 == ecc2)[0].min()
+        )
+        assert (lb, peri) == (want_lb, want_peri), name
+        # lower bound never exceeds the true diameter of the component
+        comp0 = oracle.connected_components(n, e) == oracle.connected_components(n, e)[0]
+        true_diam = 0
+        for s in np.nonzero(comp0)[0]:
+            ds = oracle.bfs_distances(n, e, [int(s)])
+            true_diam = max(true_diam, int(ds[ds >= 0].max()))
+        assert lb <= true_diam
+
+
+def test_pseudo_diameter_isolated_start():
+    from parallel_pagerank_ray.pipelines.centrality import pseudo_diameter_bsp
+
+    g = _graph([(1, 2)], blocks=1)  # vid 0 isolated
+    t = pseudo_diameter_bsp(g, start=0, sweeps=3, num_parts=2)
+    assert t.column("diameter_lb").to_pylist() == [0]
+    assert t.column("peripheral").to_pylist() == [0]
