@@ -984,6 +984,66 @@ def q_harmonic_copurchase(sf_dir: str) -> pa.Table:
     return harmonic_centrality_bsp(g, [0, 1, 2], store=store)
 
 
+def q_pagerank_incremental_top20(sf_dir: str) -> pd.DataFrame:
+    """Incremental PageRank (pipelines/incremental.py): run to
+    convergence on the graph WITHOUT the delta edge subset
+    ((src+dst)%17==0), then fold the delta in and warm-start from the
+    previous ranks. The warm-started fixpoint is bit-reproducible, so
+    the oracle replays both phases with recursive CTEs. Integer
+    (pos, vid) rank-order output."""
+    import pyarrow.compute as pc
+
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.incremental import (
+        incremental_pagerank,
+    )
+    from parallel_pagerank_ray.pipelines.pagerank_actors import pagerank_bsp
+    from parallel_pagerank_ray.pipelines.relational import supplier_part_edges
+
+    edges = supplier_part_edges(sf_dir).materialize()
+
+    def split(t, keep_delta: bool):
+        import numpy as _np
+        import pyarrow as _pa
+
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        m = (s + d) % 17 == 0
+        return t.filter(_pa.array(m if keep_delta else ~m))
+
+    old_edges = edges.map_batches(
+        lambda t: split(t, False), batch_format="pyarrow"
+    )
+    delta = edges.map_batches(
+        lambda t: split(t, True), batch_format="pyarrow"
+    )
+    old_g = Graph.from_int_edges(old_edges, dedup=False)
+    cold = pagerank_bsp(old_g, d=0.85, tol=1e-3, max_iters=100)
+    # dense vid-indexed rank vector (gate scale; at web scale pass the
+    # persisted checkpoint artifact instead of a driver pull)
+    ranks = (
+        cold.ranks.select_columns(["vid", "rank"])
+        .to_pandas()
+        .sort_values("vid")["rank"]
+        .to_numpy()
+    )
+    _, warm = incremental_pagerank(
+        old_g, ranks, delta, d=0.85, tol=1e-3, max_iters=100
+    )
+    top = (
+        warm.ranks.select_columns(["vid", "rank"])
+        .sort(["rank", "vid"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "pos": np.arange(1, len(top) + 1, dtype=np.int64),
+            "vid": top["vid"].to_numpy(),
+        }
+    )
+
+
 def q_pseudo_diameter_copurchase(sf_dir: str) -> pa.Table:
     """Pseudo-diameter (iterated double-sweep BFS from vid 0) of the
     undirected co-purchase graph: (start, peripheral, diameter_lb),
@@ -1890,6 +1950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harmonic_copurchase": q_harmonic_copurchase,
         "link_prediction_copurchase": q_link_prediction_copurchase,
         "pseudo_diameter_copurchase": q_pseudo_diameter_copurchase,
+        "pagerank_incremental_top20": q_pagerank_incremental_top20,
         "random_walks_copurchase": q_random_walks_copurchase,
         "random_walks_weighted_copurchase": q_random_walks_weighted_copurchase,
         "spcount_copurchase": q_spcount_copurchase,
@@ -3316,6 +3377,86 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(any_value(h.harmonic), 0.0) AS harmonic
             FROM dmin m LEFT JOIN har h ON h.s = m.s
             GROUP BY m.s
+        """,
+        "pagerank_incremental_top20": f"""
+            WITH RECURSIVE
+              ea AS MATERIALIZED ({_SUPP_PART_SQL}),
+              eo AS MATERIALIZED (SELECT src, dst FROM ea
+                                  WHERE (src + dst) % 17 <> 0),
+              n1 AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n
+                                  FROM eo),
+              v1(vid) AS (SELECT 0 UNION ALL
+                          SELECT vid + 1 FROM v1
+                          WHERE vid + 1 < (SELECT n FROM n1)),
+              d1 AS MATERIALIZED (SELECT src AS vid, count(*) AS d
+                                  FROM eo GROUP BY 1),
+              p1(it, vid, rank, delta) AS (
+                SELECT 0, vid, 1.0 / (SELECT n FROM n1), 1e308 FROM v1
+                UNION ALL
+                SELECT x.it + 1, x.vid, x.nr, abs(x.nr - x.rank)
+                FROM (
+                  SELECT p.it, p.vid, p.rank,
+                         0.85 * (coalesce(c.s, 0.0)
+                                 + (SELECT coalesce(sum(q.rank), 0.0)
+                                    FROM p1 q
+                                    LEFT JOIN d1 dq ON dq.vid = q.vid
+                                    WHERE dq.vid IS NULL)
+                                   / (SELECT n FROM n1))
+                           + 0.15000000000000002 / (SELECT n FROM n1)
+                           AS nr
+                  FROM p1 p
+                  LEFT JOIN (SELECT ee.dst, sum(q.rank / dg.d) AS s
+                             FROM p1 q
+                             JOIN eo ee ON ee.src = q.vid
+                             JOIN d1 dg ON dg.vid = q.vid
+                             GROUP BY 1) c ON c.dst = p.vid
+                  WHERE (SELECT max(q.delta) FROM p1 q) > 0.001
+                    AND (SELECT sum(q.delta) FROM p1 q) >= 0.001
+                ) x
+              ),
+              l1 AS MATERIALIZED (
+                SELECT vid, rank FROM p1
+                WHERE it = (SELECT max(it) FROM p1)),
+              n2 AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n
+                                  FROM ea),
+              v2(vid) AS (SELECT 0 UNION ALL
+                          SELECT vid + 1 FROM v2
+                          WHERE vid + 1 < (SELECT n FROM n2)),
+              d2 AS MATERIALIZED (SELECT src AS vid, count(*) AS d
+                                  FROM ea GROUP BY 1),
+              ini AS MATERIALIZED (
+                SELECT v.vid,
+                       coalesce(o.rank, 1.0 / (SELECT n FROM n2)) AS r
+                FROM v2 v LEFT JOIN l1 o ON o.vid = v.vid),
+              p2(it, vid, rank, delta) AS (
+                SELECT 0, vid, r, 1e308 FROM ini
+                UNION ALL
+                SELECT x.it + 1, x.vid, x.nr, abs(x.nr - x.rank)
+                FROM (
+                  SELECT p.it, p.vid, p.rank,
+                         0.85 * (coalesce(c.s, 0.0)
+                                 + (SELECT coalesce(sum(q.rank), 0.0)
+                                    FROM p2 q
+                                    LEFT JOIN d2 dq ON dq.vid = q.vid
+                                    WHERE dq.vid IS NULL)
+                                   / (SELECT n FROM n2))
+                           + 0.15000000000000002 / (SELECT n FROM n2)
+                           AS nr
+                  FROM p2 p
+                  LEFT JOIN (SELECT ee.dst, sum(q.rank / dg.d) AS s
+                             FROM p2 q
+                             JOIN ea ee ON ee.src = q.vid
+                             JOIN d2 dg ON dg.vid = q.vid
+                             GROUP BY 1) c ON c.dst = p.vid
+                  WHERE (SELECT max(q.delta) FROM p2 q) > 0.001
+                    AND (SELECT sum(q.delta) FROM p2 q) >= 0.001
+                ) x
+              ),
+              l2 AS (SELECT * FROM p2
+                     WHERE it = (SELECT max(it) FROM p2))
+            SELECT row_number() OVER (ORDER BY rank DESC, vid) AS pos,
+                   vid
+            FROM l2 ORDER BY rank DESC, vid LIMIT 20
         """,
         "pseudo_diameter_copurchase": f"""
             WITH RECURSIVE

@@ -296,6 +296,7 @@ def bench_queries() -> dict[str, float]:
         "spam_mass_hosts",
         "canonical_urls",
         "pseudo_diameter_copurchase",
+        "pagerank_incremental_top20",
         "harmonic_copurchase",
         "link_prediction_copurchase",
         "events_hourly",
