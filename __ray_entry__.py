@@ -1069,11 +1069,27 @@ def q_sssp_weighted_copurchase(sf_dir: str) -> rd.Dataset:
 def q_link_prediction_copurchase(sf_dir: str) -> rd.Dataset:
     """Top-20 recommended (non-adjacent) part pairs by common
     co-purchase neighbors, with Jaccard + preferential-attachment
-    scores (Liben-Nowell–Kleinberg link prediction). cn/pref_attach
-    int64-exact; jaccard is one division of exact ints."""
+    scores (Liben-Nowell–Kleinberg link prediction) over the STRONG
+    co-purchase graph (pairs co-bought in >= 2 distinct orders — the
+    raw graph is near-complete at every SF, where all-pairs CN is
+    meaningless and quadratic). cn/pref_attach int64-exact; jaccard is
+    one division of exact ints."""
+    import pyarrow.compute as pc
+
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
     from parallel_pagerank_ray.pipelines.linkpred import link_prediction_topk
 
-    g = _copurchase_graph(sf_dir, dedup=True)
+    wg = _copurchase_weighted_graph(sf_dir)
+    strong = wg.edges.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t.column("w"), 2),
+                pc.less(t.column("src"), t.column("dst")),
+            )
+        ).select(["src", "dst"]),
+        batch_format="pyarrow",
+    )
+    g = Graph(n=wg.n, edges=strong.materialize())
     return link_prediction_topk(g, k=20)
 
 
@@ -3326,7 +3342,13 @@ def oracle_sql() -> dict[str, str]:
             FROM dmin GROUP BY 1
         """,
         "link_prediction_copurchase": f"""
-            WITH e AS MATERIALIZED ({_COPURCHASE_SQL}),
+            WITH e AS MATERIALIZED (
+              SELECT a.l_partkey AS src, b.l_partkey AS dst
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2
+              HAVING count(DISTINCT a.l_orderkey) >= 2),
             und AS MATERIALIZED (
               SELECT src, dst FROM e WHERE src <> dst
               UNION ALL SELECT dst, src FROM e WHERE src <> dst),
