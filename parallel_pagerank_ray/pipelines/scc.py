@@ -281,7 +281,7 @@ def scc_bsp(
     graph: Graph,
     num_parts: int | None = None,
     trim: bool = True,
-    max_trim_rounds: int = 1000,
+    max_trim_rounds: int = 100,
     max_outer: int = 100_000,
     fwd_store: EdgeShardStore | None = None,
     bwd_store: EdgeShardStore | None = None,
@@ -289,7 +289,12 @@ def scc_bsp(
     """Exact SCC ids (max member vid) for every vid in [0, n).
 
     ``trim`` peels zero-in/zero-out-degree singletons to fixpoint first
-    (cheap, kills crawl tendrils); the coloring loop handles the rest.
+    (cheap, kills crawl tendrils; web graphs converge in <10 rounds —
+    measured 4 on the 1M power-law bench digraph). ``max_trim_rounds``
+    bounds the pathological long-chain case, where each round peels
+    only the chain head at O(E_active) cost — after the cap the
+    coloring loop finishes the remainder correctly (every phase is
+    correct on any active set; trim is purely an accelerator).
     """
     n = graph.n
     if n == 0:

@@ -105,3 +105,12 @@ def test_bowtie_matches_reachability_oracle():
         else:
             want = "OTHER"
         assert bt[v] == want, v
+
+
+def test_scc_long_chain_trim_cap():
+    """Pathological chain: trim peels one head per round; the cap hands
+    the remainder to coloring, which must still be exact."""
+    n = 30
+    g = _graph(n, [(i, i + 1) for i in range(n - 1)])
+    got = _run(g, max_trim_rounds=3)
+    assert got.tolist() == list(range(n))  # all singletons
