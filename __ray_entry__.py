@@ -1044,6 +1044,29 @@ def q_pagerank_incremental_top20(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_ktruss_copurchase(sf_dir: str) -> rd.Dataset:
+    """3-truss of the strong co-purchase graph (pairs co-bought in
+    >= 2 distinct orders): surviving canonical edges after synchronous
+    triangle-support peeling. Integer edge rows -> value-exact."""
+    import pyarrow.compute as pc
+
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.ktruss import ktruss_edges
+
+    wg = _copurchase_weighted_graph(sf_dir)
+    strong = wg.edges.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t.column("w"), 2),
+                pc.less(t.column("src"), t.column("dst")),
+            )
+        ).select(["src", "dst"]),
+        batch_format="pyarrow",
+    )
+    g = Graph(n=wg.n, edges=strong.materialize())
+    return ktruss_edges(g, k=3, edges_simple=True)
+
+
 def q_pseudo_diameter_copurchase(sf_dir: str) -> pa.Table:
     """Pseudo-diameter (iterated double-sweep BFS from vid 0) of the
     undirected co-purchase graph: (start, peripheral, diameter_lb),
@@ -1967,6 +1990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_prediction_copurchase": q_link_prediction_copurchase,
         "pseudo_diameter_copurchase": q_pseudo_diameter_copurchase,
         "pagerank_incremental_top20": q_pagerank_incremental_top20,
+        "ktruss_copurchase": q_ktruss_copurchase,
         "random_walks_copurchase": q_random_walks_copurchase,
         "random_walks_weighted_copurchase": q_random_walks_weighted_copurchase,
         "spcount_copurchase": q_spcount_copurchase,
@@ -3479,6 +3503,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_number() OVER (ORDER BY rank DESC, vid) AS pos,
                    vid
             FROM l2 ORDER BY rank DESC, vid LIMIT 20
+        """,
+        "ktruss_copurchase": """
+            WITH RECURSIVE
+              e AS MATERIALIZED (
+                SELECT a.l_partkey AS src, b.l_partkey AS dst
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+                HAVING count(DISTINCT a.l_orderkey) >= 2),
+              kt(it, src, dst, alive, ch) AS (
+                SELECT 0, src, dst, 1, 1 FROM e
+                UNION ALL
+                SELECT t.it + 1, t.src, t.dst,
+                       CASE WHEN t.alive = 1 AND coalesce(m.sup, 0) >= 1
+                            THEN 1 ELSE 0 END,
+                       CASE WHEN t.alive = 1 AND coalesce(m.sup, 0) < 1
+                            THEN 1 ELSE 0 END
+                FROM kt t
+                LEFT JOIN (
+                  SELECT src, dst, count(*) AS sup FROM (
+                    SELECT a.src AS src, a.dst AS dst
+                    FROM kt a
+                    JOIN kt b ON b.src = a.src AND b.alive = 1
+                            AND a.dst < b.dst
+                    JOIN kt c ON c.src = a.dst AND c.dst = b.dst
+                            AND c.alive = 1
+                    WHERE a.alive = 1
+                    UNION ALL
+                    SELECT a.src, b.dst
+                    FROM kt a
+                    JOIN kt b ON b.src = a.src AND b.alive = 1
+                            AND a.dst < b.dst
+                    JOIN kt c ON c.src = a.dst AND c.dst = b.dst
+                            AND c.alive = 1
+                    WHERE a.alive = 1
+                    UNION ALL
+                    SELECT a.dst, b.dst
+                    FROM kt a
+                    JOIN kt b ON b.src = a.src AND b.alive = 1
+                            AND a.dst < b.dst
+                    JOIN kt c ON c.src = a.dst AND c.dst = b.dst
+                            AND c.alive = 1
+                    WHERE a.alive = 1
+                  ) GROUP BY 1, 2
+                ) m ON m.src = t.src AND m.dst = t.dst
+                WHERE (SELECT max(t2.ch) FROM kt t2) = 1
+              )
+            SELECT src, dst FROM kt
+            WHERE it = (SELECT max(it) FROM kt) AND alive = 1
+            ORDER BY src, dst
         """,
         "pseudo_diameter_copurchase": f"""
             WITH RECURSIVE

@@ -297,6 +297,7 @@ def bench_queries() -> dict[str, float]:
         "canonical_urls",
         "pseudo_diameter_copurchase",
         "pagerank_incremental_top20",
+        "ktruss_copurchase",
         "harmonic_copurchase",
         "link_prediction_copurchase",
         "events_hourly",
