@@ -1067,6 +1067,31 @@ def q_ktruss_copurchase(sf_dir: str) -> rd.Dataset:
     return ktruss_edges(g, k=3, edges_simple=True)
 
 
+def q_katz_pages(sf_dir: str) -> rd.Dataset:
+    """Truncated Katz centrality (pipelines/katz.py) over the directed
+    page link graph: (url, score) with score = sum_{k=1..4}
+    2^(4-k) * walks_k — the alpha=1/2 attenuation scaled by 2^4 so
+    every value is int64-exact at any parallelism."""
+    from parallel_pagerank_ray.pipelines.graph_build import (
+        Graph,
+        links_from_pages,
+    )
+    from parallel_pagerank_ray.pipelines.katz import katz_bsp
+    from parallel_pagerank_ray.util import safe_join
+
+    pages, _ = _pages(sf_dir)
+    graph = Graph.from_links(links_from_pages(pages))
+    run = katz_bsp(graph, length=4)
+    joined = safe_join(
+        run.scores,
+        graph.vertices,
+        join_type="inner",
+        num_partitions=4,
+        on=("vid",),
+    )
+    return joined.select_columns(["url", "score"])
+
+
 def q_pseudo_diameter_copurchase(sf_dir: str) -> pa.Table:
     """Pseudo-diameter (iterated double-sweep BFS from vid 0) of the
     undirected co-purchase graph: (start, peripheral, diameter_lb),
@@ -1991,6 +2016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pseudo_diameter_copurchase": q_pseudo_diameter_copurchase,
         "pagerank_incremental_top20": q_pagerank_incremental_top20,
         "ktruss_copurchase": q_ktruss_copurchase,
+        "katz_pages": q_katz_pages,
         "random_walks_copurchase": q_random_walks_copurchase,
         "random_walks_weighted_copurchase": q_random_walks_weighted_copurchase,
         "spcount_copurchase": q_spcount_copurchase,
@@ -3554,6 +3580,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, dst FROM kt
             WHERE it = (SELECT max(it) FROM kt) AND alive = 1
             ORDER BY src, dst
+        """,
+        "katz_pages": """
+            WITH RECURSIVE
+              e AS MATERIALIZED (
+                SELECT DISTINCT
+                       'https://docs.example/p' || doc_id AS src,
+                       'https://docs.example/p' ||
+                       ((doc_id * 7 + k.range + 1)
+                        % (SELECT count(*) FROM documents)) AS dst
+                FROM documents, range(3) k),
+              verts AS MATERIALIZED (
+                SELECT DISTINCT url FROM (SELECT src AS url FROM e
+                                          UNION ALL SELECT dst FROM e)),
+              w(it, url, cnt, score) AS (
+                SELECT 0, url, CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+                FROM verts
+                UNION ALL
+                SELECT p.it + 1, p.url,
+                       CAST(coalesce(c.s, 0) AS BIGINT),
+                       2 * p.score + CAST(coalesce(c.s, 0) AS BIGINT)
+                FROM w p
+                LEFT JOIN (SELECT ee.dst, sum(q.cnt) AS s
+                           FROM w q JOIN e ee ON ee.src = q.url
+                           GROUP BY 1) c ON c.dst = p.url
+                WHERE p.it < 4
+              )
+            SELECT url, score FROM w WHERE it = 4
         """,
         "pseudo_diameter_copurchase": f"""
             WITH RECURSIVE

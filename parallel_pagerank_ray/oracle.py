@@ -249,6 +249,21 @@ def hits_scores(
     return a, h
 
 
+def katz_scores(n: int, edges: np.ndarray, length: int = 4) -> np.ndarray:
+    """Integer-scaled truncated Katz (alpha=1/2, scaled by 2^L):
+    score[v] = sum_{k=1..L} 2^(L-k) * walks_k[v], walks_k = (A^T)^k 1."""
+    e = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    x = np.ones(n, dtype=np.int64)
+    acc = np.zeros(n, dtype=np.int64)
+    for k in range(1, length + 1):
+        nxt = np.zeros(n, dtype=np.int64)
+        if len(e):
+            np.add.at(nxt, e[:, 1], x[e[:, 0]])
+        x = nxt
+        acc += (1 << (length - k)) * x
+    return acc
+
+
 def pagerank_weighted(
     n: int,
     edges: np.ndarray,
