@@ -1842,6 +1842,16 @@ def q_events_asof(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_events_running(sf_dir: str) -> rd.Dataset:
+    """SQL-window-function family: per-user ordered prefix scans
+    (row_number, running int-cents sum, running max) over the events
+    timeline — `pipelines/events.py::running_window`."""
+    from parallel_pagerank_ray.pipelines.events import running_window
+    from parallel_pagerank_ray.pipelines.relational import read_table
+
+    return running_window(read_table(sf_dir, "events"))
+
+
 def q_pricing_summary(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.relational import pricing_summary, read_table
 
@@ -2069,6 +2079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": q_events_hopping,
         "sessionize": q_sessionize,
         "events_asof": q_events_asof,
+        "events_running": q_events_running,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "revenue_by_nation": q_revenue_by_nation,
@@ -4031,6 +4042,17 @@ def oracle_sql() -> dict[str, str]:
               ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
             ) m ON true
             WHERE c.event_type = 'click'
+        """,
+        "events_running": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   CAST(sum(cents) OVER w AS BIGINT) AS run_sum_cents,
+                   CAST(max(cents) OVER w AS BIGINT) AS run_max_cents
+            FROM (SELECT event_id, user_id, ts,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -275,3 +275,62 @@ def windowed_topk_users(events: rd.Dataset, k: int = 3) -> rd.Dataset:
         [False, True],
         k=k,
     )
+
+
+def running_window(events: rd.Dataset) -> rd.Dataset:
+    """Ordered prefix scans per user — the SQL window-function family
+    ``f(...) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS
+    UNBOUNDED PRECEDING)``. Output one row per event:
+    (event_id, user_id, rn, run_sum_cents, run_max_cents) with
+
+        rn            = row_number() within the user's timeline
+        run_sum_cents = running sum of integer cents (exact: the scan
+                        order is the total order (ts, event_id), so the
+                        int64 prefix sum is bit-reproducible at any
+                        parallelism)
+        run_max_cents = running max of cents
+
+    Scale shape: ONE hash shuffle keyed by user_id % B co-locates each
+    user's events; the per-bucket kernel is a single lexsort plus
+    C-implemented segmented scans (pandas groupby cumsum/cummax/
+    cumcount) over every user in the bucket — no per-user Python.
+    Partitioning assumption: one user's events fit a worker (same
+    contract as sessionize; salt by time range for pathological users).
+    """
+    num_buckets = resolve_num_buckets(events)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": uid,
+                "ts": df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+                "cents": np.round(df["value"].to_numpy() * 100.0).astype(np.int64),
+                "bucket": (uid % num_buckets).astype(np.int64),
+            }
+        )
+
+    def scans(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (g["event_id"].to_numpy(), g["ts"].to_numpy(), g["user_id"].to_numpy())
+        )
+        s = g.iloc[order]
+        grp = s.groupby("user_id", sort=False)["cents"]
+        return pd.DataFrame(
+            {
+                "event_id": s["event_id"].to_numpy(),
+                "user_id": s["user_id"].to_numpy(),
+                "rn": (grp.cumcount() + 1).to_numpy().astype(np.int64),
+                "run_sum_cents": grp.cumsum().to_numpy().astype(np.int64),
+                "run_max_cents": grp.cummax().to_numpy().astype(np.int64),
+            }
+        )
+
+    out = (
+        events.select_columns(["event_id", "user_id", "ts", "value"])
+        .map_batches(keyed, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(scans, batch_format="pandas")
+    )
+    return drop_empty_blocks(out)

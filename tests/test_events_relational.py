@@ -498,3 +498,55 @@ def test_hourly_distinct_users():
         .reset_index(drop=True)
     )
     assert got["n_users"].tolist() == [2, 2]  # hour 10: {1,2}; 11: {1,3}
+
+
+def test_running_window_matches_pandas():
+    from parallel_pagerank_ray.pipelines.events import running_window
+
+    df = _events_df()
+    df["event_id"] = np.arange(len(df), dtype=np.int64)
+    got = (
+        running_window(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    s = df.assign(
+        cents=np.round(df["value"].to_numpy() * 100).astype(np.int64)
+    ).sort_values(["user_id", "ts", "event_id"])
+    grp = s.groupby("user_id", sort=False)["cents"]
+    exp = (
+        pd.DataFrame(
+            {
+                "event_id": s["event_id"].to_numpy(),
+                "rn": (grp.cumcount() + 1).to_numpy(),
+                "run_sum_cents": grp.cumsum().to_numpy(),
+                "run_max_cents": grp.cummax().to_numpy(),
+            }
+        )
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(df)
+    for c in ("rn", "run_sum_cents", "run_max_cents"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_running_window_partition_invariance():
+    from parallel_pagerank_ray.pipelines.events import running_window
+
+    df = _events_df()
+    df["event_id"] = np.arange(len(df), dtype=np.int64)
+    a = (
+        running_window(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        running_window(rd.from_pandas(df).repartition(7))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
