@@ -1067,6 +1067,17 @@ def q_ktruss_copurchase(sf_dir: str) -> rd.Dataset:
     return ktruss_edges(g, k=3, edges_simple=True)
 
 
+def q_mis_copurchase(sf_dir: str) -> rd.Dataset:
+    """Deterministic Luby maximal independent set (pipelines/mis.py)
+    of the undirected co-purchase graph: (vid,) members. The priority
+    key is a pure SQL-safe function of the vid, so the set is
+    value-exact against the DuckDB round-replay oracle."""
+    from parallel_pagerank_ray.pipelines.mis import mis_bsp
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return mis_bsp(g).members
+
+
 def q_katz_pages(sf_dir: str) -> rd.Dataset:
     """Truncated Katz centrality (pipelines/katz.py) over the directed
     page link graph: (url, score) with score = sum_{k=1..4}
@@ -2026,6 +2037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pseudo_diameter_copurchase": q_pseudo_diameter_copurchase,
         "pagerank_incremental_top20": q_pagerank_incremental_top20,
         "ktruss_copurchase": q_ktruss_copurchase,
+        "mis_copurchase": q_mis_copurchase,
         "katz_pages": q_katz_pages,
         "random_walks_copurchase": q_random_walks_copurchase,
         "random_walks_weighted_copurchase": q_random_walks_weighted_copurchase,
@@ -3591,6 +3603,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, dst FROM kt
             WHERE it = (SELECT max(it) FROM kt) AND alive = 1
             ORDER BY src, dst
+        """,
+        "mis_copurchase": f"""
+            WITH RECURSIVE
+            {_supplier_part_vid_graph(_COPURCHASE_SQL)},
+              st(it, vid, state) AS (
+                SELECT 0, vid, 1 FROM v
+                UNION ALL
+                SELECT s.it + 1, s.vid,
+                  CASE WHEN s.state <> 1 THEN s.state
+                       WHEN ((1000033 * s.vid + 777) % 2147483647)
+                            * 2147483648 + s.vid
+                            < coalesce(mn.k, 9223372036854775807) THEN 2
+                       WHEN nb.vid IS NOT NULL THEN 0
+                       ELSE 1 END
+                FROM st s
+                LEFT JOIN (
+                  SELECT u.dst AS vid,
+                         min(((1000033 * u.src + 777) % 2147483647)
+                             * 2147483648 + u.src) AS k
+                  FROM und u JOIN st t ON t.vid = u.src AND t.state = 1
+                  GROUP BY 1) mn ON mn.vid = s.vid
+                LEFT JOIN (
+                  SELECT DISTINCT u2.dst AS vid
+                  FROM und u2
+                  JOIN (
+                    SELECT t2.vid
+                    FROM st t2
+                    LEFT JOIN (
+                      SELECT u3.dst AS vid,
+                             min(((1000033 * u3.src + 777) % 2147483647)
+                                 * 2147483648 + u3.src) AS k
+                      FROM und u3
+                      JOIN st t3 ON t3.vid = u3.src AND t3.state = 1
+                      GROUP BY 1) m2 ON m2.vid = t2.vid
+                    WHERE t2.state = 1
+                      AND ((1000033 * t2.vid + 777) % 2147483647)
+                          * 2147483648 + t2.vid
+                          < coalesce(m2.k, 9223372036854775807)) w
+                    ON w.vid = u2.src) nb ON nb.vid = s.vid
+                WHERE (SELECT max(CASE WHEN s2.state = 1 THEN 1 ELSE 0 END)
+                       FROM st s2) = 1
+              )
+            SELECT vid FROM st
+            WHERE it = (SELECT max(it) FROM st) AND state = 2
         """,
         "katz_pages": """
             WITH RECURSIVE

@@ -639,3 +639,29 @@ def strongly_connected_components(n: int, edges: np.ndarray) -> np.ndarray:
         for v in members:
             comp[v] = mx
     return comp
+
+
+def luby_mis(n: int, edges: np.ndarray) -> np.ndarray:
+    """Membership mask of the deterministic Luby MIS (pipelines/mis.py
+    priority rounds): each round, every alive vertex whose key is a
+    strict minimum among alive neighbors joins; winners + neighbors die."""
+    from parallel_pagerank_ray.pipelines.mis import mis_key
+
+    adj = _undirected_adj(n, edges)
+    key = mis_key(np.arange(n, dtype=np.int64))
+    alive = np.ones(n, dtype=bool)
+    mis = np.zeros(n, dtype=bool)
+    while alive.any():
+        winners = [
+            v
+            for v in range(n)
+            if alive[v]
+            and all(key[v] < key[u] for u in adj[v] if alive[u])
+        ]
+        for v in winners:
+            mis[v] = True
+            alive[v] = False
+        for v in winners:
+            for u in adj[v]:
+                alive[u] = False
+    return mis
