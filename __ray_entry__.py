@@ -1853,6 +1853,35 @@ def q_events_asof(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_events_daily_pivot(sf_dir: str) -> rd.Dataset:
+    """Pivot via conditional aggregation: per-day counts per event type
+    (fixed vocabulary) + total — `relational.py::daily_type_pivot`."""
+    from parallel_pagerank_ray.pipelines.relational import (
+        daily_type_pivot,
+        read_table,
+    )
+
+    piv = daily_type_pivot(read_table(sf_dir, "events"))
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["day"] = df["day"].dt.strftime("%Y-%m-%d")
+        return df
+
+    return piv.map_batches(fmt, batch_format="pandas")
+
+
+def q_pricing_rollup(sf_dir: str) -> rd.Dataset:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) qty sums via
+    hierarchical re-aggregation — `relational.py::pricing_rollup`."""
+    from parallel_pagerank_ray.pipelines.relational import (
+        pricing_rollup,
+        read_table,
+    )
+
+    return pricing_rollup(read_table(sf_dir, "lineitem"))
+
+
 def q_events_running(sf_dir: str) -> rd.Dataset:
     """SQL-window-function family: per-user ordered prefix scans
     (row_number, running int-cents sum, running max) over the events
@@ -2092,6 +2121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "events_asof": q_events_asof,
         "events_running": q_events_running,
+        "events_daily_pivot": q_events_daily_pivot,
+        "pricing_rollup": q_pricing_rollup,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "revenue_by_nation": q_revenue_by_nation,
@@ -4098,6 +4129,25 @@ def oracle_sql() -> dict[str, str]:
               ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
             ) m ON true
             WHERE c.event_type = 'click'
+        """,
+        "events_daily_pivot": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'error') AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'view') AS n_view,
+                   count(*) AS n_total
+            FROM events GROUP BY 1
+        """,
+        "pricing_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_qty_cents,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         "events_running": """
             SELECT event_id, user_id,

@@ -551,3 +551,102 @@ def distinct_parts_per_nation(
         )
 
     return counts.map_batches(attach, batch_format="pandas")
+
+
+def daily_type_pivot(events: rd.Dataset, types: list[str] | None = None) -> rd.Dataset:
+    """Pivot (conditional aggregation): one row per day with a count
+    column per event type plus the total — ``count(*) FILTER (WHERE
+    event_type = t)`` for a FIXED type vocabulary (a pivot's output
+    schema must be static; unknown types land in nothing but the
+    total). Output: (day, n_<type>..., n_total), integer-exact.
+
+    Scale shape: the indicator columns are built vectorized in the map
+    stage, so the single bucketed groupby ships one int64 row per
+    (batch, day) — never raw events; no per-type scan."""
+    if types is None:
+        types = ["click", "error", "purchase", "signup", "view"]
+
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        et = df["event_type"].to_numpy()
+        out = {"day": df["ts"].dt.floor("D")}
+        for t in types:
+            out[f"n_{t}"] = (et == t).astype(np.int64)
+        out["n_total"] = np.ones(len(df), dtype=np.int64)
+        return pd.DataFrame(out)
+
+    return grouped_agg(
+        events.select_columns(["ts", "event_type"]).map_batches(
+            keyed, batch_format="pandas"
+        ),
+        ["day"],
+        {f"n_{t}": (f"n_{t}", "sum") for t in types}
+        | {"n_total": ("n_total", "sum")},
+    )
+
+
+def pricing_rollup(lineitem: rd.Dataset, cutoff: str = "1998-09-02") -> rd.Dataset:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): the finest level
+    plus per-flag subtotals plus the grand total, NULL-filled like SQL.
+    Output: (l_returnflag, l_linestatus, sum_qty_cents, n_rows).
+
+    Scale shape — hierarchical re-aggregation, the only sane ROLLUP
+    plan at 100 TB: the raw table is aggregated ONCE to the finest
+    grouping (a few dozen rows); every coarser level re-aggregates
+    that tiny result, so adding rollup levels costs nothing extra on
+    the big side."""
+    finest = pricing_summary(lineitem, cutoff=cutoff).materialize()
+
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    def fine(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "sum_qty_cents": t.column("sum_qty_cents"),
+                "n_rows": t.column("n_rows"),
+            }
+        )
+
+    by_flag = grouped_agg(
+        finest,
+        ["l_returnflag"],
+        {"sum_qty_cents": ("sum_qty_cents", "sum"), "n_rows": ("n_rows", "sum")},
+        num_buckets=1,
+    )
+
+    def null_status(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": pa.nulls(len(t), pa.string()),
+                "sum_qty_cents": t.column("sum_qty_cents"),
+                "n_rows": t.column("n_rows"),
+            }
+        )
+
+    from parallel_pagerank_ray.stages.agg import global_agg
+
+    tot = global_agg(
+        finest,
+        {"sum_qty_cents": ("sum_qty_cents", "sum"), "n_rows": ("n_rows", "sum")},
+    )
+    grand = rd.from_arrow(
+        pa.table(
+            {
+                "l_returnflag": pa.nulls(1, pa.string()),
+                "l_linestatus": pa.nulls(1, pa.string()),
+                "sum_qty_cents": pa.array(
+                    [int(tot["sum_qty_cents"] or 0)], pa.int64()
+                ),
+                "n_rows": pa.array([int(tot["n_rows"] or 0)], pa.int64()),
+            }
+        )
+    )
+    return (
+        finest.map_batches(fine, batch_format="pyarrow")
+        .union(by_flag.map_batches(null_status, batch_format="pyarrow"))
+        .union(grand)
+    )

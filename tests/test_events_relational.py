@@ -550,3 +550,60 @@ def test_running_window_partition_invariance():
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_daily_type_pivot_matches_pandas():
+    from parallel_pagerank_ray.pipelines.relational import daily_type_pivot
+
+    df = _events_df()
+    got = (
+        daily_type_pivot(rd.from_pandas(df), types=["a", "b", "c"])
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    day = df["ts"].dt.floor("D")
+    exp = (
+        pd.DataFrame(
+            {
+                "day": day,
+                **{
+                    f"n_{t}": (df["event_type"] == t).astype(np.int64)
+                    for t in ("a", "b", "c")
+                },
+                "n_total": 1,
+            }
+        )
+        .groupby("day")
+        .sum()
+        .reset_index()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for c in ("n_a", "n_b", "n_c", "n_total"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_pricing_rollup_matches_duckdb():
+    from parallel_pagerank_ray.pipelines.relational import pricing_rollup
+
+    li = read_table(SF, "lineitem")
+    got = pricing_rollup(li).to_pandas()
+    exp = duckdb.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_qty_cents,
+               count(*) AS n_rows
+        FROM '{SF}/lineitem.parquet'
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """
+    ).df()
+    key = ["l_returnflag", "l_linestatus"]
+    got = got.fillna({"l_returnflag": "", "l_linestatus": ""}).sort_values(key).reset_index(drop=True)
+    exp = exp.fillna({"l_returnflag": "", "l_linestatus": ""}).sort_values(key).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["sum_qty_cents"].to_numpy() == exp["sum_qty_cents"].to_numpy()).all()
+    assert (got["n_rows"].to_numpy() == exp["n_rows"].to_numpy()).all()
