@@ -1078,6 +1078,17 @@ def q_mis_copurchase(sf_dir: str) -> rd.Dataset:
     return mis_bsp(g).members
 
 
+def q_coloring_copurchase(sf_dir: str) -> rd.Dataset:
+    """Deterministic Jones-Plassmann greedy coloring
+    (pipelines/coloring.py) of the undirected co-purchase graph:
+    (vid, color) — exactly the sequential greedy coloring along the
+    SQL-safe priority order, value-exact vs the round-replay CTE."""
+    from parallel_pagerank_ray.pipelines.coloring import coloring_bsp
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return coloring_bsp(g).colors
+
+
 def q_katz_pages(sf_dir: str) -> rd.Dataset:
     """Truncated Katz centrality (pipelines/katz.py) over the directed
     page link graph: (url, score) with score = sum_{k=1..4}
@@ -2067,6 +2078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_incremental_top20": q_pagerank_incremental_top20,
         "ktruss_copurchase": q_ktruss_copurchase,
         "mis_copurchase": q_mis_copurchase,
+        "coloring_copurchase": q_coloring_copurchase,
         "katz_pages": q_katz_pages,
         "random_walks_copurchase": q_random_walks_copurchase,
         "random_walks_weighted_copurchase": q_random_walks_weighted_copurchase,
@@ -3634,6 +3646,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, dst FROM kt
             WHERE it = (SELECT max(it) FROM kt) AND alive = 1
             ORDER BY src, dst
+        """,
+        "coloring_copurchase": f"""
+            WITH RECURSIVE
+            {_supplier_part_vid_graph(_COPURCHASE_SQL)},
+              st(it, vid, color) AS (
+                SELECT 0, vid, -1 FROM v
+                UNION ALL
+                SELECT s.it + 1, s.vid,
+                  CASE WHEN s.color >= 0 THEN s.color
+                       WHEN b.vid IS NOT NULL THEN -1
+                       ELSE coalesce(m.mex, 0) END
+                FROM st s
+                LEFT JOIN (
+                  SELECT u.dst AS vid
+                  FROM und u JOIN st t ON t.vid = u.src
+                  WHERE t.color = -1
+                    AND ((1000033 * u.src + 777) % 2147483647)
+                        * 2147483648 + u.src
+                      < ((1000033 * u.dst + 777) % 2147483647)
+                        * 2147483648 + u.dst
+                  GROUP BY 1) b ON b.vid = s.vid
+                LEFT JOIN (
+                  SELECT c.vid, min(c.k) AS mex FROM (
+                    SELECT vid, 0 AS k FROM v
+                    UNION ALL
+                    SELECT u1.dst, t1.color + 1
+                    FROM und u1
+                    JOIN st t1 ON t1.vid = u1.src AND t1.color >= 0
+                  ) c
+                  LEFT JOIN (
+                    SELECT u2.dst AS vid, t2.color AS col
+                    FROM und u2
+                    JOIN st t2 ON t2.vid = u2.src AND t2.color >= 0
+                  ) u3 ON u3.vid = c.vid AND u3.col = c.k
+                  WHERE u3.vid IS NULL
+                  GROUP BY 1) m ON m.vid = s.vid
+                WHERE (SELECT max(CASE WHEN s2.color = -1 THEN 1 ELSE 0 END)
+                       FROM st s2) = 1
+              )
+            SELECT vid, color FROM st WHERE it = (SELECT max(it) FROM st)
         """,
         "mis_copurchase": f"""
             WITH RECURSIVE

@@ -665,3 +665,21 @@ def luby_mis(n: int, edges: np.ndarray) -> np.ndarray:
             for u in adj[v]:
                 alive[u] = False
     return mis
+
+
+def greedy_coloring(n: int, edges: np.ndarray) -> np.ndarray:
+    """Sequential greedy coloring along the MIS priority order — the
+    exact fixpoint Jones-Plassmann rounds (pipelines/coloring.py)
+    compute in parallel."""
+    from parallel_pagerank_ray.pipelines.mis import mis_key
+
+    adj = _undirected_adj(n, edges)
+    order = np.argsort(mis_key(np.arange(n, dtype=np.int64)))
+    color = np.full(n, -1, dtype=np.int64)
+    for v in order:
+        used = {int(color[u]) for u in adj[v] if color[u] >= 0}
+        c = 0
+        while c in used:
+            c += 1
+        color[v] = c
+    return color

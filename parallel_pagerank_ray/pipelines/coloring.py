@@ -1,0 +1,223 @@
+"""Greedy graph coloring — deterministic Jones–Plassmann rounds.
+
+Beyond-reference capability (the reference has no vertex-labeling
+primitives beyond PageRank's float ranks,
+/root/reference/pagerank_mpi/pagerank_mpi.c:132-231). The classic
+parallel greedy coloring over the simple undirected closure:
+
+    priority  the MIS total-order key (pipelines/mis.py::mis_key) —
+              a pure SQL-safe function of the vid
+    round     an uncolored vertex colors itself once every
+              HIGHER-priority neighbor is colored; its color is the
+              smallest non-negative integer unused by its colored
+              neighbors (the sequential greedy rule along the
+              priority order, so the result is exactly the greedy
+              coloring and parallelism-independent)
+
+Rounds = the longest decreasing-priority path, O(log n) expected on
+hash priorities (Jones & Plassmann 1993).
+
+BSP shape (the kcore/mis harness): each shard holds the closure edges
+of its vertex range sorted by src with a per-edge COLOR SLOT; when a
+neighbor colors, the broadcast (vid, color) lists land in the slots
+via one dst-sorted searchsorted (each edge written at most once over
+the run — O(E) total), and a per-vertex blocked-count decrements for
+higher-priority deaths exactly like kcore's degree peel. The mex
+(smallest missing color) over a round's ready set is one lexsort +
+segmented scan, no per-vertex Python. Per-round traffic is the newly
+colored (vid, color) id lists — never a dense vector.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import ray
+import ray.data as rd
+
+from parallel_pagerank_ray.pipelines.graph_build import Graph, undirected_edges
+from parallel_pagerank_ray.pipelines.mis import mis_key
+from parallel_pagerank_ray.stages.csr_store import EdgeShardStore, per_actor_cpus
+
+
+@dataclass
+class ColoringRun:
+    colors: rd.Dataset  # (vid, color) int64, proper greedy coloring
+    iterations: int
+    history: list[dict] = field(default_factory=list)
+
+
+def _segment_mex(owner: np.ndarray, colors: np.ndarray, ready: np.ndarray) -> np.ndarray:
+    """Smallest missing non-negative color per ready vertex. ``owner``/
+    ``colors`` are the filled (vertex, neighbor-color) pairs of the
+    ready set; vertices with no pairs get 0. One lexsort + one scan."""
+    if not len(owner):
+        return np.zeros(len(ready), dtype=np.int64)
+    pos = np.searchsorted(ready, owner)  # ready is sorted
+    order = np.lexsort((colors, pos))
+    p, c = pos[order], colors[order]
+    # dedupe consecutive (vertex, color) pairs
+    keep = np.concatenate(([True], (p[1:] != p[:-1]) | (c[1:] != c[:-1])))
+    p, c = p[keep], c[keep]
+    starts = np.concatenate(([True], p[1:] != p[:-1]))
+    rank = np.arange(len(p)) - np.maximum.accumulate(
+        np.where(starts, np.arange(len(p)), -1)
+    )
+    # colors are sorted per vertex: mex = first rank where color != rank,
+    # else (count of consecutive hits)
+    hit = c == rank
+    # per vertex: number of leading hits = min rank where ~hit, else total
+    miss_rank = np.where(~hit, rank, np.iinfo(np.int64).max)
+    first_miss = np.full(len(ready), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(first_miss, p, miss_rank)
+    counts = np.zeros(len(ready), dtype=np.int64)
+    np.add.at(counts, p, 1)
+    mex = np.where(first_miss == np.iinfo(np.int64).max, counts, first_miss)
+    return mex
+
+
+@ray.remote
+class _ColorShard:
+    def __init__(self, part: int, part_refs: list, n: int, part_size: int) -> None:
+        self.base = part * part_size
+        self.size = max(0, min(part_size, n - self.base))
+        if part_refs:
+            chunks = ray.get(part_refs)
+            src = np.concatenate([c[0] for c in chunks]) - self.base
+            dst = np.concatenate([c[1] for c in chunks])
+        else:
+            src = np.array([], dtype=np.int64)
+            dst = np.array([], dtype=np.int64)
+        order = np.argsort(src, kind="stable")
+        self.src = src[order]
+        self.dst = dst[order]
+        idx = np.arange(self.size, dtype=np.int64)
+        self.start = np.searchsorted(self.src, idx, "left")
+        self.end = np.searchsorted(self.src, idx, "right")
+        self.slot = np.full(len(self.src), -1, dtype=np.int64)  # neighbor colors
+        self.dst_order = np.argsort(self.dst, kind="stable")
+        self.dst_sorted = self.dst[self.dst_order]
+        my_key = mis_key(self.base + idx)
+        # blocked count: higher-priority neighbors still uncolored
+        self.blocked = np.zeros(self.size, dtype=np.int64)
+        if len(self.src):
+            higher = mis_key(self.dst) < my_key[self.src]
+            np.add.at(self.blocked, self.src[higher], 1)
+        self.color = np.full(self.size, -1, dtype=np.int64)
+
+    def apply_colored(self, vids: np.ndarray, colors: np.ndarray) -> tuple:
+        """Land a round's newly-colored (vid, color) lists (sorted by
+        vid), then color every local vertex that became unblocked.
+        Returns (vids, colors) of the newly colored local vertices."""
+        if len(vids):
+            a = np.searchsorted(self.dst_sorted, vids, "left")
+            b = np.searchsorted(self.dst_sorted, vids, "right")
+            lens = b - a
+            m = lens > 0
+            if m.any():
+                a2, lens2 = a[m], lens[m]
+                csum = np.concatenate(([0], np.cumsum(lens2)[:-1]))
+                pos = (
+                    np.arange(int(lens2.sum()))
+                    - np.repeat(csum, lens2)
+                    + np.repeat(a2, lens2)
+                )
+                eidx = self.dst_order[pos]
+                which = np.repeat(np.nonzero(m)[0], lens2)
+                self.slot[eidx] = colors[which]
+                srcs = self.src[eidx]
+                higher = mis_key(self.dst[eidx]) < mis_key(self.base + srcs)
+                np.subtract.at(self.blocked, srcs[higher], 1)
+        ready = np.nonzero((self.color < 0) & (self.blocked == 0))[0]
+        if not len(ready):
+            return (
+                np.array([], dtype=np.int64),
+                np.array([], dtype=np.int64),
+            )
+        # gather the ready vertices' filled neighbor-color slots
+        lens = self.end[ready] - self.start[ready]
+        m = lens > 0
+        owner = np.array([], dtype=np.int64)
+        ncol = np.array([], dtype=np.int64)
+        if m.any():
+            r2, lens2 = ready[m], lens[m]
+            csum = np.concatenate(([0], np.cumsum(lens2)[:-1]))
+            pos = (
+                np.arange(int(lens2.sum()))
+                - np.repeat(csum, lens2)
+                + np.repeat(self.start[r2], lens2)
+            )
+            filled = self.slot[pos] >= 0
+            owner = np.repeat(r2, lens2)[filled]
+            ncol = self.slot[pos][filled]
+        mex = _segment_mex(owner, ncol, ready)
+        self.color[ready] = mex
+        return ((self.base + ready).astype(np.int64), mex)
+
+    def slice_table(self):
+        import pyarrow as pa
+
+        vids = self.base + np.arange(self.size, dtype=np.int64)
+        return pa.table({"vid": vids, "color": self.color})
+
+
+def coloring_bsp(
+    graph: Graph, num_parts: int | None = None, edges_canonical: bool = False
+) -> ColoringRun:
+    """Deterministic Jones–Plassmann greedy coloring of the simple
+    undirected closure of ``graph.edges`` — exactly the sequential
+    greedy coloring along the priority order, at any parallelism.
+    ``edges_canonical=True`` certifies src < dst, distinct, loop-free.
+    Shard state is O(E_p + size); total traffic <= 2n ids + n colors.
+    """
+    n = graph.n
+    if n == 0:
+        return ColoringRun(colors=rd.from_items([]), iterations=0)
+    if num_parts is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_parts = min(256, max(4, cpus))
+    if edges_canonical:
+        canon = graph.edges
+    else:
+        from parallel_pagerank_ray.pipelines.triangles import _simple_undirected
+
+        canon = _simple_undirected(graph.edges)
+    und = undirected_edges(canon, dedup=False)
+    store = EdgeShardStore.build(und, n=n, num_parts=num_parts)
+    del und, canon
+    P = max(1, -(-n // store.part_size))
+    per_actor = per_actor_cpus(P)
+    actors = [
+        _ColorShard.options(num_cpus=per_actor).remote(
+            p, store.part_refs.get(p, []), n, store.part_size
+        )
+        for p in range(P)
+    ]
+    vids = np.array([], dtype=np.int64)
+    cols = np.array([], dtype=np.int64)
+    it = 0
+    history: list[dict] = []
+    try:
+        while True:
+            vref = ray.put(vids)
+            cref = ray.put(cols)
+            parts = ray.get([a.apply_colored.remote(vref, cref) for a in actors])
+            vids = np.concatenate([p[0] for p in parts])
+            cols = np.concatenate([p[1] for p in parts])
+            if not len(vids):
+                break
+            order = np.argsort(vids)  # searchsorted targets next round
+            vids, cols = vids[order], cols[order]
+            it += 1
+            history.append(
+                {"iter": it, "colored": int(len(vids)), "max_color": int(cols.max())}
+            )
+        tables = [a.slice_table.remote() for a in actors]
+        ray.wait(tables, num_returns=len(tables))
+    finally:
+        for a in actors:
+            ray.kill(a)
+    return ColoringRun(
+        colors=rd.from_arrow_refs(tables), iterations=it, history=history
+    )
