@@ -1089,6 +1089,16 @@ def q_coloring_copurchase(sf_dir: str) -> rd.Dataset:
     return coloring_bsp(g).colors
 
 
+def q_matching_copurchase(sf_dir: str) -> rd.Dataset:
+    """Deterministic maximal matching (pipelines/matching.py handshake
+    rounds) of the undirected co-purchase graph: canonical (src, dst)
+    matched pairs, value-exact vs the round-replay CTE."""
+    from parallel_pagerank_ray.pipelines.matching import matching_bsp
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return matching_bsp(g).pairs
+
+
 def q_katz_pages(sf_dir: str) -> rd.Dataset:
     """Truncated Katz centrality (pipelines/katz.py) over the directed
     page link graph: (url, score) with score = sum_{k=1..4}
@@ -2079,6 +2089,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss_copurchase": q_ktruss_copurchase,
         "mis_copurchase": q_mis_copurchase,
         "coloring_copurchase": q_coloring_copurchase,
+        "matching_copurchase": q_matching_copurchase,
         "katz_pages": q_katz_pages,
         "random_walks_copurchase": q_random_walks_copurchase,
         "random_walks_weighted_copurchase": q_random_walks_weighted_copurchase,
@@ -3646,6 +3657,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, dst FROM kt
             WHERE it = (SELECT max(it) FROM kt) AND alive = 1
             ORDER BY src, dst
+        """,
+        "matching_copurchase": f"""
+            WITH RECURSIVE
+            {_supplier_part_vid_graph(_COPURCHASE_SQL)},
+              st(it, vid, m, ch) AS (
+                SELECT 0, vid, CAST(-1 AS BIGINT), 1 FROM v
+                UNION ALL
+                SELECT s.it + 1, s.vid,
+                       CASE WHEN s.m >= 0 THEN s.m
+                            WHEN hs.partner IS NOT NULL THEN hs.partner
+                            ELSE -1 END,
+                       CASE WHEN s.m < 0 AND hs.partner IS NOT NULL
+                            THEN 1 ELSE 0 END
+                FROM st s
+                LEFT JOIN (
+                  SELECT p1.vid, p1.partner
+                  FROM (
+                    SELECT q.vid, q.partner FROM (
+                      SELECT u.dst AS vid, u.src AS partner,
+                             row_number() OVER (PARTITION BY u.dst ORDER BY
+                               (1000037 * least(u.src, u.dst)
+                                + 999983 * greatest(u.src, u.dst))
+                               % 2147483647,
+                               least(u.src, u.dst),
+                               greatest(u.src, u.dst)) AS rn
+                      FROM und u
+                      JOIN st a ON a.vid = u.src AND a.m = -1
+                      JOIN st b ON b.vid = u.dst AND b.m = -1
+                    ) q WHERE q.rn = 1
+                  ) p1
+                  JOIN (
+                    SELECT q.vid, q.partner FROM (
+                      SELECT u.dst AS vid, u.src AS partner,
+                             row_number() OVER (PARTITION BY u.dst ORDER BY
+                               (1000037 * least(u.src, u.dst)
+                                + 999983 * greatest(u.src, u.dst))
+                               % 2147483647,
+                               least(u.src, u.dst),
+                               greatest(u.src, u.dst)) AS rn
+                      FROM und u
+                      JOIN st a ON a.vid = u.src AND a.m = -1
+                      JOIN st b ON b.vid = u.dst AND b.m = -1
+                    ) q WHERE q.rn = 1
+                  ) p2 ON p2.vid = p1.partner AND p2.partner = p1.vid
+                ) hs ON hs.vid = s.vid
+                WHERE (SELECT max(s2.ch) FROM st s2) = 1
+              )
+            SELECT DISTINCT least(vid, m) AS src, greatest(vid, m) AS dst
+            FROM st
+            WHERE it = (SELECT max(it) FROM st) AND m >= 0
         """,
         "coloring_copurchase": f"""
             WITH RECURSIVE

@@ -683,3 +683,48 @@ def greedy_coloring(n: int, edges: np.ndarray) -> np.ndarray:
             c += 1
         color[v] = c
     return color
+
+
+def handshake_matching(n: int, edges: np.ndarray) -> np.ndarray:
+    """Deterministic maximal matching (pipelines/matching.py handshake
+    rounds): each round every unmatched vertex proposes along its
+    minimum (key, u, v) alive incident edge; reciprocated proposals
+    match. Returns canonical (src, dst) rows sorted."""
+    from parallel_pagerank_ray.pipelines.matching import edge_key
+
+    e = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    e = e[e[:, 0] != e[:, 1]]
+    lo = np.minimum(e[:, 0], e[:, 1])
+    hi = np.maximum(e[:, 0], e[:, 1])
+    e = np.unique(np.stack((lo, hi), axis=1), axis=0) if len(e) else e.reshape(0, 2)
+    k = edge_key(e[:, 0], e[:, 1]) if len(e) else np.array([], dtype=np.int64)
+    alive_v = np.ones(n, dtype=bool)
+    alive_e = np.ones(len(e), dtype=bool)
+    out = []
+    while True:
+        idx = np.nonzero(alive_e)[0]
+        if not len(idx):
+            break
+        best: dict[int, int] = {}
+        for i in idx:
+            for v in (int(e[i, 0]), int(e[i, 1])):
+                j = best.get(v)
+                if j is None or (int(k[i]), int(e[i, 0]), int(e[i, 1])) < (
+                    int(k[j]),
+                    int(e[j, 0]),
+                    int(e[j, 1]),
+                ):
+                    best[v] = int(i)
+        matched = [
+            i
+            for i in idx
+            if best.get(int(e[i, 0])) == i and best.get(int(e[i, 1])) == i
+        ]
+        if not matched:
+            break
+        for i in matched:
+            out.append((int(e[i, 0]), int(e[i, 1])))
+            alive_v[e[i, 0]] = False
+            alive_v[e[i, 1]] = False
+        alive_e &= alive_v[e[:, 0]] & alive_v[e[:, 1]]
+    return np.array(sorted(out), dtype=np.int64).reshape(-1, 2)
