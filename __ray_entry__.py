@@ -1903,6 +1903,15 @@ def q_pricing_rollup(sf_dir: str) -> rd.Dataset:
     return pricing_rollup(read_table(sf_dir, "lineitem"))
 
 
+def q_pack_docs(sf_dir: str) -> rd.Dataset:
+    """Sequence packing: greedy first-fit of docs into 1000-char bins
+    per source in doc_id order — `functions/chunking.py::pack_docs`."""
+    from parallel_pagerank_ray.functions.chunking import pack_docs
+    from parallel_pagerank_ray.pipelines.relational import read_table
+
+    return pack_docs(read_table(sf_dir, "documents"), budget=1000)
+
+
 def q_events_running(sf_dir: str) -> rd.Dataset:
     """SQL-window-function family: per-user ordered prefix scans
     (row_number, running int-cents sum, running max) over the events
@@ -2146,6 +2155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running": q_events_running,
         "events_daily_pivot": q_events_daily_pivot,
         "pricing_rollup": q_pricing_rollup,
+        "pack_docs": q_pack_docs,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "revenue_by_nation": q_revenue_by_nation,
@@ -4242,6 +4252,47 @@ def oracle_sql() -> dict[str, str]:
               ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
             ) m ON true
             WHERE c.event_type = 'click'
+        """,
+        "pack_docs": """
+            WITH RECURSIVE
+              cum AS MATERIALIZED (
+                SELECT source, doc_id, n_chars,
+                       CAST(row_number() OVER w AS BIGINT) AS rn,
+                       CAST(sum(n_chars) OVER w AS BIGINT) AS c
+                FROM documents
+                WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING)),
+              bins(source, bin, srn, scum) AS (
+                SELECT source, CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+                       CAST(0 AS BIGINT)
+                FROM (SELECT DISTINCT source FROM documents)
+                UNION ALL
+                SELECT b.source, b.bin + 1,
+                       greatest(b.srn,
+                         coalesce((SELECT max(x.rn) FROM cum x
+                                   WHERE x.source = b.source
+                                     AND x.c - b.scum <= 1000), b.srn)) + 1,
+                       (SELECT x2.c FROM cum x2
+                        WHERE x2.source = b.source
+                          AND x2.rn = greatest(b.srn,
+                                coalesce((SELECT max(x.rn) FROM cum x
+                                          WHERE x.source = b.source
+                                            AND x.c - b.scum <= 1000),
+                                         b.srn)))
+                FROM bins b
+                WHERE EXISTS (SELECT 1 FROM cum nx
+                              WHERE nx.source = b.source
+                                AND nx.rn > greatest(b.srn,
+                                      coalesce((SELECT max(x.rn) FROM cum x
+                                                WHERE x.source = b.source
+                                                  AND x.c - b.scum <= 1000),
+                                               b.srn)))
+              )
+            SELECT d.doc_id, d.source, b.bin AS bin_id
+            FROM cum d JOIN bins b
+              ON b.source = d.source AND b.srn <= d.rn
+            QUALIFY row_number() OVER (PARTITION BY d.source, d.rn
+                                       ORDER BY b.srn DESC) = 1
         """,
         "events_daily_pivot": """
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

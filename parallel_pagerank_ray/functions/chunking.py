@@ -72,3 +72,84 @@ class ChunkDocuments:
                 "chunk": pa.array(out_chunk, type=pa.string()),
             }
         )
+
+
+def pack_docs(
+    docs,
+    budget: int = 1000,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+):
+    """Sequence packing: greedy first-fit of documents into fixed
+    ``budget``-length bins, per ``group_col``, in ``id_col`` order —
+    the standard pre-tokenization packing step that turns ragged
+    documents into near-full training sequences.
+
+    Normative rule (deterministic, SQL-reproducible): within a group,
+    docs sorted by id are appended to the current bin while the bin's
+    length sum stays <= budget; otherwise a new bin starts. A doc
+    longer than the budget gets its own bin (a fresh bin always takes
+    at least one doc). Output: (doc_id, group, bin_id) with bin_id
+    numbered 0.. per group.
+
+    Scale shape: ONE hash shuffle keyed by the group co-locates each
+    group's rows; the per-group kernel is a cumsum + O(#bins)
+    searchsorted bisections — never a per-doc Python loop. Packing is
+    sequential within a group BY DEFINITION (bin boundaries depend on
+    every prior doc), so the group is the parallelism unit; salt the
+    group key upstream if one group outweighs a worker.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd  # noqa: F401
+
+    from parallel_pagerank_ray.stages.agg import bucket_of, resolve_num_buckets
+    from parallel_pagerank_ray.util import drop_empty_blocks
+
+    num_buckets = resolve_num_buckets(docs)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                group_col: df[group_col].to_numpy(),
+                len_col: df[len_col].to_numpy(),
+            }
+        )
+        out["bucket"] = bucket_of(out, [group_col], num_buckets)
+        return out
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        grp = g[group_col].to_numpy()
+        lens = g[len_col].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, grp))
+        ids, grp, lens = ids[order], grp[order], lens[order]
+        new_grp = np.concatenate(([True], grp[1:] != grp[:-1]))
+        bin_id = np.empty(len(ids), dtype=np.int64)
+        # per group: cumsum + bisect to the last doc that still fits;
+        # O(#bins) bisections, not O(#docs) Python steps
+        starts = np.nonzero(new_grp)[0]
+        bounds = np.concatenate((starts, [len(ids)]))
+        for gi in range(len(starts)):
+            lo, hi = bounds[gi], bounds[gi + 1]
+            cum = np.concatenate(([0], np.cumsum(lens[lo:hi])))
+            s, b = 0, 0
+            nloc = hi - lo
+            while s < nloc:
+                e = int(np.searchsorted(cum, cum[s] + budget, side="right")) - 1
+                e = max(e, s + 1)  # a fresh bin always takes one doc
+                bin_id[lo + s : lo + e] = b
+                s, b = e, b + 1
+        return pd.DataFrame(
+            {id_col: ids, group_col: grp, "bin_id": bin_id}
+        )
+
+    out = (
+        docs.select_columns([id_col, group_col, len_col])
+        .map_batches(keyed, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pack, batch_format="pandas")
+    )
+    return drop_empty_blocks(out)

@@ -358,3 +358,52 @@ def test_bigram_counts_planted():
     ds = rd.from_arrow(pa.Table.from_pandas(docs)).repartition(2)
     got = bigram_counts(ds).to_pandas().set_index("bigram")["cnt"].to_dict()
     assert got == {"the cat": 3, "cat sat": 2, "sat the": 1}
+
+
+def test_pack_docs_laws_and_invariance():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from parallel_pagerank_ray.functions.chunking import pack_docs
+
+    rng = np.random.default_rng(9)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": np.array([f"s{i}" for i in rng.integers(0, 7, n)]),
+            "n_chars": rng.integers(10, 900, n).astype(np.int64),
+        }
+    )
+    budget = 1000
+    got = (
+        pack_docs(rd.from_pandas(df), budget=budget)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == n
+    merged = got.merge(df, on=["doc_id", "source"])
+    for (_, b), g in merged.groupby(["source", "bin_id"]):
+        # a bin is within budget unless it is a single oversized doc
+        assert g["n_chars"].sum() <= budget or len(g) == 1
+    # greedy rule: within a source, bin ids are nondecreasing in doc_id
+    for _, g in merged.sort_values("doc_id").groupby("source"):
+        b = g["bin_id"].to_numpy()
+        assert (np.diff(b) >= 0).all()
+        assert b[0] == 0
+        # first-fit: the first doc of bin k+1 did NOT fit into bin k
+        lens = g["n_chars"].to_numpy()
+        for k in range(b.max()):
+            in_k = lens[b == k].sum()
+            first_next = lens[b == k + 1][0]
+            assert in_k + first_next > budget
+    # partition invariance
+    again = (
+        pack_docs(rd.from_pandas(df).repartition(9), budget=budget)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(again)
