@@ -1298,6 +1298,20 @@ def q_stratified_sample(sf_dir: str) -> rd.Dataset:
     ).select_columns(["doc_id", "source"])
 
 
+def q_balance_sources(sf_dir: str) -> rd.Dataset:
+    """Mixture balancing: every language deterministically downsampled
+    to ~the smallest language's size (functions/sampling.py) — the
+    test corpus's lang column is the skewed mixture (en dominates),
+    source is exactly uniform."""
+    from parallel_pagerank_ray.functions.sampling import balance_sources
+
+    return balance_sources(
+        _documents(sf_dir, ["doc_id", "lang"]),
+        key_col="doc_id",
+        group_col="lang",
+    ).select_columns(["doc_id", "lang"])
+
+
 def q_quality_filter(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.functions.textstats import TextStats
 
@@ -2156,6 +2170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_pivot": q_events_daily_pivot,
         "pricing_rollup": q_pricing_rollup,
         "pack_docs": q_pack_docs,
+        "balance_sources": q_balance_sources,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "revenue_by_nation": q_revenue_by_nation,
@@ -3969,6 +3984,15 @@ def oracle_sql() -> dict[str, str]:
                        AS UBIGINT) % 100 <
                   CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 50
                               WHEN 'src2' THEN 100 ELSE 25 END
+        """,
+        "balance_sources": """
+            WITH cnt AS (SELECT lang, count(*) AS c
+                         FROM documents GROUP BY 1)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN cnt ON cnt.lang = d.lang
+            WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                       AS UBIGINT) % 100
+                  < (100 * (SELECT min(c) FROM cnt)) // cnt.c
         """,
         "quality_filter": f"""
             WITH t AS (

@@ -65,3 +65,43 @@ def stratified_sample(
         return t.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def balance_sources(
+    ds: rd.Dataset,
+    key_col: str = "doc_id",
+    group_col: str = "source",
+    salt: str = "",
+) -> rd.Dataset:
+    """Mixture balancing: deterministically downsample every group to
+    (approximately) the smallest group's size — the measure-then-
+    resample step that flattens a skewed source mix before training.
+
+    Rates are integer percents ``floor(100 * min_count / count_g)``
+    computed from ONE tiny count aggregate (rows = #groups, the only
+    driver pull — bounded by the group cardinality contract), then
+    applied as the same stateless md5 filter as ``stratified_sample``:
+    membership depends only on the key, never on partitioning or RNG
+    state, so the kept set is reproducible across engines and runs.
+    """
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    def one(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return t.append_column(
+            "__one", pa.array(np.ones(len(t), dtype="int64"))
+        )
+
+    counts = grouped_agg(
+        ds.select_columns([group_col]).map_batches(one, batch_format="pyarrow"),
+        [group_col],
+        {"c": ("__one", "sum")},
+    ).take_all()
+    if not counts:
+        return ds.filter(lambda row: False)
+    mn = min(int(r["c"]) for r in counts)
+    rates = {r[group_col]: (100 * mn) // int(r["c"]) for r in counts}
+    return stratified_sample(
+        ds, key_col, group_col, rates, default_pct=0, salt=salt
+    )

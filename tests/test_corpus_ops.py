@@ -407,3 +407,31 @@ def test_pack_docs_laws_and_invariance():
         .reset_index(drop=True)
     )
     assert got.equals(again)
+
+
+def test_balance_sources_flattens_skew():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from parallel_pagerank_ray.functions.sampling import balance_sources
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(1000, dtype=np.int64),
+            "source": np.array(
+                ["big"] * 800 + ["mid"] * 150 + ["small"] * 50
+            ),
+        }
+    )
+    got = balance_sources(rd.from_pandas(df)).to_pandas()
+    by = got.groupby("source").size()
+    # every group lands near the smallest group's size (md5 is uniform;
+    # floor-percent rates undershoot slightly, never overshoot by much)
+    assert by["small"] <= 50
+    for s in ("big", "mid"):
+        assert by[s] <= 62  # 50 * 1.25 slack for hash variance
+        assert by[s] >= 30
+    # determinism: same input -> identical kept set
+    again = balance_sources(rd.from_pandas(df).repartition(6)).to_pandas()
+    assert sorted(got["doc_id"]) == sorted(again["doc_id"])
