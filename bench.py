@@ -307,6 +307,15 @@ def bench_queries() -> dict[str, float]:
         "top_customers",
         "price_band_match",
         "embed_docs",
+        "katz_pages",
+        "mis_copurchase",
+        "coloring_copurchase",
+        "matching_copurchase",
+        "events_running",
+        "events_daily_pivot",
+        "pricing_rollup",
+        "pack_docs",
+        "balance_sources",
     ]
     qs = E.queries()
     out: dict[str, float] = {}
