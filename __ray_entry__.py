@@ -1917,6 +1917,80 @@ def q_pricing_rollup(sf_dir: str) -> rd.Dataset:
     return pricing_rollup(read_table(sf_dir, "lineitem"))
 
 
+def q_pricing_cube(sf_dir: str) -> rd.Dataset:
+    """GROUP BY CUBE(l_returnflag, l_linestatus): ROLLUP's levels plus
+    the per-status margin — `relational.py::pricing_cube`."""
+    from parallel_pagerank_ray.pipelines.relational import (
+        pricing_cube,
+        read_table,
+    )
+
+    return pricing_cube(read_table(sf_dir, "lineitem"))
+
+
+def q_parts_intersect_except(sf_dir: str) -> rd.Dataset:
+    """SQL set algebra at scale (INTERSECT / EXCEPT): parts shipped by
+    both nation 0's and nation 1's suppliers except any shipped by
+    nation 2's — one indicator-fold groupby, no per-set materialize
+    (`relational.py::parts_intersect_except`)."""
+    from parallel_pagerank_ray.pipelines.relational import (
+        parts_intersect_except,
+        read_table,
+    )
+
+    out = parts_intersect_except(
+        read_table(sf_dir, "lineitem"), read_table(sf_dir, "supplier")
+    ).to_pandas()
+    if len(out.columns) == 0:
+        # an all-empty result (legitimate at tiny SF: the intersection
+        # can be empty) loses its schema through the bucketed groupby
+        out = pd.DataFrame({"p_partkey": pd.Series([], dtype=np.int64)})
+    return out
+
+
+def q_condensation_hosts(sf_dir: str) -> pd.DataFrame:
+    """SCC condensation DAG of the host webgraph with topological
+    depth: (scc_host, n_hosts, depth), depth = longest inter-component
+    path ending at the component (0 for source/isolated components) —
+    Broder-style web structure at the component level
+    (`pipelines/scc.py::condensation` + `dag_depth_bsp`)."""
+    from parallel_pagerank_ray.pipelines.scc import condensation, dag_depth_bsp
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+    from parallel_pagerank_ray.util import safe_join
+
+    g, _run, labeled = _host_scc(sf_dir)
+    sizes = grouped_agg(labeled, ["scc_host"], {"n_hosts": ("vid", "count")})
+    cond = condensation(g, labeled.select_columns(["vid", "scc_host"]))
+    if cond.n and cond.vertices is not None:
+        named = safe_join(
+            dag_depth_bsp(cond),
+            cond.vertices,
+            join_type="inner",
+            num_partitions=4,
+            on=("vid",),
+        ).select_columns(["url", "depth"])
+        out = safe_join(
+            sizes,
+            named,
+            join_type="left_outer",
+            num_partitions=4,
+            on=("scc_host",),
+            right_on=("url",),
+        ).to_pandas()
+    else:
+        out = sizes.to_pandas()
+        out["depth"] = 0
+    # components with no inter-SCC edge never enter the condensation:
+    # they are sources at depth 0
+    out["depth"] = out["depth"].fillna(0).astype(np.int64)
+    out["n_hosts"] = out["n_hosts"].astype(np.int64)
+    return (
+        out[["scc_host", "n_hosts", "depth"]]
+        .sort_values("scc_host")
+        .reset_index(drop=True)
+    )
+
+
 def q_pack_docs(sf_dir: str) -> rd.Dataset:
     """Sequence packing: greedy first-fit of docs into 1000-char bins
     per source in doc_id order — `functions/chunking.py::pack_docs`."""
@@ -2169,6 +2243,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running": q_events_running,
         "events_daily_pivot": q_events_daily_pivot,
         "pricing_rollup": q_pricing_rollup,
+        "pricing_cube": q_pricing_cube,
+        "parts_intersect_except": q_parts_intersect_except,
+        "condensation_hosts": q_condensation_hosts,
         "pack_docs": q_pack_docs,
         "balance_sources": q_balance_sources,
         "pricing_summary": q_pricing_summary,
@@ -4336,6 +4413,79 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "pricing_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_qty_cents,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "parts_intersect_except": """
+            SELECT l.l_partkey AS p_partkey
+            FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            WHERE s.s_nationkey = 0
+            INTERSECT
+            SELECT l.l_partkey
+            FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            WHERE s.s_nationkey = 1
+            EXCEPT
+            SELECT l.l_partkey
+            FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            WHERE s.s_nationkey = 2
+        """,
+        "condensation_hosts": """
+            WITH RECURSIVE
+              he AS MATERIALIZED (
+                SELECT DISTINCT src_host AS s, dst_host AS d
+                FROM (SELECT 'h' || (doc_id % 11) || '.docs.example'
+                             AS src_host,
+                             'h' || (((doc_id * 7 + k.range + 1)
+                                      % (SELECT count(*) FROM documents))
+                                     % 11) || '.docs.example' AS dst_host
+                      FROM documents, range(3) k)
+                WHERE src_host <> dst_host),
+              verts AS MATERIALIZED (
+                SELECT DISTINCT h FROM (SELECT s AS h FROM he
+                                        UNION ALL SELECT d FROM he)),
+              reach(s, d) AS (
+                SELECT s, d FROM he
+                UNION
+                SELECT r.s, e.d FROM reach r JOIN he e ON r.d = e.s),
+              mutual AS MATERIALIZED (
+                SELECT r1.s AS a, r1.d AS b
+                FROM reach r1 JOIN reach r2
+                  ON r1.s = r2.d AND r1.d = r2.s),
+              scc AS MATERIALIZED (
+                SELECT v.h AS host,
+                       GREATEST(v.h, coalesce(MAX(m.b), v.h)) AS scc_host
+                FROM verts v LEFT JOIN mutual m ON m.a = v.h
+                GROUP BY v.h),
+              ce AS MATERIALIZED (
+                SELECT DISTINCT s1.scc_host AS src, s2.scc_host AS dst
+                FROM he JOIN scc s1 ON s1.host = he.s
+                        JOIN scc s2 ON s2.host = he.d
+                WHERE s1.scc_host <> s2.scc_host),
+              -- every node seeded at 0: on a DAG the longest path
+              -- ending at v equals the longest path from some source
+              -- (cap bounds ABOVE the true depth so a cycle FAILS
+              -- loudly instead of silently truncating)
+              lvl(node, dd) AS (
+                SELECT scc_host, 0
+                FROM (SELECT DISTINCT scc_host FROM scc)
+                UNION
+                SELECT ce.dst, lvl.dd + 1
+                FROM lvl JOIN ce ON ce.src = lvl.node
+                WHERE lvl.dd < 64)
+            SELECT s.scc_host,
+                   count(*) AS n_hosts,
+                   (SELECT max(dd) FROM lvl WHERE node = s.scc_host)
+                     AS depth
+            FROM scc s
+            GROUP BY s.scc_host
+            ORDER BY s.scc_host
         """,
         "events_running": """
             SELECT event_id, user_id,

@@ -316,6 +316,9 @@ def bench_queries() -> dict[str, float]:
         "pricing_rollup",
         "pack_docs",
         "balance_sources",
+        "pricing_cube",
+        "parts_intersect_except",
+        "condensation_hosts",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

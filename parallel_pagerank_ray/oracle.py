@@ -728,3 +728,31 @@ def handshake_matching(n: int, edges: np.ndarray) -> np.ndarray:
             alive_v[e[i, 1]] = False
         alive_e &= alive_v[e[:, 0]] & alive_v[e[:, 1]]
     return np.array(sorted(out), dtype=np.int64).reshape(-1, 2)
+
+
+def dag_depth(n: int, edges: np.ndarray) -> np.ndarray:
+    """Topological level of every vertex of a DAG: longest path ending
+    at v (0 for sources). Kahn topological order + DP; raises
+    ValueError on a cycle — the reference semantics for
+    pipelines/scc.py::dag_depth_bsp."""
+    edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    indeg = np.zeros(n, dtype=np.int64)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for u, v in edges:
+        adj[int(u)].append(int(v))
+        indeg[int(v)] += 1
+    depth = np.zeros(n, dtype=np.int64)
+    queue = [v for v in range(n) if indeg[v] == 0]
+    seen = 0
+    while queue:
+        u = queue.pop()
+        seen += 1
+        for w in adj[u]:
+            if depth[u] + 1 > depth[w]:
+                depth[w] = depth[u] + 1
+            indeg[w] -= 1
+            if indeg[w] == 0:
+                queue.append(w)
+    if seen != n:
+        raise ValueError("dag_depth: input graph has a cycle")
+    return depth

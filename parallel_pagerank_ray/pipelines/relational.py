@@ -586,9 +586,12 @@ def daily_type_pivot(events: rd.Dataset, types: list[str] | None = None) -> rd.D
     )
 
 
-def pricing_rollup(lineitem: rd.Dataset, cutoff: str = "1998-09-02") -> rd.Dataset:
+def pricing_rollup(
+    lineitem: rd.Dataset, cutoff: str = "1998-09-02", cube: bool = False
+) -> rd.Dataset:
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): the finest level
     plus per-flag subtotals plus the grand total, NULL-filled like SQL.
+    ``cube=True`` adds the per-status margin (GROUP BY CUBE).
     Output: (l_returnflag, l_linestatus, sum_qty_cents, n_rows).
 
     Scale shape — hierarchical re-aggregation, the only sane ROLLUP
@@ -627,6 +630,27 @@ def pricing_rollup(lineitem: rd.Dataset, cutoff: str = "1998-09-02") -> rd.Datas
             }
         )
 
+    margins = [by_flag.map_batches(null_status, batch_format="pyarrow")]
+    if cube:
+        by_status = grouped_agg(
+            finest,
+            ["l_linestatus"],
+            {"sum_qty_cents": ("sum_qty_cents", "sum"), "n_rows": ("n_rows", "sum")},
+            num_buckets=1,
+        )
+
+        def null_flag(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "l_returnflag": pa.nulls(len(t), pa.string()),
+                    "l_linestatus": t.column("l_linestatus"),
+                    "sum_qty_cents": t.column("sum_qty_cents"),
+                    "n_rows": t.column("n_rows"),
+                }
+            )
+
+        margins.append(by_status.map_batches(null_flag, batch_format="pyarrow"))
+
     from parallel_pagerank_ray.stages.agg import global_agg
 
     tot = global_agg(
@@ -645,8 +669,156 @@ def pricing_rollup(lineitem: rd.Dataset, cutoff: str = "1998-09-02") -> rd.Datas
             }
         )
     )
-    return (
-        finest.map_batches(fine, batch_format="pyarrow")
-        .union(by_flag.map_batches(null_status, batch_format="pyarrow"))
-        .union(grand)
+    out = finest.map_batches(fine, batch_format="pyarrow")
+    for m in margins:
+        out = out.union(m)
+    return out.union(grand)
+
+
+def pricing_cube(lineitem: rd.Dataset, cutoff: str = "1998-09-02") -> rd.Dataset:
+    """GROUP BY CUBE(l_returnflag, l_linestatus): every grouping-set
+    margin of the pricing summary, NULL-filled like SQL. Same
+    hierarchical re-aggregation shape as the ROLLUP — the extra
+    per-status level re-aggregates the few-dozen-row finest result,
+    never the raw table, so the 2^k grouping sets of a CUBE cost one
+    big-side aggregate total."""
+    return pricing_rollup(lineitem, cutoff=cutoff, cube=True)
+
+
+def parts_intersect_except(
+    lineitem: rd.Dataset,
+    supplier: rd.Dataset,
+    nation_a: int = 0,
+    nation_b: int = 1,
+    nation_c: int = 2,
+    num_buckets: int | None = None,
+    broadcast_max: int = 5_000_000,
+) -> rd.Dataset:
+    """Distributed set algebra over shipment facts: parts shipped by
+    BOTH nation_a's and nation_b's suppliers EXCEPT any part shipped
+    by nation_c's — SQL INTERSECT/EXCEPT, output (p_partkey),
+    integer-exact.
+
+    Shape: per-batch distinct (suppkey, partkey) pairs first, the
+    relevant suppliers (three nations' worth) attach through the
+    standard broadcast guard, then ONE bucketed groupby folds
+    per-part presence indicators (max) and a stateless filter applies
+    the set expression — the three operand sets and their
+    intersections never materialize separately, and nothing ships
+    per-occurrence rows."""
+    import ray
+
+    from parallel_pagerank_ray.stages.agg import distinct, grouped_agg
+    from parallel_pagerank_ray.util import count_rows_once
+
+    pairs = distinct(
+        lineitem.select_columns(["l_suppkey", "l_partkey"]),
+        ["l_suppkey", "l_partkey"],
+        num_buckets=num_buckets,
     )
+    nat = (int(nation_a), int(nation_b), int(nation_c))
+
+    def keep(t: pa.Table) -> pa.Table:
+        # fixed metadata-free schema: blocks of a filtered projection
+        # must concat cleanly on the broadcast path
+        nk = pc.cast(t.column("s_nationkey"), pa.int64())
+        t = pa.table(
+            {
+                "s_suppkey": pc.cast(t.column("s_suppkey"), pa.int64()),
+                "s_nationkey": nk,
+            }
+        )
+        return t.filter(
+            pc.is_in(
+                t.column("s_nationkey"), value_set=pa.array(list(nat), pa.int64())
+            )
+        )
+
+    sup3 = supplier.select_columns(["s_suppkey", "s_nationkey"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+    n_sup, sup3 = count_rows_once(sup3)
+    if n_sup <= broadcast_max:
+        # zero-row blocks of a filtered projection come back schema-less
+        # (Ray 2.49) — drop them before the concat
+        parts = [t for t in ray.get(sup3.to_arrow_refs()) if t.num_rows]
+        tbl = pa.concat_tables(parts) if parts else None
+        lookup: dict[int, int] = (
+            dict(
+                zip(
+                    tbl.column("s_suppkey").to_pylist(),
+                    tbl.column("s_nationkey").to_pylist(),
+                )
+            )
+            if tbl is not None
+            else {}
+        )
+        ref = ray.put(lookup)
+
+        def ind(df: pd.DataFrame) -> pd.DataFrame:
+            nk = df["l_suppkey"].map(ray.get(ref)).to_numpy(dtype=np.float64,
+                                                            na_value=np.nan)
+            out = pd.DataFrame(
+                {
+                    "l_partkey": df["l_partkey"].to_numpy(),
+                    "in_a": (nk == nat[0]).astype(np.int64),
+                    "in_b": (nk == nat[1]).astype(np.int64),
+                    "in_c": (nk == nat[2]).astype(np.int64),
+                }
+            )
+            # rows from other nations contribute nothing — drop before
+            # the shuffle
+            m = (out["in_a"] | out["in_b"] | out["in_c"]).to_numpy() > 0
+            return out[m]
+
+        keyed = pairs.map_batches(ind, batch_format="pandas")
+    else:  # pragma: no cover - exercised via forced-tiny-bound test
+        from parallel_pagerank_ray.pipelines.graph_build import (
+            _default_join_partitions,
+        )
+        from parallel_pagerank_ray.util import safe_join
+
+        j = safe_join(
+            pairs,
+            sup3,
+            join_type="inner",
+            num_partitions=_default_join_partitions(),
+            on=("l_suppkey",),
+            right_on=("s_suppkey",),
+        )
+
+        def ind_join(df: pd.DataFrame) -> pd.DataFrame:
+            nk = df["s_nationkey"].to_numpy()
+            return pd.DataFrame(
+                {
+                    "l_partkey": df["l_partkey"].to_numpy(),
+                    "in_a": (nk == nat[0]).astype(np.int64),
+                    "in_b": (nk == nat[1]).astype(np.int64),
+                    "in_c": (nk == nat[2]).astype(np.int64),
+                }
+            )
+
+        keyed = j.map_batches(ind_join, batch_format="pandas")
+    agg = grouped_agg(
+        keyed,
+        ["l_partkey"],
+        {
+            "in_a": ("in_a", "max"),
+            "in_b": ("in_b", "max"),
+            "in_c": ("in_c", "max"),
+        },
+        num_buckets=num_buckets,
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.equal(t.column("in_a"), 1), pc.equal(t.column("in_b"), 1)
+            ),
+            pc.equal(t.column("in_c"), 0),
+        )
+        return pa.table(
+            {"p_partkey": pc.cast(t.filter(m).column("l_partkey"), pa.int64())}
+        )
+
+    return agg.map_batches(pick, batch_format="pyarrow")

@@ -512,3 +512,206 @@ def bowtie_classes(
         return pd.DataFrame({"vid": b["vid"].to_numpy(), "cls": cls})
 
     return out.map_batches(classify, batch_format="pandas")
+
+
+def condensation(
+    graph: Graph,
+    labels: rd.Dataset,
+    num_buckets: int = 16,
+    num_partitions: int | None = None,
+) -> Graph:
+    """Condensation DAG: contract every SCC to one vertex and keep the
+    distinct inter-component edges. ``labels`` is (vid, scc_host) —
+    any string component key that is a pure function of membership
+    (e.g. the max member host, as produced by the scc_hosts family).
+
+    Shape: the big edge table resolves both endpoints to component
+    keys through resolve_edges' guard contract (broadcast url->vid map
+    while small, hash joins beyond), then one exact-dedup shuffle of
+    the inter-component pairs — the condensation's own vertex ids come
+    from the standard dense assignment, so every downstream BSP
+    pipeline runs on it unchanged. Web crawls condense ~n vertices
+    into few components, so the output is typically tiny relative to
+    the input (Broder WWW'00)."""
+    from parallel_pagerank_ray.util import safe_join
+
+    if num_partitions is None:
+        from parallel_pagerank_ray.pipelines.graph_build import (
+            _default_join_partitions,
+        )
+
+        num_partitions = _default_join_partitions()
+    lab = labels.select_columns(["vid", "scc_host"])
+    e = safe_join(
+        graph.edges,
+        lab.rename_columns({"scc_host": "src_url"}),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("src",),
+        right_on=("vid",),
+    ).select_columns(["src_url", "dst"])
+    e = safe_join(
+        e,
+        lab.rename_columns({"scc_host": "dst_url"}),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("dst",),
+        right_on=("vid",),
+    ).select_columns(["src_url", "dst_url"])
+    def drop_intra(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(
+            pc.invert(pc.equal(t.column("src_url"), t.column("dst_url")))
+        )
+
+    links = e.map_batches(drop_intra, batch_format="pyarrow")
+    return Graph.from_links(links, num_buckets=num_buckets,
+                            num_partitions=num_partitions)
+
+
+@ray.remote
+class _DepthShard:
+    """Max-plus unit-weight relaxation shard: longest-path depth on a
+    DAG (topological level). Same contiguous vid-range layout and
+    routed frontier exchange as _SSSPShard (pipelines/sssp.py), with
+    max instead of min and every vertex seeded at 0 — on a DAG the
+    longest path ending at v equals the longest path from some
+    zero-in-degree source, so no explicit source scan is needed."""
+
+    def __init__(self, part: int, part_refs: list, n: int, part_size: int) -> None:
+        self.part_size = part_size
+        self.base = part * part_size
+        self.size = max(0, min(part_size, n - self.base))
+        if part_refs:
+            chunks = ray.get(part_refs)
+            src = np.concatenate([c[0] for c in chunks]) - self.base
+            dst = np.concatenate([c[1] for c in chunks])
+        else:
+            src = np.array([], dtype=np.int64)
+            dst = np.array([], dtype=np.int64)
+        if src.size and not bool(np.all(src[1:] >= src[:-1])):
+            order = np.argsort(src, kind="stable")
+            src, dst = src[order], dst[order]
+        self.dst_sorted = dst
+        self.indptr = np.searchsorted(src, np.arange(self.size + 1, dtype=np.int64))
+        self.depth = np.zeros(self.size, dtype=np.int64)
+        self.frontier = np.arange(self.size, dtype=np.int64)
+
+    def expand(self) -> list:
+        f = self.frontier
+        if len(f) == 0:
+            return []
+        lens = self.indptr[f + 1] - self.indptr[f]
+        m = lens > 0
+        f, lens = f[m], lens[m]
+        if len(f) == 0:
+            return []
+        starts = self.indptr[f]
+        csum = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos = (
+            np.arange(int(lens.sum()))
+            - np.repeat(csum, lens)
+            + np.repeat(starts, lens)
+        )
+        cand_d = np.repeat(self.depth[f], lens) + 1
+        cand_v = self.dst_sorted[pos]
+        ids, inv = np.unique(cand_v, return_inverse=True)
+        best = np.zeros(len(ids), dtype=np.int64)
+        np.maximum.at(best, inv, cand_d)
+        owners = ids // self.part_size
+        uniq = np.unique(owners)
+        bounds = np.searchsorted(owners, uniq, "left").tolist() + [len(ids)]
+        return [
+            (
+                int(p),
+                ray.put(
+                    (ids[bounds[i] : bounds[i + 1]], best[bounds[i] : bounds[i + 1]])
+                ),
+            )
+            for i, p in enumerate(uniq)
+        ]
+
+    def absorb(self, refs: list) -> int:
+        pairs = [p for p in ray.get(list(refs)) if len(p[0])]
+        if not pairs:
+            self.frontier = np.array([], dtype=np.int64)
+            return 0
+        ids = np.concatenate([p[0] for p in pairs]) - self.base
+        vals = np.concatenate([p[1] for p in pairs])
+        cur = self.depth.copy()
+        np.maximum.at(self.depth, ids, vals)
+        improved = np.nonzero(self.depth > cur)[0]
+        self.frontier = improved
+        return int(len(improved))
+
+    def slice_table(self):
+        return pa.table(
+            {
+                "vid": np.arange(self.base, self.base + self.size, dtype=np.int64),
+                "depth": self.depth,
+            }
+        )
+
+
+def dag_depth_bsp(
+    graph: Graph,
+    num_parts: int | None = None,
+    max_rounds: int | None = None,
+) -> rd.Dataset:
+    """Topological level of every vertex of a DAG: (vid, depth) with
+    depth = the longest path from any zero-in-degree source. Raises
+    ValueError when relaxation has not converged after ``max_rounds``
+    supersteps (default n + 1) — max-plus diverges exactly when the
+    input has a cycle, so the cap doubles as a cycle detector.
+
+    Rounds = DAG depth; per-round traffic is frontier-sparse routed
+    (vid, depth) pairs, no dense vectors — the condensation of a web
+    crawl is shallow (Broder bowtie), so this terminates in a handful
+    of supersteps at any scale."""
+    n = graph.n
+    if n == 0:
+        return rd.from_arrow(
+            pa.table({"vid": pa.array([], pa.int64()),
+                      "depth": pa.array([], pa.int64())})
+        )
+    if max_rounds is None:
+        max_rounds = n + 1
+    if num_parts is None:
+        ne = edge_count_hint(graph.edges)
+        if ne is None:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            num_parts = min(256, max(4, cpus))
+        else:
+            num_parts = sweep_num_parts(ne)
+    store = EdgeShardStore.build(graph.edges, n=n, num_parts=num_parts)
+    P = max(1, -(-n // store.part_size))
+    per_actor = per_actor_cpus(P)
+    actors = [
+        _DepthShard.options(num_cpus=per_actor).remote(
+            p, store.part_refs.get(p, []), n, store.part_size
+        )
+        for p in range(P)
+    ]
+    total, rounds = 1, 0
+    while total:
+        if rounds > max_rounds:
+            for a in actors:
+                ray.kill(a)
+            raise ValueError(
+                f"dag_depth_bsp: no fixpoint after {max_rounds} rounds - "
+                "input graph has a cycle (not a DAG)"
+            )
+        routed = ray.get([a.expand.remote() for a in actors])
+        inbox: list[list] = [[] for _ in range(P)]
+        for row in routed:
+            for p, ref in row:
+                inbox[p].append(ref)
+        total = sum(ray.get([actors[p].absorb.remote(inbox[p]) for p in range(P)]))
+        rounds += 1
+    tables = [a.slice_table.remote() for a in actors]
+    ray.wait(tables, num_returns=len(tables))
+    out = rd.from_arrow_refs(tables)
+    for a in actors:
+        ray.kill(a)
+    return out

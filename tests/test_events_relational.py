@@ -208,6 +208,44 @@ def test_distinct_parts_per_nation_join_fallback_identical():
     assert fast["n_parts"].tolist() == joined["n_parts"].tolist()
 
 
+def test_parts_intersect_except_join_fallback_identical():
+    """broadcast_max=0 forces the supplier hash-join path; identical
+    set-expression output to the broadcast fast path, and both agree
+    with a pandas reference on the same inputs."""
+    import pandas as pd
+
+    from parallel_pagerank_ray.pipelines.relational import (
+        parts_intersect_except,
+    )
+
+    args = (
+        read_table(SF, "lineitem", ["l_suppkey", "l_partkey"]),
+        read_table(SF, "supplier", ["s_suppkey", "s_nationkey"]),
+    )
+    fast = (
+        parts_intersect_except(*args, num_buckets=8)
+        .to_pandas()
+    )
+    fast_keys = sorted(fast["p_partkey"].tolist()) if len(fast.columns) else []
+    joined = (
+        parts_intersect_except(*args, num_buckets=8, broadcast_max=0)
+        .to_pandas()
+    )
+    joined_keys = (
+        sorted(joined["p_partkey"].tolist()) if len(joined.columns) else []
+    )
+    li = read_table(SF, "lineitem", ["l_suppkey", "l_partkey"]).to_pandas()
+    sup = read_table(SF, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    m = li.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    sets = [
+        set(m.loc[m["s_nationkey"] == k, "l_partkey"].tolist())
+        for k in (0, 1, 2)
+    ]
+    want = sorted((sets[0] & sets[1]) - sets[2])
+    assert fast_keys == want
+    assert joined_keys == want
+
+
 def test_multimodal_stages():
     payloads = [b"\x00\x01binary-ish" * 50, b"tiny", b""]
     t = pa.table(
