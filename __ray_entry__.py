@@ -1991,6 +1991,21 @@ def q_condensation_hosts(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_kmeans_embeddings(sf_dir: str) -> rd.Dataset:
+    """Distributed Lloyd's k-means over the embedding table (k=10,
+    3 iterations, seeded with the 10 smallest vec_ids): (vec_id,
+    cluster) — `pipelines/kmeans.py::kmeans_assign`, bit-reproducible
+    floor-scaled int64 sums + single-division centroids."""
+    from parallel_pagerank_ray.pipelines.kmeans import kmeans_assign
+    from parallel_pagerank_ray.pipelines.relational import read_table
+
+    return kmeans_assign(
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=10,
+        iters=3,
+    )
+
+
 def q_pack_docs(sf_dir: str) -> rd.Dataset:
     """Sequence packing: greedy first-fit of docs into 1000-char bins
     per source in doc_id order — `functions/chunking.py::pack_docs`."""
@@ -2246,6 +2261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_cube": q_pricing_cube,
         "parts_intersect_except": q_parts_intersect_except,
         "condensation_hosts": q_condensation_hosts,
+        "kmeans_embeddings": q_kmeans_embeddings,
         "pack_docs": q_pack_docs,
         "balance_sources": q_balance_sources,
         "pricing_summary": q_pricing_summary,
@@ -4486,6 +4502,92 @@ def oracle_sql() -> dict[str, str]:
             FROM scc s
             GROUP BY s.scc_host
             ORDER BY s.scc_host
+        """,
+        # 3 Lloyd iterations as chained CTEs (driver-gate float policy:
+        # floor-scaled BIGINT vectors, strict-left-fold distances via
+        # list_reduce, single-division centroids -> bit-identical to
+        # the engine at any parallelism; ties pick the lowest cluster)
+        "kmeans_embeddings": """
+            WITH
+             x AS MATERIALIZED (
+               SELECT vec_id,
+                      list_transform(embedding,
+                        v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0)
+                                  AS BIGINT)) AS sx
+               FROM embeddings),
+             cent0 AS MATERIALIZED (
+               SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+                      list_transform(sx, v -> CAST(v AS DOUBLE)) AS cvec
+               FROM x ORDER BY vec_id LIMIT 10),
+             p1 AS (
+               SELECT x.vec_id, c.cluster,
+                      list_reduce(
+                        [ (CAST(x.sx[i+1] AS DOUBLE) - c.cvec[i+1])
+                          * (CAST(x.sx[i+1] AS DOUBLE) - c.cvec[i+1])
+                          for i in range(64) ],
+                        (a,b) -> a+b) AS dist
+               FROM x CROSS JOIN cent0 c),
+             a1 AS MATERIALIZED (
+               SELECT vec_id, cluster FROM (
+                 SELECT vec_id, cluster,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY dist, cluster) AS rn
+                 FROM p1) t WHERE rn = 1),
+             d1 AS MATERIALIZED (
+               SELECT cluster, u.dim AS dim, CAST(sum(u.v) AS BIGINT) AS s,
+                      count(*) AS n
+               FROM (SELECT a.cluster,
+                            unnest([{'dim': i, 'v': x.sx[i+1]}
+                                    for i in range(64)]) AS u
+                     FROM a1 a JOIN x ON x.vec_id = a.vec_id)
+               GROUP BY 1, 2),
+             cent1 AS MATERIALIZED (
+               SELECT p.cluster, coalesce(dd.cvec, p.cvec) AS cvec
+               FROM cent0 p LEFT JOIN (
+                 SELECT cluster,
+                        list(CAST(s AS DOUBLE) / n ORDER BY dim) AS cvec
+                 FROM d1 GROUP BY cluster) dd ON dd.cluster = p.cluster),
+             p2 AS (
+               SELECT x.vec_id, c.cluster,
+                      list_reduce(
+                        [ (CAST(x.sx[i+1] AS DOUBLE) - c.cvec[i+1])
+                          * (CAST(x.sx[i+1] AS DOUBLE) - c.cvec[i+1])
+                          for i in range(64) ],
+                        (a,b) -> a+b) AS dist
+               FROM x CROSS JOIN cent1 c),
+             a2 AS MATERIALIZED (
+               SELECT vec_id, cluster FROM (
+                 SELECT vec_id, cluster,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY dist, cluster) AS rn
+                 FROM p2) t WHERE rn = 1),
+             d2 AS MATERIALIZED (
+               SELECT cluster, u.dim AS dim, CAST(sum(u.v) AS BIGINT) AS s,
+                      count(*) AS n
+               FROM (SELECT a.cluster,
+                            unnest([{'dim': i, 'v': x.sx[i+1]}
+                                    for i in range(64)]) AS u
+                     FROM a2 a JOIN x ON x.vec_id = a.vec_id)
+               GROUP BY 1, 2),
+             cent2 AS MATERIALIZED (
+               SELECT p.cluster, coalesce(dd.cvec, p.cvec) AS cvec
+               FROM cent1 p LEFT JOIN (
+                 SELECT cluster,
+                        list(CAST(s AS DOUBLE) / n ORDER BY dim) AS cvec
+                 FROM d2 GROUP BY cluster) dd ON dd.cluster = p.cluster),
+             p3 AS (
+               SELECT x.vec_id, c.cluster,
+                      list_reduce(
+                        [ (CAST(x.sx[i+1] AS DOUBLE) - c.cvec[i+1])
+                          * (CAST(x.sx[i+1] AS DOUBLE) - c.cvec[i+1])
+                          for i in range(64) ],
+                        (a,b) -> a+b) AS dist
+               FROM x CROSS JOIN cent2 c)
+            SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM (
+              SELECT vec_id, cluster,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist, cluster) AS rn
+              FROM p3) t WHERE rn = 1
         """,
         "events_running": """
             SELECT event_id, user_id,
