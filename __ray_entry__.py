@@ -2006,6 +2006,22 @@ def q_kmeans_embeddings(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_semantic_dedup(sf_dir: str) -> rd.Dataset:
+    """SemDeDup-style semantic dedup: k-means (k=10, 3 iters) over the
+    embedding table, then inside each cluster drop vectors with a
+    cosine >= 0.3 neighbor of smaller vec_id: (vec_id, cluster, keep)
+    — `pipelines/kmeans.py::semantic_dedup`."""
+    from parallel_pagerank_ray.pipelines.kmeans import semantic_dedup
+    from parallel_pagerank_ray.pipelines.relational import read_table
+
+    return semantic_dedup(
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=10,
+        iters=3,
+        threshold=0.3,
+    )
+
+
 def q_pack_docs(sf_dir: str) -> rd.Dataset:
     """Sequence packing: greedy first-fit of docs into 1000-char bins
     per source in doc_id order — `functions/chunking.py::pack_docs`."""
@@ -2262,6 +2278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_intersect_except": q_parts_intersect_except,
         "condensation_hosts": q_condensation_hosts,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "semantic_dedup": q_semantic_dedup,
         "pack_docs": q_pack_docs,
         "balance_sources": q_balance_sources,
         "pricing_summary": q_pricing_summary,
@@ -2731,6 +2748,97 @@ def _random_walks_sql(weighted: bool = False) -> str:
                CAST(step AS BIGINT) AS step, CAST(vid AS BIGINT) AS vid
         FROM walk
     """
+
+
+# Shared k-means CTE chain (3 Lloyd iterations, k=10, floor-scaled
+# BIGINT vectors, strict-left-fold list_reduce distances,
+# single-division centroids -> bit-identical to the engine at any
+# parallelism; ties pick the lowest cluster). Ends with the final
+# assignment CTE akm(vec_id, cluster); the kmeans gate and the
+# semantic-dedup gate both build on it.
+_KMEANS_CTES = """
+            WITH
+             x AS MATERIALIZED (
+               SELECT vec_id,
+                      list_transform(embedding,
+                        v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0)
+                                  AS BIGINT)) AS sx
+               FROM embeddings),
+             cent0 AS MATERIALIZED (
+               SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+                      list_transform(sx, v -> CAST(v AS DOUBLE)) AS cvec
+               FROM x ORDER BY vec_id LIMIT 10),
+             p1 AS (
+               SELECT x.vec_id, c.cluster,
+                      list_reduce(
+                        [ (CAST(x.sx[i+1] AS DOUBLE) - c.cvec[i+1])
+                          * (CAST(x.sx[i+1] AS DOUBLE) - c.cvec[i+1])
+                          for i in range(64) ],
+                        (a,b) -> a+b) AS dist
+               FROM x CROSS JOIN cent0 c),
+             a1 AS MATERIALIZED (
+               SELECT vec_id, cluster FROM (
+                 SELECT vec_id, cluster,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY dist, cluster) AS rn
+                 FROM p1) t WHERE rn = 1),
+             d1 AS MATERIALIZED (
+               SELECT cluster, u.dim AS dim, CAST(sum(u.v) AS BIGINT) AS s,
+                      count(*) AS n
+               FROM (SELECT a.cluster,
+                            unnest([{'dim': i, 'v': x.sx[i+1]}
+                                    for i in range(64)]) AS u
+                     FROM a1 a JOIN x ON x.vec_id = a.vec_id)
+               GROUP BY 1, 2),
+             cent1 AS MATERIALIZED (
+               SELECT p.cluster, coalesce(dd.cvec, p.cvec) AS cvec
+               FROM cent0 p LEFT JOIN (
+                 SELECT cluster,
+                        list(CAST(s AS DOUBLE) / n ORDER BY dim) AS cvec
+                 FROM d1 GROUP BY cluster) dd ON dd.cluster = p.cluster),
+             p2 AS (
+               SELECT x.vec_id, c.cluster,
+                      list_reduce(
+                        [ (CAST(x.sx[i+1] AS DOUBLE) - c.cvec[i+1])
+                          * (CAST(x.sx[i+1] AS DOUBLE) - c.cvec[i+1])
+                          for i in range(64) ],
+                        (a,b) -> a+b) AS dist
+               FROM x CROSS JOIN cent1 c),
+             a2 AS MATERIALIZED (
+               SELECT vec_id, cluster FROM (
+                 SELECT vec_id, cluster,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY dist, cluster) AS rn
+                 FROM p2) t WHERE rn = 1),
+             d2 AS MATERIALIZED (
+               SELECT cluster, u.dim AS dim, CAST(sum(u.v) AS BIGINT) AS s,
+                      count(*) AS n
+               FROM (SELECT a.cluster,
+                            unnest([{'dim': i, 'v': x.sx[i+1]}
+                                    for i in range(64)]) AS u
+                     FROM a2 a JOIN x ON x.vec_id = a.vec_id)
+               GROUP BY 1, 2),
+             cent2 AS MATERIALIZED (
+               SELECT p.cluster, coalesce(dd.cvec, p.cvec) AS cvec
+               FROM cent1 p LEFT JOIN (
+                 SELECT cluster,
+                        list(CAST(s AS DOUBLE) / n ORDER BY dim) AS cvec
+                 FROM d2 GROUP BY cluster) dd ON dd.cluster = p.cluster),
+             p3 AS (
+               SELECT x.vec_id, c.cluster,
+                      list_reduce(
+                        [ (CAST(x.sx[i+1] AS DOUBLE) - c.cvec[i+1])
+                          * (CAST(x.sx[i+1] AS DOUBLE) - c.cvec[i+1])
+                          for i in range(64) ],
+                        (a,b) -> a+b) AS dist
+               FROM x CROSS JOIN cent2 c),
+             akm AS MATERIALIZED (
+               SELECT vec_id, cluster FROM (
+                 SELECT vec_id, cluster,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY dist, cluster) AS rn
+                 FROM p3) t WHERE rn = 1)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4507,87 +4615,26 @@ def oracle_sql() -> dict[str, str]:
         # floor-scaled BIGINT vectors, strict-left-fold distances via
         # list_reduce, single-division centroids -> bit-identical to
         # the engine at any parallelism; ties pick the lowest cluster)
-        "kmeans_embeddings": """
-            WITH
-             x AS MATERIALIZED (
-               SELECT vec_id,
-                      list_transform(embedding,
-                        v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0)
-                                  AS BIGINT)) AS sx
-               FROM embeddings),
-             cent0 AS MATERIALIZED (
-               SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
-                      list_transform(sx, v -> CAST(v AS DOUBLE)) AS cvec
-               FROM x ORDER BY vec_id LIMIT 10),
-             p1 AS (
-               SELECT x.vec_id, c.cluster,
-                      list_reduce(
-                        [ (CAST(x.sx[i+1] AS DOUBLE) - c.cvec[i+1])
-                          * (CAST(x.sx[i+1] AS DOUBLE) - c.cvec[i+1])
-                          for i in range(64) ],
-                        (a,b) -> a+b) AS dist
-               FROM x CROSS JOIN cent0 c),
-             a1 AS MATERIALIZED (
-               SELECT vec_id, cluster FROM (
-                 SELECT vec_id, cluster,
-                        row_number() OVER (PARTITION BY vec_id
-                                           ORDER BY dist, cluster) AS rn
-                 FROM p1) t WHERE rn = 1),
-             d1 AS MATERIALIZED (
-               SELECT cluster, u.dim AS dim, CAST(sum(u.v) AS BIGINT) AS s,
-                      count(*) AS n
-               FROM (SELECT a.cluster,
-                            unnest([{'dim': i, 'v': x.sx[i+1]}
-                                    for i in range(64)]) AS u
-                     FROM a1 a JOIN x ON x.vec_id = a.vec_id)
-               GROUP BY 1, 2),
-             cent1 AS MATERIALIZED (
-               SELECT p.cluster, coalesce(dd.cvec, p.cvec) AS cvec
-               FROM cent0 p LEFT JOIN (
-                 SELECT cluster,
-                        list(CAST(s AS DOUBLE) / n ORDER BY dim) AS cvec
-                 FROM d1 GROUP BY cluster) dd ON dd.cluster = p.cluster),
-             p2 AS (
-               SELECT x.vec_id, c.cluster,
-                      list_reduce(
-                        [ (CAST(x.sx[i+1] AS DOUBLE) - c.cvec[i+1])
-                          * (CAST(x.sx[i+1] AS DOUBLE) - c.cvec[i+1])
-                          for i in range(64) ],
-                        (a,b) -> a+b) AS dist
-               FROM x CROSS JOIN cent1 c),
-             a2 AS MATERIALIZED (
-               SELECT vec_id, cluster FROM (
-                 SELECT vec_id, cluster,
-                        row_number() OVER (PARTITION BY vec_id
-                                           ORDER BY dist, cluster) AS rn
-                 FROM p2) t WHERE rn = 1),
-             d2 AS MATERIALIZED (
-               SELECT cluster, u.dim AS dim, CAST(sum(u.v) AS BIGINT) AS s,
-                      count(*) AS n
-               FROM (SELECT a.cluster,
-                            unnest([{'dim': i, 'v': x.sx[i+1]}
-                                    for i in range(64)]) AS u
-                     FROM a2 a JOIN x ON x.vec_id = a.vec_id)
-               GROUP BY 1, 2),
-             cent2 AS MATERIALIZED (
-               SELECT p.cluster, coalesce(dd.cvec, p.cvec) AS cvec
-               FROM cent1 p LEFT JOIN (
-                 SELECT cluster,
-                        list(CAST(s AS DOUBLE) / n ORDER BY dim) AS cvec
-                 FROM d2 GROUP BY cluster) dd ON dd.cluster = p.cluster),
-             p3 AS (
-               SELECT x.vec_id, c.cluster,
-                      list_reduce(
-                        [ (CAST(x.sx[i+1] AS DOUBLE) - c.cvec[i+1])
-                          * (CAST(x.sx[i+1] AS DOUBLE) - c.cvec[i+1])
-                          for i in range(64) ],
-                        (a,b) -> a+b) AS dist
-               FROM x CROSS JOIN cent2 c)
-            SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM (
-              SELECT vec_id, cluster,
-                     row_number() OVER (PARTITION BY vec_id
-                                        ORDER BY dist, cluster) AS rn
-              FROM p3) t WHERE rn = 1
+        "kmeans_embeddings": _KMEANS_CTES + """
+            SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
+            FROM akm
+        """,
+        # keep-min-id rule: drop a vector iff a smaller-vec_id vector
+        # in the SAME kmeans cluster has cosine >= 0.3 (cosine on the
+        # raw embeddings, float64 both sides — same idiom as the
+        # embedding_near_dup gate)
+        "semantic_dedup": _KMEANS_CTES + """,
+             dups AS (
+               SELECT DISTINCT b.vec_id
+               FROM akm a JOIN akm b
+                 ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+               JOIN embeddings ea ON ea.vec_id = a.vec_id
+               JOIN embeddings eb ON eb.vec_id = b.vec_id
+               WHERE list_cosine_similarity(ea.embedding, eb.embedding)
+                     >= 0.3)
+            SELECT k.vec_id, CAST(k.cluster AS BIGINT) AS cluster,
+                   (d.vec_id IS NULL) AS keep
+            FROM akm k LEFT JOIN dups d ON d.vec_id = k.vec_id
         """,
         "events_running": """
             SELECT event_id, user_id,

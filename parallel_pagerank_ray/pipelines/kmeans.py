@@ -29,7 +29,10 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from parallel_pagerank_ray.pipelines.similarity import _to_matrix
+from parallel_pagerank_ray.pipelines.similarity import (
+    _rows_to_matrix,
+    _to_matrix,
+)
 
 
 def _scaled(t: pa.Table, scale: float) -> np.ndarray:
@@ -52,9 +55,13 @@ def kmeans_assign(
     iters: int = 3,
     scale: float = 1_000_000.0,
     num_buckets: int | None = None,
+    include_vecs: bool = False,
 ) -> rd.Dataset:
     """(vec_id, cluster) after ``iters`` Lloyd iterations seeded with
-    the k smallest vec_ids' vectors (cluster j = j-th smallest)."""
+    the k smallest vec_ids' vectors (cluster j = j-th smallest).
+    ``include_vecs=True`` carries the embedding column through the
+    final assignment map (for downstream per-cluster kernels, e.g.
+    semantic dedup) without a join back to the input."""
     from parallel_pagerank_ray.stages.agg import grouped_agg
 
     if iters < 1:
@@ -112,14 +119,66 @@ def kmeans_assign(
         c = ray.get(ref)
         x = _scaled(t, scale)
         cl = np.argmin(_distances(x, c), axis=1)
-        return pa.table(
-            {
-                "vec_id": pa.array(
-                    t.column("vec_id").to_numpy(zero_copy_only=False),
-                    pa.int64(),
-                ),
-                "cluster": pa.array(cl.astype(np.int64), pa.int64()),
-            }
-        )
+        cols = {
+            "vec_id": pa.array(
+                t.column("vec_id").to_numpy(zero_copy_only=False),
+                pa.int64(),
+            ),
+            "cluster": pa.array(cl.astype(np.int64), pa.int64()),
+        }
+        if include_vecs:
+            cols["embedding"] = t.column("embedding")
+        return pa.table(cols)
 
     return emb.map_batches(assign, batch_format="pyarrow")
+
+
+def semantic_dedup(
+    embeddings: rd.Dataset,
+    k: int = 10,
+    iters: int = 3,
+    threshold: float = 0.3,
+    scale: float = 1_000_000.0,
+) -> rd.Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with k-means, then
+    inside each cluster drop every vector that has a cosine-similar
+    (>= threshold) neighbor with a SMALLER vec_id — the deterministic
+    keep-min-id rule, so the flag is a pure function of the input.
+
+    Output: (vec_id, cluster, keep). Pairwise work is blocked by the
+    kmeans cluster (never global): at 10^9 vectors pick k ~ n/1000 so
+    each cluster's all-pairs matmul is ~10^6 ops; the cluster ids ride
+    along from the assignment map (``include_vecs=True``), so the only
+    wide step beyond kmeans itself is the one groupby(cluster).
+    Cosine is float64 (matching DuckDB list_cosine_similarity);
+    thresholds follow the driver-gate float policy (data is generated
+    so no similarity sits at the threshold boundary).
+    """
+
+    def flags(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        cl = g["cluster"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"vec_id": ids, "cluster": cl, "keep": np.ones(len(ids), bool)}
+            )
+        mat = _rows_to_matrix(g["embedding"])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        sims = unit @ unit.T
+        # keep[i] = no j < i (smaller vec_id) with sims[j, i] >= tau
+        hit = np.triu(sims >= threshold, k=1)
+        keep = ~hit.any(axis=0)
+        return pd.DataFrame({"vec_id": ids, "cluster": cl, "keep": keep})
+
+    assigned = kmeans_assign(
+        embeddings, k=k, iters=iters, scale=scale, include_vecs=True
+    )
+    from parallel_pagerank_ray.util import drop_empty_blocks
+
+    return drop_empty_blocks(
+        assigned.groupby("cluster").map_groups(flags, batch_format="pandas")
+    )

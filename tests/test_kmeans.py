@@ -79,6 +79,39 @@ def test_kmeans_empty_cluster_keeps_seed():
     assert got.tolist() == want.tolist()
 
 
+def test_semantic_dedup_matches_numpy():
+    from parallel_pagerank_ray.pipelines.kmeans import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 8)).astype(np.float32)
+    # append near-duplicates of the first 10 rows (tiny perturbation ->
+    # cosine ~1 inside whatever cluster they land in together)
+    dup = (base[:10] * 1.001).astype(np.float32)
+    X = np.vstack([base, dup])
+    vid = np.arange(len(X), dtype=np.int64)
+
+    cl = _np_kmeans(X, vid, k=5, iters=2)
+    keep = np.ones(len(X), dtype=bool)
+    Xd = X.astype(np.float64)
+    unit = Xd / np.linalg.norm(Xd, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    for i in range(len(X)):
+        for j in range(i):
+            if cl[j] == cl[i] and sims[j, i] >= 0.9:
+                keep[i] = False
+    df = (
+        semantic_dedup(_ds(X, vid, 5), k=5, iters=2, threshold=0.9)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert df["cluster"].to_numpy().tolist() == cl.tolist()
+    assert df["keep"].to_numpy().tolist() == keep.tolist()
+    # the injected near-dups of same-cluster originals must be dropped
+    dropped = set(df.loc[~df["keep"], "vec_id"])
+    same_cluster_dups = {40 + i for i in range(10) if cl[40 + i] == cl[i]}
+    assert same_cluster_dups <= dropped
+
+
 def test_kmeans_single_iter_and_bad_iters():
     X = np.random.default_rng(1).normal(size=(20, 4)).astype(np.float32)
     vid = np.arange(20, dtype=np.int64)
