@@ -2006,6 +2006,20 @@ def q_kmeans_embeddings(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_line_filter(sf_dir: str) -> rd.Dataset:
+    """C4/RefinedWeb-style line cleaning over the extracted page
+    corpus: drop lines under 2 words and boilerplate lines appearing
+    in more than 50 distinct pages (the synthetic 'link N' anchors):
+    (url, clean_text, lines_kept, lines_dropped) —
+    `functions/lines.py::line_filter`."""
+    from parallel_pagerank_ray.functions.extract import ExtractPages
+    from parallel_pagerank_ray.functions.lines import line_filter
+
+    pages, _ = _pages(sf_dir)
+    text = pages.map_batches(ExtractPages(), batch_format="pyarrow")
+    return line_filter(text, min_words=2, max_line_df=50)
+
+
 def q_semantic_dedup(sf_dir: str) -> rd.Dataset:
     """SemDeDup-style semantic dedup: k-means (k=10, 3 iters) over the
     embedding table, then inside each cluster drop vectors with a
@@ -2279,6 +2293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "condensation_hosts": q_condensation_hosts,
         "kmeans_embeddings": q_kmeans_embeddings,
         "semantic_dedup": q_semantic_dedup,
+        "line_filter": q_line_filter,
         "pack_docs": q_pack_docs,
         "balance_sources": q_balance_sources,
         "pricing_summary": q_pricing_summary,
@@ -4618,6 +4633,39 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": _KMEANS_CTES + """
             SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
             FROM akm
+        """,
+        # line explode with 1-based ordinality via indexed
+        # list_transform; words = \S+ runs (same regex as the engine);
+        # boilerplate = line in > 50 distinct pages
+        "line_filter": """
+            WITH pages AS (
+              SELECT 'https://docs.example/p' || doc_id AS url,
+                     'doc ' || doc_id || chr(10) || text || chr(10) ||
+                     'link 0' || chr(10) || 'link 1' || chr(10) ||
+                     'link 2' AS text
+              FROM documents),
+             ln AS (
+              SELECT url, u.no - 1 AS line_no, u.line,
+                     length(regexp_extract_all(u.line, '\\S+')) AS words
+              FROM pages,
+                   unnest(list_transform(string_split(text, chr(10)),
+                                         (x, i) -> {'line': x, 'no': i}))
+                     AS r(u)),
+             df AS (
+              SELECT line, count(DISTINCT url) AS line_df
+              FROM ln GROUP BY line),
+             k AS (
+              SELECT ln.url, ln.line_no, ln.line,
+                     (ln.words >= 2 AND df.line_df <= 50) AS keep
+              FROM ln JOIN df USING (line))
+            SELECT url,
+                   coalesce(string_agg(
+                     CASE WHEN keep THEN line END, chr(10)
+                     ORDER BY line_no), '') AS clean_text,
+                   CAST(count(*) FILTER (keep) AS BIGINT) AS lines_kept,
+                   CAST(count(*) FILTER (NOT keep) AS BIGINT)
+                     AS lines_dropped
+            FROM k GROUP BY url
         """,
         # keep-min-id rule: drop a vector iff a smaller-vec_id vector
         # in the SAME kmeans cluster has cosine >= 0.3 (cosine on the
