@@ -2006,6 +2006,43 @@ def q_kmeans_embeddings(sf_dir: str) -> rd.Dataset:
     )
 
 
+def _copurchase_sym_edges(sf_dir: str) -> rd.Dataset:
+    """Symmetric closure of the canonical co-purchase graph (dedup not
+    needed: src<dst input makes the closure duplicate-free)."""
+    from parallel_pagerank_ray.pipelines.graph_build import undirected_edges
+
+    return undirected_edges(
+        _copurchase_graph(sf_dir, dedup=True).edges, dedup=False
+    )
+
+
+def q_neighborhood_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact neighborhood function N(r), r = 0..2, on the undirected
+    co-purchase graph: (radius, pairs) — ANF via per-vertex bitset BSP,
+    `pipelines/neighborhood.py::neighborhood_function`."""
+    from parallel_pagerank_ray.pipelines.neighborhood import (
+        neighborhood_function,
+    )
+
+    return neighborhood_function(
+        _copurchase_sym_edges(sf_dir), max_radius=2, mode="exact"
+    )
+
+
+def q_neighborhood_hll(sf_dir: str) -> pd.DataFrame:
+    """HyperANF neighborhood function, r = 0..3, m=16 registers:
+    (radius, denom_scaled, est) — register max-merge BSP with the
+    SQL-reproducible mod-2^31-1 hash; denom is exact int64 so the
+    sketch itself is value-checked, not just row-counted."""
+    from parallel_pagerank_ray.pipelines.neighborhood import (
+        neighborhood_function,
+    )
+
+    return neighborhood_function(
+        _copurchase_sym_edges(sf_dir), max_radius=3, mode="hll"
+    )
+
+
 def q_line_filter(sf_dir: str) -> rd.Dataset:
     """C4/RefinedWeb-style line cleaning over the extracted page
     corpus: drop lines under 2 words and boilerplate lines appearing
@@ -2294,6 +2331,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": q_kmeans_embeddings,
         "semantic_dedup": q_semantic_dedup,
         "line_filter": q_line_filter,
+        "neighborhood_exact": q_neighborhood_exact,
+        "neighborhood_hll": q_neighborhood_hll,
         "pack_docs": q_pack_docs,
         "balance_sources": q_balance_sources,
         "pricing_summary": q_pricing_summary,
@@ -4633,6 +4672,79 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": _KMEANS_CTES + """
             SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
             FROM akm
+        """,
+        # ANF: distance-r closure by chained self-expansion CTEs
+        "neighborhood_exact": f"""
+            WITH cp AS ({_COPURCHASE_SQL}),
+             e AS (SELECT src, dst FROM cp
+                   UNION ALL SELECT dst, src FROM cp),
+             verts AS (SELECT DISTINCT src AS v FROM e),
+             d0 AS (SELECT v, v AS w FROM verts),
+             d1 AS (SELECT DISTINCT v, w FROM (
+                      SELECT v, w FROM d0
+                      UNION ALL
+                      SELECT d.v, e.dst AS w
+                      FROM d0 d JOIN e ON e.src = d.w)),
+             d2 AS (SELECT DISTINCT v, w FROM (
+                      SELECT v, w FROM d1
+                      UNION ALL
+                      SELECT d.v, e.dst AS w
+                      FROM d1 d JOIN e ON e.src = d.w))
+            SELECT CAST(radius AS BIGINT) AS radius,
+                   CAST(pairs AS BIGINT) AS pairs
+            FROM (
+              SELECT 0 AS radius, count(*) AS pairs FROM d0
+              UNION ALL SELECT 1, count(*) FROM d1
+              UNION ALL SELECT 2, count(*) FROM d2)
+            ORDER BY radius
+        """,
+        # HyperANF register replay: same hash, same max-merge rounds,
+        # same exact-int64 denominator (terms 2^(30-reg)), same single
+        # division; sentinel bit 2^27 bounds rho for the b=4 split
+        "neighborhood_hll": f"""
+            WITH cp AS ({_COPURCHASE_SQL}),
+             e AS (SELECT src, dst FROM cp
+                   UNION ALL SELECT dst, src FROM cp),
+             verts AS (SELECT DISTINCT src AS v FROM e),
+             h0 AS (SELECT v,
+                           (v * 1000081 + 12345) % 2147483647 AS h
+                    FROM verts),
+             rg AS (SELECT unnest(range(16)) AS reg),
+             s0 AS (SELECT v, rg.reg,
+                           CASE WHEN (h0.h % 16) = rg.reg THEN
+                             CAST(log2(((h0.h // 16) | 134217728)
+                                  & -((h0.h // 16) | 134217728))
+                               AS BIGINT) + 1
+                           ELSE 0 END AS val
+                    FROM h0 CROSS JOIN rg),
+             s1 AS (SELECT v, reg, max(val) AS val FROM (
+                      SELECT v, reg, val FROM s0
+                      UNION ALL
+                      SELECT e.src, s.reg, s.val
+                      FROM e JOIN s0 s ON s.v = e.dst)
+                    GROUP BY v, reg),
+             s2 AS (SELECT v, reg, max(val) AS val FROM (
+                      SELECT v, reg, val FROM s1
+                      UNION ALL
+                      SELECT e.src, s.reg, s.val
+                      FROM e JOIN s1 s ON s.v = e.dst)
+                    GROUP BY v, reg),
+             s3 AS (SELECT v, reg, max(val) AS val FROM (
+                      SELECT v, reg, val FROM s2
+                      UNION ALL
+                      SELECT e.src, s.reg, s.val
+                      FROM e JOIN s2 s ON s.v = e.dst)
+                    GROUP BY v, reg)
+            SELECT CAST(radius AS BIGINT) AS radius,
+                   CAST(denom_scaled AS BIGINT) AS denom_scaled,
+                   (0.673 * 256.0 * 1073741824.0) / denom_scaled AS est
+            FROM (
+              SELECT 0 AS radius,
+                     sum(1::BIGINT << (30 - val)) AS denom_scaled FROM s0
+              UNION ALL SELECT 1, sum(1::BIGINT << (30 - val)) FROM s1
+              UNION ALL SELECT 2, sum(1::BIGINT << (30 - val)) FROM s2
+              UNION ALL SELECT 3, sum(1::BIGINT << (30 - val)) FROM s3)
+            ORDER BY radius
         """,
         # line explode with 1-based ordinality via indexed
         # list_transform; words = \S+ runs (same regex as the engine);

@@ -319,6 +319,10 @@ def bench_queries() -> dict[str, float]:
         "pricing_cube",
         "parts_intersect_except",
         "condensation_hosts",
+        "kmeans_embeddings",
+        "semantic_dedup",
+        "line_filter",
+        "neighborhood_hll",
     ]
     qs = E.queries()
     out: dict[str, float] = {}
