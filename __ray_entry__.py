@@ -2016,16 +2016,39 @@ def _copurchase_sym_edges(sf_dir: str) -> rd.Dataset:
     )
 
 
+def _copurchase_strong_sym_edges(sf_dir: str) -> rd.Dataset:
+    """Symmetric closure of the STRONG co-purchase graph (pairs
+    co-bought in >= 2 distinct orders, the ktruss/link-pred graph) —
+    sparse enough for exact-mode ANF's quadratic pair table."""
+    import pyarrow.compute as pc
+
+    from parallel_pagerank_ray.pipelines.graph_build import undirected_edges
+
+    wg = _copurchase_weighted_graph(sf_dir)
+    strong = wg.edges.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t.column("w"), 2),
+                pc.less(t.column("src"), t.column("dst")),
+            )
+        ).select(["src", "dst"]),
+        batch_format="pyarrow",
+    )
+    return undirected_edges(strong, dedup=False)
+
+
 def q_neighborhood_exact(sf_dir: str) -> pd.DataFrame:
-    """Exact neighborhood function N(r), r = 0..2, on the undirected
-    co-purchase graph: (radius, pairs) — ANF via per-vertex bitset BSP,
-    `pipelines/neighborhood.py::neighborhood_function`."""
+    """Exact neighborhood function N(r), r = 0..3, on the undirected
+    STRONG co-purchase graph: (radius, pairs) — ANF via the sparse
+    pair-table BSP, `pipelines/neighborhood.py::neighborhood_function`.
+    Isolated strong vertices only (no w>=2 pair) still count their
+    r=0 self-pair via the vertex set of the strong edge table."""
     from parallel_pagerank_ray.pipelines.neighborhood import (
         neighborhood_function,
     )
 
     return neighborhood_function(
-        _copurchase_sym_edges(sf_dir), max_radius=2, mode="exact"
+        _copurchase_strong_sym_edges(sf_dir), max_radius=3, mode="exact"
     )
 
 
@@ -4673,9 +4696,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
             FROM akm
         """,
-        # ANF: distance-r closure by chained self-expansion CTEs
-        "neighborhood_exact": f"""
-            WITH cp AS ({_COPURCHASE_SQL}),
+        # ANF: distance-r closure by chained self-expansion CTEs over
+        # the strong (>=2 distinct co-orders) co-purchase graph
+        "neighborhood_exact": """
+            WITH cp AS (
+                SELECT a.l_partkey AS src, b.l_partkey AS dst
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+                HAVING count(DISTINCT a.l_orderkey) >= 2),
              e AS (SELECT src, dst FROM cp
                    UNION ALL SELECT dst, src FROM cp),
              verts AS (SELECT DISTINCT src AS v FROM e),
@@ -4689,13 +4719,19 @@ def oracle_sql() -> dict[str, str]:
                       SELECT v, w FROM d1
                       UNION ALL
                       SELECT d.v, e.dst AS w
-                      FROM d1 d JOIN e ON e.src = d.w))
+                      FROM d1 d JOIN e ON e.src = d.w)),
+             d3 AS (SELECT DISTINCT v, w FROM (
+                      SELECT v, w FROM d2
+                      UNION ALL
+                      SELECT d.v, e.dst AS w
+                      FROM d2 d JOIN e ON e.src = d.w))
             SELECT CAST(radius AS BIGINT) AS radius,
                    CAST(pairs AS BIGINT) AS pairs
             FROM (
               SELECT 0 AS radius, count(*) AS pairs FROM d0
               UNION ALL SELECT 1, count(*) FROM d1
-              UNION ALL SELECT 2, count(*) FROM d2)
+              UNION ALL SELECT 2, count(*) FROM d2
+              UNION ALL SELECT 3, count(*) FROM d3)
             ORDER BY radius
         """,
         # HyperANF register replay: same hash, same max-merge rounds,

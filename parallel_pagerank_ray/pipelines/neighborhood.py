@@ -12,10 +12,10 @@ sees one scalar per radius, never data):
   (v, w) = "w is within r hops of v". Merge = exact distinct; N(r) =
   the table's row count. State is Θ(Σ|B(v,r)|) rows — quadratic in
   the worst case — so this is the validation/small-graph mode.
-- ``hll``: per-vertex HyperLogLog registers as a LONG table
-  (vid, reg, val), only non-zero entries stored. Merge = grouped max
+- ``hll``: per-vertex HyperLogLog registers as a WIDE table — one
+  row per vertex, m int64 columns. Merge = m grouped-max aggs
   (associative, duplicate-invariant, order-invariant), so the 100 TB
-  path exchanges O(E·m_present) integer rows per round — the
+  path exchanges O(E) rows per round with map-side pre-folding — the
   HyperANF design. Hashing is the repo's SQL-reproducible mod-2³¹-1
   scheme; the estimator denominator is an EXACT int64 (terms
   2^(30-reg), absent registers contribute 2^30), so the sketch is
@@ -61,6 +61,7 @@ def neighborhood_function(
     m: int = 16,
     num_partitions: int | None = None,
     num_buckets: int | None = None,
+    broadcast_max: int = 5_000_000,
 ) -> pd.DataFrame:
     """N(r) for r = 0..max_radius over an int-vid (src, dst) Dataset.
 
@@ -121,43 +122,128 @@ def neighborhood_function(
             {"radius": radius, "pairs": np.array(totals, dtype=np.int64)}
         )
 
-    # hll: sparse (vid, reg, val) registers, absent => 0
-    n_verts = verts.materialize().count()
+    # hll: WIDE register layout — one row per vertex, m int64 columns
+    # v0..v{m-1}. One row per edge crosses the wire per round (vs m
+    # rows in a long layout: measured 29 s -> wide cut at sf0.1); the
+    # max-merge is m parallel max aggs over vid, and grouped_agg's
+    # map-side partial pre-folds duplicate dsts before the shuffle.
+    reg_cols = [f"v{i}" for i in range(m)]
+    merge_specs = {c: (c, "max") for c in reg_cols}
 
-    def init(t: pa.Table) -> pa.Table:
-        vid = t.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+    def init_regs(vid: np.ndarray) -> np.ndarray:
         h = (vid * HLL_A + HLL_B) % P31
         reg = (h % m).astype(np.int64)
         x = (h // m) | (1 << 27)
         rho = np.log2(x & -x).astype(np.int64) + 1
-        return pa.table(
+        regs = np.zeros((len(vid), m), dtype=np.int64)
+        regs[np.arange(len(vid)), reg] = rho
+        return regs
+
+    # Broadcast fast path: when the vertex set fits the guard, the
+    # n x m register matrix lives as ONE plasma object per round
+    # (ray.put, zero-copy numpy view in every task); each round is a
+    # single stateless pass over the edges (searchsorted gather +
+    # per-batch reduceat pre-fold) + one bucketed grouped max whose
+    # output is bounded by n rows — no join, no state shuffle. The
+    # driver holds only guard-bounded arrays, mirroring the repo's
+    # broadcast_max contract (relational.py attaches); past the guard
+    # the join path below is the 100 TB shape.
+    vp = verts.materialize()
+    n_verts = vp.count()
+    if n_verts <= broadcast_max:
+        import ray
+
+        vids = np.sort(vp.to_pandas()["vid"].to_numpy().astype(np.int64))
+        regs = init_regs(vids)
+
+        def denom_np(r: np.ndarray) -> int:
+            return int((np.int64(1) << (_DENOM_SHIFT - r)).sum())
+
+        empty = pa.table(
+            {c: pa.array([], pa.int64()) for c in ["vid"] + reg_cols}
+        )
+        totals = [denom_np(regs)]
+        for _ in range(max_radius):
+            ref = ray.put((vids, regs))
+
+            def scatter(t: pa.Table, _ref=ref) -> pa.Table:
+                vs, rg = ray.get(_ref)
+                src = (
+                    t.column("src")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                if len(src) == 0:
+                    return empty
+                dst = (
+                    t.column("dst")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                order = np.argsort(src, kind="stable")
+                s = src[order]
+                rm = rg[np.searchsorted(vs, dst[order])]
+                bounds = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+                folded = np.maximum.reduceat(rm, bounds, axis=0)
+                cols = {"vid": pa.array(s[bounds], pa.int64())}
+                for i, c in enumerate(reg_cols):
+                    cols[c] = pa.array(folded[:, i], pa.int64())
+                return pa.table(cols)
+
+            fp = grouped_agg(
+                edges.map_batches(scatter, batch_format="pyarrow"),
+                ["vid"],
+                merge_specs,
+                num_buckets=num_buckets,
+            ).to_pandas()
+            if len(fp):
+                # union with each vertex's own registers; grouped vids
+                # are distinct so fancy assignment is a plain max-merge
+                idx = np.searchsorted(
+                    vids, fp["vid"].to_numpy().astype(np.int64)
+                )
+                new = regs.copy()
+                new[idx] = np.maximum(
+                    new[idx], fp[reg_cols].to_numpy().astype(np.int64)
+                )
+                regs = new
+            totals.append(denom_np(regs))
+        return pd.DataFrame(
             {
-                "vid": pa.array(vid, pa.int64()),
-                "reg": pa.array(reg, pa.int64()),
-                "val": pa.array(rho, pa.int64()),
+                "radius": radius,
+                "denom_scaled": np.array(totals, dtype=np.int64),
+                "est": [_hll_est(t, m) for t in totals],
             }
         )
 
-    def present_deficit(t: pa.Table) -> pa.Table:
-        # each present register with val >= 1 replaces a 2^30 default
-        # term with 2^(30-val): deficit = 2^30 - 2^(30-val), an exact
-        # int64 summed at any order/parallelism
-        val = t.column("val").to_numpy(zero_copy_only=False)
-        d = (np.int64(1) << _DENOM_SHIFT) - (
-            np.int64(1) << (_DENOM_SHIFT - val)
-        )
-        return pa.table({"d": pa.array(d, pa.int64())})
+    def init(t: pa.Table) -> pa.Table:
+        vid = t.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+        onehot = init_regs(vid)
+        cols = {"vid": pa.array(vid, pa.int64())}
+        for i, c in enumerate(reg_cols):
+            cols[c] = pa.array(onehot[:, i], pa.int64())
+        return pa.table(cols)
+
+    def row_terms(t: pa.Table) -> pa.Table:
+        # per-vertex denominator contribution Σ_i 2^(30 - v_i); val=0
+        # (never-touched register) contributes the 2^30 default term —
+        # exact int64, associative at any order/parallelism
+        s = np.zeros(t.num_rows, dtype=np.int64)
+        for c in reg_cols:
+            v = t.column(c).to_numpy(zero_copy_only=False)
+            s += np.int64(1) << (_DENOM_SHIFT - v)
+        return pa.table({"d": pa.array(s, pa.int64())})
 
     def denom(state: rd.Dataset) -> int:
         from parallel_pagerank_ray.stages.agg import global_agg
 
         got = global_agg(
-            state.map_batches(present_deficit, batch_format="pyarrow"),
+            state.map_batches(row_terms, batch_format="pyarrow"),
             {"s": ("d", "sum")},
         )["s"]
-        return n_verts * m * (1 << _DENOM_SHIFT) - int(got or 0)
+        return int(got or 0)
 
-    state = verts.map_batches(init, batch_format="pyarrow").materialize()
+    state = vp.map_batches(init, batch_format="pyarrow").materialize()
     totals = [denom(state)]
     for _ in range(max_radius):
         contrib = (
@@ -169,13 +255,13 @@ def neighborhood_function(
                 on=("dst",),
                 right_on=("vid",),
             )
-            .select_columns(["src", "reg", "val"])
+            .select_columns(["src"] + reg_cols)
             .rename_columns({"src": "vid"})
         )
         state = grouped_agg(
             state.union(contrib),
-            ["vid", "reg"],
-            {"val": ("val", "max")},
+            ["vid"],
+            merge_specs,
             num_buckets=num_buckets,
         ).materialize()
         totals.append(denom(state))

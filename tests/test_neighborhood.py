@@ -84,12 +84,18 @@ def test_hll_registers_value_exact(graphs):
     assert np.array_equal(got["est"].to_numpy(), est)
 
 
-def test_hll_partition_invariant(graphs):
+def test_hll_partition_invariant_and_join_fallback(graphs):
+    # a: broadcast fast path; b: forced join fallback (broadcast_max=0)
+    # on a different partitioning — identical frames either way
     n, e = graphs["two_comps"]
     se = _sym(e)
     a = neighborhood_function(edges_dataset(se, num_blocks=1), 2, "hll")
     b = neighborhood_function(
-        edges_dataset(se, num_blocks=4), 2, "hll", num_partitions=3
+        edges_dataset(se, num_blocks=4),
+        2,
+        "hll",
+        num_partitions=3,
+        broadcast_max=0,
     )
     pd.testing.assert_frame_equal(a, b)
 
