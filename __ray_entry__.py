@@ -2066,6 +2066,21 @@ def q_neighborhood_hll(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_salsa_supplier_part(sf_dir: str) -> rd.Dataset:
+    """SALSA hub/authority scores of the supplier->part graph
+    (`pipelines/salsa.py::salsa_scores`): closed-form stationary
+    scores — per-component in/out-degree shares — so the float score
+    is a single division of exact int64 operands (value-exact gate,
+    no iteration)."""
+    from parallel_pagerank_ray.pipelines.relational import (
+        supplier_part_edges,
+    )
+    from parallel_pagerank_ray.pipelines.salsa import salsa_scores
+
+    # supplier_part_edges is already the distinct support graph
+    return salsa_scores(supplier_part_edges(sf_dir), dedup=False)
+
+
 def q_line_filter(sf_dir: str) -> rd.Dataset:
     """C4/RefinedWeb-style line cleaning over the extracted page
     corpus: drop lines under 2 words and boilerplate lines appearing
@@ -2356,6 +2371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_filter": q_line_filter,
         "neighborhood_exact": q_neighborhood_exact,
         "neighborhood_hll": q_neighborhood_hll,
+        "salsa_supplier_part": q_salsa_supplier_part,
         "pack_docs": q_pack_docs,
         "balance_sources": q_balance_sources,
         "pricing_summary": q_pricing_summary,
@@ -4695,6 +4711,68 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": _KMEANS_CTES + """
             SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
             FROM akm
+        """,
+        # SALSA closed form: bipartite-support CC (min-propagation
+        # replay) + per-component degree shares; the float score is
+        # the same single division of exact int64 products
+        "salsa_supplier_part": """
+            WITH RECURSIVE
+              e AS MATERIALIZED (
+                SELECT DISTINCT 2 * l_suppkey AS src,
+                                2 * l_partkey + 1 AS dst
+                FROM lineitem),
+              und AS MATERIALIZED (
+                SELECT src, dst FROM e
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM e),
+              v AS (SELECT DISTINCT src AS vid FROM und),
+              cc(it, vid, comp, ch) AS (
+                SELECT 0, vid, vid, 1 FROM v
+                UNION ALL
+                SELECT c.it + 1, c.vid,
+                       least(c.comp, coalesce(m.mn, c.comp)),
+                       CASE WHEN least(c.comp, coalesce(m.mn, c.comp))
+                                 <> c.comp THEN 1 ELSE 0 END
+                FROM cc c
+                LEFT JOIN (SELECT u.dst AS vid, min(c2.comp) AS mn
+                           FROM cc c2 JOIN und u ON u.src = c2.vid
+                           GROUP BY 1) m ON m.vid = c.vid
+                WHERE (SELECT max(c3.ch) FROM cc c3) = 1
+              ),
+              lab AS (SELECT vid, comp FROM cc
+                      WHERE it = (SELECT max(it) FROM cc)),
+              sp AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst
+                     FROM lineitem),
+              indeg AS (SELECT dst AS id, count(*) AS deg FROM sp
+                        GROUP BY 1),
+              outdeg AS (SELECT src AS id, count(*) AS deg FROM sp
+                         GROUP BY 1),
+              an AS (SELECT i.id, i.deg, l.comp
+                     FROM indeg i JOIN lab l ON l.vid = 2 * i.id + 1),
+              hn AS (SELECT o.id, o.deg, l.comp
+                     FROM outdeg o JOIN lab l ON l.vid = 2 * o.id),
+              ac AS (SELECT comp, sum(deg) AS comp_deg,
+                            count(*) AS comp_size FROM an GROUP BY 1),
+              hc AS (SELECT comp, sum(deg) AS comp_deg,
+                            count(*) AS comp_size FROM hn GROUP BY 1),
+              atot AS (SELECT count(*) AS total FROM an),
+              htot AS (SELECT count(*) AS total FROM hn)
+            SELECT 'auth' AS side, an.id AS vid,
+                   CAST(an.deg AS BIGINT) AS deg,
+                   CAST(ac.comp_size AS BIGINT) AS comp_size,
+                   CAST(ac.comp_deg AS BIGINT) AS comp_deg,
+                   CAST(atot.total AS BIGINT) AS total,
+                   CAST(ac.comp_size * an.deg AS DOUBLE)
+                     / CAST(atot.total * ac.comp_deg AS DOUBLE) AS score
+            FROM an JOIN ac USING (comp) CROSS JOIN atot
+            UNION ALL
+            SELECT 'hub', hn.id, CAST(hn.deg AS BIGINT),
+                   CAST(hc.comp_size AS BIGINT),
+                   CAST(hc.comp_deg AS BIGINT),
+                   CAST(htot.total AS BIGINT),
+                   CAST(hc.comp_size * hn.deg AS DOUBLE)
+                     / CAST(htot.total * hc.comp_deg AS DOUBLE)
+            FROM hn JOIN hc USING (comp) CROSS JOIN htot
         """,
         # ANF: distance-r closure by chained self-expansion CTEs over
         # the strong (>=2 distinct co-orders) co-purchase graph

@@ -323,6 +323,7 @@ def bench_queries() -> dict[str, float]:
         "semantic_dedup",
         "line_filter",
         "neighborhood_hll",
+        "salsa_supplier_part",
     ]
     qs = E.queries()
     out: dict[str, float] = {}
