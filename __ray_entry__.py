@@ -1501,6 +1501,20 @@ def q_clean_corpus(sf_dir: str) -> rd.Dataset:
     return anti_join(docs, bad, on="doc_id")
 
 
+def q_dsir_weights(sf_dir: str) -> rd.Dataset:
+    """DSIR-style importance scores vs the English-target corpus
+    (`functions/dsir.py::dsir_affinity`): exact integer bigram
+    affinities + one-division float score per document — the
+    data-selection pass for a target-domain pretraining mix."""
+    from parallel_pagerank_ray.functions.dsir import dsir_affinity
+
+    docs = _documents(sf_dir, ["doc_id", "text", "lang"])
+    target = docs.filter(expr="lang == 'en'").select_columns(
+        ["doc_id", "text"]
+    )
+    return dsir_affinity(docs.select_columns(["doc_id", "text"]), target)
+
+
 def q_top_bigrams(sf_dir: str) -> rd.Dataset:
     """Top-20 corpus bigrams (adjacent-token pairs within a doc),
     cnt DESC / bigram ASC total order — the n-gram statistics pass a
@@ -2338,6 +2352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "clean_corpus": q_clean_corpus,
         "top_bigrams": q_top_bigrams,
+        "dsir_weights": q_dsir_weights,
         "dedup_shingle_jaccard": q_dedup_shingle_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_capped": q_dedup_minhash_lsh_capped,
@@ -4415,6 +4430,35 @@ def oracle_sql() -> dict[str, str]:
                       AS bigram FROM l)
             SELECT bigram, CAST(count(*) AS BIGINT) AS cnt FROM big
             GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20
+        """,
+        # DSIR sufficient statistics: same tokenizer/bigram fragment as
+        # top_bigrams; score = one division of exact int64 products
+        "dsir_weights": f"""
+            WITH l AS (SELECT doc_id, lang,
+                              regexp_extract_all(lower(text), '{TOKEN_SQL}')
+                              AS l FROM documents),
+            pb AS (SELECT doc_id, lang, unnest(
+                     [l[i] || ' ' || l[i + 1] for i in range(1, len(l))])
+                     AS bigram FROM l),
+            pd AS (SELECT doc_id, bigram, count(*) AS cnt FROM pb
+                   GROUP BY 1, 2),
+            r AS (SELECT bigram, count(*) AS rcnt FROM pb GROUP BY 1),
+            t AS (SELECT bigram, count(*) AS tcnt FROM pb
+                  WHERE lang = 'en' GROUP BY 1),
+            c AS (SELECT r.bigram, r.rcnt, coalesce(t.tcnt, 0) AS tcnt
+                  FROM r LEFT JOIN t USING (bigram)),
+            rt AS (SELECT sum(rcnt) AS v FROM r),
+            tt AS (SELECT sum(tcnt) AS v FROM t)
+            SELECT pd.doc_id,
+                   CAST(sum(pd.cnt) AS BIGINT) AS n_bigrams,
+                   CAST(sum(pd.cnt * c.rcnt) AS BIGINT) AS aff_raw,
+                   CAST(sum(pd.cnt * c.tcnt) AS BIGINT) AS aff_target,
+                   CAST(CAST(sum(pd.cnt * c.tcnt) AS BIGINT)
+                        * (SELECT v FROM rt) AS DOUBLE)
+                     / CAST(CAST(sum(pd.cnt * c.rcnt) AS BIGINT)
+                        * (SELECT v FROM tt) AS DOUBLE) AS score
+            FROM pd JOIN c USING (bigram)
+            GROUP BY pd.doc_id
         """,
         "doc_fingerprints": _winnow_sql(k=16, w=8),
         "winnow_candidates": _winnow_sql(k=16, w=8, candidates=True,

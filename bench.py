@@ -324,6 +324,7 @@ def bench_queries() -> dict[str, float]:
         "line_filter",
         "neighborhood_hll",
         "salsa_supplier_part",
+        "dsir_weights",
     ]
     qs = E.queries()
     out: dict[str, float] = {}
