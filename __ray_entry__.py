@@ -52,6 +52,42 @@ _COPURCHASE_SQL = """
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 """
 
+# exact ANF curve N(r), r = 0..3, over the strong co-purchase graph —
+# shared by the neighborhood_exact and effective_diameter oracles
+_ANF_CURVE_SQL = """
+            WITH cp AS (
+                SELECT a.l_partkey AS src, b.l_partkey AS dst
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+                HAVING count(DISTINCT a.l_orderkey) >= 2),
+             e AS (SELECT src, dst FROM cp
+                   UNION ALL SELECT dst, src FROM cp),
+             verts AS (SELECT DISTINCT src AS v FROM e),
+             d0 AS (SELECT v, v AS w FROM verts),
+             d1 AS (SELECT DISTINCT v, w FROM (
+                      SELECT v, w FROM d0
+                      UNION ALL
+                      SELECT d.v, e.dst AS w
+                      FROM d0 d JOIN e ON e.src = d.w)),
+             d2 AS (SELECT DISTINCT v, w FROM (
+                      SELECT v, w FROM d1
+                      UNION ALL
+                      SELECT d.v, e.dst AS w
+                      FROM d1 d JOIN e ON e.src = d.w)),
+             d3 AS (SELECT DISTINCT v, w FROM (
+                      SELECT v, w FROM d2
+                      UNION ALL
+                      SELECT d.v, e.dst AS w
+                      FROM d2 d JOIN e ON e.src = d.w)),
+             curve AS (
+              SELECT 0 AS radius, count(*) AS pairs FROM d0
+              UNION ALL SELECT 1, count(*) FROM d1
+              UNION ALL SELECT 2, count(*) FROM d2
+              UNION ALL SELECT 3, count(*) FROM d3)
+"""
+
 
 # ---------------------------------------------------------------------------
 # pages pipeline (extractor byte-identity surface)
@@ -2051,6 +2087,9 @@ def _copurchase_strong_sym_edges(sf_dir: str) -> rd.Dataset:
     return undirected_edges(strong, dedup=False)
 
 
+_NEIGH_EXACT_CACHE: dict = {}
+
+
 def q_neighborhood_exact(sf_dir: str) -> pd.DataFrame:
     """Exact neighborhood function N(r), r = 0..3, on the undirected
     STRONG co-purchase graph: (radius, pairs) — ANF via the sparse
@@ -2061,9 +2100,25 @@ def q_neighborhood_exact(sf_dir: str) -> pd.DataFrame:
         neighborhood_function,
     )
 
-    return neighborhood_function(
-        _copurchase_strong_sym_edges(sf_dir), max_radius=3, mode="exact"
+    got = _NEIGH_EXACT_CACHE.get(sf_dir)
+    if got is None:
+        got = neighborhood_function(
+            _copurchase_strong_sym_edges(sf_dir), max_radius=3, mode="exact"
+        )
+        _NEIGH_EXACT_CACHE[sf_dir] = got
+    return got.copy()
+
+
+def q_effective_diameter(sf_dir: str) -> pd.DataFrame:
+    """0.9-effective diameter of the strong co-purchase graph within
+    the r<=3 horizon — the interpolated ANF quantile
+    (`pipelines/neighborhood.py::effective_diameter`); shares the
+    cached exact curve with `neighborhood_exact`."""
+    from parallel_pagerank_ray.pipelines.neighborhood import (
+        effective_diameter,
     )
+
+    return effective_diameter(q_neighborhood_exact(sf_dir), q=0.9)
 
 
 def q_neighborhood_hll(sf_dir: str) -> pd.DataFrame:
@@ -2387,6 +2442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighborhood_exact": q_neighborhood_exact,
         "neighborhood_hll": q_neighborhood_hll,
         "salsa_supplier_part": q_salsa_supplier_part,
+        "effective_diameter": q_effective_diameter,
         "pack_docs": q_pack_docs,
         "balance_sources": q_balance_sources,
         "pricing_summary": q_pricing_summary,
@@ -4820,41 +4876,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         # ANF: distance-r closure by chained self-expansion CTEs over
         # the strong (>=2 distinct co-orders) co-purchase graph
-        "neighborhood_exact": """
-            WITH cp AS (
-                SELECT a.l_partkey AS src, b.l_partkey AS dst
-                FROM lineitem a JOIN lineitem b
-                  ON a.l_orderkey = b.l_orderkey
-                 AND a.l_partkey < b.l_partkey
-                GROUP BY 1, 2
-                HAVING count(DISTINCT a.l_orderkey) >= 2),
-             e AS (SELECT src, dst FROM cp
-                   UNION ALL SELECT dst, src FROM cp),
-             verts AS (SELECT DISTINCT src AS v FROM e),
-             d0 AS (SELECT v, v AS w FROM verts),
-             d1 AS (SELECT DISTINCT v, w FROM (
-                      SELECT v, w FROM d0
-                      UNION ALL
-                      SELECT d.v, e.dst AS w
-                      FROM d0 d JOIN e ON e.src = d.w)),
-             d2 AS (SELECT DISTINCT v, w FROM (
-                      SELECT v, w FROM d1
-                      UNION ALL
-                      SELECT d.v, e.dst AS w
-                      FROM d1 d JOIN e ON e.src = d.w)),
-             d3 AS (SELECT DISTINCT v, w FROM (
-                      SELECT v, w FROM d2
-                      UNION ALL
-                      SELECT d.v, e.dst AS w
-                      FROM d2 d JOIN e ON e.src = d.w))
+        "neighborhood_exact": _ANF_CURVE_SQL + """
             SELECT CAST(radius AS BIGINT) AS radius,
                    CAST(pairs AS BIGINT) AS pairs
-            FROM (
-              SELECT 0 AS radius, count(*) AS pairs FROM d0
-              UNION ALL SELECT 1, count(*) FROM d1
-              UNION ALL SELECT 2, count(*) FROM d2
-              UNION ALL SELECT 3, count(*) FROM d3)
-            ORDER BY radius
+            FROM curve ORDER BY radius
+        """,
+        # interpolated 0.9-quantile of the same curve: threshold =
+        # one multiply, d_eff = one division — both literal copies of
+        # the engine expression over exact int64 counts
+        "effective_diameter": _ANF_CURVE_SQL + """,
+             mx AS (SELECT max(pairs) AS nmax FROM curve),
+             thr AS (SELECT 0.9 * CAST(nmax AS DOUBLE) AS x, nmax
+                     FROM mx),
+             hit AS (SELECT min(radius) AS r FROM curve, thr
+                     WHERE CAST(curve.pairs AS DOUBLE) >= thr.x)
+            SELECT 0.9 AS q,
+                   CAST(thr.nmax AS BIGINT) AS n_pairs_max,
+                   CASE WHEN hit.r = 0 THEN 0.0
+                        ELSE (CAST(hit.r AS DOUBLE) - 1.0)
+                             + (thr.x - CAST(p0.pairs AS DOUBLE))
+                               / (CAST(p1.pairs AS DOUBLE)
+                                  - CAST(p0.pairs AS DOUBLE))
+                   END AS d_eff
+            FROM hit CROSS JOIN thr
+            LEFT JOIN curve p0 ON p0.radius = hit.r - 1
+            LEFT JOIN curve p1 ON p1.radius = hit.r
         """,
         # HyperANF register replay: same hash, same max-merge rounds,
         # same exact-int64 denominator (terms 2^(30-reg)), same single

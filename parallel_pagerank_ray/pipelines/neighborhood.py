@@ -48,6 +48,45 @@ P31 = (1 << 31) - 1
 _DENOM_SHIFT = 30  # term = 2^(30 - reg); rho <= 28 for b=4
 
 
+def effective_diameter(nf: pd.DataFrame, q: float = 0.9) -> pd.DataFrame:
+    """q-effective diameter from an exact N(r) curve (ANF's headline
+    product): the interpolated radius at which N(r) first reaches
+    q * N(max_radius) — "90% of connected pairs are within d_eff hops".
+
+    Pure driver fold over the <= max_radius+1 curve rows. The float
+    arithmetic is a fixed expression over exact int64 pair counts
+    (one multiply for the threshold, one division for the linear
+    interpolation), reproduced literally by the DuckDB oracle, so the
+    result is value-exact. Counts are relative to the curve's horizon:
+    if the curve was truncated before the true diameter, d_eff is the
+    within-horizon effective diameter (document the horizon).
+
+    Output: one row (q, n_pairs_max, d_eff).
+    """
+    if "pairs" not in nf.columns:
+        raise ValueError(
+            "effective_diameter needs an exact-mode curve (pairs column); "
+            "hll curves estimate cardinalities, not exact quantiles"
+        )
+    pairs = nf.sort_values("radius")["pairs"].to_numpy().astype(np.int64)
+    nmax = int(pairs[-1])
+    x = q * np.float64(nmax)
+    r = int(np.argmax(pairs.astype(np.float64) >= x))
+    if r == 0:
+        d = np.float64(0.0)
+    else:
+        d = (np.float64(r) - 1.0) + (x - np.float64(pairs[r - 1])) / (
+            np.float64(pairs[r]) - np.float64(pairs[r - 1])
+        )
+    return pd.DataFrame(
+        {
+            "q": np.array([q], dtype=np.float64),
+            "n_pairs_max": np.array([nmax], dtype=np.int64),
+            "d_eff": np.array([d], dtype=np.float64),
+        }
+    )
+
+
 def _hll_est(denom_scaled: int, m: int) -> float:
     # alpha_16 = 0.673 (Flajolet et al. 2007, m=16); single division
     # of exact operands — identical literal expression in the oracle

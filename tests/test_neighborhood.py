@@ -122,6 +122,35 @@ def test_validation():
         neighborhood_function(ds, 1, mode="hll", m=8)
 
 
+def test_effective_diameter_interpolation():
+    from parallel_pagerank_ray.pipelines.neighborhood import (
+        effective_diameter,
+    )
+
+    # curve 10 -> 50 -> 100: 0.9*100 = 90 first reached at r=2;
+    # d = 1 + (90-50)/(100-50) = 1.8
+    nf = pd.DataFrame({"radius": [0, 1, 2], "pairs": [10, 50, 100]})
+    got = effective_diameter(nf, q=0.9)
+    assert got["n_pairs_max"].tolist() == [100]
+    assert got["d_eff"].tolist() == [1.8]
+    # already satisfied at r=0 (edgeless-ish curve)
+    flat = pd.DataFrame({"radius": [0, 1], "pairs": [100, 100]})
+    assert effective_diameter(flat, q=0.9)["d_eff"].tolist() == [0.0]
+    # exact crossing lands on the integer radius
+    nf2 = pd.DataFrame({"radius": [0, 1, 2], "pairs": [10, 90, 100]})
+    assert effective_diameter(nf2, q=0.9)["d_eff"].tolist() == [1.0]
+
+
+def test_effective_diameter_rejects_hll_curves():
+    from parallel_pagerank_ray.pipelines.neighborhood import (
+        effective_diameter,
+    )
+
+    hll = pd.DataFrame({"radius": [0, 1], "denom_scaled": [8, 4], "est": [1.0, 2.0]})
+    with pytest.raises(ValueError, match="exact-mode curve"):
+        effective_diameter(hll)
+
+
 def test_radius_zero():
     e = np.array([(0, 1), (1, 2)], dtype=np.int64)
     got = neighborhood_function(edges_dataset(e, num_blocks=1), 0, "exact")
