@@ -2056,6 +2056,25 @@ def q_kmeans_embeddings(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_cluster_balanced_sample(sf_dir: str) -> rd.Dataset:
+    """Diversity-preserving curation: k-means-cluster the embedding
+    table, then deterministically downsample every cluster to the
+    smallest cluster's size (SemDeDup-adjacent "balance the semantic
+    mixture" pass) — `pipelines/kmeans.py::kmeans_assign` composed
+    with `functions/sampling.py::balance_sources`, both value-exact,
+    keyed by the same md5 gate as stratified_sample."""
+    from parallel_pagerank_ray.functions.sampling import balance_sources
+    from parallel_pagerank_ray.pipelines.kmeans import kmeans_assign
+    from parallel_pagerank_ray.pipelines.relational import read_table
+
+    assign = kmeans_assign(
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=10,
+        iters=3,
+    )
+    return balance_sources(assign, key_col="vec_id", group_col="cluster")
+
+
 def _copurchase_sym_edges(sf_dir: str) -> rd.Dataset:
     """Symmetric closure of the canonical co-purchase graph (dedup not
     needed: src<dst input makes the closure duplicate-free)."""
@@ -2437,6 +2456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_intersect_except": q_parts_intersect_except,
         "condensation_hosts": q_condensation_hosts,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
         "semantic_dedup": q_semantic_dedup,
         "line_filter": q_line_filter,
         "neighborhood_exact": q_neighborhood_exact,
@@ -4811,6 +4831,15 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": _KMEANS_CTES + """
             SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
             FROM akm
+        """,
+        # kmeans clusters + the balance_sources md5 downsample rule
+        "cluster_balanced_sample": _KMEANS_CTES + """,
+             cnt AS (SELECT cluster, count(*) AS c FROM akm GROUP BY 1)
+            SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster
+            FROM akm a JOIN cnt ON cnt.cluster = a.cluster
+            WHERE CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8))
+                       AS UBIGINT) % 100
+                  < (100 * (SELECT min(c) FROM cnt)) // cnt.c
         """,
         # SALSA closed form: bipartite-support CC (min-propagation
         # replay) + per-component degree shares; the float score is

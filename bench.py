@@ -325,6 +325,7 @@ def bench_queries() -> dict[str, float]:
         "neighborhood_hll",
         "salsa_supplier_part",
         "dsir_weights",
+        "cluster_balanced_sample",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

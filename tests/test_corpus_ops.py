@@ -435,3 +435,31 @@ def test_balance_sources_flattens_skew():
     # determinism: same input -> identical kept set
     again = balance_sources(rd.from_pandas(df).repartition(6)).to_pandas()
     assert sorted(got["doc_id"]) == sorted(again["doc_id"])
+
+
+def test_balance_sources_integer_group_col():
+    # the cluster_balanced_sample composition groups by an int64
+    # cluster label instead of a string source
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from parallel_pagerank_ray.functions.sampling import balance_sources
+
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(600, dtype=np.int64),
+            "cluster": np.array([0] * 400 + [1] * 150 + [2] * 50),
+        }
+    )
+    got = balance_sources(
+        rd.from_pandas(df), key_col="vec_id", group_col="cluster"
+    ).to_pandas()
+    by = got.groupby("cluster").size()
+    assert by[2] <= 50
+    assert by[0] <= 65 and by[0] >= 30
+    again = balance_sources(
+        rd.from_pandas(df).repartition(5), key_col="vec_id",
+        group_col="cluster",
+    ).to_pandas()
+    assert sorted(got["vec_id"]) == sorted(again["vec_id"])
