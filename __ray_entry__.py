@@ -2154,6 +2154,21 @@ def q_neighborhood_hll(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_ppr_push_copurchase(sf_dir: str) -> rd.Dataset:
+    """Local-push personalized PageRank (synchronous integer ACL push,
+    `pipelines/ppr_push.py`) from the smallest strong-co-purchase
+    vertex: (vid, p, r) exact int64 mass — the seed-set-expansion /
+    local-community primitive, touching only the seed's neighborhood."""
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.ppr_push import ppr_push
+    from parallel_pagerank_ray.stages.agg import global_agg
+
+    edges = _copurchase_strong_sym_edges(sf_dir).materialize()
+    seed = int(global_agg(edges, {"s": ("src", "min")})["s"])
+    g = Graph.from_int_edges(edges, dedup=False)
+    return ppr_push(g, seed=seed, eps=10**6).scores
+
+
 def q_salsa_supplier_part(sf_dir: str) -> rd.Dataset:
     """SALSA hub/authority scores of the supplier->part graph
     (`pipelines/salsa.py::salsa_scores`): closed-form stationary
@@ -2463,6 +2478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighborhood_hll": q_neighborhood_hll,
         "salsa_supplier_part": q_salsa_supplier_part,
         "effective_diameter": q_effective_diameter,
+        "ppr_push_copurchase": q_ppr_push_copurchase,
         "pack_docs": q_pack_docs,
         "balance_sources": q_balance_sources,
         "pricing_summary": q_pricing_summary,
@@ -4840,6 +4856,67 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8))
                        AS UBIGINT) % 100
                   < (100 * (SELECT min(c) FROM cnt)) // cnt.c
+        """,
+        # synchronous integer ACL push round-replay: recursive CTE
+        # where each layer re-derives the push arithmetic (floor
+        # divisions, dust-stays-local) and sums incoming shares from
+        # the previous layer's eligible vertices; recursion references
+        # see only the previous layer (the working table), which IS
+        # the BSP round semantics
+        "ppr_push_copurchase": """
+            WITH RECURSIVE
+              cp AS MATERIALIZED (
+                SELECT a.l_partkey AS src, b.l_partkey AS dst
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+                HAVING count(DISTINCT a.l_orderkey) >= 2),
+              e AS MATERIALIZED (
+                SELECT src, dst FROM cp
+                UNION ALL SELECT dst AS src, src AS dst FROM cp),
+              deg AS MATERIALIZED (
+                SELECT src AS vid, count(*) AS d FROM e GROUP BY 1),
+              verts AS (SELECT DISTINCT src AS vid FROM e),
+              st(it, vid, p, r) AS (
+                SELECT 0, vid, CAST(0 AS BIGINT),
+                       CASE WHEN vid = (SELECT min(vid) FROM verts)
+                            THEN CAST(1000000000000 AS BIGINT)
+                            ELSE CAST(0 AS BIGINT) END
+                FROM verts
+                UNION ALL
+                SELECT c.it + 1, c.vid,
+                       c.p + CASE WHEN c.act
+                                  THEN (3 * c.r) // 20 ELSE 0 END,
+                       CASE WHEN c.act
+                            THEN (c.r - (3 * c.r) // 20)
+                                 - (((c.r - (3 * c.r) // 20)
+                                     - (c.r - (3 * c.r) // 20) // 2)
+                                    // c.d) * c.d
+                            ELSE c.r END
+                       + coalesce(inc.x, 0)
+                FROM (SELECT s.it, s.vid, s.p, s.r, d.d,
+                             (d.d > 0 AND s.r >= 1000000 * d.d) AS act
+                      FROM st s JOIN deg d ON d.vid = s.vid) c
+                LEFT JOIN (
+                  SELECT e.dst AS vid,
+                         sum(((u.r - (3 * u.r) // 20)
+                              - (u.r - (3 * u.r) // 20) // 2)
+                             // ud.d) AS x
+                  FROM st u
+                  JOIN deg ud ON ud.vid = u.vid
+                  JOIN e ON e.src = u.vid
+                  WHERE ud.d > 0 AND u.r >= 1000000 * ud.d
+                  GROUP BY 1) inc ON inc.vid = c.vid
+                WHERE c.it < 50
+                  AND (SELECT max(CASE WHEN d2.d > 0
+                                        AND s2.r >= 1000000 * d2.d
+                                       THEN 1 ELSE 0 END)
+                       FROM st s2 JOIN deg d2 ON d2.vid = s2.vid) = 1
+              )
+            SELECT vid, CAST(p AS BIGINT) AS p, CAST(r AS BIGINT) AS r
+            FROM st
+            WHERE it = (SELECT max(it) FROM st) AND (p > 0 OR r > 0)
         """,
         # SALSA closed form: bipartite-support CC (min-propagation
         # replay) + per-component degree shares; the float score is

@@ -326,6 +326,7 @@ def bench_queries() -> dict[str, float]:
         "salsa_supplier_part",
         "dsir_weights",
         "cluster_balanced_sample",
+        "ppr_push_copurchase",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -756,3 +756,42 @@ def dag_depth(n: int, edges: np.ndarray) -> np.ndarray:
     if seen != n:
         raise ValueError("dag_depth: input graph has a cycle")
     return depth
+
+
+def ppr_push(
+    n: int,
+    edges: np.ndarray,
+    seed: int,
+    alpha_num: int = 3,
+    alpha_den: int = 20,
+    eps: int = 1_000_000,
+    scale: int = 10**12,
+    max_rounds: int = 50,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Synchronous integer ACL push (pipelines/ppr_push.py semantics):
+    per round every eligible vertex (deg > 0, r >= eps*deg) pushes
+    simultaneously; floor-division splits, dust stays local. Returns
+    (p, r, rounds)."""
+    edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    deg = np.bincount(edges[:, 0], minlength=n).astype(np.int64)
+    p = np.zeros(n, dtype=np.int64)
+    r = np.zeros(n, dtype=np.int64)
+    r[seed] = scale
+    it = 0
+    while it < max_rounds:
+        active = (deg > 0) & (r >= eps * deg)
+        if not active.any():
+            break
+        it += 1
+        rv = r.copy()
+        incoming = np.zeros(n, dtype=np.int64)
+        for v in np.nonzero(active)[0]:
+            gain = (alpha_num * rv[v]) // alpha_den
+            p[v] += gain
+            rem = rv[v] - gain
+            share = (rem - rem // 2) // deg[v]
+            r[v] = rem - share * deg[v]
+            for u in edges[edges[:, 0] == v, 1]:
+                incoming[u] += share
+        r += incoming
+    return p, r, it

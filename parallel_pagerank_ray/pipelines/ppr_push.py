@@ -1,0 +1,216 @@
+"""Local-push personalized PageRank (Andersen–Chung–Lang, FOCS 2006 —
+the PageRank-Nibble seed-set expansion primitive): starting from unit
+mass at a seed vertex, repeatedly "push" residual mass — a fraction
+alpha sticks at the vertex, the rest spreads to out-neighbors — until
+every vertex's residual per unit out-degree falls below eps. Touches
+only the seed's neighborhood, never the whole graph: THE local
+community / spam-neighborhood primitive at crawl scale.
+
+Exactness design (the repo pattern): all mass is INTEGER (seed starts
+with ``scale``), alpha is the rational ``alpha_num/alpha_den``, every
+split is a floor division with the dust retained at the pushing
+vertex, and rounds are SYNCHRONOUS — every currently-eligible vertex
+pushes simultaneously, so the result is independent of partitioning
+and vertex order and a DuckDB recursive CTE replays it bit-exactly
+(sequential ACL push is order-dependent; the synchronous variant is
+not). Per push of residual r:
+
+    gain  = (alpha_num * r) // alpha_den        -> p += gain
+    rem   = r - gain
+    share = (rem - rem // 2) // deg             -> each out-neighbor
+    r_new = rem - share * deg                   (keep + dust stays)
+
+Vertices with deg = 0 (dangling) or r < eps * deg never push.
+Eligible residual is >= eps >= alpha_den, so every push moves >= 1
+unit into p and total residual strictly decreases: the loop
+terminates; ``max_rounds`` is a replayable cap, not a heuristic.
+
+BSP shape (kcore-style shard actors, `stages/csr_store.py`): each
+shard holds the CSR slice of its vertex range plus int64 (p, r)
+vectors; a round is one simultaneous local push + a ROUTED sparse
+exchange — each shard pre-sums its outgoing (dst, amount) pairs per
+destination shard, so wire traffic is O(frontier edges), never a
+dense vector. The driver sees only per-round active counts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import ray
+import ray.data as rd
+
+from parallel_pagerank_ray.pipelines.graph_build import Graph
+from parallel_pagerank_ray.stages.csr_store import (
+    EdgeShardStore,
+    per_actor_cpus,
+)
+
+
+@dataclass
+class PushRun:
+    scores: rd.Dataset  # (vid, p, r) rows with p > 0 or r > 0
+    iterations: int
+    history: list[dict] = field(default_factory=list)
+
+
+@ray.remote
+class _PushShard:
+    def __init__(
+        self,
+        part: int,
+        part_refs: list,
+        n: int,
+        part_size: int,
+        num_parts: int,
+        alpha_num: int,
+        alpha_den: int,
+        eps: int,
+        seed: int,
+        scale: int,
+    ) -> None:
+        self.an, self.ad, self.eps = alpha_num, alpha_den, eps
+        self.part_size, self.num_parts = part_size, num_parts
+        self.base = part * part_size
+        self.size = max(0, min(part_size, n - self.base))
+        if part_refs:
+            chunks = ray.get(part_refs)
+            src = np.concatenate([c[0] for c in chunks]) - self.base
+            dst = np.concatenate([c[1] for c in chunks])
+        else:
+            src = np.array([], dtype=np.int64)
+            dst = np.array([], dtype=np.int64)
+        if src.size and not bool(np.all(src[1:] >= src[:-1])):
+            order = np.argsort(src, kind="stable")  # pragma: no cover
+            src, dst = src[order], dst[order]
+        self.dst = dst
+        counts = np.bincount(src, minlength=self.size).astype(np.int64)
+        self.deg = counts
+        self.indptr = np.concatenate(([0], np.cumsum(counts)))
+        self.p = np.zeros(self.size, dtype=np.int64)
+        self.r = np.zeros(self.size, dtype=np.int64)
+        if self.base <= seed < self.base + self.size:
+            self.r[seed - self.base] = scale
+
+    def step(self):
+        """One synchronous push over this shard's eligible vertices.
+        Returns (n_active, [(dst_ids, amounts) per destination part])
+        with per-part partial sums already combined shard-side."""
+        active = np.nonzero((self.deg > 0) & (self.r >= self.eps * self.deg))[0]
+        out: list = [None] * self.num_parts
+        if len(active) == 0:
+            return 0, out
+        rv = self.r[active]
+        gain = (self.an * rv) // self.ad
+        self.p[active] += gain
+        rem = rv - gain
+        degs = self.deg[active]
+        share = (rem - rem // 2) // degs
+        self.r[active] = rem - share * degs
+        lo = self.indptr[active]
+        pos = (
+            np.arange(int(degs.sum()))
+            - np.repeat(np.concatenate(([0], np.cumsum(degs)[:-1])), degs)
+            + np.repeat(lo, degs)
+        )
+        dsts = self.dst[pos]
+        amounts = np.repeat(share, degs)
+        target = dsts // self.part_size
+        order = np.argsort(target, kind="stable")
+        dsts, amounts, target = dsts[order], amounts[order], target[order]
+        bounds = np.searchsorted(target, np.arange(self.num_parts + 1))
+        for q in range(self.num_parts):
+            sl = slice(bounds[q], bounds[q + 1])
+            if sl.start == sl.stop:
+                continue
+            u, inv = np.unique(dsts[sl], return_inverse=True)
+            acc = np.zeros(len(u), dtype=np.int64)
+            np.add.at(acc, inv, amounts[sl])
+            out[q] = (u, acc)
+        return int(len(active)), out
+
+    def apply(self, chunks: list) -> None:
+        """Add routed incoming (dst, amount) pairs to local residuals."""
+        for ids, amounts in chunks:
+            np.add.at(self.r, ids - self.base, amounts)
+
+    def slice_table(self):
+        import pyarrow as pa
+
+        keep = np.nonzero((self.p > 0) | (self.r > 0))[0]
+        return pa.table(
+            {
+                "vid": pa.array(self.base + keep, pa.int64()),
+                "p": pa.array(self.p[keep], pa.int64()),
+                "r": pa.array(self.r[keep], pa.int64()),
+            }
+        )
+
+
+def ppr_push(
+    graph: Graph,
+    seed: int,
+    alpha_num: int = 3,
+    alpha_den: int = 20,
+    eps: int = 1_000_000,
+    scale: int = 10**12,
+    max_rounds: int = 50,
+    num_parts: int | None = None,
+) -> PushRun:
+    """Synchronous integer ACL push from ``seed`` over ``graph.edges``
+    (directed as given; pass a symmetric closure for undirected
+    semantics). Requires eps >= alpha_den (every push then strictly
+    drains residual — termination) and scale * alpha_num < 2^62.
+    """
+    if not (0 <= seed < graph.n):
+        raise ValueError(f"ppr_push: seed {seed} outside [0, {graph.n})")
+    if eps < alpha_den:
+        raise ValueError("ppr_push: eps < alpha_den breaks the drain bound")
+    if not (0 < alpha_num < alpha_den):
+        raise ValueError("ppr_push: need 0 < alpha_num < alpha_den")
+    n = graph.n
+    if num_parts is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_parts = min(256, max(4, cpus))
+    store = EdgeShardStore.build(graph.edges, n=n, num_parts=num_parts)
+    P = max(1, -(-n // store.part_size))
+    per_actor = per_actor_cpus(P)
+    actors = [
+        _PushShard.options(num_cpus=per_actor).remote(
+            p,
+            store.part_refs.get(p, []),
+            n,
+            store.part_size,
+            P,
+            alpha_num,
+            alpha_den,
+            eps,
+            seed,
+            scale,
+        )
+        for p in range(P)
+    ]
+    it = 0
+    history: list[dict] = []
+    while it < max_rounds:
+        results = ray.get([a.step.remote() for a in actors])
+        n_active = sum(r[0] for r in results)
+        history.append({"iter": it, "active": int(n_active)})
+        if n_active == 0:
+            break
+        it += 1
+        applies = []
+        for q, a in enumerate(actors):
+            chunks = [r[1][q] for r in results if r[1][q] is not None]
+            if chunks:
+                applies.append(a.apply.remote(chunks))
+        if applies:
+            ray.wait(applies, num_returns=len(applies))
+    tables = [a.slice_table.remote() for a in actors]
+    ray.wait(tables, num_returns=len(tables))
+    for a in actors:
+        ray.kill(a)
+    return PushRun(
+        scores=rd.from_arrow_refs(tables), iterations=it, history=history
+    )
