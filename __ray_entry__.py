@@ -88,6 +88,65 @@ _ANF_CURVE_SQL = """
               UNION ALL SELECT 3, count(*) FROM d3)
 """
 
+# shared synchronous-ACL-push replay (strong co-purchase graph,
+# alpha=3/20, eps=1e6, scale=1e12, cap 50): ends with the final state
+# CTE pst(vid, p, r); the ppr_push and sweep_cut oracles build on it
+_PPR_PUSH_CTES = """
+            WITH RECURSIVE
+              cp AS MATERIALIZED (
+                SELECT a.l_partkey AS src, b.l_partkey AS dst
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+                HAVING count(DISTINCT a.l_orderkey) >= 2),
+              e AS MATERIALIZED (
+                SELECT src, dst FROM cp
+                UNION ALL SELECT dst AS src, src AS dst FROM cp),
+              deg AS MATERIALIZED (
+                SELECT src AS vid, count(*) AS d FROM e GROUP BY 1),
+              verts AS (SELECT DISTINCT src AS vid FROM e),
+              st(it, vid, p, r) AS (
+                SELECT 0, vid, CAST(0 AS BIGINT),
+                       CASE WHEN vid = (SELECT min(vid) FROM verts)
+                            THEN CAST(1000000000000 AS BIGINT)
+                            ELSE CAST(0 AS BIGINT) END
+                FROM verts
+                UNION ALL
+                SELECT c.it + 1, c.vid,
+                       c.p + CASE WHEN c.act
+                                  THEN (3 * c.r) // 20 ELSE 0 END,
+                       CASE WHEN c.act
+                            THEN (c.r - (3 * c.r) // 20)
+                                 - (((c.r - (3 * c.r) // 20)
+                                     - (c.r - (3 * c.r) // 20) // 2)
+                                    // c.d) * c.d
+                            ELSE c.r END
+                       + coalesce(inc.x, 0)
+                FROM (SELECT s.it, s.vid, s.p, s.r, d.d,
+                             (d.d > 0 AND s.r >= 1000000 * d.d) AS act
+                      FROM st s JOIN deg d ON d.vid = s.vid) c
+                LEFT JOIN (
+                  SELECT e.dst AS vid,
+                         sum(((u.r - (3 * u.r) // 20)
+                              - (u.r - (3 * u.r) // 20) // 2)
+                             // ud.d) AS x
+                  FROM st u
+                  JOIN deg ud ON ud.vid = u.vid
+                  JOIN e ON e.src = u.vid
+                  WHERE ud.d > 0 AND u.r >= 1000000 * ud.d
+                  GROUP BY 1) inc ON inc.vid = c.vid
+                WHERE c.it < 50
+                  AND (SELECT max(CASE WHEN d2.d > 0
+                                        AND s2.r >= 1000000 * d2.d
+                                       THEN 1 ELSE 0 END)
+                       FROM st s2 JOIN deg d2 ON d2.vid = s2.vid) = 1
+              ),
+              pst AS (SELECT vid, p, r FROM st
+                      WHERE it = (SELECT max(it) FROM st))
+"""
+
+
 
 # ---------------------------------------------------------------------------
 # pages pipeline (extractor byte-identity surface)
@@ -2085,16 +2144,13 @@ def _copurchase_sym_edges(sf_dir: str) -> rd.Dataset:
     )
 
 
-def _copurchase_strong_sym_edges(sf_dir: str) -> rd.Dataset:
-    """Symmetric closure of the STRONG co-purchase graph (pairs
-    co-bought in >= 2 distinct orders, the ktruss/link-pred graph) —
-    sparse enough for exact-mode ANF's quadratic pair table."""
+def _copurchase_strong_canon(sf_dir: str) -> rd.Dataset:
+    """Canonical (src < dst, distinct) STRONG co-purchase edges: pairs
+    co-bought in >= 2 distinct orders — the ktruss/link-pred graph."""
     import pyarrow.compute as pc
 
-    from parallel_pagerank_ray.pipelines.graph_build import undirected_edges
-
     wg = _copurchase_weighted_graph(sf_dir)
-    strong = wg.edges.map_batches(
+    return wg.edges.map_batches(
         lambda t: t.filter(
             pc.and_(
                 pc.greater_equal(t.column("w"), 2),
@@ -2103,7 +2159,14 @@ def _copurchase_strong_sym_edges(sf_dir: str) -> rd.Dataset:
         ).select(["src", "dst"]),
         batch_format="pyarrow",
     )
-    return undirected_edges(strong, dedup=False)
+
+
+def _copurchase_strong_sym_edges(sf_dir: str) -> rd.Dataset:
+    """Symmetric closure of the strong co-purchase graph — sparse
+    enough for exact-mode ANF's quadratic pair table."""
+    from parallel_pagerank_ray.pipelines.graph_build import undirected_edges
+
+    return undirected_edges(_copurchase_strong_canon(sf_dir), dedup=False)
 
 
 _NEIGH_EXACT_CACHE: dict = {}
@@ -2154,19 +2217,45 @@ def q_neighborhood_hll(sf_dir: str) -> pd.DataFrame:
     )
 
 
+_PPR_PUSH_CACHE: dict = {}
+
+
+def _ppr_push_scores(sf_dir: str) -> rd.Dataset:
+    """Cached ACL push run on the strong co-purchase graph — shared by
+    the ppr_push and sweep_cut gates."""
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.ppr_push import ppr_push
+    from parallel_pagerank_ray.stages.agg import global_agg
+
+    got = _PPR_PUSH_CACHE.get(sf_dir)
+    if got is None:
+        edges = _copurchase_strong_sym_edges(sf_dir).materialize()
+        seed = int(global_agg(edges, {"s": ("src", "min")})["s"])
+        g = Graph.from_int_edges(edges, dedup=False)
+        got = ppr_push(g, seed=seed, eps=10**6).scores.materialize()
+        _PPR_PUSH_CACHE[sf_dir] = got
+    return got
+
+
 def q_ppr_push_copurchase(sf_dir: str) -> rd.Dataset:
     """Local-push personalized PageRank (synchronous integer ACL push,
     `pipelines/ppr_push.py`) from the smallest strong-co-purchase
     vertex: (vid, p, r) exact int64 mass — the seed-set-expansion /
     local-community primitive, touching only the seed's neighborhood."""
-    from parallel_pagerank_ray.pipelines.graph_build import Graph
-    from parallel_pagerank_ray.pipelines.ppr_push import ppr_push
-    from parallel_pagerank_ray.stages.agg import global_agg
+    return _ppr_push_scores(sf_dir)
 
-    edges = _copurchase_strong_sym_edges(sf_dir).materialize()
-    seed = int(global_agg(edges, {"s": ("src", "min")})["s"])
-    g = Graph.from_int_edges(edges, dedup=False)
-    return ppr_push(g, seed=seed, eps=10**6).scores
+
+def q_sweep_cut_copurchase(sf_dir: str) -> rd.Dataset:
+    """PageRank-Nibble sweep cut over the cached push scores
+    (`pipelines/ppr_push.py::sweep_cut`): every prefix of the
+    degree-normalized sweep order with its exact cut/vol int64 prefix
+    sums and conductance phi — the argmin row is the seed's local
+    community."""
+    from parallel_pagerank_ray.pipelines.ppr_push import sweep_cut
+
+    return sweep_cut(
+        _ppr_push_scores(sf_dir), _copurchase_strong_canon(sf_dir)
+    )
 
 
 def q_salsa_supplier_part(sf_dir: str) -> rd.Dataset:
@@ -2479,6 +2568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salsa_supplier_part": q_salsa_supplier_part,
         "effective_diameter": q_effective_diameter,
         "ppr_push_copurchase": q_ppr_push_copurchase,
+        "sweep_cut_copurchase": q_sweep_cut_copurchase,
         "pack_docs": q_pack_docs,
         "balance_sources": q_balance_sources,
         "pricing_summary": q_pricing_summary,
@@ -4863,60 +4953,56 @@ def oracle_sql() -> dict[str, str]:
         # the previous layer's eligible vertices; recursion references
         # see only the previous layer (the working table), which IS
         # the BSP round semantics
-        "ppr_push_copurchase": """
-            WITH RECURSIVE
-              cp AS MATERIALIZED (
-                SELECT a.l_partkey AS src, b.l_partkey AS dst
-                FROM lineitem a JOIN lineitem b
-                  ON a.l_orderkey = b.l_orderkey
-                 AND a.l_partkey < b.l_partkey
-                GROUP BY 1, 2
-                HAVING count(DISTINCT a.l_orderkey) >= 2),
-              e AS MATERIALIZED (
-                SELECT src, dst FROM cp
-                UNION ALL SELECT dst AS src, src AS dst FROM cp),
-              deg AS MATERIALIZED (
-                SELECT src AS vid, count(*) AS d FROM e GROUP BY 1),
-              verts AS (SELECT DISTINCT src AS vid FROM e),
-              st(it, vid, p, r) AS (
-                SELECT 0, vid, CAST(0 AS BIGINT),
-                       CASE WHEN vid = (SELECT min(vid) FROM verts)
-                            THEN CAST(1000000000000 AS BIGINT)
-                            ELSE CAST(0 AS BIGINT) END
-                FROM verts
-                UNION ALL
-                SELECT c.it + 1, c.vid,
-                       c.p + CASE WHEN c.act
-                                  THEN (3 * c.r) // 20 ELSE 0 END,
-                       CASE WHEN c.act
-                            THEN (c.r - (3 * c.r) // 20)
-                                 - (((c.r - (3 * c.r) // 20)
-                                     - (c.r - (3 * c.r) // 20) // 2)
-                                    // c.d) * c.d
-                            ELSE c.r END
-                       + coalesce(inc.x, 0)
-                FROM (SELECT s.it, s.vid, s.p, s.r, d.d,
-                             (d.d > 0 AND s.r >= 1000000 * d.d) AS act
-                      FROM st s JOIN deg d ON d.vid = s.vid) c
-                LEFT JOIN (
-                  SELECT e.dst AS vid,
-                         sum(((u.r - (3 * u.r) // 20)
-                              - (u.r - (3 * u.r) // 20) // 2)
-                             // ud.d) AS x
-                  FROM st u
-                  JOIN deg ud ON ud.vid = u.vid
-                  JOIN e ON e.src = u.vid
-                  WHERE ud.d > 0 AND u.r >= 1000000 * ud.d
-                  GROUP BY 1) inc ON inc.vid = c.vid
-                WHERE c.it < 50
-                  AND (SELECT max(CASE WHEN d2.d > 0
-                                        AND s2.r >= 1000000 * d2.d
-                                       THEN 1 ELSE 0 END)
-                       FROM st s2 JOIN deg d2 ON d2.vid = s2.vid) = 1
-              )
+        "ppr_push_copurchase": _PPR_PUSH_CTES + """
             SELECT vid, CAST(p AS BIGINT) AS p, CAST(r AS BIGINT) AS r
-            FROM st
-            WHERE it = (SELECT max(it) FROM st) AND (p > 0 OR r > 0)
+            FROM pst WHERE p > 0 OR r > 0
+        """,
+        # PageRank-Nibble sweep: degree-normalized rank order (window
+        # row_number), cut via the same inclusion-exclusion histograms
+        # the engine uses, phi = one division of int64 prefix sums
+        "sweep_cut_copurchase": _PPR_PUSH_CTES + """,
+             sup AS (SELECT s.vid, d.d AS deg,
+                            (s.p * 1048576) // d.d AS key
+                     FROM pst s JOIN deg d ON d.vid = s.vid
+                     WHERE s.p > 0),
+             rk AS (SELECT vid, deg,
+                           row_number() OVER (ORDER BY key DESC, vid)
+                               AS rnk
+                    FROM sup),
+             ha AS (SELECT ra.rnk AS rnk, count(*) AS c
+                    FROM cp JOIN rk ra ON ra.vid = cp.src GROUP BY 1),
+             hb AS (SELECT rb.rnk AS rnk, count(*) AS c
+                    FROM cp JOIN rk rb ON rb.vid = cp.dst GROUP BY 1),
+             hboth AS (SELECT greatest(ra.rnk, rb.rnk) AS rnk,
+                              2 * count(*) AS c
+                       FROM cp JOIN rk ra ON ra.vid = cp.src
+                               JOIN rk rb ON rb.vid = cp.dst
+                       GROUP BY 1),
+             mm AS (SELECT count(*) AS m FROM cp),
+             wide AS (SELECT r.rnk, r.vid, r.deg,
+                             coalesce(ha.c, 0) + coalesce(hb.c, 0) AS ca,
+                             coalesce(hboth.c, 0) AS cb
+                      FROM rk r
+                      LEFT JOIN ha ON ha.rnk = r.rnk
+                      LEFT JOIN hb ON hb.rnk = r.rnk
+                      LEFT JOIN hboth ON hboth.rnk = r.rnk)
+            SELECT rnk AS k, vid,
+                   CAST(sum(ca) OVER w - sum(cb) OVER w AS BIGINT) AS cut,
+                   CAST(sum(deg) OVER w AS BIGINT) AS vol,
+                   CASE WHEN least(sum(deg) OVER w,
+                                   2 * (SELECT m FROM mm)
+                                   - sum(deg) OVER w) = 0
+                        THEN 1.0
+                        ELSE CAST(sum(ca) OVER w - sum(cb) OVER w
+                                  AS DOUBLE)
+                             / CAST(least(sum(deg) OVER w,
+                                          2 * (SELECT m FROM mm)
+                                          - sum(deg) OVER w) AS DOUBLE)
+                   END AS phi
+            FROM wide
+            WINDOW w AS (ORDER BY rnk
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
         """,
         # SALSA closed form: bipartite-support CC (min-propagation
         # replay) + per-component degree shares; the float score is

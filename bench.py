@@ -327,6 +327,7 @@ def bench_queries() -> dict[str, float]:
         "dsir_weights",
         "cluster_balanced_sample",
         "ppr_push_copurchase",
+        "sweep_cut_copurchase",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

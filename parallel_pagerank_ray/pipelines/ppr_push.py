@@ -55,6 +55,245 @@ class PushRun:
     history: list[dict] = field(default_factory=list)
 
 
+_RANK_INF = np.int64(1) << 40  # sentinel rank for vertices outside the sweep
+
+
+@ray.remote
+def _rank_partial(t) -> tuple[int, int]:
+    return t.num_rows, int(t.column("deg").to_numpy(zero_copy_only=False).sum())
+
+
+@ray.remote
+def _rank_finalize(t, rank0: int):
+    import pyarrow as pa
+
+    return t.append_column(
+        "rank",
+        pa.array(rank0 + 1 + np.arange(t.num_rows, dtype=np.int64), pa.int64()),
+    )
+
+
+@ray.remote
+def _cut_partial(t) -> tuple[int, int, int]:
+    g = lambda c: int(t.column(c).to_numpy(zero_copy_only=False).sum())
+    return g("deg"), g("ca"), g("cb")
+
+
+@ray.remote
+def _cut_finalize(t, vol0: int, ca0: int, cb0: int, two_m: int):
+    import pyarrow as pa
+
+    deg = t.column("deg").to_numpy(zero_copy_only=False)
+    ca = t.column("ca").to_numpy(zero_copy_only=False)
+    cb = t.column("cb").to_numpy(zero_copy_only=False)
+    vol = vol0 + np.cumsum(deg, dtype=np.int64)
+    cut = (ca0 + np.cumsum(ca, dtype=np.int64)) - (
+        cb0 + np.cumsum(cb, dtype=np.int64)
+    )
+    den = np.minimum(vol, two_m - vol)
+    # single division of exact int64 operands; S = whole graph -> 1.0
+    phi = np.where(
+        den == 0, 1.0, cut.astype(np.float64) / den.astype(np.float64)
+    )
+    return pa.table(
+        {
+            "k": t.column("rank"),
+            "vid": t.column("vid"),
+            "cut": pa.array(cut, pa.int64()),
+            "vol": pa.array(vol, pa.int64()),
+            "phi": pa.array(phi, pa.float64()),
+        }
+    )
+
+
+def sweep_cut(
+    scores: rd.Dataset,
+    canon_edges: rd.Dataset,
+    key_scale: int = 1 << 20,
+    num_buckets: int | None = None,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """PageRank-Nibble's second half: order the push support (p > 0)
+    by degree-normalized score and report every prefix's conductance.
+
+    ``canon_edges`` is the CANONICAL simple undirected edge set
+    (src < dst, distinct); degrees/volumes are over its symmetric
+    closure. Output one row per support vertex:
+    (k, vid, cut, vol, phi) where S_k = the top-k prefix, cut = edges
+    leaving S_k, vol = sum of degrees inside, phi = cut / min(vol,
+    2m - vol) — the argmin row is the ACL local community.
+
+    Exactness: the sweep order is the integer key (p * key_scale) //
+    deg descending (vid ascending tie-break) — p <= scale, so the
+    product is bounded — and every cut/vol is an int64 prefix sum:
+    cut(k) = #edges whose min endpoint rank <= k minus #edges whose
+    max endpoint rank <= k (an edge is cut exactly while one endpoint
+    is inside). phi is one float64 division. DuckDB replays all of it
+    with window functions.
+
+    Scale shape: the sweep table is the push SUPPORT, frontier-local
+    by ACL's guarantee (|support| <= scale / eps pushes) — never the
+    whole graph. Two range-sorts of that table; prefix sums are
+    per-sorted-block cumsums plus a driver fold of #blocks scalar
+    offsets (the only driver pulls).
+    """
+    from parallel_pagerank_ray.pipelines.graph_build import (
+        _default_join_partitions,
+        undirected_edges,
+    )
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+    from parallel_pagerank_ray.util import drop_empty_blocks, safe_join
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+    canon_edges = canon_edges.select_columns(["src", "dst"]).materialize()
+    m = canon_edges.count()
+    deg = grouped_agg(
+        undirected_edges(canon_edges, dedup=False),
+        ["src"],
+        {"deg": ("src", "count")},
+        num_buckets=num_buckets,
+    ).rename_columns({"src": "vid"})
+
+    def keyed(t):
+        import pyarrow as pa
+
+        p = t.column("p").to_numpy(zero_copy_only=False)
+        d = t.column("deg").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vid": t.column("vid"),
+                "deg": t.column("deg"),
+                "key": pa.array((p * np.int64(key_scale)) // d, pa.int64()),
+            }
+        )
+
+    support = (
+        safe_join(
+            scores.filter(expr="p > 0").select_columns(["vid", "p"]),
+            deg,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("vid",),
+        )
+        .map_batches(keyed, batch_format="pyarrow")
+        .sort(["key", "vid"], descending=[True, False])
+        .materialize()
+    )
+    refs = support.to_arrow_refs()
+    partials = ray.get([_rank_partial.remote(r) for r in refs])
+    offs, acc = [], 0
+    for n_rows, _dsum in partials:
+        offs.append(acc)
+        acc += n_rows
+    ranked = rd.from_arrow_refs(
+        [_rank_finalize.remote(r, o) for r, o in zip(refs, offs)]
+    ).materialize()
+
+    # cut(k) by inclusion-exclusion (inner joins only — no outer join
+    # for edges with one endpoint outside the support):
+    #   cut(k) = #[ra<=k] + #[rb<=k] - 2 * #[both<=k]
+    # where ra/rb are the endpoint ranks of edges whose src/dst is in
+    # the support and "both" counts edges with BOTH endpoints ranked
+    # (at max(ra, rb) the edge stops being cut).
+    rk = ranked.select_columns(["vid", "rank"])
+    e1 = safe_join(
+        canon_edges,
+        rk.rename_columns({"vid": "__v1", "rank": "ra"}),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("src",),
+        right_on=("__v1",),
+    ).materialize()
+    e2 = safe_join(
+        e1.select_columns(["dst", "ra"]),
+        rk.rename_columns({"vid": "__v2", "rank": "rb"}),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("dst",),
+        right_on=("__v2",),
+    )
+    eb = safe_join(
+        canon_edges,
+        rk.rename_columns({"vid": "__v3", "rank": "rb"}),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("dst",),
+        right_on=("__v3",),
+    )
+
+    def enter_rows(col):
+        def fn(t):
+            import pyarrow as pa
+
+            z = pa.array(np.zeros(t.num_rows, dtype=np.int64), pa.int64())
+            neg = pa.array(np.full(t.num_rows, -1, dtype=np.int64), pa.int64())
+            one = pa.array(np.ones(t.num_rows, dtype=np.int64), pa.int64())
+            return pa.table(
+                {"rank": t.column(col), "vid": neg, "deg": z, "ca": one, "cb": z}
+            )
+
+        return fn
+
+    def both_rows(t):
+        import pyarrow as pa
+
+        ra = t.column("ra").to_numpy(zero_copy_only=False)
+        rb = t.column("rb").to_numpy(zero_copy_only=False)
+        z = pa.array(np.zeros(t.num_rows, dtype=np.int64), pa.int64())
+        neg = pa.array(np.full(t.num_rows, -1, dtype=np.int64), pa.int64())
+        return pa.table(
+            {
+                "rank": pa.array(np.maximum(ra, rb), pa.int64()),
+                "vid": neg,
+                "deg": z,
+                "ca": z,
+                "cb": pa.array(np.full(t.num_rows, 2, dtype=np.int64)),
+            }
+        )
+
+    def base_rows(t):
+        import pyarrow as pa
+
+        z = pa.array(np.zeros(t.num_rows, dtype=np.int64), pa.int64())
+        return pa.table(
+            {
+                "rank": t.column("rank"),
+                "vid": t.column("vid"),
+                "deg": t.column("deg"),
+                "ca": z,
+                "cb": z,
+            }
+        )
+
+    wide = grouped_agg(
+        ranked.map_batches(base_rows, batch_format="pyarrow")
+        .union(e1.map_batches(enter_rows("ra"), batch_format="pyarrow"))
+        .union(eb.map_batches(enter_rows("rb"), batch_format="pyarrow"))
+        .union(e2.map_batches(both_rows, batch_format="pyarrow")),
+        ["rank"],
+        {
+            "vid": ("vid", "max"),
+            "deg": ("deg", "max"),
+            "ca": ("ca", "sum"),
+            "cb": ("cb", "sum"),
+        },
+        num_buckets=num_buckets,
+    )
+    wide = drop_empty_blocks(wide).sort("rank").materialize()
+    refs = wide.to_arrow_refs()
+    partials = ray.get([_cut_partial.remote(r) for r in refs])
+    out_refs = []
+    vol0 = ca0 = cb0 = 0
+    for r, (dsum, casum, cbsum) in zip(refs, partials):
+        out_refs.append(_cut_finalize.remote(r, vol0, ca0, cb0, 2 * m))
+        vol0 += dsum
+        ca0 += casum
+        cb0 += cbsum
+    return rd.from_arrow_refs(out_refs)
+
+
+
 @ray.remote
 class _PushShard:
     def __init__(

@@ -81,3 +81,73 @@ def test_round_cap_and_validation(graphs):
         ppr_push(g, seed=0, eps=5, alpha_den=20)
     with pytest.raises(ValueError, match="alpha"):
         ppr_push(g, seed=0, alpha_num=25, alpha_den=20)
+
+
+def _sweep_oracle(n, canon, p, key_scale=1 << 20):
+    sym = np.concatenate([canon, canon[:, ::-1]], axis=0)
+    deg = np.bincount(sym[:, 0], minlength=n).astype(np.int64)
+    sup = [v for v in range(n) if p[v] > 0]
+    sup.sort(key=lambda v: (-((int(p[v]) * key_scale) // int(deg[v])), v))
+    m2 = 2 * len(canon)
+    rows = []
+    s: set = set()
+    vol = 0
+    for k, v in enumerate(sup, start=1):
+        s.add(v)
+        vol += int(deg[v])
+        cut = sum(1 for a, b in canon if (a in s) != (b in s))
+        den = min(vol, m2 - vol)
+        phi = 1.0 if den == 0 else np.float64(cut) / np.float64(den)
+        rows.append((k, v, cut, vol, phi))
+    return rows
+
+
+def test_sweep_cut_matches_brute_force():
+    from parallel_pagerank_ray.pipelines.ppr_push import sweep_cut
+
+    e = powerlaw_edges(120, 4, seed=5)
+    canon = np.unique(
+        np.stack(
+            [np.minimum(e[:, 0], e[:, 1]), np.maximum(e[:, 0], e[:, 1])], 1
+        ),
+        axis=0,
+    )
+    canon = canon[canon[:, 0] != canon[:, 1]]
+    sym = np.concatenate([canon, canon[:, ::-1]], axis=0)
+    g = _graph(sym)
+    run = ppr_push(g, seed=int(canon[0, 0]), eps=10**7)
+    got = (
+        sweep_cut(run.scores, edges_dataset(canon, num_blocks=3))
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    p, _r, _it = oracle.ppr_push(120, sym, int(canon[0, 0]), eps=10**7)
+    want = _sweep_oracle(120, canon, p)
+    assert list(map(tuple, got.to_numpy())) == [
+        (float(k), float(v), float(c), float(vo), ph)
+        for k, v, c, vo, ph in want
+    ]
+    # the sweep covers exactly the support
+    assert len(got) == int((p > 0).sum())
+
+
+def test_sweep_cut_isolates_planted_community():
+    from parallel_pagerank_ray.pipelines.ppr_push import sweep_cut
+
+    # two 8-cliques joined by a single bridge edge: sweeping from
+    # inside one clique must find the clique as the min-phi prefix
+    canon = []
+    for base in (0, 8):
+        canon += [
+            (base + i, base + j) for i in range(8) for j in range(i + 1, 8)
+        ]
+    canon.append((0, 8))
+    canon = np.array(sorted(canon), dtype=np.int64)
+    sym = np.concatenate([canon, canon[:, ::-1]], axis=0)
+    run = ppr_push(_graph(sym), seed=1, eps=10**6)
+    got = sweep_cut(run.scores, edges_dataset(canon, num_blocks=2)).to_pandas()
+    best = got.loc[got["phi"].idxmin()]
+    assert best["k"] == 8
+    assert best["cut"] == 1
+    assert set(got.sort_values("k").head(8)["vid"]) == set(range(8))
