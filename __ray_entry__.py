@@ -298,6 +298,17 @@ def q_host_cocitation(sf_dir: str) -> rd.Dataset:
     return host_cocitation(links)
 
 
+def q_crawl_frontier(sf_dir: str) -> rd.Dataset:
+    """Politeness-interleaved crawl schedule over the 11-host corpus
+    (`pipelines/host_graph.py::crawl_frontier`): (url, host, pos,
+    slot) with slot = pos * H + host_rank — any H consecutive slots
+    fetch each host at most once."""
+    from parallel_pagerank_ray.pipelines.host_graph import crawl_frontier
+
+    pages, _ = _host_pages_links(sf_dir)
+    return crawl_frontier(pages)
+
+
 def q_pagerank_hosts_top10(sf_dir: str) -> pd.DataFrame:
     """Weighted PageRank on the coarsened host graph (intra-host edges
     dropped, weight = cross-host link count). Integer rank order like
@@ -1377,6 +1388,15 @@ def q_sample_docs(sf_dir: str) -> rd.Dataset:
     return hash_sample(
         _documents(sf_dir, ["doc_id"]), "doc_id", rate_pct=10
     ).select_columns(["doc_id"])
+
+
+def q_split_corpus(sf_dir: str) -> rd.Dataset:
+    """Deterministic disjoint train/val/test assignment (98/1/1) per
+    doc_id — `functions/sampling.py::split_corpus`; every key lands in
+    exactly one split at any parallelism, no leakage by construction."""
+    from parallel_pagerank_ray.functions.sampling import split_corpus
+
+    return split_corpus(_documents(sf_dir, ["doc_id"]), "doc_id")
 
 
 def q_stratified_sample(sf_dir: str) -> rd.Dataset:
@@ -2461,6 +2481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_stats": q_anchor_stats,
         "host_edges": q_host_edges,
         "host_crawl_stats": q_host_crawl_stats,
+        "crawl_frontier": q_crawl_frontier,
         "host_cocitation": q_host_cocitation,
         "pagerank_hosts_top10": q_pagerank_hosts_top10,
         "scc_hosts": q_scc_hosts,
@@ -2515,6 +2536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles": q_price_quantiles,
         "price_quantiles_by_flag": q_price_quantiles_by_flag,
         "sample_docs": q_sample_docs,
+        "split_corpus": q_split_corpus,
         "stratified_sample": q_stratified_sample,
         "quality_filter": q_quality_filter,
         "top_docs_per_source": q_top_docs_per_source,
@@ -3234,6 +3256,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_pages
             FROM documents
             GROUP BY 1, 2
+        """,
+        # round-robin politeness schedule: two window ranks + one
+        # closed-form slot expression over the synthetic 11-host urls
+        "crawl_frontier": """
+            WITH p AS (
+              SELECT 'https://h' || (doc_id % 11) || '.docs.example/p'
+                       || doc_id AS url,
+                     'h' || (doc_id % 11) || '.docs.example' AS host
+              FROM documents),
+             hr AS (SELECT host,
+                           row_number() OVER (ORDER BY host) - 1 AS hrank
+                    FROM (SELECT DISTINCT host FROM p)),
+             hh AS (SELECT count(*) AS h FROM hr)
+            SELECT p.url, p.host,
+                   CAST(row_number() OVER (PARTITION BY p.host
+                                           ORDER BY p.url) - 1
+                        AS BIGINT) AS pos,
+                   CAST((row_number() OVER (PARTITION BY p.host
+                                            ORDER BY p.url) - 1)
+                        * (SELECT h FROM hh) + hr.hrank
+                        AS BIGINT) AS slot
+            FROM p JOIN hr ON hr.host = p.host
         """,
         "pagerank_hosts_top10": """
             WITH RECURSIVE
@@ -4468,6 +4512,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                        AS UBIGINT) % 100 < 10
+        """,
+        "split_corpus": """
+            SELECT doc_id,
+                   CASE WHEN b < 98 THEN 'train'
+                        WHEN b < 99 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 8))
+                              AS UBIGINT) % 100 AS b
+                  FROM documents)
         """,
         "stratified_sample": """
             SELECT doc_id, source FROM documents

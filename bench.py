@@ -328,6 +328,8 @@ def bench_queries() -> dict[str, float]:
         "cluster_balanced_sample",
         "ppr_push_copurchase",
         "sweep_cut_copurchase",
+        "split_corpus",
+        "crawl_frontier",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -105,3 +105,40 @@ def balance_sources(
     return stratified_sample(
         ds, key_col, group_col, rates, default_pct=0, salt=salt
     )
+
+
+def split_corpus(
+    ds: rd.Dataset,
+    key_col: str,
+    splits: tuple = (("train", 98), ("val", 1), ("test", 1)),
+    salt: str = "",
+) -> rd.Dataset:
+    """Deterministic disjoint-and-exhaustive corpus split (the
+    train/val/test assignment stage): the md5 bucket (same hash as
+    ``hash_sample``) is carved into consecutive percent ranges, so
+    every key lands in EXACTLY one split, stable across runs,
+    partitionings, and engines — no leakage between splits by
+    construction. Stateless map, no shuffle.
+
+    ``splits`` is ((name, pct), ...) summing to 100.
+    """
+    if sum(p for _n, p in splits) != 100:
+        raise ValueError("split_corpus: split percents must sum to 100")
+    names, bounds, acc = [], [], 0
+    for name, pct in splits:
+        acc += pct
+        names.append(name)
+        bounds.append(acc)
+
+    def assign(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_pylist()
+        out = []
+        for k in keys:
+            b = _bucket(str(k), salt)
+            for name, hi in zip(names, bounds):
+                if b < hi:
+                    out.append(name)
+                    break
+        return t.append_column("split", pa.array(out, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -252,3 +252,81 @@ def host_cocitation(
         on=("b",), right_on=("vid",),
     ).rename_columns({"url": "host_b"}).select_columns(["host_a", "host_b", "w"])
     return j.map_batches(normalize, batch_format="pandas")
+
+
+def crawl_frontier(
+    pages: "rd.Dataset",
+    num_buckets: int | None = None,
+    broadcast_max: int = 5_000_000,
+) -> "rd.Dataset":
+    """Politeness-interleaved fetch schedule — the crawl-frontier
+    primitive: round-robin the urls over their hosts so any window of
+    H consecutive global slots fetches each host at most once.
+
+        pos   = rank of the url within its host (url ascending)
+        hrank = rank of the host among the H distinct hosts (ascending)
+        slot  = pos * H + hrank
+
+    Output (url, host, pos, slot) — ordering by slot IS the schedule.
+    All integer ranks over total string orders: value-exact at any
+    parallelism (ASCII urls; byte order on both engines).
+
+    Scale shape: one bucketed shuffle keyed by host (a host's urls are
+    co-located, the sessionize contract), segmented C cumcounts per
+    bucket; the host-rank side is a distinct + sort, attached per batch
+    from one broadcast list under ``broadcast_max`` (hosts ~ 1e6-1e8 at
+    crawl scale; past the guard, swap in the sorted-block-offset
+    enumeration used by `ppr_push.sweep_cut`).
+    """
+    import pandas as pd
+
+    from parallel_pagerank_ray.stages.agg import (
+        distinct,
+        resolve_num_buckets,
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"url": t.column("url"), "host": host_of(t.column("url"))})
+
+    urls = pages.select_columns(["url"]).map_batches(
+        project, batch_format="pyarrow"
+    ).materialize()
+    hosts = (
+        distinct(urls.select_columns(["host"]), ["host"])
+        .to_pandas()["host"]
+        .to_numpy()
+    )
+    if len(hosts) > broadcast_max:  # pragma: no cover - guard
+        raise ValueError(
+            "crawl_frontier: host set exceeds broadcast_max; use the "
+            "sorted-block-offset rank path (see sweep_cut)"
+        )
+    hosts = np.sort(hosts)
+    big_h = len(hosts)
+    num_buckets = num_buckets or resolve_num_buckets(urls)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        from parallel_pagerank_ray.pipelines.graph_build import stable_bucket
+
+        return df.assign(__b=stable_bucket(df["host"], num_buckets))
+
+    def schedule(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["host", "url"], kind="stable")
+        pos = g.groupby("host", sort=False).cumcount().to_numpy()
+        hrank = np.searchsorted(hosts, g["host"].to_numpy())
+        return pd.DataFrame(
+            {
+                "url": g["url"].to_numpy(),
+                "host": g["host"].to_numpy(),
+                "pos": pos.astype(np.int64),
+                "slot": (pos * big_h + hrank).astype(np.int64),
+            }
+        )
+
+    from parallel_pagerank_ray.util import drop_empty_blocks
+
+    return drop_empty_blocks(
+        urls.map_batches(keyed, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(schedule, batch_format="pandas")
+    )

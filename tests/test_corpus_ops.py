@@ -463,3 +463,36 @@ def test_balance_sources_integer_group_col():
         group_col="cluster",
     ).to_pandas()
     assert sorted(got["vec_id"]) == sorted(again["vec_id"])
+
+
+def test_split_corpus_disjoint_exhaustive():
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from parallel_pagerank_ray.functions.sampling import (
+        hash_sample,
+        split_corpus,
+    )
+
+    df = pd.DataFrame({"doc_id": np.arange(2000, dtype=np.int64)})
+    got = split_corpus(rd.from_pandas(df), "doc_id").to_pandas()
+    assert len(got) == 2000 and got["doc_id"].is_unique
+    frac = got["split"].value_counts(normalize=True)
+    assert 0.95 < frac["train"] < 1.0
+    assert frac.get("val", 0) > 0 and frac.get("test", 0) > 0
+    # consistent with hash_sample's bucket: rate 98 == the train split
+    kept = set(
+        hash_sample(rd.from_pandas(df), "doc_id", 98).to_pandas()["doc_id"]
+    )
+    assert set(got[got.split == "train"]["doc_id"]) == kept
+    # partition invariance
+    again = split_corpus(
+        rd.from_pandas(df).repartition(7), "doc_id"
+    ).to_pandas()
+    assert got.sort_values("doc_id").reset_index(drop=True).equals(
+        again.sort_values("doc_id").reset_index(drop=True)
+    )
+    with pytest.raises(ValueError, match="sum to 100"):
+        split_corpus(rd.from_pandas(df), "doc_id", splits=(("a", 60),))

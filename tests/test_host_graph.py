@@ -188,3 +188,30 @@ def test_trustrank_weighted_personalized_vs_oracle():
     mass = (base.ranks - tr.ranks) / base.ranks
     # the trusted seed's own mass must be minimal
     assert int(np.argmin(mass)) == vid_by_host[seed_host]
+
+
+def test_crawl_frontier_politeness():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.pipelines.host_graph import crawl_frontier
+
+    urls = [
+        f"https://h{i % 3}.ex.org/p{i}" for i in range(40)
+    ] + ["https://lone.example/only"]
+    pages = rd.from_arrow(pa.table({"url": urls})).repartition(4)
+    got = crawl_frontier(pages).to_pandas().sort_values("slot")
+    H = got["host"].nunique()
+    assert H == 4
+    # slots unique; slot mod H identifies the host -> any H consecutive
+    # slots touch each host at most once
+    assert got["slot"].is_unique
+    hrank = {h: i for i, h in enumerate(sorted(got["host"].unique()))}
+    assert (got["slot"] % H == got["host"].map(hrank)).all()
+    # per-host positions are dense 0..n_h-1 in url order
+    for h, g in got.groupby("host"):
+        g = g.sort_values("url")
+        assert g["pos"].tolist() == list(range(len(g)))
+        assert (np.diff(g.sort_values("pos")["slot"].to_numpy()) == H).all()
