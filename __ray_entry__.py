@@ -2237,6 +2237,24 @@ def q_neighborhood_hll(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_frequent_triples(sf_dir: str) -> rd.Dataset:
+    """Clique-pruned Apriori level 3 over the order baskets
+    (`pipelines/relational.py::frequent_triples`): part triples whose
+    every pair is strong (co-bought in >= 2 distinct orders), with
+    exact distinct-order support >= 2."""
+    from parallel_pagerank_ray.pipelines.graph_build import dedup_edges
+    from parallel_pagerank_ray.pipelines.relational import (
+        frequent_triples,
+        read_table,
+    )
+
+    baskets = dedup_edges(
+        read_table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .rename_columns({"l_orderkey": "src", "l_partkey": "dst"})
+    ).rename_columns({"src": "o", "dst": "i"})
+    return frequent_triples(baskets, _copurchase_strong_canon(sf_dir))
+
+
 _PPR_PUSH_CACHE: dict = {}
 
 
@@ -2591,6 +2609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "effective_diameter": q_effective_diameter,
         "ppr_push_copurchase": q_ppr_push_copurchase,
         "sweep_cut_copurchase": q_sweep_cut_copurchase,
+        "frequent_triples": q_frequent_triples,
         "pack_docs": q_pack_docs,
         "balance_sources": q_balance_sources,
         "pricing_summary": q_pricing_summary,
@@ -5011,6 +5030,31 @@ def oracle_sql() -> dict[str, str]:
         "ppr_push_copurchase": _PPR_PUSH_CTES + """
             SELECT vid, CAST(p AS BIGINT) AS p, CAST(r AS BIGINT) AS r
             FROM pst WHERE p > 0 OR r > 0
+        """,
+        # Apriori level-3: strong-pair triangles as candidates,
+        # distinct-order support via three basket joins
+        "frequent_triples": """
+            WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+                       FROM lineitem),
+             cp AS MATERIALIZED (
+                SELECT a.l_partkey AS src, b2.l_partkey AS dst
+                FROM lineitem a JOIN lineitem b2
+                  ON a.l_orderkey = b2.l_orderkey
+                 AND a.l_partkey < b2.l_partkey
+                GROUP BY 1, 2
+                HAVING count(DISTINCT a.l_orderkey) >= 2),
+             tri AS (SELECT p1.src AS a, p1.dst AS b2, p2.dst AS c
+                     FROM cp p1
+                     JOIN cp p2 ON p2.src = p1.dst
+                     JOIN cp p3 ON p3.src = p1.src AND p3.dst = p2.dst)
+            SELECT t.a, t.b2 AS b, t.c,
+                   CAST(count(*) AS BIGINT) AS support
+            FROM tri t
+            JOIN b ba ON ba.i = t.a
+            JOIN b bb ON bb.i = t.b2 AND bb.o = ba.o
+            JOIN b bc ON bc.i = t.c AND bc.o = ba.o
+            GROUP BY 1, 2, 3
+            HAVING count(*) >= 2
         """,
         # PageRank-Nibble sweep: degree-normalized rank order (window
         # row_number), cut via the same inclusion-exclusion histograms

@@ -330,6 +330,7 @@ def bench_queries() -> dict[str, float]:
         "sweep_cut_copurchase",
         "split_corpus",
         "crawl_frontier",
+        "frequent_triples",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -822,3 +822,84 @@ def parts_intersect_except(
         )
 
     return agg.map_batches(pick, batch_format="pyarrow")
+
+
+def frequent_triples(
+    baskets: rd.Dataset,
+    strong_pairs: rd.Dataset,
+    min_support: int = 2,
+    num_partitions: int | None = None,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Clique-pruned Apriori level 3 — frequent itemsets of size 3:
+    triples whose EVERY pair is frequent (the Apriori candidate rule;
+    for k=3 that is exactly a triangle of the frequent-pair graph),
+    support-counted against the basket table and thresholded.
+
+    ``baskets``: distinct (o, i) basket-membership rows.
+    ``strong_pairs``: canonical (src < dst) frequent pairs.
+    Output: (a, b, c, support) with a < b < c, support >= min_support.
+
+    Scale shape: candidates come from `triangles.triangle_list`
+    (bucketed wedge kernel, broadcast edge keys — output is exactly
+    the triangle count, never all item triples); support counting is
+    three hash joins that narrow monotonically (candidate x orders of
+    a, then semi-joined on (b, o), then (c, o)) plus one bucketed
+    count — the classic distributed Apriori shape.
+    """
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.triangles import triangle_list
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    if num_partitions is None:
+        from parallel_pagerank_ray.pipelines.graph_build import (
+            _default_join_partitions,
+        )
+
+        num_partitions = _default_join_partitions()
+    strong_pairs = strong_pairs.select_columns(["src", "dst"]).materialize()
+    g = Graph.from_int_edges(strong_pairs, dedup=False)
+    tris = triangle_list(
+        g,
+        num_partitions=num_partitions,
+        num_buckets=num_buckets,
+        edges_simple=True,  # canonical (src < dst, distinct) by contract
+    )
+    # identity Arrow pass: pandas-origin blocks break Ray's fused
+    # Project/rename on the join sides (rename_columns on a DataFrame)
+    baskets = (
+        baskets.select_columns(["o", "i"])
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .materialize()
+    )
+    j = safe_join(
+        tris,
+        baskets,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("a",),
+        right_on=("i",),
+    )
+    j = safe_join(
+        j,
+        baskets.rename_columns({"o": "__o2", "i": "__i2"}),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("b", "o"),
+        right_on=("__i2", "__o2"),
+    )
+    j = safe_join(
+        j,
+        baskets.rename_columns({"o": "__o3", "i": "__i3"}),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("c", "o"),
+        right_on=("__i3", "__o3"),
+    )
+    sup = grouped_agg(
+        j.select_columns(["a", "b", "c"]),
+        ["a", "b", "c"],
+        {"support": ("a", "count")},
+        num_buckets=num_buckets,
+    )
+    return sup.filter(expr=f"support >= {int(min_support)}")

@@ -477,3 +477,89 @@ def per_vertex_triangles(
         return {"vid": batch["vid"], "tri": tri, "deg": d, "lcc": _lcc(tri, d)}
 
     return joined.map_batches(finish, batch_format="numpy")
+
+
+def triangle_list(
+    graph: Graph,
+    num_partitions: int | None = None,
+    num_buckets: int | None = None,
+    edges_simple: bool = False,
+    broadcast_max: int = 50_000_000,
+) -> rd.Dataset:
+    """Enumerate triangles as numerically-sorted (a, b, c) rows —
+    the candidate generator for clique-pruned Apriori (frequent
+    triples) and motif analyses.
+
+    Same compact-forward orientation + broadcast-key wedge check as
+    ``triangle_count``'s fast path; each closed wedge emits one row,
+    so output size is exactly the triangle count (pre-sorted inside
+    the wedge kernel, no later dedup). The oriented edge set must fit
+    the broadcast guard (8 B/edge, one plasma copy per node — the
+    50M-edge bound shared with triangle_count); enumeration beyond it
+    needs the wedge-shuffle closure path, which this caller-facing
+    list variant deliberately does not hide behind the same name.
+    """
+    n = graph.n
+    if n == 0:
+        return rd.from_items([])
+    _, _, oriented, num_partitions, num_buckets = _prepare_oriented(
+        graph, num_partitions, num_buckets, edges_simple
+    )
+    n_oriented = oriented.count()
+    if n >= (1 << 31) or n_oriented > broadcast_max:  # pragma: no cover
+        raise ValueError(
+            "triangle_list: oriented edge set exceeds the broadcast "
+            "guard; use the wedge-shuffle path (triangle_count fallback "
+            "shape) for enumeration at this scale"
+        )
+    import ray as _ray
+
+    nb = np.int64(n)
+    key_parts = [
+        (blk.column("u").to_numpy().astype(np.int64) * nb
+         + blk.column("v").to_numpy().astype(np.int64))
+        for blk in _ray.get(oriented.to_arrow_refs())
+    ]
+    edge_keys = (
+        np.sort(np.concatenate(key_parts))
+        if key_parts
+        else np.array([], dtype=np.int64)
+    )
+    keys_ref = _ray.put(edge_keys)
+
+    def closed_wedges(g: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        keys = _ray.get(keys_ref)
+        order = np.lexsort((g["v"], g["deg_v"], g["u"]))
+        u = g["u"][order]
+        v = g["v"][order]
+        a, b = _pairs_within_groups((u, np.arange(len(u))), v)
+        empty = {
+            "a": np.array([], dtype=np.int64),
+            "b": np.array([], dtype=np.int64),
+            "c": np.array([], dtype=np.int64),
+        }
+        if len(a) == 0 or len(keys) == 0:
+            return empty
+        # centers: _pairs_within_groups pairs rank indices within each
+        # u-group; recover the center as the group key of each pair
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        lens = np.diff(np.r_[starts, len(u)])
+        centers = np.repeat(u[starts], (lens * (lens - 1)) // 2)
+        wk = a * nb + b
+        pos = np.searchsorted(keys, wk)
+        valid = pos < len(keys)
+        match = np.zeros(len(wk), dtype=bool)
+        match[valid] = keys[pos[valid]] == wk[valid]
+        if not match.any():
+            return empty
+        tri = np.stack([centers[match], a[match], b[match]], axis=1)
+        tri.sort(axis=1)  # numeric (a < b < c) output order
+        return {"a": tri[:, 0], "b": tri[:, 1], "c": tri[:, 2]}
+
+    from parallel_pagerank_ray.util import drop_empty_blocks
+
+    return drop_empty_blocks(
+        oriented.groupby("bucket").map_groups(
+            closed_wedges, batch_format="numpy"
+        )
+    )

@@ -645,3 +645,50 @@ def test_pricing_rollup_matches_duckdb():
     assert len(got) == len(exp)
     assert (got["sum_qty_cents"].to_numpy() == exp["sum_qty_cents"].to_numpy()).all()
     assert (got["n_rows"].to_numpy() == exp["n_rows"].to_numpy()).all()
+
+
+def test_frequent_triples_brute_force():
+    from itertools import combinations
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from parallel_pagerank_ray.pipelines.relational import frequent_triples
+
+    rng = np.random.default_rng(4)
+    rows = sorted(
+        {
+            (int(o), int(i))
+            for o, i in zip(rng.integers(0, 25, 400), rng.integers(0, 15, 400))
+        }
+    )
+    baskets = pd.DataFrame(rows, columns=["o", "i"])
+    by_order: dict = {}
+    for o, i in rows:
+        by_order.setdefault(o, set()).add(i)
+
+    def support(items):
+        return sum(1 for s in by_order.values() if set(items) <= s)
+
+    strong = sorted(
+        {
+            (a, b)
+            for s in by_order.values()
+            for a, b in combinations(sorted(s), 2)
+            if support((a, b)) >= 2
+        }
+    )
+    want = sorted(
+        (a, b, c, support((a, b, c)))
+        for a, b, c in combinations(range(15), 3)
+        if (a, b) in set(strong) and (b, c) in set(strong)
+        and (a, c) in set(strong) and support((a, b, c)) >= 2
+    )
+    got = frequent_triples(
+        rd.from_pandas(baskets).repartition(3),
+        rd.from_pandas(pd.DataFrame(strong, columns=["src", "dst"])),
+        min_support=2,
+    ).to_pandas().sort_values(["a", "b", "c"])
+    assert list(map(tuple, got.to_numpy())) == want
+    assert len(want) > 0  # the fixture actually exercises the path
