@@ -60,6 +60,9 @@ _RANK_INF = np.int64(1) << 40  # sentinel rank for vertices outside the sweep
 
 @ray.remote
 def _rank_partial(t) -> tuple[int, int]:
+    # sort stages emit schema-less zero-row blocks at scale — skip them
+    if t.num_rows == 0:
+        return 0, 0
     return t.num_rows, int(t.column("deg").to_numpy(zero_copy_only=False).sum())
 
 
@@ -74,9 +77,11 @@ def _rank_finalize(t, rank0: int):
 
 
 @ray.remote
-def _cut_partial(t) -> tuple[int, int, int]:
+def _cut_partial(t) -> tuple[int, int, int, int]:
+    if t.num_rows == 0:
+        return 0, 0, 0, 0
     g = lambda c: int(t.column(c).to_numpy(zero_copy_only=False).sum())
-    return g("deg"), g("ca"), g("cb")
+    return t.num_rows, g("deg"), g("ca"), g("cb")
 
 
 @ray.remote
@@ -182,13 +187,12 @@ def sweep_cut(
     )
     refs = support.to_arrow_refs()
     partials = ray.get([_rank_partial.remote(r) for r in refs])
-    offs, acc = [], 0
-    for n_rows, _dsum in partials:
-        offs.append(acc)
-        acc += n_rows
-    ranked = rd.from_arrow_refs(
-        [_rank_finalize.remote(r, o) for r, o in zip(refs, offs)]
-    ).materialize()
+    fin, acc = [], 0
+    for r, (n_rows, _dsum) in zip(refs, partials):
+        if n_rows:
+            fin.append(_rank_finalize.remote(r, acc))
+            acc += n_rows
+    ranked = rd.from_arrow_refs(fin).materialize()
 
     # cut(k) by inclusion-exclusion (inner joins only — no outer join
     # for edges with one endpoint outside the support):
@@ -285,11 +289,12 @@ def sweep_cut(
     partials = ray.get([_cut_partial.remote(r) for r in refs])
     out_refs = []
     vol0 = ca0 = cb0 = 0
-    for r, (dsum, casum, cbsum) in zip(refs, partials):
-        out_refs.append(_cut_finalize.remote(r, vol0, ca0, cb0, 2 * m))
-        vol0 += dsum
-        ca0 += casum
-        cb0 += cbsum
+    for r, (n_rows, dsum, casum, cbsum) in zip(refs, partials):
+        if n_rows:
+            out_refs.append(_cut_finalize.remote(r, vol0, ca0, cb0, 2 * m))
+            vol0 += dsum
+            ca0 += casum
+            cb0 += cbsum
     return rd.from_arrow_refs(out_refs)
 
 

@@ -115,12 +115,82 @@ def _side_scores(
     return joined.map_batches(score, batch_format="pyarrow")
 
 
+def _side_scores_bcast(
+    deg: rd.Dataset,
+    comp_ref,
+    side: str,
+    bip_offset: int,
+    num_buckets: int | None,
+) -> rd.Dataset:
+    """Broadcast fast path: the dense bipartite comp vector rides in
+    plasma (one copy per node, zero-copy reads); comp attach and the
+    final score are stateless maps, so a side costs one degree agg +
+    one tiny per-comp agg and NO joins."""
+    import ray
+
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    def attach(t: pa.Table) -> pa.Table:
+        cv = ray.get(comp_ref)
+        vid = t.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "id": t.column("id"),
+                "deg": t.column("deg"),
+                "comp": pa.array(cv[2 * vid + bip_offset], pa.int64()),
+            }
+        )
+
+    labeled = deg.map_batches(attach, batch_format="pyarrow").materialize()
+    pc_tbl = grouped_agg(
+        labeled,
+        ["comp"],
+        {"comp_deg": ("deg", "sum"), "comp_size": ("deg", "count")},
+        num_buckets=num_buckets,
+    ).to_pandas()  # <= #components rows, bounded by the broadcast guard
+    comps_sorted = np.sort(pc_tbl["comp"].to_numpy().astype(np.int64))
+    order = np.argsort(pc_tbl["comp"].to_numpy().astype(np.int64))
+    cdeg = pc_tbl["comp_deg"].to_numpy().astype(np.int64)[order]
+    csize = pc_tbl["comp_size"].to_numpy().astype(np.int64)[order]
+    total = int(csize.sum())
+    side_ref = ray.put((comps_sorted, cdeg, csize))
+
+    def score(t: pa.Table) -> pa.Table:
+        cs_, cd_, sz_ = ray.get(side_ref)
+        d = t.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        comp = t.column("comp").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(cs_, comp)
+        cs = sz_[idx]
+        cd = cd_[idx]
+        num = cs * d
+        den = np.int64(total) * cd
+        return pa.table(
+            {
+                "side": pa.array([side] * t.num_rows, pa.string()),
+                "vid": t.column("id"),
+                "deg": pa.array(d, pa.int64()),
+                "comp_size": pa.array(cs, pa.int64()),
+                "comp_deg": pa.array(cd, pa.int64()),
+                "total": pa.array(
+                    np.full(t.num_rows, total, dtype=np.int64), pa.int64()
+                ),
+                "score": pa.array(
+                    num.astype(np.float64) / den.astype(np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return labeled.map_batches(score, batch_format="pyarrow")
+
+
 def salsa_scores(
     edges: rd.Dataset,
     dedup: bool = True,
     num_parts: int | None = None,
     num_partitions: int | None = None,
     num_buckets: int | None = None,
+    broadcast_max: int = 50_000_000,
 ) -> rd.Dataset:
     """SALSA hub + authority scores of a directed (src, dst) graph.
 
@@ -172,6 +242,23 @@ def salsa_scores(
     outdeg = grouped_agg(
         edges, ["src"], {"deg": ("src", "count")}, num_buckets=num_buckets
     ).rename_columns({"src": "id"})
+
+    if g.n <= broadcast_max:
+        # the comp labels are a dense [0, n) int64 vector — one plasma
+        # copy per node (8 B/vertex, the kcore/triangles guard bound);
+        # both sides then run join-free
+        import ray
+
+        comp_vec = np.empty(g.n, dtype=np.int64)
+        for blk in ray.get(comps.to_arrow_refs()):
+            if blk.num_rows:
+                comp_vec[
+                    blk.column("vid").to_numpy(zero_copy_only=False)
+                ] = blk.column("comp").to_numpy(zero_copy_only=False)
+        comp_ref = ray.put(comp_vec)
+        auth = _side_scores_bcast(indeg, comp_ref, "auth", 1, num_buckets)
+        hub = _side_scores_bcast(outdeg, comp_ref, "hub", 0, num_buckets)
+        return auth.union(hub)
 
     auth = _side_scores(indeg, comps, "auth", 1, num_partitions, num_buckets)
     hub = _side_scores(outdeg, comps, "hub", 0, num_partitions, num_buckets)

@@ -95,3 +95,11 @@ def test_node_as_both_hub_and_authority():
     got = _run(e, blocks=1)
     assert set(got[got.side == "hub"]["vid"]) == {0, 1}
     assert set(got[got.side == "auth"]["vid"]) == {1, 2}
+
+
+def test_join_fallback_parity():
+    # broadcast_max=0 forces the join path; frames identical
+    e = [(0, 10), (0, 11), (1, 10), (1, 12), (2, 11), (2, 12), (5, 13)]
+    a = _run(e)
+    b = _run(e, blocks=3, broadcast_max=0)
+    pd.testing.assert_frame_equal(a, b)
