@@ -240,6 +240,23 @@ def q_chunk_docs(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_lang_mixing(sf_dir: str) -> rd.Dataset:
+    """Language homophily mixing matrix over the page link graph
+    (`pipelines/graph_build.py::attribute_mixing`): link counts per
+    (src_lang, dst_lang) — the Newman-style attribute-assortativity
+    sufficient statistic for a multilingual crawl."""
+    from parallel_pagerank_ray.pipelines.graph_build import (
+        attribute_mixing,
+        links_from_pages,
+    )
+
+    pages, _ = _pages(sf_dir)
+    pages = pages.materialize()
+    return attribute_mixing(
+        links_from_pages(pages), pages.select_columns(["url", "lang"])
+    )
+
+
 def q_link_edges(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.graph_build import links_from_pages
 
@@ -2500,6 +2517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_edges": q_host_edges,
         "host_crawl_stats": q_host_crawl_stats,
         "crawl_frontier": q_crawl_frontier,
+        "lang_mixing": q_lang_mixing,
         "host_cocitation": q_host_cocitation,
         "pagerank_hosts_top10": q_pagerank_hosts_top10,
         "scc_hosts": q_scc_hosts,
@@ -3187,6 +3205,20 @@ def oracle_sql() -> dict[str, str]:
                    ((doc_id * 7 + k.range + 1) % (SELECT count(*) FROM documents))
                    AS dst_url
             FROM documents, range(3) k
+        """,
+        # language homophily: link endpoints resolved back to doc ids
+        # (the synthetic links are closed-form), langs attached, counted
+        "lang_mixing": """
+            WITH l AS (SELECT doc_id AS s,
+                              (doc_id * 7 + k.range + 1)
+                                % (SELECT count(*) FROM documents) AS d
+                       FROM documents, range(3) k)
+            SELECT sa.lang AS src_attr, da.lang AS dst_attr,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM l
+            JOIN documents sa ON sa.doc_id = l.s
+            JOIN documents da ON da.doc_id = l.d
+            GROUP BY 1, 2
         """,
         "pages_anchors": """
             SELECT 'https://docs.example/p' || doc_id AS src_url,

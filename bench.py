@@ -331,6 +331,7 @@ def bench_queries() -> dict[str, float]:
         "split_corpus",
         "crawl_frontier",
         "frequent_triples",
+        "lang_mixing",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -611,3 +611,60 @@ def edge_reciprocity(
             }
         )
     )
+
+
+def attribute_mixing(
+    links: rd.Dataset,
+    attrs: rd.Dataset,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    key_col: str = "url",
+    attr_col: str = "lang",
+    num_partitions: int | None = None,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Attribute mixing matrix of a link graph (Newman 2003 homophily
+    analysis): edge counts grouped by the (source attribute, target
+    attribute) pair — e.g. which languages link to which. The raw
+    matrix is the exact sufficient statistic; assortativity
+    coefficients are a driver-side fold over its <= |attr|^2 rows.
+
+    Scale shape: two hash joins attaching the attribute to each
+    endpoint (the url->attr side is the page table projected to two
+    columns) + one bucketed count — all O(E) row movement, no
+    materialized n^2 anything.
+    """
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+    from parallel_pagerank_ray.util import safe_join
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+    # identity Arrow pass: pandas-origin blocks break Ray's fused
+    # Project/rename on join sides (rename_columns on a DataFrame)
+    attrs = (
+        attrs.select_columns([key_col, attr_col])
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .materialize()
+    )
+    j = safe_join(
+        links.select_columns([src_col, dst_col]),
+        attrs.rename_columns({key_col: "__k1", attr_col: "src_attr"}),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(src_col,),
+        right_on=("__k1",),
+    )
+    j = safe_join(
+        j,
+        attrs.rename_columns({key_col: "__k2", attr_col: "dst_attr"}),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(dst_col,),
+        right_on=("__k2",),
+    )
+    return grouped_agg(
+        j.select_columns(["src_attr", "dst_attr"]),
+        ["src_attr", "dst_attr"],
+        {"n": ("src_attr", "count")},
+        num_buckets=num_buckets,
+    )

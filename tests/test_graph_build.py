@@ -63,3 +63,38 @@ def test_vertex_ids_dense_and_deterministic(pages_dir):
     vids = sorted(v for _, v in v1)
     assert vids == list(range(g1.n))  # dense 0..N-1
     assert np.int64(g1.n) == 10
+
+
+def test_attribute_mixing_matrix():
+    import pandas as pd
+    import ray.data as rd
+
+    from parallel_pagerank_ray.pipelines.graph_build import attribute_mixing
+
+    links = pd.DataFrame(
+        {
+            "src_url": ["a", "a", "b", "c", "c", "c"],
+            "dst_url": ["b", "c", "c", "a", "a", "b"],
+        }
+    )
+    attrs = pd.DataFrame(
+        {"url": ["a", "b", "c"], "lang": ["en", "en", "de"]}
+    )
+    got = (
+        attribute_mixing(
+            rd.from_pandas(links).repartition(2), rd.from_pandas(attrs)
+        )
+        .to_pandas()
+        .sort_values(["src_attr", "dst_attr"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "src_attr": ["de", "de", "en", "en"],
+            "dst_attr": ["de", "en", "de", "en"],
+            "n": [0, 3, 2, 1],
+        }
+    )
+    # de->de never occurs: absent row, not zero row
+    want = want[want.n > 0].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
