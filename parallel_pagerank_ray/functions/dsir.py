@@ -18,11 +18,12 @@ i.e. the ratio of d's target-model mass share to its raw-model mass
 share under unsmoothed frequency models — >1 means target-like.
 Resampling/top-k selection consumes `score` downstream.
 
-Scale shape: two `bigram_counts` heavy-hitter aggregations (per-batch
-pre-count, one bucketed shuffle each — `functions/textstats.py`), one
-count-combine union (no outer join), one string-keyed hash join of the
-per-doc bigram table against the combined counts, one per-doc
-grouped_agg. Document text never leaves the first tokenize pass. At
+Scale shape: ONE tokenize pass over the raw corpus (the per-doc bigram
+table), whose fold is also the corpus count table; one `bigram_counts`
+pass over the target; one count-combine union (no outer join); one
+string-keyed hash join of the per-doc table against the combined
+counts; one per-doc grouped_agg. Document text never leaves the
+tokenize passes. At
 crawl scale the bigram key would be the hashed bucket id
 (`hashing.shingle_hashes31`-style) rather than the string — same
 pipeline, narrower key; the string key keeps the DuckDB oracle exact.
@@ -107,7 +108,12 @@ def dsir_affinity(
 
         num_partitions = _default_join_partitions()
 
-    r = bigram_counts(docs, num_buckets=num_buckets)
+    per_doc = _per_doc_bigrams(docs).materialize()
+    # corpus counts fold the per-doc table (no second text scan);
+    # Σ_d cnt_d(b) over docs == the corpus bigram multiset
+    r = grouped_agg(
+        per_doc, ["bigram"], {"cnt": ("cnt", "sum")}, num_buckets=num_buckets
+    )
     t = bigram_counts(target, num_buckets=num_buckets)
     raw_total = int(global_agg(r, {"s": ("cnt", "sum")})["s"] or 0)
     target_total = int(global_agg(t, {"s": ("cnt", "sum")})["s"] or 0)
@@ -140,7 +146,7 @@ def dsir_affinity(
     )
 
     joined = safe_join(
-        _per_doc_bigrams(docs),
+        per_doc,
         combined,
         join_type="inner",
         num_partitions=num_partitions,
