@@ -2711,8 +2711,8 @@ def _supplier_part_vid_graph(edges_sql: str) -> str:
             SELECT DISTINCT src, dst FROM (
               SELECT src, dst FROM e WHERE src <> dst
               UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
-          v(vid) AS (SELECT 0 UNION ALL
-                     SELECT vid + 1 FROM v WHERE vid + 1 < (SELECT n FROM nn))
+          v(vid) AS (SELECT unnest(range(greatest(
+                       coalesce((SELECT n FROM nn), 1), 1))) AS vid)
     """
 
 
@@ -3628,9 +3628,8 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE e AS ({_SUPP_PART_SQL}),
                  n AS (SELECT max(greatest(src, dst)) + 1 AS n FROM e),
                  v(vid) AS (
-                   SELECT 0
-                   UNION ALL
-                   SELECT vid + 1 FROM v WHERE vid + 1 < (SELECT n FROM n)
+                   SELECT unnest(range(greatest(
+                     coalesce((SELECT n FROM n), 1), 1))) AS vid
                  )
             SELECT vid FROM v WHERE vid NOT IN (SELECT src FROM e)
         """,
@@ -3666,9 +3665,8 @@ def oracle_sql() -> dict[str, str]:
               e AS MATERIALIZED ({_SUPP_PART_SQL}),
               nn AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n
                                   FROM e),
-              verts(vid) AS (SELECT 0 UNION ALL
-                             SELECT vid + 1 FROM verts
-                             WHERE vid + 1 < (SELECT n FROM nn)),
+              verts(vid) AS (SELECT unnest(range(greatest(
+                               coalesce((SELECT n FROM nn), 1), 1))) AS vid),
               ee AS MATERIALIZED (
                 SELECT vid, ((vid % 10) + 1.0) /
                        (SELECT sum((vid % 10) + 1.0) FROM verts) AS ev
@@ -3790,9 +3788,8 @@ def oracle_sql() -> dict[str, str]:
                                    UNION ALL SELECT dst, src, w FROM we),
               nn AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n
                                   FROM und),
-              v(vid) AS (SELECT 0 UNION ALL
-                         SELECT vid + 1 FROM v
-                         WHERE vid + 1 < (SELECT n FROM nn)),
+              v(vid) AS (SELECT unnest(range(greatest(
+                           coalesce((SELECT n FROM nn), 1), 1))) AS vid),
               l0 AS MATERIALIZED (SELECT vid, vid AS label FROM v),
               l1 AS MATERIALIZED {_lpa_weighted_round_sql("l0")},
               l2 AS MATERIALIZED {_lpa_weighted_round_sql("l1")},
@@ -3857,9 +3854,8 @@ def oracle_sql() -> dict[str, str]:
               e AS MATERIALIZED ({_SUPP_PART_SQL}),
               nn AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n
                                   FROM e),
-              v(vid) AS (SELECT 0 UNION ALL
-                         SELECT vid + 1 FROM v
-                         WHERE vid + 1 < (SELECT n FROM nn)),
+              v(vid) AS (SELECT unnest(range(greatest(
+                           coalesce((SELECT n FROM nn), 1), 1))) AS vid),
               -- hub vector per iteration; authorities are the
               -- intermediate a_t = sum of h_(t-1) over in-edges
               hh(it, vid, h) AS (
@@ -4145,9 +4141,8 @@ def oracle_sql() -> dict[str, str]:
                                   WHERE (src + dst) % 17 <> 0),
               n1 AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n
                                   FROM eo),
-              v1(vid) AS (SELECT 0 UNION ALL
-                          SELECT vid + 1 FROM v1
-                          WHERE vid + 1 < (SELECT n FROM n1)),
+              v1(vid) AS (SELECT unnest(range(greatest(
+                            coalesce((SELECT n FROM n1), 1), 1))) AS vid),
               d1 AS MATERIALIZED (SELECT src AS vid, count(*) AS d
                                   FROM eo GROUP BY 1),
               p1(it, vid, rank, delta) AS (
@@ -4179,9 +4174,8 @@ def oracle_sql() -> dict[str, str]:
                 WHERE it = (SELECT max(it) FROM p1)),
               n2 AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n
                                   FROM ea),
-              v2(vid) AS (SELECT 0 UNION ALL
-                          SELECT vid + 1 FROM v2
-                          WHERE vid + 1 < (SELECT n FROM n2)),
+              v2(vid) AS (SELECT unnest(range(greatest(
+                            coalesce((SELECT n FROM n2), 1), 1))) AS vid),
               d2 AS MATERIALIZED (SELECT src AS vid, count(*) AS d
                                   FROM ea GROUP BY 1),
               ini AS MATERIALIZED (
@@ -4679,9 +4673,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_a, doc_b FROM ({_minhash_lsh_sql()})),
               nn AS MATERIALIZED (
                 SELECT max(doc_id) + 1 AS n FROM documents),
-              v(vid) AS (SELECT 0 UNION ALL
-                         SELECT vid + 1 FROM v
-                         WHERE vid + 1 < (SELECT n FROM nn)),
+              v(vid) AS (SELECT unnest(range(greatest(
+                           coalesce((SELECT n FROM nn), 1), 1))) AS vid),
               und AS MATERIALIZED (
                 SELECT doc_a AS src, doc_b AS dst FROM cand
                 UNION ALL SELECT doc_b, doc_a FROM cand),
@@ -5375,9 +5368,8 @@ def oracle_sql() -> dict[str, str]:
                                  UNION ALL SELECT dst, src, w FROM we),
               nn AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n
                                   FROM e),
-              verts(vid) AS (SELECT 0 UNION ALL
-                             SELECT vid + 1 FROM verts
-                             WHERE vid + 1 < (SELECT n FROM nn)),
+              verts(vid) AS (SELECT unnest(range(greatest(
+                               coalesce((SELECT n FROM nn), 1), 1))) AS vid),
               ow AS MATERIALIZED (SELECT src AS vid,
                                          CAST(sum(w) AS DOUBLE) AS tw
                                   FROM e GROUP BY 1),

@@ -122,18 +122,23 @@ def main() -> int:
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(ray_df)} rows, {t_ray:.1f}s)")
             continue
+        t1 = time.time()
         try:
             sql_df = con.sql(oracles[name]).df()
         except Exception as ex:
             print(f"FAIL {name}: oracle SQL raised {type(ex).__name__}: {ex}")
             failures += 1
             continue
+        t_sql = time.time() - t1
         problems = compare(name, ray_df, sql_df)
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             failures += 1
         else:
-            print(f"ok   {name}: {len(ray_df)} rows match ({t_ray:.1f}s)")
+            print(
+                f"ok   {name}: {len(ray_df)} rows match "
+                f"(ray {t_ray:.1f}s, sql {t_sql:.1f}s)"
+            )
     ray.shutdown()
     return 1 if failures else 0
 
