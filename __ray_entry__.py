@@ -1573,6 +1573,16 @@ def q_decontaminate(sf_dir: str) -> rd.Dataset:
     return contamination_flags(docs, bench, k=16)
 
 
+def q_dup_span_stats(sf_dir: str) -> rd.Dataset:
+    """Per-doc duplicated-substring mass (Lee et al. ACL'22 exact
+    substring dedup statistic): fraction of 20-char window positions
+    whose hash occurs >= 2 times anywhere in the corpus. One text
+    scan, one hash-bucket shuffle of (h, doc, count) partials."""
+    from parallel_pagerank_ray.pipelines.dedup import dup_span_stats
+
+    return dup_span_stats(_documents(sf_dir, ["doc_id", "text"]), k=20)
+
+
 def _pii_docs(sf_dir: str) -> rd.Dataset:
     """documents with deterministic planted PII (the corpus itself has
     no digits, so an unplanted gate would be vacuous): docs with
@@ -2584,6 +2594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_overflow": q_winnow_overflow,
         "tfidf_search": q_tfidf_search,
         "decontaminate": q_decontaminate,
+        "dup_span_stats": q_dup_span_stats,
         "pii_scan": q_pii_scan,
         "pii_redact": q_pii_redact,
         "clean_corpus": q_clean_corpus,
@@ -2928,6 +2939,37 @@ def _pii_sql(redact: bool = False) -> str:
            + length(regexp_extract_all(text, '{PHONE}'))) > 0 AS has_pii
         FROM pii
         """
+
+
+def _dup_span_sql(k: int = 20) -> str:
+    """DuckDB mirror of pipelines.dedup.dup_span_stats: same k-char
+    Horner chain per window position; a position is duplicated when
+    its hash occurs >= 2 times corpus-wide; dup_frac is one exact
+    integer DOUBLE division."""
+    from parallel_pagerank_ray.functions import hashing as H
+
+    p, R = int(H.P31), int(H.SHINGLE_R)
+    horner = "CAST(ascii(substr(text, x, 1)) AS BIGINT)"
+    for i in range(1, k):
+        horner = f"(({horner}) * {R} + ascii(substr(text, x + {i}, 1))) % {p}"
+    return f"""
+        WITH sh AS MATERIALIZED (
+          SELECT doc_id,
+                 unnest([({horner})
+                         for x in range(1, greatest(length(text) - {k - 2}, 2))])
+                   AS h
+          FROM documents),
+        tot AS MATERIALIZED (SELECT h, count(*) AS c FROM sh GROUP BY 1),
+        per AS (
+          SELECT sh.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_windows,
+                 CAST(sum(CASE WHEN tot.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dup_windows
+          FROM sh JOIN tot USING (h) GROUP BY 1)
+        SELECT doc_id, n_windows, dup_windows,
+               CAST(dup_windows AS DOUBLE) / n_windows AS dup_frac
+        FROM per
+    """
 
 
 def _decontaminate_sql(k: int = 16) -> str:
@@ -4695,6 +4737,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE it = (SELECT max(it) FROM cc)
         """,
         "decontaminate": _decontaminate_sql(k=16),
+        "dup_span_stats": _dup_span_sql(k=20),
         "pii_scan": _pii_sql(),
         "pii_redact": _pii_sql(redact=True),
         "clean_corpus": f"""

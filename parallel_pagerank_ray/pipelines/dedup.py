@@ -41,7 +41,12 @@ import pyarrow as pa
 import ray.data as rd
 
 from parallel_pagerank_ray.functions import hashing as H
-from parallel_pagerank_ray.stages.agg import distinct, grouped_agg, pairs_within_groups
+from parallel_pagerank_ray.stages.agg import (
+    distinct,
+    grouped_agg,
+    pairs_within_groups,
+    resolve_num_buckets,
+)
 from parallel_pagerank_ray.util import drop_empty_blocks
 
 
@@ -788,3 +793,88 @@ def dedup_keepers(
         return pa.table({"doc_id": ids64, "keeper": kp})
 
     return schema_block.union(joined.map_batches(coalesce, batch_format="pyarrow"))
+
+
+def dup_span_stats(
+    docs: rd.Dataset, k: int = 20, num_buckets: int | None = None
+) -> rd.Dataset:
+    """Per-document duplicated-substring mass (the exact-substring
+    dedup statistic of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL'22): a k-char window POSITION counts
+    as duplicated when its hash occurs at >= 2 positions anywhere in
+    the corpus — in another document or elsewhere in the same one.
+    Output: (doc_id, n_windows, dup_windows, dup_frac), dup_frac a
+    single exact-integer DOUBLE division.
+
+    Scale shape: the text is scanned ONCE — a stateless map emits
+    per-doc (h, c) partials where c is the number of positions of
+    hash h inside the doc, so in-doc repeats collapse before anything
+    moves and the raw text never shuffles. The only wide exchange is
+    one hash-keyed bucket shuffle of those partials: each bucket holds
+    every occurrence row of its hashes, so the in-bucket kernel knows
+    each hash's GLOBAL position count, marks the duplicated ones, and
+    folds per-doc (windows, duplicated) sums — then one doc_id-keyed
+    grouped_agg combines the ~one-row-per-(doc, bucket) partials.
+    Hashes are the engine's mod-2^31-1 Horner chain, so counts are
+    integer-exact and the DuckDB oracle reproduces them (hash
+    collisions are consistent on both sides by construction).
+    """
+
+    def spans(b: pd.DataFrame) -> pd.DataFrame:
+        ids: list[np.ndarray] = []
+        hs: list[np.ndarray] = []
+        cs: list[np.ndarray] = []
+        for doc_id, text in zip(
+            b["doc_id"].astype(np.int64), b["text"].astype(str)
+        ):
+            uniq, cnt = np.unique(H.shingle_hashes31(text, k), return_counts=True)
+            ids.append(np.full(len(uniq), doc_id, dtype=np.int64))
+            hs.append(uniq.astype(np.int64))
+            cs.append(cnt.astype(np.int64))
+        e = np.array([], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(ids) if ids else e,
+                "h": np.concatenate(hs) if hs else e,
+                "c": np.concatenate(cs) if cs else e,
+            }
+        )
+
+    t = docs.select_columns(["doc_id", "text"]).map_batches(
+        spans, batch_format="pandas"
+    )
+    if num_buckets is None:
+        num_buckets = resolve_num_buckets(t)
+
+    def bucketed(b: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        b["__b"] = (b["h"] % num_buckets).astype(np.int64)
+        return b
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("h")["c"].transform("sum").to_numpy()
+        c = g["c"].to_numpy()
+        part = pd.DataFrame(
+            {"doc_id": g["doc_id"], "w": c, "d": c * (tot >= 2)}
+        )
+        return part.groupby("doc_id", as_index=False)[["w", "d"]].sum()
+
+    per = (
+        drop_empty_blocks(t.map_batches(bucketed, batch_format="numpy"))
+        .groupby("__b")
+        .map_groups(fold, batch_format="pandas")
+    )
+    agg = grouped_agg(
+        per,
+        ["doc_id"],
+        {"n_windows": ("w", "sum"), "dup_windows": ("d", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def frac(tt: pa.Table) -> pa.Table:
+        nw = tt.column("n_windows").to_numpy().astype(np.int64)
+        dw = tt.column("dup_windows").to_numpy().astype(np.int64)
+        return tt.append_column(
+            "dup_frac", pa.array(dw / nw, type=pa.float64())
+        )
+
+    return agg.map_batches(frac, batch_format="pyarrow")

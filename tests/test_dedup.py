@@ -322,3 +322,41 @@ def test_contamination_flags_chunked_fallback_matches():
     )
     pd.testing.assert_frame_equal(one, chunked)
     assert bool(one["contaminated"][0]) is True  # bench doc flags itself
+
+
+def test_dup_span_stats_brute_oracle(docs_ds):
+    """dup_span_stats must equal the brute-force per-position rule:
+    a k-window position is duplicated iff its hash occurs >= 2 times
+    corpus-wide (the planted exact dups give whole-doc dup_frac 1.0)."""
+    from collections import Counter
+
+    from parallel_pagerank_ray.functions import hashing as H
+
+    k = 12
+    res = (
+        dedup.dup_span_stats(docs_ds, k=k, num_buckets=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = docs_ds.to_pandas().sort_values("doc_id")
+    hashes = {
+        int(d): H.shingle_hashes31(t, k)
+        for d, t in zip(docs["doc_id"], docs["text"])
+    }
+    tot = Counter()
+    for h in hashes.values():
+        tot.update(h.tolist())
+    for _, row in res.iterrows():
+        h = hashes[int(row.doc_id)]
+        assert row.n_windows == len(h)
+        dup = sum(1 for x in h.tolist() if tot[x] >= 2)
+        assert row.dup_windows == dup
+        assert row.dup_frac == dup / len(h)
+    # planted exact duplicates (0, 40, 41) are 100% duplicated mass
+    full = res.set_index("doc_id")
+    assert full.loc[0, "dup_frac"] == 1.0
+    assert full.loc[40, "dup_frac"] == 1.0
+    assert full.loc[41, "dup_frac"] == 1.0
+    # permuted docs are not fully duplicated
+    assert full.loc[5, "dup_frac"] < 1.0
