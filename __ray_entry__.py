@@ -2387,6 +2387,27 @@ def q_events_running(sf_dir: str) -> rd.Dataset:
     return running_window(read_table(sf_dir, "events"))
 
 
+def q_retention_cohorts(sf_dir: str) -> rd.Dataset:
+    """Cohort retention triangle over events: users by first-active
+    day x active day — `pipelines/events.py::retention_cohorts`."""
+    from parallel_pagerank_ray.pipelines.events import retention_cohorts
+    from parallel_pagerank_ray.pipelines.relational import read_table
+
+    return retention_cohorts(read_table(sf_dir, "events"))
+
+
+def q_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 shape (integer cross-multiplied avg comparison):
+    revenue from lineitems with qty < 0.2x their part's average —
+    `pipelines/relational.py::small_quantity_revenue`."""
+    from parallel_pagerank_ray.pipelines.relational import (
+        read_table,
+        small_quantity_revenue,
+    )
+
+    return small_quantity_revenue(read_table(sf_dir, "lineitem"))
+
+
 def q_pricing_summary(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.relational import pricing_summary, read_table
 
@@ -2641,6 +2662,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_triples": q_frequent_triples,
         "pack_docs": q_pack_docs,
         "balance_sources": q_balance_sources,
+        "retention_cohorts": q_retention_cohorts,
+        "small_quantity_revenue": q_small_quantity_revenue,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "revenue_by_nation": q_revenue_by_nation,
@@ -5369,6 +5392,32 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING)
+        """,
+        "retention_cohorts": """
+            WITH ud AS (
+              SELECT DISTINCT user_id,
+                     strftime(date_trunc('day', ts), '%Y-%m-%d') AS d
+              FROM events),
+            c AS (SELECT user_id, min(d) AS cohort FROM ud GROUP BY 1)
+            SELECT c.cohort AS cohort_day, ud.d AS active_day,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM ud JOIN c USING (user_id) GROUP BY 1, 2
+        """,
+        "small_quantity_revenue": """
+            WITH l AS (
+              SELECT l_partkey,
+                     CAST(round(l_quantity * 100) AS BIGINT) AS q,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS pr
+              FROM lineitem),
+            t AS (SELECT l_partkey, sum(q) AS s, count(*) AS c
+                  FROM l GROUP BY 1)
+            SELECT CAST(coalesce(sum(CASE WHEN 5 * l.q * t.c < t.s
+                                          THEN l.pr END), 0) AS BIGINT)
+                     AS revenue_cents,
+                   CAST(coalesce(sum(CASE WHEN 5 * l.q * t.c < t.s
+                                          THEN 1 END), 0) AS BIGINT)
+                     AS n_small
+            FROM l JOIN t USING (l_partkey)
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

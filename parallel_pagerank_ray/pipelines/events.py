@@ -334,3 +334,54 @@ def running_window(events: rd.Dataset) -> rd.Dataset:
         .map_groups(scans, batch_format="pandas")
     )
     return drop_empty_blocks(out)
+
+
+def retention_cohorts(events: rd.Dataset) -> rd.Dataset:
+    """Cohort retention triangle: (cohort_day, active_day, n_users) —
+    n_users = users whose FIRST-ever active day is cohort_day and who
+    were also active on active_day (the standard product-analytics
+    retention matrix).
+
+    Scale shape: raw events collapse map-side to distinct (user, day)
+    pairs before anything moves; ONE user-keyed bucket shuffle then
+    lets the in-bucket kernel see each user's full day set, compute
+    the cohort (min day) and emit (cohort, day) rows; a final tiny
+    grouped_agg counts per (cohort, active) cell. Days travel as
+    '%Y-%m-%d' strings — integer/string-exact end to end.
+    """
+    num_buckets = resolve_num_buckets(events)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype(np.int64),
+                "day": df["ts"].dt.strftime("%Y-%m-%d"),
+            }
+        ).drop_duplicates()
+        out["bucket"] = (
+            out["user_id"].to_numpy() % np.int64(num_buckets)
+        ).astype(np.int64)
+        return out
+
+    def cohorted(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        cohort = g.groupby("user_id", sort=False)["day"].transform("min")
+        return pd.DataFrame(
+            {
+                "cohort_day": cohort.to_numpy(),
+                "active_day": g["day"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+            }
+        )
+
+    cells = (
+        events.select_columns(["user_id", "ts"])
+        .map_batches(pairs, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(cohorted, batch_format="pandas")
+    )
+    return grouped_agg(
+        drop_empty_blocks(cells),
+        ["cohort_day", "active_day"],
+        {"n_users": ("user_id", "count")},
+    )

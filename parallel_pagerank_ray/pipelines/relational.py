@@ -903,3 +903,62 @@ def frequent_triples(
         num_buckets=num_buckets,
     )
     return sup.filter(expr=f"support >= {int(min_support)}")
+
+
+def small_quantity_revenue(lineitem: rd.Dataset) -> rd.Dataset:
+    """TPC-H Q17 shape, integer-exact: revenue from lineitems whose
+    quantity is below 20% of their part's average quantity. The float
+    avg comparison ``qty < 0.2 * avg(qty)`` is cross-multiplied into
+    pure integers: ``5 * qty_cents * n_part < sum_qty_cents_part``.
+    Output: one row (revenue_cents, n_small).
+
+    Scale shape: ONE part-keyed bucket shuffle of (partkey, qty, price)
+    cents rows; each bucket holds every lineitem of its parts, so the
+    in-bucket kernel computes per-part (sum, count) and folds the
+    small-row revenue partial locally; a driver-side fold of one tiny
+    row per bucket finishes. No join, no second scan.
+    """
+    from parallel_pagerank_ray.stages.agg import resolve_num_buckets
+
+    num_buckets = resolve_num_buckets(lineitem)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        qty = pc.cast(
+            pc.round(pc.multiply(t.column("l_quantity"), 100.0)), pa.int64()
+        )
+        price = pc.cast(
+            pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)), pa.int64()
+        )
+        part = pc.cast(t.column("l_partkey"), pa.int64())
+        bucket = pa.array(
+            part.to_numpy(zero_copy_only=False) % np.int64(num_buckets),
+            type=pa.int64(),
+        )
+        return pa.table(
+            {"part": part, "q": qty, "p": price, "bucket": bucket}
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("part", sort=False)["q"].transform("sum").to_numpy()
+        c = g.groupby("part", sort=False)["q"].transform("size").to_numpy()
+        small = 5 * g["q"].to_numpy() * c < s
+        return pd.DataFrame(
+            {
+                "revenue_cents": [int(g["p"].to_numpy()[small].sum())],
+                "n_small": [int(small.sum())],
+            }
+        )
+
+    parts = (
+        lineitem.select_columns(["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(keyed, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+    out = drop_empty_blocks(parts).to_pandas()
+    return pd.DataFrame(
+        {
+            "revenue_cents": [int(out["revenue_cents"].sum())],
+            "n_small": [int(out["n_small"].sum())],
+        }
+    )

@@ -692,3 +692,61 @@ def test_frequent_triples_brute_force():
     ).to_pandas().sort_values(["a", "b", "c"])
     assert list(map(tuple, got.to_numpy())) == want
     assert len(want) > 0  # the fixture actually exercises the path
+
+
+def test_retention_cohorts_matches_pandas():
+    from parallel_pagerank_ray.pipelines.events import retention_cohorts
+
+    df = _events_df()
+    got = (
+        retention_cohorts(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values(["cohort_day", "active_day"])
+        .reset_index(drop=True)
+    )
+    ud = df.assign(day=df["ts"].dt.strftime("%Y-%m-%d"))[
+        ["user_id", "day"]
+    ].drop_duplicates()
+    cohort = ud.groupby("user_id")["day"].min().rename("cohort_day")
+    want = (
+        ud.join(cohort, on="user_id")
+        .groupby(["cohort_day", "day"])
+        .size()
+        .reset_index(name="n_users")
+        .rename(columns={"day": "active_day"})
+        .sort_values(["cohort_day", "active_day"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["cohort_day"].to_numpy() == want["cohort_day"].to_numpy()).all()
+    assert (got["active_day"].to_numpy() == want["active_day"].to_numpy()).all()
+    assert (got["n_users"].to_numpy() == want["n_users"].to_numpy()).all()
+    # every cohort's first cell is the diagonal (cohort_day == active_day)
+    first = got.groupby("cohort_day")["active_day"].min()
+    assert (first.index == first.to_numpy()).all()
+
+
+def test_small_quantity_revenue_vs_duckdb(ddb):
+    from parallel_pagerank_ray.pipelines.relational import (
+        read_table,
+        small_quantity_revenue,
+    )
+
+    got = small_quantity_revenue(read_table(SF, "lineitem"))
+    want = ddb.sql(
+        """
+        WITH l AS (SELECT l_partkey,
+                          CAST(round(l_quantity * 100) AS BIGINT) AS q,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS pr
+                   FROM lineitem),
+        t AS (SELECT l_partkey, sum(q) AS s, count(*) AS c FROM l GROUP BY 1)
+        SELECT CAST(coalesce(sum(CASE WHEN 5 * l.q * t.c < t.s THEN l.pr END),
+                    0) AS BIGINT) AS revenue_cents,
+               CAST(coalesce(sum(CASE WHEN 5 * l.q * t.c < t.s THEN 1 END),
+                    0) AS BIGINT) AS n_small
+        FROM l JOIN t USING (l_partkey)
+        """
+    ).df()
+    assert int(got["revenue_cents"][0]) == int(want["revenue_cents"][0])
+    assert int(got["n_small"][0]) == int(want["n_small"][0])
+    assert int(got["n_small"][0]) > 0
