@@ -1573,6 +1573,14 @@ def q_decontaminate(sf_dir: str) -> rd.Dataset:
     return contamination_flags(docs, bench, k=16)
 
 
+def q_phrase_search(sf_dir: str) -> rd.Dataset:
+    """Literal phrase-occurrence search over the corpus (shuffle-free
+    scan) — `functions/textstats.py::phrase_counts`."""
+    from parallel_pagerank_ray.functions.textstats import phrase_counts
+
+    return phrase_counts(_documents(sf_dir, ["doc_id", "text"]), "order")
+
+
 def q_dup_span_stats(sf_dir: str) -> rd.Dataset:
     """Per-doc duplicated-substring mass (Lee et al. ACL'22 exact
     substring dedup statistic): fraction of 20-char window positions
@@ -2616,6 +2624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_search": q_tfidf_search,
         "decontaminate": q_decontaminate,
         "dup_span_stats": q_dup_span_stats,
+        "phrase_search": q_phrase_search,
         "pii_scan": q_pii_scan,
         "pii_redact": q_pii_redact,
         "clean_corpus": q_clean_corpus,
@@ -4761,6 +4770,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "decontaminate": _decontaminate_sql(k=16),
         "dup_span_stats": _dup_span_sql(k=20),
+        "phrase_search": """
+            SELECT doc_id,
+                   CAST((length(text) - length(replace(text, 'order', '')))
+                        / length('order') AS BIGINT) AS n_occurrences
+            FROM documents
+            WHERE text LIKE '%order%'
+        """,
         "pii_scan": _pii_sql(),
         "pii_redact": _pii_sql(redact=True),
         "clean_corpus": f"""

@@ -369,3 +369,32 @@ def tfidf_search(
             "score": top["score"].to_numpy().astype(np.int64),
         }
     )
+
+
+def phrase_counts(docs, phrase: str):
+    """Exact phrase search: (doc_id, n_occurrences) for every document
+    containing ``phrase`` as a literal substring at least once —
+    counts are non-overlapping left-to-right occurrences (Python
+    ``str.count`` semantics; for phrases with no proper prefix that is
+    also a suffix, identical to the replace-length SQL rule).
+
+    Scale shape: one stateless vectorized map over the corpus — no
+    shuffle at all; the match count never leaves the scan task, so a
+    100 TB corpus streams through at read bandwidth."""
+    import re
+
+    pat = re.compile(re.escape(phrase))
+
+    def count(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["text"].astype(str).str.count(pat).astype(np.int64)
+        keep = n.to_numpy() > 0
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype(np.int64).to_numpy()[keep],
+                "n_occurrences": n.to_numpy()[keep],
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        count, batch_format="pandas"
+    )

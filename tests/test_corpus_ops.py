@@ -496,3 +496,45 @@ def test_split_corpus_disjoint_exhaustive():
     )
     with pytest.raises(ValueError, match="sum to 100"):
         split_corpus(rd.from_pandas(df), "doc_id", splits=(("a", 60),))
+
+
+def test_phrase_counts_literal_and_regex_safety():
+    from parallel_pagerank_ray.functions.textstats import phrase_counts
+
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": np.arange(5, dtype=np.int64),
+                "text": [
+                    "a.b a.b end",      # regex metachars must stay literal
+                    "xxabab ab",        # 'ab' occurs 3 times
+                    "nothing here",
+                    "a.b",
+                    "ababab",           # non-overlapping: 3
+                ],
+            }
+        )
+    )
+    got = (
+        phrase_counts(docs, "a.b")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [0, 3]
+    assert got["n_occurrences"].tolist() == [2, 1]
+    # 'axb' must NOT match 'a.b' (escaped pattern)
+    got2 = phrase_counts(
+        rd.from_pandas(
+            pd.DataFrame({"doc_id": [0], "text": ["axb axb"]})
+        ),
+        "a.b",
+    ).to_pandas()
+    assert len(got2) == 0
+    got3 = (
+        phrase_counts(docs, "ab").to_pandas().sort_values("doc_id")
+    )
+    assert got3.set_index("doc_id")["n_occurrences"].to_dict() == {
+        1: 3,
+        4: 3,
+    }
