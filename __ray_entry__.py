@@ -1259,6 +1259,17 @@ def q_pseudo_diameter_copurchase(sf_dir: str) -> pa.Table:
     return pseudo_diameter_bsp(g, start=0, sweeps=2, store=store)
 
 
+def q_msf_copurchase(sf_dir: str) -> rd.Dataset:
+    """Minimum spanning forest of the weighted co-purchase graph under
+    the deterministic (w, lo, hi) total order — distributed Boruvka
+    (`pipelines/msf.py::msf_boruvka`). The total order makes the
+    forest unique, so the DuckDB round-replay oracle reproduces the
+    exact edge set."""
+    from parallel_pagerank_ray.pipelines.msf import msf_boruvka
+
+    return msf_boruvka(_copurchase_weighted_graph(sf_dir)).edges
+
+
 def q_sssp_weighted_copurchase(sf_dir: str) -> rd.Dataset:
     """Weighted shortest-path distances from part vid 0 over the
     symmetric weighted co-purchase graph (edge length = distinct-order
@@ -2604,6 +2615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "community_stats": q_community_stats,
         "distinct_parts_per_nation": q_distinct_parts_per_nation,
         "sssp_weighted_copurchase": q_sssp_weighted_copurchase,
+        "msf_copurchase": q_msf_copurchase,
         "degree_assortativity": q_degree_assortativity,
         "degree_histogram": q_degree_histogram,
         "top_tokens": q_top_tokens,
@@ -4528,6 +4540,84 @@ def oracle_sql() -> dict[str, str]:
                    CAST(greatest((SELECT d FROM far1),
                                  (SELECT d FROM far2)) AS BIGINT)
                      AS diameter_lb
+        """,
+        "msf_copurchase": """
+            WITH RECURSIVE
+              we AS MATERIALIZED (
+                SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                       CAST(count(DISTINCT a.l_orderkey) AS BIGINT) AS w
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2),
+              nn AS MATERIALIZED (
+                SELECT max(greatest(src, dst)) + 1 AS n FROM we),
+              -- DuckDB 1.0: UNION inside WITH RECURSIVE concatenates
+              -- without dedup; spell the distinct explicitly
+              vv AS MATERIALIZED (SELECT DISTINCT vid FROM (
+                SELECT src AS vid FROM we UNION ALL SELECT dst FROM we)),
+              -- Boruvka round replay: kind 0 rows are (vid, comp)
+              -- labels, kind 1 rows are chosen forest edges (lo, hi).
+              -- Each iteration either pointer-jumps (labels not flat)
+              -- or hooks every component along its min-(w, lo, hi)
+              -- crossing edge (2-cycles root at the smaller comp id).
+              -- Edge keys pack (w, lo, hi) lexicographically; products
+              -- stay < 2**62 for the gate graph's n and w ranges.
+              st(it, kind, x, y) AS (
+                SELECT 0, 0, vid, vid FROM vv
+                UNION ALL
+                SELECT * FROM (
+                  WITH lab AS (
+                    SELECT it, x AS vid, y AS comp FROM st WHERE kind = 0),
+                  nf AS (
+                    SELECT EXISTS (
+                      SELECT 1 FROM lab l1 JOIN lab l2 ON l1.comp = l2.vid
+                      WHERE l2.comp <> l1.comp) AS v),
+                  crs AS (
+                    SELECT a.comp AS c, b.comp AS d, e.w,
+                           e.src AS lo, e.dst AS hi
+                    FROM we e
+                    JOIN lab a ON a.vid = e.src
+                    JOIN lab b ON b.vid = e.dst
+                    WHERE a.comp <> b.comp),
+                  dirs AS (
+                    SELECT c, d,
+                           (w * (SELECT n FROM nn) + lo)
+                             * (SELECT n FROM nn) + hi AS k, lo, hi
+                    FROM crs
+                    UNION ALL
+                    SELECT d, c,
+                           (w * (SELECT n FROM nn) + lo)
+                             * (SELECT n FROM nn) + hi, lo, hi
+                    FROM crs),
+                  bk AS (SELECT c, min(k) AS k FROM dirs GROUP BY 1),
+                  best AS (
+                    SELECT bk.c, d.d, d.lo, d.hi
+                    FROM bk JOIN dirs d ON d.c = bk.c AND d.k = bk.k),
+                  par AS (
+                    SELECT b1.c,
+                           CASE WHEN b2.c IS NOT NULL AND b1.c < b1.d
+                                THEN b1.c ELSE b1.d END AS p
+                    FROM best b1
+                    LEFT JOIN best b2 ON b2.c = b1.d AND b2.d = b1.c)
+                  SELECT l1.it + 1, 0, l1.vid, l2.comp
+                  FROM lab l1 JOIN lab l2 ON l1.comp = l2.vid
+                  WHERE (SELECT v FROM nf)
+                  UNION ALL
+                  SELECT l.it + 1, 0, l.vid, coalesce(p.p, l.comp)
+                  FROM lab l LEFT JOIN par p ON p.c = l.comp
+                  WHERE NOT (SELECT v FROM nf)
+                    AND EXISTS (SELECT 1 FROM crs)
+                  UNION ALL
+                  SELECT DISTINCT
+                         (SELECT max(it) + 1 FROM lab), 1, b.lo, b.hi
+                  FROM best b
+                  WHERE NOT (SELECT v FROM nf)
+                )
+              )
+            SELECT f.x AS src, f.y AS dst, we.w
+            FROM (SELECT DISTINCT x, y FROM st WHERE kind = 1) f
+            JOIN we ON we.src = f.x AND we.dst = f.y
         """,
         "sssp_weighted_copurchase": f"""
             WITH RECURSIVE
