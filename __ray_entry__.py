@@ -1004,6 +1004,16 @@ def q_kcore_copurchase(sf_dir: str) -> rd.Dataset:
     return kcore_bsp(g, k=80, edges_canonical=True).members
 
 
+def q_coreness_copurchase(sf_dir: str) -> rd.Dataset:
+    """Full core decomposition of the co-purchase graph: (vid,
+    coreness) for every vertex — one rising-threshold peeling pass on
+    the BSP shard engine (`pipelines/kcore.py::coreness_bsp`)."""
+    from parallel_pagerank_ray.pipelines.kcore import coreness_bsp
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return coreness_bsp(g, edges_canonical=True).members
+
+
 def q_bfs_copurchase(sf_dir: str) -> rd.Dataset:
     """Hop distances from part vid 0 over the undirected co-purchase
     graph: (vid, dist) for reached vertices. Integer hops -> exact."""
@@ -2596,6 +2606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coefficient": q_clustering_coefficient,
         "hits_supplier_part": q_hits_supplier_part,
         "kcore_copurchase": q_kcore_copurchase,
+        "coreness_copurchase": q_coreness_copurchase,
         "bfs_copurchase": q_bfs_copurchase,
         "closeness_copurchase": q_closeness_copurchase,
         "harmonic_copurchase": q_harmonic_copurchase,
@@ -3972,6 +3983,46 @@ def oracle_sql() -> dict[str, str]:
             FROM v
             LEFT JOIN afin a ON a.vid = v.vid
             LEFT JOIN hfin h ON h.vid = v.vid
+        """,
+        "coreness_copurchase": f"""
+            WITH RECURSIVE
+            {_supplier_part_vid_graph(_COPURCHASE_SQL)},
+              kc(it, vid, alive, kcur, core) AS (
+                -- rising-threshold peel replay: when nothing dies at
+                -- the current threshold, every alive row adopts k+1;
+                -- a vertex dying at threshold k has coreness k-1
+                SELECT 0, vid, 1, 1, CAST(0 AS BIGINT) FROM v
+                UNION ALL
+                SELECT c.it + 1, c.vid,
+                       CASE WHEN c.alive = 1
+                             AND coalesce(m.d, 0) >= c.kcur
+                            THEN 1 ELSE 0 END,
+                       CASE WHEN (SELECT max(
+                                    CASE WHEN c2.alive = 1
+                                          AND coalesce(m2.d, 0) < c2.kcur
+                                         THEN 1 ELSE 0 END)
+                                  FROM kc c2
+                                  LEFT JOIN (SELECT u2.src AS vid,
+                                                    count(*) AS d
+                                             FROM und u2
+                                             JOIN kc a2
+                                               ON a2.vid = u2.dst
+                                              AND a2.alive = 1
+                                             GROUP BY 1) m2
+                                    ON m2.vid = c2.vid) = 1
+                            THEN c.kcur ELSE c.kcur + 1 END,
+                       CASE WHEN c.alive = 1
+                             AND coalesce(m.d, 0) < c.kcur
+                            THEN c.kcur - 1 ELSE c.core END
+                FROM kc c
+                LEFT JOIN (SELECT u.src AS vid, count(*) AS d
+                           FROM und u
+                           JOIN kc a ON a.vid = u.dst AND a.alive = 1
+                           GROUP BY 1) m ON m.vid = c.vid
+                WHERE (SELECT max(c3.alive) FROM kc c3) = 1
+              )
+            SELECT vid, core AS coreness FROM kc
+            WHERE it = (SELECT max(it) FROM kc)
         """,
         "kcore_copurchase": f"""
             WITH RECURSIVE

@@ -181,3 +181,141 @@ def kcore_bsp(
     return KCoreRun(
         members=rd.from_arrow_refs(tables), iterations=it, history=history
     )
+
+
+@ray.remote
+class _CorenessShard:
+    """_KCoreShard with a RISING threshold: vertices dying while the
+    threshold is k receive coreness k-1. Same O(E_p + size) state and
+    each-edge-touched-once peeling; only the threshold bookkeeping and
+    the (vid, coreness) output differ."""
+
+    def __init__(self, part: int, part_refs: list, n: int, part_size: int) -> None:
+        self.base = part * part_size
+        self.size = max(0, min(part_size, n - self.base))
+        if part_refs:
+            chunks = ray.get(part_refs)
+            src = np.concatenate([c[0] for c in chunks]) - self.base
+            dst = np.concatenate([c[1] for c in chunks])
+        else:
+            src = np.array([], dtype=np.int64)
+            dst = np.array([], dtype=np.int64)
+        self.deg = np.bincount(src, minlength=self.size).astype(np.int64)
+        if dst.size and not bool(np.all(dst[1:] >= dst[:-1])):
+            order = np.argsort(dst, kind="stable")
+            dst = dst[order]
+            src = src[order]
+        self.dst_sorted = dst
+        self.src_for_dst = src
+        self.alive = np.ones(self.size, dtype=bool)
+        self.core = np.zeros(self.size, dtype=np.int64)
+        self.k = 0
+
+    def raise_k(self, k: int):
+        """Adopt threshold k; return local vertices now below it."""
+        self.k = k
+        doomed = np.nonzero(self.alive & (self.deg < k))[0]
+        self.alive[doomed] = False
+        self.core[doomed] = k - 1
+        return self.base + doomed
+
+    def alive_count(self) -> int:
+        return int(self.alive.sum())
+
+    def peel(self, killed: np.ndarray):
+        if len(killed):
+            lo = np.searchsorted(self.dst_sorted, killed, "left")
+            hi = np.searchsorted(self.dst_sorted, killed, "right")
+            lens = hi - lo
+            m = lens > 0
+            if m.any():
+                lo, lens = lo[m], lens[m]
+                csum = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                pos = (
+                    np.arange(int(lens.sum()))
+                    - np.repeat(csum, lens)
+                    + np.repeat(lo, lens)
+                )
+                np.subtract.at(self.deg, self.src_for_dst[pos], 1)
+        doomed = np.nonzero(self.alive & (self.deg < self.k))[0]
+        self.alive[doomed] = False
+        self.core[doomed] = self.k - 1
+        return self.base + doomed
+
+    def slice_table(self):
+        import pyarrow as pa
+
+        vids = self.base + np.arange(self.size, dtype=np.int64)
+        return pa.table(
+            {
+                "vid": pa.array(vids, pa.int64()),
+                "coreness": pa.array(self.core, pa.int64()),
+            }
+        )
+
+
+def coreness_bsp(
+    graph: Graph,
+    num_parts: int | None = None,
+    edges_canonical: bool = False,
+) -> KCoreRun:
+    """Full core decomposition: (vid, coreness) for every vertex of
+    the simple undirected closure — coreness(v) = the largest k with v
+    in the k-core. One peeling pass with a rising threshold: peel to
+    the fixpoint at k, then k += 1, until no vertex survives. Total
+    work stays O(E) for the degree updates (each edge's death is
+    processed once) plus one O(size) scan per threshold step; the
+    threshold rises at most (max coreness + 1) times."""
+    n = graph.n
+    if n == 0:
+        return KCoreRun(members=rd.from_items([]), iterations=0)
+    if num_parts is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_parts = min(256, max(4, cpus))
+    if edges_canonical:
+        canon = graph.edges
+    else:
+        from parallel_pagerank_ray.pipelines.triangles import _simple_undirected
+
+        canon = _simple_undirected(graph.edges)
+    und = undirected_edges(canon, dedup=False)
+    store = EdgeShardStore.build(und, n=n, num_parts=num_parts, sort_by="dst")
+    del und, canon
+    P = max(1, -(-n // store.part_size))
+    per_actor = per_actor_cpus(P)
+    actors = [
+        _CorenessShard.options(num_cpus=per_actor).remote(
+            p, store.part_refs.get(p, []), n, store.part_size
+        )
+        for p in range(P)
+    ]
+    it = 0
+    k = 0
+    history: list[dict] = []
+    while True:
+        k += 1
+        killed_parts = ray.get([a.raise_k.remote(k) for a in actors])
+        newly_killed = (
+            np.concatenate(killed_parts)
+            if killed_parts
+            else np.array([], dtype=np.int64)
+        )
+        history.append({"iter": it, "k": k, "killed": int(len(newly_killed))})
+        while len(newly_killed):
+            newly_killed.sort()
+            ref = ray.put(newly_killed)
+            parts = ray.get([a.peel.remote(ref) for a in actors])
+            newly_killed = np.concatenate(parts)
+            it += 1
+            history.append(
+                {"iter": it, "k": k, "killed": int(len(newly_killed))}
+            )
+        if sum(ray.get([a.alive_count.remote() for a in actors])) == 0:
+            break
+    tables = [a.slice_table.remote() for a in actors]
+    ray.wait(tables, num_returns=len(tables))
+    for a in actors:
+        ray.kill(a)
+    return KCoreRun(
+        members=rd.from_arrow_refs(tables), iterations=it, history=history
+    )

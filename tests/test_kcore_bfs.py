@@ -746,3 +746,52 @@ def test_pseudo_diameter_isolated_start():
     t = pseudo_diameter_bsp(g, start=0, sweeps=3, num_parts=2)
     assert t.column("diameter_lb").to_pylist() == [0]
     assert t.column("peripheral").to_pylist() == [0]
+
+
+def test_coreness_matches_python_peel():
+    """coreness_bsp must equal sequential rising-threshold peeling,
+    and its k-th level set must equal kcore_bsp membership."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.kcore import coreness_bsp, kcore_bsp
+
+    rng = np.random.default_rng(11)
+    n, m = 150, 900
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    t = pa.table(
+        {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+    )
+    run = coreness_bsp(Graph(n=n, edges=rd.from_arrow(t)))
+    got = run.members.to_pandas().sort_values("vid")["coreness"].to_numpy()
+
+    adj = [set() for _ in range(n)]
+    for s, d in zip(src, dst):
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    deg = np.array([len(a) for a in adj])
+    core = np.zeros(n, dtype=int)
+    alive = np.ones(n, bool)
+    k = 0
+    while alive.any():
+        k += 1
+        doomed = np.nonzero(alive & (deg < k))[0]
+        while len(doomed):
+            for v in doomed:
+                alive[v] = False
+                core[v] = k - 1
+                for u in adj[v]:
+                    if alive[u]:
+                        deg[u] -= 1
+            doomed = np.nonzero(alive & (deg < k))[0]
+    assert np.array_equal(got, core)
+    kq = int(core.max())
+    members = (
+        kcore_bsp(Graph(n=n, edges=rd.from_arrow(t)), k=kq)
+        .members.to_pandas()["vid"]
+        .to_numpy()
+    )
+    assert set(members) == set(np.nonzero(core >= kq)[0].tolist())
