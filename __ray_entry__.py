@@ -805,6 +805,18 @@ def q_components_copurchase(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_bipartite_components(sf_dir: str) -> rd.Dataset:
+    """Per-component bipartiteness of the co-purchase graph via the
+    bipartite double cover (two CC runs + one join) —
+    `pipelines/components.py::bipartite_components`."""
+    from parallel_pagerank_ray.pipelines.components import (
+        bipartite_components,
+    )
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return bipartite_components(g)
+
+
 def q_component_size_histogram(sf_dir: str) -> rd.Dataset:
     """Distribution of component sizes: (size, n_components)."""
     from parallel_pagerank_ray.pipelines.components_actors import (
@@ -2599,6 +2611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_weighted_top20": q_pagerank_weighted_top20,
         "components_copurchase": q_components_copurchase,
         "component_size_histogram": q_component_size_histogram,
+        "bipartite_components": q_bipartite_components,
         "labelprop_copurchase": q_labelprop_copurchase,
         "labelprop_weighted_copurchase": q_labelprop_weighted_copurchase,
         "triangles_copurchase": q_triangles_copurchase,
@@ -3816,6 +3829,58 @@ def oracle_sql() -> dict[str, str]:
               lab AS (SELECT vid, comp FROM cc
                       WHERE it = (SELECT max(it) FROM cc))
             SELECT comp, count(*) AS size FROM lab GROUP BY 1
+        """,
+        "bipartite_components": f"""
+            WITH RECURSIVE
+            {_supplier_part_vid_graph(_COPURCHASE_SQL)},
+              cc(it, vid, comp, ch) AS (
+                SELECT 0, vid, vid, 1 FROM v
+                UNION ALL
+                SELECT c.it + 1, c.vid,
+                       least(c.comp, coalesce(m.mn, c.comp)),
+                       CASE WHEN least(c.comp, coalesce(m.mn, c.comp))
+                                 <> c.comp THEN 1 ELSE 0 END
+                FROM cc c
+                LEFT JOIN (SELECT u.dst AS vid, min(c2.comp) AS mn
+                           FROM cc c2 JOIN und u ON u.src = c2.vid
+                           GROUP BY 1) m ON m.vid = c.vid
+                WHERE (SELECT max(c3.ch) FROM cc c3) = 1
+              ),
+              lab AS (SELECT vid, comp FROM cc
+                      WHERE it = (SELECT max(it) FROM cc)),
+              -- bipartite double cover: (v,0)=2v, (v,1)=2v+1
+              und2 AS MATERIALIZED (
+                SELECT 2 * src AS src, 2 * dst + 1 AS dst FROM und
+                UNION ALL SELECT 2 * src + 1, 2 * dst FROM und),
+              v2(vid) AS (SELECT 2 * vid FROM v
+                          UNION ALL SELECT 2 * vid + 1 FROM v),
+              cc2(it, vid, comp, ch) AS (
+                SELECT 0, vid, vid, 1 FROM v2
+                UNION ALL
+                SELECT c.it + 1, c.vid,
+                       least(c.comp, coalesce(m.mn, c.comp)),
+                       CASE WHEN least(c.comp, coalesce(m.mn, c.comp))
+                                 <> c.comp THEN 1 ELSE 0 END
+                FROM cc2 c
+                LEFT JOIN (SELECT u.dst AS vid, min(c2.comp) AS mn
+                           FROM cc2 c2 JOIN und2 u ON u.src = c2.vid
+                           GROUP BY 1) m ON m.vid = c.vid
+                WHERE (SELECT max(c3.ch) FROM cc2 c3) = 1
+              ),
+              lab2 AS (SELECT vid, comp FROM cc2
+                       WHERE it = (SELECT max(it) FROM cc2)),
+              pairs AS (
+                SELECT l.comp, c.comp AS ccomp
+                FROM lab l JOIN lab2 c ON c.vid // 2 = l.vid),
+              counts AS (
+                SELECT comp, count(DISTINCT ccomp) AS n_cover_comps
+                FROM pairs GROUP BY 1),
+              sizes AS (
+                SELECT comp, count(*) AS n_vertices FROM lab GROUP BY 1)
+            SELECT s.comp, CAST(s.n_vertices AS BIGINT) AS n_vertices,
+                   CAST(c.n_cover_comps AS BIGINT) AS n_cover_comps,
+                   c.n_cover_comps = 2 AS bipartite
+            FROM sizes s JOIN counts c USING (comp)
         """,
         "component_size_histogram": f"""
             WITH RECURSIVE

@@ -247,6 +247,7 @@ def bench_queries() -> dict[str, float]:
         "edges_supplier_part",
         "pagerank_supplier_part_top20",
         "components_copurchase",
+        "bipartite_components",
         "labelprop_copurchase",
         "triangles_copurchase",
         "kcore_copurchase",

@@ -221,3 +221,100 @@ def connected_components(
         if changed == 0:
             break
     return ComponentsRun(components=comps, iterations=it, history=history)
+
+
+def bipartite_components(graph: Graph, num_parts: int | None = None) -> rd.Dataset:
+    """Per-component bipartiteness via the DOUBLE COVER: a component C
+    is bipartite iff its bipartite double cover (vertex (v, side),
+    edges (u,0)-(v,1) and (u,1)-(v,0)) splits into exactly TWO
+    components over C — an odd cycle connects the two sides.
+    Output: (comp, n_vertices, n_cover_comps, bipartite).
+
+    Scale shape: two runs of the existing BSP connected-components
+    engine (base graph and its 2x cover — the cover is one stateless
+    map over the edges), then one vid-keyed join of the two label
+    tables and a tiny per-component distinct-count. Nothing new
+    materializes on the driver. Isolated vertices are bipartite by
+    convention (their cover is two singletons)."""
+    import pyarrow as pa
+
+    from parallel_pagerank_ray.pipelines.components_actors import (
+        connected_components_bsp,
+    )
+    from parallel_pagerank_ray.pipelines.graph_build import (
+        _default_join_partitions,
+    )
+    from parallel_pagerank_ray.stages.agg import distinct, grouped_agg
+    from parallel_pagerank_ray.util import safe_join
+
+    join_parts = _default_join_partitions()
+
+    base = connected_components_bsp(graph, num_parts=num_parts).components
+
+    def cover(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        return pa.table(
+            {
+                "src": pa.array(
+                    np.concatenate([2 * src, 2 * src + 1]), pa.int64()
+                ),
+                "dst": pa.array(
+                    np.concatenate([2 * dst + 1, 2 * dst]), pa.int64()
+                ),
+            }
+        )
+
+    cover_g = Graph(
+        n=2 * graph.n,
+        edges=graph.edges.select_columns(["src", "dst"]).map_batches(
+            cover, batch_format="pyarrow"
+        ),
+    )
+    cov = connected_components_bsp(cover_g, num_parts=num_parts).components
+
+    def fold_side(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vid2 = t.column("vid").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vid": pa.array(vid2 // 2, pa.int64()),
+                "ccomp": pc.cast(t.column("comp"), pa.int64()),
+            }
+        )
+
+    pairs = safe_join(
+        base,
+        cov.map_batches(fold_side, batch_format="pyarrow").rename_columns(
+            {"vid": "__cv"}
+        ),
+        join_type="inner",
+        num_partitions=join_parts,
+        on=("vid",),
+        right_on=("__cv",),
+    ).select_columns(["comp", "ccomp"])
+    dpairs = distinct(pairs, ["comp", "ccomp"])
+    counts = grouped_agg(
+        dpairs, ["comp"], {"n_cover_comps": ("ccomp", "count")}
+    )
+    sizes = grouped_agg(base, ["comp"], {"n_vertices": ("vid", "count")})
+    out = safe_join(
+        sizes,
+        counts.rename_columns({"comp": "__c"}),
+        join_type="inner",
+        num_partitions=join_parts,
+        on=("comp",),
+        right_on=("__c",),
+    ).select_columns(["comp", "n_vertices", "n_cover_comps"])
+
+    def flag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "bipartite", pc.equal(t.column("n_cover_comps"), pa.scalar(2))
+        )
+
+    return out.map_batches(flag, batch_format="pyarrow")

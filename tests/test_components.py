@@ -236,3 +236,56 @@ def test_per_vertex_triangles_shuffle_fallback(graphs):
     for v, t in got.items():
         assert t == want_tri[int(v)]
     assert sum(got.values()) == want_tri.sum()
+
+
+def test_bipartite_components_known_graphs():
+    # even cycle C4 -> bipartite; odd cycle C3 -> not; star -> bipartite;
+    # isolated vertex -> bipartite by convention (cover = two singletons)
+    from parallel_pagerank_ray.pipelines.components import (
+        bipartite_components,
+    )
+
+    # components: C4 on 0-3, C3 on 4-6, star center 7 leaves 8-9,
+    # isolated vertex 10 (via n from id gap in an extra self-free edge)
+    e = [
+        (0, 1), (1, 2), (2, 3), (3, 0),          # C4
+        (4, 5), (5, 6), (6, 4),                  # C3
+        (7, 8), (7, 9),                          # star
+        (10, 11),                                # K2 (bipartite)
+    ]
+    g = _graph(e, blocks=2)
+    df = (
+        bipartite_components(g)
+        .to_pandas()
+        .sort_values("comp")
+        .reset_index(drop=True)
+    )
+    got = {
+        int(r["comp"]): (int(r["n_vertices"]), bool(r["bipartite"]))
+        for _, r in df.iterrows()
+    }
+    assert got == {
+        0: (4, True),   # C4
+        4: (3, False),  # C3 odd cycle
+        7: (3, True),   # star
+        10: (2, True),  # K2
+    }
+    # n_cover_comps: 2 where bipartite, 1 where an odd cycle fuses sides
+    nc = dict(zip(df["comp"].astype(int), df["n_cover_comps"].astype(int)))
+    assert nc == {0: 2, 4: 1, 7: 2, 10: 2}
+
+
+def test_bipartite_components_odd_even_mix():
+    # a 5-cycle with a pendant path stays non-bipartite; an even cycle
+    # sharing no vertices stays bipartite — partition-count invariant
+    from parallel_pagerank_ray.pipelines.components import (
+        bipartite_components,
+    )
+
+    e = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (4, 5), (5, 6),
+         (7, 8), (8, 9), (9, 10), (10, 7)]
+    for parts in (2, 4):
+        g = _graph(e, blocks=2)
+        df = bipartite_components(g, num_parts=parts).to_pandas()
+        got = dict(zip(df["comp"].astype(int), df["bipartite"].astype(bool)))
+        assert got == {0: False, 7: True}
