@@ -2495,6 +2495,24 @@ def q_top_customers(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_butterfly_stats(sf_dir: str) -> rd.Dataset:
+    """Global butterfly (K2,2) census of the bipartite order-part graph
+    — `pipelines/relational.py::butterfly_stats`."""
+    from parallel_pagerank_ray.pipelines.relational import butterfly_stats
+
+    return butterfly_stats(sf_dir)
+
+
+def q_butterflies_per_part(sf_dir: str) -> rd.Dataset:
+    """Top-20 parts by butterfly participation (deterministic ties) —
+    `pipelines/relational.py::butterflies_per_part`."""
+    from parallel_pagerank_ray.pipelines.relational import (
+        butterflies_per_part,
+    )
+
+    return butterflies_per_part(sf_dir, k=20)
+
+
 def q_neighbor_sample(sf_dir: str) -> rd.Dataset:
     """2-hop GraphSAGE-style neighbor sample (fanouts 5, 3) from part
     vids 1-5 over the co-purchase closure. The salted integer-mix
@@ -2712,6 +2730,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "revenue_by_nation": q_revenue_by_nation,
+        "butterfly_stats": q_butterfly_stats,
+        "butterflies_per_part": q_butterflies_per_part,
         "doc_repetition": q_doc_repetition,
         "neighbor_sample": q_neighbor_sample,
         "price_band_match": q_price_band_match,
@@ -5658,6 +5678,37 @@ def oracle_sql() -> dict[str, str]:
               ON p.p_retailprice BETWEEN a.p_retailprice - 2.0
                                      AND a.p_retailprice + 2.0
             GROUP BY 1
+        """,
+        "butterfly_stats": """
+            WITH w AS (
+              SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                     count(DISTINCT a.l_orderkey) AS w
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2)
+            SELECT CAST(count(*) AS BIGINT) AS n_part_pairs,
+                   CAST(sum(w) AS BIGINT) AS n_coorders,
+                   CAST(sum(w * (w - 1) // 2) AS BIGINT) AS n_butterflies
+            FROM w
+        """,
+        "butterflies_per_part": """
+            WITH w AS (
+              SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                     count(DISTINCT a.l_orderkey) AS w
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2),
+            bf AS (SELECT src, dst, w * (w - 1) // 2 AS bf FROM w),
+            per AS (
+              SELECT part, CAST(sum(bf) AS BIGINT) AS n_butterflies
+              FROM (SELECT src AS part, bf FROM bf
+                    UNION ALL SELECT dst AS part, bf FROM bf)
+              GROUP BY 1)
+            SELECT part, n_butterflies FROM per
+            ORDER BY n_butterflies DESC, part
+            LIMIT 20
         """,
         "top_customers": """
             SELECT c.c_custkey, c.c_name,

@@ -248,6 +248,8 @@ def bench_queries() -> dict[str, float]:
         "pagerank_supplier_part_top20",
         "components_copurchase",
         "bipartite_components",
+        "butterfly_stats",
+        "butterflies_per_part",
         "labelprop_copurchase",
         "triangles_copurchase",
         "kcore_copurchase",

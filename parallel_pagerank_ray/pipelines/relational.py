@@ -296,18 +296,19 @@ def copurchase_edges(
     return dedup_edges(out) if dedup else out
 
 
-def copurchase_weighted_edges(
+def coorder_pair_counts(
     sf_dir: str, num_buckets: int | None = None
 ) -> rd.Dataset:
-    """Symmetric weighted co-purchase graph: (src, dst, w), w = number
-    of DISTINCT orders containing both parts, each canonical pair
-    emitted in both directions (undirected random-walk input for
-    weighted PageRank).
+    """Canonical co-purchase pair multiplicities: (src, dst, w) with
+    src < dst and w = number of DISTINCT orders containing both parts
+    — the wedge-count table of the bipartite order-part graph.
 
     Same single bucketed shuffle as ``copurchase_edges`` (order key ->
-    basket-bounded groups); per-bucket the (order, pair) rows dedup
-    exactly (an order lives in one bucket), then one grouped count per
-    canonical pair."""
+    basket-bounded groups, no hub salt needed); per-bucket the
+    (order, pair) rows dedup exactly (an order lives in one bucket),
+    then one grouped count per canonical pair. Shared by
+    ``copurchase_weighted_edges`` (graph weights) and
+    ``butterfly_stats`` / ``butterflies_per_part`` (K2,2 counting)."""
     from parallel_pagerank_ray.stages.agg import (
         grouped_agg,
         pairs_within_groups,
@@ -338,12 +339,23 @@ def copurchase_weighted_edges(
         .groupby("__b")
         .map_groups(pairs, batch_format="pandas")
     )
-    canon = grouped_agg(
+    return grouped_agg(
         per_order_pairs,
         ["src", "dst"],
         {"w": ("src", "count")},
         num_buckets=num_buckets,
     )
+
+
+def copurchase_weighted_edges(
+    sf_dir: str, num_buckets: int | None = None
+) -> rd.Dataset:
+    """Symmetric weighted co-purchase graph: (src, dst, w), w = number
+    of DISTINCT orders containing both parts, each canonical pair
+    emitted in both directions (undirected random-walk input for
+    weighted PageRank). One bucketed shuffle + one grouped count via
+    ``coorder_pair_counts``."""
+    canon = coorder_pair_counts(sf_dir, num_buckets)
 
     def sym(t: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
@@ -364,6 +376,84 @@ def copurchase_weighted_edges(
         )
 
     return canon.map_batches(sym, batch_format="pyarrow")
+
+
+def _append_bf(t: pa.Table) -> pa.Table:
+    """Per-pair butterfly contribution C(w, 2): each pair of distinct
+    orders sharing the same part pair closes one K2,2 rectangle."""
+    w = t.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+    return t.append_column("bf", pa.array(w * (w - 1) // 2, pa.int64()))
+
+
+def butterfly_stats(
+    sf_dir: str, num_buckets: int | None = None
+) -> rd.Dataset:
+    """Global butterfly (K2,2) census of the bipartite order-part graph
+    (the bipartite analogue of triangle counting, the motif behind
+    bipartite clustering coefficients). One row:
+
+        n_part_pairs   -- part pairs sharing >= 1 order
+        n_coorders     -- wedges: (order, part-pair) incidences
+        n_butterflies  -- sum over part pairs C(w, 2)
+
+    Scale shape: the per-pair table is bounded by sum C(basket, 2)
+    (basket-bounded groups — the same bound copurchase_edges relies
+    on); only three scalars reach the driver via global_agg's
+    per-block partials."""
+    from parallel_pagerank_ray.stages.agg import global_agg
+
+    canon = coorder_pair_counts(sf_dir, num_buckets).map_batches(
+        _append_bf, batch_format="pyarrow"
+    )
+    tot = global_agg(
+        canon,
+        {
+            "n_part_pairs": ("w", "count"),
+            "n_coorders": ("w", "sum"),
+            "n_butterflies": ("bf", "sum"),
+        },
+    )
+    return rd.from_items([{k: int(v) for k, v in tot.items()}])
+
+
+def butterflies_per_part(
+    sf_dir: str, k: int = 20, num_buckets: int | None = None
+) -> rd.Dataset:
+    """Top-k parts by butterfly participation b(p) = sum_q C(w(p,q), 2)
+    — the per-vertex butterfly support on the part side, deterministic
+    order (n_butterflies desc, part asc). Output: (part, n_butterflies).
+
+    Scale shape: explode each canonical pair to both endpoints (2 rows)
+    -> one bucketed grouped sum keyed on part -> global top-k sort of
+    the per-part table (|parts| rows, not |pairs|)."""
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    canon = coorder_pair_counts(sf_dir, num_buckets).map_batches(
+        _append_bf, batch_format="pyarrow"
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        bf = t.column("bf").combine_chunks()
+        return pa.table(
+            {
+                "part": pa.concat_arrays(
+                    [
+                        t.column("src").combine_chunks(),
+                        t.column("dst").combine_chunks(),
+                    ]
+                ),
+                "bf": pa.concat_arrays([bf, bf]),
+            }
+        )
+
+    per = grouped_agg(
+        canon.map_batches(explode, batch_format="pyarrow"),
+        ["part"],
+        {"n_butterflies": ("bf", "sum")},
+    )
+    return per.sort(
+        ["n_butterflies", "part"], descending=[True, False]
+    ).limit(k)
 
 
 def range_join(

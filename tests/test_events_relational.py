@@ -750,3 +750,43 @@ def test_small_quantity_revenue_vs_duckdb(ddb):
     assert int(got["revenue_cents"][0]) == int(want["revenue_cents"][0])
     assert int(got["n_small"][0]) == int(want["n_small"][0])
     assert int(got["n_small"][0]) > 0
+
+
+def test_butterfly_stats_known_baskets(tmp_path):
+    # baskets: o1={1,2,3}, o2={1,2,3}, o3={1,2}, o4={4,5},
+    # o5={1,2} with a duplicate lineitem row for part 2 (distinct-order
+    # semantics must ignore it)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parallel_pagerank_ray.pipelines.relational import (
+        butterflies_per_part,
+        butterfly_stats,
+    )
+
+    rows = [
+        (1, 1), (1, 2), (1, 3),
+        (2, 1), (2, 2), (2, 3),
+        (3, 1), (3, 2),
+        (4, 4), (4, 5),
+        (5, 1), (5, 2), (5, 2),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    # pair weights: (1,2)->4, (1,3)->2, (2,3)->2, (4,5)->1
+    got = butterfly_stats(str(tmp_path)).to_pandas().iloc[0]
+    assert int(got["n_part_pairs"]) == 4
+    assert int(got["n_coorders"]) == 9
+    assert int(got["n_butterflies"]) == 6 + 1 + 1 + 0
+
+    per = butterflies_per_part(str(tmp_path), k=3).to_pandas()
+    assert list(zip(per["part"].astype(int), per["n_butterflies"].astype(int))) == [
+        (1, 7), (2, 7), (3, 2)
+    ]
