@@ -1234,6 +1234,41 @@ def q_coloring_copurchase(sf_dir: str) -> rd.Dataset:
     return coloring_bsp(g).colors
 
 
+# WL refinement feeds two gate queries (per-vertex colors + the class
+# histogram); run it once per process per sf_dir, like the other
+# graph-family caches.
+_WL_RUNS: dict = {}
+
+
+def _wl_run(sf_dir: str):
+    from parallel_pagerank_ray.pipelines.wl import wl_refine
+
+    got = _WL_RUNS.get(sf_dir)
+    if got is None:
+        g = _copurchase_graph(sf_dir, dedup=True)
+        got = wl_refine(g, rounds=3)
+        _WL_RUNS[sf_dir] = got
+    return got
+
+
+def q_wl_colors(sf_dir: str) -> rd.Dataset:
+    """1-WL color refinement (pipelines/wl.py) of the undirected
+    co-purchase graph, 3 rounds: (vid, color) int64 — the hash-sum
+    multiset combiner is order-free mod 2^31-1, so the colors are
+    bit-exact at any parallelism and value-exact vs the DuckDB
+    recursive-CTE oracle."""
+    return _wl_run(sf_dir).colors
+
+
+def q_wl_class_sizes(sf_dir: str) -> rd.Dataset:
+    """Color-class histogram (color, cnt) of the 3-round 1-WL
+    refinement — the graph's structural-equivalence fingerprint
+    summary (template detection at the link-graph level)."""
+    from parallel_pagerank_ray.pipelines.wl import wl_class_sizes
+
+    return wl_class_sizes(_wl_run(sf_dir))
+
+
 def q_matching_copurchase(sf_dir: str) -> rd.Dataset:
     """Deterministic maximal matching (pipelines/matching.py handshake
     rounds) of the undirected co-purchase graph: canonical (src, dst)
@@ -2648,6 +2683,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mis_copurchase": q_mis_copurchase,
         "coloring_copurchase": q_coloring_copurchase,
         "matching_copurchase": q_matching_copurchase,
+        "wl_colors": q_wl_colors,
+        "wl_class_sizes": q_wl_class_sizes,
         "katz_pages": q_katz_pages,
         "random_walks_copurchase": q_random_walks_copurchase,
         "random_walks_weighted_copurchase": q_random_walks_weighted_copurchase,
@@ -2813,6 +2850,32 @@ def _supplier_part_vid_graph(edges_sql: str) -> str:
           v(vid) AS (SELECT unnest(range(greatest(
                        coalesce((SELECT n FROM nn), 1), 1))) AS vid)
     """
+
+
+# 3-round 1-WL refinement over the `und`/`v` prelude — the exact
+# hash-sum arithmetic of pipelines/wl.py (hashing-policy constants;
+# every product < 2^62, sums reduced mod 2^31-1 after the HUGEINT sum).
+_WL_REFINE_SQL = """
+              deg AS MATERIALIZED (
+                SELECT src AS vid, count(*) AS d FROM und GROUP BY 1),
+              wl(it, vid, c) AS (
+                SELECT 0, v.vid, CAST(coalesce(d.d, 0) AS BIGINT)
+                FROM v LEFT JOIN deg d ON d.vid = v.vid
+                UNION ALL
+                SELECT w.it + 1, w.vid,
+                       CAST(((w.c * 1000033 + 271828) % 2147483647
+                             + coalesce(s.s, 0)) % 2147483647 AS BIGINT)
+                FROM wl w
+                LEFT JOIN (
+                  SELECT u.src AS vid,
+                         CAST(sum((((q.c * 1000003 + 12345) % 2147483647)
+                              * ((q.c * 999983 + 54321) % 2147483647))
+                              % 2147483647) % 2147483647 AS BIGINT) AS s
+                  FROM und u JOIN wl q ON q.vid = u.dst
+                  GROUP BY 1) s ON s.vid = w.vid
+                WHERE w.it < 3
+              )
+"""
 
 
 def _lpa_round_sql(prev: str) -> str:
@@ -4484,6 +4547,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, dst FROM kt
             WHERE it = (SELECT max(it) FROM kt) AND alive = 1
             ORDER BY src, dst
+        """,
+        "wl_colors": f"""
+            WITH RECURSIVE
+            {_supplier_part_vid_graph(_COPURCHASE_SQL)},
+            {_WL_REFINE_SQL}
+            SELECT vid, c AS color FROM wl WHERE it = 3
+        """,
+        "wl_class_sizes": f"""
+            WITH RECURSIVE
+            {_supplier_part_vid_graph(_COPURCHASE_SQL)},
+            {_WL_REFINE_SQL}
+            SELECT c AS color, count(*) AS cnt FROM wl
+            WHERE it = 3 GROUP BY 1
         """,
         "matching_copurchase": f"""
             WITH RECURSIVE

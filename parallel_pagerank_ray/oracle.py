@@ -795,3 +795,21 @@ def ppr_push(
                 incoming[u] += share
         r += incoming
     return p, r, it
+
+
+def wl_colors(n: int, edges: np.ndarray, rounds: int = 3) -> np.ndarray:
+    """Sequential 1-WL hash-sum refinement (pipelines/wl.py arithmetic):
+    color_0 = degree over the simple undirected closure; each round
+    color <- (h(color) + sum_{u~v} g(color_u)) mod 2^31-1."""
+    from parallel_pagerank_ray.pipelines.wl import wl_g, wl_h, P31
+
+    adj = _undirected_adj(n, edges)
+    c = np.array([len(a) for a in adj], dtype=np.int64)
+    for _ in range(rounds):
+        h = wl_h(c)
+        g = wl_g(c)
+        nxt = np.empty(n, dtype=np.int64)
+        for v in range(n):
+            nxt[v] = (int(h[v]) + int(g[adj[v]].sum())) % P31
+        c = nxt
+    return c

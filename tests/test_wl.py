@@ -1,0 +1,66 @@
+"""1-WL refinement vs NumPy oracle — exact colors + refinement laws."""
+
+import numpy as np
+
+from parallel_pagerank_ray import oracle
+from parallel_pagerank_ray.pipelines.graph_build import Graph
+from parallel_pagerank_ray.pipelines.wl import wl_class_sizes, wl_refine
+from parallel_pagerank_ray.sources.edge_list import edges_dataset
+
+
+def _graph(e, blocks=2):
+    return Graph.from_int_edges(edges_dataset(e, num_blocks=blocks))
+
+
+def _colors(run) -> np.ndarray:
+    df = run.colors.to_pandas().sort_values("vid")
+    return df["color"].to_numpy()
+
+
+def test_wl_matches_oracle(graphs):
+    for name in ("small", "medium", "dangling4"):
+        n, e = graphs[name]
+        got = _colors(wl_refine(_graph(e), rounds=3))
+        want = oracle.wl_colors(n, np.asarray(e, dtype=np.int64), rounds=3)
+        assert np.array_equal(got, want), name
+
+
+def test_wl_partition_invariance_and_laws():
+    from parallel_pagerank_ray.sources.pages import powerlaw_edges
+
+    e = powerlaw_edges(300, 3, seed=7)
+    n = 300
+    a = _colors(wl_refine(_graph([tuple(r) for r in e], blocks=1), rounds=3))
+    b = _colors(wl_refine(_graph([tuple(r) for r in e], blocks=7), rounds=3))
+    assert np.array_equal(a, b)
+    want = oracle.wl_colors(n, e, rounds=3)
+    assert np.array_equal(a, want)
+    # refinement law: round-t classes refine round-(t-1) classes —
+    # vertices sharing a color at t share one at t-1 too
+    c2 = _colors(wl_refine(_graph([tuple(r) for r in e]), rounds=2))
+    seen: dict[int, int] = {}
+    for v in range(n):
+        prev = seen.setdefault(int(a[v]), int(c2[v]))
+        assert prev == int(c2[v])
+
+
+def test_wl_distinguishes_path_from_star_and_isolated():
+    # path 0-1-2-3 vs star 4-{5,6,7}: same size/edge count, different
+    # degree structure -> different class histograms after 1 round
+    e = [(0, 1), (1, 2), (2, 3), (4, 5), (4, 6), (4, 7), (8, 8)]
+    run = wl_refine(_graph(e), rounds=3)
+    cols = _colors(run)
+    # vertex 8's only edge is a self-loop (dropped by the closure) ->
+    # isolated; its color differs from every degree>=1 vertex
+    assert cols[8] not in set(cols[:8])
+    # path interior (1,2) symmetric; path ends (0,3) symmetric
+    assert cols[0] == cols[3] and cols[1] == cols[2]
+    assert cols[0] != cols[1]
+    # star leaves symmetric, hub distinct
+    assert cols[5] == cols[6] == cols[7] != cols[4]
+    # leaves differ from path ends (their neighbor is deg-3, not deg-2)
+    assert cols[5] != cols[0]
+    hist = wl_class_sizes(run).to_pandas()
+    assert int(hist["cnt"].sum()) == 9
+    # classes: path ends, path interior, star hub, star leaves, isolated
+    assert len(hist) == 5
