@@ -513,6 +513,18 @@ def q_spam_mass_hosts(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_resolve_redirects(sf_dir: str) -> rd.Dataset:
+    """Redirect-chain resolution (pipelines/redirects.py) over the
+    synthetic crawl: the md5-url-sampled "moved" pages chase their
+    first extracted href up to 8 hops -> (url, final_url, hops,
+    status), value-exact vs the recursive-CTE oracle. The crawl-side
+    prerequisite of link-graph construction on real web corpora."""
+    from parallel_pagerank_ray.pipelines.redirects import resolve_redirects
+
+    pages, _ = _pages(sf_dir)
+    return resolve_redirects(pages, max_hops=8)
+
+
 def q_canonical_urls(sf_dir: str) -> rd.Dataset:
     """URL canonicalization over a deterministically dirtied url table
     (mixed-case scheme/host, default ports, fragments, unsorted query
@@ -2650,6 +2662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_reciprocity": q_host_reciprocity,
         "spam_mass_hosts": q_spam_mass_hosts,
         "canonical_urls": q_canonical_urls,
+        "resolve_redirects": q_resolve_redirects,
         "chunk_docs": q_chunk_docs,
         "bloom_membership": q_bloom_membership,
         "postings_top_tokens": q_postings_top_tokens,
@@ -3732,6 +3745,32 @@ def oracle_sql() -> dict[str, str]:
             FROM lastp p JOIN lastt t ON t.h = p.h
             ORDER BY (p.rank - t.trust) / p.rank DESC, p.h
             LIMIT 10
+        """,
+        "resolve_redirects": """
+            WITH RECURSIVE
+              nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+              r AS MATERIALIZED (
+                SELECT 'https://docs.example/p' || doc_id AS url,
+                       'https://docs.example/p' ||
+                       ((doc_id * 7 + 1) % (SELECT n FROM nn)) AS target
+                FROM documents
+                WHERE CAST(('0x' || substr(md5(
+                        'https://docs.example/p' || doc_id), 1, 16))
+                      AS UBIGINT) % 5 = 0),
+              chain(url, cur, hops) AS (
+                SELECT url, target, 1 FROM r
+                UNION ALL
+                SELECT c.url, r2.target, c.hops + 1
+                FROM chain c JOIN r r2 ON r2.url = c.cur
+                WHERE c.hops < 8),
+              fin AS (
+                SELECT url, cur, hops FROM chain
+                QUALIFY row_number() OVER (
+                    PARTITION BY url ORDER BY hops DESC) = 1)
+            SELECT f.url, f.cur AS final_url, CAST(f.hops AS BIGINT) AS hops,
+                   CASE WHEN f.hops >= 8 AND m.url IS NOT NULL
+                        THEN 'unresolved' ELSE 'resolved' END AS status
+            FROM fin f LEFT JOIN r m ON m.url = f.cur
         """,
         "canonical_urls": """
             WITH dirty AS (
