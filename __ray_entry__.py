@@ -1416,6 +1416,28 @@ def q_top_tokens(sf_dir: str) -> rd.Dataset:
     return _top_k_tokens(_documents(sf_dir, ["doc_id", "text"]), 100)
 
 
+def q_countmin_top_tokens(sf_dir: str) -> rd.Dataset:
+    """Count-min sketch point queries (functions/sketch.py) for the
+    exact top-20 tokens: (token, cnt, est) with est = min over the
+    sketch's 4 rows — the bounded-memory frequency oracle (d x w
+    counters, a CONSTANT) next to the exact heavy-hitter pass. All
+    integers; the md5+affine positions reproduce in SQL, so est is
+    value-exact, and est >= cnt by the CM guarantee."""
+    from parallel_pagerank_ray.functions.sketch import countmin_estimates
+    from parallel_pagerank_ray.util import safe_join
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    top = _top_k_tokens(docs, 20)
+    est = countmin_estimates(docs, top.to_pandas()["token"].tolist())
+    return safe_join(
+        top,
+        est,
+        join_type="inner",
+        num_partitions=4,
+        on=("token",),
+    )
+
+
 def q_postings_top_tokens(sf_dir: str) -> rd.Dataset:
     """Inverted posting lists (token, doc_id, tf) for the corpus's
     top-20 tokens: heavy-hitter pass -> broadcast vocabulary -> one
@@ -2666,6 +2688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": q_chunk_docs,
         "bloom_membership": q_bloom_membership,
         "postings_top_tokens": q_postings_top_tokens,
+        "countmin_top_tokens": q_countmin_top_tokens,
         "link_edges": q_link_edges,
         "pagerank_pages_top20": q_pagerank_pages_top20,
         "edges_supplier_part": q_edges_supplier_part,
@@ -4915,6 +4938,32 @@ def oracle_sql() -> dict[str, str]:
                      AS token
               FROM documents)
             GROUP BY 1 ORDER BY cnt DESC, token LIMIT 100
+        """,
+        "countmin_top_tokens": f"""
+            WITH tc AS MATERIALIZED (
+              SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+                SELECT unnest(regexp_extract_all(lower(text),
+                       '{TOKEN_SQL}')) AS token
+                FROM documents)
+              GROUP BY 1),
+            x AS MATERIALIZED (
+              SELECT token, cnt,
+                     CAST(CAST(('0x' || substr(md5(token), 1, 16))
+                          AS UBIGINT) % 2147483647 AS BIGINT) AS x
+              FROM tc),
+            p(j, a, b) AS (VALUES (0, 1000003, 17), (1, 999983, 911),
+                                  (2, 1000033, 271829), (3, 999979, 65537)),
+            cells AS MATERIALIZED (
+              SELECT p.j, ((p.a * x.x + p.b) % 2147483647) % 2048 AS pos,
+                     CAST(sum(x.cnt) AS BIGINT) AS c
+              FROM x CROSS JOIN p GROUP BY 1, 2),
+            top AS (SELECT token, cnt, x FROM x
+                    ORDER BY cnt DESC, token LIMIT 20)
+            SELECT t.token, t.cnt, min(c.c) AS est
+            FROM top t CROSS JOIN p
+            JOIN cells c ON c.j = p.j
+               AND c.pos = ((p.a * t.x + p.b) % 2147483647) % 2048
+            GROUP BY 1, 2
         """,
         "postings_top_tokens": f"""
             WITH tok AS (

@@ -19,6 +19,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
@@ -72,6 +73,108 @@ def kmv_distinct(ds: rd.Dataset, col: str, k: int = 512) -> rd.Dataset:
                 "n_kept": pa.array([n_kept], type=pa.int64()),
                 "kth_min": pa.array([kth], type=pa.int64()),
                 "n_distinct_est": pa.array([est], type=pa.float64()),
+            }
+        )
+    )
+
+
+# Count-min sketch params — SQL-safe affine chains (every product
+# < 2^62 in int64/BIGINT; functions/hashing.py policy). d=4 rows.
+CM_W = 2048
+CM_PARAMS = (
+    (1_000_003, 17),
+    (999_983, 911),
+    (1_000_033, 271_829),
+    (999_979, 65_537),
+)
+_P31 = (1 << 31) - 1
+
+
+def _cm_x(tokens) -> np.ndarray:
+    """Per-token base hash x = md5_u64(token) % (2^31-1)."""
+    return np.array(
+        [
+            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+            % _P31
+            for t in tokens
+        ],
+        dtype=np.int64,
+    )
+
+
+def cm_positions(x: np.ndarray, w: int = CM_W) -> np.ndarray:
+    """(len(x), d) counter positions: ((a_j*x + b_j) % (2^31-1)) % w."""
+    x = np.asarray(x, dtype=np.int64)
+    return np.stack(
+        [((a * x + b) % _P31) % w for a, b in CM_PARAMS], axis=1
+    )
+
+
+def countmin_cells(docs, w: int = CM_W):
+    """Count-min sketch of the corpus token stream: one (j, pos, c) row
+    per NON-ZERO counter (zeros implicit; the dense sketch is d x w).
+
+    Heavy-hitter shape: each batch pre-counts its tokens and folds them
+    into per-(j,pos) partial counters — the shuffle moves at most
+    d*w rows per batch regardless of batch token count — then one
+    bucketed grouped_agg sums cells. The sketch size is a CONSTANT
+    (d*w), so any consumer may hold the whole sketch; the corpus text
+    never leaves the first map.
+    """
+    from parallel_pagerank_ray.functions.textstats import TOKEN_RE
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    d = len(CM_PARAMS)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].astype(str).str.lower().str.findall(TOKEN_RE)
+        arrs = [t for t in toks.to_numpy() if t]
+        if not arrs:
+            return pd.DataFrame(
+                {
+                    "j": pd.Series([], dtype=np.int64),
+                    "pos": pd.Series([], dtype=np.int64),
+                    "c": pd.Series([], dtype=np.int64),
+                }
+            )
+        vc = pd.Series(np.concatenate(arrs)).value_counts()
+        pos = cm_positions(_cm_x(vc.index.to_numpy()), w)  # (T, d)
+        cnt = vc.to_numpy(dtype=np.int64)
+        dense = np.zeros((d, w), dtype=np.int64)
+        for j in range(d):
+            np.add.at(dense[j], pos[:, j], cnt)
+        jj, pp = np.nonzero(dense)
+        return pd.DataFrame(
+            {"j": jj.astype(np.int64), "pos": pp.astype(np.int64),
+             "c": dense[jj, pp]}
+        )
+
+    parts = docs.select_columns(["text"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    return grouped_agg(parts, ["j", "pos"], {"c": ("c", "sum")})
+
+
+def countmin_estimates(docs, tokens: list[str], w: int = CM_W):
+    """(token, est) point queries against the corpus count-min sketch:
+    est = min over the d rows of the token's counter — an upper bound
+    on the true frequency (classic CM guarantee, tested). The sketch
+    (<= d*w rows, a constant) is the only driver pull."""
+    import ray.data as rd
+
+    cells = countmin_cells(docs, w=w).to_pandas()
+    d = len(CM_PARAMS)
+    dense = np.zeros((d, w), dtype=np.int64)
+    dense[cells["j"].to_numpy(), cells["pos"].to_numpy()] = cells[
+        "c"
+    ].to_numpy()
+    pos = cm_positions(_cm_x(tokens), w)
+    est = dense[np.arange(d)[None, :], pos].min(axis=1)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "token": pa.array(tokens, pa.string()),
+                "est": pa.array(est, pa.int64()),
             }
         )
     )

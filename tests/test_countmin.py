@@ -1,0 +1,52 @@
+"""Count-min sketch — CM guarantees vs exact counts."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from parallel_pagerank_ray.functions import sketch as S
+
+
+def _docs(texts: list[str]) -> rd.Dataset:
+    return rd.from_arrow(
+        pa.table({"text": pa.array(texts, pa.string())})
+    ).repartition(3)
+
+
+def test_countmin_upper_bound_and_exactness():
+    rng = np.random.default_rng(3)
+    vocab = [f"tok{i}" for i in range(300)]
+    words = rng.choice(vocab, p=None, size=5000).tolist()
+    texts = [" ".join(words[i : i + 50]) for i in range(0, 5000, 50)]
+    truth: dict[str, int] = {}
+    for w in words:
+        truth[w] = truth.get(w, 0) + 1
+    est = S.countmin_estimates(_docs(texts), vocab).to_pandas()
+    got = dict(zip(est["token"], est["est"]))
+    assert set(got) == set(vocab)
+    # CM never underestimates, and total mass bounds the error
+    for t in vocab:
+        assert got[t] >= truth.get(t, 0), t
+    # cells sum to d * total token count
+    cells = S.countmin_cells(_docs(texts)).to_pandas()
+    assert int(cells["c"].sum()) == len(S.CM_PARAMS) * 5000
+    assert (cells["pos"] < S.CM_W).all() and (cells["pos"] >= 0).all()
+
+
+def test_countmin_partition_invariance():
+    texts = [f"alpha beta gamma{i % 7}" for i in range(200)]
+    a = (
+        S.countmin_cells(_docs(texts))
+        .to_pandas()
+        .sort_values(["j", "pos"])
+        .reset_index(drop=True)
+    )
+    b = (
+        S.countmin_cells(rd.from_arrow(
+            pa.table({"text": pa.array(texts, pa.string())})
+        ).repartition(11))
+        .to_pandas()
+        .sort_values(["j", "pos"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
