@@ -2524,6 +2524,47 @@ def q_pricing_summary(sf_dir: str) -> rd.Dataset:
     return pricing_summary(read_table(sf_dir, "lineitem"))
 
 
+def q_quantity_moments(sf_dir: str) -> rd.Dataset:
+    """Grouped moment sufficient statistics (pipelines/relational.py):
+    exact int64 power sums (n, s1, s2, s3) of l_quantity per
+    (returnflag, linestatus) — mean/variance/skewness derive in closed
+    form; the sums are bit-exact at any parallelism."""
+    from parallel_pagerank_ray.pipelines.relational import (
+        quantity_moments,
+        read_table,
+    )
+
+    return quantity_moments(
+        read_table(
+            sf_dir,
+            "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity"],
+        )
+    )
+
+
+def q_large_volume_orders(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q18 shape (pipelines/relational.py): per-order quantity
+    aggregate -> HAVING filter -> join orders ⋈ customer -> top-20 by
+    total price. Integer quantities + cents; value-exact."""
+    from parallel_pagerank_ray.pipelines.relational import (
+        large_volume_orders,
+        read_table,
+    )
+
+    return large_volume_orders(
+        read_table(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]),
+        read_table(
+            sf_dir,
+            "orders",
+            ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+        ),
+        read_table(sf_dir, "customer", ["c_custkey", "c_name"]),
+        min_qty=250,
+        k=20,
+    )
+
+
 def q_price_band_match(sf_dir: str) -> rd.Dataset:
     """Range join: for each part, how many parts (itself included) have
     a retail price within +-2.0 of its own -> (anchor, n_parts)."""
@@ -2801,6 +2842,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": q_retention_cohorts,
         "small_quantity_revenue": q_small_quantity_revenue,
         "pricing_summary": q_pricing_summary,
+        "quantity_moments": q_quantity_moments,
+        "large_volume_orders": q_large_volume_orders,
         "top_customers": q_top_customers,
         "revenue_by_nation": q_revenue_by_nation,
         "butterfly_stats": q_butterfly_stats,
@@ -5824,6 +5867,37 @@ def oracle_sql() -> dict[str, str]:
                                           THEN 1 END), 0) AS BIGINT)
                      AS n_small
             FROM l JOIN t USING (l_partkey)
+        """,
+        "quantity_moments": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                     AS s1,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                          * CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                     AS s2,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                          * CAST(round(l_quantity) AS BIGINT)
+                          * CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                     AS s3
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "large_volume_orders": """
+            WITH po AS (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS total_qty
+              FROM lineitem GROUP BY 1 HAVING total_qty > 250)
+            SELECT c.c_custkey, c.c_name, po.l_orderkey AS o_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S')
+                     AS o_orderdate,
+                   po.total_qty,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT)
+                     AS o_totalprice_cents
+            FROM po
+            JOIN orders o ON o.o_orderkey = po.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY o_totalprice_cents DESC, o_orderkey LIMIT 20
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

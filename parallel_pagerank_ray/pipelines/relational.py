@@ -1052,3 +1052,136 @@ def small_quantity_revenue(lineitem: rd.Dataset) -> rd.Dataset:
             "n_small": [int(out["n_small"].sum())],
         }
     )
+
+
+def quantity_moments(lineitem: rd.Dataset) -> rd.Dataset:
+    """Exact grouped moment sufficient statistics of l_quantity per
+    (l_returnflag, l_linestatus): (n, s1, s2, s3) integer power sums.
+
+    The distributed-statistics primitive: mean/variance/skewness are
+    single closed-form combinations of these four int64-exact sums, so
+    shipping the sums (one tiny row per group) instead of the moments
+    keeps every reduce bit-reproducible at any parallelism (the
+    driver-gate float policy). quantities are integral by TPC-H
+    construction (validated); s3 <= 50^3 * rows stays under int64 to
+    ~7e13 rows per group.
+    """
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    def powers(t: pa.Table) -> pa.Table:
+        q = t.column("l_quantity").to_numpy()
+        qi = np.round(q).astype(np.int64)
+        if not np.array_equal(qi.astype(np.float64), q):
+            raise ValueError("quantity_moments: non-integral l_quantity")
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "q1": pa.array(qi, pa.int64()),
+                "q2": pa.array(qi * qi, pa.int64()),
+                "q3": pa.array(qi * qi * qi, pa.int64()),
+            }
+        )
+
+    return grouped_agg(
+        lineitem.select_columns(
+            ["l_returnflag", "l_linestatus", "l_quantity"]
+        ).map_batches(powers, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "n": ("q1", "count"),
+            "s1": ("q1", "sum"),
+            "s2": ("q2", "sum"),
+            "s3": ("q3", "sum"),
+        },
+    )
+
+
+def large_volume_orders(
+    lineitem: rd.Dataset,
+    orders: rd.Dataset,
+    customer: rd.Dataset,
+    min_qty: int = 250,
+    k: int = 20,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """TPC-H Q18 shape (large-volume customers): orders whose lineitem
+    quantity sum exceeds ``min_qty``, joined back to orders ⋈ customer,
+    top-k by (o_totalprice desc, o_orderkey asc).
+
+    Output: (c_custkey, c_name, o_orderkey, o_orderdate, total_qty,
+    o_totalprice_cents). Scale shape: the HAVING filter runs on the
+    aggregated per-order table (one row per order, already a ~4x
+    reduction) and typically keeps a tiny fraction — both downstream
+    joins see only surviving orders; money moves as exact cents.
+    """
+    from parallel_pagerank_ray.pipelines.graph_build import (
+        _default_join_partitions,
+    )
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+
+    def qty(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "q": pc.cast(pc.round(t.column("l_quantity")), pa.int64()),
+            }
+        )
+
+    per_order = grouped_agg(
+        lineitem.select_columns(["l_orderkey", "l_quantity"]).map_batches(
+            qty, batch_format="pyarrow"
+        ),
+        ["l_orderkey"],
+        {"total_qty": ("q", "sum")},
+    ).map_batches(
+        lambda t: t.filter(
+            pc.greater(t.column("total_qty"), pa.scalar(min_qty, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+    with_orders = safe_join(
+        per_order,
+        orders.select_columns(
+            ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+        ),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    with_cust = safe_join(
+        with_orders,
+        customer.select_columns(["c_custkey", "c_name"]),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": df["o_custkey"].astype(np.int64),
+                "c_name": df["c_name"],
+                "o_orderkey": df["l_orderkey"].astype(np.int64),
+                "o_orderdate": pd.to_datetime(df["o_orderdate"]).dt.strftime(
+                    "%Y-%m-%d %H:%M:%S"
+                ),
+                "total_qty": df["total_qty"].astype(np.int64),
+                "o_totalprice_cents": np.round(
+                    df["o_totalprice"].to_numpy() * 100.0
+                ).astype(np.int64),
+            }
+        )
+
+    return (
+        with_cust.map_batches(project, batch_format="pandas")
+        .sort(
+            ["o_totalprice_cents", "o_orderkey"], descending=[True, False]
+        )
+        .limit(k)
+    )

@@ -790,3 +790,73 @@ def test_butterfly_stats_known_baskets(tmp_path):
     assert list(zip(per["part"].astype(int), per["n_butterflies"].astype(int))) == [
         (1, 7), (2, 7), (3, 2)
     ]
+
+
+def test_quantity_moments_vs_duckdb(ddb):
+    from parallel_pagerank_ray.pipelines.relational import quantity_moments
+
+    got = (
+        quantity_moments(read_table(SF, "lineitem"))
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    exp = ddb.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s1,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                      * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s2,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                      * CAST(round(l_quantity) AS BIGINT)
+                      * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s3
+        FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    for c in ["n", "s1", "s2", "s3"]:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all()
+    # closed-form law: group variance from sufficient stats is finite,
+    # non-negative (n*s2 >= s1^2 by Cauchy-Schwarz)
+    assert (
+        got["n"].to_numpy() * got["s2"].to_numpy()
+        >= got["s1"].to_numpy() ** 2
+    ).all()
+
+
+def test_large_volume_orders_vs_duckdb(ddb):
+    from parallel_pagerank_ray.pipelines.relational import (
+        large_volume_orders,
+    )
+
+    got = (
+        large_volume_orders(
+            read_table(SF, "lineitem"),
+            read_table(SF, "orders"),
+            read_table(SF, "customer"),
+            min_qty=150,
+            k=12,
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    exp = ddb.sql(
+        """
+        WITH po AS (
+          SELECT l_orderkey,
+                 CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS total_qty
+          FROM lineitem GROUP BY 1 HAVING total_qty > 150)
+        SELECT c.c_custkey, c.c_name, po.l_orderkey AS o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+               po.total_qty,
+               CAST(round(o.o_totalprice * 100) AS BIGINT)
+                 AS o_totalprice_cents
+        FROM po
+        JOIN orders o ON o.o_orderkey = po.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY o_totalprice_cents DESC, o_orderkey LIMIT 12
+        """
+    ).df()
+    assert len(got) == 12
+    for c in got.columns:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
