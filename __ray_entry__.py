@@ -1416,6 +1416,20 @@ def q_top_tokens(sf_dir: str) -> rd.Dataset:
     return _top_k_tokens(_documents(sf_dir, ["doc_id", "text"]), 100)
 
 
+def q_cooccurrence_top_tokens(sf_dir: str) -> rd.Dataset:
+    """Windowed token co-occurrence counts (functions/textstats.py)
+    for the exact top-20 vocabulary, window +-2: (tok_a, tok_b, cnt)
+    unordered canonical pairs — the PMI / word-embedding sufficient
+    statistic, integer value-exact vs the DuckDB self-join oracle."""
+    from parallel_pagerank_ray.functions.textstats import (
+        cooccurrence_counts,
+    )
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    vocab = _top_k_tokens(docs, 20).to_pandas()["token"].tolist()
+    return cooccurrence_counts(docs, vocab, window=2)
+
+
 def q_countmin_top_tokens(sf_dir: str) -> rd.Dataset:
     """Count-min sketch point queries (functions/sketch.py) for the
     exact top-20 tokens: (token, cnt, est) with est = min over the
@@ -2730,6 +2744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_membership": q_bloom_membership,
         "postings_top_tokens": q_postings_top_tokens,
         "countmin_top_tokens": q_countmin_top_tokens,
+        "cooccurrence_top_tokens": q_cooccurrence_top_tokens,
         "link_edges": q_link_edges,
         "pagerank_pages_top20": q_pagerank_pages_top20,
         "edges_supplier_part": q_edges_supplier_part,
@@ -4981,6 +4996,28 @@ def oracle_sql() -> dict[str, str]:
                      AS token
               FROM documents)
             GROUP BY 1 ORDER BY cnt DESC, token LIMIT 100
+        """,
+        "cooccurrence_top_tokens": f"""
+            WITH l AS (SELECT regexp_extract_all(lower(text), '{TOKEN_SQL}')
+                              AS l FROM documents),
+            top AS (SELECT token FROM (
+                      SELECT unnest(l) AS token FROM l)
+                    GROUP BY 1 ORDER BY count(*) DESC, token LIMIT 20),
+            p1 AS (SELECT unnest(
+                     [{{'a': least(l[i], l[i + 1]),
+                        'b': greatest(l[i], l[i + 1])}}
+                      for i in range(1, len(l))]) AS s FROM l),
+            p2 AS (SELECT unnest(
+                     [{{'a': least(l[i], l[i + 2]),
+                        'b': greatest(l[i], l[i + 2])}}
+                      for i in range(1, len(l) - 1)]) AS s FROM l),
+            allp AS (SELECT s.a AS tok_a, s.b AS tok_b FROM
+                      (SELECT s FROM p1 UNION ALL SELECT s FROM p2))
+            SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS cnt
+            FROM allp
+            WHERE tok_a IN (SELECT token FROM top)
+              AND tok_b IN (SELECT token FROM top)
+            GROUP BY 1, 2
         """,
         "countmin_top_tokens": f"""
             WITH tc AS MATERIALIZED (

@@ -398,3 +398,79 @@ def phrase_counts(docs, phrase: str):
     return docs.select_columns(["doc_id", "text"]).map_batches(
         count, batch_format="pandas"
     )
+
+
+def cooccurrence_counts(docs, vocab: list[str], window: int = 2):
+    """Token co-occurrence counts within a sliding window — the
+    PMI / word-embedding sufficient statistic: (tok_a, tok_b, cnt)
+    for unordered vocabulary pairs at token-index distance
+    1..``window`` inside one document (tok_a <= tok_b canonical;
+    tok_a == tok_b counts repeated-token windows).
+
+    Scale shape: the vocabulary is a small broadcast list (closure
+    capture); each batch pairs its own token stream with shifted
+    views (doc boundaries masked), pre-counts pairs map-side, and the
+    shuffle moves one row per distinct surviving pair per batch —
+    at most |vocab|^2/2 rows regardless of batch token count. Text
+    never leaves the first map. Integer counts: value-exact vs the
+    DuckDB self-join oracle.
+    """
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+    from parallel_pagerank_ray.util import drop_empty_blocks
+
+    vset = sorted(set(vocab))
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].astype(str).str.lower().str.findall(TOKEN_RE)
+        nt = toks.str.len().to_numpy()
+        empty = pd.DataFrame(
+            {
+                "tok_a": pd.Series([], dtype=str),
+                "tok_b": pd.Series([], dtype=str),
+                "cnt": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(toks) == 0 or nt.sum() == 0:
+            return empty
+        flat = np.concatenate(
+            [t for t in toks.to_numpy() if t]
+        )  # unicode array
+        did = np.repeat(np.arange(len(nt), dtype=np.int64), nt)
+        frames = []
+        for d in range(1, window + 1):
+            if len(flat) <= d:
+                break
+            a, bb = flat[:-d], flat[d:]
+            ok = (
+                (did[:-d] == did[d:])
+                & np.isin(a, vset)
+                & np.isin(bb, vset)
+            )
+            if not ok.any():
+                continue
+            av, bv = a[ok], bb[ok]
+            swap = av > bv  # np.minimum has no unicode loop
+            lo = np.where(swap, bv, av)
+            hi = np.where(swap, av, bv)
+            frames.append(pd.DataFrame({"tok_a": lo, "tok_b": hi}))
+        if not frames:
+            return empty
+        out = (
+            pd.concat(frames)
+            .groupby(["tok_a", "tok_b"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    return grouped_agg(
+        drop_empty_blocks(
+            docs.select_columns(["text"]).map_batches(
+                pair_partial, batch_format="pandas"
+            )
+        ),
+        ["tok_a", "tok_b"],
+        {"cnt": ("cnt", "sum")},
+        num_buckets=16,
+    )

@@ -50,3 +50,34 @@ def test_countmin_partition_invariance():
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_cooccurrence_window_semantics():
+    from parallel_pagerank_ray.functions.textstats import (
+        cooccurrence_counts,
+    )
+
+    texts = [
+        "a b c a",  # d1: (a,b)(b,c)(a,c*no: c,a) ; d2: (a,c)(a,b)
+        "b b",      # d1: (b,b)
+        "z a",      # z not in vocab -> only if vocab includes z
+    ]
+    got = (
+        cooccurrence_counts(_docs(texts), ["a", "b", "c"], window=2)
+        .to_pandas()
+        .set_index(["tok_a", "tok_b"])["cnt"]
+        .to_dict()
+    )
+    # doc0 d=1: (a,b),(b,c),(a,c); d=2: (a,c),(a,b)  doc1 d=1: (b,b)
+    assert got == {
+        ("a", "b"): 2,
+        ("b", "c"): 1,
+        ("a", "c"): 2,
+        ("b", "b"): 1,
+    }
+    # window never crosses doc boundaries: "z a" contributes nothing
+    got2 = (
+        cooccurrence_counts(_docs(["a b", "c d"]), ["a", "b", "c", "d"])
+        .to_pandas()
+    )
+    assert len(got2) == 2  # (a,b) and (c,d) only — no (b,c) cross-doc
