@@ -1263,6 +1263,17 @@ def _wl_run(sf_dir: str):
     return got
 
 
+def q_rich_club(sf_dir: str) -> rd.Dataset:
+    """Rich-club statistics (pipelines/community.py) of the undirected
+    co-purchase graph at thresholds k in {1,2,4,8,16,32}:
+    (k, n_nodes, n_edges, phi) — integer counts exact, phi a single
+    exact-operand division (float policy)."""
+    from parallel_pagerank_ray.pipelines.community import rich_club
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return rich_club(g)
+
+
 def q_wl_colors(sf_dir: str) -> rd.Dataset:
     """1-WL color refinement (pipelines/wl.py) of the undirected
     co-purchase graph, 3 rounds: (vid, color) int64 — the hash-sum
@@ -2775,6 +2786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mis_copurchase": q_mis_copurchase,
         "coloring_copurchase": q_coloring_copurchase,
         "matching_copurchase": q_matching_copurchase,
+        "rich_club": q_rich_club,
         "wl_colors": q_wl_colors,
         "wl_class_sizes": q_wl_class_sizes,
         "katz_pages": q_katz_pages,
@@ -4667,6 +4679,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, dst FROM kt
             WHERE it = (SELECT max(it) FROM kt) AND alive = 1
             ORDER BY src, dst
+        """,
+        "rich_club": f"""
+            WITH
+            {_supplier_part_vid_graph(_COPURCHASE_SQL)},
+              deg AS (SELECT src AS vid, count(*) AS d FROM und
+                      GROUP BY 1),
+              ks(k) AS (VALUES (1), (2), (4), (8), (16), (32))
+            SELECT k,
+                   (SELECT CAST(count(*) AS BIGINT) FROM deg
+                    WHERE d > k) AS n_nodes,
+                   (SELECT CAST(count(*) AS BIGINT) FROM und u
+                    JOIN deg a ON a.vid = u.src
+                    JOIN deg b ON b.vid = u.dst
+                    WHERE u.src < u.dst AND a.d > k AND b.d > k)
+                     AS n_edges,
+                   CASE WHEN (SELECT count(*) FROM deg WHERE d > k) >= 2
+                        THEN CAST(2 * (SELECT count(*) FROM und u
+                               JOIN deg a ON a.vid = u.src
+                               JOIN deg b ON b.vid = u.dst
+                               WHERE u.src < u.dst AND a.d > k
+                                 AND b.d > k) AS DOUBLE)
+                             / ((SELECT count(*) FROM deg WHERE d > k)
+                                * ((SELECT count(*) FROM deg WHERE d > k)
+                                   - 1))
+                        ELSE CAST(0 AS DOUBLE) END AS phi
+            FROM ks
         """,
         "wl_colors": f"""
             WITH RECURSIVE

@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -160,3 +161,122 @@ def modularity(stats: pd.DataFrame) -> float:
     return float(
         (stats["internal_edges"] / m - (stats["deg_sum"] / two_m) ** 2).sum()
     )
+
+
+def rich_club(graph, ks: tuple[int, ...] = (1, 2, 4, 8, 16, 32)) -> rd.Dataset:
+    """Rich-club statistics (Zhou & Mondragon 2004): for each degree
+    threshold k, the subgraph induced by vertices of closure degree > k
+    — (k, n_nodes, n_edges, phi) with phi = (2.0*E_k) / (N_k*(N_k-1)),
+    the edge density among the "rich" vertices (0.0 when N_k < 2).
+
+    Integer counts are exact; phi is one product + one division of
+    exact int64 operands (bit-identical numpy/DuckDB per the float
+    policy). Scale shape: one degree aggregate, two partitioned hash
+    joins attaching endpoint degrees to the canonical edge half, then
+    per-batch partial counts per threshold — the shuffle after the
+    joins moves |ks| rows per batch.
+    """
+    from parallel_pagerank_ray.pipelines.graph_build import (
+        _default_join_partitions,
+        undirected_edges,
+    )
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+    from parallel_pagerank_ray.util import drop_empty_blocks, safe_join
+
+    ks = tuple(sorted(set(int(k) for k in ks)))
+    num_partitions = _default_join_partitions()
+    und = undirected_edges(graph.edges, dedup=True).materialize()
+
+    deg = grouped_agg(
+        und.map_batches(
+            lambda t: pa.table(
+                {
+                    "vid": t.column("src"),
+                    "one": pa.array(
+                        np.ones(t.num_rows, dtype=np.int64), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["vid"],
+        {"d": ("one", "sum")},
+    ).materialize()
+
+    half = und.map_batches(
+        lambda t: t.filter(pc.less(t.column("src"), t.column("dst"))),
+        batch_format="pyarrow",
+    )
+    j = safe_join(
+        safe_join(
+            half,
+            deg.rename_columns({"vid": "va", "d": "da"}),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("va",),
+        ),
+        deg.rename_columns({"vid": "vb", "d": "db"}),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("dst",),
+        right_on=("vb",),
+    )
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        md = np.minimum(
+            t.column("da").to_numpy(zero_copy_only=False),
+            t.column("db").to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "k": pa.array(np.array(ks, dtype=np.int64)),
+                "n_edges": pa.array(
+                    np.array([(md > k).sum() for k in ks], dtype=np.int64)
+                ),
+            }
+        )
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pa.array(np.array(ks, dtype=np.int64)),
+                "n_nodes": pa.array(
+                    np.array([(d > k).sum() for k in ks], dtype=np.int64)
+                ),
+            }
+        )
+
+    e_cnt = grouped_agg(
+        drop_empty_blocks(j.map_batches(edge_partial, batch_format="pyarrow")),
+        ["k"],
+        {"n_edges": ("n_edges", "sum")},
+        num_buckets=1,
+    )
+    n_cnt = grouped_agg(
+        drop_empty_blocks(
+            deg.map_batches(node_partial, batch_format="pyarrow")
+        ),
+        ["k"],
+        {"n_nodes": ("n_nodes", "sum")},
+        num_buckets=1,
+    )
+    out = safe_join(
+        n_cnt, e_cnt, join_type="left_outer", num_partitions=2, on=("k",)
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        nn = df["n_nodes"].astype(np.int64).to_numpy()
+        ee = df["n_edges"].fillna(0).astype(np.int64).to_numpy()
+        phi = np.where(nn >= 2, (2.0 * ee) / np.maximum(nn * (nn - 1), 1), 0.0)
+        return pd.DataFrame(
+            {
+                "k": df["k"].astype(np.int64),
+                "n_nodes": nn,
+                "n_edges": ee,
+                "phi": phi,
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas")

@@ -64,3 +64,28 @@ def test_wl_distinguishes_path_from_star_and_isolated():
     assert int(hist["cnt"].sum()) == 9
     # classes: path ends, path interior, star hub, star leaves, isolated
     assert len(hist) == 5
+
+
+def test_rich_club_counts():
+    from parallel_pagerank_ray.pipelines.community import rich_club
+
+    # star 0-{1..4} plus triangle 5-6-7: degs 0:4, 1-4:1, 5-7:2
+    e = [(0, 1), (0, 2), (0, 3), (0, 4), (5, 6), (6, 7), (5, 7)]
+    out = (
+        rich_club(_graph(e), ks=(0, 1, 2, 3))
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = {
+        # k: (n_nodes deg>k, n_edges both>k)
+        0: (8, 7),
+        1: (4, 3),  # {0,5,6,7}; triangle edges
+        2: (1, 0),  # {0}
+        3: (1, 0),
+    }
+    for r in out.itertuples():
+        nn, ee = want[int(r.k)]
+        assert (int(r.n_nodes), int(r.n_edges)) == (nn, ee), r.k
+        exp_phi = (2.0 * ee) / (nn * (nn - 1)) if nn >= 2 else 0.0
+        assert r.phi == exp_phi
