@@ -285,6 +285,23 @@ def _host_pages_links(sf_dir: str):
     return got
 
 
+def q_link_churn_hosts(sf_dir: str) -> rd.Dataset:
+    """Link churn between two crawl snapshots (pipelines/host_graph.py
+    link_churn): snapshot A = the standard stride-7 corpus, snapshot
+    B = a stride-11 recrawl of the same urls; per src host the counts
+    of added / removed / stable distinct links. Temporal-webgraph
+    diff, no join — one indicator-union shuffle."""
+    from parallel_pagerank_ray.pipelines.graph_build import links_from_pages
+    from parallel_pagerank_ray.pipelines.host_graph import link_churn
+    from parallel_pagerank_ray.sources.docpages import pages_from_documents
+
+    _, links_a = _host_pages_links(sf_dir)
+    pages_b, _ = pages_from_documents(
+        sf_dir, links_per_page=3, hosts=11, stride=11
+    )
+    return link_churn(links_a, links_from_pages(pages_b))
+
+
 def q_host_edges(sf_dir: str) -> rd.Dataset:
     """Host-level webgraph rollup (the Common-Crawl host-graph product):
     one weighted edge per (src_host, dst_host) over an 11-host synthetic
@@ -2740,6 +2757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_anchors": q_pages_anchors,
         "anchor_stats": q_anchor_stats,
         "host_edges": q_host_edges,
+        "link_churn_hosts": q_link_churn_hosts,
         "host_crawl_stats": q_host_crawl_stats,
         "crawl_frontier": q_crawl_frontier,
         "lang_mixing": q_lang_mixing,
@@ -3575,6 +3593,44 @@ def oracle_sql() -> dict[str, str]:
              AND (x * 1000003 + 97) % 2147483647 % 65536
                    IN (SELECT b FROM bits) AS BIGINT) AS maybe_in_corpus
             FROM x
+        """,
+        "link_churn_hosts": """
+            WITH ea AS (
+              SELECT DISTINCT
+                'https://h' || (doc_id % 11) || '.docs.example/p' || doc_id
+                  AS src,
+                'https://h' || (((doc_id * 7 + k.range + 1)
+                   % (SELECT count(*) FROM documents)) % 11)
+                  || '.docs.example/p'
+                  || ((doc_id * 7 + k.range + 1)
+                      % (SELECT count(*) FROM documents)) AS dst
+              FROM documents, range(3) k),
+            eb AS (
+              SELECT DISTINCT
+                'https://h' || (doc_id % 11) || '.docs.example/p' || doc_id
+                  AS src,
+                'https://h' || (((doc_id * 11 + k.range + 1)
+                   % (SELECT count(*) FROM documents)) % 11)
+                  || '.docs.example/p'
+                  || ((doc_id * 11 + k.range + 1)
+                      % (SELECT count(*) FROM documents)) AS dst
+              FROM documents, range(3) k),
+            u AS (
+              SELECT src, dst, max(a) AS a, max(b) AS b FROM (
+                SELECT src, dst, 1 AS a, 0 AS b FROM ea
+                UNION ALL
+                SELECT src, dst, 0, 1 FROM eb)
+              GROUP BY 1, 2)
+            SELECT 'h' || regexp_extract(src,
+                     'https://h([0-9]+)\.docs\.example', 1)
+                   || '.docs.example' AS host,
+                   CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_added,
+                   CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_removed,
+                   CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_stable
+            FROM u GROUP BY 1
         """,
         "host_edges": """
             SELECT 'h' || (doc_id % 11) || '.docs.example' AS src_host,

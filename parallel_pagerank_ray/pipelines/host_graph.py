@@ -330,3 +330,70 @@ def crawl_frontier(
         .groupby("__b")
         .map_groups(schedule, batch_format="pandas")
     )
+
+
+def link_churn(
+    links_a: rd.Dataset, links_b: rd.Dataset, num_buckets: int | None = None
+) -> rd.Dataset:
+    """Link churn between two crawl snapshots: per src host, how many
+    DISTINCT (src_url, dst_url) links were added (B only), removed
+    (A only), or stable (both) -> (host, n_added, n_removed, n_stable).
+
+    The temporal-webgraph primitive (which sites rewired between
+    crawls). Scale shape: NO join — each side dedups map-side, the
+    union carries (src, dst, a, b) indicator rows, ONE bucketed
+    grouped_agg keyed on the edge classifies it, and a second tiny
+    grouped_agg rolls up per host. Edges move once.
+    """
+
+    def flag(a: int, b: int):
+        def inner(t: pa.Table) -> pa.Table:
+            one = np.ones(t.num_rows, dtype=np.int64)
+            return pa.table(
+                {
+                    "src_url": t.column("src_url"),
+                    "dst_url": t.column("dst_url"),
+                    "a": pa.array(one * a, pa.int64()),
+                    "b": pa.array(one * b, pa.int64()),
+                }
+            )
+
+        return inner
+
+    from parallel_pagerank_ray.stages.agg import distinct
+
+    da = distinct(links_a, ["src_url", "dst_url"]).map_batches(
+        flag(1, 0), batch_format="pyarrow"
+    )
+    db = distinct(links_b, ["src_url", "dst_url"]).map_batches(
+        flag(0, 1), batch_format="pyarrow"
+    )
+    edges = grouped_agg(
+        da.union(db),
+        ["src_url", "dst_url"],
+        {"a": ("a", "sum"), "b": ("b", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "host": host_of(t.column("src_url")),
+                "n_added": pa.array(((a == 0) & (b == 1)).astype(np.int64)),
+                "n_removed": pa.array(((a == 1) & (b == 0)).astype(np.int64)),
+                "n_stable": pa.array(((a == 1) & (b == 1)).astype(np.int64)),
+            }
+        )
+
+    return grouped_agg(
+        edges.map_batches(classify, batch_format="pyarrow"),
+        ["host"],
+        {
+            "n_added": ("n_added", "sum"),
+            "n_removed": ("n_removed", "sum"),
+            "n_stable": ("n_stable", "sum"),
+        },
+        num_buckets=num_buckets,
+    )

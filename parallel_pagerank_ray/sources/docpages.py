@@ -36,10 +36,15 @@ def doc_url(doc_id: int, hosts: int = 0) -> str:
 
 
 def doc_html(
-    doc_id: int, text: str, n_docs: int, links_per_page: int, hosts: int = 0
+    doc_id: int,
+    text: str,
+    n_docs: int,
+    links_per_page: int,
+    hosts: int = 0,
+    stride: int = 7,
 ) -> str:
     anchors = "".join(
-        f'<a href="{doc_url((doc_id * 7 + j + 1) % n_docs, hosts)}">link {j}</a>\n'
+        f'<a href="{doc_url((doc_id * stride + j + 1) % n_docs, hosts)}">link {j}</a>\n'
         for j in range(links_per_page)
     )
     return (
@@ -57,10 +62,17 @@ def expected_text(doc_id: int, text: str, links_per_page: int) -> str:
 
 
 class _MakePages:
-    def __init__(self, n_docs: int, links_per_page: int, hosts: int = 0) -> None:
+    def __init__(
+        self,
+        n_docs: int,
+        links_per_page: int,
+        hosts: int = 0,
+        stride: int = 7,
+    ) -> None:
         self.n_docs = n_docs
         self.links = links_per_page
         self.hosts = hosts
+        self.stride = stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -78,7 +90,8 @@ class _MakePages:
                 "html": pa.array(
                     [
                         doc_html(
-                            i, t, self.n_docs, self.links, self.hosts
+                            i, t, self.n_docs, self.links, self.hosts,
+                            self.stride,
                         ).encode("utf-8")
                         for i, t in zip(ids, texts)
                     ],
@@ -91,7 +104,7 @@ class _MakePages:
 
 
 def pages_from_documents(
-    sf_dir: str, links_per_page: int = 3, hosts: int = 0
+    sf_dir: str, links_per_page: int = 3, hosts: int = 0, stride: int = 7
 ) -> tuple[rd.Dataset, int]:
     """documents.parquet -> pages Dataset; returns (pages, n_docs)."""
     import pyarrow.parquet as pq
@@ -101,6 +114,7 @@ def pages_from_documents(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
     pages = docs.map_batches(
-        _MakePages(n_docs, links_per_page, hosts), batch_format="pyarrow"
+        _MakePages(n_docs, links_per_page, hosts, stride),
+        batch_format="pyarrow",
     )
     return pages, n_docs

@@ -215,3 +215,46 @@ def test_crawl_frontier_politeness():
         g = g.sort_values("url")
         assert g["pos"].tolist() == list(range(len(g)))
         assert (np.diff(g.sort_values("pos")["slot"].to_numpy()) == H).all()
+
+
+def test_link_churn_classes():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.pipelines.host_graph import link_churn
+
+    def links(rows):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "src_url": pa.array(
+                        [f"https://{h}/p{i}" for h, i, _ in rows]
+                    ),
+                    "dst_url": pa.array([d for _, _, d in rows]),
+                }
+            )
+        )
+
+    a = links(
+        [
+            ("x.com", 0, "t1"),
+            ("x.com", 0, "t1"),  # duplicate — distinct-counted once
+            ("x.com", 1, "t2"),
+            ("y.com", 2, "t3"),
+        ]
+    )
+    b = links(
+        [
+            ("x.com", 0, "t1"),  # stable
+            ("x.com", 1, "t9"),  # t2 removed, t9 added
+            ("y.com", 3, "t3"),  # y.com/p2->t3 removed, p3->t3 added
+        ]
+    )
+    got = (
+        link_churn(a, b)
+        .to_pandas()
+        .set_index("host")
+        .sort_index()
+    )
+    assert got.loc["x.com"].tolist() == [1, 1, 1]  # added, removed, stable
+    assert got.loc["y.com"].tolist() == [1, 1, 0]
