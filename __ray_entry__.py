@@ -834,6 +834,32 @@ def q_components_copurchase(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_components_incremental(sf_dir: str) -> rd.Dataset:
+    """Incremental connected components
+    (pipelines/incremental.py::incremental_components): fold a
+    deterministic delta batch (one ring edge (v, (v+313) mod n) per
+    vid divisible by 97) into the base co-purchase labeling via
+    label-graph contraction — (vid, comp) equal to a full CC over
+    base ∪ delta, value-exact vs the recursive-CTE oracle."""
+    from parallel_pagerank_ray.pipelines.components_actors import (
+        connected_components_bsp,
+    )
+    from parallel_pagerank_ray.pipelines.incremental import (
+        incremental_components,
+    )
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    base = connected_components_bsp(g).components
+    n = g.n
+
+    def delta(b: dict) -> dict:
+        v = b["id"].astype(np.int64) * 97
+        return {"src": v, "dst": (v + 313) % n}
+
+    d = rd.range((n + 96) // 97).map_batches(delta, batch_format="numpy")
+    return incremental_components(base, d)
+
+
 def q_bipartite_components(sf_dir: str) -> rd.Dataset:
     """Per-component bipartiteness of the co-purchase graph via the
     bipartite double cover (two CC runs + one join) —
@@ -2784,6 +2810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_personalized_top20": q_pagerank_personalized_top20,
         "pagerank_weighted_top20": q_pagerank_weighted_top20,
         "components_copurchase": q_components_copurchase,
+        "components_incremental": q_components_incremental,
         "component_size_histogram": q_component_size_histogram,
         "bipartite_components": q_bipartite_components,
         "labelprop_copurchase": q_labelprop_copurchase,
@@ -4080,6 +4107,38 @@ def oracle_sql() -> dict[str, str]:
               last AS (SELECT * FROM pr WHERE it = (SELECT max(it) FROM pr))
             SELECT row_number() OVER (ORDER BY rank DESC, vid) AS pos, vid
             FROM last ORDER BY rank DESC, vid LIMIT 20
+        """,
+        "components_incremental": f"""
+            WITH RECURSIVE
+              e0 AS MATERIALIZED ({_COPURCHASE_SQL}),
+              nn AS MATERIALIZED (
+                SELECT max(greatest(src, dst)) + 1 AS n FROM e0),
+              v(vid) AS (SELECT unnest(range(greatest(
+                           coalesce((SELECT n FROM nn), 1), 1))) AS vid),
+              d AS (SELECT vid AS src,
+                           (vid + 313) % (SELECT n FROM nn) AS dst
+                    FROM v WHERE vid % 97 = 0),
+              und AS MATERIALIZED (
+                SELECT DISTINCT src, dst FROM (
+                  SELECT src, dst FROM e0 WHERE src <> dst
+                  UNION ALL SELECT dst, src FROM e0 WHERE src <> dst
+                  UNION ALL SELECT src, dst FROM d WHERE src <> dst
+                  UNION ALL SELECT dst, src FROM d WHERE src <> dst)),
+              cc(it, vid, comp, ch) AS (
+                SELECT 0, vid, vid, 1 FROM v
+                UNION ALL
+                SELECT c.it + 1, c.vid,
+                       least(c.comp, coalesce(m.mn, c.comp)),
+                       CASE WHEN least(c.comp, coalesce(m.mn, c.comp))
+                                 <> c.comp THEN 1 ELSE 0 END
+                FROM cc c
+                LEFT JOIN (SELECT u.dst AS vid, min(c2.comp) AS mn
+                           FROM cc c2 JOIN und u ON u.src = c2.vid
+                           GROUP BY 1) m ON m.vid = c.vid
+                WHERE (SELECT max(c3.ch) FROM cc c3) = 1
+              )
+            SELECT vid, comp FROM cc
+            WHERE it = (SELECT max(it) FROM cc)
         """,
         "components_copurchase": f"""
             WITH RECURSIVE

@@ -335,6 +335,20 @@ def bench_queries() -> dict[str, float]:
         "crawl_frontier",
         "frequent_triples",
         "lang_mixing",
+        "coreness_copurchase",
+        "msf_copurchase",
+        "dup_span_stats",
+        "phrase_search",
+        "retention_cohorts",
+        "wl_colors",
+        "wl_class_sizes",
+        "resolve_redirects",
+        "countmin_top_tokens",
+        "cooccurrence_top_tokens",
+        "quantity_moments",
+        "large_volume_orders",
+        "rich_club",
+        "link_churn_hosts",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

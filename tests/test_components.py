@@ -289,3 +289,50 @@ def test_bipartite_components_odd_even_mix():
         df = bipartite_components(g, num_parts=parts).to_pandas()
         got = dict(zip(df["comp"].astype(int), df["bipartite"].astype(bool)))
         assert got == {0: False, 7: True}
+
+
+def test_incremental_components_equals_full():
+    import numpy as np
+    import ray.data as rd
+
+    from parallel_pagerank_ray import oracle
+    from parallel_pagerank_ray.pipelines.components import (
+        connected_components,
+    )
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.incremental import (
+        incremental_components,
+    )
+    from parallel_pagerank_ray.sources.edge_list import edges_dataset
+
+    n = 60
+    base_e = [(i, i + 1) for i in range(0, n - 1, 2)]  # 30 two-chains
+    delta_e = [(1, 2), (5, 6), (0, 59), (10, 10)]
+    g = Graph.from_int_edges(edges_dataset(base_e, num_blocks=3))
+    base = connected_components(g).components
+    want = oracle.connected_components(
+        n, np.array(base_e + delta_e, dtype=np.int64)
+    )
+    for bmax in (5_000_000, 0):  # broadcast path AND Dataset fallback
+        got = (
+            incremental_components(
+                base,
+                edges_dataset(delta_e, num_blocks=2),
+                broadcast_max=bmax,
+            )
+            .to_pandas()
+            .sort_values("vid")["comp"]
+            .to_numpy()
+        )
+        assert np.array_equal(got, want), bmax
+    # empty delta (all within-component) is a no-op
+    same = (
+        incremental_components(base, edges_dataset([(0, 1)], num_blocks=1))
+        .to_pandas()
+        .sort_values("vid")["comp"]
+        .to_numpy()
+    )
+    assert np.array_equal(
+        same,
+        oracle.connected_components(n, np.array(base_e, dtype=np.int64)),
+    )
