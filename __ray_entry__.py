@@ -2146,6 +2146,20 @@ def q_embedding_near_dup(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
+def q_funnel_users(sf_dir: str) -> rd.Dataset:
+    """Ordered funnel conversion (pipelines/events.py
+    funnel_conversion) view -> click -> purchase: per step the exact
+    count of users reaching it in order (strictly-after timestamps).
+    Per step one grouped-min + one shrinking hash join."""
+    from parallel_pagerank_ray.pipelines.events import funnel_conversion
+    from parallel_pagerank_ray.pipelines.relational import read_table
+
+    return funnel_conversion(
+        read_table(sf_dir, "events", ["user_id", "event_type", "ts"]),
+        steps=("view", "click", "purchase"),
+    )
+
+
 def q_events_hourly(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.events import hourly_rollup
     from parallel_pagerank_ray.pipelines.relational import read_table
@@ -2887,6 +2901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_full_probe": q_knn_ivf_full_probe,
         "embedding_near_dup": q_embedding_near_dup,
         "events_hourly": q_events_hourly,
+        "funnel_users": q_funnel_users,
         "events_hourly_users": q_events_hourly_users,
         "events_topk_users": q_events_topk_users,
         "events_hopping": q_events_hopping,
@@ -5552,6 +5567,24 @@ def oracle_sql() -> dict[str, str]:
                      AS hour,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY 1
+        """,
+        "funnel_users": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s1 ON s1.user_id = e.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s1.t
+                   GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s2 ON s2.user_id = e.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                   GROUP BY 1)
+            SELECT 1 AS step, 'view' AS event_type,
+                   (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+            UNION ALL SELECT 2, 'click',
+                   (SELECT CAST(count(*) AS BIGINT) FROM s2)
+            UNION ALL SELECT 3, 'purchase',
+                   (SELECT CAST(count(*) AS BIGINT) FROM s3)
         """,
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -349,6 +349,8 @@ def bench_queries() -> dict[str, float]:
         "large_volume_orders",
         "rich_club",
         "link_churn_hosts",
+        "components_incremental",
+        "funnel_users",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from parallel_pagerank_ray.stages.agg import grouped_agg, resolve_num_buckets
@@ -384,4 +386,79 @@ def retention_cohorts(events: rd.Dataset) -> rd.Dataset:
         drop_empty_blocks(cells),
         ["cohort_day", "active_day"],
         {"n_users": ("user_id", "count")},
+    )
+
+
+def funnel_conversion(
+    events: rd.Dataset,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Ordered funnel conversion: per step, how many users reached it
+    IN ORDER — a user reaches step k at the earliest event of type
+    steps[k] strictly after their step-(k-1) reach time. Output one
+    row per step: (step, event_type, n_users), n_users non-increasing.
+
+    The product-analytics staple. Scale shape: per step ONE filtered
+    grouped-min (bucketed combine) and ONE partitioned hash join
+    against the previous step's (user, t) table — which only ever
+    SHRINKS; no per-user map_groups, no sort. Timestamps compare as
+    int64 microseconds; counts are exact."""
+    from parallel_pagerank_ray.pipelines.graph_build import (
+        _default_join_partitions,
+    )
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+    from parallel_pagerank_ray.util import safe_join
+
+    if not steps:
+        raise ValueError("funnel_conversion needs >= 1 step")
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+    ev = events.select_columns(["user_id", "event_type", "ts"])
+
+    def typed(step: str):
+        def inner(t: pa.Table) -> pa.Table:
+            keep = t.filter(pc.equal(t.column("event_type"), step))
+            return pa.table(
+                {
+                    "user_id": keep.column("user_id"),
+                    "tus": pc.cast(keep.column("ts"), pa.int64()),
+                }
+            )
+
+        return inner
+
+    reach: rd.Dataset | None = None
+    counts: list[tuple[int, str, int]] = []
+    for i, step in enumerate(steps):
+        cand = ev.map_batches(typed(step), batch_format="pyarrow")
+        if reach is not None:
+            j = safe_join(
+                cand,
+                reach.rename_columns({"user_id": "__u", "t": "__t"}),
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("user_id",),
+                right_on=("__u",),
+            )
+            cand = j.map_batches(
+                lambda t: t.filter(
+                    pc.greater(t.column("tus"), t.column("__t"))
+                ).select(["user_id", "tus"]),
+                batch_format="pyarrow",
+            )
+        reach = grouped_agg(
+            cand, ["user_id"], {"t": ("tus", "min")}
+        ).materialize()
+        counts.append((i + 1, step, reach.count()))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "step": pa.array([c[0] for c in counts], pa.int64()),
+                "event_type": pa.array([c[1] for c in counts], pa.string()),
+                "n_users": pa.array(
+                    [np.int64(c[2]) for c in counts], pa.int64()
+                ),
+            }
+        )
     )

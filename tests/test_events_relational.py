@@ -860,3 +860,40 @@ def test_large_volume_orders_vs_duckdb(ddb):
     assert len(got) == 12
     for c in got.columns:
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_funnel_conversion_ordering():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.pipelines.events import funnel_conversion
+
+    rows = [
+        # u1 completes in order
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # u2 clicks BEFORE viewing -> stops at view
+        (2, "click", 5), (2, "view", 10),
+        # u3 views+clicks, purchase EXACTLY at click time (not strictly
+        # after) -> stops at click
+        (3, "view", 1), (3, "click", 2), (3, "purchase", 2),
+        # u4 never views
+        (4, "click", 1), (4, "purchase", 2),
+    ]
+    ev = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array(
+                    [r[2] * 1_000_000 for r in rows], pa.timestamp("us")
+                ),
+            }
+        )
+    ).repartition(3)
+    got = (
+        funnel_conversion(ev, steps=("view", "click", "purchase"))
+        .to_pandas()
+        .sort_values("step")
+    )
+    assert got["n_users"].tolist() == [3, 2, 1]
+    assert got["event_type"].tolist() == ["view", "click", "purchase"]
