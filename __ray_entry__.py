@@ -942,6 +942,17 @@ def q_community_stats(sf_dir: str) -> rd.Dataset:
     return community_stats(g, labels, edges_canonical=True)
 
 
+def q_community_graph(sf_dir: str) -> rd.Dataset:
+    """Community supergraph (pipelines/community.py community_graph):
+    the co-purchase graph contracted by its 3-round LPA labels into
+    weighted (label_a, label_b, w) edges — the multilevel coarsening
+    step; integer weights value-exact vs the unrolled-LPA oracle."""
+    from parallel_pagerank_ray.pipelines.community import community_graph
+
+    g, labels = _labelprop_run(sf_dir)
+    return community_graph(g, labels)
+
+
 def q_labelprop_weighted_copurchase(sf_dir: str) -> rd.Dataset:
     """Weighted LPA over the symmetric weighted co-purchase graph
     (vote mass = distinct-order edge weight): community sizes after 3
@@ -2606,6 +2617,24 @@ def q_pricing_summary(sf_dir: str) -> rd.Dataset:
     return pricing_summary(read_table(sf_dir, "lineitem"))
 
 
+def q_lineitem_checksum(sf_dir: str) -> rd.Dataset:
+    """Order-free table checksum (functions/sketch.py table_checksum)
+    of lineitem's key columns: one (n_rows, checksum) row — the
+    anti-entropy / resumable-write verification primitive; additive
+    mod 2^31-1, bit-identical at any parallelism."""
+    from parallel_pagerank_ray.functions.sketch import table_checksum
+    from parallel_pagerank_ray.pipelines.relational import read_table
+
+    return table_checksum(
+        read_table(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        ),
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+    )
+
+
 def q_quantity_moments(sf_dir: str) -> rd.Dataset:
     """Grouped moment sufficient statistics (pipelines/relational.py):
     exact int64 power sums (n, s1, s2, s3) of l_quantity per
@@ -2855,6 +2884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "betweenness_copurchase": q_betweenness_copurchase,
         "local_clustering": q_local_clustering,
         "community_stats": q_community_stats,
+        "community_graph": q_community_graph,
         "distinct_parts_per_nation": q_distinct_parts_per_nation,
         "sssp_weighted_copurchase": q_sssp_weighted_copurchase,
         "msf_copurchase": q_msf_copurchase,
@@ -2929,6 +2959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": q_retention_cohorts,
         "small_quantity_revenue": q_small_quantity_revenue,
         "pricing_summary": q_pricing_summary,
+        "lineitem_checksum": q_lineitem_checksum,
         "quantity_moments": q_quantity_moments,
         "large_volume_orders": q_large_volume_orders,
         "top_customers": q_top_customers,
@@ -4256,6 +4287,21 @@ def oracle_sql() -> dict[str, str]:
               l2 AS MATERIALIZED {_lpa_round_sql("l1")},
               l3 AS MATERIALIZED {_lpa_round_sql("l2")}
             SELECT label, count(*) AS size FROM l3 GROUP BY 1
+        """,
+        "community_graph": f"""
+            WITH RECURSIVE
+            {_supplier_part_vid_graph(_COPURCHASE_SQL)},
+              l0 AS MATERIALIZED (SELECT vid, vid AS label FROM v),
+              l1 AS MATERIALIZED {_lpa_round_sql("l0")},
+              l2 AS MATERIALIZED {_lpa_round_sql("l1")},
+              l3 AS MATERIALIZED {_lpa_round_sql("l2")}
+            SELECT least(a.label, b.label) AS label_a,
+                   greatest(a.label, b.label) AS label_b,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM und u JOIN l3 a ON a.vid = u.src
+                       JOIN l3 b ON b.vid = u.dst
+            WHERE u.src < u.dst
+            GROUP BY 1, 2
         """,
         "community_stats": f"""
             WITH RECURSIVE
@@ -6090,6 +6136,20 @@ def oracle_sql() -> dict[str, str]:
                                           THEN 1 END), 0) AS BIGINT)
                      AS n_small
             FROM l JOIN t USING (l_partkey)
+        """,
+        "lineitem_checksum": """
+            WITH h AS (
+              SELECT ((((((l_orderkey % 2147483647) * 1000003
+                       + (l_partkey % 2147483647)) % 2147483647)
+                       * 1000003
+                       + (l_suppkey % 2147483647)) % 2147483647)
+                       * 1000003
+                       + (l_linenumber % 2147483647)) % 2147483647 AS s4
+              FROM lineitem),
+            hh AS (SELECT (s4 * s4 + s4) % 2147483647 AS h FROM h)
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(h) % 2147483647 AS BIGINT) AS checksum
+            FROM hh
         """,
         "quantity_moments": """
             SELECT l_returnflag, l_linestatus,

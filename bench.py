@@ -351,6 +351,8 @@ def bench_queries() -> dict[str, float]:
         "link_churn_hosts",
         "components_incremental",
         "funnel_users",
+        "community_graph",
+        "lineitem_checksum",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

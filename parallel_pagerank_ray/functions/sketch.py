@@ -178,3 +178,59 @@ def countmin_estimates(docs, tokens: list[str], w: int = CM_W):
             }
         )
     )
+
+
+def table_checksum(ds, cols: list[str]):
+    """Order-free integrity checksum of a table over integer columns:
+    one row (n_rows, checksum) with
+
+        checksum = sum over rows of H(row) mod 2^31-1,
+        H(row)   = Horner fold of the columns mod 2^31-1
+                   (multiplier 1000003, then one squaring round so
+                   single-column tables don't collapse to a plain sum)
+
+    The anti-entropy primitive: two replicas / a resumed write and its
+    source compare one integer instead of shuffling rows; ADDITIVE mod
+    p, so the reduce is order- and partition-free (bit-identical at
+    any parallelism) and runs as per-batch partials + a driver fold of
+    one integer per batch. SQL-reproducible (hashing-policy
+    arithmetic)."""
+    from parallel_pagerank_ray.stages.agg import global_agg
+
+    P = _P31
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.zeros(len(b), dtype=np.int64)
+        for c in cols:
+            v = b[c].to_numpy().astype(np.int64) % P
+            h = (h * 1_000_003 + v) % P
+        h = (h * h + h) % P  # squaring round
+        return pd.DataFrame(
+            {
+                "n_rows": pd.Series([np.int64(len(b))]),
+                "checksum": pd.Series([np.int64(h.sum() % P)]),
+            }
+        )
+
+    parts = ds.select_columns(cols).map_batches(
+        partial, batch_format="pandas"
+    )
+    agg = global_agg(
+        parts, {"n_rows": ("n_rows", "sum"), "checksum": ("checksum", "sum")}
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_rows": pa.array(
+                    [int(agg["n_rows"] or 0)], pa.int64()
+                ),
+                "checksum": pa.array(
+                    [int(agg["checksum"] or 0) % _int(P)], pa.int64()
+                ),
+            }
+        )
+    )
+
+
+def _int(x) -> int:
+    return int(x)

@@ -280,3 +280,65 @@ def rich_club(graph, ks: tuple[int, ...] = (1, 2, 4, 8, 16, 32)) -> rd.Dataset:
         )
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+def community_graph(
+    graph, labels: rd.Dataset, num_partitions: int | None = None
+) -> rd.Dataset:
+    """Contract the graph by a (vid, label) assignment into the
+    weighted community supergraph: (label_a, label_b, w) with
+    label_a <= label_b canonical, w = canonical closure edges between
+    the two communities (label_a == label_b rows count internal
+    edges) — the coarsening step of multilevel graph algorithms
+    (Louvain's aggregation phase / multilevel partitioning).
+
+    Scale shape: two partitioned hash joins attach endpoint labels to
+    the canonical closure half, then one bucketed grouped_agg on the
+    canonical label pair; the supergraph is community-count-sized.
+    """
+    from parallel_pagerank_ray.pipelines.graph_build import (
+        _default_join_partitions,
+        undirected_edges,
+    )
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+    from parallel_pagerank_ray.util import safe_join
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+    labels = labels.select_columns(["vid", "label"])
+    half = undirected_edges(graph.edges, dedup=True).map_batches(
+        lambda t: t.filter(pc.less(t.column("src"), t.column("dst"))),
+        batch_format="pyarrow",
+    )
+    j = safe_join(
+        safe_join(
+            half,
+            labels.rename_columns({"vid": "va", "label": "la"}),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("va",),
+        ),
+        labels.rename_columns({"vid": "vb", "label": "lb"}),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("dst",),
+        right_on=("vb",),
+    )
+
+    def canon(t: pa.Table) -> pa.Table:
+        la = t.column("la").to_numpy(zero_copy_only=False)
+        lb = t.column("lb").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "label_a": np.minimum(la, lb),
+                "label_b": np.maximum(la, lb),
+                "one": np.ones(len(la), dtype=np.int64),
+            }
+        )
+
+    return grouped_agg(
+        j.map_batches(canon, batch_format="pyarrow"),
+        ["label_a", "label_b"],
+        {"w": ("one", "sum")},
+    )

@@ -86,3 +86,32 @@ def test_modularity_perfect_split():
         g, _labels_ds(np.zeros(6, dtype=np.int64)), num_buckets=2
     ).to_pandas()
     assert abs(modularity(stats1)) < 1e-12
+
+
+def test_community_graph_contraction():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.pipelines.community import community_graph
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.sources.edge_list import edges_dataset
+
+    # two triangles bridged by one edge; labels: {0,1,2}->0, {3,4,5}->3
+    e = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    g = Graph.from_int_edges(edges_dataset(e, num_blocks=2))
+    labels = rd.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array(list(range(6)), pa.int64()),
+                "label": pa.array([0, 0, 0, 3, 3, 3], pa.int64()),
+            }
+        )
+    )
+    got = (
+        community_graph(g, labels)
+        .to_pandas()
+        .sort_values(["label_a", "label_b"])
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == [[0, 0, 3], [0, 3, 1], [3, 3, 3]]

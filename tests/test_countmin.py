@@ -81,3 +81,40 @@ def test_cooccurrence_window_semantics():
         .to_pandas()
     )
     assert len(got2) == 2  # (a,b) and (c,d) only — no (b,c) cross-doc
+
+
+def test_table_checksum_laws():
+    import pyarrow as pa
+
+    from parallel_pagerank_ray.functions.sketch import table_checksum
+
+    def tbl(rows, parts):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([r[0] for r in rows], pa.int64()),
+                    "b": pa.array([r[1] for r in rows], pa.int64()),
+                }
+            )
+        ).repartition(parts)
+
+    rows = [(i, i * 31 % 97) for i in range(1000)]
+    r1 = table_checksum(tbl(rows, 1), ["a", "b"]).to_pandas().iloc[0]
+    r7 = table_checksum(tbl(rows, 7), ["a", "b"]).to_pandas().iloc[0]
+    # partition- and order-invariant
+    rrev = (
+        table_checksum(tbl(rows[::-1], 3), ["a", "b"]).to_pandas().iloc[0]
+    )
+    assert (r1["n_rows"], r1["checksum"]) == (r7["n_rows"], r7["checksum"])
+    assert (r1["n_rows"], r1["checksum"]) == (
+        rrev["n_rows"],
+        rrev["checksum"],
+    )
+    assert r1["n_rows"] == 1000
+    # sensitive to a single-cell change
+    rows2 = rows[:500] + [(500, (rows[500][1] + 1) % 97)] + rows[501:]
+    r2 = table_checksum(tbl(rows2, 7), ["a", "b"]).to_pandas().iloc[0]
+    assert r2["checksum"] != r1["checksum"]
+    # column order matters (keyed fold, not a bag of cells)
+    rba = table_checksum(tbl(rows, 4), ["b", "a"]).to_pandas().iloc[0]
+    assert rba["checksum"] != r1["checksum"]
