@@ -343,6 +343,19 @@ def q_crawl_frontier(sf_dir: str) -> rd.Dataset:
     return crawl_frontier(pages)
 
 
+def q_host_mirror_scores(sf_dir: str) -> rd.Dataset:
+    """Mirror-site detection (pipelines/host_graph.py
+    host_mirror_scores): Jaccard of host outlink target sets per
+    co-citing host pair — (host_a, host_b, inter, union_size,
+    jaccard); the single-division float passes the value gate."""
+    from parallel_pagerank_ray.pipelines.host_graph import (
+        host_mirror_scores,
+    )
+
+    _, links = _host_pages_links(sf_dir)
+    return host_mirror_scores(links)
+
+
 def q_pagerank_hosts_top10(sf_dir: str) -> pd.DataFrame:
     """Weighted PageRank on the coarsened host graph (intra-host edges
     dropped, weight = cross-host link count). Integer rank order like
@@ -2831,6 +2844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_frontier": q_crawl_frontier,
         "lang_mixing": q_lang_mixing,
         "host_cocitation": q_host_cocitation,
+        "host_mirror_scores": q_host_mirror_scores,
         "pagerank_hosts_top10": q_pagerank_hosts_top10,
         "scc_hosts": q_scc_hosts,
         "bowtie_hosts": q_bowtie_hosts,
@@ -3713,6 +3727,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS w
             FROM documents, range(3) k
             GROUP BY 1, 2
+        """,
+        "host_mirror_scores": """
+            WITH hl AS (
+              SELECT DISTINCT
+                     'h' || (doc_id % 11) || '.docs.example' AS src,
+                     'h' || (((doc_id * 7 + k.range + 1)
+                              % (SELECT count(*) FROM documents)) % 11)
+                         || '.docs.example' AS dst
+              FROM documents, range(3) k),
+            sz AS (SELECT src, CAST(count(*) AS BIGINT) AS n
+                   FROM hl GROUP BY 1),
+            co AS (SELECT a.src AS host_a, b.src AS host_b,
+                          CAST(count(*) AS BIGINT) AS w
+                   FROM hl a JOIN hl b ON a.dst = b.dst AND a.src < b.src
+                   GROUP BY 1, 2)
+            SELECT co.host_a, co.host_b, co.w AS inter,
+                   sa.n + sb.n - co.w AS union_size,
+                   CAST(co.w AS DOUBLE) / (sa.n + sb.n - co.w) AS jaccard
+            FROM co JOIN sz sa ON sa.src = co.host_a
+                    JOIN sz sb ON sb.src = co.host_b
         """,
         "host_cocitation": """
             WITH hl AS (

@@ -353,6 +353,7 @@ def bench_queries() -> dict[str, float]:
         "funnel_users",
         "community_graph",
         "lineitem_checksum",
+        "host_mirror_scores",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -163,7 +163,11 @@ def modularity(stats: pd.DataFrame) -> float:
     )
 
 
-def rich_club(graph, ks: tuple[int, ...] = (1, 2, 4, 8, 16, 32)) -> rd.Dataset:
+def rich_club(
+    graph,
+    ks: tuple[int, ...] = (1, 2, 4, 8, 16, 32),
+    broadcast_max: int = 50_000_000,
+) -> rd.Dataset:
     """Rich-club statistics (Zhou & Mondragon 2004): for each degree
     threshold k, the subgraph induced by vertices of closure degree > k
     — (k, n_nodes, n_edges, phi) with phi = (2.0*E_k) / (N_k*(N_k-1)),
@@ -181,7 +185,11 @@ def rich_club(graph, ks: tuple[int, ...] = (1, 2, 4, 8, 16, 32)) -> rd.Dataset:
         undirected_edges,
     )
     from parallel_pagerank_ray.stages.agg import grouped_agg
-    from parallel_pagerank_ray.util import drop_empty_blocks, safe_join
+    from parallel_pagerank_ray.util import (
+        count_rows_once,
+        drop_empty_blocks,
+        safe_join,
+    )
 
     ks = tuple(sorted(set(int(k) for k in ks)))
     num_partitions = _default_join_partitions()
@@ -207,35 +215,70 @@ def rich_club(graph, ks: tuple[int, ...] = (1, 2, 4, 8, 16, 32)) -> rd.Dataset:
         lambda t: t.filter(pc.less(t.column("src"), t.column("dst"))),
         batch_format="pyarrow",
     )
-    j = safe_join(
-        safe_join(
-            half,
-            deg.rename_columns({"vid": "va", "d": "da"}),
+    n_deg, deg = count_rows_once(deg)
+    if n_deg <= broadcast_max:
+        # broadcast fast path: the degree table ships once via ray.put
+        # and both endpoint attaches become zero-copy searchsorted
+        # lookups inside the edge partial — no joins. Fallback below is
+        # identical (tested by shrinking the guard).
+        import ray
+
+        tbls = [t for t in ray.get(deg.to_arrow_refs()) if t.num_rows]
+        dv = np.concatenate([t.column("vid").to_numpy() for t in tbls])
+        dd = np.concatenate([t.column("d").to_numpy() for t in tbls])
+        order = np.argsort(dv)
+        deg_ref = ray.put((dv[order], dd[order]))
+        j = half
+
+        def edge_partial(t: pa.Table) -> pa.Table:
+            keys, vals = ray.get(deg_ref)
+            # every edge endpoint has degree >= 1 -> exact hits
+            da = vals[np.searchsorted(keys, t.column("src").to_numpy())]
+            db = vals[np.searchsorted(keys, t.column("dst").to_numpy())]
+            md = np.minimum(da, db)
+            return pa.table(
+                {
+                    "k": pa.array(np.array(ks, dtype=np.int64)),
+                    "n_edges": pa.array(
+                        np.array(
+                            [(md > k).sum() for k in ks], dtype=np.int64
+                        )
+                    ),
+                }
+            )
+
+    else:
+        j = safe_join(
+            safe_join(
+                half,
+                deg.rename_columns({"vid": "va", "d": "da"}),
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("src",),
+                right_on=("va",),
+            ),
+            deg.rename_columns({"vid": "vb", "d": "db"}),
             join_type="inner",
             num_partitions=num_partitions,
-            on=("src",),
-            right_on=("va",),
-        ),
-        deg.rename_columns({"vid": "vb", "d": "db"}),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("dst",),
-        right_on=("vb",),
-    )
+            on=("dst",),
+            right_on=("vb",),
+        )
 
-    def edge_partial(t: pa.Table) -> pa.Table:
-        md = np.minimum(
-            t.column("da").to_numpy(zero_copy_only=False),
-            t.column("db").to_numpy(zero_copy_only=False),
-        )
-        return pa.table(
-            {
-                "k": pa.array(np.array(ks, dtype=np.int64)),
-                "n_edges": pa.array(
-                    np.array([(md > k).sum() for k in ks], dtype=np.int64)
-                ),
-            }
-        )
+        def edge_partial(t: pa.Table) -> pa.Table:
+            md = np.minimum(
+                t.column("da").to_numpy(zero_copy_only=False),
+                t.column("db").to_numpy(zero_copy_only=False),
+            )
+            return pa.table(
+                {
+                    "k": pa.array(np.array(ks, dtype=np.int64)),
+                    "n_edges": pa.array(
+                        np.array(
+                            [(md > k).sum() for k in ks], dtype=np.int64
+                        )
+                    ),
+                }
+            )
 
     def node_partial(t: pa.Table) -> pa.Table:
         d = t.column("d").to_numpy(zero_copy_only=False)

@@ -393,6 +393,7 @@ def funnel_conversion(
     events: rd.Dataset,
     steps: tuple[str, ...] = ("view", "click", "purchase"),
     num_partitions: int | None = None,
+    broadcast_max: int = 5_000_000,
 ) -> rd.Dataset:
     """Ordered funnel conversion: per step, how many users reached it
     IN ORDER — a user reaches step k at the earliest event of type
@@ -400,10 +401,14 @@ def funnel_conversion(
     row per step: (step, event_type, n_users), n_users non-increasing.
 
     The product-analytics staple. Scale shape: per step ONE filtered
-    grouped-min (bucketed combine) and ONE partitioned hash join
-    against the previous step's (user, t) table — which only ever
-    SHRINKS; no per-user map_groups, no sort. Timestamps compare as
-    int64 microseconds; counts are exact."""
+    grouped-min (bucketed combine) and ONE attach against the previous
+    step's (user, t) table — which only ever SHRINKS: while it fits
+    ``broadcast_max`` it ships once via ray.put and the attach is a
+    zero-copy searchsorted filter (no join); beyond the guard it falls
+    back to a partitioned hash join, decided PER STEP (funnels narrow,
+    so deep steps usually broadcast even when step 1 joins). No
+    per-user map_groups, no sort. Timestamps compare as int64
+    microseconds; counts are exact."""
     from parallel_pagerank_ray.pipelines.graph_build import (
         _default_join_partitions,
     )
@@ -428,11 +433,33 @@ def funnel_conversion(
 
         return inner
 
+    import ray
+
     reach: rd.Dataset | None = None
+    reach_ref = None  # (sorted user array, aligned reach times) or None
     counts: list[tuple[int, str, int]] = []
     for i, step in enumerate(steps):
         cand = ev.map_batches(typed(step), batch_format="pyarrow")
-        if reach is not None:
+        if reach_ref is not None:
+            # broadcast fast path: the previous step's (user, t) table
+            # fits the guard — filter with one zero-copy lookup, no join
+            def bfilter(t: pa.Table, _ref=reach_ref) -> pa.Table:
+                users, times = ray.get(_ref)
+                u = t.column("user_id").to_numpy(zero_copy_only=False)
+                idx = np.searchsorted(users, u)
+                idx = np.clip(idx, 0, max(len(users) - 1, 0))
+                hit = (users[idx] == u) if len(users) else np.zeros(
+                    len(u), dtype=bool
+                )
+                after = np.zeros(len(u), dtype=bool)
+                after[hit] = (
+                    t.column("tus").to_numpy(zero_copy_only=False)[hit]
+                    > times[idx[hit]]
+                )
+                return t.filter(pa.array(after))
+
+            cand = cand.map_batches(bfilter, batch_format="pyarrow")
+        elif reach is not None:
             j = safe_join(
                 cand,
                 reach.rename_columns({"user_id": "__u", "t": "__t"}),
@@ -450,7 +477,28 @@ def funnel_conversion(
         reach = grouped_agg(
             cand, ["user_id"], {"t": ("tus", "min")}
         ).materialize()
-        counts.append((i + 1, step, reach.count()))
+        n_reach = reach.count()
+        counts.append((i + 1, step, n_reach))
+        if n_reach <= broadcast_max:
+            tbls = [t for t in ray.get(reach.to_arrow_refs()) if t.num_rows]
+            if tbls:
+                users = np.concatenate(
+                    [t.column("user_id").to_numpy() for t in tbls]
+                )
+                times = np.concatenate(
+                    [t.column("t").to_numpy() for t in tbls]
+                )
+                order = np.argsort(users)
+                reach_ref = ray.put((users[order], times[order]))
+            else:
+                reach_ref = ray.put(
+                    (
+                        np.array([], dtype=np.int64),
+                        np.array([], dtype=np.int64),
+                    )
+                )
+        else:
+            reach_ref = None
     return rd.from_arrow(
         pa.table(
             {

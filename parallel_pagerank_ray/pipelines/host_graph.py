@@ -397,3 +397,70 @@ def link_churn(
         },
         num_buckets=num_buckets,
     )
+
+
+def host_mirror_scores(
+    links: rd.Dataset,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Mirror-site detection: Jaccard similarity of host OUTLINK target
+    sets -> (host_a, host_b, inter, union_size, jaccard) for every
+    co-citing host pair. Two hosts serving the same content link to
+    (nearly) the same targets, so jaccard ~ 1 flags mirrors/aliases
+    the way text MinHash flags duplicated documents — this is the
+    graph-side of the dedup story.
+
+    Composition: ``host_cocitation`` supplies the intersection
+    (distinct shared targets, the bucketed in-group pair kernel); the
+    per-host distinct out-target counts attach via two partitioned
+    joins; union = |A| + |B| - inter and jaccard = inter / union is a
+    single division of exact int64 operands (float policy)."""
+    from parallel_pagerank_ray.pipelines.graph_build import (
+        _default_join_partitions,
+    )
+    from parallel_pagerank_ray.stages.agg import distinct, grouped_agg
+    from parallel_pagerank_ray.util import safe_join
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+    inter = host_cocitation(links)
+    hl = distinct(
+        host_links(links), ["src_host", "dst_host"]
+    )
+    sizes = grouped_agg(
+        hl, ["src_host"], {"n_out": ("dst_host", "count")}
+    )
+    j = safe_join(
+        safe_join(
+            inter,
+            sizes.rename_columns({"src_host": "__ha", "n_out": "na"}),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("host_a",),
+            right_on=("__ha",),
+        ),
+        sizes.rename_columns({"src_host": "__hb", "n_out": "nb"}),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("host_b",),
+        right_on=("__hb",),
+    )
+
+    def score(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        inter_v = df["w"].astype(np.int64).to_numpy()
+        na = df["na"].astype(np.int64).to_numpy()
+        nb = df["nb"].astype(np.int64).to_numpy()
+        union = na + nb - inter_v
+        return pd.DataFrame(
+            {
+                "host_a": df["host_a"],
+                "host_b": df["host_b"],
+                "inter": inter_v,
+                "union_size": union,
+                "jaccard": inter_v / union,
+            }
+        )
+
+    return j.map_batches(score, batch_format="pandas")

@@ -77,7 +77,10 @@ def redirect_map(pages: rd.Dataset) -> rd.Dataset:
 
 
 def resolve_redirects(
-    pages: rd.Dataset, max_hops: int = 8, num_partitions: int | None = None
+    pages: rd.Dataset,
+    max_hops: int = 8,
+    num_partitions: int | None = None,
+    broadcast_max: int = 5_000_000,
 ) -> rd.Dataset:
     """One row per redirecting page: (url, final_url, hops, status).
 
@@ -98,6 +101,78 @@ def resolve_redirects(
         num_partitions = _default_join_partitions()
 
     fmap = redirect_map(pages).materialize()
+
+    # broadcast fast path: redirect maps are a small fraction of the
+    # corpus by nature; while the map fits the guard, ship it once via
+    # ray.put (sorted url array + aligned targets) and chase all
+    # max_hops inside ONE stateless map over the map's own rows —
+    # zero joins, zero extra passes. Beyond the guard the join loop
+    # below is the same semantics (tested by shrinking the guard).
+    from parallel_pagerank_ray.util import count_rows_once
+
+    n_map, fmap = count_rows_once(fmap)
+    if n_map <= broadcast_max:
+        import ray
+
+        tbls = [t for t in ray.get(fmap.to_arrow_refs()) if t.num_rows]
+        if not tbls:
+            return fmap.map_batches(
+                lambda t: pa.table(
+                    {
+                        "url": pa.array([], pa.string()),
+                        "final_url": pa.array([], pa.string()),
+                        "hops": pa.array([], pa.int64()),
+                        "status": pa.array([], pa.string()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        urls = np.concatenate(
+            [t.column("url").to_numpy(zero_copy_only=False) for t in tbls]
+        )
+        tgts = np.concatenate(
+            [t.column("target").to_numpy(zero_copy_only=False) for t in tbls]
+        )
+        order = np.argsort(urls)
+        map_ref = ray.put((urls[order], tgts[order]))
+
+        def chase(t: pa.Table) -> pa.Table:
+            keys, vals = ray.get(map_ref)
+
+            def lookup(cur: np.ndarray) -> np.ndarray:
+                idx = np.searchsorted(keys, cur)
+                idx = np.clip(idx, 0, len(keys) - 1)
+                hit = keys[idx] == cur
+                return hit, idx
+
+            url = t.column("url").to_numpy(zero_copy_only=False)
+            cur = t.column("target").to_numpy(zero_copy_only=False).copy()
+            hops = np.ones(len(url), dtype=np.int64)
+            active = np.ones(len(url), dtype=bool)
+            for _ in range(1, max_hops):
+                hit, idx = lookup(cur[active])
+                if not hit.any():
+                    break
+                sel = np.nonzero(active)[0][hit]
+                cur[sel] = vals[idx[hit]]
+                hops[sel] += 1
+                nxt = np.zeros(len(url), dtype=bool)
+                nxt[sel] = True
+                active = nxt
+            still, _ = lookup(cur)
+            status = np.where(
+                (hops >= max_hops) & still, "unresolved", "resolved"
+            )
+            return pa.table(
+                {
+                    "url": pa.array(url, pa.string()),
+                    "final_url": pa.array(cur, pa.string()),
+                    "hops": pa.array(hops, pa.int64()),
+                    "status": pa.array(status, pa.string()),
+                }
+            )
+
+        return fmap.map_batches(chase, batch_format="pyarrow")
 
     def _final(t: pa.Table, hops: int, status_by_member: bool) -> pa.Table:
         n = t.num_rows

@@ -71,7 +71,10 @@ class WLRun:
 
 
 def wl_refine(
-    graph: Graph, rounds: int = 3, num_partitions: int | None = None
+    graph: Graph,
+    rounds: int = 3,
+    num_partitions: int | None = None,
+    broadcast_max: int = 50_000_000,
 ) -> WLRun:
     """1-WL refinement colors after ``rounds`` synchronous rounds over
     the deduplicated undirected simple closure of ``graph.edges``.
@@ -103,6 +106,8 @@ def wl_refine(
         num_partitions = _default_join_partitions()
 
     und = undirected_edges(graph.edges, dedup=True).materialize()
+    if n <= broadcast_max:
+        return _wl_refine_broadcast(und, n, rounds)
 
     # color_0 = degree over the simple closure (0 for isolated vids)
     deg = grouped_agg(
@@ -180,6 +185,67 @@ def wl_refine(
         colors = summed.map_batches(fold, batch_format="pyarrow")
         history.append({"round": r})
     return WLRun(colors=colors.materialize(), rounds=rounds, history=history)
+
+
+def _wl_refine_broadcast(und: rd.Dataset, n: int, rounds: int) -> WLRun:
+    """Broadcast fast path: the color vector (n int64, one ``ray.put``
+    per round, zero-copy read in every task) replaces the per-round
+    hash join; the neighbor-sum shuffle stays ONE bucketed grouped_agg
+    whose result (<= n rows) is the only driver pull — bounded by the
+    caller's ``broadcast_max`` guard. Identical results to the join
+    path (tested by shrinking the guard)."""
+    import pyarrow as pa
+    import ray
+
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    deg_tbl = grouped_agg(
+        und.map_batches(
+            lambda t: pa.table(
+                {
+                    "vid": t.column("src"),
+                    "one": pa.array(
+                        np.ones(t.num_rows, dtype=np.int64), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["vid"],
+        {"d": ("one", "sum")},
+    ).to_pandas()
+    colors = np.zeros(n, dtype=np.int64)
+    colors[deg_tbl["vid"].to_numpy()] = deg_tbl["d"].to_numpy()
+    history: list[dict] = []
+    for r in range(1, rounds + 1):
+        ref = ray.put(colors)
+
+        def nb(t: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            return pa.table(
+                {
+                    "vid": t.column("src"),
+                    "term": wl_g(
+                        c[t.column("dst").to_numpy(zero_copy_only=False)]
+                    ),
+                }
+            )
+
+        s_tbl = grouped_agg(
+            und.map_batches(nb, batch_format="pyarrow"),
+            ["vid"],
+            {"s": ("term", "sum")},
+        ).to_pandas()
+        S = np.zeros(n, dtype=np.int64)
+        S[s_tbl["vid"].to_numpy()] = s_tbl["s"].to_numpy() % P31
+        colors = (wl_h(colors) + S) % P31
+        history.append({"round": r})
+    out = rd.from_arrow(
+        pa.table(
+            {"vid": np.arange(n, dtype=np.int64), "color": colors}
+        )
+    )
+    return WLRun(colors=out, rounds=rounds, history=history)
 
 
 def wl_class_sizes(run: WLRun) -> rd.Dataset:

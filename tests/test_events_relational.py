@@ -897,3 +897,32 @@ def test_funnel_conversion_ordering():
     )
     assert got["n_users"].tolist() == [3, 2, 1]
     assert got["event_type"].tolist() == ["view", "click", "purchase"]
+
+
+def test_funnel_join_fallback_identical():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.pipelines.events import funnel_conversion
+
+    rng_rows = [
+        (u, t, (u * 7 + k) * 1_000_000)
+        for u in range(20)
+        for k, t in enumerate(("view", "click", "purchase"))
+    ]
+    ev = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rng_rows], pa.int64()),
+                "event_type": pa.array(
+                    [r[1] for r in rng_rows], pa.string()
+                ),
+                "ts": pa.array(
+                    [r[2] for r in rng_rows], pa.timestamp("us")
+                ),
+            }
+        )
+    ).repartition(4)
+    a = funnel_conversion(ev).to_pandas()
+    b = funnel_conversion(ev, broadcast_max=0).to_pandas()
+    assert a.equals(b)

@@ -258,3 +258,37 @@ def test_link_churn_classes():
     )
     assert got.loc["x.com"].tolist() == [1, 1, 1]  # added, removed, stable
     assert got.loc["y.com"].tolist() == [1, 1, 0]
+
+
+def test_host_mirror_scores_exact():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.pipelines.host_graph import (
+        host_mirror_scores,
+    )
+
+    # a and b are perfect mirrors (same 2 targets); c shares 1 of 3
+    rows = [
+        ("https://a/x", "https://t1/"), ("https://a/y", "https://t2/"),
+        ("https://b/x", "https://t1/"), ("https://b/y", "https://t2/"),
+        ("https://c/x", "https://t1/"), ("https://c/y", "https://t3/"),
+        ("https://c/z", "https://t4/"),
+    ]
+    links = rd.from_arrow(
+        pa.table(
+            {
+                "src_url": pa.array([r[0] for r in rows]),
+                "dst_url": pa.array([r[1] for r in rows]),
+            }
+        )
+    )
+    got = (
+        host_mirror_scores(links)
+        .to_pandas()
+        .set_index(["host_a", "host_b"])
+        .sort_index()
+    )
+    assert got.loc[("a", "b")].tolist() == [2, 2, 1.0]
+    assert got.loc[("a", "c")].tolist() == [1, 4, 0.25]
+    assert got.loc[("b", "c")].tolist() == [1, 4, 0.25]

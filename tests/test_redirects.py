@@ -48,14 +48,18 @@ def test_resolve_chains_cycles_and_cap(monkeypatch):
         "u6": "u2",  # direct hit on a terminal
     }
     for cap in (1, 2, 8):
-        got = R.resolve_redirects(_pages(rows), max_hops=cap).to_pandas()
-        want = _chase(rows, cap)
-        assert len(got) == len(want)
-        for r in got.itertuples():
-            assert want[r.url] == (r.final_url, r.hops, r.status), (
-                r.url,
-                cap,
-            )
+        for bmax in (5_000_000, 0):  # broadcast fast path AND join loop
+            got = R.resolve_redirects(
+                _pages(rows), max_hops=cap, broadcast_max=bmax
+            ).to_pandas()
+            want = _chase(rows, cap)
+            assert len(got) == len(want)
+            for r in got.itertuples():
+                assert want[r.url] == (r.final_url, r.hops, r.status), (
+                    r.url,
+                    cap,
+                    bmax,
+                )
 
 
 def test_redirect_map_samples_by_url_hash():

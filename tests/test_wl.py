@@ -89,3 +89,29 @@ def test_rich_club_counts():
         assert (int(r.n_nodes), int(r.n_edges)) == (nn, ee), r.k
         exp_phi = (2.0 * ee) / (nn * (nn - 1)) if nn >= 2 else 0.0
         assert r.phi == exp_phi
+
+
+def test_wl_join_fallback_identical():
+    from parallel_pagerank_ray.sources.pages import powerlaw_edges
+
+    e = powerlaw_edges(150, 3, seed=9)
+    g = _graph([tuple(r) for r in e])
+    fast = _colors(wl_refine(g, rounds=2))
+    slow = _colors(wl_refine(g, rounds=2, broadcast_max=0))
+    assert np.array_equal(fast, slow)
+
+
+def test_rich_club_join_fallback_identical():
+    from parallel_pagerank_ray.pipelines.community import rich_club
+    from parallel_pagerank_ray.sources.pages import powerlaw_edges
+
+    e = powerlaw_edges(120, 4, seed=5)
+    g = _graph([tuple(r) for r in e])
+    a = rich_club(g).to_pandas().sort_values("k").reset_index(drop=True)
+    b = (
+        rich_club(g, broadcast_max=0)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
