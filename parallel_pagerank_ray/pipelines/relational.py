@@ -1104,6 +1104,7 @@ def large_volume_orders(
     min_qty: int = 250,
     k: int = 20,
     num_partitions: int | None = None,
+    broadcast_max: int = 5_000_000,
 ) -> rd.Dataset:
     """TPC-H Q18 shape (large-volume customers): orders whose lineitem
     quantity sum exceeds ``min_qty``, joined back to orders ⋈ customer,
@@ -1143,16 +1144,60 @@ def large_volume_orders(
         ),
         batch_format="pyarrow",
     )
-    with_orders = safe_join(
-        per_order,
-        orders.select_columns(
-            ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
-        ),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
+    # the HAVING filter keeps a tiny fraction of orders by design —
+    # while the survivors fit the broadcast guard, ship (orderkey,
+    # total_qty) once via ray.put and turn the orders attach into a
+    # zero-copy searchsorted filter (no shuffle of the full orders
+    # table); beyond the guard fall back to the partitioned hash join
+    import ray
+
+    from parallel_pagerank_ray.util import count_rows_once
+
+    n_big, per_order = count_rows_once(per_order)
+    ocols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    if 0 < n_big <= broadcast_max:
+        tbls = [
+            t for t in ray.get(per_order.to_arrow_refs()) if t.num_rows
+        ]
+        ok = np.concatenate(
+            [t.column("l_orderkey").to_numpy() for t in tbls]
+        )
+        tq = np.concatenate(
+            [t.column("total_qty").to_numpy() for t in tbls]
+        )
+        order_ = np.argsort(ok)
+        big_ref = ray.put((ok[order_], tq[order_]))
+
+        def attach_orders(t: pa.Table) -> pa.Table:
+            keys, qty = ray.get(big_ref)
+            o = t.column("o_orderkey").to_numpy()
+            idx = np.clip(np.searchsorted(keys, o), 0, len(keys) - 1)
+            hit = keys[idx] == o
+            kept = t.filter(pa.array(hit))
+            return pa.table(
+                {
+                    "l_orderkey": kept.column("o_orderkey"),
+                    "total_qty": pa.array(
+                        qty[idx[hit]], pa.int64()
+                    ),
+                    "o_custkey": kept.column("o_custkey"),
+                    "o_totalprice": kept.column("o_totalprice"),
+                    "o_orderdate": kept.column("o_orderdate"),
+                }
+            )
+
+        with_orders = orders.select_columns(ocols).map_batches(
+            attach_orders, batch_format="pyarrow"
+        )
+    else:
+        with_orders = safe_join(
+            per_order,
+            orders.select_columns(ocols),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
     with_cust = safe_join(
         with_orders,
         customer.select_columns(["c_custkey", "c_name"]),

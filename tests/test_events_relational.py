@@ -926,3 +926,25 @@ def test_funnel_join_fallback_identical():
     a = funnel_conversion(ev).to_pandas()
     b = funnel_conversion(ev, broadcast_max=0).to_pandas()
     assert a.equals(b)
+
+
+def test_large_volume_orders_join_fallback_identical():
+    from parallel_pagerank_ray.pipelines.relational import (
+        large_volume_orders,
+    )
+
+    kw = dict(min_qty=150, k=12)
+    a = large_volume_orders(
+        read_table(SF, "lineitem"),
+        read_table(SF, "orders"),
+        read_table(SF, "customer"),
+        **kw,
+    ).to_pandas()
+    b = large_volume_orders(
+        read_table(SF, "lineitem"),
+        read_table(SF, "orders"),
+        read_table(SF, "customer"),
+        broadcast_max=0,
+        **kw,
+    ).to_pandas()
+    assert a.equals(b)
