@@ -326,7 +326,10 @@ def rich_club(
 
 
 def community_graph(
-    graph, labels: rd.Dataset, num_partitions: int | None = None
+    graph,
+    labels: rd.Dataset,
+    num_partitions: int | None = None,
+    broadcast_max: int = 50_000_000,
 ) -> rd.Dataset:
     """Contract the graph by a (vid, label) assignment into the
     weighted community supergraph: (label_a, label_b, w) with
@@ -346,6 +349,8 @@ def community_graph(
     from parallel_pagerank_ray.stages.agg import grouped_agg
     from parallel_pagerank_ray.util import safe_join
 
+    from parallel_pagerank_ray.util import count_rows_once
+
     if num_partitions is None:
         num_partitions = _default_join_partitions()
     labels = labels.select_columns(["vid", "label"])
@@ -353,6 +358,33 @@ def community_graph(
         lambda t: t.filter(pc.less(t.column("src"), t.column("dst"))),
         batch_format="pyarrow",
     )
+    n_lab, labels = count_rows_once(labels)
+    if n_lab <= broadcast_max:
+        # broadcast fast path: the label table ships once via ray.put;
+        # both endpoint attaches become searchsorted lookups (no joins)
+        tbls = [t for t in ray.get(labels.to_arrow_refs()) if t.num_rows]
+        lv = np.concatenate([t.column("vid").to_numpy() for t in tbls])
+        ll = np.concatenate([t.column("label").to_numpy() for t in tbls])
+        order = np.argsort(lv)
+        lab_ref = ray.put((lv[order], ll[order]))
+
+        def canon_b(t: pa.Table) -> pa.Table:
+            keys, vals = ray.get(lab_ref)
+            la = vals[np.searchsorted(keys, t.column("src").to_numpy())]
+            lb = vals[np.searchsorted(keys, t.column("dst").to_numpy())]
+            return pa.table(
+                {
+                    "label_a": np.minimum(la, lb),
+                    "label_b": np.maximum(la, lb),
+                    "one": np.ones(len(la), dtype=np.int64),
+                }
+            )
+
+        return grouped_agg(
+            half.map_batches(canon_b, batch_format="pyarrow"),
+            ["label_a", "label_b"],
+            {"w": ("one", "sum")},
+        )
     j = safe_join(
         safe_join(
             half,

@@ -115,3 +115,37 @@ def test_community_graph_contraction():
         .reset_index(drop=True)
     )
     assert got.values.tolist() == [[0, 0, 3], [0, 3, 1], [3, 3, 3]]
+
+
+def test_community_graph_join_fallback_identical():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.pipelines.community import community_graph
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.sources.edge_list import edges_dataset
+    from parallel_pagerank_ray.sources.pages import powerlaw_edges
+
+    e = powerlaw_edges(100, 3, seed=4)
+    g = Graph.from_int_edges(edges_dataset([tuple(r) for r in e], num_blocks=3))
+    labels = rd.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array(list(range(100)), pa.int64()),
+                "label": pa.array([v % 7 for v in range(100)], pa.int64()),
+            }
+        )
+    )
+    a = (
+        community_graph(g, labels)
+        .to_pandas()
+        .sort_values(["label_a", "label_b"])
+        .reset_index(drop=True)
+    )
+    b = (
+        community_graph(g, labels, broadcast_max=0)
+        .to_pandas()
+        .sort_values(["label_a", "label_b"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
