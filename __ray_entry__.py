@@ -2184,6 +2184,19 @@ def q_funnel_users(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_hll_users_by_type(sf_dir: str) -> rd.Dataset:
+    """Grouped HyperLogLog registers (pipelines/events.py
+    hll_users_by_type): per event_type the max rho per touched
+    register — the mergeable approximate-distinct-per-group sketch,
+    register-value-exact vs the bit_count oracle."""
+    from parallel_pagerank_ray.pipelines.events import hll_users_by_type
+    from parallel_pagerank_ray.pipelines.relational import read_table
+
+    return hll_users_by_type(
+        read_table(sf_dir, "events", ["event_type", "user_id"])
+    )
+
+
 def q_events_hourly(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.events import hourly_rollup
     from parallel_pagerank_ray.pipelines.relational import read_table
@@ -2946,6 +2959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q_embedding_near_dup,
         "events_hourly": q_events_hourly,
         "funnel_users": q_funnel_users,
+        "hll_users_by_type": q_hll_users_by_type,
         "events_hourly_users": q_events_hourly_users,
         "events_topk_users": q_events_topk_users,
         "events_hopping": q_events_hopping,
@@ -5647,6 +5661,18 @@ def oracle_sql() -> dict[str, str]:
                      AS hour,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY 1
+        """,
+        "hll_users_by_type": """
+            WITH h AS (
+              SELECT event_type,
+                     (user_id * 1000081 + 12345) % 2147483647 AS h
+              FROM events),
+            x AS (SELECT event_type, h % 16 AS r,
+                         ((h // 16) | 134217728) AS x2
+                  FROM h)
+            SELECT event_type, r,
+                   max(bit_count((x2 & -x2) - 1) + 1) AS rho
+            FROM x GROUP BY 1, 2
         """,
         "funnel_users": """
             WITH s1 AS (SELECT user_id, min(ts) AS t FROM events

@@ -354,6 +354,7 @@ def bench_queries() -> dict[str, float]:
         "community_graph",
         "lineitem_checksum",
         "host_mirror_scores",
+        "hll_users_by_type",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -510,3 +510,46 @@ def funnel_conversion(
             }
         )
     )
+
+
+def hll_users_by_type(events: rd.Dataset, m: int = 16) -> rd.Dataset:
+    """Per-group HyperLogLog registers: for each event_type the max
+    rho per touched register -> (event_type, r, rho) — the mergeable
+    approximate-distinct-per-group sketch (one tiny sketch per group
+    instead of a distinct shuffle; merging two time ranges = register
+    max). Register values are EXACT integers (hashing-policy affine
+    chain, same arithmetic as pipelines/neighborhood.py HyperANF), so
+    the gate value-checks the sketch itself; the float estimate is one
+    driver-side fold the caller owns.
+
+    Scale shape: one stateless map (vectorized hash + rho) and ONE
+    bucketed grouped max whose key space is |groups| x m — constant
+    per group regardless of user count."""
+    from parallel_pagerank_ray.pipelines.neighborhood import HLL_A, HLL_B
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    P31 = (1 << 31) - 1
+
+    def regs(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        h = (u * HLL_A + HLL_B) % P31
+        r = (h % m).astype(np.int64)
+        x = (h // m) | (1 << 27)
+        rho = np.log2(x & -x).astype(np.int64) + 1
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "r": pa.array(r, pa.int64()),
+                "rho": pa.array(rho, pa.int64()),
+            }
+        )
+
+    return grouped_agg(
+        events.select_columns(["event_type", "user_id"]).map_batches(
+            regs, batch_format="pyarrow"
+        ),
+        ["event_type", "r"],
+        {"rho": ("rho", "max")},
+    )

@@ -948,3 +948,42 @@ def test_large_volume_orders_join_fallback_identical():
         **kw,
     ).to_pandas()
     assert a.equals(b)
+
+
+def test_hll_users_by_type_registers():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.pipelines.events import hll_users_by_type
+    from parallel_pagerank_ray.pipelines.neighborhood import HLL_A, HLL_B
+
+    P31 = (1 << 31) - 1
+    m = 16
+    rows = [(u % 37, "a" if u % 2 else "b") for u in range(500)]
+    ev = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    ).repartition(5)
+    got = {
+        (r.event_type, r.r): r.rho
+        for r in hll_users_by_type(ev, m=m).to_pandas().itertuples()
+    }
+    want: dict = {}
+    for u, t in rows:
+        h = (u * HLL_A + HLL_B) % P31
+        r = h % m
+        x = (h // m) | (1 << 27)
+        rho = (x & -x).bit_length()
+        want[(t, r)] = max(want.get((t, r), 0), rho)
+    assert got == want
+    # merge law: registers of the union == elementwise max of the parts
+    eva = ev.filter(lambda row: row["event_type"] == "a")
+    a_regs = {
+        (r.event_type, r.r): r.rho
+        for r in hll_users_by_type(eva, m=m).to_pandas().itertuples()
+    }
+    assert a_regs == {k: v for k, v in want.items() if k[0] == "a"}
