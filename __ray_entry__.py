@@ -1179,6 +1179,17 @@ def q_random_walks_weighted_copurchase(sf_dir: str) -> rd.Dataset:
     return random_walks_bsp(g, [0, 1, 2], walks_per_seed=4, length=6).walks
 
 
+def q_shortest_path_trace(sf_dir: str) -> rd.Dataset:
+    """Explicit shortest path (pipelines/bfs.py shortest_path_trace)
+    from vid 0 to the farthest reachable co-purchase vertex via the
+    deterministic min-parent rule: (pos, vid, dist) — value-exact vs
+    the recursive-CTE backtrack oracle."""
+    from parallel_pagerank_ray.pipelines.bfs import shortest_path_trace
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return shortest_path_trace(g, source=0)
+
+
 def q_closeness_copurchase(sf_dir: str) -> pa.Table:
     """Closeness centrality (Wasserman–Faust) + eccentricity for a
     3-seed landmark panel over the undirected co-purchase graph (the
@@ -2892,6 +2903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_copurchase": q_kcore_copurchase,
         "coreness_copurchase": q_coreness_copurchase,
         "bfs_copurchase": q_bfs_copurchase,
+        "shortest_path_trace": q_shortest_path_trace,
         "closeness_copurchase": q_closeness_copurchase,
         "harmonic_copurchase": q_harmonic_copurchase,
         "link_prediction_copurchase": q_link_prediction_copurchase,
@@ -4570,6 +4582,35 @@ def oracle_sql() -> dict[str, str]:
               )
             SELECT vid, CAST(min(d) AS BIGINT) AS dist
             FROM walk GROUP BY 1
+        """,
+        "shortest_path_trace": f"""
+            WITH RECURSIVE
+            {_supplier_part_vid_graph(_COPURCHASE_SQL)},
+              walk(vid, d) AS (
+                SELECT 0, 0
+                UNION
+                SELECT u.dst, w.d + 1
+                FROM walk w JOIN und u ON u.src = w.vid
+                WHERE w.d < 8
+              ),
+              dist AS MATERIALIZED (
+                SELECT vid, CAST(min(d) AS BIGINT) AS d
+                FROM walk GROUP BY 1),
+              tgt AS (SELECT vid, d FROM dist ORDER BY d DESC, vid
+                      LIMIT 1),
+              par AS MATERIALIZED (
+                SELECT u.dst AS v, min(u.src) AS p
+                FROM und u JOIN dist a ON a.vid = u.src
+                           JOIN dist b ON b.vid = u.dst
+                WHERE a.d + 1 = b.d GROUP BY 1),
+              path(pos, vid) AS (
+                SELECT (SELECT d FROM tgt), (SELECT vid FROM tgt)
+                UNION ALL
+                SELECT p.pos - 1, par.p
+                FROM path p JOIN par ON par.v = p.vid
+                WHERE p.pos > 0)
+            SELECT p.pos, p.vid, d.d AS dist
+            FROM path p JOIN dist d ON d.vid = p.vid
         """,
         "random_walks_copurchase": _random_walks_sql(),
         "random_walks_weighted_copurchase": _random_walks_sql(weighted=True),

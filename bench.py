@@ -355,6 +355,7 @@ def bench_queries() -> dict[str, float]:
         "lineitem_checksum",
         "host_mirror_scores",
         "hll_users_by_type",
+        "shortest_path_trace",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

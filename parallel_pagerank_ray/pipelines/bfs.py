@@ -241,3 +241,83 @@ def bfs_distances_bsp(
     for a in actors:
         ray.kill(a)
     return BFSRun(distances=rd.from_arrow_refs(tables), iterations=it, history=history)
+
+
+def shortest_path_trace(
+    graph: Graph,
+    source: int = 0,
+    target: int | None = None,
+    broadcast_max: int = 50_000_000,
+) -> rd.Dataset:
+    """One explicit shortest path source -> target over the undirected
+    closure, reconstructed by the deterministic MIN-PARENT rule:
+    parent(v) = min{ u ~ v : dist(u) = dist(v) - 1 }. ``target=None``
+    picks the farthest reachable vertex (max dist, tie -> smallest
+    vid). Output (pos, vid, dist): pos 0 = source, pos d = target.
+
+    The "show me the route" companion to the distance map (navigation,
+    provenance chains, why-is-this-page-reachable). Scale shape: one
+    BFS (frontier-sparse BSP), then ONE stateless pass over the
+    closure with the broadcast distance vector emitting candidate
+    parents + one bucketed grouped min; the backtrack is a <= ecc-step
+    driver walk over the broadcast parent array. Shares the BSP
+    engines' dense per-vertex vector envelope (``broadcast_max``
+    guards the two n-sized pulls)."""
+    import pyarrow as pa
+
+    from parallel_pagerank_ray.pipelines.graph_build import undirected_edges
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    n = graph.n
+    if n == 0:
+        return rd.from_items([])
+    if n > broadcast_max:
+        raise ValueError(
+            "shortest_path_trace: n exceeds broadcast_max — raise the "
+            "guard (the trace needs one dense dist vector, the same "
+            "envelope as the BSP engines)"
+        )
+    run = bfs_distances_bsp(graph, [int(source)])
+    dist_df = run.distances.to_pandas()
+    dist = np.full(n, -1, dtype=np.int64)
+    dist[dist_df["vid"].to_numpy()] = dist_df["dist"].to_numpy()
+    reached = dist >= 0
+    if target is None:
+        dmax = dist[reached].max()
+        target = int(np.nonzero(reached & (dist == dmax))[0].min())
+    t = int(target)
+    if not reached[t]:
+        raise ValueError(f"target {t} unreachable from {source}")
+    dist_ref = ray.put(dist)
+
+    def cand(b: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        d = ray.get(dist_ref)
+        src, dst = b["src"], b["dst"]
+        ok = (d[src] >= 0) & (d[dst] >= 0) & (d[src] + 1 == d[dst])
+        return {"v": dst[ok], "p": src[ok]}
+
+    par_df = grouped_agg(
+        undirected_edges(graph.edges, dedup=False).map_batches(
+            cand, batch_format="numpy"
+        ),
+        ["v"],
+        {"p": ("p", "min")},
+    ).to_pandas()
+    par = np.full(n, -1, dtype=np.int64)
+    par[par_df["v"].to_numpy()] = par_df["p"].to_numpy()
+    path = [t]
+    cur = t
+    while cur != int(source):
+        cur = int(par[cur])
+        path.append(cur)
+    path.reverse()
+    pv = np.array(path, dtype=np.int64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "pos": np.arange(len(pv), dtype=np.int64),
+                "vid": pv,
+                "dist": dist[pv],
+            }
+        )
+    )

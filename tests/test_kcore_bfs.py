@@ -795,3 +795,31 @@ def test_coreness_matches_python_peel():
         .to_numpy()
     )
     assert set(members) == set(np.nonzero(core >= kq)[0].tolist())
+
+
+def test_shortest_path_trace_min_parent():
+    import numpy as np
+
+    from parallel_pagerank_ray.pipelines.bfs import shortest_path_trace
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.sources.edge_list import edges_dataset
+
+    # two parallel shortest routes 0->5: via {1,3} or {2,4}; the
+    # min-parent rule must pick 5<-3? no: parent(5)=min(3,4)=3,
+    # parent(3)=min(1)=1, parent(1)=0
+    e = [(0, 1), (0, 2), (1, 3), (2, 4), (3, 5), (4, 5), (5, 6)]
+    g = Graph.from_int_edges(edges_dataset(e, num_blocks=2))
+    got = shortest_path_trace(g, source=0, target=5).to_pandas()
+    assert got["vid"].tolist() == [0, 1, 3, 5]
+    assert got["dist"].tolist() == [0, 1, 2, 3]
+    assert got["pos"].tolist() == [0, 1, 2, 3]
+    # default target = farthest (6 at dist 4)
+    far = shortest_path_trace(g, source=0).to_pandas()
+    assert far["vid"].tolist() == [0, 1, 3, 5, 6]
+    # unreachable target raises
+    g2 = Graph.from_int_edges(edges_dataset(e + [(8, 9)], num_blocks=2))
+    try:
+        shortest_path_trace(g2, source=0, target=8)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
