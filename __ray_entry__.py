@@ -1786,6 +1786,16 @@ def q_phrase_search(sf_dir: str) -> rd.Dataset:
     return phrase_counts(_documents(sf_dir, ["doc_id", "text"]), "order")
 
 
+def q_shingle_novelty(sf_dir: str) -> rd.Dataset:
+    """Per-doc novelty vs everything earlier (pipelines/dedup.py
+    shingle_novelty): distinct 5-gram shingles, first-occurrence
+    credits, novelty ratio — the dedup-curriculum statistic,
+    value-exact incl. the single-division float."""
+    from parallel_pagerank_ray.pipelines.dedup import shingle_novelty
+
+    return shingle_novelty(_documents(sf_dir, ["doc_id", "text"]), k=5)
+
+
 def q_dup_span_stats(sf_dir: str) -> rd.Dataset:
     """Per-doc duplicated-substring mass (Lee et al. ACL'22 exact
     substring dedup statistic): fraction of 20-char window positions
@@ -2947,6 +2957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_search": q_tfidf_search,
         "decontaminate": q_decontaminate,
         "dup_span_stats": q_dup_span_stats,
+        "shingle_novelty": q_shingle_novelty,
         "phrase_search": q_phrase_search,
         "pii_scan": q_pii_scan,
         "pii_redact": q_pii_redact,
@@ -5542,6 +5553,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE it = (SELECT max(it) FROM cc)
         """,
         "decontaminate": _decontaminate_sql(k=16),
+        "shingle_novelty": """
+            WITH sh AS MATERIALIZED (
+              SELECT DISTINCT doc_id, s['h'] AS h FROM (
+                SELECT doc_id, unnest(
+                  [{'h': (((((((((CAST(ascii(substr(text, x, 1)) AS BIGINT)) * 1000003 + ascii(substr(text, x + 1, 1))) % 2147483647) * 1000003 + ascii(substr(text, x + 2, 1))) % 2147483647) * 1000003 + ascii(substr(text, x + 3, 1))) % 2147483647) * 1000003 + ascii(substr(text, x + 4, 1))) % 2147483647)}
+                   for x in range(1, greatest(length(text) - 3, 2))]) AS s
+                FROM documents)),
+            firsts AS (SELECT h, min(doc_id) AS first_doc FROM sh
+                       GROUP BY 1),
+            novel AS (SELECT first_doc AS doc_id,
+                             CAST(count(*) AS BIGINT) AS n_novel
+                      FROM firsts GROUP BY 1),
+            totals AS (SELECT doc_id, CAST(count(*) AS BIGINT)
+                         AS n_shingles FROM sh GROUP BY 1)
+            SELECT t.doc_id, t.n_shingles,
+                   CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+                   CAST(coalesce(n.n_novel, 0) AS DOUBLE) / t.n_shingles
+                     AS novelty
+            FROM totals t LEFT JOIN novel n ON n.doc_id = t.doc_id
+        """,
         "dup_span_stats": _dup_span_sql(k=20),
         "phrase_search": """
             SELECT doc_id,

@@ -356,6 +356,7 @@ def bench_queries() -> dict[str, float]:
         "host_mirror_scores",
         "hll_users_by_type",
         "shortest_path_trace",
+        "shingle_novelty",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -878,3 +878,79 @@ def dup_span_stats(
         )
 
     return agg.map_batches(frac, batch_format="pyarrow")
+
+
+def shingle_novelty(docs: rd.Dataset, k: int = 5) -> rd.Dataset:
+    """Per-document novelty against everything crawled BEFORE it
+    (doc_id order): (doc_id, n_shingles, n_novel, novelty) where
+    n_shingles = the doc's distinct k-gram shingle count, n_novel =
+    shingles whose GLOBAL first occurrence (min doc_id) is this doc,
+    novelty = n_novel / n_shingles (one exact-operand division).
+
+    The dedup-curriculum statistic (how much genuinely new text a doc
+    adds — boilerplate-heavy pages score ~0); the streaming analogue
+    of exact dedup that needs no per-order state: "first occurrence"
+    is an order-free grouped MIN over the shingle table. Scale shape:
+    one stateless shingle flat-map (text never leaves it), one
+    bucketed grouped min keyed on the shingle hash, then two tiny
+    per-doc aggregates + one join of #docs-sized tables.
+    """
+    import pyarrow.compute as pc
+
+    from parallel_pagerank_ray.functions.hashing import shingle_hashes31
+    from parallel_pagerank_ray.pipelines.graph_build import (
+        _default_join_partitions,
+    )
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+    from parallel_pagerank_ray.util import safe_join
+
+    def sh_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ids: list[np.ndarray] = []
+        hs: list[np.ndarray] = []
+        for did, text in zip(b["doc_id"].to_numpy(), b["text"].to_numpy()):
+            h = np.unique(shingle_hashes31(str(text), k=k))
+            ids.append(np.full(len(h), did, dtype=np.int64))
+            hs.append(h.astype(np.int64))
+        if not ids:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "h": pd.Series([], dtype=np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {"doc_id": np.concatenate(ids), "h": np.concatenate(hs)}
+        )
+
+    rows = docs.select_columns(["doc_id", "text"]).map_batches(
+        sh_rows, batch_format="pandas"
+    )
+    firsts = grouped_agg(rows, ["h"], {"first_doc": ("doc_id", "min")})
+    novel = grouped_agg(
+        firsts.rename_columns({"first_doc": "doc_id"}),
+        ["doc_id"],
+        {"n_novel": ("h", "count")},
+    )
+    totals = grouped_agg(rows, ["doc_id"], {"n_shingles": ("h", "count")})
+    j = safe_join(
+        totals,
+        novel.rename_columns({"doc_id": "__d"}),
+        join_type="left_outer",
+        num_partitions=_default_join_partitions(),
+        on=("doc_id",),
+        right_on=("__d",),
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df["n_shingles"].astype(np.int64).to_numpy()
+        nov = df["n_novel"].fillna(0).astype(np.int64).to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "n_shingles": tot,
+                "n_novel": nov,
+                "novelty": nov / tot,
+            }
+        )
+
+    return j.map_batches(fin, batch_format="pandas")

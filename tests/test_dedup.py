@@ -360,3 +360,37 @@ def test_dup_span_stats_brute_oracle(docs_ds):
     assert full.loc[41, "dup_frac"] == 1.0
     # permuted docs are not fully duplicated
     assert full.loc[5, "dup_frac"] < 1.0
+
+
+def test_shingle_novelty_semantics():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.pipelines.dedup import shingle_novelty
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    [
+                        "abcdefgh",          # all novel (first doc)
+                        "abcdefgh",          # exact dup -> novelty 0
+                        "abcdXYZW",          # shares the 'abcd…' prefix
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    ).repartition(2)
+    got = (
+        shingle_novelty(docs, k=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # 8-char text -> 4 windows of k=5
+    assert got["n_shingles"].tolist() == [4, 4, 4]
+    # doc2 windows: abcdX bcdXY cdXYZ dXYZW — none equal doc0's -> 4
+    assert got["n_novel"].tolist() == [4, 0, 4]
+    assert got.loc[0, "novelty"] == 1.0 and got.loc[1, "novelty"] == 0.0
