@@ -1880,6 +1880,16 @@ def q_dsir_weights(sf_dir: str) -> rd.Dataset:
     return dsir_affinity(docs.select_columns(["doc_id", "text"]), target)
 
 
+def q_vocab_growth(sf_dir: str) -> rd.Dataset:
+    """Heaps'-law vocabulary growth curve (functions/textstats.py
+    vocab_growth): new tokens + cumulative vocabulary per 100-doc
+    bucket in doc_id order — order-free first-occurrence formulation,
+    value-exact vs the window-sum oracle."""
+    from parallel_pagerank_ray.functions.textstats import vocab_growth
+
+    return vocab_growth(_documents(sf_dir, ["doc_id", "text"]), bucket=100)
+
+
 def q_top_bigrams(sf_dir: str) -> rd.Dataset:
     """Top-20 corpus bigrams (adjacent-token pairs within a doc),
     cnt DESC / bigram ASC total order — the n-gram statistics pass a
@@ -2963,6 +2973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "clean_corpus": q_clean_corpus,
         "top_bigrams": q_top_bigrams,
+        "vocab_growth": q_vocab_growth,
         "dsir_weights": q_dsir_weights,
         "dedup_shingle_jaccard": q_dedup_shingle_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -5588,6 +5599,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id NOT IN (
               SELECT doc_id FROM ({_decontaminate_sql(k=16)})
               WHERE contaminated)
+        """,
+        "vocab_growth": f"""
+            WITH firsts AS (
+              SELECT token, min(doc_id) AS first_doc FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                              '{TOKEN_SQL}')) AS token
+                FROM documents)
+              GROUP BY 1),
+            hist AS (
+              SELECT (first_doc // 100) * 100 AS bucket_start,
+                     CAST(count(*) AS BIGINT) AS n_new_tokens
+              FROM firsts GROUP BY 1)
+            SELECT bucket_start, n_new_tokens,
+                   CAST(sum(n_new_tokens) OVER (
+                     ORDER BY bucket_start) AS BIGINT) AS vocab_size
+            FROM hist
         """,
         "top_bigrams": f"""
             WITH l AS (SELECT regexp_extract_all(lower(text), '{TOKEN_SQL}')

@@ -474,3 +474,89 @@ def cooccurrence_counts(docs, vocab: list[str], window: int = 2):
         {"cnt": ("cnt", "sum")},
         num_buckets=16,
     )
+
+
+def vocab_growth(docs, bucket: int = 100):
+    """Vocabulary growth curve (Heaps'-law statistic): scanning the
+    corpus in doc_id order in buckets of ``bucket`` docs, how many
+    NEVER-BEFORE-SEEN tokens each bucket introduces and the cumulative
+    vocabulary size -> (bucket_start, n_new_tokens, vocab_size).
+
+    Order-free formulation: a token is "introduced" by its global
+    min doc_id, so the curve is one grouped MIN over (token ->
+    first_doc) + a #buckets-sized histogram + a driver cumsum — no
+    sequential scan, bit-exact at any parallelism.
+    """
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+    from parallel_pagerank_ray.util import drop_empty_blocks
+
+    def tok_rows(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].astype(str).str.lower().str.findall(TOKEN_RE)
+        nt = toks.str.len().to_numpy()
+        out = pd.DataFrame(
+            {
+                "token": (
+                    np.concatenate([t for t in toks.to_numpy() if t])
+                    if nt.sum()
+                    else np.array([], dtype=object)
+                ),
+                "doc_id": np.repeat(
+                    b["doc_id"].astype(np.int64).to_numpy(), nt
+                ),
+            }
+        )
+        # map-side combine: one row per (token) per batch, min doc
+        return (
+            out.groupby("token", sort=False)["doc_id"]
+            .min()
+            .reset_index()
+        )
+
+    firsts = grouped_agg(
+        drop_empty_blocks(
+            docs.select_columns(["doc_id", "text"]).map_batches(
+                tok_rows, batch_format="pandas"
+            )
+        ),
+        ["token"],
+        {"first_doc": ("doc_id", "min")},
+    )
+
+    def bucketed(t):
+        import pyarrow as pa
+
+        fd = t.column("first_doc").to_numpy(zero_copy_only=False)
+        b = (fd // bucket) * bucket
+        u, c = np.unique(b, return_counts=True)
+        return pa.table(
+            {
+                "bucket_start": pa.array(u, pa.int64()),
+                "n_new_tokens": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = grouped_agg(
+        drop_empty_blocks(
+            firsts.map_batches(bucketed, batch_format="pyarrow")
+        ),
+        ["bucket_start"],
+        {"n_new_tokens": ("n_new_tokens", "sum")},
+    ).to_pandas().sort_values("bucket_start")
+    import pyarrow as pa
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "bucket_start": pa.array(
+                    hist["bucket_start"].to_numpy(), pa.int64()
+                ),
+                "n_new_tokens": pa.array(
+                    hist["n_new_tokens"].to_numpy(), pa.int64()
+                ),
+                "vocab_size": pa.array(
+                    np.cumsum(hist["n_new_tokens"].to_numpy()), pa.int64()
+                ),
+            }
+        )
+    )

@@ -538,3 +538,32 @@ def test_phrase_counts_literal_and_regex_safety():
         1: 3,
         4: 3,
     }
+
+
+def test_vocab_growth_curve():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.functions.textstats import vocab_growth
+
+    # each bucket of 2 docs introduces exactly its own tokens
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(6)), pa.int64()),
+                "text": pa.array(
+                    [
+                        "a b", "a b c",        # bucket 0: a b c
+                        "c d", "d e",          # bucket 2: d e
+                        "a e", "f",            # bucket 4: f
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    ).repartition(3)
+    got = vocab_growth(docs, bucket=2).to_pandas()
+    assert got["bucket_start"].tolist() == [0, 2, 4]
+    assert got["n_new_tokens"].tolist() == [3, 2, 1]
+    assert got["vocab_size"].tolist() == [3, 5, 6]
