@@ -2692,6 +2692,27 @@ def q_lineitem_checksum(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_late_orders_by_priority(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q4 shape (pipelines/relational.py
+    late_orders_by_priority): EXISTS decorrelated to a per-order MAX
+    shipdate; orders with a lineitem shipped > 60 days after the
+    order date, counted per priority. Value-exact integers."""
+    from parallel_pagerank_ray.pipelines.relational import (
+        late_orders_by_priority,
+        read_table,
+    )
+
+    return late_orders_by_priority(
+        read_table(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]),
+        read_table(
+            sf_dir,
+            "orders",
+            ["o_orderkey", "o_orderdate", "o_orderpriority"],
+        ),
+        grace_days=60,
+    )
+
+
 def q_quantity_moments(sf_dir: str) -> rd.Dataset:
     """Grouped moment sufficient statistics (pipelines/relational.py):
     exact int64 power sums (n, s1, s2, s3) of l_quantity per
@@ -3022,6 +3043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_quantity_revenue": q_small_quantity_revenue,
         "pricing_summary": q_pricing_summary,
         "lineitem_checksum": q_lineitem_checksum,
+        "late_orders_by_priority": q_late_orders_by_priority,
         "quantity_moments": q_quantity_moments,
         "large_volume_orders": q_large_volume_orders,
         "top_customers": q_top_customers,
@@ -6296,6 +6318,16 @@ def oracle_sql() -> dict[str, str]:
                                           THEN 1 END), 0) AS BIGINT)
                      AS n_small
             FROM l JOIN t USING (l_partkey)
+        """,
+        "late_orders_by_priority": """
+            WITH ms AS (
+              SELECT l_orderkey, max(l_shipdate) AS max_ship
+              FROM lineitem GROUP BY 1)
+            SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_late_orders
+            FROM ms JOIN orders o ON o.o_orderkey = ms.l_orderkey
+            WHERE ms.max_ship > o.o_orderdate + INTERVAL 60 DAY
+            GROUP BY 1
         """,
         "lineitem_checksum": """
             WITH h AS (

@@ -357,6 +357,8 @@ def bench_queries() -> dict[str, float]:
         "hll_users_by_type",
         "shortest_path_trace",
         "shingle_novelty",
+        "vocab_growth",
+        "late_orders_by_priority",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -1230,3 +1230,77 @@ def large_volume_orders(
         )
         .limit(k)
     )
+
+
+def late_orders_by_priority(
+    lineitem: rd.Dataset,
+    orders: rd.Dataset,
+    grace_days: int = 60,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """TPC-H Q4 shape (EXISTS decorrelation): count orders per
+    o_orderpriority having AT LEAST ONE lineitem shipped more than
+    ``grace_days`` after the order date -> (o_orderpriority,
+    n_late_orders).
+
+    The correlated EXISTS rewrites to an aggregate: per-order MAX
+    shipdate (one bucketed grouped max — the only big shuffle), one
+    partitioned join to orders, a vectorized date comparison, and a
+    tiny priority rollup. Timestamps compare as int64 microseconds.
+    """
+    from parallel_pagerank_ray.pipelines.graph_build import (
+        _default_join_partitions,
+    )
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+
+    def ship_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "ship_us": pc.cast(t.column("l_shipdate"), pa.int64()),
+            }
+        )
+
+    max_ship = grouped_agg(
+        lineitem.select_columns(["l_orderkey", "l_shipdate"]).map_batches(
+            ship_us, batch_format="pyarrow"
+        ),
+        ["l_orderkey"],
+        {"max_ship_us": ("ship_us", "max")},
+    )
+    j = safe_join(
+        max_ship,
+        orders.select_columns(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        ),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    grace_us = np.int64(grace_days) * 86_400 * 1_000_000
+
+    def late(t: pa.Table) -> pa.Table:
+        od = pc.cast(t.column("o_orderdate"), pa.int64())
+        is_late = pc.greater(
+            t.column("max_ship_us"),
+            pc.add(od, pa.scalar(int(grace_us), pa.int64())),
+        )
+        kept = t.filter(is_late)
+        return pa.table(
+            {
+                "o_orderpriority": kept.column("o_orderpriority"),
+                "one": pa.array(
+                    np.ones(kept.num_rows, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return grouped_agg(
+        j.map_batches(late, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        {"n_late_orders": ("one", "sum")},
+    )

@@ -987,3 +987,31 @@ def test_hll_users_by_type_registers():
         for r in hll_users_by_type(eva, m=m).to_pandas().itertuples()
     }
     assert a_regs == {k: v for k, v in want.items() if k[0] == "a"}
+
+
+def test_late_orders_by_priority_vs_duckdb(ddb):
+    from parallel_pagerank_ray.pipelines.relational import (
+        late_orders_by_priority,
+    )
+
+    got = (
+        late_orders_by_priority(
+            read_table(SF, "lineitem"), read_table(SF, "orders"),
+            grace_days=30,
+        )
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    exp = ddb.sql(
+        """
+        WITH ms AS (SELECT l_orderkey, max(l_shipdate) AS m
+                    FROM lineitem GROUP BY 1)
+        SELECT o.o_orderpriority, count(*) AS n
+        FROM ms JOIN orders o ON o.o_orderkey = ms.l_orderkey
+        WHERE ms.m > o.o_orderdate + INTERVAL 30 DAY
+        GROUP BY 1 ORDER BY 1
+        """
+    ).df()
+    assert got["o_orderpriority"].tolist() == exp["o_orderpriority"].tolist()
+    assert got["n_late_orders"].tolist() == exp["n"].tolist()
