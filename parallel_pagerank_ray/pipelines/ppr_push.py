@@ -111,12 +111,161 @@ def _cut_finalize(t, vol0: int, ca0: int, cb0: int, two_m: int):
     )
 
 
+def _sweep_cut_broadcast(
+    pos: rd.Dataset,
+    canon_edges: rd.Dataset,
+    m: int,
+    key_scale: int,
+    num_buckets: int | None,
+) -> rd.Dataset:
+    """Broadcast fast path for :func:`sweep_cut` — the push support is
+    bounded by the ACL contract (|support| <= scale/eps pushes), so the
+    (vid -> rank) map ships ONCE via ``ray.put`` and the whole sweep is
+    two vectorized passes over the canonical edges (degree histogram,
+    then entering/closing rank histograms), each reduced by the
+    engine's bucketed combine to <= |support| rows. No joins, no sorts,
+    no per-edge shuffle; identical int64 arithmetic to the join path
+    (parity-tested by shrinking ``broadcast_max`` to 0)."""
+    import pyarrow as pa
+
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    out_schema = pa.schema(
+        [
+            ("k", pa.int64()),
+            ("vid", pa.int64()),
+            ("cut", pa.int64()),
+            ("vol", pa.int64()),
+            ("phi", pa.float64()),
+        ]
+    )
+    parts = [t for t in ray.get(pos.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return rd.from_arrow(out_schema.empty_table())
+    vids = np.concatenate(
+        [t.column("vid").to_numpy(zero_copy_only=False) for t in parts]
+    ).astype(np.int64)
+    pmass = np.concatenate(
+        [t.column("p").to_numpy(zero_copy_only=False) for t in parts]
+    ).astype(np.int64)
+    order = np.argsort(vids, kind="stable")
+    vids, pmass = vids[order], pmass[order]
+    n = len(vids)
+    sup_ref = ray.put(vids)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        sup = ray.get(sup_ref)
+        both = np.concatenate(
+            [
+                t.column("src").to_numpy(zero_copy_only=False),
+                t.column("dst").to_numpy(zero_copy_only=False),
+            ]
+        )
+        i = np.searchsorted(sup, both)
+        ok = (i < len(sup)) & (np.take(sup, i, mode="clip") == both)
+        ii, cnt = np.unique(i[ok], return_counts=True)
+        return pa.table(
+            {
+                "i": pa.array(ii.astype(np.int64), pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    degt = grouped_agg(
+        canon_edges.map_batches(deg_partial, batch_format="pyarrow"),
+        ["i"],
+        {"deg": ("c", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+    deg = np.zeros(n, dtype=np.int64)
+    if len(degt):
+        deg[degt["i"].to_numpy()] = degt["deg"].to_numpy()
+    inside = deg > 0  # inner-join semantics: support ∩ edge vertices
+    if not inside.any():
+        return rd.from_arrow(out_schema.empty_table())
+    s_vid, s_deg, s_p = vids[inside], deg[inside], pmass[inside]
+    key = (s_p * np.int64(key_scale)) // s_deg
+    sweep = np.lexsort((s_vid, -key))  # key desc, vid asc
+    n_s = len(s_vid)
+    rank_full = np.full(n, _RANK_INF, dtype=np.int64)
+    r_sub = np.empty(n_s, dtype=np.int64)
+    r_sub[sweep] = 1 + np.arange(n_s, dtype=np.int64)
+    rank_full[inside] = r_sub
+    rank_ref = ray.put(rank_full)
+
+    def cut_rows(t: pa.Table) -> pa.Table:
+        sup = ray.get(sup_ref)
+        rk = ray.get(rank_ref)
+
+        def look(col):
+            v = t.column(col).to_numpy(zero_copy_only=False)
+            i = np.searchsorted(sup, v)
+            ok = (i < len(sup)) & (np.take(sup, i, mode="clip") == v)
+            r = np.where(ok, np.take(rk, i, mode="clip"), _RANK_INF)
+            return r
+
+        ra, rb = look("src"), look("dst")
+        enter = np.concatenate([ra[ra < _RANK_INF], rb[rb < _RANK_INF]])
+        both = np.maximum(ra, rb)
+        both = both[both < _RANK_INF]
+        er, ec = np.unique(enter, return_counts=True)
+        br, bc = np.unique(both, return_counts=True)
+        return pa.table(
+            {
+                "rank": pa.array(
+                    np.concatenate([er, br]).astype(np.int64), pa.int64()
+                ),
+                "ca": pa.array(
+                    np.concatenate(
+                        [ec, np.zeros(len(br), dtype=np.int64)]
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+                "cb": pa.array(
+                    np.concatenate([np.zeros(len(er), dtype=np.int64), 2 * bc]).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    hist = grouped_agg(
+        canon_edges.map_batches(cut_rows, batch_format="pyarrow"),
+        ["rank"],
+        {"ca": ("ca", "sum"), "cb": ("cb", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+    ca = np.zeros(n_s, dtype=np.int64)
+    cb = np.zeros(n_s, dtype=np.int64)
+    if len(hist):
+        ri = hist["rank"].to_numpy() - 1
+        ca[ri] = hist["ca"].to_numpy()
+        cb[ri] = hist["cb"].to_numpy()
+    vol = np.cumsum(s_deg[sweep], dtype=np.int64)
+    cut = np.cumsum(ca, dtype=np.int64) - np.cumsum(cb, dtype=np.int64)
+    den = np.minimum(vol, 2 * m - vol)
+    phi = np.where(den == 0, 1.0, cut.astype(np.float64) / den.astype(np.float64))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(1 + np.arange(n_s, dtype=np.int64), pa.int64()),
+                "vid": pa.array(s_vid[sweep], pa.int64()),
+                "cut": pa.array(cut, pa.int64()),
+                "vol": pa.array(vol, pa.int64()),
+                "phi": pa.array(phi, pa.float64()),
+            }
+        )
+    )
+
+
 def sweep_cut(
     scores: rd.Dataset,
     canon_edges: rd.Dataset,
     key_scale: int = 1 << 20,
     num_buckets: int | None = None,
     num_partitions: int | None = None,
+    broadcast_max: int = 2_000_000,
 ) -> rd.Dataset:
     """PageRank-Nibble's second half: order the push support (p > 0)
     by degree-normalized score and report every prefix's conductance.
@@ -147,12 +296,20 @@ def sweep_cut(
         undirected_edges,
     )
     from parallel_pagerank_ray.stages.agg import grouped_agg
-    from parallel_pagerank_ray.util import drop_empty_blocks, safe_join
+    from parallel_pagerank_ray.util import (
+        count_rows_once,
+        drop_empty_blocks,
+        safe_join,
+    )
 
     if num_partitions is None:
         num_partitions = _default_join_partitions()
     canon_edges = canon_edges.select_columns(["src", "dst"]).materialize()
     m = canon_edges.count()
+    pos = scores.filter(expr="p > 0").select_columns(["vid", "p"])
+    n_pos, pos = count_rows_once(pos)
+    if n_pos <= broadcast_max:
+        return _sweep_cut_broadcast(pos, canon_edges, m, key_scale, num_buckets)
     deg = grouped_agg(
         undirected_edges(canon_edges, dedup=False),
         ["src"],
@@ -175,7 +332,7 @@ def sweep_cut(
 
     support = (
         safe_join(
-            scores.filter(expr="p > 0").select_columns(["vid", "p"]),
+            pos,
             deg,
             join_type="inner",
             num_partitions=num_partitions,

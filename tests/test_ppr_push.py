@@ -151,3 +151,37 @@ def test_sweep_cut_isolates_planted_community():
     assert best["k"] == 8
     assert best["cut"] == 1
     assert set(got.sort_values("k").head(8)["vid"]) == set(range(8))
+
+
+def test_sweep_cut_join_fallback_parity():
+    """broadcast_max=0 forces the join path; results must be identical
+    to the broadcast fast path on the same input."""
+    from parallel_pagerank_ray.pipelines.ppr_push import sweep_cut
+
+    e = powerlaw_edges(150, 4, seed=9)
+    canon = np.unique(
+        np.stack(
+            [np.minimum(e[:, 0], e[:, 1]), np.maximum(e[:, 0], e[:, 1])], 1
+        ),
+        axis=0,
+    )
+    canon = canon[canon[:, 0] != canon[:, 1]]
+    sym = np.concatenate([canon, canon[:, ::-1]], axis=0)
+    run = ppr_push(_graph(sym), seed=int(canon[0, 0]), eps=10**7)
+    fast = (
+        sweep_cut(run.scores, edges_dataset(canon, num_blocks=3))
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    slow = (
+        sweep_cut(
+            run.scores, edges_dataset(canon, num_blocks=3), broadcast_max=0
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, fast.to_numpy())) == list(
+        map(tuple, slow.to_numpy())
+    )
