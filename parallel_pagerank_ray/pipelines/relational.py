@@ -15,6 +15,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 from parallel_pagerank_ray.pipelines.graph_build import dedup_edges
@@ -920,6 +921,7 @@ def frequent_triples(
     min_support: int = 2,
     num_partitions: int | None = None,
     num_buckets: int | None = None,
+    broadcast_max_triples: int = 5000,
 ) -> rd.Dataset:
     """Clique-pruned Apriori level 3 — frequent itemsets of size 3:
     triples whose EVERY pair is frequent (the Apriori candidate rule;
@@ -962,6 +964,119 @@ def frequent_triples(
         .map_batches(lambda t: t, batch_format="pyarrow")
         .materialize()
     )
+
+    # Broadcast fast path: the Apriori-pruned candidate set is tiny by
+    # construction (triangles of the FREQUENT-pair graph). While its
+    # distinct item universe fits 8 int64 bitmask words (<= 504 items),
+    # ship (items, triples) once via ray.put, reduce baskets to
+    # per-order candidate-item bitmasks with the bucketed combine (sum
+    # of distinct 1<<bit terms == OR, since basket rows are distinct
+    # (o, i)), and count each triple's support as a vectorized
+    # three-bit AND over order masks — zero joins, baskets shuffled
+    # once as (o, W words) rows that only cover orders touching a
+    # candidate item. Beyond the guard: the three-join Apriori shape
+    # below (parity-tested by forcing the fallback).
+    tris = tris.materialize()
+    cand = (
+        tris.to_pandas()
+        if tris.count() <= min(broadcast_max_triples, 5000)
+        else None
+    )
+    items = (
+        np.unique(cand[["a", "b", "c"]].to_numpy().ravel())
+        if cand is not None and len(cand)
+        else None
+    )
+    if cand is not None and (len(cand) == 0 or len(items) <= 504):
+        import pyarrow as pa
+
+        if len(cand) == 0:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "a": pa.array([], pa.int64()),
+                        "b": pa.array([], pa.int64()),
+                        "c": pa.array([], pa.int64()),
+                        "support": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        n_words = (len(items) + 62) // 63
+        item_ref = ray.put(items)
+
+        def mask_rows(t: pa.Table) -> pa.Table:
+            it = ray.get(item_ref)
+            iv = t.column("i").to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(it, iv)
+            ok = (idx < len(it)) & (np.take(it, idx, mode="clip") == iv)
+            o = t.column("o").to_numpy(zero_copy_only=False)[ok]
+            idx = idx[ok]
+            cols = {"o": pa.array(o.astype(np.int64), pa.int64())}
+            for w in range(n_words):
+                inw = (idx // 63) == w
+                bits = np.where(
+                    inw, np.int64(1) << (idx % 63).astype(np.int64), 0
+                )
+                cols[f"w{w}"] = pa.array(bits.astype(np.int64), pa.int64())
+            return pa.table(cols)
+
+        masks = grouped_agg(
+            baskets.map_batches(mask_rows, batch_format="pyarrow"),
+            ["o"],
+            {f"w{w}": (f"w{w}", "sum") for w in range(n_words)},
+            num_buckets=num_buckets,
+        )
+        tri_items = cand[["a", "b", "c"]].to_numpy()
+        tri_idx = np.searchsorted(items, tri_items)  # (C, 3) bit indexes
+        tri_ref = ray.put(tri_idx)
+
+        def support_partial(t: pa.Table) -> pa.Table:
+            ti = ray.get(tri_ref)
+            words = [
+                t.column(f"w{w}").to_numpy(zero_copy_only=False)
+                for w in range(n_words)
+            ]
+            sup = np.empty(len(ti), dtype=np.int64)
+            for c, (ia, ib, ic) in enumerate(ti):
+                ok = (
+                    (words[ia // 63] >> (ia % 63)) & 1
+                ) & (
+                    (words[ib // 63] >> (ib % 63)) & 1
+                ) & (
+                    (words[ic // 63] >> (ic % 63)) & 1
+                )
+                sup[c] = int(ok.sum())
+            keep = sup > 0
+            return pa.table(
+                {
+                    "t": pa.array(
+                        np.arange(len(ti), dtype=np.int64)[keep], pa.int64()
+                    ),
+                    "n": pa.array(sup[keep], pa.int64()),
+                }
+            )
+
+        hist = grouped_agg(
+            masks.map_batches(support_partial, batch_format="pyarrow"),
+            ["t"],
+            {"support": ("n", "sum")},
+            num_buckets=num_buckets,
+        ).to_pandas()
+        sup = np.zeros(len(cand), dtype=np.int64)
+        if len(hist):
+            sup[hist["t"].to_numpy()] = hist["support"].to_numpy()
+        keep = sup >= int(min_support)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array(tri_items[keep, 0], pa.int64()),
+                    "b": pa.array(tri_items[keep, 1], pa.int64()),
+                    "c": pa.array(tri_items[keep, 2], pa.int64()),
+                    "support": pa.array(sup[keep], pa.int64()),
+                }
+            )
+        )
+
     j = safe_join(
         tris,
         baskets,

@@ -692,6 +692,14 @@ def test_frequent_triples_brute_force():
     ).to_pandas().sort_values(["a", "b", "c"])
     assert list(map(tuple, got.to_numpy())) == want
     assert len(want) > 0  # the fixture actually exercises the path
+    # join-path fallback parity (broadcast_max_triples=0 forces it)
+    slow = frequent_triples(
+        rd.from_pandas(baskets).repartition(3),
+        rd.from_pandas(pd.DataFrame(strong, columns=["src", "dst"])),
+        min_support=2,
+        broadcast_max_triples=0,
+    ).to_pandas().sort_values(["a", "b", "c"])
+    assert list(map(tuple, slow.to_numpy())) == want
 
 
 def test_retention_cohorts_matches_pandas():
