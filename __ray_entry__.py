@@ -633,24 +633,39 @@ def q_pagerank_pages_top20(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def q_edges_supplier_part(sf_dir: str) -> rd.Dataset:
-    from parallel_pagerank_ray.pipelines.relational import supplier_part_edges
+_SP_EDGES_CACHE: dict = {}
 
-    return supplier_part_edges(sf_dir)
+
+def _sp_edges(sf_dir: str) -> rd.Dataset:
+    """Shared, materialized supplier->part edge set (read lineitem +
+    distinct) — built once per process for the ~10 queries that consume
+    it, like the cached co-purchase / host corpora."""
+    got = _SP_EDGES_CACHE.get(sf_dir)
+    if got is None:
+        from parallel_pagerank_ray.pipelines.relational import (
+            supplier_part_edges,
+        )
+
+        got = supplier_part_edges(sf_dir).materialize()
+        _SP_EDGES_CACHE[sf_dir] = got
+    return got
+
+
+def q_edges_supplier_part(sf_dir: str) -> rd.Dataset:
+
+    return _sp_edges(sf_dir)
 
 
 def q_out_degrees(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.graph_build import out_degrees
-    from parallel_pagerank_ray.pipelines.relational import supplier_part_edges
 
-    return out_degrees(supplier_part_edges(sf_dir))
+    return out_degrees(_sp_edges(sf_dir))
 
 
 def q_dangling_vertices(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.graph_build import Graph
-    from parallel_pagerank_ray.pipelines.relational import supplier_part_edges
 
-    g = Graph.from_int_edges(supplier_part_edges(sf_dir), dedup=False)
+    g = Graph.from_int_edges(_sp_edges(sf_dir), dedup=False)
 
     def dangling(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         m = batch["out_deg"] == 0
@@ -661,11 +676,10 @@ def q_dangling_vertices(sf_dir: str) -> rd.Dataset:
 
 def q_graph_stats(sf_dir: str) -> pd.DataFrame:
     from parallel_pagerank_ray.pipelines.graph_build import out_degrees
-    from parallel_pagerank_ray.pipelines.relational import supplier_part_edges
 
     from parallel_pagerank_ray.stages.agg import global_agg
 
-    edges = supplier_part_edges(sf_dir).materialize()
+    edges = _sp_edges(sf_dir).materialize()
     m = global_agg(
         edges,
         {"ms": ("src", "max"), "md": ("dst", "max"), "n_edges": ("src", "count")},
@@ -686,11 +700,10 @@ def q_graph_stats(sf_dir: str) -> pd.DataFrame:
 def q_pagerank_supplier_part_top20(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.graph_build import Graph
     from parallel_pagerank_ray.pipelines.pagerank_actors import pagerank_bsp
-    from parallel_pagerank_ray.pipelines.relational import supplier_part_edges
 
     # BSP actor engine here; the pages query uses the Dataset engine —
     # the driver gate exercises both (results identical, tests/test_bsp.py)
-    g = Graph.from_int_edges(supplier_part_edges(sf_dir), dedup=False)
+    g = Graph.from_int_edges(_sp_edges(sf_dir), dedup=False)
     run = pagerank_bsp(g, d=0.85, tol=1e-3, max_iters=100)
     top = (
         run.ranks.select_columns(["vid", "rank"])
@@ -737,9 +750,8 @@ def q_pagerank_personalized_top20(sf_dir: str) -> pd.DataFrame:
     Integer rank-order output like the other pagerank queries."""
     from parallel_pagerank_ray.pipelines.graph_build import Graph
     from parallel_pagerank_ray.pipelines.pagerank_actors import pagerank_bsp
-    from parallel_pagerank_ray.pipelines.relational import supplier_part_edges
 
-    g = Graph.from_int_edges(supplier_part_edges(sf_dir), dedup=False)
+    g = Graph.from_int_edges(_sp_edges(sf_dir), dedup=False)
     w = (np.arange(g.n, dtype=np.float64) % 10.0) + 1.0
     e = w / w.sum()
     run = pagerank_bsp(g, d=0.85, tol=1e-3, max_iters=100, personalization=e)
@@ -891,13 +903,12 @@ def q_component_size_histogram(sf_dir: str) -> rd.Dataset:
         connected_components_bsp,
     )
     from parallel_pagerank_ray.pipelines.graph_build import Graph
-    from parallel_pagerank_ray.pipelines.relational import supplier_part_edges
 
     from parallel_pagerank_ray.stages.agg import grouped_agg
 
     # supplier_part graph (bipartite, many isolated part vertices) gives
     # a non-trivial histogram, unlike copurchase's single giant comp
-    g = Graph.from_int_edges(supplier_part_edges(sf_dir), dedup=False)
+    g = Graph.from_int_edges(_sp_edges(sf_dir), dedup=False)
     run = connected_components_bsp(g)
     sizes = grouped_agg(
         run.components, ["comp"], {"size": ("vid", "count")}, num_buckets=8
@@ -1078,9 +1089,8 @@ def q_hits_supplier_part(sf_dir: str) -> rd.Dataset:
     checkable in SQL, unlike float-accumulated centralities."""
     from parallel_pagerank_ray.pipelines.graph_build import Graph
     from parallel_pagerank_ray.pipelines.hits import hits_bsp
-    from parallel_pagerank_ray.pipelines.relational import supplier_part_edges
 
-    g = Graph.from_int_edges(supplier_part_edges(sf_dir), dedup=False)
+    g = Graph.from_int_edges(_sp_edges(sf_dir), dedup=False)
     return hits_bsp(g, iters=2).scores
 
 
@@ -1233,9 +1243,8 @@ def q_pagerank_incremental_top20(sf_dir: str) -> pd.DataFrame:
         incremental_pagerank,
     )
     from parallel_pagerank_ray.pipelines.pagerank_actors import pagerank_bsp
-    from parallel_pagerank_ray.pipelines.relational import supplier_part_edges
 
-    edges = supplier_part_edges(sf_dir).materialize()
+    edges = _sp_edges(sf_dir).materialize()
 
     def split(t, keep_delta: bool):
         import numpy as _np
@@ -1595,10 +1604,9 @@ def q_price_quantiles(sf_dir: str) -> rd.Dataset:
 
 def q_degree_histogram(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.graph_build import out_degrees
-    from parallel_pagerank_ray.pipelines.relational import supplier_part_edges
     from parallel_pagerank_ray.stages.agg import grouped_agg
 
-    deg = out_degrees(supplier_part_edges(sf_dir))
+    deg = out_degrees(_sp_edges(sf_dir))
     return grouped_agg(
         deg, ["out_deg"], {"n_vertices": ("vid", "count")}, num_buckets=8
     )
@@ -2589,13 +2597,10 @@ def q_salsa_supplier_part(sf_dir: str) -> rd.Dataset:
     scores — per-component in/out-degree shares — so the float score
     is a single division of exact int64 operands (value-exact gate,
     no iteration)."""
-    from parallel_pagerank_ray.pipelines.relational import (
-        supplier_part_edges,
-    )
     from parallel_pagerank_ray.pipelines.salsa import salsa_scores
 
     # supplier_part_edges is already the distinct support graph
-    return salsa_scores(supplier_part_edges(sf_dir), dedup=False)
+    return salsa_scores(_sp_edges(sf_dir), dedup=False)
 
 
 def q_line_filter(sf_dir: str) -> rd.Dataset:

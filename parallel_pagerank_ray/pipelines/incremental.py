@@ -171,10 +171,11 @@ def incremental_components(
 
         return base_labels.map_batches(remap, batch_format="pyarrow")
 
-    # scale fallback: solve the contraction graph with the Dataset CC
-    # engine (labels as vids), then remap via a partitioned join
-    from parallel_pagerank_ray.pipelines.components import (
-        connected_components,
+    # scale fallback: solve the contraction graph with the BSP CC
+    # engine (labels as vids; self-falls-back to the Dataset engine
+    # past the full-vector bound), then remap via a partitioned join
+    from parallel_pagerank_ray.pipelines.components_actors import (
+        connected_components_bsp as connected_components,
     )
     from parallel_pagerank_ray.pipelines.graph_build import Graph
 

@@ -199,8 +199,12 @@ def salsa_scores(
     support-graph edges; the exact integer operands ride along so the
     float score is auditable.
     """
-    from parallel_pagerank_ray.pipelines.components import (
-        connected_components,
+    # BSP actor CC (full-vector exchange) — ~6x faster than the Dataset
+    # engine's per-round sort shuffles at bench scale; it self-falls-
+    # back to the Dataset engine when n exceeds the full-vector bound,
+    # and min-label results are engine-invariant.
+    from parallel_pagerank_ray.pipelines.components_actors import (
+        connected_components_bsp as connected_components,
     )
     from parallel_pagerank_ray.pipelines.graph_build import (
         Graph,
