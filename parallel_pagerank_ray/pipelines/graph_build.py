@@ -20,6 +20,7 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 from parallel_pagerank_ray.functions.extract import ExtractLinks
 from parallel_pagerank_ray.util import drop_empty_blocks, safe_join
@@ -622,6 +623,7 @@ def attribute_mixing(
     attr_col: str = "lang",
     num_partitions: int | None = None,
     num_buckets: int | None = None,
+    broadcast_max: int = 5_000_000,
 ) -> rd.Dataset:
     """Attribute mixing matrix of a link graph (Newman 2003 homophily
     analysis): edge counts grouped by the (source attribute, target
@@ -646,6 +648,53 @@ def attribute_mixing(
         .map_batches(lambda t: t, batch_format="pyarrow")
         .materialize()
     )
+
+    # Broadcast fast path: the key->attr table is the page table
+    # projected to two columns — one plasma copy under the guard, and
+    # both endpoint attributes resolve in ONE stateless map via Arrow's
+    # index_in/take kernels (inner-join semantics: rows with an
+    # unresolved endpoint drop). Beyond the guard: the two hash joins
+    # below.
+    if attrs.count() <= broadcast_max:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        blocks = [t for t in ray.get(attrs.to_arrow_refs()) if t.num_rows]
+        keys = pa.concat_arrays(
+            [t.column(key_col).combine_chunks().cast(pa.large_string()) for t in blocks]
+        ) if blocks else pa.array([], pa.large_string())
+        vals = pa.concat_arrays(
+            [t.column(attr_col).combine_chunks().cast(pa.large_string()) for t in blocks]
+        ) if blocks else pa.array([], pa.large_string())
+        attr_ref = ray.put((keys, vals))
+
+        def resolve(t: pa.Table) -> pa.Table:
+            k, v = ray.get(attr_ref)
+            i1 = pc.index_in(
+                t.column(src_col).combine_chunks().cast(pa.large_string()),
+                value_set=k,
+            )
+            i2 = pc.index_in(
+                t.column(dst_col).combine_chunks().cast(pa.large_string()),
+                value_set=k,
+            )
+            ok = pc.and_(pc.is_valid(i1), pc.is_valid(i2))
+            return pa.table(
+                {
+                    "src_attr": pc.take(v, pc.filter(i1, ok)),
+                    "dst_attr": pc.take(v, pc.filter(i2, ok)),
+                }
+            )
+
+        return grouped_agg(
+            links.select_columns([src_col, dst_col]).map_batches(
+                resolve, batch_format="pyarrow"
+            ),
+            ["src_attr", "dst_attr"],
+            {"n": ("src_attr", "count")},
+            num_buckets=num_buckets,
+        )
+
     j = safe_join(
         links.select_columns([src_col, dst_col]),
         attrs.rename_columns({key_col: "__k1", attr_col: "src_attr"}),

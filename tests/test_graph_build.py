@@ -98,3 +98,15 @@ def test_attribute_mixing_matrix():
     # de->de never occurs: absent row, not zero row
     want = want[want.n > 0].reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # join-path fallback parity (broadcast_max=0 forces it)
+    slow = (
+        attribute_mixing(
+            rd.from_pandas(links).repartition(2),
+            rd.from_pandas(attrs),
+            broadcast_max=0,
+        )
+        .to_pandas()
+        .sort_values(["src_attr", "dst_attr"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(slow, want, check_dtype=False)
