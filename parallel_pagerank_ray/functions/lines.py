@@ -44,6 +44,7 @@ def line_filter(
     max_line_df: int | None = None,
     num_buckets: int | None = None,
     num_partitions: int | None = None,
+    broadcast_max: int | None = 5_000_000,
 ) -> rd.Dataset:
     """Drop low-quality and boilerplate lines from every document.
 
@@ -77,9 +78,103 @@ def line_filter(
             }
         )
 
-    exploded = docs.select_columns([id_col, text_col]).map_batches(
-        explode, batch_format="pandas"
-    )
+    docs = docs.select_columns([id_col, text_col])
+    if broadcast_max is not None and max_line_df is not None:
+        # The broadcast fast path reads docs TWICE (df-count pass,
+        # then the clean pass); pin one spillable plasma copy instead
+        # of recomputing the upstream pipeline. Single-pass
+        # configurations stay fully lazy/streaming.
+        docs = docs.materialize()
+    exploded = docs.map_batches(explode, batch_format="pandas")
+
+    if broadcast_max is not None:
+        # Broadcast fast path: boilerplate lines (df > max_line_df) are
+        # FEW by the rule's nature — the df table shuffles only (line,
+        # id) pairs as before, but the attach becomes one plasma
+        # blocklist + np.isin, and the per-document reassembly fuses
+        # into the SAME stateless map as the explode (a document's
+        # lines never leave their batch, so no sort shuffle and no
+        # per-group Python). Falls back to the join + map_groups path
+        # when the blocklist exceeds the guard.
+        n_block = 0
+        df_tab = None
+        if max_line_df is not None:
+            per_doc = grouped_agg(
+                exploded.select_columns(["line", id_col]),
+                ["line", id_col],
+                {"c": (id_col, "count")},
+                num_buckets=num_buckets,
+            )
+            df_tab = grouped_agg(
+                per_doc.select_columns(["line"]),
+                ["line"],
+                {"line_df": ("line", "count")},
+                num_buckets=num_buckets,
+            ).filter(expr=f"line_df > {int(max_line_df)}")
+            from parallel_pagerank_ray.util import count_rows_once
+
+            n_block, df_tab = count_rows_once(df_tab)
+        if n_block <= broadcast_max:
+            import ray
+
+            blocks = (
+                [
+                    t.column("line").to_numpy(zero_copy_only=False)
+                    for t in ray.get(df_tab.to_arrow_refs())
+                    if t.num_rows
+                ]
+                if df_tab is not None
+                else []
+            )
+            blocklist = (
+                np.sort(np.concatenate(blocks))
+                if blocks
+                else np.array([], dtype=object)
+            )
+            block_ref = ray.put(blocklist)
+
+            def clean(b: pd.DataFrame) -> pd.DataFrame:
+                bl = ray.get(block_ref)
+                if not len(b):
+                    return pd.DataFrame(
+                        {
+                            id_col: pd.Series([], dtype=b[id_col].dtype),
+                            "clean_text": pd.Series([], dtype=object),
+                            "lines_kept": pd.Series([], dtype=np.int64),
+                            "lines_dropped": pd.Series([], dtype=np.int64),
+                        }
+                    )
+                split = b[text_col].str.split("\n")
+                n = split.str.len().to_numpy(dtype=np.int64)
+                flat = pd.Series(
+                    np.concatenate(
+                        [np.asarray(x, dtype=object) for x in split]
+                    )
+                )
+                words = flat.str.count(_WORD_RE).to_numpy(dtype=np.int64)
+                keep = words >= min_words
+                if len(bl):
+                    keep &= ~np.isin(flat.to_numpy(), bl)
+                doc_idx = np.repeat(np.arange(len(b), dtype=np.int64), n)
+                joined = (
+                    pd.Series(flat.to_numpy()[keep])
+                    .groupby(doc_idx[keep])
+                    .agg("\n".join)
+                    .reindex(np.arange(len(b)), fill_value="")
+                )
+                kept = np.bincount(
+                    doc_idx[keep], minlength=len(b)
+                ).astype(np.int64)
+                return pd.DataFrame(
+                    {
+                        id_col: b[id_col].to_numpy(),
+                        "clean_text": joined.to_numpy(),
+                        "lines_kept": kept,
+                        "lines_dropped": n - kept,
+                    }
+                )
+
+            return docs.map_batches(clean, batch_format="pandas")
 
     if max_line_df is not None:
         # df(line) = number of DISTINCT documents containing it:

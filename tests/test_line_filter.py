@@ -73,3 +73,13 @@ def test_line_filter_local_only():
 def test_line_filter_all_dropped_doc():
     got = _run(2, min_words=100, max_line_df=None)
     assert all(v[0] == "" and v[1] == 0 for v in got.values())
+
+
+def test_line_filter_join_fallback_parity():
+    # broadcast_max=None forces the join + map_groups path
+    want = _run(3, min_words=2, max_line_df=2)
+    slow = _run(3, min_words=2, max_line_df=2, broadcast_max=None)
+    assert slow == want
+    # and a guard of -1 (blocklist larger than guard) also falls back
+    slow2 = _run(3, min_words=2, max_line_df=2, broadcast_max=-1)
+    assert slow2 == want
