@@ -30,6 +30,7 @@ import ray.data as rd
 
 from parallel_pagerank_ray.pipelines.graph_build import Graph, undirected_edges
 from parallel_pagerank_ray.stages.csr_store import (
+    cap_num_parts,
     EdgeShardStore,
     edge_count_hint,
     per_actor_cpus,
@@ -220,7 +221,7 @@ def bfs_distances_bsp(
             ne = edge_count_hint(graph.edges)
             if ne is None:
                 cpus = int(ray.cluster_resources().get("CPU", 8))
-                num_parts = min(256, max(4, cpus))
+                num_parts = cap_num_parts(min(256, max(4, cpus)), n)
             else:
                 num_parts = sweep_num_parts(ne if directed else 2 * ne)
         edges = (

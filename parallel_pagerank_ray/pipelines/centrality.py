@@ -35,6 +35,7 @@ import ray
 from parallel_pagerank_ray.pipelines.bfs import _BFSShard, _run_bfs_rounds
 from parallel_pagerank_ray.pipelines.graph_build import Graph, undirected_edges
 from parallel_pagerank_ray.stages.csr_store import (
+    cap_num_parts,
     EdgeShardStore,
     edge_count_hint,
     per_actor_cpus,
@@ -241,7 +242,7 @@ def shortest_path_counts_bsp(
             ne = edge_count_hint(graph.edges)
             if ne is None:
                 cpus = int(ray.cluster_resources().get("CPU", 8))
-                num_parts = min(256, max(4, cpus))
+                num_parts = cap_num_parts(min(256, max(4, cpus)), n)
             else:
                 num_parts = sweep_num_parts(ne if directed else 2 * ne)
         store = EdgeShardStore.build(simple, n=n, num_parts=num_parts)
@@ -316,7 +317,7 @@ def closeness_centrality_bsp(
             ne = edge_count_hint(graph.edges)
             if ne is None:
                 cpus = int(ray.cluster_resources().get("CPU", 8))
-                num_parts = min(256, max(4, cpus))
+                num_parts = cap_num_parts(min(256, max(4, cpus)), n)
             else:
                 num_parts = sweep_num_parts(ne if directed else 2 * ne)
         edges = (
@@ -403,7 +404,7 @@ def harmonic_centrality_bsp(
             ne = edge_count_hint(graph.edges)
             if ne is None:
                 cpus = int(ray.cluster_resources().get("CPU", 8))
-                num_parts = min(256, max(4, cpus))
+                num_parts = cap_num_parts(min(256, max(4, cpus)), n)
             else:
                 num_parts = sweep_num_parts(ne if directed else 2 * ne)
         edges = (
@@ -478,7 +479,7 @@ def pseudo_diameter_bsp(
             ne = edge_count_hint(graph.edges)
             if ne is None:
                 cpus = int(ray.cluster_resources().get("CPU", 8))
-                num_parts = min(256, max(4, cpus))
+                num_parts = cap_num_parts(min(256, max(4, cpus)), n)
             else:
                 num_parts = sweep_num_parts(ne if directed else 2 * ne)
         edges = (
@@ -672,7 +673,7 @@ def betweenness_bsp(
             ne = edge_count_hint(graph.edges)
             if ne is None:
                 cpus = int(ray.cluster_resources().get("CPU", 8))
-                num_parts = min(256, max(4, cpus))
+                num_parts = cap_num_parts(min(256, max(4, cpus)), n)
             else:
                 num_parts = sweep_num_parts(2 * ne)
         store = EdgeShardStore.build(simple, n=n, num_parts=num_parts)

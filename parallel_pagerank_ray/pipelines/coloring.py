@@ -38,7 +38,11 @@ import ray.data as rd
 
 from parallel_pagerank_ray.pipelines.graph_build import Graph, undirected_edges
 from parallel_pagerank_ray.pipelines.mis import mis_key
-from parallel_pagerank_ray.stages.csr_store import EdgeShardStore, per_actor_cpus
+from parallel_pagerank_ray.stages.csr_store import (
+    EdgeShardStore,
+    cap_num_parts,
+    per_actor_cpus,
+)
 
 
 @dataclass
@@ -212,7 +216,7 @@ def coloring_bsp(
         # full actor round-trip, so a 2k-vertex graph on 32 shards pays
         # 32× the sync cost for no compute win. ~16k vertices per shard
         # minimum keeps 10M-vertex graphs at full parallelism.
-        num_parts = min(256, max(4, cpus), max(1, -(-n // 16384)))
+        num_parts = cap_num_parts(min(256, max(4, cpus)), n)
     if edges_canonical:
         canon = graph.edges
     else:

@@ -24,7 +24,7 @@ from parallel_pagerank_ray.pipelines.components import (
     connected_components,
 )
 from parallel_pagerank_ray.pipelines.graph_build import Graph, undirected_edges
-from parallel_pagerank_ray.stages.csr_store import EdgeShardStore, per_actor_cpus
+from parallel_pagerank_ray.stages.csr_store import cap_num_parts, EdgeShardStore, per_actor_cpus
 
 _FULL_VEC_MAX = 256 << 20
 INT64_MAX = np.iinfo(np.int64).max
@@ -151,7 +151,7 @@ def connected_components_bsp(
         return connected_components(graph, num_parts=num_parts, max_iters=max_iters)
     if num_parts is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_parts = min(256, max(4, cpus // 4))
+        num_parts = cap_num_parts(min(256, max(4, cpus // 4)), n)
     # min-propagation is duplicate-invariant: skip the closure dedup shuffle
     und = undirected_edges(graph.edges, dedup=False)
     store = EdgeShardStore.build(und, n=n, num_parts=num_parts)

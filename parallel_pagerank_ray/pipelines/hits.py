@@ -34,7 +34,7 @@ import ray
 import ray.data as rd
 
 from parallel_pagerank_ray.pipelines.graph_build import Graph
-from parallel_pagerank_ray.stages.csr_store import EdgeShardStore, per_actor_cpus
+from parallel_pagerank_ray.stages.csr_store import cap_num_parts, EdgeShardStore, per_actor_cpus
 
 _FULL_VEC_MAX = 256 << 20
 _INT64_GUARD = 1 << 61  # one more degree-weighted sum must not overflow
@@ -108,7 +108,7 @@ def hits_bsp(graph: Graph, iters: int = 2, num_parts: int | None = None) -> HITS
         return hits_dataset(graph, iters=iters)
     if num_parts is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_parts = min(256, max(4, cpus // 4))
+        num_parts = cap_num_parts(min(256, max(4, cpus // 4)), n)
     store = EdgeShardStore.build(graph.edges, n=n, num_parts=num_parts)
     P = max(1, -(-n // store.part_size))
     per_actor = per_actor_cpus(P)

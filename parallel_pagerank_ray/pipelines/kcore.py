@@ -41,7 +41,7 @@ import ray
 import ray.data as rd
 
 from parallel_pagerank_ray.pipelines.graph_build import Graph, undirected_edges
-from parallel_pagerank_ray.stages.csr_store import EdgeShardStore, per_actor_cpus
+from parallel_pagerank_ray.stages.csr_store import cap_num_parts, EdgeShardStore, per_actor_cpus
 
 
 @dataclass
@@ -142,7 +142,7 @@ def kcore_bsp(
         # whole run at 10M vertices) instead of the cpus//4 the
         # dense-exchange engines use to bound per-superstep traffic
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_parts = min(256, max(4, cpus))
+        num_parts = cap_num_parts(min(256, max(4, cpus)), n)
     if edges_canonical:
         canon = graph.edges
     else:
@@ -271,7 +271,7 @@ def coreness_bsp(
         return KCoreRun(members=rd.from_items([]), iterations=0)
     if num_parts is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_parts = min(256, max(4, cpus))
+        num_parts = cap_num_parts(min(256, max(4, cpus)), n)
     if edges_canonical:
         canon = graph.edges
     else:

@@ -32,7 +32,7 @@ import ray
 
 from parallel_pagerank_ray.pipelines.graph_build import Graph, undirected_edges
 from parallel_pagerank_ray.pipelines.label_prop import LabelPropRun, label_propagation
-from parallel_pagerank_ray.stages.csr_store import EdgeShardStore, per_actor_cpus
+from parallel_pagerank_ray.stages.csr_store import cap_num_parts, EdgeShardStore, per_actor_cpus
 
 
 @ray.remote
@@ -167,7 +167,7 @@ def label_propagation_bsp(
         return LabelPropRun(labels=rd.from_items([]), iterations=0)
     if num_parts is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_parts = min(256, max(4, cpus // 4))
+        num_parts = cap_num_parts(min(256, max(4, cpus // 4)), n)
     try:
         weighted = "w" in (graph.edges.schema().names or [])
     except Exception:

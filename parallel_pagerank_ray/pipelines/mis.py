@@ -38,7 +38,7 @@ import ray
 import ray.data as rd
 
 from parallel_pagerank_ray.pipelines.graph_build import Graph, undirected_edges
-from parallel_pagerank_ray.stages.csr_store import EdgeShardStore, per_actor_cpus
+from parallel_pagerank_ray.stages.csr_store import cap_num_parts, EdgeShardStore, per_actor_cpus
 
 # SQL-reproducible priority params (functions/hashing.py policy: all
 # products < 2^62 in both numpy int64 and DuckDB BIGINT)
@@ -190,7 +190,7 @@ def mis_bsp(
         return MISRun(members=rd.from_items([]), iterations=0)
     if num_parts is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_parts = min(256, max(4, cpus))
+        num_parts = cap_num_parts(min(256, max(4, cpus)), n)
     if edges_canonical:
         canon = graph.edges
     else:

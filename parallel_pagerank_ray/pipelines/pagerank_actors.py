@@ -45,7 +45,11 @@ import numpy as np
 import ray
 
 from parallel_pagerank_ray.pipelines.graph_build import Graph
-from parallel_pagerank_ray.stages.csr_store import EdgeShardStore, per_actor_cpus
+from parallel_pagerank_ray.stages.csr_store import (
+    EdgeShardStore,
+    cap_num_parts,
+    per_actor_cpus,
+)
 
 # full-vector scatter when the whole rank vector fits one plasma object
 _FULL_VEC_MAX = 256 << 20
@@ -313,7 +317,9 @@ def pagerank_bsp(
         return BSPPageRankRun(ranks=rd.from_items([]), iterations=0, exit_reason="l1")
     if num_parts is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_parts = min(256, max(4, cpus // 4, math.ceil(n / 4_000_000)))
+        num_parts = cap_num_parts(
+            min(256, max(4, cpus // 4, math.ceil(n / 4_000_000))), n
+        )
     if store is None:
         store = EdgeShardStore.build(graph.edges, n=n, num_parts=num_parts)
     P = max(1, -(-n // store.part_size))  # actual partition count

@@ -43,6 +43,7 @@ import ray.data as rd
 
 from parallel_pagerank_ray.pipelines.graph_build import Graph
 from parallel_pagerank_ray.stages.csr_store import (
+    cap_num_parts,
     EdgeShardStore,
     per_actor_cpus,
 )
@@ -573,7 +574,7 @@ def ppr_push(
     n = graph.n
     if num_parts is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_parts = min(256, max(4, cpus))
+        num_parts = cap_num_parts(min(256, max(4, cpus)), n)
     store = EdgeShardStore.build(graph.edges, n=n, num_parts=num_parts)
     P = max(1, -(-n // store.part_size))
     per_actor = per_actor_cpus(P)

@@ -34,7 +34,7 @@ import ray.data as rd
 
 from parallel_pagerank_ray.functions import hashing as H
 from parallel_pagerank_ray.pipelines.graph_build import Graph, undirected_edges
-from parallel_pagerank_ray.stages.csr_store import EdgeShardStore, per_actor_cpus
+from parallel_pagerank_ray.stages.csr_store import cap_num_parts, EdgeShardStore, per_actor_cpus
 
 _MIX_A = np.uint64(1_000_151)
 _MIX_B = np.uint64(1_000_121)
@@ -230,7 +230,7 @@ def random_walks_bsp(
         raise ValueError("length must be >= 0")
     if num_parts is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_parts = min(256, max(4, cpus))
+        num_parts = cap_num_parts(min(256, max(4, cpus)), n)
     try:
         weighted = "w" in (graph.edges.schema().names or [])
     except Exception:

@@ -48,6 +48,7 @@ import ray.data as rd
 
 from parallel_pagerank_ray.pipelines.graph_build import Graph
 from parallel_pagerank_ray.stages.csr_store import (
+    cap_num_parts,
     EdgeShardStore,
     edge_count_hint,
     per_actor_cpus,
@@ -315,7 +316,7 @@ def scc_bsp(
         ne = edge_count_hint(edges)
         if ne is None:
             cpus = int(ray.cluster_resources().get("CPU", 8))
-            num_parts = min(256, max(4, cpus))
+            num_parts = cap_num_parts(min(256, max(4, cpus)), n)
         else:
             num_parts = sweep_num_parts(2 * ne)
     fwd = fwd_store or EdgeShardStore.build(edges, n=n, num_parts=num_parts)
@@ -681,7 +682,7 @@ def dag_depth_bsp(
         ne = edge_count_hint(graph.edges)
         if ne is None:
             cpus = int(ray.cluster_resources().get("CPU", 8))
-            num_parts = min(256, max(4, cpus))
+            num_parts = cap_num_parts(min(256, max(4, cpus)), n)
         else:
             num_parts = sweep_num_parts(ne)
     store = EdgeShardStore.build(graph.edges, n=n, num_parts=num_parts)

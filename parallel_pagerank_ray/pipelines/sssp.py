@@ -28,7 +28,7 @@ import ray
 import ray.data as rd
 
 from parallel_pagerank_ray.pipelines.graph_build import Graph
-from parallel_pagerank_ray.stages.csr_store import EdgeShardStore, per_actor_cpus
+from parallel_pagerank_ray.stages.csr_store import cap_num_parts, EdgeShardStore, per_actor_cpus
 
 _INF = np.iinfo(np.int64).max
 
@@ -155,7 +155,7 @@ def sssp_bsp(
     if num_parts is None:
         # sparse routed exchange -> shards are cheap, one per CPU
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_parts = min(256, max(4, cpus))
+        num_parts = cap_num_parts(min(256, max(4, cpus)), n)
     store = EdgeShardStore.build(graph.edges, n=n, num_parts=num_parts)
     P = max(1, -(-n // store.part_size))
     per_actor = per_actor_cpus(P)

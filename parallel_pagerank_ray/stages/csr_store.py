@@ -147,6 +147,17 @@ def sweep_num_parts(num_edges: int, edges_per_part: int = 2_000_000) -> int:
     return int(min(256, max(2, cpus), max(4, num_edges // edges_per_part + 1)))
 
 
+def cap_num_parts(num_parts: int, n: int, min_part: int = 16384) -> int:
+    """Cap a BSP engine's shard count by VERTEX range: never more than
+    ceil(n / min_part) shards. Each BSP round is a full actor
+    round-trip, so a 2k-vertex graph split over 32 shards pays 32× the
+    per-round sync cost (and 32 actor spawns) for no compute win; at
+    16k+ vertices per shard a 10M-vertex graph keeps one shard per CPU
+    unchanged. Results are partition-invariant for every BSP consumer
+    — this is a latency knob only."""
+    return int(min(num_parts, max(1, -(-n // min_part))))
+
+
 def int_weights(w: "np.ndarray") -> "np.ndarray":
     """Validate-then-cast edge weights to positive int64.
 
