@@ -93,6 +93,99 @@ def _hll_est(denom_scaled: int, m: int) -> float:
     return (0.673 * 256.0 * 1073741824.0) / float(denom_scaled)
 
 
+def _exact_broadcast(
+    edges: rd.Dataset,
+    verts: rd.Dataset,
+    max_radius: int,
+    radius: np.ndarray,
+    broadcast_max: int,
+    num_buckets: int | None,
+) -> pd.DataFrame | None:
+    """Broadcast fast path for the exact N(r) curve: when the edge
+    table fits the guard (and vids pack into an int64 pair key), ship
+    the src-sorted edge arrays ONCE via ray.put and expand every
+    source's ball INSIDE map_batches over the partitioned vertex set —
+    classic multi-source BFS with frontier-only expansion (one
+    searchsorted gather + one packed-key merge per radius, all numpy).
+    The only exchange is max_radius+1 int64 partial counts per task —
+    no joins, no per-round state shuffle. Returns None past the guard
+    (the pair-table BSP below is the beyond-plasma shape)."""
+    import ray
+
+    ne = edges.count()  # edges is materialized by the caller
+    if ne > broadcast_max:
+        return None
+    tabs = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+    if tabs:
+        src = np.concatenate(
+            [t.column("src").to_numpy(zero_copy_only=False) for t in tabs]
+        ).astype(np.int64)
+        dst = np.concatenate(
+            [t.column("dst").to_numpy(zero_copy_only=False) for t in tabs]
+        ).astype(np.int64)
+    else:
+        src = np.array([], dtype=np.int64)
+        dst = np.array([], dtype=np.int64)
+    stride = int(max(src.max(initial=-1), dst.max(initial=-1))) + 1
+    if stride > 3_000_000_000:  # v*stride+w must fit int64
+        return None
+    order = np.argsort(src, kind="stable")
+    ref = ray.put((src[order], dst[order]))
+
+    def counts(t: pa.Table) -> pa.Table:
+        ss, dd = ray.get(ref)
+        v = t.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+        out = np.zeros(max_radius + 1, dtype=np.int64)
+        out[0] = len(v)
+        ball = np.sort(v * stride + v)  # packed (source, vertex) keys
+        fv, fw = v, v  # frontier pairs
+        for r in range(1, max_radius + 1):
+            if len(fv):
+                a = np.searchsorted(ss, fw, "left")
+                b = np.searchsorted(ss, fw, "right")
+                lens = b - a
+                m = lens > 0
+                if m.any():
+                    a2, lens2 = a[m], lens[m]
+                    csum = np.concatenate(([0], np.cumsum(lens2)[:-1]))
+                    pos = (
+                        np.arange(int(lens2.sum()))
+                        - np.repeat(csum, lens2)
+                        + np.repeat(a2, lens2)
+                    )
+                    key = np.unique(
+                        np.repeat(fv[m], lens2) * stride + dd[pos]
+                    )
+                    # sorted set-difference: keys not already in ball
+                    idx = np.minimum(
+                        np.searchsorted(ball, key), len(ball) - 1
+                    )
+                    new = key[ball[idx] != key] if len(ball) else key
+                    ball = np.sort(np.concatenate([ball, new]))
+                    fv, fw = new // stride, new % stride
+                else:
+                    fv = fw = np.array([], dtype=np.int64)
+            out[r] = len(ball)
+        return pa.table(
+            {
+                "radius": pa.array(radius, pa.int64()),
+                "pairs": pa.array(out, pa.int64()),
+            }
+        )
+
+    parts = verts.map_batches(counts, batch_format="pyarrow")
+    tot = grouped_agg(
+        parts, ["radius"], {"pairs": ("pairs", "sum")}, num_buckets=num_buckets
+    ).to_pandas()
+    tot = (
+        tot.set_index("radius")["pairs"]
+        .reindex(radius, fill_value=0)  # empty vertex set -> all-zero curve
+        .to_numpy()
+        .astype(np.int64)
+    )
+    return pd.DataFrame({"radius": radius, "pairs": tot})
+
+
 def neighborhood_function(
     edges: rd.Dataset,
     max_radius: int,
@@ -133,6 +226,11 @@ def neighborhood_function(
     radius = np.arange(max_radius + 1, dtype=np.int64)
 
     if mode == "exact":
+        fast = _exact_broadcast(
+            edges, verts, max_radius, radius, broadcast_max, num_buckets
+        )
+        if fast is not None:
+            return fast
 
         def init(t: pa.Table) -> pa.Table:
             v = t.column("vid")
