@@ -2861,6 +2861,77 @@ def q_revenue_by_nation(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_order_count_distribution(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q13 shape (pipelines/relational.py): distribution of
+    per-customer URGENT-order counts INCLUDING the zero bucket —
+    (c_count, custdist). No outer join: the zero bucket is
+    |customer| - |ordering customers| (FK integrity), two scalars."""
+    from parallel_pagerank_ray.pipelines.relational import (
+        order_count_distribution,
+        read_table,
+    )
+
+    return order_count_distribution(
+        read_table(sf_dir, "orders", ["o_custkey", "o_orderpriority"]),
+        read_table(sf_dir, "customer", ["c_custkey"]),
+        priority="1-URGENT",
+    )
+
+
+def q_volume_shipping(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q7 shape (pipelines/relational.py): cross-nation trade
+    volume per (supp_nation, cust_nation, ship year), supp != cust;
+    revenue in exact int64 cent-percent units. Supplier and customer
+    nations attach as guarded broadcast dicts; revenue pre-aggregates
+    per (order, supp-nation, year) below the orders join."""
+    from parallel_pagerank_ray.pipelines.relational import (
+        read_table,
+        volume_shipping,
+    )
+
+    return volume_shipping(
+        read_table(
+            sf_dir,
+            "lineitem",
+            [
+                "l_orderkey",
+                "l_suppkey",
+                "l_extendedprice",
+                "l_discount",
+                "l_shipdate",
+            ],
+        ),
+        read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        read_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        read_table(sf_dir, "nation", ["n_nationkey", "n_name"]),
+    )
+
+
+def q_returned_item_revenue(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q10 shape (pipelines/relational.py): top-20 customers by
+    returned-item (l_returnflag='R') revenue for orders placed in
+    1996Q1 — (c_custkey, c_name, n_name, acctbal_cents, revenue),
+    int64-exact, ties broken by custkey."""
+    from parallel_pagerank_ray.pipelines.relational import (
+        read_table,
+        returned_item_revenue,
+    )
+
+    return returned_item_revenue(
+        read_table(
+            sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey", "c_acctbal"]
+        ),
+        read_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        read_table(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+        ),
+        read_table(sf_dir, "nation", ["n_nationkey", "n_name"]),
+    )
+
+
 def q_distinct_parts_per_nation(sf_dir: str) -> rd.Dataset:
     """COUNT(DISTINCT) by group: distinct parts shipped per supplier
     nation — per-batch pair distinct, one bucketed global distinct,
@@ -2971,6 +3042,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "community_stats": q_community_stats,
         "community_graph": q_community_graph,
         "distinct_parts_per_nation": q_distinct_parts_per_nation,
+        "order_count_distribution": q_order_count_distribution,
+        "volume_shipping": q_volume_shipping,
+        "returned_item_revenue": q_returned_item_revenue,
         "sssp_weighted_copurchase": q_sssp_weighted_copurchase,
         "msf_copurchase": q_msf_copurchase,
         "degree_assortativity": q_degree_assortativity,
@@ -6361,6 +6435,63 @@ def oracle_sql() -> dict[str, str]:
                           * CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
                      AS s3
             FROM lineitem GROUP BY 1, 2
+        """,
+        "order_count_distribution": """
+            WITH per AS (
+              SELECT o_custkey, CAST(count(*) AS BIGINT) AS c_count
+              FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM per GROUP BY 1
+            UNION ALL
+            SELECT CAST(0 AS BIGINT) AS c_count,
+                   CAST((SELECT count(*) FROM customer)
+                        - (SELECT count(*) FROM per) AS BIGINT) AS custdist
+            WHERE (SELECT count(*) FROM customer)
+                  > (SELECT count(*) FROM per)
+        """,
+        "volume_shipping": """
+            WITH rev AS (
+              SELECT l.l_orderkey,
+                     s.s_nationkey AS sn,
+                     CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT)
+                       AS l_year,
+                     CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                       AS rev
+              FROM lineitem l
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey)
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   r.l_year, CAST(sum(r.rev) AS BIGINT) AS revenue
+            FROM rev r
+            JOIN orders o ON o.o_orderkey = r.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation ns ON ns.n_nationkey = r.sn
+            JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+            WHERE r.sn <> c.c_nationkey
+            GROUP BY 1, 2, 3
+        """,
+        "returned_item_revenue": """
+            WITH per_order AS (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                          AS BIGINT) AS rev
+              FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+            per_cust AS (
+              SELECT o.o_custkey, CAST(sum(p.rev) AS BIGINT) AS revenue
+              FROM per_order p JOIN orders o ON o.o_orderkey = p.l_orderkey
+              WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o.o_orderdate < TIMESTAMP '1996-04-01'
+              GROUP BY 1),
+            top AS (SELECT * FROM per_cust
+                    ORDER BY revenue DESC, o_custkey LIMIT 20)
+            SELECT t.o_custkey AS c_custkey, c.c_name, n.n_name,
+                   CAST(round(c.c_acctbal * 100) AS BIGINT)
+                     AS acctbal_cents,
+                   t.revenue
+            FROM top t
+            JOIN customer c ON c.c_custkey = t.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
         """,
         "large_volume_orders": """
             WITH po AS (

@@ -1419,3 +1419,316 @@ def late_orders_by_priority(
         ["o_orderpriority"],
         {"n_late_orders": ("one", "sum")},
     )
+
+
+def order_count_distribution(
+    orders: rd.Dataset,
+    customer: rd.Dataset,
+    priority: str | None = "1-URGENT",
+) -> rd.Dataset:
+    """TPC-H Q13 shape: the distribution of per-customer order counts
+    INCLUDING customers with zero matching orders — (c_count,
+    custdist), integer-exact. ``priority`` filters the orders side
+    (the stand-in for Q13's comment NOT LIKE predicate); None counts
+    all orders.
+
+    Scale plan: no outer join at all. The per-customer counts are one
+    bucketed grouped_agg; the zero bucket is |customer| minus the
+    count table's row count — two scalars — because o_custkey is a
+    foreign key into customer (TPC-H referential integrity; customers
+    the orders table never references are exactly the zero bucket).
+    The histogram over counts is a second tiny grouped_agg.
+    """
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    o = orders.select_columns(["o_custkey", "o_orderpriority"])
+    if priority is not None:
+        o = o.filter(expr=f"o_orderpriority == '{priority}'")
+    per_cust = grouped_agg(
+        o.select_columns(["o_custkey"]),
+        ["o_custkey"],
+        {"c_count": ("o_custkey", "count")},
+    ).materialize()
+    n_ordering = per_cust.count()
+    n_customers = customer.select_columns(["c_custkey"]).count()
+    dist = grouped_agg(
+        per_cust.select_columns(["c_count"]),
+        ["c_count"],
+        {"custdist": ("c_count", "count")},
+    )
+    zeros = int(n_customers - n_ordering)
+    if zeros > 0:
+        z = rd.from_arrow(
+            pa.table(
+                {
+                    "c_count": pa.array([0], pa.int64()),
+                    "custdist": pa.array([zeros], pa.int64()),
+                }
+            )
+        )
+        dist = dist.union(z)
+    return dist
+
+
+def volume_shipping(
+    lineitem: rd.Dataset,
+    orders: rd.Dataset,
+    customer: rd.Dataset,
+    supplier: rd.Dataset,
+    nation: rd.Dataset,
+    num_partitions: int | None = None,
+    broadcast_max: int = 5_000_000,
+) -> rd.Dataset:
+    """TPC-H Q7 shape: cross-nation trade volume — for every ordered
+    (supplier nation, customer nation, ship year) with supp != cust,
+    the summed discounted revenue. Revenue is the integer
+    cent-percent unit round(price*100) * (100 - round(disc*100)), so
+    the result is int64-exact.
+
+    Scale plan: supplier -> nation is a broadcast dict (supplier is
+    the small side by contract, guarded); lineitem pre-aggregates
+    revenue per (l_orderkey, supp_nation, year) BELOW the big join so
+    the orders join ships one row per (order, supp-nation, year)
+    triple, never per line item; customer nation attaches under the
+    same broadcast guard with a hash-join fallback.
+    """
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+    from parallel_pagerank_ray.util import count_rows_once
+
+    if num_partitions is None:
+        from parallel_pagerank_ray.pipelines.graph_build import (
+            _default_join_partitions,
+        )
+
+        num_partitions = _default_join_partitions()
+
+    # supplier -> nationkey broadcast (guarded: supplier is O(SF)·10k)
+    n_sup, sup = count_rows_once(
+        supplier.select_columns(["s_suppkey", "s_nationkey"])
+    )
+    if n_sup > broadcast_max:
+        raise ValueError(
+            "volume_shipping: supplier side exceeds broadcast_max "
+            f"({n_sup} > {broadcast_max}); partition the supplier "
+            "attach with safe_join before widening the guard"
+        )
+    st = pa.concat_tables(ray.get(sup.to_arrow_refs()))
+    sidx = pd.Index(st.column("s_suppkey").to_numpy())
+    sref = ray.put((sidx, st.column("s_nationkey").to_numpy()))
+
+    def rev_rows(t: pa.Table) -> pa.Table:
+        idx, v = ray.get(sref)
+        pos = idx.get_indexer(t.column("l_suppkey").to_numpy())
+        m = pos >= 0
+        t = t.filter(pa.array(m))
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)),
+            pa.int64(),
+        )
+        dpct = pc.cast(
+            pc.round(pc.multiply(t.column("l_discount"), 100.0)), pa.int64()
+        )
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), dpct))
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "supp_nation": pa.array(v[pos[m]], pa.int64()),
+                "l_year": pc.cast(pc.year(t.column("l_shipdate")), pa.int64()),
+                "rev": rev,
+            }
+        )
+
+    per_order = grouped_agg(
+        lineitem.select_columns(
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]
+        ).map_batches(rev_rows, batch_format="pyarrow"),
+        ["l_orderkey", "supp_nation", "l_year"],
+        {"rev": ("rev", "sum")},
+    )
+    j = safe_join(
+        per_order,
+        orders.select_columns(["o_orderkey", "o_custkey"]),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    # customer -> nationkey broadcast under the same guard contract
+    n_cust, cust = count_rows_once(
+        customer.select_columns(["c_custkey", "c_nationkey"])
+    )
+    cidx = None
+    if n_cust <= broadcast_max:
+        ct = pa.concat_tables(ray.get(cust.to_arrow_refs()))
+        cidx = pd.Index(ct.column("c_custkey").to_numpy())
+        if not cidx.is_unique:
+            cidx = None
+    if cidx is not None:
+        cref = ray.put((cidx, ct.column("c_nationkey").to_numpy()))
+
+        def attach_cust(df: pd.DataFrame) -> pd.DataFrame:
+            idx, v = ray.get(cref)
+            pos = idx.get_indexer(df["o_custkey"].to_numpy())
+            m = pos >= 0
+            out = df.loc[m, ["supp_nation", "l_year", "rev"]].reset_index(
+                drop=True
+            )
+            out["cust_nation"] = v[pos[m]]
+            return out
+
+        labeled = j.map_batches(attach_cust, batch_format="pandas")
+    else:
+        labeled = safe_join(
+            j,
+            cust,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        ).rename_columns({"c_nationkey": "cust_nation"})
+    per_pair = grouped_agg(
+        labeled,
+        ["supp_nation", "cust_nation", "l_year"],
+        {"revenue": ("rev", "sum")},
+    ).filter(expr="supp_nation != cust_nation")
+    # nation-name attach: 25 rows, one broadcast dict
+    ndf = nation.select_columns(["n_nationkey", "n_name"]).to_pandas()
+    dref = ray.put(dict(zip(ndf["n_nationkey"].astype(int), ndf["n_name"])))
+
+    def names(df: pd.DataFrame) -> pd.DataFrame:
+        dim = ray.get(dref)
+        return pd.DataFrame(
+            {
+                "supp_nation": df["supp_nation"].astype(np.int64).map(dim),
+                "cust_nation": df["cust_nation"].astype(np.int64).map(dim),
+                "l_year": df["l_year"].astype(np.int64),
+                "revenue": df["revenue"].astype(np.int64),
+            }
+        )
+
+    return per_pair.map_batches(names, batch_format="pandas")
+
+
+def returned_item_revenue(
+    customer: rd.Dataset,
+    orders: rd.Dataset,
+    lineitem: rd.Dataset,
+    nation: rd.Dataset,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    k: int = 20,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """TPC-H Q10 shape: the top-k customers by revenue lost to
+    returned items (l_returnflag = 'R') for orders placed in
+    [date_from, date_to) — (c_custkey, c_name, n_name, acctbal_cents,
+    revenue), revenue the int64 cent-percent unit of Q7.
+
+    Scale plan: returned revenue pre-aggregates per order below the
+    join; the orders side is date-filtered AT THE SCAN; one hash join
+    orders->revenue, one bucketed per-customer grouped_agg, a bounded
+    global top-k, and the customer/nation attributes attach to only
+    k rows via one more (tiny) join.
+    """
+    from parallel_pagerank_ray.stages.agg import grouped_agg, grouped_topk
+
+    if num_partitions is None:
+        from parallel_pagerank_ray.pipelines.graph_build import (
+            _default_join_partitions,
+        )
+
+        num_partitions = _default_join_partitions()
+    lo = np.datetime64(date_from + "T00:00:00", "us")
+    hi = np.datetime64(date_to + "T00:00:00", "us")
+
+    def rev_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("l_returnflag"), pa.scalar("R")))
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)),
+            pa.int64(),
+        )
+        dpct = pc.cast(
+            pc.round(pc.multiply(t.column("l_discount"), 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "rev": pc.multiply(
+                    cents, pc.subtract(pa.scalar(100, pa.int64()), dpct)
+                ),
+            }
+        )
+
+    per_order = grouped_agg(
+        lineitem.select_columns(
+            ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
+        ).map_batches(rev_rows, batch_format="pyarrow"),
+        ["l_orderkey"],
+        {"rev": ("rev", "sum")},
+    )
+
+    def window(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t.column("o_orderdate"), pa.scalar(lo)),
+            pc.less(t.column("o_orderdate"), pa.scalar(hi)),
+        )
+        t = t.filter(keep)
+        return t.select(["o_orderkey", "o_custkey"])
+
+    in_window = orders.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(window, batch_format="pyarrow")
+    per_cust = grouped_agg(
+        safe_join(
+            per_order,
+            in_window,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        ),
+        ["o_custkey"],
+        {"revenue": ("rev", "sum")},
+    )
+    top = grouped_topk(
+        per_cust.map_batches(
+            lambda t: t.append_column(
+                "g", pa.array(np.zeros(t.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        ),
+        group_cols=["g"],
+        order_cols=["revenue", "o_custkey"],
+        ascending=[False, True],
+        k=k,
+    ).drop_columns(["g"])
+    # attribute attach: k rows join the (small) customer projection,
+    # then the 25-row nation dict
+    attrs = safe_join(
+        top,
+        customer.select_columns(
+            ["c_custkey", "c_name", "c_nationkey", "c_acctbal"]
+        ),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    ndf = nation.select_columns(["n_nationkey", "n_name"]).to_pandas()
+    dref = ray.put(dict(zip(ndf["n_nationkey"].astype(int), ndf["n_name"])))
+
+    def names(df: pd.DataFrame) -> pd.DataFrame:
+        dim = ray.get(dref)
+        return pd.DataFrame(
+            {
+                "c_custkey": df["o_custkey"].astype(np.int64),
+                "c_name": df["c_name"],
+                "n_name": df["c_nationkey"].astype(np.int64).map(dim),
+                "acctbal_cents": np.round(
+                    df["c_acctbal"].to_numpy() * 100.0
+                ).astype(np.int64),
+                "revenue": df["revenue"].astype(np.int64),
+            }
+        )
+
+    return attrs.map_batches(names, batch_format="pandas")
