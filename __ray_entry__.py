@@ -2861,6 +2861,33 @@ def q_revenue_by_nation(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_embedding_gram(sf_dir: str) -> rd.Dataset:
+    """Gram-matrix sufficient statistic (pipelines/linalg.py) over the
+    vec_id % 16 == 0 hash-sample of the embeddings table: (i, j, gram,
+    n_rows), 0-based upper triangle, int64-exact (floor quantization
+    at scale 1024 — exact power-of-two multiply, no rounding-mode
+    ambiguity). The sample keeps the d²-row SQL replay cheap; the
+    operator itself is full-corpus (one d×d int64 matmul per batch,
+    pytest-gated vs numpy on the whole table)."""
+    from parallel_pagerank_ray.pipelines.linalg import embedding_gram
+    from parallel_pagerank_ray.pipelines.relational import read_table
+
+    def samp(t):
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+
+        keep = _pc.equal(
+            _pc.bit_wise_and(t.column("vec_id"), pa.scalar(15, pa.int64())),
+            pa.scalar(0, pa.int64()),
+        )  # vec_id % 16 == 0 (ids are non-negative)
+        return t.filter(keep)
+
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        samp, batch_format="pyarrow"
+    )
+    return embedding_gram(emb)
+
+
 def q_order_count_distribution(sf_dir: str) -> rd.Dataset:
     """TPC-H Q13 shape (pipelines/relational.py): distribution of
     per-customer URGENT-order counts INCLUDING the zero bucket —
@@ -3042,6 +3069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "community_stats": q_community_stats,
         "community_graph": q_community_graph,
         "distinct_parts_per_nation": q_distinct_parts_per_nation,
+        "embedding_gram": q_embedding_gram,
         "order_count_distribution": q_order_count_distribution,
         "volume_shipping": q_volume_shipping,
         "returned_item_revenue": q_returned_item_revenue,
@@ -6435,6 +6463,23 @@ def oracle_sql() -> dict[str, str]:
                           * CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
                      AS s3
             FROM lineitem GROUP BY 1, 2
+        """,
+        "embedding_gram": """
+            WITH samp AS (
+              SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id % 16 = 0),
+            q AS (
+              SELECT s.vec_id, CAST(t.i - 1 AS BIGINT) AS i,
+                     CAST(floor(CAST(list_extract(s.embedding, t.i)
+                                     AS DOUBLE) * 1024) AS BIGINT) AS qv
+              FROM samp s,
+                   (SELECT unnest(range(1, 65)) AS i) t),
+            nr AS (SELECT count(*) AS n FROM samp)
+            SELECT a.i, b.i AS j,
+                   CAST(sum(a.qv * b.qv) AS BIGINT) AS gram,
+                   CAST((SELECT n FROM nr) AS BIGINT) AS n_rows
+            FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY 1, 2
         """,
         "order_count_distribution": """
             WITH per AS (
