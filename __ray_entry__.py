@@ -2861,6 +2861,21 @@ def q_revenue_by_nation(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_skyline_orders(sf_dir: str) -> rd.Dataset:
+    """Skyline / Pareto frontier of orders (minimize o_orderdate,
+    maximize o_totalprice; strict dominance) — map-side local-frontier
+    prune, guarded merge (pipelines/relational.py::skyline_orders);
+    (o_orderkey, date_us, price_cents) int64-exact."""
+    from parallel_pagerank_ray.pipelines.relational import (
+        read_table,
+        skyline_orders,
+    )
+
+    return skyline_orders(
+        read_table(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+    )
+
+
 def q_embedding_gram(sf_dir: str) -> rd.Dataset:
     """Gram-matrix sufficient statistic (pipelines/linalg.py) over the
     vec_id % 16 == 0 hash-sample of the embeddings table: (i, j, gram,
@@ -3070,6 +3085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "community_graph": q_community_graph,
         "distinct_parts_per_nation": q_distinct_parts_per_nation,
         "embedding_gram": q_embedding_gram,
+        "skyline_orders": q_skyline_orders,
         "order_count_distribution": q_order_count_distribution,
         "volume_shipping": q_volume_shipping,
         "returned_item_revenue": q_returned_item_revenue,
@@ -6463,6 +6479,26 @@ def oracle_sql() -> dict[str, str]:
                           * CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
                      AS s3
             FROM lineitem GROUP BY 1, 2
+        """,
+        "skyline_orders": """
+            WITH o AS (
+              SELECT o_orderkey, epoch_us(o_orderdate) AS date_us,
+                     CAST(round(o_totalprice * 100) AS BIGINT)
+                       AS price_cents
+              FROM orders),
+            pd AS (SELECT date_us, max(price_cents) AS pmax
+                   FROM o GROUP BY 1),
+            cm AS (SELECT date_us,
+                          max(pmax) OVER (ORDER BY date_us) AS cmax,
+                          max(pmax) OVER (
+                            ORDER BY date_us
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS pbefore
+                   FROM pd)
+            SELECT a.o_orderkey, a.date_us, a.price_cents
+            FROM o a JOIN cm ON cm.date_us = a.date_us
+            WHERE a.price_cents = cm.cmax
+              AND (cm.pbefore IS NULL OR a.price_cents > cm.pbefore)
         """,
         "embedding_gram": """
             WITH samp AS (

@@ -1732,3 +1732,102 @@ def returned_item_revenue(
         )
 
     return attrs.map_batches(names, batch_format="pandas")
+
+
+def _skyline_kernel(
+    d: np.ndarray, p: np.ndarray
+) -> np.ndarray:
+    """Boolean survive-mask of the 2-D skyline (minimize d, maximize
+    p; strict Pareto dominance — equal (d, p) pairs all survive).
+    Vectorized: per-date max via reduceat on the date-sorted groups,
+    running cummax over dates, one gather back per row."""
+    if not len(d):
+        return np.zeros(0, dtype=bool)
+    order = np.argsort(d, kind="stable")
+    ds, ps = d[order], p[order]
+    starts = np.flatnonzero(np.r_[True, ds[1:] != ds[:-1]])
+    gmax = np.maximum.reduceat(ps, starts)  # per-date max price
+    cmax = np.maximum.accumulate(gmax)  # max over dates <= g
+    prev = np.r_[np.int64(np.iinfo(np.int64).min), cmax[:-1]]  # < g
+    gid = np.cumsum(np.r_[False, ds[1:] != ds[:-1]])
+    keep_sorted = (ps == cmax[gid]) & (ps > prev[gid])
+    keep = np.zeros(len(d), dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def skyline_orders(
+    orders: rd.Dataset,
+    broadcast_max: int = 5_000_000,
+) -> rd.Dataset:
+    """Skyline / Pareto frontier of the orders table — every order not
+    strictly dominated on (earlier-or-equal o_orderdate, higher-or-
+    equal o_totalprice): (o_orderkey, o_orderdate, price_cents),
+    integer-exact. The classic multi-criteria operator Ray Data lacks.
+
+    Scale plan: the skyline is MAP-SIDE PRUNABLE — dominated rows of a
+    batch can never re-enter the global skyline, so each task keeps
+    only its local frontier (typically O(log n) of the batch for
+    independent dims) and only frontiers travel. The merge applies the
+    same kernel to the concatenated candidates: one guarded driver
+    fold while the candidate union fits ``broadcast_max``, else a
+    single-partition distributed pass (the standard serial skyline
+    merge — the candidate set is the data-dependent bound).
+    """
+    from parallel_pagerank_ray.util import count_rows_once
+
+    def local(t: pa.Table) -> pa.Table:
+        d = pc.cast(t.column("o_orderdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        p = (
+            pc.cast(
+                pc.round(pc.multiply(t.column("o_totalprice"), 100.0)),
+                pa.int64(),
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        keep = _skyline_kernel(d, p)
+        kept = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "o_orderkey": kept.column("o_orderkey"),
+                "date_us": pa.array(d[keep], pa.int64()),
+                "price_cents": pa.array(p[keep], pa.int64()),
+            }
+        )
+
+    cand = orders.select_columns(
+        ["o_orderkey", "o_orderdate", "o_totalprice"]
+    ).map_batches(local, batch_format="pyarrow")
+    n_cand, cand = count_rows_once(cand)
+
+    def merge(t: pa.Table) -> pa.Table:
+        d = t.column("date_us").to_numpy(zero_copy_only=False)
+        p = t.column("price_cents").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(_skyline_kernel(d, p)))
+
+    if n_cand <= broadcast_max:
+        import ray
+
+        tabs = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+        merged = (
+            merge(pa.concat_tables(tabs))
+            if tabs
+            else pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "date_us": pa.array([], pa.int64()),
+                    "price_cents": pa.array([], pa.int64()),
+                }
+            )
+        )
+        out = rd.from_arrow(merged)
+    else:
+        out = drop_empty_blocks(
+            cand.repartition(1).map_batches(
+                merge, batch_format="pyarrow", batch_size=None
+            )
+        )
+    return out
