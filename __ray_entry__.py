@@ -2876,6 +2876,137 @@ def q_skyline_orders(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_shipping_priority(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q3: segment-filtered customer ⋈ orders ⋈ per-order
+    lineitem revenue partials -> top-10 unshipped orders by revenue
+    (pipelines/tpch_more.py::shipping_priority); integer units."""
+    from parallel_pagerank_ray.pipelines.relational import read_table
+    from parallel_pagerank_ray.pipelines.tpch_more import shipping_priority
+
+    return shipping_priority(
+        read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        read_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        read_table(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        ),
+    )
+
+
+def q_forecast_revenue(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q6: one scan-filter-sum over lineitem (discount 5-7 pct,
+    qty < 24, shipdate in 1996) — the storage-bandwidth baseline
+    (pipelines/tpch_more.py::forecast_revenue)."""
+    from parallel_pagerank_ray.pipelines.relational import read_table
+    from parallel_pagerank_ray.pipelines.tpch_more import forecast_revenue
+
+    return forecast_revenue(
+        read_table(
+            sf_dir,
+            "lineitem",
+            ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        )
+    )
+
+
+def q_promo_revenue(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q14: promo-part share of September-1996 revenue — ratio
+    of two exact int64 sums, one float division
+    (pipelines/tpch_more.py::promo_revenue)."""
+    from parallel_pagerank_ray.pipelines.relational import read_table
+    from parallel_pagerank_ray.pipelines.tpch_more import promo_revenue
+
+    return promo_revenue(
+        read_table(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        ),
+        read_table(sf_dir, "part", ["p_partkey", "p_type"]),
+    )
+
+
+def q_top_supplier_quarter(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q15: global revenue argmax with ties over Q1-1996 — the
+    bounded per-supplier table materializes once and serves both the
+    max probe and the equality filter
+    (pipelines/tpch_more.py::top_supplier)."""
+    from parallel_pagerank_ray.pipelines.relational import read_table
+    from parallel_pagerank_ray.pipelines.tpch_more import top_supplier
+
+    return top_supplier(
+        read_table(
+            sf_dir,
+            "lineitem",
+            ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        ),
+        read_table(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+    )
+
+
+def q_disjunctive_revenue(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q19: OR-of-clauses (brand, size range, quantity range)
+    predicate join — disjunction evaluated vectorized after the key
+    join (pipelines/tpch_more.py::disjunctive_revenue)."""
+    from parallel_pagerank_ray.pipelines.relational import read_table
+    from parallel_pagerank_ray.pipelines.tpch_more import disjunctive_revenue
+
+    return disjunctive_revenue(
+        read_table(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        ),
+        read_table(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]),
+    )
+
+
+def q_waiting_suppliers(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q21 shape: sole-late supplier on multi-supplier orders —
+    EXISTS + NOT EXISTS decorrelated into two per-order aggregates on
+    one orderkey partitioning
+    (pipelines/tpch_more.py::waiting_suppliers)."""
+    from parallel_pagerank_ray.pipelines.relational import read_table
+    from parallel_pagerank_ray.pipelines.tpch_more import waiting_suppliers
+
+    return waiting_suppliers(
+        read_table(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"]),
+        read_table(sf_dir, "orders", ["o_orderkey", "o_orderdate"]),
+        read_table(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+    )
+
+
+def q_idle_customers(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q22 shape: above-average-balance customers with no order
+    since 1999 (lapsed), per nation — exact integer cross-multiply
+    threshold (no float mean) + guarded broadcast anti-join
+    (pipelines/tpch_more.py::idle_customers)."""
+    from parallel_pagerank_ray.pipelines.relational import read_table
+    from parallel_pagerank_ray.pipelines.tpch_more import idle_customers
+
+    return idle_customers(
+        read_table(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
+        read_table(sf_dir, "orders", ["o_custkey", "o_orderdate"]),
+    )
+
+
+def q_cheapest_supplier(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q2 shape (no partsupp in schema): per-part argmin price
+    supplier via ONE packed int64 min (price_cents * 2^31 + suppkey),
+    deterministic min-suppkey tie-break
+    (pipelines/tpch_more.py::cheapest_supplier_per_part)."""
+    from parallel_pagerank_ray.pipelines.relational import read_table
+    from parallel_pagerank_ray.pipelines.tpch_more import (
+        cheapest_supplier_per_part,
+    )
+
+    return cheapest_supplier_per_part(
+        read_table(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"]),
+        read_table(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+    )
+
+
 def q_embedding_gram(sf_dir: str) -> rd.Dataset:
     """Gram-matrix sufficient statistic (pipelines/linalg.py) over the
     vec_id % 16 == 0 hash-sample of the embeddings table: (i, j, gram,
@@ -3086,6 +3217,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_parts_per_nation": q_distinct_parts_per_nation,
         "embedding_gram": q_embedding_gram,
         "skyline_orders": q_skyline_orders,
+        "shipping_priority": q_shipping_priority,
+        "forecast_revenue": q_forecast_revenue,
+        "promo_revenue": q_promo_revenue,
+        "top_supplier_quarter": q_top_supplier_quarter,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "waiting_suppliers": q_waiting_suppliers,
+        "idle_customers": q_idle_customers,
+        "cheapest_supplier": q_cheapest_supplier,
         "order_count_distribution": q_order_count_distribution,
         "volume_shipping": q_volume_shipping,
         "returned_item_revenue": q_returned_item_revenue,
@@ -6499,6 +6638,143 @@ def oracle_sql() -> dict[str, str]:
             FROM o a JOIN cm ON cm.date_us = a.date_us
             WHERE a.price_cents = cm.cmax
               AND (cm.pbefore IS NULL OR a.price_cents > cm.pbefore)
+        """,
+        "shipping_priority": """
+            WITH rev AS (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                          AS BIGINT) AS revenue_units
+              FROM lineitem
+              WHERE l_shipdate > TIMESTAMP '1996-06-01'
+              GROUP BY 1)
+            SELECT o.o_orderkey, r.revenue_units,
+                   epoch_us(o.o_orderdate) AS date_us
+            FROM rev r
+            JOIN orders o ON o.o_orderkey = r.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1996-06-01'
+            ORDER BY r.revenue_units DESC, o.o_orderkey LIMIT 10
+        """,
+        "forecast_revenue": """
+            SELECT CAST(coalesce(sum(
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round(l_discount * 100) AS BIGINT)), 0)
+                   AS BIGINT) AS revenue_units,
+                   CAST(count(*) AS BIGINT) AS n_lineitems
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+              AND CAST(round(l_quantity * 100) AS BIGINT) < 2400
+        """,
+        "promo_revenue": """
+            WITH j AS (
+              SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       AS rev,
+                     CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END
+                       AS is_promo
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+              WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+                AND l.l_shipdate < TIMESTAMP '1996-10-01')
+            SELECT CAST(sum(rev * is_promo) AS BIGINT) AS promo_units,
+                   CAST(sum(rev) AS BIGINT) AS total_units,
+                   CAST(100 * sum(rev * is_promo) AS DOUBLE)
+                     / CAST(sum(rev) AS DOUBLE) AS promo_ratio
+            FROM j
+        """,
+        "top_supplier_quarter": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                          AS BIGINT) AS total_revenue_units
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY 1)
+            SELECT s.s_suppkey, s.s_name, r.total_revenue_units
+            FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE r.total_revenue_units =
+                  (SELECT max(total_revenue_units) FROM rev)
+            ORDER BY s.s_suppkey
+        """,
+        "disjunctive_revenue": """
+            WITH m AS (
+              SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       AS rev
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+              WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+                     AND CAST(round(l_quantity * 100) AS BIGINT)
+                         BETWEEN 100 AND 1100)
+                 OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+                     AND CAST(round(l_quantity * 100) AS BIGINT)
+                         BETWEEN 1000 AND 2000)
+                 OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+                     AND CAST(round(l_quantity * 100) AS BIGINT)
+                         BETWEEN 2000 AND 3000))
+            SELECT CAST(coalesce(sum(rev), 0) AS BIGINT) AS revenue_units,
+                   CAST(count(*) AS BIGINT) AS n_lineitems
+            FROM m
+        """,
+        "waiting_suppliers": """
+            WITH per_os AS (
+              SELECT l_orderkey, l_suppkey,
+                     max(epoch_us(l_shipdate)) AS max_ship_us
+              FROM lineitem GROUP BY 1, 2),
+            fl AS (
+              SELECT p.l_orderkey, p.l_suppkey,
+                     CASE WHEN p.max_ship_us > epoch_us(o.o_orderdate)
+                                + 30 * 86400000000 THEN 1 ELSE 0 END
+                       AS late
+              FROM per_os p JOIN orders o
+                ON o.o_orderkey = p.l_orderkey),
+            po AS (SELECT l_orderkey, count(*) AS n_supp,
+                          sum(late) AS n_late
+                   FROM fl GROUP BY 1),
+            q AS (SELECT f.l_suppkey
+                  FROM fl f JOIN po ON po.l_orderkey = f.l_orderkey
+                  WHERE f.late = 1 AND po.n_supp > 1 AND po.n_late = 1)
+            SELECT s.s_suppkey, s.s_name,
+                   CAST(count(*) AS BIGINT) AS numwait
+            FROM q JOIN supplier s ON s.s_suppkey = q.l_suppkey
+            GROUP BY 1, 2
+            ORDER BY numwait DESC, s.s_suppkey LIMIT 20
+        """,
+        "idle_customers": """
+            WITH c AS (
+              SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+              FROM customer),
+            t AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS s,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM c WHERE bal_cents > 0),
+            idle AS (
+              SELECT c.* FROM c, t
+              WHERE c.bal_cents * t.n > t.s
+                AND NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey
+                                  AND o.o_orderdate >=
+                                      TIMESTAMP '1999-01-01'))
+            SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+                   CAST(sum(bal_cents) AS BIGINT) AS total_acctbal_cents
+            FROM idle GROUP BY 1
+        """,
+        "cheapest_supplier": """
+            WITH mn AS (
+              SELECT l_partkey,
+                     min(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * 2147483648 + l_suppkey) AS pk
+              FROM lineitem GROUP BY 1)
+            SELECT m.l_partkey,
+                   CAST(m.pk % 2147483648 AS BIGINT) AS s_suppkey,
+                   s.s_name,
+                   CAST(m.pk // 2147483648 AS BIGINT) AS min_price_cents
+            FROM mn m
+            JOIN supplier s ON s.s_suppkey = m.pk % 2147483648
         """,
         "embedding_gram": """
             WITH samp AS (

@@ -1,0 +1,771 @@
+"""The remaining classic TPC-H query shapes over the test tables —
+each one exercises a DISTINCT distributed operator pattern the earlier
+relational queries don't: 3-way join + per-order top-k (Q3), pure
+scan-filter-aggregate (Q6), ratio-of-sums over a fact⋈dim join (Q14),
+global argmax with ties (Q15), disjunctive multi-clause predicate join
+(Q19), double semi/anti-join decorrelation (Q21), scalar-broadcast
+threshold + anti-join (Q22), and per-group argmin with a packed
+tie-break (Q2's shape without a partsupp table).
+
+All monetary arithmetic is integer (cents / cents×pct units) so every
+aggregate is order-independent and bit-reproducible; the only floats
+are single divisions of two exact int64s (the repo-wide gate policy).
+Adaptations to the available schema (no l_shipmode / l_commitdate /
+partsupp) are noted per function.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from parallel_pagerank_ray.util import anti_join, safe_join
+
+_US_PER_DAY = 86_400 * 1_000_000
+
+
+def _default_parts() -> int:
+    from parallel_pagerank_ray.pipelines.graph_build import (
+        _default_join_partitions,
+    )
+
+    return _default_join_partitions()
+
+
+def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+
+
+def _ts_us(s: str) -> int:
+    return int(np.datetime64(s + "T00:00:00", "us").astype(np.int64))
+
+
+def shipping_priority(
+    customer: rd.Dataset,
+    orders: rd.Dataset,
+    lineitem: rd.Dataset,
+    segment: str = "BUILDING",
+    cutoff: str = "1996-06-01",
+    k: int = 10,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """TPC-H Q3: revenue of not-yet-shipped orders for one market
+    segment -> top-k orders by revenue.
+
+    Output (o_orderkey, revenue_units, date_us), revenue_units =
+    sum(price_cents * (100 - disc_pct)), sorted by (revenue desc,
+    orderkey asc) — deterministic tie-break.
+
+    Scale: the segment filter prunes customer before its only join;
+    lineitem collapses to per-order partials before touching orders,
+    so the wide join moves |orders in window| rows, never lineitems.
+    """
+    if num_partitions is None:
+        num_partitions = _default_parts()
+    cut = _ts_us(cutoff)
+
+    def cust_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("c_mktsegment"), pa.scalar(segment)))
+        return t.select(["c_custkey"])
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        d = pc.cast(t.column("o_orderdate"), pa.int64())
+        t = t.append_column("date_us", d)
+        return t.filter(
+            pc.less(t.column("date_us"), pa.scalar(cut, pa.int64()))
+        ).select(["o_orderkey", "o_custkey", "date_us"])
+
+    def rev_rows(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t.column("l_shipdate"), pa.int64())
+        t = t.filter(pc.greater(ship, pa.scalar(cut, pa.int64())))
+        price = _cents(t.column("l_extendedprice"))
+        disc = _cents(t.column("l_discount"))
+        rev = pc.multiply(price, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "rev": rev}
+        )
+
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    seg_orders = safe_join(
+        orders.select_columns(
+            ["o_orderkey", "o_custkey", "o_orderdate"]
+        ).map_batches(order_rows, batch_format="pyarrow"),
+        customer.select_columns(["c_custkey", "c_mktsegment"]).map_batches(
+            cust_keys, batch_format="pyarrow"
+        ),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    per_order = grouped_agg(
+        lineitem.select_columns(
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+        ).map_batches(rev_rows, batch_format="pyarrow"),
+        ["l_orderkey"],
+        {"revenue_units": ("rev", "sum")},
+    )
+    j = safe_join(
+        per_order,
+        seg_orders.select_columns(["o_orderkey", "date_us"]),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    out = j.sort(["revenue_units", "l_orderkey"], descending=[True, False]).limit(k)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["l_orderkey"].astype(np.int64),
+                "revenue_units": df["revenue_units"].astype(np.int64),
+                "date_us": df["date_us"].astype(np.int64),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+def forecast_revenue(
+    lineitem: rd.Dataset,
+    year_start: str = "1996-01-01",
+    disc_lo: int = 5,
+    disc_hi: int = 7,
+    qty_max: int = 24,
+) -> rd.Dataset:
+    """TPC-H Q6: revenue increase from dropping small discounts — one
+    scan, three filters, one global sum. Output one row
+    (revenue_units, n_lineitems), revenue_units = sum(price_cents *
+    disc_pct). The embarrassingly-parallel baseline every engine
+    should hit storage bandwidth on.
+    """
+    lo = _ts_us(year_start)
+    hi = _ts_us(f"{int(year_start[:4]) + 1}-01-01")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t.column("l_shipdate"), pa.int64())
+        disc = _cents(t.column("l_discount"))
+        qty = _cents(t.column("l_quantity"))
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(ship, pa.scalar(lo, pa.int64())),
+                pc.less(ship, pa.scalar(hi, pa.int64())),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(disc, pa.scalar(disc_lo, pa.int64())),
+                    pc.less_equal(disc, pa.scalar(disc_hi, pa.int64())),
+                ),
+                pc.less(qty, pa.scalar(qty_max * 100, pa.int64())),
+            ),
+        )
+        t2 = t.filter(mask)
+        price = _cents(t2.column("l_extendedprice"))
+        disc2 = _cents(t2.column("l_discount"))
+        return pa.table({"rev": pc.multiply(price, disc2)})
+
+    from parallel_pagerank_ray.stages.agg import global_agg
+
+    g = global_agg(
+        lineitem.select_columns(
+            ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]
+        ).map_batches(partial, batch_format="pyarrow"),
+        {"revenue_units": ("rev", "sum"), "n_lineitems": ("rev", "count")},
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "revenue_units": pa.array(
+                    [int(g["revenue_units"])], pa.int64()
+                ),
+                "n_lineitems": pa.array([int(g["n_lineitems"])], pa.int64()),
+            }
+        )
+    )
+
+
+def promo_revenue(
+    lineitem: rd.Dataset,
+    part: rd.Dataset,
+    month: str = "1996-09",
+    promo_type: str = "PROMO",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """TPC-H Q14: share of one month's revenue from promo parts.
+    Output one row (promo_units, total_units, promo_ratio) where
+    promo_ratio = (100 * promo) / total as the single float division
+    of two exact int64s.
+
+    Adapted: the schema's p_type is a bare class ('PROMO'), not a
+    three-word TPC-H type, so the match is equality, not a prefix.
+
+    Scale: the month filter prunes lineitem to ~1/84 before the join;
+    the part side ships only (p_partkey, is_promo int8).
+    """
+    if num_partitions is None:
+        num_partitions = _default_parts()
+    y, m = int(month[:4]), int(month[5:7])
+    lo = _ts_us(f"{y:04d}-{m:02d}-01")
+    ny, nm = (y + 1, 1) if m == 12 else (y, m + 1)
+    hi = _ts_us(f"{ny:04d}-{nm:02d}-01")
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t.column("l_shipdate"), pa.int64())
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(ship, pa.scalar(lo, pa.int64())),
+                pc.less(ship, pa.scalar(hi, pa.int64())),
+            )
+        )
+        price = _cents(t.column("l_extendedprice"))
+        disc = _cents(t.column("l_discount"))
+        rev = pc.multiply(price, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        return pa.table({"l_partkey": t.column("l_partkey"), "rev": rev})
+
+    def part_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "is_promo": pc.cast(
+                    pc.equal(t.column("p_type"), pa.scalar(promo_type)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    j = safe_join(
+        lineitem.select_columns(
+            ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
+        ).map_batches(li_rows, batch_format="pyarrow"),
+        part.select_columns(["p_partkey", "p_type"]).map_batches(
+            part_rows, batch_format="pyarrow"
+        ),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+
+    def split(t: pa.Table) -> pa.Table:
+        rev = t.column("rev")
+        return pa.table(
+            {
+                "promo": pc.multiply(rev, t.column("is_promo")),
+                "total": rev,
+            }
+        )
+
+    from parallel_pagerank_ray.stages.agg import global_agg
+
+    g = global_agg(
+        j.map_batches(split, batch_format="pyarrow"),
+        {"promo_units": ("promo", "sum"), "total_units": ("total", "sum")},
+    )
+    promo, total = int(g["promo_units"]), int(g["total_units"])
+    ratio = (
+        np.float64(100 * promo) / np.float64(total) if total else np.float64(0)
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "promo_units": pa.array([promo], pa.int64()),
+                "total_units": pa.array([total], pa.int64()),
+                "promo_ratio": pa.array([float(ratio)], pa.float64()),
+            }
+        )
+    )
+
+
+def top_supplier(
+    lineitem: rd.Dataset,
+    supplier: rd.Dataset,
+    quarter_start: str = "1996-01-01",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """TPC-H Q15: supplier(s) with the maximum revenue in one quarter
+    — global argmax WITH ties (the reference query keeps every
+    supplier equal to the max). Output (s_suppkey, s_name,
+    total_revenue_units) sorted by suppkey.
+
+    Scale: lineitem collapses to |suppliers| partials (one bucketed
+    combine); the bounded per-supplier table materializes ONCE and
+    serves both the max probe and the equality filter — no second
+    scan of the fact table (the r3-ADVICE single-scan guard rule).
+    """
+    if num_partitions is None:
+        num_partitions = _default_parts()
+    lo = _ts_us(quarter_start)
+    y, m = int(quarter_start[:4]), int(quarter_start[5:7])
+    nm = m + 3
+    ny, nm = (y + 1, nm - 12) if nm > 12 else (y, nm)
+    hi = _ts_us(f"{ny:04d}-{nm:02d}-01")
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t.column("l_shipdate"), pa.int64())
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(ship, pa.scalar(lo, pa.int64())),
+                pc.less(ship, pa.scalar(hi, pa.int64())),
+            )
+        )
+        price = _cents(t.column("l_extendedprice"))
+        disc = _cents(t.column("l_discount"))
+        rev = pc.multiply(price, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        return pa.table({"l_suppkey": t.column("l_suppkey"), "rev": rev})
+
+    from parallel_pagerank_ray.stages.agg import global_agg, grouped_agg
+
+    per_supp = grouped_agg(
+        lineitem.select_columns(
+            ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]
+        ).map_batches(li_rows, batch_format="pyarrow"),
+        ["l_suppkey"],
+        {"total_revenue_units": ("rev", "sum")},
+    ).materialize()  # bounded: one row per supplier
+    g = global_agg(per_supp, {"mx": ("total_revenue_units", "max")})
+    mx = g["mx"]
+    if mx is None:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "s_suppkey": pa.array([], pa.int64()),
+                    "s_name": pa.array([], pa.string()),
+                    "total_revenue_units": pa.array([], pa.int64()),
+                }
+            )
+        )
+    winners = per_supp.filter(
+        expr=f"total_revenue_units == {int(mx)}"
+    )
+    j = safe_join(
+        winners,
+        supplier.select_columns(["s_suppkey", "s_name"]),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_suppkey",),
+        right_on=("s_suppkey",),
+    )
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "s_suppkey": df["l_suppkey"].astype(np.int64),
+                "s_name": df["s_name"],
+                "total_revenue_units": df["total_revenue_units"].astype(
+                    np.int64
+                ),
+            }
+        )
+
+    return j.map_batches(project, batch_format="pandas").sort("s_suppkey")
+
+
+DISJUNCT_CLAUSES: list[tuple[str, int, int, int, int]] = [
+    # (p_brand, size_lo, size_hi, qty_lo, qty_hi) — all inclusive
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#34", 1, 15, 20, 30),
+]
+
+
+def disjunctive_revenue(
+    lineitem: rd.Dataset,
+    part: rd.Dataset,
+    clauses: list[tuple[str, int, int, int, int]] | None = None,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """TPC-H Q19: revenue matched by an OR of (brand, size-range,
+    quantity-range) clauses — the disjunctive-predicate join no
+    single-column pushdown can serve. Output one row (revenue_units,
+    n_lineitems).
+
+    Adapted: the schema has no l_shipmode / p_container, so each
+    clause is (p_brand, p_size range, l_quantity range).
+
+    Scale: part ships only (key, brand-id int8, size); the clause
+    disjunction evaluates vectorized AFTER the key join; lineitem is
+    pre-pruned to the union of quantity ranges (the only predicate
+    that applies to it alone).
+    """
+    if clauses is None:
+        clauses = DISJUNCT_CLAUSES
+    if num_partitions is None:
+        num_partitions = _default_parts()
+    qty_lo = min(c[3] for c in clauses) * 100
+    qty_hi = max(c[4] for c in clauses) * 100
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        qty = _cents(t.column("l_quantity"))
+        t = t.append_column("qty_cents", qty)
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(
+                    t.column("qty_cents"), pa.scalar(qty_lo, pa.int64())
+                ),
+                pc.less_equal(
+                    t.column("qty_cents"), pa.scalar(qty_hi, pa.int64())
+                ),
+            )
+        )
+        price = _cents(t.column("l_extendedprice"))
+        disc = _cents(t.column("l_discount"))
+        rev = pc.multiply(price, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "qty_cents": t.column("qty_cents"),
+                "rev": rev,
+            }
+        )
+
+    brands = [c[0] for c in clauses]
+
+    def part_rows(t: pa.Table) -> pa.Table:
+        bid = pc.index_in(t.column("p_brand"), pa.array(brands))
+        t = pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "brand_id": pc.cast(
+                    pc.fill_null(bid, -1), pa.int64()
+                ),
+                "p_size": pc.cast(t.column("p_size"), pa.int64()),
+            }
+        )
+        return t.filter(
+            pc.greater_equal(t.column("brand_id"), pa.scalar(0, pa.int64()))
+        )
+
+    j = safe_join(
+        lineitem.select_columns(
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+        ).map_batches(li_rows, batch_format="pyarrow"),
+        part.select_columns(["p_partkey", "p_brand", "p_size"]).map_batches(
+            part_rows, batch_format="pyarrow"
+        ),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+
+    def clause_mask(t: pa.Table) -> pa.Table:
+        bid = t.column("brand_id").to_numpy(zero_copy_only=False)
+        size = t.column("p_size").to_numpy(zero_copy_only=False)
+        qty = t.column("qty_cents").to_numpy(zero_copy_only=False)
+        keep = np.zeros(t.num_rows, dtype=bool)
+        for i, (_b, slo, shi, qlo, qhi) in enumerate(clauses):
+            keep |= (
+                (bid == i)
+                & (size >= slo)
+                & (size <= shi)
+                & (qty >= qlo * 100)
+                & (qty <= qhi * 100)
+            )
+        return pa.table({"rev": t.column("rev").filter(pa.array(keep))})
+
+    from parallel_pagerank_ray.stages.agg import global_agg
+
+    g = global_agg(
+        j.map_batches(clause_mask, batch_format="pyarrow"),
+        {"revenue_units": ("rev", "sum"), "n_lineitems": ("rev", "count")},
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "revenue_units": pa.array(
+                    [int(g["revenue_units"])], pa.int64()
+                ),
+                "n_lineitems": pa.array([int(g["n_lineitems"])], pa.int64()),
+            }
+        )
+    )
+
+
+def waiting_suppliers(
+    lineitem: rd.Dataset,
+    orders: rd.Dataset,
+    supplier: rd.Dataset,
+    grace_days: int = 30,
+    k: int = 20,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    multi-supplier order — a correlated EXISTS (another supplier
+    shipped the order) plus NOT EXISTS (another supplier was also
+    late), decorrelated into two per-order aggregates. Output
+    (s_suppkey, s_name, numwait) top-k by (numwait desc, suppkey asc).
+
+    Adapted: no l_commitdate/l_receiptdate in the schema, so "late" =
+    the supplier's last shipment left more than ``grace_days`` after
+    the order date (the late_orders_by_priority rule).
+
+    Scale: lineitem collapses to one row per (order, supplier) before
+    anything joins; both decorrelation aggregates and the qualifying
+    join reuse the SAME orderkey partitioning; supplier names attach
+    to a k-bounded result.
+    """
+    if num_partitions is None:
+        num_partitions = _default_parts()
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    def ship_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "ship_us": pc.cast(t.column("l_shipdate"), pa.int64()),
+            }
+        )
+
+    per_os = grouped_agg(
+        lineitem.select_columns(
+            ["l_orderkey", "l_suppkey", "l_shipdate"]
+        ).map_batches(ship_rows, batch_format="pyarrow"),
+        ["l_orderkey", "l_suppkey"],
+        {"max_ship_us": ("ship_us", "max")},
+    )
+
+    def date_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "odate_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+            }
+        )
+
+    j = safe_join(
+        per_os,
+        orders.select_columns(["o_orderkey", "o_orderdate"]).map_batches(
+            date_rows, batch_format="pyarrow"
+        ),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    grace_us = np.int64(grace_days) * _US_PER_DAY
+
+    def flag(t: pa.Table) -> pa.Table:
+        late = pc.cast(
+            pc.greater(
+                t.column("max_ship_us"),
+                pc.add(
+                    t.column("odate_us"),
+                    pa.scalar(int(grace_us), pa.int64()),
+                ),
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "late": late,
+            }
+        )
+
+    flagged = j.map_batches(flag, batch_format="pyarrow").materialize()
+    per_order = grouped_agg(
+        flagged,
+        ["l_orderkey"],
+        {"n_supp": ("late", "count"), "n_late": ("late", "sum")},
+    )
+    q = safe_join(
+        flagged.filter(expr="late == 1"),
+        per_order,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+    )
+
+    def qualify(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.and_(
+                pc.greater(t.column("n_supp"), pa.scalar(1, pa.int64())),
+                pc.equal(t.column("n_late"), pa.scalar(1, pa.int64())),
+            )
+        )
+
+    qualifying = q.map_batches(qualify, batch_format="pyarrow")
+    per_supp = grouped_agg(
+        qualifying.select_columns(["l_suppkey", "late"]),
+        ["l_suppkey"],
+        {"numwait": ("late", "sum")},
+    )
+    named = safe_join(
+        per_supp,
+        supplier.select_columns(["s_suppkey", "s_name"]),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_suppkey",),
+        right_on=("s_suppkey",),
+    )
+    out = named.sort(["numwait", "l_suppkey"], descending=[True, False]).limit(k)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "s_suppkey": df["l_suppkey"].astype(np.int64),
+                "s_name": df["s_name"],
+                "numwait": df["numwait"].astype(np.int64),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+def idle_customers(
+    customer: rd.Dataset,
+    orders: rd.Dataset,
+    since: str = "1999-01-01",
+) -> rd.Dataset:
+    """TPC-H Q22 shape: per nation, the count and total balance of
+    LAPSED customers — above-average positive account balance and no
+    order on or after ``since``. Output (c_nationkey, n_cust,
+    total_acctbal_cents) per nation.
+
+    Adapted: the schema has no c_phone, so the grouping key is
+    c_nationkey instead of the phone country code; and every synthetic
+    customer has at least one lifetime order, so the NOT EXISTS is
+    against the recent-order subset (same anti-join shape,
+    non-vacuous result).
+
+    The above-average comparison is EXACT integer cross-multiplication
+    (acctbal_cents * n_positive > sum_positive_cents) — no float mean
+    ever exists, so the result is bit-identical at any parallelism.
+    Scale: the threshold is two scalars from one bounded global_agg;
+    the anti-join broadcasts the distinct buyer keys under its guard
+    and degrades to a hash join past it.
+    """
+    from parallel_pagerank_ray.stages.agg import global_agg, grouped_agg
+
+    def bal_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+                "bal_cents": _cents(t.column("c_acctbal")),
+            }
+        )
+
+    cust = (
+        customer.select_columns(["c_custkey", "c_nationkey", "c_acctbal"])
+        .map_batches(bal_rows, batch_format="pyarrow")
+        .materialize()  # read once: threshold probe + filter reuse blocks
+    )
+    pos = cust.filter(expr="bal_cents > 0")
+    g = global_agg(
+        pos, {"s": ("bal_cents", "sum"), "n": ("bal_cents", "count")}
+    )
+    s, n = int(g["s"]), int(g["n"])
+
+    def above_avg(t: pa.Table) -> pa.Table:
+        if not n:
+            return t.slice(0, 0)
+        return t.filter(
+            pc.greater(
+                pc.multiply(t.column("bal_cents"), pa.scalar(n, pa.int64())),
+                pa.scalar(s, pa.int64()),
+            )
+        )
+
+    rich = cust.map_batches(above_avg, batch_format="pyarrow")
+    cut = _ts_us(since)
+
+    def recent(t: pa.Table) -> pa.Table:
+        d = pc.cast(t.column("o_orderdate"), pa.int64())
+        return t.filter(
+            pc.greater_equal(d, pa.scalar(cut, pa.int64()))
+        ).select(["o_custkey"])
+
+    idle = anti_join(
+        rich,
+        orders.select_columns(["o_custkey", "o_orderdate"]).map_batches(
+            recent, batch_format="pyarrow"
+        ),
+        on="c_custkey",
+        right_on="o_custkey",
+    )
+    return grouped_agg(
+        idle,
+        ["c_nationkey"],
+        {
+            "n_cust": ("bal_cents", "count"),
+            "total_acctbal_cents": ("bal_cents", "sum"),
+        },
+    )
+
+
+def cheapest_supplier_per_part(
+    lineitem: rd.Dataset,
+    supplier: rd.Dataset,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """TPC-H Q2's shape without a partsupp table: for every part, the
+    supplier offering the MINIMUM observed price (min l_extendedprice
+    across its lineitems), ties broken by the smaller suppkey — the
+    per-group argmin pattern. Output (l_partkey, s_suppkey, s_name,
+    min_price_cents).
+
+    The argmin is ONE packed int64 min — pack = price_cents * 2^31 +
+    suppkey (price_cents < 2^32-ish is validated; suppkey < 2^31) — so
+    it rides the same bucketed combine as any sum, needs no join back
+    to the fact table, and is deterministic by construction.
+    """
+    if num_partitions is None:
+        num_partitions = _default_parts()
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+
+    SHIFT = np.int64(1) << 31
+
+    def packed(t: pa.Table) -> pa.Table:
+        price = _cents(t.column("l_extendedprice")).to_numpy(
+            zero_copy_only=False
+        )
+        supp = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        if len(price) and (
+            price.max() >= (1 << 32) or supp.max() >= SHIFT or price.min() < 0
+        ):
+            raise ValueError(
+                "packed argmin needs price_cents < 2^32 and suppkey < 2^31"
+            )
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "pack": pa.array(price * SHIFT + supp, pa.int64()),
+            }
+        )
+
+    mins = grouped_agg(
+        lineitem.select_columns(
+            ["l_partkey", "l_suppkey", "l_extendedprice"]
+        ).map_batches(packed, batch_format="pyarrow"),
+        ["l_partkey"],
+        {"min_pack": ("pack", "min")},
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        p = t.column("min_pack").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "s_suppkey": pa.array(p % SHIFT, pa.int64()),
+                "min_price_cents": pa.array(p // SHIFT, pa.int64()),
+            }
+        )
+
+    j = safe_join(
+        mins.map_batches(unpack, batch_format="pyarrow"),
+        supplier.select_columns(["s_suppkey", "s_name"]),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("s_suppkey",),
+    )
+    return j.select_columns(
+        ["l_partkey", "s_suppkey", "s_name", "min_price_cents"]
+    )

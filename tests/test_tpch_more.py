@@ -1,0 +1,126 @@
+"""Law tests for the remaining TPC-H shapes (tpch_more.py) on tiny
+hand-built tables — argmax ties, argmin tie-break, sole-late-supplier
+semantics. The value-exact DuckDB gates run in the oracle sweep."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from parallel_pagerank_ray.pipelines.tpch_more import (
+    cheapest_supplier_per_part,
+    top_supplier,
+    waiting_suppliers,
+)
+
+
+def _ts(s: str) -> np.datetime64:
+    return np.datetime64(s + "T00:00:00", "us")
+
+
+def _li(rows):
+    # rows: (orderkey, suppkey, partkey, extendedprice, discount, shipdate)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_suppkey": pa.array([r[1] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[2] for r in rows], pa.int64()),
+                "l_extendedprice": pa.array(
+                    [float(r[3]) for r in rows], pa.float64()
+                ),
+                "l_discount": pa.array(
+                    [float(r[4]) for r in rows], pa.float64()
+                ),
+                "l_shipdate": pa.array(
+                    [_ts(r[5]) for r in rows], pa.timestamp("us")
+                ),
+            }
+        )
+    )
+
+
+def _supp(keys):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "s_suppkey": pa.array(keys, pa.int64()),
+                "s_name": pa.array([f"S{k}" for k in keys], pa.string()),
+            }
+        )
+    )
+
+
+def test_top_supplier_keeps_all_ties():
+    # suppliers 1 and 2 both gross exactly 100.00 undiscounted in-window
+    li = _li(
+        [
+            (1, 1, 1, 100.0, 0.0, "1996-02-01"),
+            (2, 2, 1, 50.0, 0.0, "1996-02-02"),
+            (3, 2, 1, 50.0, 0.0, "1996-03-01"),
+            (4, 3, 1, 99.0, 0.0, "1996-02-03"),
+            (5, 1, 1, 999.0, 0.0, "1997-01-01"),  # out of window
+        ]
+    )
+    out = top_supplier(li, _supp([1, 2, 3])).to_pandas()
+    assert out["s_suppkey"].tolist() == [1, 2]
+    assert out["total_revenue_units"].tolist() == [100_00 * 100] * 2
+
+
+def test_cheapest_supplier_tiebreak_min_suppkey():
+    li = _li(
+        [
+            (1, 7, 10, 5.0, 0.0, "1996-01-01"),
+            (2, 3, 10, 5.0, 0.0, "1996-01-02"),  # same price, smaller key
+            (3, 9, 10, 6.0, 0.0, "1996-01-03"),
+            (4, 9, 11, 1.0, 0.0, "1996-01-04"),
+        ]
+    )
+    out = (
+        cheapest_supplier_per_part(li, _supp([3, 7, 9]))
+        .to_pandas()
+        .sort_values("l_partkey")
+        .reset_index(drop=True)
+    )
+    assert out["l_partkey"].tolist() == [10, 11]
+    assert out["s_suppkey"].tolist() == [3, 9]
+    assert out["min_price_cents"].tolist() == [500, 100]
+
+
+def test_cheapest_supplier_pack_guard():
+    li = _li([(1, 5, 10, 50_000_000.0, 0.0, "1996-01-01")])
+    with pytest.raises((ValueError, Exception)):
+        cheapest_supplier_per_part(li, _supp([5])).to_pandas()
+
+
+def test_waiting_suppliers_sole_late_only():
+    def ords(rows):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                    "o_orderdate": pa.array(
+                        [_ts(r[1]) for r in rows], pa.timestamp("us")
+                    ),
+                }
+            )
+        )
+
+    li = _li(
+        [
+            # order 1: suppliers 1 (late) and 2 (on time) -> 1 qualifies
+            (1, 1, 1, 1.0, 0.0, "1996-03-15"),
+            (1, 2, 1, 1.0, 0.0, "1996-01-05"),
+            # order 2: suppliers 1 and 2 BOTH late -> nobody qualifies
+            (2, 1, 1, 1.0, 0.0, "1996-06-01"),
+            (2, 2, 1, 1.0, 0.0, "1996-06-02"),
+            # order 3: single supplier, late -> no other supplier, skip
+            (3, 1, 1, 1.0, 0.0, "1996-09-01"),
+        ]
+    )
+    orders = ords([(1, "1996-01-01"), (2, "1996-01-01"), (3, "1996-01-01")])
+    out = waiting_suppliers(li, orders, _supp([1, 2]), grace_days=30).to_pandas()
+    assert out["s_suppkey"].tolist() == [1]
+    assert out["numwait"].tolist() == [1]
