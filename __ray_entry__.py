@@ -1005,6 +1005,32 @@ def q_triangles_copurchase(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_four_cliques(sf_dir: str) -> pd.DataFrame:
+    """Exact 4-clique count over the co-purchase graph — triangle list
+    + contiguous neighbor-slice extension on the broadcast sorted key
+    set (pipelines/triangles.py::four_clique_count); int64-exact."""
+    from parallel_pagerank_ray.pipelines.triangles import four_clique_count
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return pd.DataFrame(
+        {"four_cliques": np.array(
+            [four_clique_count(g, edges_simple=True)], dtype=np.int64)}
+    )
+
+
+def q_partition_cut(sf_dir: str) -> rd.Dataset:
+    """Edge-cut + per-partition gather load under hash vs range vertex
+    partitioning at P=8 (pipelines/partition_stats.py) — the explicit
+    partitioning/skew diagnostic the north rule asks for; one pass,
+    two bincounts per batch, no edge shuffle."""
+    from parallel_pagerank_ray.pipelines.partition_stats import (
+        partition_edge_cut,
+    )
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return partition_edge_cut(g, num_parts=8)
+
+
 # ---------------------------------------------------------------------------
 # documents: text analysis + dedup
 # ---------------------------------------------------------------------------
@@ -3187,6 +3213,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "labelprop_copurchase": q_labelprop_copurchase,
         "labelprop_weighted_copurchase": q_labelprop_weighted_copurchase,
         "triangles_copurchase": q_triangles_copurchase,
+        "four_cliques": q_four_cliques,
+        "partition_cut": q_partition_cut,
         "triangles_doulion": q_triangles_doulion,
         "clustering_coefficient": q_clustering_coefficient,
         "hits_supplier_part": q_hits_supplier_part,
@@ -4731,6 +4759,38 @@ def oracle_sql() -> dict[str, str]:
             FROM und e1
             JOIN und e2 ON e1.dst = e2.src
             JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        """,
+        "four_cliques": f"""
+            WITH c AS MATERIALIZED ({_COPURCHASE_SQL}),
+            tri AS MATERIALIZED (
+              SELECT a.src AS u, a.dst AS v, b.dst AS w
+              FROM c a JOIN c b ON b.src = a.dst
+              JOIN c d ON d.src = a.src AND d.dst = b.dst)
+            SELECT CAST(count(*) AS BIGINT) AS four_cliques
+            FROM tri
+            JOIN c e1 ON e1.src = tri.w
+            JOIN c e2 ON e2.src = tri.v AND e2.dst = e1.dst
+            JOIN c e3 ON e3.src = tri.u AND e3.dst = e1.dst
+        """,
+        "partition_cut": f"""
+            WITH c AS MATERIALIZED ({_COPURCHASE_SQL}),
+            p AS (SELECT greatest(1,
+                    (max(greatest(src, dst)) + 1 + 7) // 8) AS ps
+                  FROM c),
+            sel AS (
+              SELECT 'hash' AS scheme, dst % 8 AS part,
+                     CASE WHEN src % 8 <> dst % 8 THEN 1 ELSE 0 END
+                       AS cut
+              FROM c
+              UNION ALL
+              SELECT 'range', dst // p.ps,
+                     CASE WHEN src // p.ps <> dst // p.ps
+                          THEN 1 ELSE 0 END
+              FROM c, p)
+            SELECT scheme, CAST(part AS BIGINT) AS part,
+                   CAST(count(*) AS BIGINT) AS n_edges,
+                   CAST(sum(cut) AS BIGINT) AS n_cut
+            FROM sel GROUP BY 1, 2
         """,
         "triangles_doulion": f"""
             WITH und AS ({_COPURCHASE_SQL}),

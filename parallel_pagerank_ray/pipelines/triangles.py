@@ -563,3 +563,88 @@ def triangle_list(
             closed_wedges, batch_format="numpy"
         )
     )
+
+
+def four_clique_count(
+    graph: Graph,
+    num_partitions: int | None = None,
+    num_buckets: int | None = None,
+    edges_simple: bool = False,
+    broadcast_max: int = 50_000_000,
+) -> int:
+    """Exact 4-clique count — the next motif up from triangles.
+
+    For every enumerated triangle (a < b < c) the candidates x are
+    exactly c's canonical neighbors ABOVE c, which form a CONTIGUOUS
+    slice of the sorted packed key array (key = src * n + dst,
+    src < dst): two searchsorteds bound the slice, one ranges-gather
+    expands it, and two more binary searches verify (a, x) and (b, x).
+    Fully vectorized per batch; integer count, partition-invariant.
+
+    Scale: rides triangle_list's broadcast guard (one plasma copy of
+    the canonical key set, <= ``broadcast_max`` edges at 8 B/edge);
+    work is sum over triangles of deg_above(c) — the compact-forward
+    analog for cliques (kClist's ordering argument). Beyond the guard
+    the wedge-shuffle closure path generalizes; this caller-facing
+    exact variant deliberately raises instead of hiding that switch.
+    """
+    n = graph.n
+    if n == 0:
+        return 0
+    if n >= (1 << 31):  # pragma: no cover - key packing bound
+        raise ValueError("four_clique_count: n >= 2^31 overflows key packing")
+    tris = triangle_list(
+        graph,
+        num_partitions=num_partitions,
+        num_buckets=num_buckets,
+        edges_simple=edges_simple,
+        broadcast_max=broadcast_max,
+    )
+    simple = (
+        graph.edges if edges_simple else _simple_undirected(graph.edges)
+    )
+    import ray as _ray
+
+    nb = np.int64(n)
+    key_parts = [
+        (blk.column("src").to_numpy().astype(np.int64) * nb
+         + blk.column("dst").to_numpy().astype(np.int64))
+        for blk in _ray.get(simple.to_arrow_refs())
+        if blk.num_rows
+    ]
+    keys = (
+        np.sort(np.concatenate(key_parts))
+        if key_parts
+        else np.array([], dtype=np.int64)
+    )
+    keys_ref = _ray.put(keys)
+
+    def partial(g: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        ks = _ray.get(keys_ref)
+        a = g["a"].astype(np.int64)
+        b = g["b"].astype(np.int64)
+        c = g["c"].astype(np.int64)
+        if len(c) == 0 or len(ks) == 0:
+            return {"cnt": np.array([0], dtype=np.int64)}
+        lo = np.searchsorted(ks, c * nb + c + 1)
+        hi = np.searchsorted(ks, (c + 1) * nb)
+        lens = hi - lo
+        total = int(lens.sum())
+        if total == 0:
+            return {"cnt": np.array([0], dtype=np.int64)}
+        rep = np.repeat(np.arange(len(c)), lens)
+        offs = np.arange(total) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        pos = np.repeat(lo, lens) + offs
+        x = ks[pos] - c[rep] * nb  # neighbors of c above c
+        ka = a[rep] * nb + x
+        kb = b[rep] * nb + x
+        pa_ = np.searchsorted(ks, ka)
+        pb_ = np.searchsorted(ks, kb)
+        ok = (pa_ < len(ks)) & (pb_ < len(ks))
+        ok[ok] &= (ks[pa_[ok]] == ka[ok]) & (ks[pb_[ok]] == kb[ok])
+        return {"cnt": np.array([int(ok.sum())], dtype=np.int64)}
+
+    parts = tris.map_batches(partial, batch_format="numpy").take_all()
+    return int(sum(int(r["cnt"]) for r in parts))

@@ -1,0 +1,97 @@
+"""four_clique_count + partition_edge_cut vs brute-force oracles."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from parallel_pagerank_ray.pipelines.graph_build import Graph
+from parallel_pagerank_ray.pipelines.partition_stats import partition_edge_cut
+from parallel_pagerank_ray.pipelines.triangles import four_clique_count
+from parallel_pagerank_ray.sources.pages import powerlaw_edges
+
+
+def _graph(e: np.ndarray) -> Graph:
+    return Graph.from_int_edges(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(e[:, 0], pa.int64()),
+                    "dst": pa.array(e[:, 1], pa.int64()),
+                }
+            )
+        )
+    )
+
+
+def brute_four_cliques(n: int, e: np.ndarray) -> int:
+    adj = set()
+    for s, d in e:
+        if s != d:
+            adj.add((min(s, d), max(s, d)))
+    verts = sorted({v for p in adj for v in p})
+    cnt = 0
+    for quad in itertools.combinations(verts, 4):
+        if all(
+            (a, b) in adj for a, b in itertools.combinations(quad, 2)
+        ):
+            cnt += 1
+    return cnt
+
+
+def test_four_cliques_vs_brute():
+    rng = np.random.default_rng(11)
+    # dense-ish small graph so 4-cliques exist
+    n = 18
+    pairs = np.array(
+        [(i, j) for i in range(n) for j in range(i + 1, n)], dtype=np.int64
+    )
+    mask = rng.random(len(pairs)) < 0.45
+    e = pairs[mask]
+    # feed both directions + dups to exercise canonicalization
+    e_noisy = np.vstack([e, e[:, ::-1], e[: len(e) // 2]])
+    g = _graph(e_noisy)
+    expected = brute_four_cliques(n, e)
+    assert expected > 0
+    assert four_clique_count(g) == expected
+
+
+def test_four_cliques_k5_complete():
+    # K5 contains C(5,4) = 5 four-cliques
+    e = np.array(
+        [(i, j) for i in range(5) for j in range(i + 1, 5)], dtype=np.int64
+    )
+    assert four_clique_count(_graph(e)) == 5
+
+
+def test_partition_cut_matches_numpy():
+    e = powerlaw_edges(300, 5, seed=3)
+    g = _graph(e)
+    p = 8
+    got = (
+        partition_edge_cut(g, num_parts=p)
+        .to_pandas()
+        .sort_values(["scheme", "part"])
+        .reset_index(drop=True)
+    )
+    # graph edges are deduplicated canonicalized? from_int_edges dedups
+    # exact (src, dst) pairs but keeps direction
+    eg = g.edges.to_pandas()[["src", "dst"]].to_numpy()
+    ps = max(1, -(-g.n // p))
+    for scheme, fs, fd in (
+        ("hash", eg[:, 0] % p, eg[:, 1] % p),
+        ("range", eg[:, 0] // ps, eg[:, 1] // ps),
+    ):
+        sub = got[got.scheme == scheme]
+        load = np.bincount(fd, minlength=p)
+        cut = np.bincount(fd[fs != fd], minlength=p)
+        nz = np.flatnonzero(load)
+        assert sub["part"].tolist() == nz.tolist()
+        assert sub["n_edges"].tolist() == load[nz].tolist()
+        assert sub["n_cut"].tolist() == cut[nz].tolist()
+    # totals are scheme-invariant
+    tot = got.groupby("scheme")["n_edges"].sum()
+    assert tot["hash"] == tot["range"] == len(eg)
