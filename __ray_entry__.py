@@ -1415,6 +1415,32 @@ def q_matching_copurchase(sf_dir: str) -> rd.Dataset:
     return matching_bsp(g).pairs
 
 
+def q_coarsen_copurchase(sf_dir: str) -> rd.Dataset:
+    """METIS-style first-level coarsening (pipelines/coarsen.py):
+    contract the deterministic maximal matching, sum parallel edges —
+    (csrc, cdst, w) int64-exact vs the round-replay CTE +
+    contraction join."""
+    from parallel_pagerank_ray.pipelines.coarsen import coarsen_graph
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return coarsen_graph(g, edges_canonical=True)
+
+
+def q_quota_mix(sf_dir: str) -> rd.Dataset:
+    """Exact-quota weighted source mixing (functions/sampling.py::
+    quota_mix): source src{i} gets weight (i % 4) + 1, total 200 —
+    quota_s = min(count_s, 200 * w_s // sum_w) rows chosen as the
+    quota smallest by (md5 rank, doc_id). Rank-based, so the output
+    SIZE is the stated mixture, unlike probability-gate sampling."""
+    from parallel_pagerank_ray.functions.sampling import quota_mix
+
+    docs = _documents(sf_dir, ["doc_id", "source"])
+    weights = {f"src{i}": (i % 4) + 1 for i in range(20)}
+    return quota_mix(
+        docs, "doc_id", "source", weights, total=200, salt="mix"
+    )
+
+
 def q_katz_pages(sf_dir: str) -> rd.Dataset:
     """Truncated Katz centrality (pipelines/katz.py) over the directed
     page link graph: (url, score) with score = sum_{k=1..4}
@@ -3231,6 +3257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mis_copurchase": q_mis_copurchase,
         "coloring_copurchase": q_coloring_copurchase,
         "matching_copurchase": q_matching_copurchase,
+        "coarsen_copurchase": q_coarsen_copurchase,
         "rich_club": q_rich_club,
         "wl_colors": q_wl_colors,
         "wl_class_sizes": q_wl_class_sizes,
@@ -3329,6 +3356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_triples": q_frequent_triples,
         "pack_docs": q_pack_docs,
         "balance_sources": q_balance_sources,
+        "quota_mix": q_quota_mix,
         "retention_cohorts": q_retention_cohorts,
         "small_quantity_revenue": q_small_quantity_revenue,
         "pricing_summary": q_pricing_summary,
@@ -3422,6 +3450,56 @@ def _supplier_part_vid_graph(edges_sql: str) -> str:
                        coalesce((SELECT n FROM nn), 1), 1))) AS vid)
     """
 
+
+# Handshake-matching round replay over the `und`/`v` prelude — the
+# exact rule of pipelines/matching.py (local-min edge by the
+# (key, u, v) tuple, mutual-proposal handshake, matched vertices
+# leave). Shared by the matching and coarsening oracles.
+_MATCHING_ST_SQL = """
+              st(it, vid, m, ch) AS (
+                SELECT 0, vid, CAST(-1 AS BIGINT), 1 FROM v
+                UNION ALL
+                SELECT s.it + 1, s.vid,
+                       CASE WHEN s.m >= 0 THEN s.m
+                            WHEN hs.partner IS NOT NULL THEN hs.partner
+                            ELSE -1 END,
+                       CASE WHEN s.m < 0 AND hs.partner IS NOT NULL
+                            THEN 1 ELSE 0 END
+                FROM st s
+                LEFT JOIN (
+                  SELECT p1.vid, p1.partner
+                  FROM (
+                    SELECT q.vid, q.partner FROM (
+                      SELECT u.dst AS vid, u.src AS partner,
+                             row_number() OVER (PARTITION BY u.dst ORDER BY
+                               (1000037 * least(u.src, u.dst)
+                                + 999983 * greatest(u.src, u.dst))
+                               % 2147483647,
+                               least(u.src, u.dst),
+                               greatest(u.src, u.dst)) AS rn
+                      FROM und u
+                      JOIN st a ON a.vid = u.src AND a.m = -1
+                      JOIN st b ON b.vid = u.dst AND b.m = -1
+                    ) q WHERE q.rn = 1
+                  ) p1
+                  JOIN (
+                    SELECT q.vid, q.partner FROM (
+                      SELECT u.dst AS vid, u.src AS partner,
+                             row_number() OVER (PARTITION BY u.dst ORDER BY
+                               (1000037 * least(u.src, u.dst)
+                                + 999983 * greatest(u.src, u.dst))
+                               % 2147483647,
+                               least(u.src, u.dst),
+                               greatest(u.src, u.dst)) AS rn
+                      FROM und u
+                      JOIN st a ON a.vid = u.src AND a.m = -1
+                      JOIN st b ON b.vid = u.dst AND b.m = -1
+                    ) q WHERE q.rn = 1
+                  ) p2 ON p2.vid = p1.partner AND p2.partner = p1.vid
+                ) hs ON hs.vid = s.vid
+                WHERE (SELECT max(s2.ch) FROM st s2) = 1
+              )
+"""
 
 # 3-round 1-WL refinement over the `und`/`v` prelude — the exact
 # hash-sum arithmetic of pipelines/wl.py (hashing-policy constants;
@@ -5353,52 +5431,29 @@ def oracle_sql() -> dict[str, str]:
         "matching_copurchase": f"""
             WITH RECURSIVE
             {_supplier_part_vid_graph(_COPURCHASE_SQL)},
-              st(it, vid, m, ch) AS (
-                SELECT 0, vid, CAST(-1 AS BIGINT), 1 FROM v
-                UNION ALL
-                SELECT s.it + 1, s.vid,
-                       CASE WHEN s.m >= 0 THEN s.m
-                            WHEN hs.partner IS NOT NULL THEN hs.partner
-                            ELSE -1 END,
-                       CASE WHEN s.m < 0 AND hs.partner IS NOT NULL
-                            THEN 1 ELSE 0 END
-                FROM st s
-                LEFT JOIN (
-                  SELECT p1.vid, p1.partner
-                  FROM (
-                    SELECT q.vid, q.partner FROM (
-                      SELECT u.dst AS vid, u.src AS partner,
-                             row_number() OVER (PARTITION BY u.dst ORDER BY
-                               (1000037 * least(u.src, u.dst)
-                                + 999983 * greatest(u.src, u.dst))
-                               % 2147483647,
-                               least(u.src, u.dst),
-                               greatest(u.src, u.dst)) AS rn
-                      FROM und u
-                      JOIN st a ON a.vid = u.src AND a.m = -1
-                      JOIN st b ON b.vid = u.dst AND b.m = -1
-                    ) q WHERE q.rn = 1
-                  ) p1
-                  JOIN (
-                    SELECT q.vid, q.partner FROM (
-                      SELECT u.dst AS vid, u.src AS partner,
-                             row_number() OVER (PARTITION BY u.dst ORDER BY
-                               (1000037 * least(u.src, u.dst)
-                                + 999983 * greatest(u.src, u.dst))
-                               % 2147483647,
-                               least(u.src, u.dst),
-                               greatest(u.src, u.dst)) AS rn
-                      FROM und u
-                      JOIN st a ON a.vid = u.src AND a.m = -1
-                      JOIN st b ON b.vid = u.dst AND b.m = -1
-                    ) q WHERE q.rn = 1
-                  ) p2 ON p2.vid = p1.partner AND p2.partner = p1.vid
-                ) hs ON hs.vid = s.vid
-                WHERE (SELECT max(s2.ch) FROM st s2) = 1
-              )
+            {_MATCHING_ST_SQL}
             SELECT DISTINCT least(vid, m) AS src, greatest(vid, m) AS dst
             FROM st
             WHERE it = (SELECT max(it) FROM st) AND m >= 0
+        """,
+        "coarsen_copurchase": f"""
+            WITH RECURSIVE
+            {_supplier_part_vid_graph(_COPURCHASE_SQL)},
+            {_MATCHING_ST_SQL},
+            fin AS (SELECT vid, m FROM st
+                    WHERE it = (SELECT max(it) FROM st)),
+            sup AS (SELECT vid,
+                           CASE WHEN m >= 0 THEN least(vid, m)
+                                ELSE vid END AS s
+                    FROM fin),
+            ce AS (SELECT src, dst FROM und WHERE src < dst)
+            SELECT least(a.s, b.s) AS csrc, greatest(a.s, b.s) AS cdst,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM ce e
+            JOIN sup a ON a.vid = e.src
+            JOIN sup b ON b.vid = e.dst
+            WHERE a.s <> b.s
+            GROUP BY 1, 2
         """,
         "coloring_copurchase": f"""
             WITH RECURSIVE
@@ -5797,6 +5852,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
                        AS UBIGINT) % 100
                   < (100 * (SELECT min(c) FROM cnt)) // cnt.c
+        """,
+        "quota_mix": """
+            WITH w(source, wt) AS (VALUES
+              ('src0', 1), ('src1', 2), ('src2', 3), ('src3', 4),
+              ('src4', 1), ('src5', 2), ('src6', 3), ('src7', 4),
+              ('src8', 1), ('src9', 2), ('src10', 3), ('src11', 4),
+              ('src12', 1), ('src13', 2), ('src14', 3), ('src15', 4),
+              ('src16', 1), ('src17', 2), ('src18', 3), ('src19', 4)),
+            cnt AS (SELECT source, count(*) AS c
+                    FROM documents GROUP BY 1),
+            q AS (SELECT cnt.source,
+                         least(cnt.c, 200 * w.wt // 50) AS quota
+                  FROM cnt JOIN w ON w.source = cnt.source),
+            r AS (SELECT doc_id, source,
+                    row_number() OVER (PARTITION BY source ORDER BY
+                      CAST(('0x' || substr(
+                        md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT),
+                      doc_id) AS rn
+                  FROM documents)
+            SELECT r.doc_id, r.source
+            FROM r JOIN q ON q.source = r.source
+            WHERE r.rn <= q.quota
         """,
         "quality_filter": f"""
             WITH t AS (

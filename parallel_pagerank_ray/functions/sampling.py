@@ -142,3 +142,112 @@ def split_corpus(
         return t.append_column("split", pa.array(out, pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def quota_mix(
+    ds: rd.Dataset,
+    key_col: str,
+    group_col: str,
+    weights: dict,
+    total: int,
+    salt: str = "",
+) -> rd.Dataset:
+    """EXACT-quota weighted mixing: group g receives exactly
+    ``min(count_g, total * w_g // sum(w))`` rows — the data-mixing
+    recipe step where the mixture proportions are a stated contract
+    (e.g. "20% code, 30% wiki"), not an expected value.
+
+    Selection within a group is the quota smallest rows by
+    (md5(salt+key) first-8-hex value, key) — a rank, not a probability
+    gate — so unlike ``stratified_sample`` the output SIZE is exact
+    and still deterministic across runs, partitionings, and engines.
+    Groups absent from ``weights`` contribute nothing.
+
+    Scale shape: one tiny count aggregate (rows = #groups) fixes the
+    integer quotas; then a grouped-top-k with PER-GROUP k — map-side
+    prune caps each batch at quota_g rows per group before the bucket
+    shuffle, so traffic is O(sum quotas * blocks) regardless of corpus
+    size, and the final per-group head runs on pre-pruned buckets.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from parallel_pagerank_ray.stages.agg import (
+        bucket_of,
+        grouped_agg,
+        resolve_num_buckets,
+    )
+    from parallel_pagerank_ray.util import drop_empty_blocks
+
+    if total < 0:
+        raise ValueError("total must be >= 0")
+    sum_w = sum(int(w) for w in weights.values())
+    if sum_w <= 0:
+        raise ValueError("weights must sum to a positive integer")
+
+    def one(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        return t.append_column(
+            "__one", pa.array(_np.ones(len(t), dtype="int64"))
+        )
+
+    counts = grouped_agg(
+        ds.select_columns([group_col]).map_batches(one, batch_format="pyarrow"),
+        [group_col],
+        {"c": ("__one", "sum")},
+    ).take_all()
+    quotas = {}
+    for r in counts:
+        g = r[group_col]
+        w = int(weights.get(g, 0))
+        if w > 0:
+            quotas[g] = min(int(r["c"]), (total * w) // sum_w)
+    num_buckets = resolve_num_buckets(ds)
+
+    def rank_val(keys: "pd.Series") -> "np.ndarray":
+        return np.array(
+            [
+                int(
+                    hashlib.md5(
+                        (salt + str(k)).encode("utf-8")
+                    ).hexdigest()[:8],
+                    16,
+                )
+                for k in keys
+            ],
+            dtype=np.int64,
+        )
+
+    def head_quota(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(
+            ["__rk", key_col], kind="stable"
+        )
+        kept = df.groupby(group_col, sort=False, group_keys=False).apply(
+            lambda g: g.head(quotas.get(g.name, 0))
+        )
+        return kept.reset_index(drop=True)
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) == 0:
+            return pd.DataFrame()
+        df = df[df[group_col].isin(list(quotas))].copy()
+        if len(df) == 0:
+            return pd.DataFrame()
+        df["__rk"] = rank_val(df[key_col])
+        df = head_quota(df)
+        if len(df) == 0:
+            return pd.DataFrame()
+        df["__b"] = bucket_of(df, [group_col], num_buckets)
+        return df
+
+    def final(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = head_quota(g.drop(columns="__b"))
+        return out.drop(columns="__rk")
+
+    return drop_empty_blocks(
+        ds.select_columns([key_col, group_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )
