@@ -1150,6 +1150,19 @@ def q_bfs_copurchase(sf_dir: str) -> rd.Dataset:
     return bfs_distances_bsp(g, [0], store=store).distances
 
 
+def q_landmark_distances(sf_dir: str) -> rd.Dataset:
+    """Landmark distance sketch (Potamias et al.): per-vertex hop
+    distances to a 3-landmark panel over the undirected co-purchase
+    graph — (vid, d0, d1, d2), -1 unreachable. d(u,v) is later
+    estimated in O(|L|) as min_l d(u,l)+d(l,v) with no graph access.
+    One shared-store BFS per landmark + L bounded vid-key joins;
+    integer hops -> exact at any parallelism."""
+    from parallel_pagerank_ray.pipelines.bfs import landmark_distances
+
+    g, store = _copurchase_und_store(sf_dir)
+    return landmark_distances(g, [0, 1, 2], store=store)
+
+
 def q_local_clustering(sf_dir: str) -> rd.Dataset:
     """Per-vertex triangle counts + local clustering coefficient over
     the co-purchase graph: (vid, tri, deg, lcc). tri/deg int64-exact;
@@ -3247,6 +3260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_copurchase": q_kcore_copurchase,
         "coreness_copurchase": q_coreness_copurchase,
         "bfs_copurchase": q_bfs_copurchase,
+        "landmark_distances": q_landmark_distances,
         "shortest_path_trace": q_shortest_path_trace,
         "closeness_copurchase": q_closeness_copurchase,
         "harmonic_copurchase": q_harmonic_copurchase,
@@ -5026,6 +5040,32 @@ def oracle_sql() -> dict[str, str]:
               )
             SELECT vid, CAST(min(d) AS BIGINT) AS dist
             FROM walk GROUP BY 1
+        """,
+        "landmark_distances": f"""
+            WITH RECURSIVE
+            {_supplier_part_vid_graph(_COPURCHASE_SQL)},
+              walk(s, vid, d) AS (
+                SELECT CAST(s AS BIGINT), CAST(s AS BIGINT), 0
+                FROM (SELECT unnest([0, 1, 2]) AS s)
+                UNION
+                -- depth cap bounds the (s, vid, d) row space only;
+                -- it sits far above the true eccentricity (2-3) and a
+                -- short cap MISSES vertices -> fails the value check
+                SELECT w.s, u.dst, w.d + 1
+                FROM walk w JOIN und u ON u.src = w.vid
+                WHERE w.d < 8
+              ),
+              dist AS MATERIALIZED (
+                SELECT s, vid, CAST(min(d) AS BIGINT) AS d
+                FROM walk GROUP BY 1, 2)
+            SELECT v.vid,
+                   CAST(coalesce(l0.d, -1) AS BIGINT) AS d0,
+                   CAST(coalesce(l1.d, -1) AS BIGINT) AS d1,
+                   CAST(coalesce(l2.d, -1) AS BIGINT) AS d2
+            FROM v
+            LEFT JOIN dist l0 ON l0.vid = v.vid AND l0.s = 0
+            LEFT JOIN dist l1 ON l1.vid = v.vid AND l1.s = 1
+            LEFT JOIN dist l2 ON l2.vid = v.vid AND l2.s = 2
         """,
         "shortest_path_trace": f"""
             WITH RECURSIVE

@@ -132,6 +132,24 @@ class _BFSShard:
         self.dist.fill(-1)
         self.frontier = np.array([], dtype=np.int64)
 
+    def snapshot(self) -> None:
+        """Stash the current dist slice (one stash per landmark,
+        between reset()s — landmark_distances' per-shard columns)."""
+        if not hasattr(self, "_snaps"):
+            self._snaps = []
+        self._snaps.append(self.dist.copy())
+
+    def snapshot_table(self):
+        """(vid, d0..d{L-1}) over the local slice from the stashed
+        snapshots — the landmark sketch assembles shard-locally, no
+        joins, no extra exchange."""
+        import pyarrow as pa
+
+        cols = {"vid": self.base + np.arange(self.size, dtype=np.int64)}
+        for i, d in enumerate(getattr(self, "_snaps", [])):
+            cols[f"d{i}"] = d
+        return pa.table(cols)
+
     def hist(self) -> np.ndarray:
         """Distance histogram over the local slice (index = distance,
         value = count; index 0 counts the seeds). O(ecc) wire size —
@@ -322,3 +340,66 @@ def shortest_path_trace(
             }
         )
     )
+
+
+def landmark_distances(
+    graph: Graph,
+    landmarks: list[int],
+    store: EdgeShardStore | None = None,
+    num_parts: int | None = None,
+    max_depth: int = 10_000,
+) -> rd.Dataset:
+    """Per-vertex hop distances to a panel of landmark vertices —
+    the landmark/pivot distance sketch (Potamias et al.'s landmark
+    embedding): d(u, v) is later estimated in O(|L|) by
+    min_l d(u, l) + d(l, v) without touching the graph.
+
+    One frontier-sparse BFS per landmark over ONE shared shard pool
+    (the CSR build is the expensive part; reset() between landmarks is
+    O(size)); each shard stashes its dist slice per landmark and emits
+    the final (vid, d0..d{L-1}) table locally — no joins, no exchange
+    beyond the BFS frontiers themselves. -1 = unreachable. Integer
+    hops -> exact at any parallelism.
+
+    Scale: L is small by contract (4-16); state is O(E_p + L*size) per
+    shard; total traffic L * O(E) worst case.
+    """
+    import pyarrow as pa
+
+    n = graph.n
+    cols = ["vid"] + [f"d{i}" for i in range(len(landmarks))]
+    if n == 0 or not landmarks:
+        return rd.from_arrow(
+            pa.table({c: pa.array([], pa.int64()) for c in cols})
+        )
+    marks = [int(l) for l in landmarks]
+    if min(marks) < 0 or max(marks) >= n:
+        raise ValueError(f"landmark vid out of range [0, {n})")
+    if store is None:
+        ne = edge_count_hint(graph.edges)
+        if num_parts is None:
+            num_parts = (
+                sweep_num_parts(2 * ne)
+                if ne is not None
+                else cap_num_parts(8, n)
+            )
+        und = undirected_edges(graph.edges, dedup=False)
+        store = EdgeShardStore.build(und, n=n, num_parts=num_parts)
+    P = max(1, -(-n // store.part_size))
+    per_actor = per_actor_cpus(P)
+    actors = [
+        _BFSShard.options(num_cpus=per_actor).remote(
+            p, store.part_refs.get(p, []), n, store.part_size
+        )
+        for p in range(P)
+    ]
+    for i, l in enumerate(marks):
+        if i:
+            ray.get([a.reset.remote() for a in actors])
+        _run_bfs_rounds(actors, P, np.array([l], dtype=np.int64), max_depth)
+        ray.get([a.snapshot.remote() for a in actors])
+    tables = [a.snapshot_table.remote() for a in actors]
+    ray.wait(tables, num_returns=len(tables))
+    for a in actors:
+        ray.kill(a)
+    return rd.from_arrow_refs(tables)

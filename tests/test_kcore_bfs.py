@@ -823,3 +823,47 @@ def test_shortest_path_trace_min_parent():
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_landmark_distances_exact(graphs):
+    from parallel_pagerank_ray.pipelines.bfs import landmark_distances
+
+    for name in ("small", "medium", "two_comps"):
+        n, e = graphs[name]
+        g = _graph(e)
+        marks = [0, min(2, n - 1), n - 1]
+        got = (
+            landmark_distances(g, marks, num_parts=3)
+            .to_pandas()
+            .sort_values("vid")
+            .reset_index(drop=True)
+        )
+        assert got["vid"].tolist() == list(range(n)), name
+        for i, l in enumerate(marks):
+            want = oracle.bfs_distances(n, e, [l])
+            assert got[f"d{i}"].tolist() == want.tolist(), (name, l)
+
+
+def test_landmark_distances_edge_cases():
+    from parallel_pagerank_ray.pipelines.bfs import landmark_distances
+
+    # unreachable component -> -1 columns; duplicate landmarks allowed
+    e = [(0, 1), (2, 3)]
+    g = _graph(e, blocks=1)
+    got = (
+        landmark_distances(g, [0, 0], num_parts=2)
+        .to_pandas()
+        .sort_values("vid")
+    )
+    assert got["d0"].tolist() == [0, 1, -1, -1]
+    assert got["d1"].tolist() == got["d0"].tolist()
+    # empty panel -> empty typed dataset (to_pandas drops cols on
+    # empty Ray datasets; assert the schema instead)
+    empty = landmark_distances(g, [])
+    assert empty.count() == 0 and empty.schema().names == ["vid"]
+    # out-of-range landmark raises before any actor spawn
+    try:
+        landmark_distances(g, [99])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
