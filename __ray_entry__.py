@@ -266,6 +266,43 @@ def q_link_edges(sf_dir: str) -> rd.Dataset:
     return distinct(links_from_pages(pages), ["src_url", "dst_url"])
 
 
+def q_temporal_reach(sf_dir: str) -> rd.Dataset:
+    """Time-respecting reachability over the crawl link graph
+    (pipelines/temporal.py earliest_arrival_bsp): every link carries
+    the capture time of the page it was observed on (warc_ts offset =
+    doc_id seconds); a path may only traverse links captured at or
+    after the walker's arrival (Wu et al. temporal paths). Output
+    (doc_id, arrival) = earliest propagation time from doc 0 at t0=0.
+    Integer min-relaxation -> exact at any parallelism."""
+    from parallel_pagerank_ray.pipelines.graph_build import links_from_pages
+    from parallel_pagerank_ray.pipelines.temporal import earliest_arrival_bsp
+    from parallel_pagerank_ray.sources.docpages import BASE
+
+    pages, n = _pages(sf_dir)
+    plen = len(BASE)
+
+    def to_edges(t):
+        # module-level imports don't ship with __ray_entry__ closures
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        src = pc.cast(
+            pc.utf8_slice_codeunits(t.column("src_url"), plen, 2**30),
+            pa.int64(),
+        )
+        dst = pc.cast(
+            pc.utf8_slice_codeunits(t.column("dst_url"), plen, 2**30),
+            pa.int64(),
+        )
+        # edge timestamp = crawl time of the page the link sits on
+        return pa.table({"src": src, "dst": dst, "w": pc.cast(src, pa.float64())})
+
+    edges = links_from_pages(pages).map_batches(to_edges, batch_format="pyarrow")
+    run = earliest_arrival_bsp(edges, n, sources=[0], t0=0)
+
+    return run.arrivals.rename_columns({"vid": "doc_id"})
+
+
 _HOST_CACHE: dict = {}
 
 
@@ -3237,6 +3274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin_top_tokens": q_countmin_top_tokens,
         "cooccurrence_top_tokens": q_cooccurrence_top_tokens,
         "link_edges": q_link_edges,
+        "temporal_reach": q_temporal_reach,
         "pagerank_pages_top20": q_pagerank_pages_top20,
         "edges_supplier_part": q_edges_supplier_part,
         "out_degrees": q_out_degrees,
@@ -4558,6 +4596,27 @@ def oracle_sql() -> dict[str, str]:
                    ((doc_id * 7 + k.range + 1) % (SELECT count(*) FROM documents))
                    AS dst_url
             FROM documents, range(3) k
+        """,
+        "temporal_reach": """
+            WITH RECURSIVE
+              nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+              e AS MATERIALIZED (
+                SELECT doc_id AS src,
+                       CAST((doc_id * 7 + k.range + 1) % (SELECT n FROM nn)
+                            AS BIGINT) AS dst,
+                       doc_id AS t
+                FROM documents, range(3) k),
+              -- state space = (vid, arrival) pairs with arrival drawn
+              -- from the finite edge-time set; UNION dedups, so the
+              -- recursion terminates at the temporal-path fixpoint
+              walk(vid, arr) AS (
+                SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+                UNION
+                SELECT e.dst, e.t
+                FROM walk w JOIN e ON e.src = w.vid AND e.t >= w.arr
+              )
+            SELECT vid AS doc_id, CAST(min(arr) AS BIGINT) AS arrival
+            FROM walk GROUP BY 1
         """,
         "edges_supplier_part": _SUPP_PART_SQL,
         "out_degrees": f"""

@@ -158,25 +158,28 @@ def cap_num_parts(num_parts: int, n: int, min_part: int = 16384) -> int:
     return int(min(num_parts, max(1, -(-n // min_part))))
 
 
-def int_weights(w: "np.ndarray") -> "np.ndarray":
-    """Validate-then-cast edge weights to positive int64.
+def int_weights(w: "np.ndarray", min_value: int = 1) -> "np.ndarray":
+    """Validate-then-cast edge weights to int64 (>= ``min_value``;
+    default positive).
 
     The engine's integer-weight contract (weighted SSSP/LPA/walks) must
     REJECT non-integer float weights, not silently truncate them:
     ``astype(np.int64)`` turns w=2.7 into 2 and quietly changes
     shortest-path distances / vote masses. Mirrors _WalkShard's rint
-    round-trip; integer inputs skip the float check. ``not (wi > 0)``
-    (rather than ``min <= 0``) also catches NaN from parquet nulls."""
+    round-trip; integer inputs skip the float check. ``not (wi >= m)``
+    (rather than ``min < m``) also catches NaN from parquet nulls.
+    ``min_value=0`` admits epoch-offset edge timestamps (temporal
+    reachability), where 0 is a legal capture time."""
     import numpy as np
 
     if np.issubdtype(w.dtype, np.floating):
         wi = np.rint(w).astype(np.int64)
         if not np.array_equal(wi.astype(np.float64), w):
-            raise ValueError("edge weights must be positive integers")
+            raise ValueError(f"edge weights must be integers >= {min_value}")
     else:
         wi = w.astype(np.int64)
-    if len(wi) and not bool((wi > 0).all()):
-        raise ValueError("edge weights must be positive integers")
+    if len(wi) and not bool((wi >= min_value).all()):
+        raise ValueError(f"edge weights must be integers >= {min_value}")
     return wi
 
 
