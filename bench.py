@@ -359,6 +359,26 @@ def bench_queries() -> dict[str, float]:
         "shingle_novelty",
         "vocab_growth",
         "late_orders_by_priority",
+        "shipping_priority",
+        "forecast_revenue",
+        "promo_revenue",
+        "top_supplier_quarter",
+        "disjunctive_revenue",
+        "waiting_suppliers",
+        "idle_customers",
+        "cheapest_supplier",
+        "order_count_distribution",
+        "volume_shipping",
+        "returned_item_revenue",
+        "small_quantity_revenue",
+        "skyline_orders",
+        "embedding_gram",
+        "four_cliques",
+        "partition_cut",
+        "landmark_distances",
+        "coarsen_copurchase",
+        "quota_mix",
+        "temporal_reach",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

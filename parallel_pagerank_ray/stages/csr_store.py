@@ -172,14 +172,19 @@ def int_weights(w: "np.ndarray", min_value: int = 1) -> "np.ndarray":
     reachability), where 0 is a legal capture time."""
     import numpy as np
 
+    msg = (
+        "edge weights must be positive integers"
+        if min_value == 1
+        else f"edge weights must be integers >= {min_value}"
+    )
     if np.issubdtype(w.dtype, np.floating):
         wi = np.rint(w).astype(np.int64)
         if not np.array_equal(wi.astype(np.float64), w):
-            raise ValueError(f"edge weights must be integers >= {min_value}")
+            raise ValueError(msg)
     else:
         wi = w.astype(np.int64)
     if len(wi) and not bool((wi >= min_value).all()):
-        raise ValueError(f"edge weights must be integers >= {min_value}")
+        raise ValueError(msg)
     return wi
 
 
