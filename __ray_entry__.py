@@ -266,16 +266,11 @@ def q_link_edges(sf_dir: str) -> rd.Dataset:
     return distinct(links_from_pages(pages), ["src_url", "dst_url"])
 
 
-def q_temporal_reach(sf_dir: str) -> rd.Dataset:
-    """Time-respecting reachability over the crawl link graph
-    (pipelines/temporal.py earliest_arrival_bsp): every link carries
+def _temporal_edges(sf_dir: str):
+    """Timestamped crawl link edges (src, dst, w=t): every link carries
     the capture time of the page it was observed on (warc_ts offset =
-    doc_id seconds); a path may only traverse links captured at or
-    after the walker's arrival (Wu et al. temporal paths). Output
-    (doc_id, arrival) = earliest propagation time from doc 0 at t0=0.
-    Integer min-relaxation -> exact at any parallelism."""
+    doc_id seconds). Shared by the two temporal-path gate queries."""
     from parallel_pagerank_ray.pipelines.graph_build import links_from_pages
-    from parallel_pagerank_ray.pipelines.temporal import earliest_arrival_bsp
     from parallel_pagerank_ray.sources.docpages import BASE
 
     pages, n = _pages(sf_dir)
@@ -297,8 +292,36 @@ def q_temporal_reach(sf_dir: str) -> rd.Dataset:
         # edge timestamp = crawl time of the page the link sits on
         return pa.table({"src": src, "dst": dst, "w": pc.cast(src, pa.float64())})
 
-    edges = links_from_pages(pages).map_batches(to_edges, batch_format="pyarrow")
+    return links_from_pages(pages).map_batches(to_edges, batch_format="pyarrow"), n
+
+
+def q_temporal_reach(sf_dir: str) -> rd.Dataset:
+    """Time-respecting reachability over the crawl link graph
+    (pipelines/temporal.py earliest_arrival_bsp): a path may only
+    traverse links captured at or after the walker's arrival (Wu et
+    al. temporal paths). Output (doc_id, arrival) = earliest
+    propagation time from doc 0 at t0=0. Integer min-relaxation ->
+    exact at any parallelism."""
+    from parallel_pagerank_ray.pipelines.temporal import earliest_arrival_bsp
+
+    edges, n = _temporal_edges(sf_dir)
     run = earliest_arrival_bsp(edges, n, sources=[0], t0=0)
+
+    return run.arrivals.rename_columns({"vid": "doc_id"})
+
+
+def q_temporal_latest(sf_dir: str) -> rd.Dataset:
+    """Latest-departure dual (pipelines/temporal.py
+    latest_departure_bsp): latest time each doc could emit a walker
+    that still reaches one of docs 0-9 through a time-respecting path
+    by the horizon n//2 — links captured after the horizon are
+    unusable, so the reduction's edge filter is exercised. Output
+    (doc_id, departure). Integer max-relaxation -> exact at any
+    parallelism."""
+    from parallel_pagerank_ray.pipelines.temporal import latest_departure_bsp
+
+    edges, n = _temporal_edges(sf_dir)
+    run = latest_departure_bsp(edges, n, targets=list(range(10)), horizon=n // 2)
 
     return run.arrivals.rename_columns({"vid": "doc_id"})
 
@@ -3275,6 +3298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence_top_tokens": q_cooccurrence_top_tokens,
         "link_edges": q_link_edges,
         "temporal_reach": q_temporal_reach,
+        "temporal_latest": q_temporal_latest,
         "pagerank_pages_top20": q_pagerank_pages_top20,
         "edges_supplier_part": q_edges_supplier_part,
         "out_degrees": q_out_degrees,
@@ -4616,6 +4640,32 @@ def oracle_sql() -> dict[str, str]:
                 FROM walk w JOIN e ON e.src = w.vid AND e.t >= w.arr
               )
             SELECT vid AS doc_id, CAST(min(arr) AS BIGINT) AS arrival
+            FROM walk GROUP BY 1
+        """,
+        "temporal_latest": """
+            WITH RECURSIVE
+              nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+              e AS MATERIALIZED (
+                SELECT doc_id AS src,
+                       CAST((doc_id * 7 + k.range + 1) % (SELECT n FROM nn)
+                            AS BIGINT) AS dst,
+                       doc_id AS t
+                FROM documents, range(3) k
+                -- links captured after the horizon are unusable
+                WHERE doc_id <= (SELECT n FROM nn) // 2),
+              -- dual of temporal_reach: walk backwards from the target;
+              -- edge (u, v, t) usable iff t <= departure(v); state
+              -- space = (vid, dep) pairs over the finite edge-time set,
+              -- UNION dedups -> terminates at the fixpoint
+              walk(vid, dep) AS (
+                SELECT CAST(k.range AS BIGINT),
+                       CAST((SELECT n FROM nn) // 2 AS BIGINT)
+                FROM range(10) k
+                UNION
+                SELECT e.src, e.t
+                FROM walk w JOIN e ON e.dst = w.vid AND e.t <= w.dep
+              )
+            SELECT vid AS doc_id, CAST(max(dep) AS BIGINT) AS departure
             FROM walk GROUP BY 1
         """,
         "edges_supplier_part": _SUPP_PART_SQL,

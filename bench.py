@@ -379,6 +379,7 @@ def bench_queries() -> dict[str, float]:
         "coarsen_copurchase",
         "quota_mix",
         "temporal_reach",
+        "temporal_latest",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

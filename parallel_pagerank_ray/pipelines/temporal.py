@@ -203,3 +203,68 @@ def earliest_arrival_bsp(
     return TemporalRun(
         arrivals=rd.from_arrow_refs(tables), iterations=max(it, 0), history=history
     )
+
+
+def latest_departure_bsp(
+    edges: rd.Dataset,
+    n: int,
+    targets: list[int],
+    horizon: int,
+    num_parts: int | None = None,
+    max_rounds: int = 100_000,
+) -> TemporalRun:
+    """Latest departure time from every vertex that can still reach
+    ``targets`` by ``horizon`` through a time-respecting path (the dual
+    of earliest arrival in Wu et al.): edge (u, v, t) is usable leaving
+    u at time t only if t <= ld(v), and then ld(u) >= t.
+
+    Implemented as a pure REDUCTION onto ``earliest_arrival_bsp`` on
+    the reversed edge table with clock flipped around the horizon
+    (t' = horizon - t): eligibility t' >= arr'(v) <=> t <= ld(v), and
+    min-combining t' is max-combining t. Edges captured after the
+    horizon (t' < 0) are unusable and filtered before the store build,
+    so the shard validator's nonnegative-timestamp contract holds.
+    Output column ``departure`` = horizon - arrival'; a row means the
+    vertex can reach a target in time. Integer max-relaxation -> exact
+    at any parallelism."""
+    if n == 0 or not targets:
+        return TemporalRun(arrivals=rd.from_items([]), iterations=0)
+    hz = int(horizon)
+
+    def flip(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        w = t.column("w")
+        keep = pc.less_equal(w, pa.scalar(float(hz), type=w.type))
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "src": t.column("dst"),
+                "dst": t.column("src"),
+                "w": pc.subtract(pa.scalar(float(hz), type=w.type), t.column("w")),
+            }
+        )
+
+    rev = edges.map_batches(flip, batch_format="pyarrow")
+    run = earliest_arrival_bsp(
+        rev, n, sources=targets, t0=0, num_parts=num_parts, max_rounds=max_rounds
+    )
+
+    def unflip(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = t.column("arrival")
+        return pa.table(
+            {
+                "vid": t.column("vid"),
+                "departure": pc.subtract(pa.scalar(hz, type=arr.type), arr),
+            }
+        )
+
+    return TemporalRun(
+        arrivals=run.arrivals.map_batches(unflip, batch_format="pyarrow"),
+        iterations=run.iterations,
+        history=run.history,
+    )

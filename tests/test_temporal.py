@@ -94,3 +94,59 @@ def test_temporal_validation():
     with pytest.raises(ValueError, match="timestamps"):
         earliest_arrival_bsp(edges_dataset([(0, 1)], num_blocks=1), 2, [0])
     assert earliest_arrival_bsp(_edges_ds(rows), 0, []).arrivals.count() == 0
+
+
+def _brute_ld(n, rows, targets, horizon):
+    """Fixpoint: ld(u) = max t over edges (u,v,t), t <= ld(v)."""
+    NEG = -1
+    ld = np.full(n, NEG, dtype=np.int64)
+    for s in targets:
+        ld[s] = horizon
+    changed = True
+    while changed:
+        changed = False
+        for u, v, t in rows:
+            if t <= horizon and ld[v] != NEG and t <= ld[v] and t > ld[u]:
+                ld[u] = t
+                changed = True
+    return {i: int(a) for i, a in enumerate(ld) if a != NEG}
+
+
+def test_latest_departure_basic():
+    from parallel_pagerank_ray.pipelines.temporal import latest_departure_bsp
+
+    # 0->1 at t=5, 1->2(target) at t=3: to use the t=3 edge you must
+    # leave 1 by 3, but you can only get to 1 at 5 -> irrelevant; the
+    # question is departures TOWARD the target.  ld(1)=3, and 0->1@5
+    # needs 5 <= ld(1)=3 -> 0 cannot reach 2.  0->1@2 would work.
+    rows = [(0, 1, 5), (1, 2, 3), (3, 1, 1)]
+    run = latest_departure_bsp(_edges_ds(rows), 4, [2], horizon=10, num_parts=2)
+    got = _got_col(run, "departure")
+    assert got == {2: 10, 1: 3, 3: 1}
+
+
+def test_latest_departure_vs_brute():
+    from parallel_pagerank_ray.pipelines.temporal import latest_departure_bsp
+
+    rng = np.random.default_rng(9)
+    n, m = 50, 350
+    rows = [
+        (int(a), int(b), int(t))
+        for a, b, t in zip(
+            rng.integers(0, n, m),
+            rng.integers(0, n, m),
+            rng.integers(0, 60, m),  # some past the horizon of 45
+        )
+        if a != b
+    ]
+    want = _brute_ld(n, rows, [0, 5], horizon=45)
+    for parts in (1, 4):
+        run = latest_departure_bsp(
+            _edges_ds(rows, blocks=3), n, [0, 5], horizon=45, num_parts=parts
+        )
+        assert _got_col(run, "departure") == want, parts
+
+
+def _got_col(run, col):
+    df = run.arrivals.to_pandas()
+    return dict(zip(df["vid"].tolist(), df[col].tolist()))
