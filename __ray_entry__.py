@@ -1201,6 +1201,21 @@ def q_coreness_copurchase(sf_dir: str) -> rd.Dataset:
     return coreness_bsp(g, edges_canonical=True).members
 
 
+def q_densest_copurchase(sf_dir: str) -> rd.Dataset:
+    """Densest subgraph of the co-purchase graph (vid per member):
+    Bahmani et al. (1+eps) parallel peeling with eps = 1/4
+    (pipelines/densest.py) — per round, every vertex at or below
+    (5/4) * average degree dies; death rounds recover the densest
+    prefix. Integer degrees, floored threshold, cross-multiplied
+    density argmax (ties -> earlier round) -> exact and
+    parallelism-independent; value-checked against a recursive-CTE
+    round replay in DuckDB."""
+    from parallel_pagerank_ray.pipelines.densest import densest_subgraph_bsp
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return densest_subgraph_bsp(g, edges_canonical=True).members
+
+
 def q_bfs_copurchase(sf_dir: str) -> rd.Dataset:
     """Hop distances from part vid 0 over the undirected co-purchase
     graph: (vid, dist) for reached vertices. Integer hops -> exact."""
@@ -3321,6 +3336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_supplier_part": q_hits_supplier_part,
         "kcore_copurchase": q_kcore_copurchase,
         "coreness_copurchase": q_coreness_copurchase,
+        "densest_copurchase": q_densest_copurchase,
         "bfs_copurchase": q_bfs_copurchase,
         "landmark_distances": q_landmark_distances,
         "shortest_path_trace": q_shortest_path_trace,
@@ -5131,6 +5147,62 @@ def oracle_sql() -> dict[str, str]:
               )
             SELECT vid FROM kc
             WHERE it = (SELECT max(it) FROM kc) AND alive = 1
+        """,
+        "densest_copurchase": f"""
+            WITH RECURSIVE
+            {_supplier_part_vid_graph(_COPURCHASE_SQL)},
+              -- Bahmani (1+eps) peel replay, eps = 1/4: per round kill
+              -- every alive vertex with degree (over alive neighbors)
+              -- <= floor(5 * S / (4 * N)) where S = alive-alive
+              -- directed-closure row count (= 2E) and N = alive count;
+              -- death records the kill round so any round's member set
+              -- is one predicate on the final row set
+              ds(it, vid, alive, death) AS (
+                SELECT 0, vid, 1, CAST(-1 AS BIGINT) FROM v
+                UNION ALL
+                SELECT c.it + 1, c.vid,
+                       CASE WHEN c.alive = 1 AND coalesce(m.d, 0) <= t.thr
+                            THEN 0 ELSE c.alive END,
+                       CASE WHEN c.alive = 1 AND coalesce(m.d, 0) <= t.thr
+                            THEN c.it + 1 ELSE c.death END
+                FROM ds c
+                LEFT JOIN (SELECT u.src AS vid, count(*) AS d
+                           FROM und u
+                           JOIN ds a ON a.vid = u.dst AND a.alive = 1
+                           GROUP BY 1) m ON m.vid = c.vid
+                CROSS JOIN (
+                  SELECT (5 * (SELECT count(*) FROM und u
+                               JOIN ds a ON a.vid = u.src AND a.alive = 1
+                               JOIN ds b ON b.vid = u.dst AND b.alive = 1))
+                         // (4 * (SELECT count(*) FROM ds x
+                                  WHERE x.alive = 1)) AS thr) t
+                WHERE (SELECT max(c2.alive) FROM ds c2) = 1
+              ),
+              fin AS MATERIALIZED (
+                SELECT vid, death FROM ds
+                WHERE it = (SELECT max(it) FROM ds)),
+              stats AS MATERIALIZED (
+                -- every round kills at least the min-degree vertex
+                -- (min deg <= floor(avg) <= thr), so the distinct
+                -- death values enumerate every round 1..max
+                SELECT r.r,
+                       (SELECT count(*) FROM fin f
+                        WHERE f.death >= r.r) AS nn,
+                       (SELECT count(*) FROM und u
+                        JOIN fin fa ON fa.vid = u.src AND fa.death >= r.r
+                        JOIN fin fb ON fb.vid = u.dst AND fb.death >= r.r
+                       ) AS ss
+                FROM (SELECT DISTINCT death AS r FROM fin
+                      WHERE death >= 1) r),
+              -- densest round by exact cross-multiplied comparison,
+              -- ties to the earlier round (the engine's rule)
+              best AS (
+                SELECT s1.r FROM stats s1
+                WHERE s1.nn > 0 AND NOT EXISTS (
+                  SELECT 1 FROM stats s2 WHERE s2.nn > 0 AND
+                    (s2.ss * s1.nn > s1.ss * s2.nn
+                     OR (s2.ss * s1.nn = s1.ss * s2.nn AND s2.r < s1.r))))
+            SELECT vid FROM fin WHERE death >= (SELECT r FROM best)
         """,
         "bfs_copurchase": f"""
             WITH RECURSIVE

@@ -380,6 +380,7 @@ def bench_queries() -> dict[str, float]:
         "quota_mix",
         "temporal_reach",
         "temporal_latest",
+        "densest_copurchase",
     ]
     qs = E.queries()
     out: dict[str, float] = {}
