@@ -1292,6 +1292,22 @@ def q_random_walks_copurchase(sf_dir: str) -> rd.Dataset:
     ).walks
 
 
+def q_node2vec_copurchase(sf_dir: str) -> rd.Dataset:
+    """node2vec second-order biased walk corpus: 4 walks of 6 steps
+    from each of 3 seeds over the undirected co-purchase graph, bias
+    weights (w_return, w_inout, w_far) = (1, 4, 2) i.e. p=4, q=2
+    (pipelines/node2vec.py). Two routed exchanges per step (candidate
+    enumeration at v's owner, distance-1 membership + slot draw at
+    prev's owner); value-exact vs a recursive-CTE replay running the
+    same mod-2^31-1 hash and window-sum slot rule."""
+    from parallel_pagerank_ray.pipelines.node2vec import node2vec_walks_bsp
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return node2vec_walks_bsp(
+        g, [0, 1, 2], walks_per_seed=4, length=6, edges_canonical=True
+    ).walks
+
+
 def q_random_walks_weighted_copurchase(sf_dir: str) -> rd.Dataset:
     """Weighted random-walk corpus over the symmetric weighted
     co-purchase graph (transition probability ∝ distinct-order count):
@@ -3355,6 +3371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wl_class_sizes": q_wl_class_sizes,
         "katz_pages": q_katz_pages,
         "random_walks_copurchase": q_random_walks_copurchase,
+        "node2vec_copurchase": q_node2vec_copurchase,
         "random_walks_weighted_copurchase": q_random_walks_weighted_copurchase,
         "spcount_copurchase": q_spcount_copurchase,
         "betweenness_copurchase": q_betweenness_copurchase,
@@ -3959,6 +3976,64 @@ def _embed_docs_sql(dim: int = 8, seed: int = 1234) -> str:
         SELECT d.doc_id, {sums}
         FROM documents d LEFT JOIN th ON th.doc_id = d.doc_id
         GROUP BY d.doc_id
+    """
+
+
+def _node2vec_walks_sql() -> str:
+    """Recursive-CTE replay of pipelines/node2vec.py: second-order
+    biased slot pick. Bias per candidate x of v (arrived from prev):
+    1 if x = prev, 4 if x in N(prev), else 2 (the engine's default
+    w_return/w_inout/w_far); slot draw r = H2 mod total lands in the
+    candidate's [cum - bw, cum) window ordered by dst. H2 is the
+    engine's node2vec_hash verbatim (first-order hash, one more affine
+    round with prev, squaring; all intermediates < 2^62)."""
+    from parallel_pagerank_ray.pipelines.random_walk import salt64
+
+    p = 2147483647
+    x = (
+        f"((((((q.seed % {p}) * 1000151) % {p}"
+        f" + q.widx * 31 + q.step + 1) % {p}"
+        f" * 1000121) % {p}"
+        f" + (q.vid % {p}) + {salt64('n2v')}) % {p})"
+    )
+    h1 = f"(({x} * {x} + {x}) % {p})"
+    x2 = f"(({h1} * 31 + (q.prev % {p})) % {p})"
+    h2 = f"(({x2} * {x2} + {x2}) % {p})"
+    return f"""
+        WITH RECURSIVE
+        {_supplier_part_vid_graph(_COPURCHASE_SQL)},
+          walk(seed, widx, step, vid, prev) AS (
+            -- step-0 convention: prev = seed (every candidate is then
+            -- in N(prev), so the first hop is the uniform slot pick)
+            SELECT s.s, w.range, 0, s.s, s.s
+            FROM (VALUES (0), (1), (2)) s(s), range(4) w
+            UNION ALL
+            SELECT q.seed, q.widx, q.step + 1, q.dst, q.vid
+            FROM (
+              SELECT b.*,
+                     sum(b.bw) OVER (PARTITION BY b.seed, b.widx
+                                     ORDER BY b.dst
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum,
+                     sum(b.bw) OVER (PARTITION BY b.seed, b.widx) AS tot
+              FROM (
+                SELECT wk.seed, wk.widx, wk.step, wk.vid, wk.prev,
+                       u.dst,
+                       CASE WHEN u.dst = wk.prev THEN 1
+                            WHEN EXISTS (SELECT 1 FROM und e2
+                                         WHERE e2.src = wk.prev
+                                           AND e2.dst = u.dst)
+                            THEN 4 ELSE 2 END AS bw
+                FROM walk wk JOIN und u ON u.src = wk.vid
+                WHERE wk.step < 6
+              ) b
+            ) q
+            WHERE {h2} % q.tot >= q.cum - q.bw
+              AND {h2} % q.tot < q.cum
+          )
+        SELECT CAST(seed AS BIGINT) AS seed, CAST(widx AS BIGINT) AS widx,
+               CAST(step AS BIGINT) AS step, CAST(vid AS BIGINT) AS vid
+        FROM walk
     """
 
 
@@ -5278,6 +5353,7 @@ def oracle_sql() -> dict[str, str]:
             FROM path p JOIN dist d ON d.vid = p.vid
         """,
         "random_walks_copurchase": _random_walks_sql(),
+        "node2vec_copurchase": _node2vec_walks_sql(),
         "random_walks_weighted_copurchase": _random_walks_sql(weighted=True),
         "local_clustering": f"""
             WITH canon AS MATERIALIZED ({_COPURCHASE_SQL}),
