@@ -416,17 +416,34 @@ def q_host_mirror_scores(sf_dir: str) -> rd.Dataset:
     return host_mirror_scores(links)
 
 
+_HOST_GRAPH_CACHE: dict = {}
+
+
+def _host_graph_pr(sf_dir: str):
+    """Shared prelude for the host-ranking queries (built once per
+    process): the coarsened cross-host weighted graph and its base
+    weighted-PageRank run — pagerank_hosts_top10 and spam_mass_hosts
+    consume the same pair, and _host_scc reuses the graph."""
+    from parallel_pagerank_ray.pipelines.host_graph import host_graph
+    from parallel_pagerank_ray.pipelines.pagerank_actors import pagerank_bsp
+
+    got = _HOST_GRAPH_CACHE.get(sf_dir)
+    if got is None:
+        _, links = _host_pages_links(sf_dir)
+        g = host_graph(links, drop_self=True)
+        base = pagerank_bsp(g, d=0.85, tol=1e-3, max_iters=100)
+        got = (g, base)
+        _HOST_GRAPH_CACHE[sf_dir] = got
+    return got
+
+
 def q_pagerank_hosts_top10(sf_dir: str) -> pd.DataFrame:
     """Weighted PageRank on the coarsened host graph (intra-host edges
     dropped, weight = cross-host link count). Integer rank order like
     the other pagerank queries."""
-    from parallel_pagerank_ray.pipelines.host_graph import host_graph
-    from parallel_pagerank_ray.pipelines.pagerank_actors import pagerank_bsp
     from parallel_pagerank_ray.util import safe_join
 
-    _, links = _host_pages_links(sf_dir)
-    g = host_graph(links, drop_self=True)
-    run = pagerank_bsp(g, d=0.85, tol=1e-3, max_iters=100)
+    g, run = _host_graph_pr(sf_dir)
     joined = safe_join(
         run.ranks.select_columns(["vid", "rank"]),
         g.vertices,
@@ -458,7 +475,6 @@ def _host_scc(sf_dir: str):
     member host string, a pure function of component membership
     (SQL-reproducible regardless of the engine's internal vid-based
     root labels)."""
-    from parallel_pagerank_ray.pipelines.host_graph import host_graph
     from parallel_pagerank_ray.pipelines.scc import scc_bsp
     from parallel_pagerank_ray.stages.agg import grouped_agg
     from parallel_pagerank_ray.util import safe_join
@@ -466,8 +482,7 @@ def _host_scc(sf_dir: str):
     got = _HOST_SCC_CACHE.get(sf_dir)
     if got is not None:
         return got
-    _, links = _host_pages_links(sf_dir)
-    g = host_graph(links, drop_self=True)
+    g, _ = _host_graph_pr(sf_dir)
     run = scc_bsp(g)
     j = safe_join(
         run.assignments,
@@ -548,13 +563,10 @@ def q_spam_mass_hosts(sf_dir: str) -> pd.DataFrame:
     earned mostly from untrusted regions of the webgraph. Both runs
     are bit-reproducible, so the mass RATIO order is value-exact; the
     emitted row is integer (pos, host) per the float policy."""
-    from parallel_pagerank_ray.pipelines.host_graph import host_graph
     from parallel_pagerank_ray.pipelines.pagerank_actors import pagerank_bsp
     from parallel_pagerank_ray.util import safe_join
 
-    _, links = _host_pages_links(sf_dir)
-    g = host_graph(links, drop_self=True)
-    base = pagerank_bsp(g, d=0.85, tol=1e-3, max_iters=100)
+    g, base = _host_graph_pr(sf_dir)
 
     # trusted seed pick: per-batch prune -> tiny global sort (the seed
     # set is O(2) rows on the wire regardless of vertex count)
