@@ -2056,6 +2056,29 @@ def q_dsir_weights(sf_dir: str) -> rd.Dataset:
     return dsir_affinity(docs.select_columns(["doc_id", "text"]), target)
 
 
+def q_lm_buckets(sf_dir: str) -> rd.Dataset:
+    """CCNet-style head/middle/tail familiarity bucketing
+    (`functions/lm.py::lm_familiarity`): integer unsmoothed bigram-LM
+    log-likelihood (floor-log2 corpus counts), length-normalized and
+    split at the exact ascending-rank tertile thresholds — the
+    perplexity-gating pass of a crawl curation pipeline, int64-exact."""
+    from parallel_pagerank_ray.functions.lm import lm_familiarity
+
+    return lm_familiarity(_documents(sf_dir, ["doc_id", "text"]))
+
+
+def q_quality_classifier(sf_dir: str) -> rd.Dataset:
+    """Hashed-feature linear quality classifier
+    (`functions/classifier.py`): md5 hashing-trick features mod 512,
+    deterministic integer weights in [-8, 8] built once per actor,
+    per-doc score + keep/drop label — the fastText-style model-scoring
+    stage with value-exact plumbing (a trained quantized model drops in
+    by replacing weight_table)."""
+    from parallel_pagerank_ray.functions.classifier import classify_docs
+
+    return classify_docs(_documents(sf_dir, ["doc_id", "text"]))
+
+
 def q_vocab_growth(sf_dir: str) -> rd.Dataset:
     """Heaps'-law vocabulary growth curve (functions/textstats.py
     vocab_growth): new tokens + cumulative vocabulary per 100-doc
@@ -3434,6 +3457,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": q_top_bigrams,
         "vocab_growth": q_vocab_growth,
         "dsir_weights": q_dsir_weights,
+        "lm_buckets": q_lm_buckets,
+        "quality_classifier": q_quality_classifier,
         "dedup_shingle_jaccard": q_dedup_shingle_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_capped": q_dedup_minhash_lsh_capped,
@@ -3958,6 +3983,39 @@ def _simhash_sql(max_hamming: int = 3) -> str:
                  CAST({ham} AS BIGINT) AS hamming
           FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
         WHERE hamming <= {max_hamming}
+    """
+
+
+def _quality_classifier_sql() -> str:
+    """DuckDB mirror of functions.classifier.HashedLinearScorer: md5-u64
+    token hash mod dim -> affine mod-P31 weight in [-8, 8] -> per-doc
+    occurrence-weighted sum. Integer end to end; inner GROUP BY drops
+    zero-token docs like the engine."""
+    from parallel_pagerank_ray.functions.classifier import (
+        A_SALT,
+        B_SALT,
+        DIM,
+        P31,
+    )
+    from parallel_pagerank_ray.pipelines.random_walk import salt64
+
+    a, b = salt64(A_SALT), salt64(B_SALT)
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '{TOKEN_SQL}')) AS t
+          FROM documents),
+        f AS (
+          SELECT doc_id,
+                 CAST(CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT)
+                      % {DIM} AS BIGINT) AS j
+          FROM tok),
+        w AS (SELECT doc_id, ((j * {a} + {b}) % {P31}) % 17 - 8 AS w FROM f)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(w) AS BIGINT) AS clf_score,
+               CASE WHEN sum(w) > 0 THEN 'keep' ELSE 'drop' END AS label
+        FROM w GROUP BY 1
     """
 
 
@@ -6386,6 +6444,44 @@ def oracle_sql() -> dict[str, str]:
             FROM pd JOIN c USING (bigram)
             GROUP BY pd.doc_id
         """,
+        # same tokenizer/bigram fragment as top_bigrams; ilog2 via
+        # length(bin(x)) - 1 (exact, no float log); tertile thresholds
+        # at ascending-rank positions ceil(n/3) / ceil(2n/3)
+        "lm_buckets": f"""
+            WITH l AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '{TOKEN_SQL}')
+                              AS l FROM documents),
+            pb AS (SELECT doc_id, unnest(
+                     [l[i] || ' ' || l[i + 1] for i in range(1, len(l))])
+                     AS bigram FROM l),
+            pd AS (SELECT doc_id, bigram, count(*) AS cnt FROM pb
+                   GROUP BY 1, 2),
+            r AS (SELECT bigram, count(*) AS rcnt FROM pb GROUP BY 1),
+            sc AS (SELECT pd.doc_id,
+                          CAST(sum(pd.cnt) AS BIGINT) AS n_bigrams,
+                          CAST(sum(pd.cnt * (length(bin(r.rcnt)) - 1))
+                               AS BIGINT) AS lm_score
+                   FROM pd JOIN r USING (bigram) GROUP BY 1),
+            s2 AS (SELECT *,
+                          lm_score * 1000000 // n_bigrams AS score_scaled
+                   FROM sc),
+            rk AS (SELECT score_scaled,
+                          row_number() OVER (ORDER BY score_scaled) AS rn
+                   FROM s2),
+            th AS (SELECT
+                     (SELECT score_scaled FROM rk
+                      WHERE rn = ((SELECT count(*) FROM s2) + 2) // 3)
+                       AS t1,
+                     (SELECT score_scaled FROM rk
+                      WHERE rn = (2 * (SELECT count(*) FROM s2) + 2) // 3)
+                       AS t2)
+            SELECT s2.*,
+                   CASE WHEN score_scaled > (SELECT t2 FROM th) THEN 'head'
+                        WHEN score_scaled > (SELECT t1 FROM th) THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM s2
+        """,
+        "quality_classifier": _quality_classifier_sql(),
         "doc_fingerprints": _winnow_sql(k=16, w=8),
         "winnow_candidates": _winnow_sql(k=16, w=8, candidates=True,
                                          min_shared=4),
