@@ -615,6 +615,44 @@ def q_spam_mass_hosts(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_simrank_hosts(sf_dir: str) -> pd.DataFrame:
+    """Integer SimRank (Jeh-Widom) on the coarsened host webgraph,
+    3 iterations, C = 3/5, scores scaled by 10^6
+    (`pipelines/simrank.py`): (host_a, host_b, simrank) for every
+    nonzero pair — the related-site structural-similarity measure
+    beside co-citation/mirror Jaccard; int64-exact, so the unrolled
+    SQL replay hash-matches."""
+    from parallel_pagerank_ray.pipelines.simrank import simrank
+    from parallel_pagerank_ray.util import safe_join
+
+    g, _ = _host_graph_pr(sf_dir)
+    s = simrank(g, iters=3)
+
+    def vnames(host_col: str, vid_col: str):
+        # vertices hold pandas blocks; Dataset.rename_columns needs Arrow
+        def fn(t):
+            import pyarrow as pa
+
+            return pa.table(
+                {host_col: t.column("url"), vid_col: t.column("vid")}
+            )
+
+        return g.vertices.map_batches(fn, batch_format="pyarrow")
+
+    named = safe_join(
+        s, vnames("host_a", "u"), join_type="inner", num_partitions=4,
+        on=("u",),
+    )
+    named = safe_join(
+        named, vnames("host_b", "v"), join_type="inner", num_partitions=4,
+        on=("v",),
+    )
+    out = named.select_columns(["host_a", "host_b", "simrank"]).to_pandas()
+    # one row per unordered pair, by host STRING order (matches SQL)
+    out = out[out["host_a"] < out["host_b"]]
+    return out.sort_values(["host_a", "host_b"]).reset_index(drop=True)
+
+
 def q_resolve_redirects(sf_dir: str) -> rd.Dataset:
     """Redirect-chain resolution (pipelines/redirects.py) over the
     synthetic crawl: the md5-url-sampled "moved" pages chase their
@@ -3355,6 +3393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bowtie_hosts": q_bowtie_hosts,
         "host_reciprocity": q_host_reciprocity,
         "spam_mass_hosts": q_spam_mass_hosts,
+        "simrank_hosts": q_simrank_hosts,
         "canonical_urls": q_canonical_urls,
         "resolve_redirects": q_resolve_redirects,
         "chunk_docs": q_chunk_docs,
@@ -3986,6 +4025,56 @@ def _simhash_sql(max_hamming: int = 3) -> str:
     """
 
 
+def _simrank_hosts_sql(iters: int = 3) -> str:
+    """DuckDB mirror of pipelines.simrank.simrank over the drop-self
+    host graph: unrolled iterations (no recursive CTE), the same
+    scaled-integer floor-division rule — int64 sums are
+    order-independent, so the replay is bit-exact at any parallelism."""
+    from parallel_pagerank_ray.pipelines.simrank import SCALE
+
+    prev = "s0"
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""s{k} AS MATERIALIZED (
+          SELECT * FROM diag
+          UNION ALL
+          SELECT a AS u, b AS v, s FROM (
+            SELECT ea.dst AS a, eb.dst AS b,
+                   CAST(3 * sum(p.s) // (5 * da.d * db.d) AS BIGINT) AS s
+            FROM {prev} p
+            JOIN ec ea ON ea.src = p.u
+            JOIN ec eb ON eb.src = p.v
+            JOIN deg da ON da.v = ea.dst
+            JOIN deg db ON db.v = eb.dst
+            WHERE ea.dst <> eb.dst
+            GROUP BY 1, 2, da.d, db.d)
+          WHERE s > 0)"""
+        )
+        prev = f"s{k}"
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT
+                 'h' || (doc_id % 11) || '.docs.example' AS src,
+                 'h' || (((doc_id * 7 + k.range + 1)
+                          % (SELECT count(*) FROM documents)) % 11)
+                     || '.docs.example' AS dst
+          FROM documents, range(3) k),
+        ec AS MATERIALIZED (SELECT src, dst FROM e WHERE src <> dst),
+        verts AS (SELECT src AS v FROM ec UNION SELECT dst FROM ec),
+        deg AS MATERIALIZED (
+          SELECT dst AS v, CAST(count(*) AS BIGINT) AS d
+          FROM ec GROUP BY 1),
+        diag AS (SELECT v AS u, v, CAST({SCALE} AS BIGINT) AS s
+                 FROM verts),
+        s0 AS (SELECT * FROM diag),
+        {chain}
+        SELECT u AS host_a, v AS host_b, s AS simrank
+        FROM {prev} WHERE u < v
+    """
+
+
 def _quality_classifier_sql() -> str:
     """DuckDB mirror of functions.classifier.HashedLinearScorer: md5-u64
     token hash mod dim -> affine mod-P31 weight in [-8, 8] -> per-doc
@@ -4591,6 +4680,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scc s
             ORDER BY host
         """,
+        "simrank_hosts": _simrank_hosts_sql(iters=3),
         "spam_mass_hosts": """
             WITH RECURSIVE
               he AS MATERIALIZED (
