@@ -381,6 +381,10 @@ def bench_queries() -> dict[str, float]:
         "temporal_reach",
         "temporal_latest",
         "densest_copurchase",
+        "node2vec_copurchase",
+        "simrank_hosts",
+        "lm_buckets",
+        "quality_classifier",
     ]
     qs = E.queries()
     out: dict[str, float] = {}
