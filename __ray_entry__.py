@@ -1241,6 +1241,22 @@ def q_kcore_copurchase(sf_dir: str) -> rd.Dataset:
     return kcore_bsp(g, k=80, edges_canonical=True).members
 
 
+def q_ktruss_deep_copurchase(sf_dir: str) -> rd.Dataset:
+    """10-truss of the FULL co-purchase graph — a deep peel (7+
+    synchronous rounds at sf0.01) on the incremental BSP engine
+    (`pipelines/ktruss.py::ktruss_bsp`): triangles enumerated ONCE,
+    replicated to their three owner edges on kcore-style shard actors,
+    each (triangle, edge) incidence charged exactly once across all
+    rounds — vs `ktruss_edges` (the k=3 gate), which re-enumerates
+    triangles every round. Integer supports + simultaneous kills make
+    the edge set exact and parallelism-independent; value-checked
+    against a recursive-CTE peel replay in DuckDB."""
+    from parallel_pagerank_ray.pipelines.ktruss import ktruss_bsp
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return ktruss_bsp(g, k=10, edges_canonical=True).edges
+
+
 def q_coreness_copurchase(sf_dir: str) -> rd.Dataset:
     """Full core decomposition of the co-purchase graph: (vid,
     coreness) for every vertex — one rising-threshold peeling pass on
@@ -3425,6 +3441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coefficient": q_clustering_coefficient,
         "hits_supplier_part": q_hits_supplier_part,
         "kcore_copurchase": q_kcore_copurchase,
+        "ktruss_deep_copurchase": q_ktruss_deep_copurchase,
         "coreness_copurchase": q_coreness_copurchase,
         "densest_copurchase": q_densest_copurchase,
         "bfs_copurchase": q_bfs_copurchase,
@@ -5382,6 +5399,49 @@ def oracle_sql() -> dict[str, str]:
               )
             SELECT vid FROM kc
             WHERE it = (SELECT max(it) FROM kc) AND alive = 1
+        """,
+        "ktruss_deep_copurchase": f"""
+            WITH RECURSIVE
+              ce AS MATERIALIZED ({_COPURCHASE_SQL}),
+              -- synchronous truss peel with alive flags (the kcore
+              -- idiom): per round, support(edge) = triangles whose
+              -- three edges are all alive (oriented s<d enumeration,
+              -- one UNION ALL leg per edge slot of the triangle);
+              -- edges with support < k-2 = 8 die simultaneously
+              kt(it, s, d, alive, ch) AS (
+                SELECT 0, src, dst, 1, 1 FROM ce
+                UNION ALL
+                SELECT c.it + 1, c.s, c.d,
+                       CASE WHEN c.alive = 1 AND coalesce(m.sup, 0) >= 8
+                            THEN 1 ELSE 0 END,
+                       CASE WHEN c.alive = 1 AND coalesce(m.sup, 0) < 8
+                            THEN 1 ELSE 0 END
+                FROM kt c
+                LEFT JOIN (
+                  SELECT t.s, t.d, count(*) AS sup FROM (
+                    SELECT e1.s AS s, e1.d AS d
+                    FROM kt e1 JOIN kt e2 ON e2.s = e1.d AND e2.alive = 1
+                    JOIN kt e3 ON e3.s = e1.s AND e3.d = e2.d
+                         AND e3.alive = 1
+                    WHERE e1.alive = 1
+                    UNION ALL
+                    SELECT e1.s, e2.d
+                    FROM kt e1 JOIN kt e2 ON e2.s = e1.d AND e2.alive = 1
+                    JOIN kt e3 ON e3.s = e1.s AND e3.d = e2.d
+                         AND e3.alive = 1
+                    WHERE e1.alive = 1
+                    UNION ALL
+                    SELECT e1.d, e2.d
+                    FROM kt e1 JOIN kt e2 ON e2.s = e1.d AND e2.alive = 1
+                    JOIN kt e3 ON e3.s = e1.s AND e3.d = e2.d
+                         AND e3.alive = 1
+                    WHERE e1.alive = 1
+                  ) t GROUP BY 1, 2
+                ) m ON m.s = c.s AND m.d = c.d
+                WHERE (SELECT max(c2.ch) FROM kt c2) = 1
+              )
+            SELECT s AS src, d AS dst FROM kt
+            WHERE it = (SELECT max(it) FROM kt) AND alive = 1
         """,
         "densest_copurchase": f"""
             WITH RECURSIVE

@@ -204,6 +204,38 @@ def kcore(n: int, edges: np.ndarray, k: int) -> np.ndarray:
                 deg[u] -= 1
 
 
+def ktruss(n: int, edges: np.ndarray, k: int) -> np.ndarray:
+    """Canonical (src < dst) edge array of the k-truss of the simple
+    undirected closure: synchronously remove every edge closing fewer
+    than k-2 triangles among alive edges, to the fixpoint. Reference
+    semantics for both pipelines/ktruss.py engines (recomputes support
+    from scratch each round — O(rounds * wedges), fixture scale)."""
+    e = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    e = e[e[:, 0] != e[:, 1]]
+    canon = (
+        np.unique(np.stack([e.min(axis=1), e.max(axis=1)], axis=1), axis=0)
+        if len(e)
+        else np.zeros((0, 2), dtype=np.int64)
+    )
+    if k <= 2 or len(canon) == 0:
+        return canon
+    alive = np.ones(len(canon), dtype=bool)
+    while True:
+        adj: dict[int, set[int]] = {}
+        for i in np.nonzero(alive)[0]:
+            a, b = int(canon[i, 0]), int(canon[i, 1])
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        support = np.zeros(len(canon), dtype=np.int64)
+        for i in np.nonzero(alive)[0]:
+            a, b = int(canon[i, 0]), int(canon[i, 1])
+            support[i] = len(adj[a] & adj[b])
+        doomed = alive & (support < k - 2)
+        if not doomed.any():
+            return canon[alive]
+        alive[doomed] = False
+
+
 def bfs_distances(
     n: int, edges: np.ndarray, sources: list[int], directed: bool = False
 ) -> np.ndarray:

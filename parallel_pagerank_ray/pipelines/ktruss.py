@@ -174,3 +174,278 @@ def ktruss_edges(
             )
         )
     return edges
+
+
+# ---------------------------------------------------------------------------
+# Incremental BSP engine: triangles enumerated ONCE, supports maintained
+# by decrement — the deep-peel scale path. `ktruss_edges` above pays a
+# full triangle re-enumeration per round (fine for shallow peels, k=3
+# converges in ~2 rounds); a deep peel (k=10 on the co-purchase graph
+# runs 8 rounds; adversarial graphs run hundreds) multiplies that cost
+# by the round count. This engine is the truss analogue of
+# pipelines/kcore.py instead: replicate each triangle to the owner
+# shard of EACH of its three edges, then peel with broadcast kill
+# rounds — every (triangle, edge) incidence is charged exactly once
+# across the whole run.
+#
+#     prep    canonicalize edges (src < dst, distinct, no self loops),
+#             enumerate triangles once (triangle_list), route replicas
+#             (local_edge, other1, other2) by the local edge's src part
+#     init    per-shard support = one bincount over local-edge slots
+#     round   driver broadcasts last round's globally-killed edge keys
+#             (ONE ray.put, zero-copy read in every shard); shards find
+#             hit replicas through three per-slot sorted indexes
+#             (searchsorted range expansion, the kcore peel idiom),
+#             mark those triangles dead, decrement the local edge's
+#             support when it survived the round, and report local
+#             edges that fell below k-2
+#
+# A triangle dies exactly once (all replicas observe the same broadcast
+# stream), so total work is O(T log T) for the slot indexes + O(T)
+# decrements; per-round traffic is only the newly-killed key list
+# (sums to <= E keys over the run — no dense exchange). Synchronous
+# simultaneous kills keep the sequential truss-peel invariant: after
+# every round support(e) = #{triangles with all three edges alive}.
+#
+# Packed edge keys (src * n + dst) bound n < ~3.0e9; triangle_list's
+# broadcast guard (n < 2^31, oriented edges <= 50M/plasma copy) binds
+# first — beyond it, feed the shards from the wedge-shuffle
+# enumeration instead (the peel itself never materializes anything
+# dense).
+
+from dataclasses import dataclass, field
+
+from parallel_pagerank_ray.stages.csr_store import (
+    EdgeShardStore,
+    cap_num_parts,
+    per_actor_cpus,
+)
+
+
+@dataclass
+class KTrussRun:
+    edges: rd.Dataset  # (src, dst) canonical edges of the k-truss
+    iterations: int
+    history: list[dict] = field(default_factory=list)
+
+
+@ray.remote
+def _register_replicas(block, part_size: int, n: int):
+    """Split one triangle block (a < b < c rows) into per-part replica
+    arrays (local src, local dst, other-edge keys); put each. Each
+    triangle lands on the owner shard of each of its three edges:
+    (a,b) and (a,c) on shard(a), (b,c) on shard(b)."""
+    if block.num_rows == 0 or "a" not in block.schema.names:
+        return {}
+    a = block.column("a").to_numpy().astype(np.int64)
+    b = block.column("b").to_numpy().astype(np.int64)
+    c = block.column("c").to_numpy().astype(np.int64)
+    nb = np.int64(n)
+    k_ab = a * nb + b
+    k_ac = a * nb + c
+    k_bc = b * nb + c
+    es = np.concatenate([a, a, b])
+    ed = np.concatenate([b, c, c])
+    o1 = np.concatenate([k_ac, k_ab, k_ab])
+    o2 = np.concatenate([k_bc, k_bc, k_ac])
+    parts = es // part_size
+    out: dict[int, ray.ObjectRef] = {}
+    for p in np.unique(parts):
+        m = parts == p
+        out[int(p)] = ray.put(
+            (
+                np.ascontiguousarray(es[m]),
+                np.ascontiguousarray(ed[m]),
+                np.ascontiguousarray(o1[m]),
+                np.ascontiguousarray(o2[m]),
+            )
+        )
+    return out
+
+
+@ray.remote
+class _KTrussShard:
+    def __init__(
+        self,
+        part: int,
+        edge_refs: list,
+        rep_refs: list,
+        n: int,
+        part_size: int,
+        k: int,
+    ) -> None:
+        self.thr = k - 2
+        nb = np.int64(n)
+        if edge_refs:
+            chunks = ray.get(edge_refs)
+            src = np.concatenate([ch[0] for ch in chunks])
+            dst = np.concatenate([ch[1] for ch in chunks])
+        else:
+            src = dst = np.array([], dtype=np.int64)
+        keys = src * nb + dst
+        if keys.size and not bool(np.all(keys[1:] >= keys[:-1])):
+            keys = np.sort(keys)  # store is (src,dst)-sorted; defense only
+        self.keys = keys
+        self.support = np.zeros(len(keys), dtype=np.int64)
+        self.alive = np.ones(len(keys), dtype=bool)
+        if rep_refs:
+            chunks = ray.get(rep_refs)
+            res = np.concatenate([ch[0] for ch in chunks])
+            red = np.concatenate([ch[1] for ch in chunks])
+            o1 = np.concatenate([ch[2] for ch in chunks])
+            o2 = np.concatenate([ch[3] for ch in chunks])
+        else:
+            res = red = o1 = o2 = np.array([], dtype=np.int64)
+        rkey = res * nb + red
+        # triangles only exist on edges of the canonical set, so every
+        # rkey is present by construction — no equality re-check needed
+        self.le = np.searchsorted(keys, rkey)
+        np.add.at(self.support, self.le, 1)
+        self.talive = np.ones(len(rkey), dtype=bool)
+        # per-slot sorted indexes: replicas hit by a killed edge key
+        # are one searchsorted range per slot — each replica is found
+        # at most once per slot over the whole run
+        self.slots = []
+        for vals in (rkey, o1, o2):
+            order = np.argsort(vals, kind="stable")
+            self.slots.append((vals[order], order))
+
+    def initial_kill(self):
+        doomed = np.nonzero(self.alive & (self.support < self.thr))[0]
+        self.alive[doomed] = False
+        return self.keys[doomed]
+
+    def _hits(self, killed: np.ndarray) -> np.ndarray:
+        pos_parts = []
+        for svals, order in self.slots:
+            lo = np.searchsorted(svals, killed, "left")
+            hi = np.searchsorted(svals, killed, "right")
+            lens = hi - lo
+            m = lens > 0
+            if not m.any():
+                continue
+            lo, lens = lo[m], lens[m]
+            csum = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            pos = (
+                np.arange(int(lens.sum()))
+                - np.repeat(csum, lens)
+                + np.repeat(lo, lens)
+            )
+            pos_parts.append(order[pos])
+        if not pos_parts:
+            return np.array([], dtype=np.int64)
+        return np.unique(np.concatenate(pos_parts))
+
+    def peel(self, killed: np.ndarray) -> np.ndarray:
+        """Apply one round of globally-broadcast edge deaths; return
+        local edges that fell below k-2 (their packed keys)."""
+        if len(killed):
+            hits = self._hits(killed)
+            hits = hits[self.talive[hits]]
+            if len(hits):
+                self.talive[hits] = False
+                le = self.le[hits]
+                p = np.searchsorted(killed, self.keys[le])
+                in_killed = np.zeros(len(le), dtype=bool)
+                valid = p < len(killed)
+                in_killed[valid] = killed[p[valid]] == self.keys[le[valid]]
+                dec = self.alive[le] & ~in_killed
+                if dec.any():
+                    np.subtract.at(self.support, le[dec], 1)
+        doomed = np.nonzero(self.alive & (self.support < self.thr))[0]
+        self.alive[doomed] = False
+        return self.keys[doomed]
+
+    def slice_table(self, n: int):
+        import pyarrow as pa
+
+        keys = self.keys[self.alive]
+        nb = np.int64(n)
+        return pa.table(
+            {
+                "src": pa.array(keys // nb, pa.int64()),
+                "dst": pa.array(keys % nb, pa.int64()),
+            }
+        )
+
+
+def ktruss_bsp(
+    graph: Graph,
+    k: int,
+    num_parts: int | None = None,
+    edges_canonical: bool = False,
+) -> KTrussRun:
+    """Edges of the k-truss of the simple undirected closure of
+    ``graph.edges``, on the incremental BSP engine (module docs above).
+    ``edges_canonical=True`` certifies the input is already
+    undirected-canonical (src < dst, globally distinct, no self
+    loops), skipping the closure dedup shuffle.
+
+    Shard state is O(E_p + T_p) — edge slices plus the triangle
+    replicas incident to them; no full-n or full-E vectors anywhere.
+    Same fixpoint as ``ktruss_edges`` (both synchronous peels).
+    """
+    n = graph.n
+    if n == 0:
+        return KTrussRun(edges=rd.from_items([]), iterations=0)
+    if edges_canonical:
+        canon = graph.edges
+    else:
+        canon = _simple_undirected(graph.edges).materialize()
+    if k <= 2:
+        # support >= 0 == k-2 for every edge; nothing ever peels
+        return KTrussRun(edges=canon, iterations=0)
+    if num_parts is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_parts = cap_num_parts(min(256, max(4, cpus)), n)
+    from parallel_pagerank_ray.pipelines.triangles import triangle_list
+
+    tri = triangle_list(Graph(n=n, edges=canon), edges_simple=True)
+    store = EdgeShardStore.build(
+        canon, n=n, num_parts=num_parts, sort_by=["src", "dst"]
+    )
+    rep_dicts = ray.get(
+        [
+            _register_replicas.remote(b, store.part_size, n)
+            for b in tri.to_arrow_refs()
+        ]
+    )
+    rep_refs: dict[int, list] = {}
+    for d in rep_dicts:
+        for p, ref in d.items():
+            rep_refs.setdefault(p, []).append(ref)
+    P = max(1, -(-n // store.part_size))
+    per_actor = per_actor_cpus(P)
+    actors = [
+        _KTrussShard.options(num_cpus=per_actor).remote(
+            p,
+            store.part_refs.get(p, []),
+            rep_refs.get(p, []),
+            n,
+            store.part_size,
+            k,
+        )
+        for p in range(P)
+    ]
+    killed_parts = ray.get([a.initial_kill.remote() for a in actors])
+    newly_killed = (
+        np.concatenate(killed_parts)
+        if killed_parts
+        else np.array([], dtype=np.int64)
+    )
+    it = 0
+    history: list[dict] = [{"iter": 0, "killed": int(len(newly_killed))}]
+    while len(newly_killed):
+        newly_killed.sort()  # searchsorted targets in peel()
+        ref = ray.put(newly_killed)
+        parts = ray.get([a.peel.remote(ref) for a in actors])
+        newly_killed = np.concatenate(parts)
+        it += 1
+        history.append({"iter": it, "killed": int(len(newly_killed))})
+    tables = [a.slice_table.remote(n) for a in actors]
+    ray.wait(tables, num_returns=len(tables))
+    for a in actors:
+        ray.kill(a)
+    return KTrussRun(
+        edges=rd.from_arrow_refs(tables), iterations=it, history=history
+    )

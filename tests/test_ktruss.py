@@ -94,3 +94,79 @@ def test_ktruss_rejects_k2():
 
     with pytest.raises(ValueError):
         ktruss_edges(g, 2)
+
+
+# --- incremental BSP engine (ktruss_bsp): same fixpoint, triangles
+# enumerated once and supports maintained by decrement ---------------
+
+
+def test_ktruss_bsp_known_shape():
+    from parallel_pagerank_ray.pipelines.ktruss import ktruss_bsp
+
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    extra = [(3, 4), (3, 5), (4, 5)]
+    g = Graph(
+        n=6,
+        edges=rd.from_arrow(
+            pa.table(
+                {
+                    "src": np.array([e[0] for e in k4 + extra], dtype=np.int64),
+                    "dst": np.array([e[1] for e in k4 + extra], dtype=np.int64),
+                }
+            )
+        ).materialize(),
+    )
+    assert _edges_of(ktruss_bsp(g, 4).edges) == sorted(k4)
+    assert _edges_of(ktruss_bsp(g, 5).edges) == []
+    # k <= 2: nothing peels, canonical input comes back
+    assert _edges_of(ktruss_bsp(g, 2).edges) == sorted(k4 + extra)
+
+
+def test_ktruss_bsp_matches_bruteforce_and_dataset_engine():
+    from parallel_pagerank_ray import oracle
+    from parallel_pagerank_ray.pipelines.ktruss import ktruss_bsp
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        n = int(rng.integers(8, 45))
+        m = int(rng.integers(6, 4 * n))
+        e = rng.integers(0, n, size=(m, 2)).astype(np.int64)
+        g = Graph(
+            n=n,
+            edges=rd.from_arrow(
+                pa.table({"src": e[:, 0], "dst": e[:, 1]})
+            ).materialize(),
+        )
+        for k in (3, 4, 5):
+            want = list(map(tuple, oracle.ktruss(n, e, k)))
+            assert _edges_of(ktruss_bsp(g, k).edges) == want, (trial, k)
+            assert want == _brute(n, e.tolist(), k), (trial, k)
+
+
+def test_ktruss_bsp_partition_invariant_cascade():
+    """A cascading peel (chord deaths unzip the strip; the K5 core
+    survives) must give the same edges at any shard count — each
+    (triangle, edge) decrement is charged exactly once. Deep peels
+    (8 rounds) are exercised by the ktruss_deep_copurchase gate."""
+    from parallel_pagerank_ray import oracle
+    from parallel_pagerank_ray.pipelines.ktruss import ktruss_bsp
+
+    # strip of triangles (i, i+1, i+2) plus a K5 core at the far end
+    strip = [(i, i + 1) for i in range(20)] + [(i, i + 2) for i in range(19)]
+    k5 = [(20 + a, 20 + b) for a in range(5) for b in range(a + 1, 5)]
+    e = np.array(strip + k5 + [(20, 21)], dtype=np.int64)
+    n = 25
+    want = list(map(tuple, oracle.ktruss(n, e, 4)))
+    runs = []
+    for parts in (1, 3, 7):
+        g = Graph(
+            n=n,
+            edges=rd.from_arrow(
+                pa.table({"src": e[:, 0], "dst": e[:, 1]})
+            ).materialize(),
+        )
+        run = ktruss_bsp(g, 4, num_parts=parts)
+        assert _edges_of(run.edges) == want, parts
+        runs.append(run.iterations)
+    assert len(set(runs)) == 1  # synchronous rounds: same depth everywhere
+    assert runs[0] >= 2  # the kill actually cascades across rounds
