@@ -2162,6 +2162,19 @@ def q_top_bigrams(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_bpe_merges(sf_dir: str) -> rd.Dataset:
+    """First 8 BPE tokenizer merges learned from the documents corpus
+    (functions/bpe.py::bpe_train): the corpus reduces once to its
+    distinct-word frequency table; every merge round (pair counting,
+    max-count/lexicographic-tie-break selection, greedy leftmost
+    non-overlapping merge) runs over that vocabulary table. Integer
+    counts + string symbols -> value-exact vs the unrolled
+    list_reduce strict-fold replay in DuckDB."""
+    from parallel_pagerank_ray.functions.bpe import bpe_train
+
+    return bpe_train(_documents(sf_dir, ["text"]), num_merges=8)
+
+
 def q_price_quantiles_by_flag(sf_dir: str) -> rd.Dataset:
     """quantile_disc per group, fully distributed: exact 25/50/75th
     percentile of l_extendedprice (integer cents) per l_returnflag —
@@ -3371,6 +3384,66 @@ def q_distinct_parts_per_nation(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
+def _bpe_oracle_sql(num_merges: int) -> str:
+    """Unrolled BPE-training replay (functions/bpe.py semantics): per
+    round, adjacent-pair counts over the distinct-word symbol table
+    (list-comprehension unnest), best pair by (c DESC, l, r), then the
+    greedy leftmost non-overlapping merge as a list_reduce STRICT LEFT
+    FOLD over the symbol list (acc = 'out|pending'; a merged pair
+    clears pending so the next occurrence cannot overlap — exactly
+    "a a a a" + (a,a) -> "aa aa")."""
+
+    def fold(i: int) -> str:
+        return f"""
+      w{i + 1} AS MATERIALIZED (
+        SELECT trim(replace(
+          list_reduce(
+            list_prepend('|', string_split(w.syms, ' ')),
+            (acc, x) -> CASE
+              WHEN split_part(acc, '|', 2) = b.l AND x = b.r
+                THEN split_part(acc, '|', 1) || ' ' || b.l || b.r || '|'
+              WHEN split_part(acc, '|', 2) = ''
+                THEN split_part(acc, '|', 1) || '|' || x
+              ELSE split_part(acc, '|', 1) || ' ' ||
+                   split_part(acc, '|', 2) || '|' || x
+            END),
+          '|', ' ')) AS syms, w.cnt
+        FROM w{i} w CROSS JOIN b{i} b)"""
+
+    def pairs(i: int) -> str:
+        return f"""
+      p{i} AS MATERIALIZED (
+        SELECT u.pr.l AS l, u.pr.r AS r, CAST(sum(u.cnt) AS BIGINT) AS c
+        FROM (
+          SELECT unnest([{{'l': t.toks[k], 'r': t.toks[k+1]}}
+                         for k in range(1, len(t.toks))]) AS pr, t.cnt
+          FROM (SELECT string_split(syms, ' ') AS toks, cnt FROM w{i}) t
+        ) u GROUP BY 1, 2),
+      b{i} AS MATERIALIZED (
+        SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1)"""
+
+    parts = [
+        """
+      w1 AS MATERIALIZED (
+        SELECT array_to_string([substr(word, k+1, 1)
+                                for k in range(length(word))], ' ') AS syms,
+               cnt
+        FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+              FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                           AS word FROM documents)
+              GROUP BY 1))"""
+    ]
+    for i in range(1, num_merges + 1):
+        parts.append(pairs(i))
+        if i < num_merges:
+            parts.append(fold(i))
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, l AS left, r AS right, c AS pair_cnt FROM b{i}"
+        for i in range(1, num_merges + 1)
+    )
+    return "WITH" + ",".join(parts) + "\n" + sel + "\nORDER BY rank"
+
+
 def entry() -> Any:
     """Flagship: pages -> extract links -> graph build -> PageRank ->
     (url, rank) on sf0.001."""
@@ -3511,6 +3584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "clean_corpus": q_clean_corpus,
         "top_bigrams": q_top_bigrams,
+        "bpe_merges": q_bpe_merges,
         "vocab_growth": q_vocab_growth,
         "dsir_weights": q_dsir_weights,
         "lm_buckets": q_lm_buckets,
@@ -6565,6 +6639,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, CAST(count(*) AS BIGINT) AS cnt FROM big
             GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20
         """,
+        "bpe_merges": _bpe_oracle_sql(8),
         # DSIR sufficient statistics: same tokenizer/bigram fragment as
         # top_bigrams; score = one division of exact int64 products
         "dsir_weights": f"""
