@@ -2175,6 +2175,18 @@ def q_bpe_merges(sf_dir: str) -> rd.Dataset:
     return bpe_train(_documents(sf_dir, ["text"]), num_merges=8)
 
 
+def q_bpe_token_counts(sf_dir: str) -> rd.Dataset:
+    """Corpus token-frequency table under the 8-merge BPE tokenizer
+    (functions/bpe.py::bpe_token_counts): each DISTINCT word is
+    tokenized once (the trainer's merged vocabulary table is the
+    memo), token counts are one unnest of that table weighted by word
+    frequency — the corpus itself is read exactly once. Value-exact
+    vs the unrolled trainer replay's final vocabulary in DuckDB."""
+    from parallel_pagerank_ray.functions.bpe import bpe_token_counts
+
+    return bpe_token_counts(_documents(sf_dir, ["text"]), num_merges=8)
+
+
 def q_price_quantiles_by_flag(sf_dir: str) -> rd.Dataset:
     """quantile_disc per group, fully distributed: exact 25/50/75th
     percentile of l_extendedprice (integer cents) per l_returnflag —
@@ -3384,7 +3396,7 @@ def q_distinct_parts_per_nation(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
-def _bpe_oracle_sql(num_merges: int) -> str:
+def _bpe_oracle_sql(num_merges: int, tokens: bool = False) -> str:
     """Unrolled BPE-training replay (functions/bpe.py semantics): per
     round, adjacent-pair counts over the distinct-word symbol table
     (list-comprehension unnest), best pair by (c DESC, l, r), then the
@@ -3435,13 +3447,24 @@ def _bpe_oracle_sql(num_merges: int) -> str:
     ]
     for i in range(1, num_merges + 1):
         parts.append(pairs(i))
-        if i < num_merges:
+        if i < num_merges or tokens:
             parts.append(fold(i))
-    sel = "\nUNION ALL\n".join(
-        f"SELECT {i} AS rank, l AS left, r AS right, c AS pair_cnt FROM b{i}"
-        for i in range(1, num_merges + 1)
-    )
-    return "WITH" + ",".join(parts) + "\n" + sel + "\nORDER BY rank"
+    if tokens:
+        # tokenize-apply side: the merged vocabulary table IS the
+        # corpus tokenization memo — unnest its symbols weighted by
+        # word frequency
+        sel = f"""
+            SELECT u.tok AS token, CAST(sum(u.cnt) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split(syms, ' ')) AS tok, cnt
+                  FROM w{num_merges + 1}) u
+            GROUP BY 1"""
+    else:
+        sel = "\nUNION ALL\n".join(
+            f"SELECT {i} AS rank, l AS left, r AS right, c AS pair_cnt "
+            f"FROM b{i}"
+            for i in range(1, num_merges + 1)
+        )
+    return "WITH" + ",".join(parts) + "\n" + sel
 
 
 def entry() -> Any:
@@ -3585,6 +3608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": q_clean_corpus,
         "top_bigrams": q_top_bigrams,
         "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
         "vocab_growth": q_vocab_growth,
         "dsir_weights": q_dsir_weights,
         "lm_buckets": q_lm_buckets,
@@ -6640,6 +6664,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20
         """,
         "bpe_merges": _bpe_oracle_sql(8),
+        "bpe_token_counts": _bpe_oracle_sql(8, tokens=True),
         # DSIR sufficient statistics: same tokenizer/bigram fragment as
         # top_bigrams; score = one division of exact int64 products
         "dsir_weights": f"""

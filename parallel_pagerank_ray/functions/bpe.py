@@ -64,9 +64,8 @@ def word_counts(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
         for s in low.to_pylist():
             if s:
                 c.update(_WORD_RE.findall(s))
-        ws = np.array(list(c.keys()), dtype=object)
         return {
-            "word": ws,
+            "word": np.array(list(c.keys()), dtype=object),
             "cnt": np.array(list(c.values()), dtype=np.int64),
         }
 
@@ -93,15 +92,9 @@ def _merge_word(toks: list[str], left: str, right: str) -> list[str]:
     return out
 
 
-def bpe_train(
-    docs: rd.Dataset,
-    num_merges: int,
-    text_col: str = "text",
-) -> rd.Dataset:
-    """Learn ``num_merges`` BPE merge rules; returns the small
-    (rank, left, right, pair_cnt) table (rank 1-based, pair_cnt =
-    the pair's weighted count when it was chosen). Stops early if the
-    vocabulary runs out of pairs."""
+def _symbol_vocab(docs: rd.Dataset, text_col: str) -> rd.Dataset:
+    """(syms, cnt) vocabulary table: each distinct word as a
+    space-joined character-symbol string, weighted by corpus count."""
     words = word_counts(docs, text_col=text_col).materialize()
 
     def to_symbols(t: pa.Table) -> pa.Table:
@@ -113,7 +106,69 @@ def bpe_train(
             }
         )
 
-    vocab = words.map_batches(to_symbols, batch_format="pyarrow").materialize()
+    return words.map_batches(to_symbols, batch_format="pyarrow").materialize()
+
+
+def _train_local(
+    rows: list[tuple[str, int]], num_merges: int
+) -> tuple[list[dict], list[tuple[str, int]]]:
+    """Driver-local merge loop over a SMALL pulled vocabulary —
+    identical semantics to ``_train`` (same pair counting, selection
+    rule, and fold); used under ``vocab_driver_max``."""
+    merges: list[dict] = []
+    for rank in range(1, num_merges + 1):
+        c: Counter = Counter()
+        for s, k in rows:
+            toks = s.split(" ")
+            for i in range(len(toks) - 1):
+                c[(toks[i], toks[i + 1])] += k
+        if not c:
+            break
+        (left, right), cnt = min(
+            c.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append(
+            {"rank": rank, "left": left, "right": right, "pair_cnt": cnt}
+        )
+        rows = [
+            (" ".join(_merge_word(s.split(" "), left, right)), k)
+            for s, k in rows
+        ]
+    return merges, rows
+
+
+def _train(
+    vocab: rd.Dataset, num_merges: int, vocab_driver_max: int = 100_000
+) -> tuple[list[dict], rd.Dataset]:
+    """Run ``num_merges`` rounds over the vocabulary table; returns
+    (merge rules, merged vocabulary). Stops early when no pair is
+    left. Every round: pair-count partials -> bucketed combine -> ONE
+    bounded driver pull of the distinct-pair table -> broadcastable
+    (left, right) scalars applied in a map_batches fold.
+
+    Fast path: a vocabulary at or under ``vocab_driver_max`` distinct
+    words is pulled ONCE and trained driver-locally (the HF-trainer
+    shape — the word table is the sufficient statistic and it is tiny
+    relative to any corpus), skipping 2R rounds of cluster latency;
+    semantics are identical (same counting/selection/fold), and the
+    distributed path is forced in tests via vocab_driver_max=0."""
+    if vocab.count() <= vocab_driver_max:  # vocab arrives materialized
+        pdf = vocab.to_pandas()
+        rows = list(
+            zip(pdf["syms"].tolist(), (int(x) for x in pdf["cnt"]))
+        )
+        merges, out_rows = _train_local(rows, num_merges)
+        out = rd.from_arrow(
+            pa.table(
+                {
+                    "syms": pa.array([s for s, _ in out_rows], pa.string()),
+                    "cnt": pa.array(
+                        [k for _, k in out_rows], pa.int64()
+                    ),
+                }
+            )
+        )
+        return merges, out
     merges: list[dict] = []
     for rank in range(1, num_merges + 1):
 
@@ -125,11 +180,9 @@ def bpe_train(
                 toks = s.split(" ")
                 for i in range(len(toks) - 1):
                     c[(toks[i], toks[i + 1])] += int(k)
-            ls = np.array([p[0] for p in c.keys()], dtype=object)
-            rs = np.array([p[1] for p in c.keys()], dtype=object)
             return {
-                "l": ls,
-                "r": rs,
+                "l": np.array([p[0] for p in c.keys()], dtype=object),
+                "r": np.array([p[1] for p in c.keys()], dtype=object),
                 "c": np.array(list(c.values()), dtype=np.int64),
             }
 
@@ -143,9 +196,7 @@ def bpe_train(
         pdf = pairs.to_pandas()
         if len(pdf) == 0:
             break
-        pdf = pdf.sort_values(
-            ["c", "l", "r"], ascending=[False, True, True]
-        )
+        pdf = pdf.sort_values(["c", "l", "r"], ascending=[False, True, True])
         best = pdf.iloc[0]
         left, right, cnt = str(best["l"]), str(best["r"]), int(best["c"])
         merges.append(
@@ -154,9 +205,7 @@ def bpe_train(
 
         def apply_merge(t: pa.Table, L=left, R=right) -> pa.Table:
             syms = t.column("syms").to_pylist()
-            out = [
-                " ".join(_merge_word(s.split(" "), L, R)) for s in syms
-            ]
+            out = [" ".join(_merge_word(s.split(" "), L, R)) for s in syms]
             return pa.table(
                 {"syms": pa.array(out, pa.string()), "cnt": t.column("cnt")}
             )
@@ -164,6 +213,22 @@ def bpe_train(
         vocab = vocab.map_batches(
             apply_merge, batch_format="pyarrow"
         ).materialize()
+    return merges, vocab
+
+
+def bpe_train(
+    docs: rd.Dataset,
+    num_merges: int,
+    text_col: str = "text",
+    vocab_driver_max: int = 100_000,
+) -> rd.Dataset:
+    """Learn ``num_merges`` BPE merge rules; returns the small
+    (rank, left, right, pair_cnt) table (rank 1-based, pair_cnt =
+    the pair's weighted count when it was chosen). Stops early if the
+    vocabulary runs out of pairs."""
+    merges, _ = _train(
+        _symbol_vocab(docs, text_col), num_merges, vocab_driver_max
+    )
     if not merges:  # schema-stable empty result
         return rd.from_arrow(
             pa.table(
@@ -176,3 +241,41 @@ def bpe_train(
             )
         )
     return rd.from_items(merges)
+
+
+def bpe_token_counts(
+    docs: rd.Dataset,
+    num_merges: int,
+    text_col: str = "text",
+    vocab_driver_max: int = 100_000,
+) -> rd.Dataset:
+    """(token, cnt) frequency table of the corpus tokenized with the
+    first ``num_merges`` learned merges — the trained tokenizer's
+    APPLY side, via the memoized distinct-word route: each DISTINCT
+    word is tokenized exactly once (its merged symbol string is what
+    the trainer's vocabulary table holds after R rounds), so corpus
+    token counts are one unnest of that small table weighted by word
+    frequency. The corpus is read once (inside word_counts) and never
+    re-tokenized row by row — the standard production-tokenizer
+    memoization."""
+    _, vocab = _train(
+        _symbol_vocab(docs, text_col), num_merges, vocab_driver_max
+    )
+
+    def unnest_tokens(t: pa.Table) -> dict:
+        c: Counter = Counter()
+        syms = t.column("syms").to_pylist()
+        cnt = t.column("cnt").to_numpy()
+        for s, k in zip(syms, cnt):
+            for tok in s.split(" "):
+                c[tok] += int(k)
+        return {
+            "token": np.array(list(c.keys()), dtype=object),
+            "cnt": np.array(list(c.values()), dtype=np.int64),
+        }
+
+    return grouped_agg(
+        vocab.map_batches(unnest_tokens, batch_format="pyarrow"),
+        ["token"],
+        {"cnt": ("cnt", "sum")},
+    )

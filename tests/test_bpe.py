@@ -76,7 +76,10 @@ def test_bpe_train_early_stop_and_empty():
     assert (m["left"][0], m["right"][0], m["pair_cnt"][0]) == ("a", "b", 3)
 
 
-def test_bpe_train_partition_invariant():
+def test_bpe_train_partition_invariant_distributed_path():
+    """vocab_driver_max=0 forces the distributed merge loop; results
+    must equal the sequential reference (and thus the driver-local
+    fast path) at any block count."""
     rng = np.random.default_rng(3)
     words = ["alpha", "beta", "gamma", "delta", "aaa", "abab", "banana"]
     texts = [
@@ -90,9 +93,33 @@ def test_bpe_train_partition_invariant():
         )
         got = [
             tuple(x)
-            for x in bpe_train(docs, 5)
+            for x in bpe_train(docs, 5, vocab_driver_max=0)
             .to_pandas()
             .sort_values("rank")[["rank", "left", "right", "pair_cnt"]]
             .itertuples(index=False)
         ]
         assert got == want, nblocks
+
+
+def test_bpe_token_counts_paths_agree():
+    from parallel_pagerank_ray.functions.bpe import bpe_token_counts
+
+    texts = ["the cat sat", "batch batch stream", "aaaa aaa the the"] * 2
+    docs = rd.from_items([{"text": t} for t in texts])
+    fast = (
+        bpe_token_counts(docs, 4)
+        .to_pandas()
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    dist = (
+        bpe_token_counts(docs, 4, vocab_driver_max=0)
+        .to_pandas()
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    assert fast.equals(dist)
+    # spot-check one known token: 'the' occurs 6 times in the corpus
+    # and must either be fully merged into one token or remain split
+    # consistently
+    assert int(fast.loc[fast["token"] == "the", "cnt"].sum()) in (0, 6)
