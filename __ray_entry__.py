@@ -1257,6 +1257,22 @@ def q_ktruss_deep_copurchase(sf_dir: str) -> rd.Dataset:
     return ktruss_bsp(g, k=10, edges_canonical=True).edges
 
 
+def q_modularity_moves_copurchase(sf_dir: str) -> rd.Dataset:
+    """Three synchronous Louvain-style modularity-move rounds over the
+    co-purchase graph (pipelines/modularity_moves.py): (vid, comm) for
+    every vertex under the deterministic monotone min-id rule with the
+    integer-scaled gain 4m(k_vc - k_va) - 2 deg_v (tot_c - tot_a +
+    deg_v). BSP vote exchange (the LPA harness) + driver-held
+    community-degree totals; value-exact vs the recursive-CTE replay
+    in DuckDB."""
+    from parallel_pagerank_ray.pipelines.modularity_moves import (
+        modularity_moves_bsp,
+    )
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return modularity_moves_bsp(g, rounds=3, edges_canonical=True).labels
+
+
 def q_coreness_copurchase(sf_dir: str) -> rd.Dataset:
     """Full core decomposition of the co-purchase graph: (vid,
     coreness) for every vertex — one rising-threshold peeling pass on
@@ -3538,6 +3554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_supplier_part": q_hits_supplier_part,
         "kcore_copurchase": q_kcore_copurchase,
         "ktruss_deep_copurchase": q_ktruss_deep_copurchase,
+        "modularity_moves_copurchase": q_modularity_moves_copurchase,
         "coreness_copurchase": q_coreness_copurchase,
         "densest_copurchase": q_densest_copurchase,
         "bfs_copurchase": q_bfs_copurchase,
@@ -5497,6 +5514,62 @@ def oracle_sql() -> dict[str, str]:
               )
             SELECT vid FROM kc
             WHERE it = (SELECT max(it) FROM kc) AND alive = 1
+        """,
+        "modularity_moves_copurchase": f"""
+            WITH RECURSIVE
+            {_supplier_part_vid_graph(_COPURCHASE_SQL)},
+              degs AS MATERIALIZED (
+                SELECT src AS vid, CAST(count(*) AS BIGINT) AS deg
+                FROM und GROUP BY 1),
+              mm AS MATERIALIZED (
+                SELECT CAST(count(*) // 2 AS BIGINT) AS m FROM und),
+              -- 3 synchronous monotone modularity-move rounds: v in
+              -- community a may join a NEIGHBOR community c < a with
+              -- the best strictly-positive integer gain
+              -- 4m(k_vc - k_va) - 2 deg_v (tot_c - tot_a + deg_v),
+              -- ties -> min c (the engine's exact rule)
+              cm(it, vid, comm) AS (
+                SELECT 0, vid, vid FROM v
+                UNION ALL
+                SELECT c.it + 1, c.vid, coalesce(mv.newc, c.comm)
+                FROM cm c
+                LEFT JOIN (
+                  SELECT q.v, q.c AS newc FROM (
+                    SELECT kv.v, kv.c,
+                           row_number() OVER (PARTITION BY kv.v
+                             ORDER BY kv.gain DESC, kv.c ASC) AS rn
+                    FROM (
+                      SELECT kk.v, kk.c,
+                             4 * mm.m * (kk.k - coalesce(ka.k, 0))
+                             - 2 * dv.deg * (tc.tot - ta.tot + dv.deg)
+                             AS gain
+                      FROM (SELECT u.src AS v, c2.comm AS c,
+                                   CAST(count(*) AS BIGINT) AS k
+                            FROM und u JOIN cm c2 ON c2.vid = u.dst
+                            GROUP BY 1, 2) kk
+                      JOIN cm ca ON ca.vid = kk.v
+                      LEFT JOIN (SELECT u.src AS v, c3.comm AS c,
+                                        CAST(count(*) AS BIGINT) AS k
+                                 FROM und u JOIN cm c3 ON c3.vid = u.dst
+                                 GROUP BY 1, 2) ka
+                        ON ka.v = kk.v AND ka.c = ca.comm
+                      JOIN degs dv ON dv.vid = kk.v
+                      JOIN (SELECT c4.comm, CAST(sum(d4.deg) AS BIGINT)
+                                   AS tot
+                            FROM cm c4 JOIN degs d4 ON d4.vid = c4.vid
+                            GROUP BY 1) tc ON tc.comm = kk.c
+                      JOIN (SELECT c5.comm, CAST(sum(d5.deg) AS BIGINT)
+                                   AS tot
+                            FROM cm c5 JOIN degs d5 ON d5.vid = c5.vid
+                            GROUP BY 1) ta ON ta.comm = ca.comm
+                      CROSS JOIN mm
+                      WHERE kk.c < ca.comm
+                    ) kv WHERE kv.gain > 0
+                  ) q WHERE q.rn = 1
+                ) mv ON mv.v = c.vid
+                WHERE c.it < 3
+              )
+            SELECT vid, comm FROM cm WHERE it = 3
         """,
         "ktruss_deep_copurchase": f"""
             WITH RECURSIVE

@@ -204,6 +204,47 @@ def kcore(n: int, edges: np.ndarray, k: int) -> np.ndarray:
                 deg[u] -= 1
 
 
+def modularity_moves(
+    n: int, edges: np.ndarray, rounds: int = 3
+) -> np.ndarray:
+    """Synchronous monotone Louvain-style moves (the
+    pipelines/modularity_moves.py rule): per round every vertex v in
+    community a evaluates neighboring communities c < a with the
+    integer gain 4m(k_vc - k_va) - 2 deg_v (tot_c - tot_a + deg_v),
+    moving to the best strictly-positive one (ties -> min c). Returns
+    the community array after ``rounds`` rounds."""
+    adj = _undirected_adj(n, edges)
+    deg = np.array([len(x) for x in adj], dtype=np.int64)
+    m = int(deg.sum()) // 2
+    comm = np.arange(n, dtype=np.int64)
+    for _ in range(rounds):
+        tot = np.zeros(n, dtype=np.int64)
+        np.add.at(tot, comm, deg)
+        new = comm.copy()
+        for v in range(n):
+            if not len(adj[v]):
+                continue
+            a = int(comm[v])
+            ks: dict[int, int] = {}
+            for u in adj[v]:
+                cu = int(comm[u])
+                ks[cu] = ks.get(cu, 0) + 1
+            kva = ks.get(a, 0)
+            best = None
+            for c, k in sorted(ks.items()):
+                if c >= a:
+                    continue
+                gain = 4 * m * (k - kva) - 2 * int(deg[v]) * (
+                    int(tot[c]) - int(tot[a]) + int(deg[v])
+                )
+                if gain > 0 and (best is None or gain > best[0]):
+                    best = (gain, c)
+            if best is not None:
+                new[v] = best[1]
+        comm = new
+    return comm
+
+
 def ktruss(n: int, edges: np.ndarray, k: int) -> np.ndarray:
     """Canonical (src < dst) edge array of the k-truss of the simple
     undirected closure: synchronously remove every edge closing fewer

@@ -1,0 +1,242 @@
+"""Parallel Louvain-style modularity moves (one-level community
+refinement) on the BSP actor harness.
+
+Beyond-reference capability: the classic Louvain local-move phase,
+parallelized the way Grappolo-family engines do — synchronous rounds
+where every vertex simultaneously evaluates moving into a neighboring
+community — with a deterministic MONOTONE rule that makes the result
+exact, oscillation-free, and SQL-replayable:
+
+    a vertex v in community a may move only to a community c < a
+    (monotone min-id), choosing the candidate with the largest
+    integer-scaled modularity gain
+
+        gain(c) = 4m * (k_vc - k_va) - 2 * deg_v * (tot_c - tot_a + deg_v)
+
+    (the standard unweighted Louvain delta-Q multiplied by 4m^2 — all
+    int64), moving iff gain > 0, ties -> smallest c. Synchronous
+    simultaneous moves, fixed round count. Monotone ids rule out the
+    A<->B swap oscillation synchronous Louvain is prone to.
+
+Harness shape = label_prop_actors.py (LPA votes ARE the k_vc table):
+
+    scatter  every shard locally combines (dst, src_comm) vote counts
+             per destination shard — ONE plasma put per dest shard
+    gather   every shard merges its incoming votes, applies the move
+             rule with the round's community-degree totals, updates its
+             local comm slice, and returns its movers' (old, new, deg)
+             deltas
+
+The driver maintains the community-degree total vector ``tot``
+(init = closure degree, updated incrementally from the returned move
+deltas — exact integer bookkeeping) and broadcasts it once per round
+(ray.put, zero-copy read per shard): n*8 B driver state and per-round
+traffic, the same dense-exchange class as components_actors; the
+routed swap-in (tot sharded by community id, two extra sparse
+exchanges per round) is the >2^33-vertex path.
+
+Overflow: |gain| <= 4m*deg_max + 2*deg_max*(2*tot_max) <= 12*m*deg_max,
+validated at init against 2^63 (the HITS guard idiom).
+
+Modularity is non-decreasing in practice (planted-partition pytest
+checks Q improves); like all synchronous local-move phases this is a
+heuristic round, not a Q-optimal partition — the value contract is
+exact replay, gated against a recursive-CTE DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import ray
+import ray.data as rd
+
+from parallel_pagerank_ray.pipelines.graph_build import Graph, undirected_edges
+from parallel_pagerank_ray.stages.csr_store import (
+    EdgeShardStore,
+    cap_num_parts,
+    per_actor_cpus,
+)
+
+
+@dataclass
+class ModularityMovesRun:
+    labels: rd.Dataset  # (vid, comm)
+    iterations: int
+    history: list[dict] = field(default_factory=list)
+
+
+@ray.remote
+class _ModShard:
+    def __init__(
+        self, part: int, part_refs: list, n: int, part_size: int, m: int
+    ) -> None:
+        self.n = n
+        self.m = m
+        self.part_size = part_size
+        self.base = part * part_size
+        self.size = max(0, min(part_size, n - self.base))
+        if part_refs:
+            chunks = ray.get(part_refs)
+            src = np.concatenate([c[0] for c in chunks]) - self.base
+            dst = np.concatenate([c[1] for c in chunks])
+        else:
+            src = np.array([], dtype=np.int64)
+            dst = np.array([], dtype=np.int64)
+        self.deg = np.bincount(src, minlength=self.size).astype(np.int64)
+        # pre-bucket edges by destination shard once (reused every round)
+        db = dst // part_size
+        order = np.argsort(db, kind="stable")
+        self.src = src[order]
+        self.dst_local = (dst - db * part_size)[order]
+        db_s = db[order]
+        self.bucket_ids = np.unique(db_s).astype(np.int64)
+        bounds = np.searchsorted(db_s, self.bucket_ids, "left").tolist() + [
+            len(db_s)
+        ]
+        self._slices = [
+            (int(bounds[i]), int(bounds[i + 1]))
+            for i in range(len(self.bucket_ids))
+        ]
+        self.comm = self.base + np.arange(self.size, dtype=np.int64)
+
+    def deg_slice(self):
+        return self.deg
+
+    def scatter(self) -> list:
+        """[(dest_shard, ref((keys, cnts))), ...] — locally-combined
+        neighbor-community vote counts keyed local_dst * n + comm."""
+        out = []
+        nbig = np.int64(self.n)
+        for bid, (lo, hi) in zip(self.bucket_ids, self._slices):
+            key = self.dst_local[lo:hi] * nbig + self.comm[self.src[lo:hi]]
+            u, cnt = np.unique(key, return_counts=True)
+            out.append((int(bid), ray.put((u, cnt.astype(np.int64)))))
+        return out
+
+    def gather_move(self, refs: list, tot: np.ndarray):
+        """Merge incoming votes, apply the monotone move rule, update
+        the local comm slice; return the movers' (vid, old_comm,
+        new_comm, deg) arrays for the driver's tot bookkeeping."""
+        empty = np.array([], dtype=np.int64)
+        incoming = ray.get(list(refs))
+        if not incoming:
+            return empty, empty, empty, empty
+        keys = np.concatenate([k for k, _ in incoming])
+        cnts = np.concatenate([c for _, c in incoming])
+        u, inv = np.unique(keys, return_inverse=True)
+        k = np.zeros(len(u), dtype=np.int64)
+        np.add.at(k, inv, cnts)
+        nbig = np.int64(self.n)
+        d = (u // nbig).astype(np.int64)  # local dst index
+        c = (u % nbig).astype(np.int64)  # candidate community
+        a = self.comm[d]
+        # k_va: the vote row whose community equals v's own (0 if none)
+        va = np.zeros(self.size, dtype=np.int64)
+        own = c == a
+        va[d[own]] = k[own]
+        cand = c < a
+        if not cand.any():
+            return empty, empty, empty, empty
+        d, c, k = d[cand], c[cand], k[cand]
+        a = self.comm[d]
+        degv = self.deg[d]
+        gain = 4 * self.m * (k - va[d]) - 2 * degv * (
+            tot[c] - tot[a] + degv
+        )
+        pos = gain > 0
+        if not pos.any():
+            return empty, empty, empty, empty
+        d, c, gain = d[pos], c[pos], gain[pos]
+        # per-dst argmax: (dst asc, gain desc, c asc), take first
+        order = np.lexsort((c, -gain, d))
+        ds_, cs_ = d[order], c[order]
+        first = np.concatenate(([True], ds_[1:] != ds_[:-1]))
+        win_d, win_c = ds_[first], cs_[first]
+        old = self.comm[win_d].copy()
+        self.comm[win_d] = win_c
+        return self.base + win_d, old, win_c, self.deg[win_d]
+
+    def slice_table(self):
+        import pyarrow as pa
+
+        vids = self.base + np.arange(self.size, dtype=np.int64)
+        return pa.table({"vid": vids, "comm": self.comm})
+
+
+def modularity_moves_bsp(
+    graph: Graph,
+    rounds: int = 3,
+    num_parts: int | None = None,
+    edges_canonical: bool = False,
+) -> ModularityMovesRun:
+    """``rounds`` synchronous monotone modularity-move rounds over the
+    simple undirected closure; returns (vid, comm) for every vertex.
+    ``edges_canonical=True`` certifies src < dst distinct no-self-loop
+    input (skips the closure dedup shuffle)."""
+    n = graph.n
+    if n == 0:
+        return ModularityMovesRun(labels=rd.from_items([]), iterations=0)
+    if num_parts is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_parts = cap_num_parts(min(256, max(4, cpus // 4)), n)
+    und = undirected_edges(graph.edges, dedup=not edges_canonical)
+    store = EdgeShardStore.build(und, n=n, num_parts=num_parts)
+    m = store.num_edges // 2  # closure holds each canonical edge twice
+    if store.part_size * n >= (1 << 63):  # pragma: no cover
+        raise ValueError(
+            "composite vote key would overflow int64; reduce part count"
+        )
+    P = max(1, -(-n // store.part_size))
+    per_actor = per_actor_cpus(P)
+    actors = [
+        _ModShard.options(num_cpus=per_actor).remote(
+            p, store.part_refs.get(p, []), n, store.part_size, m
+        )
+        for p in range(P)
+    ]
+    deg_parts = ray.get([a.deg_slice.remote() for a in actors])
+    deg = (
+        np.concatenate(deg_parts) if deg_parts else np.zeros(0, np.int64)
+    )
+    deg_max = int(deg.max()) if len(deg) else 0
+    if m and 12 * m * max(1, deg_max) >= (1 << 63):  # pragma: no cover
+        raise ValueError(
+            "integer modularity gain would overflow int64 "
+            f"(12 * m * deg_max = {12 * m * deg_max}); this graph needs "
+            "the float-gain variant"
+        )
+    tot = deg.astype(np.int64).copy()  # init: singleton communities
+    it = 0
+    history: list[dict] = []
+    for _ in range(rounds):
+        mats = ray.get([a.scatter.remote() for a in actors])
+        inbox: list[list] = [[] for _ in range(P)]
+        for row in mats:
+            for bid, ref in row:
+                inbox[bid].append(ref)
+        tot_ref = ray.put(tot)
+        deltas = ray.get(
+            [
+                actors[p].gather_move.remote(inbox[p], tot_ref)
+                for p in range(P)
+            ]
+        )
+        moved = 0
+        for _vids, old, new, dv in deltas:
+            if len(old):
+                np.subtract.at(tot, old, dv)
+                np.add.at(tot, new, dv)
+                moved += len(old)
+        it += 1
+        history.append({"iter": it, "moved": int(moved)})
+        if moved == 0:
+            break
+    tables = [a.slice_table.remote() for a in actors]
+    ray.wait(tables, num_returns=len(tables))
+    for a in actors:
+        ray.kill(a)
+    return ModularityMovesRun(
+        labels=rd.from_arrow_refs(tables), iterations=it, history=history
+    )

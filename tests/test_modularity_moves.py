@@ -1,0 +1,106 @@
+"""Parallel modularity moves (pipelines/modularity_moves.py) vs the
+sequential oracle, plus quality (Q must improve on planted partitions)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from parallel_pagerank_ray import oracle
+from parallel_pagerank_ray.pipelines.graph_build import Graph
+from parallel_pagerank_ray.pipelines.modularity_moves import (
+    modularity_moves_bsp,
+)
+
+
+def _graph(e: np.ndarray, n: int) -> Graph:
+    return Graph(
+        n=n,
+        edges=rd.from_arrow(
+            pa.table({"src": e[:, 0], "dst": e[:, 1]})
+        ).materialize(),
+    )
+
+
+def _run(g: Graph, rounds=3, **kw) -> np.ndarray:
+    run = modularity_moves_bsp(g, rounds=rounds, **kw)
+    return (
+        run.labels.to_pandas().sort_values("vid")["comm"].to_numpy()
+    )
+
+
+def test_matches_oracle_random_partition_invariant():
+    from parallel_pagerank_ray.sources.pages import powerlaw_edges
+
+    for n, d, seed in [(60, 3, 1), (150, 5, 2), (250, 7, 3)]:
+        e = powerlaw_edges(n, d, seed=seed)
+        want = oracle.modularity_moves(n, e, rounds=3)
+        for parts in (1, 4):
+            got = _run(_graph(e, n), num_parts=parts)
+            assert (got == want).all(), (n, parts)
+
+
+def test_two_cliques_with_bridge():
+    # two K5s joined by one edge: the first clique collapses to comm 0;
+    # the bridge pulls v5 (and then v6) into the singleton community 4
+    # while {7,8,9} coalesce at 6 — a documented artifact of the
+    # monotone min-id rule on bridges (determinism over optimality);
+    # the engine must reproduce the oracle's fixpoint exactly
+    k5a = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    k5b = [(5 + a, 5 + b) for a in range(5) for b in range(a + 1, 5)]
+    e = np.array(k5a + k5b + [(4, 5)], dtype=np.int64)
+    got = _run(_graph(e, 10), rounds=4)
+    assert (got[:5] == 0).all()
+    want = oracle.modularity_moves(10, e, rounds=4)
+    assert (got == want).all()
+    assert list(want[5:]) == [4, 4, 6, 6, 6]
+
+
+def test_modularity_improves_on_planted_partition():
+    from parallel_pagerank_ray.pipelines.community import (
+        community_stats,
+        modularity,
+    )
+
+    rng = np.random.default_rng(7)
+    blocks, size = 5, 20
+    n = blocks * size
+    edges = set()
+    for b in range(blocks):  # dense intra-block
+        vs = range(b * size, (b + 1) * size)
+        for u in vs:
+            for v in rng.choice(list(vs), size=6, replace=False):
+                if u != int(v):
+                    edges.add((min(u, int(v)), max(u, int(v))))
+    for _ in range(40):  # sparse inter-block noise
+        u, v = int(rng.integers(n)), int(rng.integers(n))
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    e = np.array(sorted(edges), dtype=np.int64)
+    g = _graph(e, n)
+    comm = _run(g, rounds=4)
+    labels = rd.from_arrow(
+        pa.table(
+            {
+                "vid": np.arange(n, dtype=np.int64),
+                "label": comm,
+            }
+        )
+    )
+    singletons = rd.from_arrow(
+        pa.table(
+            {
+                "vid": np.arange(n, dtype=np.int64),
+                "label": np.arange(n, dtype=np.int64),
+            }
+        )
+    )
+    q_after = modularity(community_stats(g, labels).to_pandas())
+    q_before = modularity(community_stats(g, singletons).to_pandas())
+    assert q_after > q_before + 0.2  # real community structure found
+    # the moves should recover large blocks, not micro-fragments
+    assert len(np.unique(comm)) <= 3 * blocks
+
+
+def test_empty_and_isolated():
+    got = _run(_graph(np.zeros((0, 2), dtype=np.int64), 5))
+    assert (got == np.arange(5)).all()  # isolated vertices stay put
