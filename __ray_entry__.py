@@ -1257,6 +1257,19 @@ def q_ktruss_deep_copurchase(sf_dir: str) -> rd.Dataset:
     return ktruss_bsp(g, k=10, edges_canonical=True).edges
 
 
+def q_jaccard_sparsify_copurchase(sf_dir: str) -> rd.Dataset:
+    """Local-similarity sparsification of the co-purchase graph
+    (pipelines/ktruss.py::jaccard_sparsify): keep canonical edges with
+    neighborhood Jaccard >= 1/12, evaluated as the integer predicate
+    12*sup >= (deg_u + deg_v - 2 - sup) — bit-exact, no float
+    division. Output (src, dst, sup); value-exact vs the DuckDB
+    wedge-join oracle."""
+    from parallel_pagerank_ray.pipelines.ktruss import jaccard_sparsify
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return jaccard_sparsify(g, tau_num=1, tau_den=12, edges_simple=True)
+
+
 def q_modularity_moves_copurchase(sf_dir: str) -> rd.Dataset:
     """Three synchronous Louvain-style modularity-move rounds over the
     co-purchase graph (pipelines/modularity_moves.py): (vid, comm) for
@@ -3554,6 +3567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_supplier_part": q_hits_supplier_part,
         "kcore_copurchase": q_kcore_copurchase,
         "ktruss_deep_copurchase": q_ktruss_deep_copurchase,
+        "jaccard_sparsify_copurchase": q_jaccard_sparsify_copurchase,
         "modularity_moves_copurchase": q_modularity_moves_copurchase,
         "coreness_copurchase": q_coreness_copurchase,
         "densest_copurchase": q_densest_copurchase,
@@ -5514,6 +5528,29 @@ def oracle_sql() -> dict[str, str]:
               )
             SELECT vid FROM kc
             WHERE it = (SELECT max(it) FROM kc) AND alive = 1
+        """,
+        "jaccard_sparsify_copurchase": f"""
+            WITH
+              ce AS MATERIALIZED ({_COPURCHASE_SQL}),
+              und AS MATERIALIZED (
+                SELECT src, dst FROM ce
+                UNION ALL SELECT dst, src FROM ce),
+              degs AS MATERIALIZED (
+                SELECT src AS vid, CAST(count(*) AS BIGINT) AS deg
+                FROM und GROUP BY 1),
+              -- sup = common-neighbor count per canonical edge (one
+              -- wedge join); Jaccard >= 1/12 as an integer predicate
+              sup AS MATERIALIZED (
+                SELECT e.src, e.dst, CAST(count(*) AS BIGINT) AS sup
+                FROM ce e
+                JOIN und u1 ON u1.src = e.src
+                JOIN und u2 ON u2.src = e.dst AND u2.dst = u1.dst
+                GROUP BY 1, 2)
+            SELECT s.src, s.dst, s.sup
+            FROM sup s
+            JOIN degs a ON a.vid = s.src
+            JOIN degs b ON b.vid = s.dst
+            WHERE 12 * s.sup >= (a.deg + b.deg - 2 - s.sup)
         """,
         "modularity_moves_copurchase": f"""
             WITH RECURSIVE

@@ -449,3 +449,110 @@ def ktruss_bsp(
     return KTrussRun(
         edges=rd.from_arrow_refs(tables), iterations=it, history=history
     )
+
+
+def jaccard_sparsify(
+    graph: Graph,
+    tau_num: int,
+    tau_den: int,
+    num_partitions: int | None = None,
+    num_buckets: int | None = None,
+    broadcast_max: int = 50_000_000,
+    edges_simple: bool = False,
+    broadcast_max_bytes: int = 256 << 20,
+) -> rd.Dataset:
+    """Local-similarity graph sparsification (Satuluri et al.): keep
+    the canonical edges whose neighborhood Jaccard similarity
+
+        J(u, v) = |N(u) ∩ N(v)| / |N(u) ∪ N(v)|
+                = sup / (deg_u + deg_v - 2 - sup)          (simple graph)
+
+    is at least tau_num / tau_den — evaluated as the INTEGER predicate
+    ``tau_den * sup >= tau_num * (deg_u + deg_v - 2 - sup)``, so the
+    result is bit-exact and SQL-reproducible (no float division).
+
+    Returns (src, dst, sup) for the kept edges. sup is each edge's
+    common-neighbor count, one triangle-credit pass
+    (``_triangle_edge_credits`` — the k-truss support kernel);
+    edges closing no triangle have J = 0 and are dropped (tau > 0 is
+    required: a 0 threshold keeps everything and needs no sparsifier).
+    Degrees attach via a broadcast vector when n*8 B fits
+    ``broadcast_max_bytes`` (one plasma copy, zero joins) and two hash
+    joins on the (vid, deg) table beyond it."""
+    if tau_num <= 0 or tau_den <= 0:
+        raise ValueError("jaccard_sparsify needs a positive tau_num/tau_den")
+    from parallel_pagerank_ray.stages.agg import grouped_agg as _gagg
+    from parallel_pagerank_ray.util import safe_join as _sjoin
+
+    edges = (
+        graph.edges.select_columns(["src", "dst"])
+        if edges_simple
+        else _simple_undirected(graph.edges)
+    ).materialize()
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(8, cpus)
+    sup = _triangle_edge_credits(
+        graph.n, edges, num_partitions, num_buckets, broadcast_max
+    )
+    from parallel_pagerank_ray.pipelines.graph_build import undirected_edges
+
+    und = undirected_edges(edges, dedup=False)
+    degs = _gagg(
+        und.map_batches(
+            lambda b: {
+                "vid": b["src"],
+                "deg": np.ones(len(b["src"]), dtype=np.int64),
+            },
+            batch_format="numpy",
+        ),
+        ["vid"],
+        {"deg": ("deg", "sum")},
+    )
+    from parallel_pagerank_ray.util import drop_empty_blocks as _dropz
+
+    if graph.n * 8 <= broadcast_max_bytes:
+        # broadcast fast path (the community_stats idiom): one dense
+        # degree vector in plasma, zero joins
+        deg_vec = np.zeros(graph.n, dtype=np.int64)
+        for blk in ray.get(degs.to_arrow_refs()):
+            if blk.num_rows:
+                deg_vec[blk.column("vid").to_numpy()] = blk.column(
+                    "deg"
+                ).to_numpy()
+        deg_ref = ray.put(deg_vec)
+
+        def keep_bcast(b: dict, p=int(tau_num), q=int(tau_den)) -> dict:
+            deg = ray.get(deg_ref)
+            sup_ = b["sup"].astype(np.int64)
+            s = b["src"].astype(np.int64)
+            d = b["dst"].astype(np.int64)
+            m = q * sup_ >= p * (deg[s] + deg[d] - 2 - sup_)
+            return {"src": s[m], "dst": d[m], "sup": sup_[m]}
+
+        return _dropz(sup.map_batches(keep_bcast, batch_format="numpy"))
+    j = _sjoin(
+        sup, degs, join_type="inner",
+        num_partitions=num_partitions, on=("src",), right_on=("vid",),
+    ).rename_columns({"deg": "du"})
+    j = _sjoin(
+        j.select_columns(["src", "dst", "sup", "du"]),
+        degs,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("dst",),
+        right_on=("vid",),
+    ).rename_columns({"deg": "dv"})
+
+    def keep(b: dict, p=int(tau_num), q=int(tau_den)) -> dict:
+        sup_ = b["sup"].astype(np.int64)
+        du = b["du"].astype(np.int64)
+        dv = b["dv"].astype(np.int64)
+        m = q * sup_ >= p * (du + dv - 2 - sup_)
+        return {
+            "src": b["src"][m].astype(np.int64),
+            "dst": b["dst"][m].astype(np.int64),
+            "sup": sup_[m],
+        }
+
+    return _dropz(j.map_batches(keep, batch_format="numpy"))

@@ -170,3 +170,64 @@ def test_ktruss_bsp_partition_invariant_cascade():
         runs.append(run.iterations)
     assert len(set(runs)) == 1  # synchronous rounds: same depth everywhere
     assert runs[0] >= 2  # the kill actually cascades across rounds
+
+
+# --- jaccard_sparsify ------------------------------------------------
+
+
+def _brute_jaccard_keep(n, edges, p, q):
+    adj = {}
+    E = set()
+    for a, b in edges:
+        a, b = int(a), int(b)
+        if a == b:
+            continue
+        a, b = min(a, b), max(a, b)
+        E.add((a, b))
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = []
+    for a, b in sorted(E):
+        sup = len(adj[a] & adj[b])
+        if sup and q * sup >= p * (len(adj[a]) + len(adj[b]) - 2 - sup):
+            out.append((a, b, sup))
+    return out
+
+
+def test_jaccard_sparsify_matches_bruteforce_both_paths():
+    from parallel_pagerank_ray.pipelines.ktruss import jaccard_sparsify
+
+    rng = np.random.default_rng(17)
+    for trial in range(3):
+        n = int(rng.integers(10, 40))
+        m = int(rng.integers(8, 4 * n))
+        e = rng.integers(0, n, size=(m, 2)).astype(np.int64)
+        g = Graph(
+            n=n,
+            edges=rd.from_arrow(
+                pa.table({"src": e[:, 0], "dst": e[:, 1]})
+            ).materialize(),
+        )
+        want = _brute_jaccard_keep(n, e.tolist(), 1, 4)
+        for bmax in (256 << 20, 0):  # broadcast path, then forced joins
+            ds = jaccard_sparsify(
+                g, tau_num=1, tau_den=4, broadcast_max_bytes=bmax
+            )
+            if ds.count() == 0:
+                got = []
+            else:
+                df = ds.to_pandas().sort_values(["src", "dst"])
+                got = list(
+                    map(tuple, df[["src", "dst", "sup"]].to_numpy())
+                )
+            assert got == want, (trial, bmax)
+
+
+def test_jaccard_sparsify_rejects_nonpositive_tau():
+    from parallel_pagerank_ray.pipelines.ktruss import jaccard_sparsify
+
+    g = Graph(n=2, edges=rd.from_items([{"src": 0, "dst": 1}]))
+    import pytest
+
+    with pytest.raises(ValueError):
+        jaccard_sparsify(g, tau_num=0, tau_den=4)
