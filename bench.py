@@ -385,6 +385,11 @@ def bench_queries() -> dict[str, float]:
         "simrank_hosts",
         "lm_buckets",
         "quality_classifier",
+        "ktruss_deep_copurchase",
+        "modularity_moves_copurchase",
+        "jaccard_sparsify_copurchase",
+        "bpe_merges",
+        "bpe_token_counts",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -195,6 +195,7 @@ def promo_revenue(
     month: str = "1996-09",
     promo_type: str = "PROMO",
     num_partitions: int | None = None,
+    broadcast_max: int = 5_000_000,
 ) -> rd.Dataset:
     """TPC-H Q14: share of one month's revenue from promo parts.
     Output one row (promo_units, total_units, promo_ratio) where
@@ -238,34 +239,83 @@ def promo_revenue(
             }
         )
 
-    j = safe_join(
-        lineitem.select_columns(
-            ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
-        ).map_batches(li_rows, batch_format="pyarrow"),
-        part.select_columns(["p_partkey", "p_type"]).map_batches(
-            part_rows, batch_format="pyarrow"
-        ),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("l_partkey",),
-        right_on=("p_partkey",),
+    parts_small = part.select_columns(["p_partkey", "p_type"]).map_batches(
+        part_rows, batch_format="pyarrow"
     )
+    # part is the genuinely small side (O(SF) rows): broadcast the
+    # promo flags once (ray.put, zero-copy per batch) and fuse the
+    # month filter + flag attach + revenue split into ONE lineitem
+    # pass — same guard contract as revenue_by_nation; hash join only
+    # beyond broadcast_max.
+    from parallel_pagerank_ray.stages.agg import global_agg
+    from parallel_pagerank_ray.util import count_rows_once
 
-    def split(t: pa.Table) -> pa.Table:
-        rev = t.column("rev")
-        return pa.table(
-            {
-                "promo": pc.multiply(rev, t.column("is_promo")),
-                "total": rev,
-            }
+    n_parts, parts_small = count_rows_once(parts_small)
+    pidx = None
+    if n_parts <= broadcast_max:
+        import ray
+
+        pt = pa.concat_tables(ray.get(parts_small.to_arrow_refs()))
+        pidx = pd.Index(pt.column("p_partkey").to_numpy())
+        if not pidx.is_unique:  # get_indexer needs unique keys
+            pidx = None
+    if pidx is not None:
+        flags_ref = ray.put(
+            (pidx, pt.column("is_promo").to_numpy().astype(np.int64))
         )
 
-    from parallel_pagerank_ray.stages.agg import global_agg
+        def li_split(t: pa.Table) -> pa.Table:
+            t = li_rows(t)
+            idx, flags = ray.get(flags_ref)
+            pos = idx.get_indexer(t.column("l_partkey").to_numpy())
+            rev = t.column("rev").to_numpy()
+            hit = pos >= 0  # inner-join semantics: unmatched rows drop
+            is_promo = flags[pos[hit]]
+            rev = rev[hit]
+            return pa.table(
+                {
+                    "promo": pa.array(rev * is_promo, pa.int64()),
+                    "total": pa.array(rev, pa.int64()),
+                }
+            )
 
-    g = global_agg(
-        j.map_batches(split, batch_format="pyarrow"),
-        {"promo_units": ("promo", "sum"), "total_units": ("total", "sum")},
-    )
+        g = global_agg(
+            lineitem.select_columns(
+                ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
+            ).map_batches(li_split, batch_format="pyarrow"),
+            {
+                "promo_units": ("promo", "sum"),
+                "total_units": ("total", "sum"),
+            },
+        )
+    else:
+        j = safe_join(
+            lineitem.select_columns(
+                ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
+            ).map_batches(li_rows, batch_format="pyarrow"),
+            parts_small,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        )
+
+        def split(t: pa.Table) -> pa.Table:
+            rev = t.column("rev")
+            return pa.table(
+                {
+                    "promo": pc.multiply(rev, t.column("is_promo")),
+                    "total": rev,
+                }
+            )
+
+        g = global_agg(
+            j.map_batches(split, batch_format="pyarrow"),
+            {
+                "promo_units": ("promo", "sum"),
+                "total_units": ("total", "sum"),
+            },
+        )
     promo, total = int(g["promo_units"]), int(g["total_units"])
     ratio = (
         np.float64(100 * promo) / np.float64(total) if total else np.float64(0)

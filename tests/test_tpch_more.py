@@ -124,3 +124,30 @@ def test_waiting_suppliers_sole_late_only():
     out = waiting_suppliers(li, orders, _supp([1, 2]), grace_days=30).to_pandas()
     assert out["s_suppkey"].tolist() == [1]
     assert out["numwait"].tolist() == [1]
+
+
+def test_promo_revenue_broadcast_and_join_paths_agree():
+    from parallel_pagerank_ray.pipelines.tpch_more import promo_revenue
+
+    li = _li(
+        [
+            (1, 1, 10, 1000.0, 0.10, "1996-09-03"),
+            (1, 1, 11, 500.0, 0.00, "1996-09-20"),
+            (2, 2, 10, 200.0, 0.05, "1996-10-01"),  # outside month
+            (3, 1, 12, 300.0, 0.00, "1996-09-10"),  # partkey w/o part row
+        ]
+    )
+    part = rd.from_arrow(
+        pa.table(
+            {
+                "p_partkey": pa.array([10, 11], pa.int64()),
+                "p_type": pa.array(["PROMO", "STANDARD"], pa.string()),
+            }
+        )
+    )
+    fast = promo_revenue(li, part).to_pandas()
+    slow = promo_revenue(li, part, broadcast_max=0).to_pandas()
+    assert fast.equals(slow)
+    # promo: 100000 cents * (100 - 10) = 9000000; total adds 50000*100
+    assert int(fast["promo_units"][0]) == 100000 * 90
+    assert int(fast["total_units"][0]) == 100000 * 90 + 50000 * 100
