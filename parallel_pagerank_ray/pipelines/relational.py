@@ -1678,15 +1678,49 @@ def returned_item_revenue(
     in_window = orders.select_columns(
         ["o_orderkey", "o_custkey", "o_orderdate"]
     ).map_batches(window, batch_format="pyarrow")
-    per_cust = grouped_agg(
-        safe_join(
+    # the date window prunes orders hard; broadcast the (orderkey ->
+    # custkey) map under the count_rows_once guard so the revenue
+    # rollup attaches its customer key map-side — the hash join stays
+    # for window sizes beyond the guard
+    from parallel_pagerank_ray.util import count_rows_once
+
+    n_win, in_window = count_rows_once(in_window)
+    widx = None
+    if n_win <= 5_000_000:
+        wt = pa.concat_tables(ray.get(in_window.to_arrow_refs()))
+        widx = pd.Index(wt.column("o_orderkey").to_numpy())
+        if not widx.is_unique:  # pragma: no cover - orderkey is a PK
+            widx = None
+    if widx is not None:
+        win_ref = ray.put(
+            (widx, wt.column("o_custkey").to_numpy().astype(np.int64))
+        )
+
+        def attach_cust(t: pa.Table) -> pa.Table:
+            idx, ck = ray.get(win_ref)
+            pos = idx.get_indexer(t.column("l_orderkey").to_numpy())
+            hit = pos >= 0  # inner-join semantics
+            return pa.table(
+                {
+                    "o_custkey": pa.array(ck[pos[hit]], pa.int64()),
+                    "rev": pa.array(
+                        t.column("rev").to_numpy()[hit], pa.int64()
+                    ),
+                }
+            )
+
+        joined = per_order.map_batches(attach_cust, batch_format="pyarrow")
+    else:
+        joined = safe_join(
             per_order,
             in_window,
             join_type="inner",
             num_partitions=num_partitions,
             on=("l_orderkey",),
             right_on=("o_orderkey",),
-        ),
+        )
+    per_cust = grouped_agg(
+        joined,
         ["o_custkey"],
         {"revenue": ("rev", "sum")},
     )
@@ -1702,36 +1736,50 @@ def returned_item_revenue(
         ascending=[False, True],
         k=k,
     ).drop_columns(["g"])
-    # attribute attach: k rows join the (small) customer projection,
-    # then the 25-row nation dict
-    attrs = safe_join(
-        top,
+    # attribute attach: top is k-bounded, so pull it (k rows — the
+    # contract-bounded driver pull every top-k query already makes),
+    # broadcast its key set, and SEMI-FILTER the customer scan instead
+    # of hash-joining the whole customer table against 20 rows (a hash
+    # join shuffles BOTH sides regardless of the small side's size)
+    top_df = top.to_pandas()
+    keys = np.sort(top_df["o_custkey"].to_numpy().astype(np.int64))
+    keys_ref = ray.put(keys)
+
+    def cust_hits(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        ck = t.column("c_custkey").to_numpy()
+        pos = np.searchsorted(ks, ck)
+        hit = (
+            (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == ck)
+            if len(ks)
+            else np.zeros(len(ck), dtype=bool)
+        )
+        return t.filter(pa.array(hit))
+
+    cust_df = (
         customer.select_columns(
             ["c_custkey", "c_name", "c_nationkey", "c_acctbal"]
-        ),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
+        )
+        .map_batches(cust_hits, batch_format="pyarrow")
+        .to_pandas()  # <= k rows by construction
     )
     ndf = nation.select_columns(["n_nationkey", "n_name"]).to_pandas()
-    dref = ray.put(dict(zip(ndf["n_nationkey"].astype(int), ndf["n_name"])))
-
-    def names(df: pd.DataFrame) -> pd.DataFrame:
-        dim = ray.get(dref)
-        return pd.DataFrame(
-            {
-                "c_custkey": df["o_custkey"].astype(np.int64),
-                "c_name": df["c_name"],
-                "n_name": df["c_nationkey"].astype(np.int64).map(dim),
-                "acctbal_cents": np.round(
-                    df["c_acctbal"].to_numpy() * 100.0
-                ).astype(np.int64),
-                "revenue": df["revenue"].astype(np.int64),
-            }
-        )
-
-    return attrs.map_batches(names, batch_format="pandas")
+    dim = dict(zip(ndf["n_nationkey"].astype(int), ndf["n_name"]))
+    merged = top_df.merge(
+        cust_df, left_on="o_custkey", right_on="c_custkey", how="inner"
+    ).sort_values(["revenue", "o_custkey"], ascending=[False, True])
+    out = pd.DataFrame(
+        {
+            "c_custkey": merged["o_custkey"].astype(np.int64),
+            "c_name": merged["c_name"],
+            "n_name": merged["c_nationkey"].astype(np.int64).map(dim),
+            "acctbal_cents": np.round(
+                merged["c_acctbal"].to_numpy() * 100.0
+            ).astype(np.int64),
+            "revenue": merged["revenue"].astype(np.int64),
+        }
+    )
+    return rd.from_pandas(out)
 
 
 def _skyline_kernel(

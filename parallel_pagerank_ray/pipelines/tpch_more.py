@@ -543,6 +543,7 @@ def waiting_suppliers(
     grace_days: int = 30,
     k: int = 20,
     num_partitions: int | None = None,
+    broadcast_max: int = 5_000_000,
 ) -> rd.Dataset:
     """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
     multi-supplier order — a correlated EXISTS (another supplier
@@ -588,73 +589,183 @@ def waiting_suppliers(
             }
         )
 
-    j = safe_join(
-        per_os,
-        orders.select_columns(["o_orderkey", "o_orderdate"]).map_batches(
-            date_rows, batch_format="pyarrow"
-        ),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
+    dates = orders.select_columns(["o_orderkey", "o_orderdate"]).map_batches(
+        date_rows, batch_format="pyarrow"
     )
     grace_us = np.int64(grace_days) * _US_PER_DAY
+    # orders dates are the small side (O(SF) rows): broadcast the
+    # (orderkey -> orderdate) map under the count_rows_once guard and
+    # compute the late flag inside the per-(order, supplier) rollup's
+    # consumer map — no hash join; safe_join beyond the guard.
+    from parallel_pagerank_ray.util import count_rows_once
 
-    def flag(t: pa.Table) -> pa.Table:
-        late = pc.cast(
-            pc.greater(
-                t.column("max_ship_us"),
-                pc.add(
-                    t.column("odate_us"),
-                    pa.scalar(int(grace_us), pa.int64()),
+    n_orders, dates = count_rows_once(dates)
+    didx = None
+    if n_orders <= broadcast_max:
+        import ray as _ray
+
+        dt = pa.concat_tables(_ray.get(dates.to_arrow_refs()))
+        didx = pd.Index(dt.column("o_orderkey").to_numpy())
+        if not didx.is_unique:  # pragma: no cover - orderkey is a PK
+            didx = None
+    if didx is not None:
+        import ray as _ray
+
+        dates_ref = _ray.put(
+            (didx, dt.column("odate_us").to_numpy().astype(np.int64))
+        )
+
+        def flag_bcast(t: pa.Table) -> pa.Table:
+            idx, od = _ray.get(dates_ref)
+            pos = idx.get_indexer(t.column("l_orderkey").to_numpy())
+            hit = pos >= 0  # inner-join semantics
+            ms = t.column("max_ship_us").to_numpy()[hit]
+            late = (ms > od[pos[hit]] + int(grace_us)).astype(np.int64)
+            return pa.table(
+                {
+                    "l_orderkey": pa.array(
+                        t.column("l_orderkey").to_numpy()[hit], pa.int64()
+                    ),
+                    "l_suppkey": pa.array(
+                        t.column("l_suppkey").to_numpy()[hit], pa.int64()
+                    ),
+                    "late": pa.array(late, pa.int64()),
+                }
+            )
+
+        flagged = per_os.map_batches(
+            flag_bcast, batch_format="pyarrow"
+        ).materialize()
+    else:
+        j = safe_join(
+            per_os,
+            dates,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+
+        def flag(t: pa.Table) -> pa.Table:
+            late = pc.cast(
+                pc.greater(
+                    t.column("max_ship_us"),
+                    pc.add(
+                        t.column("odate_us"),
+                        pa.scalar(int(grace_us), pa.int64()),
+                    ),
                 ),
-            ),
-            pa.int64(),
-        )
-        return pa.table(
-            {
-                "l_orderkey": t.column("l_orderkey"),
-                "l_suppkey": t.column("l_suppkey"),
-                "late": late,
-            }
-        )
+                pa.int64(),
+            )
+            return pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "l_suppkey": t.column("l_suppkey"),
+                    "late": late,
+                }
+            )
 
-    flagged = j.map_batches(flag, batch_format="pyarrow").materialize()
+        flagged = j.map_batches(flag, batch_format="pyarrow").materialize()
     per_order = grouped_agg(
         flagged,
         ["l_orderkey"],
         {"n_supp": ("late", "count"), "n_late": ("late", "sum")},
     )
-    q = safe_join(
-        flagged.filter(expr="late == 1"),
-        per_order,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("l_orderkey",),
-    )
 
-    def qualify(t: pa.Table) -> pa.Table:
-        return t.filter(
-            pc.and_(
-                pc.greater(t.column("n_supp"), pa.scalar(1, pa.int64())),
-                pc.equal(t.column("n_late"), pa.scalar(1, pa.int64())),
-            )
+    def sole_late_keys(t: pa.Table) -> pa.Table:
+        # qualifying orders: >= 2 suppliers, exactly 1 late
+        return pa.table(
+            {
+                "l_orderkey": t.filter(
+                    pc.and_(
+                        pc.greater(
+                            t.column("n_supp"), pa.scalar(1, pa.int64())
+                        ),
+                        pc.equal(
+                            t.column("n_late"), pa.scalar(1, pa.int64())
+                        ),
+                    )
+                ).column("l_orderkey")
+            }
         )
 
-    qualifying = q.map_batches(qualify, batch_format="pyarrow")
+    qual_keys = per_order.map_batches(
+        sole_late_keys, batch_format="pyarrow"
+    )
+    # the qualifying-order key set is bounded by the order count: same
+    # broadcast-vs-join guard for the semi-join back onto late rows
+    n_qual, qual_keys = count_rows_once(qual_keys)
+    if n_qual <= broadcast_max:
+        import ray as _ray
+
+        qk = pa.concat_tables(_ray.get(qual_keys.to_arrow_refs()))
+        keys_sorted = np.sort(qk.column("l_orderkey").to_numpy())
+        keys_ref = _ray.put(keys_sorted)
+
+        def semi(t: pa.Table) -> pa.Table:
+            ks = _ray.get(keys_ref)
+            t = t.filter(pc.equal(t.column("late"), pa.scalar(1, pa.int64())))
+            ok_ = t.column("l_orderkey").to_numpy()
+            pos = np.searchsorted(ks, ok_)
+            hit = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == ok_) if len(ks) else np.zeros(len(ok_), bool)
+            return t.filter(pa.array(hit))
+
+        qualifying = flagged.map_batches(semi, batch_format="pyarrow")
+    else:
+        q = safe_join(
+            flagged.filter(expr="late == 1"),
+            per_order,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_orderkey",),
+        )
+
+        def qualify(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.and_(
+                    pc.greater(t.column("n_supp"), pa.scalar(1, pa.int64())),
+                    pc.equal(t.column("n_late"), pa.scalar(1, pa.int64())),
+                )
+            )
+
+        qualifying = q.map_batches(qualify, batch_format="pyarrow")
     per_supp = grouped_agg(
         qualifying.select_columns(["l_suppkey", "late"]),
         ["l_suppkey"],
         {"numwait": ("late", "sum")},
     )
-    named = safe_join(
-        per_supp,
-        supplier.select_columns(["s_suppkey", "s_name"]),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("l_suppkey",),
-        right_on=("s_suppkey",),
-    )
+    sup_small = supplier.select_columns(["s_suppkey", "s_name"])
+    n_supp, sup_small = count_rows_once(sup_small)
+    if n_supp <= broadcast_max:
+        import ray as _ray
+
+        st = pa.concat_tables(_ray.get(sup_small.to_arrow_refs()))
+        sidx = pd.Index(st.column("s_suppkey").to_numpy())
+        names_ref = _ray.put((sidx, st.column("s_name").to_pylist()))
+
+        def attach_names(df: pd.DataFrame) -> pd.DataFrame:
+            idx, names = _ray.get(names_ref)
+            pos = idx.get_indexer(df["l_suppkey"].to_numpy())
+            hit = pos >= 0
+            df = df[hit]
+            return pd.DataFrame(
+                {
+                    "l_suppkey": df["l_suppkey"].astype(np.int64),
+                    "s_name": [names[p] for p in pos[hit]],
+                    "numwait": df["numwait"].astype(np.int64),
+                }
+            )
+
+        named = per_supp.map_batches(attach_names, batch_format="pandas")
+    else:
+        named = safe_join(
+            per_supp,
+            sup_small,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_suppkey",),
+            right_on=("s_suppkey",),
+        )
     out = named.sort(["numwait", "l_suppkey"], descending=[True, False]).limit(k)
 
     def project(df: pd.DataFrame) -> pd.DataFrame:
