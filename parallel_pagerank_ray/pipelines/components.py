@@ -223,19 +223,29 @@ def connected_components(
     return ComponentsRun(components=comps, iterations=it, history=history)
 
 
-def bipartite_components(graph: Graph, num_parts: int | None = None) -> rd.Dataset:
+def bipartite_components(
+    graph: Graph,
+    num_parts: int | None = None,
+    broadcast_max_bytes: int = 256 << 20,
+) -> rd.Dataset:
     """Per-component bipartiteness via the DOUBLE COVER: a component C
     is bipartite iff its bipartite double cover (vertex (v, side),
     edges (u,0)-(v,1) and (u,1)-(v,0)) splits into exactly TWO
     components over C — an odd cycle connects the two sides.
     Output: (comp, n_vertices, n_cover_comps, bipartite).
 
-    Scale shape: two runs of the existing BSP connected-components
-    engine (base graph and its 2x cover — the cover is one stateless
-    map over the edges), then one vid-keyed join of the two label
-    tables and a tiny per-component distinct-count. Nothing new
-    materializes on the driver. Isolated vertices are bipartite by
-    convention (their cover is two singletons)."""
+    Scale shape: ONE run of the BSP connected-components engine on the
+    2x cover (the cover is a stateless map over the edges) — the base
+    labeling is recoverable from the cover labels with no second CC
+    run: with min-vid labels and the (v, side) -> 2v + side numbering,
+    every v in base component C (min vid m) has
+    min(label(v,0), label(v,1)) = 2m, so base_comp(v) =
+    min(cover pair) // 2 exactly reproduces the base min-vid CC.
+    Under the n*8 B broadcast guard the fold + per-component distinct
+    count run on one driver pass over the O(n) label table (the
+    community_stats vector idiom); beyond it, the second CC run + join
+    fallback keeps memory bounded at any n. Isolated vertices are
+    bipartite by convention (their cover is two singletons)."""
     import pyarrow as pa
 
     from parallel_pagerank_ray.pipelines.components_actors import (
@@ -248,8 +258,6 @@ def bipartite_components(graph: Graph, num_parts: int | None = None) -> rd.Datas
     from parallel_pagerank_ray.util import safe_join
 
     join_parts = _default_join_partitions()
-
-    base = connected_components_bsp(graph, num_parts=num_parts).components
 
     def cover(t: pa.Table) -> pa.Table:
         src = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -275,6 +283,49 @@ def bipartite_components(graph: Graph, num_parts: int | None = None) -> rd.Datas
     )
     cov = connected_components_bsp(cover_g, num_parts=num_parts).components
 
+    if graph.n * 8 <= broadcast_max_bytes:
+        # one driver pass over the O(n) cover-label table: recover the
+        # base labeling (min of the pair // 2), then the per-component
+        # distinct cover-comp count — no second CC run, no joins
+        import ray as _ray
+
+        lab2 = np.full(2 * graph.n, np.iinfo(np.int64).max, dtype=np.int64)
+        for blk in _ray.get(cov.to_arrow_refs()):
+            if blk.num_rows:
+                lab2[blk.column("vid").to_numpy()] = blk.column(
+                    "comp"
+                ).to_numpy()
+        c0 = lab2[0::2]
+        c1 = lab2[1::2]
+        base_lab = np.minimum(c0, c1) // 2
+        comps, sizes_arr = np.unique(base_lab, return_counts=True)
+        # distinct (base comp, cover comp) pairs over both sides
+        pair_keys = np.unique(
+            np.stack(
+                [np.concatenate([base_lab, base_lab]),
+                 np.concatenate([c0, c1])],
+                axis=1,
+            ),
+            axis=0,
+        )
+        ncov = np.bincount(
+            np.searchsorted(comps, pair_keys[:, 0]), minlength=len(comps)
+        ).astype(np.int64)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "comp": pa.array(comps, pa.int64()),
+                    "n_vertices": pa.array(
+                        sizes_arr.astype(np.int64), pa.int64()
+                    ),
+                    "n_cover_comps": pa.array(ncov, pa.int64()),
+                    "bipartite": pa.array(ncov == 2, pa.bool_()),
+                }
+            )
+        )
+
+    base = connected_components_bsp(graph, num_parts=num_parts).components
+
     def fold_side(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -286,11 +337,10 @@ def bipartite_components(graph: Graph, num_parts: int | None = None) -> rd.Datas
             }
         )
 
+    folded = cov.map_batches(fold_side, batch_format="pyarrow")
     pairs = safe_join(
         base,
-        cov.map_batches(fold_side, batch_format="pyarrow").rename_columns(
-            {"vid": "__cv"}
-        ),
+        folded.rename_columns({"vid": "__cv"}),
         join_type="inner",
         num_partitions=join_parts,
         on=("vid",),

@@ -336,3 +336,39 @@ def test_incremental_components_equals_full():
         same,
         oracle.connected_components(n, np.array(base_e, dtype=np.int64)),
     )
+
+
+def test_bipartite_components_fallback_path_agrees():
+    """broadcast_max_bytes=0 forces the two-CC-run join fallback; both
+    paths must produce identical rows."""
+    from parallel_pagerank_ray.pipelines.components import (
+        bipartite_components,
+    )
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(23)
+    e = rng.integers(0, 30, size=(45, 2)).astype(np.int64)
+    g = Graph(
+        n=30,
+        edges=rd.from_arrow(
+            pa.table({"src": e[:, 0], "dst": e[:, 1]})
+        ).materialize(),
+    )
+    fast = (
+        bipartite_components(g)
+        .to_pandas()
+        .sort_values("comp")
+        .reset_index(drop=True)
+    )
+    slow = (
+        bipartite_components(g, broadcast_max_bytes=0)
+        .to_pandas()
+        .sort_values("comp")
+        .reset_index(drop=True)
+    )
+    assert fast[["comp", "n_vertices", "n_cover_comps"]].equals(
+        slow[["comp", "n_vertices", "n_cover_comps"]]
+    )
+    assert (fast["bipartite"] == slow["bipartite"]).all()
