@@ -159,6 +159,30 @@ def _pages(sf_dir: str):
     return pages_from_documents(sf_dir, links_per_page=3)
 
 
+# The page link graph feeds pagerank_pages / katz_pages / entry();
+# build it once per process per sf_dir and reuse the materialized
+# edge + vertex tables (the _copurchase_graph idiom). Deterministic
+# input -> identical results; a fresh driver process simply rebuilds.
+_PAGES_LINK_GRAPHS: dict = {}
+
+
+def _pages_link_graph(sf_dir: str):
+    from parallel_pagerank_ray.pipelines.graph_build import (
+        Graph,
+        links_from_pages,
+    )
+
+    g = _PAGES_LINK_GRAPHS.get(sf_dir)
+    if g is None:
+        pages, _ = _pages(sf_dir)
+        g = Graph.from_links(links_from_pages(pages))
+        g.edges = g.edges.materialize()
+        if g.vertices is not None:
+            g.vertices = g.vertices.materialize()
+        _PAGES_LINK_GRAPHS[sf_dir] = g
+    return g
+
+
 def q_pages_extract_text(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.functions.extract import ExtractPages
 
@@ -710,12 +734,10 @@ def q_host_reciprocity(sf_dir: str) -> rd.Dataset:
 
 
 def q_pagerank_pages_top20(sf_dir: str) -> pd.DataFrame:
-    from parallel_pagerank_ray.pipelines.graph_build import Graph, links_from_pages
     from parallel_pagerank_ray.pipelines.pagerank import pagerank
     from parallel_pagerank_ray.util import safe_join
 
-    pages, _ = _pages(sf_dir)
-    graph = Graph.from_links(links_from_pages(pages))
+    graph = _pages_link_graph(sf_dir)
     run = pagerank(graph, d=0.85, tol=1e-3, max_iters=100)
     joined = safe_join(
         run.ranks.select_columns(["vid", "rank"]),
@@ -1286,6 +1308,19 @@ def q_modularity_moves_copurchase(sf_dir: str) -> rd.Dataset:
     return modularity_moves_bsp(g, rounds=3, edges_canonical=True).labels
 
 
+def q_modularity_moves_weighted(sf_dir: str) -> rd.Dataset:
+    """Weighted variant of the modularity moves over the symmetric
+    weighted co-purchase graph (w = distinct co-orders per pair):
+    k_vc / degrees / totals / m are int64 weight sums, same monotone
+    min-id rule — value-exact vs the weighted recursive-CTE replay."""
+    from parallel_pagerank_ray.pipelines.modularity_moves import (
+        modularity_moves_bsp,
+    )
+
+    g = _copurchase_weighted_graph(sf_dir)
+    return modularity_moves_bsp(g, rounds=3, edges_symmetric=True).labels
+
+
 def q_coreness_copurchase(sf_dir: str) -> rd.Dataset:
     """Full core decomposition of the co-purchase graph: (vid,
     coreness) for every vertex — one rising-threshold peeling pass on
@@ -1645,15 +1680,10 @@ def q_katz_pages(sf_dir: str) -> rd.Dataset:
     page link graph: (url, score) with score = sum_{k=1..4}
     2^(4-k) * walks_k — the alpha=1/2 attenuation scaled by 2^4 so
     every value is int64-exact at any parallelism."""
-    from parallel_pagerank_ray.pipelines.graph_build import (
-        Graph,
-        links_from_pages,
-    )
     from parallel_pagerank_ray.pipelines.katz import katz_bsp
     from parallel_pagerank_ray.util import safe_join
 
-    pages, _ = _pages(sf_dir)
-    graph = Graph.from_links(links_from_pages(pages))
+    graph = _pages_link_graph(sf_dir)
     run = katz_bsp(graph, length=4)
     joined = safe_join(
         run.scores,
@@ -3499,12 +3529,10 @@ def _bpe_oracle_sql(num_merges: int, tokens: bool = False) -> str:
 def entry() -> Any:
     """Flagship: pages -> extract links -> graph build -> PageRank ->
     (url, rank) on sf0.001."""
-    from parallel_pagerank_ray.pipelines.graph_build import Graph, links_from_pages
     from parallel_pagerank_ray.pipelines.pagerank import pagerank
     from parallel_pagerank_ray.util import safe_join
 
-    pages, _ = _pages(SF_SMALL)
-    graph = Graph.from_links(links_from_pages(pages))
+    graph = _pages_link_graph(SF_SMALL)
     run = pagerank(graph, d=0.85, tol=1e-3, max_iters=100)
     joined = safe_join(
         run.ranks.select_columns(["vid", "rank"]),
@@ -3569,6 +3597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss_deep_copurchase": q_ktruss_deep_copurchase,
         "jaccard_sparsify_copurchase": q_jaccard_sparsify_copurchase,
         "modularity_moves_copurchase": q_modularity_moves_copurchase,
+        "modularity_moves_weighted": q_modularity_moves_weighted,
         "coreness_copurchase": q_coreness_copurchase,
         "densest_copurchase": q_densest_copurchase,
         "bfs_copurchase": q_bfs_copurchase,
@@ -5587,6 +5616,69 @@ def oracle_sql() -> dict[str, str]:
                       JOIN cm ca ON ca.vid = kk.v
                       LEFT JOIN (SELECT u.src AS v, c3.comm AS c,
                                         CAST(count(*) AS BIGINT) AS k
+                                 FROM und u JOIN cm c3 ON c3.vid = u.dst
+                                 GROUP BY 1, 2) ka
+                        ON ka.v = kk.v AND ka.c = ca.comm
+                      JOIN degs dv ON dv.vid = kk.v
+                      JOIN (SELECT c4.comm, CAST(sum(d4.deg) AS BIGINT)
+                                   AS tot
+                            FROM cm c4 JOIN degs d4 ON d4.vid = c4.vid
+                            GROUP BY 1) tc ON tc.comm = kk.c
+                      JOIN (SELECT c5.comm, CAST(sum(d5.deg) AS BIGINT)
+                                   AS tot
+                            FROM cm c5 JOIN degs d5 ON d5.vid = c5.vid
+                            GROUP BY 1) ta ON ta.comm = ca.comm
+                      CROSS JOIN mm
+                      WHERE kk.c < ca.comm
+                    ) kv WHERE kv.gain > 0
+                  ) q WHERE q.rn = 1
+                ) mv ON mv.v = c.vid
+                WHERE c.it < 3
+              )
+            SELECT vid, comm FROM cm WHERE it = 3
+        """,
+        "modularity_moves_weighted": f"""
+            WITH RECURSIVE
+              we AS MATERIALIZED (
+                SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                       CAST(count(DISTINCT a.l_orderkey) AS BIGINT) AS w
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2),
+              und AS MATERIALIZED (SELECT src, dst, w FROM we
+                                   UNION ALL SELECT dst, src, w FROM we),
+              nn AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n
+                                  FROM und),
+              v(vid) AS (SELECT unnest(range(greatest(
+                           coalesce((SELECT n FROM nn), 1), 1))) AS vid),
+              degs AS MATERIALIZED (
+                SELECT src AS vid, CAST(sum(w) AS BIGINT) AS deg
+                FROM und GROUP BY 1),
+              mm AS MATERIALIZED (
+                SELECT CAST(sum(w) // 2 AS BIGINT) AS m FROM und),
+              cm(it, vid, comm) AS (
+                SELECT 0, vid, vid FROM v
+                UNION ALL
+                SELECT c.it + 1, c.vid, coalesce(mv.newc, c.comm)
+                FROM cm c
+                LEFT JOIN (
+                  SELECT q.v, q.c AS newc FROM (
+                    SELECT kv.v, kv.c,
+                           row_number() OVER (PARTITION BY kv.v
+                             ORDER BY kv.gain DESC, kv.c ASC) AS rn
+                    FROM (
+                      SELECT kk.v, kk.c,
+                             4 * mm.m * (kk.k - coalesce(ka.k, 0))
+                             - 2 * dv.deg * (tc.tot - ta.tot + dv.deg)
+                             AS gain
+                      FROM (SELECT u.src AS v, c2.comm AS c,
+                                   CAST(sum(u.w) AS BIGINT) AS k
+                            FROM und u JOIN cm c2 ON c2.vid = u.dst
+                            GROUP BY 1, 2) kk
+                      JOIN cm ca ON ca.vid = kk.v
+                      LEFT JOIN (SELECT u.src AS v, c3.comm AS c,
+                                        CAST(sum(u.w) AS BIGINT) AS k
                                  FROM und u JOIN cm c3 ON c3.vid = u.dst
                                  GROUP BY 1, 2) ka
                         ON ka.v = kk.v AND ka.c = ca.comm

@@ -387,6 +387,7 @@ def bench_queries() -> dict[str, float]:
         "quality_classifier",
         "ktruss_deep_copurchase",
         "modularity_moves_copurchase",
+        "modularity_moves_weighted",
         "jaccard_sparsify_copurchase",
         "bpe_merges",
         "bpe_token_counts",

@@ -245,6 +245,50 @@ def modularity_moves(
     return comm
 
 
+def modularity_moves_weighted(
+    n: int, sym_edges: np.ndarray, w: np.ndarray, rounds: int = 3
+) -> np.ndarray:
+    """Weighted variant of ``modularity_moves``: ``sym_edges`` holds
+    every undirected edge in BOTH directions with int weights ``w``
+    (the weighted-LPA input contract). k_vc / degrees / totals / m are
+    weight sums; same monotone rule and integer gain."""
+    sym_edges = np.asarray(sym_edges, dtype=np.int64).reshape(-1, 2)
+    w = np.asarray(w, dtype=np.int64)
+    deg = np.zeros(n, dtype=np.int64)
+    np.add.at(deg, sym_edges[:, 0], w)
+    m = int(deg.sum()) // 2
+    adj: list[list[tuple[int, int]]] = [[] for _ in range(n)]
+    for (a, b), ww in zip(sym_edges, w):
+        adj[int(a)].append((int(b), int(ww)))
+    comm = np.arange(n, dtype=np.int64)
+    for _ in range(rounds):
+        tot = np.zeros(n, dtype=np.int64)
+        np.add.at(tot, comm, deg)
+        new = comm.copy()
+        for v in range(n):
+            if not adj[v]:
+                continue
+            a = int(comm[v])
+            ks: dict[int, int] = {}
+            for u, ww in adj[v]:
+                cu = int(comm[u])
+                ks[cu] = ks.get(cu, 0) + ww
+            kva = ks.get(a, 0)
+            best = None
+            for c, kk in sorted(ks.items()):
+                if c >= a:
+                    continue
+                gain = 4 * m * (kk - kva) - 2 * int(deg[v]) * (
+                    int(tot[c]) - int(tot[a]) + int(deg[v])
+                )
+                if gain > 0 and (best is None or gain > best[0]):
+                    best = (gain, c)
+            if best is not None:
+                new[v] = best[1]
+        comm = new
+    return comm
+
+
 def ktruss(n: int, edges: np.ndarray, k: int) -> np.ndarray:
     """Canonical (src < dst) edge array of the k-truss of the simple
     undirected closure: synchronously remove every edge closing fewer

@@ -70,10 +70,9 @@ class ModularityMovesRun:
 @ray.remote
 class _ModShard:
     def __init__(
-        self, part: int, part_refs: list, n: int, part_size: int, m: int
+        self, part: int, part_refs: list, n: int, part_size: int
     ) -> None:
         self.n = n
-        self.m = m
         self.part_size = part_size
         self.base = part * part_size
         self.size = max(0, min(part_size, n - self.base))
@@ -81,14 +80,26 @@ class _ModShard:
             chunks = ray.get(part_refs)
             src = np.concatenate([c[0] for c in chunks]) - self.base
             dst = np.concatenate([c[1] for c in chunks])
+            if len(chunks[0]) > 2:  # weighted closure rides a w column
+                from parallel_pagerank_ray.stages.csr_store import int_weights
+
+                w = int_weights(np.concatenate([c[2] for c in chunks]))
+            else:
+                w = None
         else:
             src = np.array([], dtype=np.int64)
             dst = np.array([], dtype=np.int64)
-        self.deg = np.bincount(src, minlength=self.size).astype(np.int64)
+            w = None
+        if w is None:
+            self.deg = np.bincount(src, minlength=self.size).astype(np.int64)
+        else:
+            self.deg = np.zeros(self.size, dtype=np.int64)
+            np.add.at(self.deg, src, w)
         # pre-bucket edges by destination shard once (reused every round)
         db = dst // part_size
         order = np.argsort(db, kind="stable")
         self.src = src[order]
+        self.w = w[order] if w is not None else None
         self.dst_local = (dst - db * part_size)[order]
         db_s = db[order]
         self.bucket_ids = np.unique(db_s).astype(np.int64)
@@ -106,16 +117,23 @@ class _ModShard:
 
     def scatter(self) -> list:
         """[(dest_shard, ref((keys, cnts))), ...] — locally-combined
-        neighbor-community vote counts keyed local_dst * n + comm."""
+        neighbor-community vote masses keyed local_dst * n + comm
+        (edge count when unweighted, int64 weight sum when weighted)."""
         out = []
         nbig = np.int64(self.n)
         for bid, (lo, hi) in zip(self.bucket_ids, self._slices):
             key = self.dst_local[lo:hi] * nbig + self.comm[self.src[lo:hi]]
-            u, cnt = np.unique(key, return_counts=True)
-            out.append((int(bid), ray.put((u, cnt.astype(np.int64)))))
+            if self.w is None:
+                u, cnt = np.unique(key, return_counts=True)
+                cnt = cnt.astype(np.int64)
+            else:
+                u, inv = np.unique(key, return_inverse=True)
+                cnt = np.zeros(len(u), dtype=np.int64)
+                np.add.at(cnt, inv, self.w[lo:hi])
+            out.append((int(bid), ray.put((u, cnt))))
         return out
 
-    def gather_move(self, refs: list, tot: np.ndarray):
+    def gather_move(self, refs: list, tot: np.ndarray, m: int):
         """Merge incoming votes, apply the monotone move rule, update
         the local comm slice; return the movers' (vid, old_comm,
         new_comm, deg) arrays for the driver's tot bookkeeping."""
@@ -142,7 +160,7 @@ class _ModShard:
         d, c, k = d[cand], c[cand], k[cand]
         a = self.comm[d]
         degv = self.deg[d]
-        gain = 4 * self.m * (k - va[d]) - 2 * degv * (
+        gain = 4 * m * (k - va[d]) - 2 * degv * (
             tot[c] - tot[a] + degv
         )
         pos = gain > 0
@@ -170,20 +188,39 @@ def modularity_moves_bsp(
     rounds: int = 3,
     num_parts: int | None = None,
     edges_canonical: bool = False,
+    edges_symmetric: bool = False,
 ) -> ModularityMovesRun:
     """``rounds`` synchronous monotone modularity-move rounds over the
     simple undirected closure; returns (vid, comm) for every vertex.
     ``edges_canonical=True`` certifies src < dst distinct no-self-loop
-    input (skips the closure dedup shuffle)."""
+    input (skips the closure dedup shuffle).
+
+    ``edges_symmetric=True``: the input already holds every undirected
+    edge in BOTH directions — the closure step is skipped. A ``w``
+    column makes the moves WEIGHTED (k_vc / degrees / totals / m are
+    int64 weight sums — the standard weighted-Louvain gain); weighted
+    input must be passed with ``edges_symmetric=True``, the same
+    contract as weighted LPA (the closure builder drops w)."""
     n = graph.n
     if n == 0:
         return ModularityMovesRun(labels=rd.from_items([]), iterations=0)
     if num_parts is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_parts = cap_num_parts(min(256, max(4, cpus // 4)), n)
-    und = undirected_edges(graph.edges, dedup=not edges_canonical)
+    try:
+        weighted = "w" in (graph.edges.schema().names or [])
+    except Exception:  # pragma: no cover
+        weighted = False
+    if weighted and not edges_symmetric:
+        raise ValueError(
+            "weighted modularity moves need the pre-built symmetric "
+            "weighted closure; pass edges_symmetric=True to certify"
+        )
+    if edges_symmetric:
+        und = graph.edges
+    else:
+        und = undirected_edges(graph.edges, dedup=not edges_canonical)
     store = EdgeShardStore.build(und, n=n, num_parts=num_parts)
-    m = store.num_edges // 2  # closure holds each canonical edge twice
     if store.part_size * n >= (1 << 63):  # pragma: no cover
         raise ValueError(
             "composite vote key would overflow int64; reduce part count"
@@ -192,7 +229,7 @@ def modularity_moves_bsp(
     per_actor = per_actor_cpus(P)
     actors = [
         _ModShard.options(num_cpus=per_actor).remote(
-            p, store.part_refs.get(p, []), n, store.part_size, m
+            p, store.part_refs.get(p, []), n, store.part_size
         )
         for p in range(P)
     ]
@@ -200,6 +237,7 @@ def modularity_moves_bsp(
     deg = (
         np.concatenate(deg_parts) if deg_parts else np.zeros(0, np.int64)
     )
+    m = int(deg.sum()) // 2  # exact for weighted AND unweighted closures
     deg_max = int(deg.max()) if len(deg) else 0
     if m and 12 * m * max(1, deg_max) >= (1 << 63):  # pragma: no cover
         raise ValueError(
@@ -219,7 +257,7 @@ def modularity_moves_bsp(
         tot_ref = ray.put(tot)
         deltas = ray.get(
             [
-                actors[p].gather_move.remote(inbox[p], tot_ref)
+                actors[p].gather_move.remote(inbox[p], tot_ref, m)
                 for p in range(P)
             ]
         )

@@ -104,3 +104,40 @@ def test_modularity_improves_on_planted_partition():
 def test_empty_and_isolated():
     got = _run(_graph(np.zeros((0, 2), dtype=np.int64), 5))
     assert (got == np.arange(5)).all()  # isolated vertices stay put
+
+
+def test_weighted_matches_oracle_and_rejects_asymmetric():
+    import pytest
+
+    rng = np.random.default_rng(9)
+    n = 80
+    canon = set()
+    while len(canon) < 160:
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            canon.add((min(int(a), int(b)), max(int(a), int(b))))
+    canon = sorted(canon)
+    wts = rng.integers(1, 7, len(canon)).astype(np.int64)
+    sym = np.array(
+        [(a, b) for a, b in canon] + [(b, a) for a, b in canon],
+        dtype=np.int64,
+    )
+    symw = np.concatenate([wts, wts])
+    g = Graph(
+        n=n,
+        edges=rd.from_arrow(
+            pa.table(
+                {
+                    "src": sym[:, 0],
+                    "dst": sym[:, 1],
+                    "w": symw.astype(np.float64),
+                }
+            )
+        ).materialize(),
+    )
+    got = _run(g, rounds=3, edges_symmetric=True)
+    want = oracle.modularity_moves_weighted(n, sym, symw, rounds=3)
+    assert (got == want).all()
+    # weighted input without the symmetric certificate is rejected
+    with pytest.raises(ValueError):
+        modularity_moves_bsp(g, rounds=1)
