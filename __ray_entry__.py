@@ -1308,6 +1308,21 @@ def q_modularity_moves_copurchase(sf_dir: str) -> rd.Dataset:
     return modularity_moves_bsp(g, rounds=3, edges_canonical=True).labels
 
 
+def q_louvain_copurchase(sf_dir: str) -> rd.Dataset:
+    """Two-level Louvain over the co-purchase graph
+    (pipelines/modularity_moves.py::louvain_two_level): monotone move
+    phase, contraction to the self-loop-free community quotient
+    (weight = canonical edges between communities), WEIGHTED move
+    phase over the quotient, composition comm(v) = l2(l1(v)).
+    Value-exact vs the chained recursive-CTE replay in DuckDB."""
+    from parallel_pagerank_ray.pipelines.modularity_moves import (
+        louvain_two_level,
+    )
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return louvain_two_level(g, edges_canonical=True).labels
+
+
 def q_modularity_moves_weighted(sf_dir: str) -> rd.Dataset:
     """Weighted variant of the modularity moves over the symmetric
     weighted co-purchase graph (w = distinct co-orders per pair):
@@ -3455,6 +3470,92 @@ def q_distinct_parts_per_nation(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
+def _mod_moves_cte(name, src_cm, und, degs, mm, rounds, kexpr):
+    """Recursive monotone-move CTE body (the modularity_moves replay),
+    parameterized over table names; kexpr: count(*) or sum(u.w)."""
+    return f"""
+      {name}(it, vid, comm) AS (
+        SELECT 0, vid, vid FROM v
+        UNION ALL
+        SELECT c.it + 1, c.vid, coalesce(mv.newc, c.comm)
+        FROM {name} c
+        LEFT JOIN (
+          SELECT q.v, q.c AS newc FROM (
+            SELECT kv.v, kv.c,
+                   row_number() OVER (PARTITION BY kv.v
+                     ORDER BY kv.gain DESC, kv.c ASC) AS rn
+            FROM (
+              SELECT kk.v, kk.c,
+                     4 * {mm}.m * (kk.k - coalesce(ka.k, 0))
+                     - 2 * dv.deg * (tc.tot - ta.tot + dv.deg) AS gain
+              FROM (SELECT u.src AS v, c2.comm AS c,
+                           CAST({kexpr} AS BIGINT) AS k
+                    FROM {und} u JOIN {name} c2 ON c2.vid = u.dst
+                    GROUP BY 1, 2) kk
+              JOIN {name} ca ON ca.vid = kk.v
+              LEFT JOIN (SELECT u.src AS v, c3.comm AS c,
+                                CAST({kexpr} AS BIGINT) AS k
+                         FROM {und} u JOIN {name} c3 ON c3.vid = u.dst
+                         GROUP BY 1, 2) ka
+                ON ka.v = kk.v AND ka.c = ca.comm
+              JOIN {degs} dv ON dv.vid = kk.v
+              JOIN (SELECT c4.comm, CAST(sum(d4.deg) AS BIGINT) AS tot
+                    FROM {name} c4 JOIN {degs} d4 ON d4.vid = c4.vid
+                    GROUP BY 1) tc ON tc.comm = kk.c
+              JOIN (SELECT c5.comm, CAST(sum(d5.deg) AS BIGINT) AS tot
+                    FROM {name} c5 JOIN {degs} d5 ON d5.vid = c5.vid
+                    GROUP BY 1) ta ON ta.comm = ca.comm
+              CROSS JOIN {mm}
+              WHERE kk.c < ca.comm
+            ) kv WHERE kv.gain > 0
+          ) q WHERE q.rn = 1
+        ) mv ON mv.v = c.vid
+        WHERE c.it < {rounds}
+      )"""
+
+
+def _louvain2_sql(edges_sql, r1=3, r2=3):
+    return f"""
+    WITH RECURSIVE
+      e AS MATERIALIZED ({edges_sql}),
+      nn AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n FROM e),
+      ce AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+        FROM e WHERE src <> dst),
+      und AS MATERIALIZED (
+        SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce),
+      v(vid) AS (SELECT unnest(range(greatest(
+                   coalesce((SELECT n FROM nn), 1), 1))) AS vid),
+      degs AS MATERIALIZED (
+        SELECT src AS vid, CAST(count(*) AS BIGINT) AS deg
+        FROM und GROUP BY 1),
+      mm AS MATERIALIZED (
+        SELECT CAST(count(*) // 2 AS BIGINT) AS m FROM und),
+      {_mod_moves_cte("cm", None, "und", "degs", "mm", r1, "count(*)")},
+      fin1 AS MATERIALIZED (SELECT vid, comm FROM cm WHERE it = {r1}),
+      -- self-loop-free quotient: weight = canonical edges between comms
+      qce AS MATERIALIZED (
+        SELECT least(a.comm, b.comm) AS src,
+               greatest(a.comm, b.comm) AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM ce JOIN fin1 a ON a.vid = ce.src
+                JOIN fin1 b ON b.vid = ce.dst
+        WHERE a.comm <> b.comm
+        GROUP BY 1, 2),
+      qund AS MATERIALIZED (
+        SELECT src, dst, w FROM qce UNION ALL SELECT dst, src, w FROM qce),
+      degs2 AS MATERIALIZED (
+        SELECT src AS vid, CAST(sum(w) AS BIGINT) AS deg
+        FROM qund GROUP BY 1),
+      mm2 AS MATERIALIZED (
+        SELECT CAST(coalesce(sum(w), 0) // 2 AS BIGINT) AS m FROM qund),
+      {_mod_moves_cte("cm2", None, "qund", "degs2", "mm2", r2, "sum(u.w)")},
+      fin2 AS MATERIALIZED (SELECT vid, comm FROM cm2 WHERE it = {r2})
+    SELECT f1.vid, f2.comm
+    FROM fin1 f1 JOIN fin2 f2 ON f2.vid = f1.comm
+    """
+
+
 def _bpe_oracle_sql(num_merges: int, tokens: bool = False) -> str:
     """Unrolled BPE-training replay (functions/bpe.py semantics): per
     round, adjacent-pair counts over the distinct-word symbol table
@@ -3598,6 +3699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_sparsify_copurchase": q_jaccard_sparsify_copurchase,
         "modularity_moves_copurchase": q_modularity_moves_copurchase,
         "modularity_moves_weighted": q_modularity_moves_weighted,
+        "louvain_copurchase": q_louvain_copurchase,
         "coreness_copurchase": q_coreness_copurchase,
         "densest_copurchase": q_densest_copurchase,
         "bfs_copurchase": q_bfs_copurchase,
@@ -5637,6 +5739,7 @@ def oracle_sql() -> dict[str, str]:
               )
             SELECT vid, comm FROM cm WHERE it = 3
         """,
+        "louvain_copurchase": _louvain2_sql(_COPURCHASE_SQL),
         "modularity_moves_weighted": f"""
             WITH RECURSIVE
               we AS MATERIALIZED (

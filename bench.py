@@ -388,6 +388,7 @@ def bench_queries() -> dict[str, float]:
         "ktruss_deep_copurchase",
         "modularity_moves_copurchase",
         "modularity_moves_weighted",
+        "louvain_copurchase",
         "jaccard_sparsify_copurchase",
         "bpe_merges",
         "bpe_token_counts",

@@ -289,6 +289,40 @@ def modularity_moves_weighted(
     return comm
 
 
+def louvain_two_level(
+    n: int, edges: np.ndarray, rounds1: int = 3, rounds2: int = 3
+) -> np.ndarray:
+    """Sequential reference for pipelines/modularity_moves.py::
+    louvain_two_level: monotone moves, self-loop-free quotient
+    contraction (weight = canonical-edge count between communities),
+    weighted monotone moves, composition."""
+    l1 = modularity_moves(n, edges, rounds=rounds1)
+    e = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    e = e[e[:, 0] != e[:, 1]]
+    canon = (
+        np.unique(np.stack([e.min(axis=1), e.max(axis=1)], axis=1), axis=0)
+        if len(e)
+        else np.zeros((0, 2), dtype=np.int64)
+    )
+    q: dict[tuple[int, int], int] = {}
+    for a, b in canon:
+        ca, cb = int(l1[a]), int(l1[b])
+        if ca == cb:
+            continue
+        key = (min(ca, cb), max(ca, cb))
+        q[key] = q.get(key, 0) + 1
+    if not q:
+        return l1
+    keys = sorted(q)
+    sym = np.array(
+        [(a, b) for a, b in keys] + [(b, a) for a, b in keys],
+        dtype=np.int64,
+    )
+    w = np.array([q[k] for k in keys] * 2, dtype=np.int64)
+    l2 = modularity_moves_weighted(n, sym, w, rounds=rounds2)
+    return l2[l1]
+
+
 def ktruss(n: int, edges: np.ndarray, k: int) -> np.ndarray:
     """Canonical (src < dst) edge array of the k-truss of the simple
     undirected closure: synchronously remove every edge closing fewer

@@ -278,3 +278,167 @@ def modularity_moves_bsp(
     return ModularityMovesRun(
         labels=rd.from_arrow_refs(tables), iterations=it, history=history
     )
+
+
+def louvain_two_level(
+    graph: Graph,
+    rounds1: int = 3,
+    rounds2: int = 3,
+    num_parts: int | None = None,
+    edges_canonical: bool = False,
+    broadcast_max_bytes: int = 256 << 20,
+) -> ModularityMovesRun:
+    """Two-level Louvain: a monotone move phase over the input graph,
+    contraction to the community quotient graph (edge weight = count
+    of canonical edges between two communities; intra-community edges
+    drop — the self-loop-free quotient, so level 2 optimizes the
+    quotient's modularity, the standard coarsening heuristic this
+    repo's matching-coarsener also uses), a WEIGHTED move phase over
+    the quotient, and composition comm(v) = level2(level1(v)).
+
+    Scale shape: level-1/level-2 are the BSP move engine above; the
+    contraction is one map over the canonical edges (community labels
+    broadcast as an n*8 B vector under ``broadcast_max_bytes``, two
+    hash joins beyond) + one bucketed weight combine; the composition
+    re-broadcasts the level-2 label vector the same way. Quotient
+    vertex ids live in the SAME [0, n) id space (community ids are
+    vertex ids), so no re-densification pass is needed.
+    """
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+    from parallel_pagerank_ray.util import drop_empty_blocks, safe_join
+
+    n = graph.n
+    if n == 0:
+        return ModularityMovesRun(labels=rd.from_items([]), iterations=0)
+    if edges_canonical:
+        canon = graph.edges
+    else:
+        from parallel_pagerank_ray.pipelines.triangles import (
+            _simple_undirected,
+        )
+
+        canon = _simple_undirected(graph.edges).materialize()
+    l1 = modularity_moves_bsp(
+        Graph(n=n, edges=canon),
+        rounds=rounds1,
+        num_parts=num_parts,
+        edges_canonical=True,
+    )
+    lab1 = l1.labels.materialize()
+
+    if n * 8 <= broadcast_max_bytes:
+        lab_vec = np.full(n, -1, dtype=np.int64)
+        for blk in ray.get(lab1.to_arrow_refs()):
+            if blk.num_rows:
+                lab_vec[blk.column("vid").to_numpy()] = blk.column(
+                    "comm"
+                ).to_numpy()
+        lab_ref = ray.put(lab_vec)
+
+        def quotient_rows(b: dict) -> dict:
+            lv = ray.get(lab_ref)
+            cs = lv[b["src"].astype(np.int64)]
+            cd = lv[b["dst"].astype(np.int64)]
+            keep = cs != cd
+            cs, cd = cs[keep], cd[keep]
+            return {
+                "src": np.minimum(cs, cd),
+                "dst": np.maximum(cs, cd),
+                "w": np.ones(int(keep.sum()), dtype=np.int64),
+            }
+
+        qrows = canon.map_batches(quotient_rows, batch_format="numpy")
+    else:  # join fallback (the community_stats attach shape)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        jp = max(8, cpus)
+        e1 = safe_join(
+            canon.select_columns(["src", "dst"]),
+            lab1,
+            join_type="inner",
+            num_partitions=jp,
+            on=("src",),
+            right_on=("vid",),
+        ).rename_columns({"comm": "cs"})
+        e2 = safe_join(
+            e1.select_columns(["dst", "cs"]),
+            lab1,
+            join_type="inner",
+            num_partitions=jp,
+            on=("dst",),
+            right_on=("vid",),
+        ).rename_columns({"comm": "cd"})
+
+        def quotient_rows_joined(b: dict) -> dict:
+            cs = b["cs"].astype(np.int64)
+            cd = b["cd"].astype(np.int64)
+            keep = cs != cd
+            cs, cd = cs[keep], cd[keep]
+            return {
+                "src": np.minimum(cs, cd),
+                "dst": np.maximum(cs, cd),
+                "w": np.ones(int(keep.sum()), dtype=np.int64),
+            }
+
+        qrows = e2.map_batches(quotient_rows_joined, batch_format="numpy")
+    qcanon = grouped_agg(
+        drop_empty_blocks(qrows), ["src", "dst"], {"w": ("w", "sum")}
+    )
+
+    def symmetric(b: dict) -> dict:
+        s = b["src"].astype(np.int64)
+        d = b["dst"].astype(np.int64)
+        w = b["w"].astype(np.float64)
+        return {
+            "src": np.concatenate([s, d]),
+            "dst": np.concatenate([d, s]),
+            "w": np.concatenate([w, w]),
+        }
+
+    qsym = qcanon.map_batches(symmetric, batch_format="numpy").materialize()
+    if qsym.count() == 0:
+        # level 1 merged every edge inside a community: the quotient
+        # has no edges and level 2 is the identity
+        return ModularityMovesRun(
+            labels=lab1, iterations=l1.iterations, history=l1.history
+        )
+    l2 = modularity_moves_bsp(
+        Graph(n=n, edges=qsym),
+        rounds=rounds2,
+        num_parts=num_parts,
+        edges_symmetric=True,
+    )
+    lab2 = l2.labels.materialize()
+
+    if n * 8 <= broadcast_max_bytes:
+        l2_vec = np.arange(n, dtype=np.int64)
+        for blk in ray.get(lab2.to_arrow_refs()):
+            if blk.num_rows:
+                l2_vec[blk.column("vid").to_numpy()] = blk.column(
+                    "comm"
+                ).to_numpy()
+        l2_ref = ray.put(l2_vec)
+
+        def compose(b: dict) -> dict:
+            lv2 = ray.get(l2_ref)
+            return {
+                "vid": b["vid"].astype(np.int64),
+                "comm": lv2[b["comm"].astype(np.int64)],
+            }
+
+        final = lab1.map_batches(compose, batch_format="numpy")
+    else:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        jp = max(8, cpus)
+        final = safe_join(
+            lab1.rename_columns({"comm": "c1"}),
+            lab2.rename_columns({"vid": "__qv", "comm": "comm"}),
+            join_type="inner",
+            num_partitions=jp,
+            on=("c1",),
+            right_on=("__qv",),
+        ).select_columns(["vid", "comm"])
+    return ModularityMovesRun(
+        labels=final,
+        iterations=l1.iterations + l2.iterations,
+        history=l1.history + l2.history,
+    )

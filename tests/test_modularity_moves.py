@@ -141,3 +141,68 @@ def test_weighted_matches_oracle_and_rejects_asymmetric():
     # weighted input without the symmetric certificate is rejected
     with pytest.raises(ValueError):
         modularity_moves_bsp(g, rounds=1)
+
+
+def test_louvain_two_level_matches_oracle_both_paths():
+    from parallel_pagerank_ray.pipelines.modularity_moves import (
+        louvain_two_level,
+    )
+    from parallel_pagerank_ray.sources.pages import powerlaw_edges
+
+    for n, d, seed in [(120, 5, 2), (80, 4, 11)]:
+        e = powerlaw_edges(n, d, seed=seed)
+        want = oracle.louvain_two_level(n, e)
+        for bmax in (256 << 20, 0):  # broadcast path, forced joins
+            g = _graph(e, n)
+            run = louvain_two_level(g, broadcast_max_bytes=bmax)
+            got = (
+                run.labels.to_pandas()
+                .sort_values("vid")["comm"]
+                .to_numpy()
+            )
+            assert (got == want).all(), (n, bmax)
+
+
+def test_louvain_two_level_improves_over_one_level():
+    """On a hierarchical planted graph (tight 10-blocks inside loose
+    30-super-blocks) level 2 must merge level-1 fragments: fewer
+    communities, modularity not worse."""
+    from parallel_pagerank_ray.pipelines.community import (
+        community_stats,
+        modularity,
+    )
+    from parallel_pagerank_ray.pipelines.modularity_moves import (
+        louvain_two_level,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 120
+    edges = set()
+    for b in range(12):  # tight blocks of 10
+        vs = list(range(b * 10, (b + 1) * 10))
+        for u in vs:
+            for v in rng.choice(vs, size=4, replace=False):
+                if u != int(v):
+                    edges.add((min(u, int(v)), max(u, int(v))))
+    for s in range(4):  # loose super-blocks of 3 blocks
+        vs = list(range(s * 30, (s + 1) * 30))
+        for _ in range(25):
+            u, v = rng.choice(vs, size=2, replace=False)
+            if u != v:
+                edges.add((min(int(u), int(v)), max(int(u), int(v))))
+    e = np.array(sorted(edges), dtype=np.int64)
+    g = _graph(e, n)
+    l1 = _run(g, rounds=3)
+    run2 = louvain_two_level(_graph(e, n), rounds1=3, rounds2=3)
+    l2 = run2.labels.to_pandas().sort_values("vid")["comm"].to_numpy()
+    assert len(np.unique(l2)) <= len(np.unique(l1))
+
+    def q_of(lbl):
+        labels = rd.from_arrow(
+            pa.table(
+                {"vid": np.arange(n, dtype=np.int64), "label": lbl}
+            )
+        )
+        return modularity(community_stats(_graph(e, n), labels).to_pandas())
+
+    assert q_of(l2) >= q_of(l1) - 1e-12
