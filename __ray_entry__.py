@@ -1308,6 +1308,58 @@ def q_modularity_moves_copurchase(sf_dir: str) -> rd.Dataset:
     return modularity_moves_bsp(g, rounds=3, edges_canonical=True).labels
 
 
+def q_vertex_features(sf_dir: str) -> rd.Dataset:
+    """Graph-ML vertex feature table over the co-purchase graph: (vid,
+    degree, coreness, triangles) for every vertex — the feature-
+    engineering export a GNN / node-classification pipeline consumes.
+    Composition of the cached graph's closure degree, the rising-
+    threshold coreness peel (pipelines/kcore.py::coreness_bsp) and the
+    per-vertex triangle count (pipelines/triangles.py); one left
+    attach, integer-exact throughout."""
+    import pyarrow.compute as pc
+
+    from parallel_pagerank_ray.pipelines.kcore import coreness_bsp
+    from parallel_pagerank_ray.pipelines.triangles import (
+        per_vertex_triangles,
+    )
+    from parallel_pagerank_ray.util import safe_join
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    core = coreness_bsp(g, edges_canonical=True).members
+    tri = per_vertex_triangles(g, edges_simple=True)
+
+    out = safe_join(
+        core,
+        tri.select_columns(["vid", "tri", "deg"]).rename_columns(
+            {"vid": "__tv"}
+        ),
+        join_type="left_outer",
+        num_partitions=8,
+        on=("vid",),
+        right_on=("__tv",),
+    )
+
+    def project(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        zero = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "vid": t.column("vid"),
+                "degree": pc.coalesce(
+                    pc.cast(t.column("deg"), pa.int64()), zero
+                ),
+                "coreness": t.column("coreness"),
+                "triangles": pc.coalesce(
+                    pc.cast(t.column("tri"), pa.int64()), zero
+                ),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def q_louvain_copurchase(sf_dir: str) -> rd.Dataset:
     """Two-level Louvain over the co-purchase graph
     (pipelines/modularity_moves.py::louvain_two_level): monotone move
@@ -3556,6 +3608,45 @@ def _louvain2_sql(edges_sql, r1=3, r2=3):
     """
 
 
+# rising-threshold coreness peel replay over the `und`/`v` prelude —
+# shared by the coreness_copurchase and vertex_features oracles
+_CORENESS_KC_SQL = """
+              kc(it, vid, alive, kcur, core) AS (
+                -- rising-threshold peel replay: when nothing dies at
+                -- the current threshold, every alive row adopts k+1;
+                -- a vertex dying at threshold k has coreness k-1
+                SELECT 0, vid, 1, 1, CAST(0 AS BIGINT) FROM v
+                UNION ALL
+                SELECT c.it + 1, c.vid,
+                       CASE WHEN c.alive = 1
+                             AND coalesce(m.d, 0) >= c.kcur
+                            THEN 1 ELSE 0 END,
+                       CASE WHEN (SELECT max(
+                                    CASE WHEN c2.alive = 1
+                                          AND coalesce(m2.d, 0) < c2.kcur
+                                         THEN 1 ELSE 0 END)
+                                  FROM kc c2
+                                  LEFT JOIN (SELECT u2.src AS vid,
+                                                    count(*) AS d
+                                             FROM und u2
+                                             JOIN kc a2
+                                               ON a2.vid = u2.dst
+                                              AND a2.alive = 1
+                                             GROUP BY 1) m2
+                                    ON m2.vid = c2.vid) = 1
+                            THEN c.kcur ELSE c.kcur + 1 END,
+                       CASE WHEN c.alive = 1
+                             AND coalesce(m.d, 0) < c.kcur
+                            THEN c.kcur - 1 ELSE c.core END
+                FROM kc c
+                LEFT JOIN (SELECT u.src AS vid, count(*) AS d
+                           FROM und u
+                           JOIN kc a ON a.vid = u.dst AND a.alive = 1
+                           GROUP BY 1) m ON m.vid = c.vid
+                WHERE (SELECT max(c3.alive) FROM kc c3) = 1
+              )"""
+
+
 def _bpe_oracle_sql(num_merges: int, tokens: bool = False) -> str:
     """Unrolled BPE-training replay (functions/bpe.py semantics): per
     round, adjacent-pair counts over the distinct-word symbol table
@@ -3700,6 +3791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modularity_moves_copurchase": q_modularity_moves_copurchase,
         "modularity_moves_weighted": q_modularity_moves_weighted,
         "louvain_copurchase": q_louvain_copurchase,
+        "vertex_features": q_vertex_features,
         "coreness_copurchase": q_coreness_copurchase,
         "densest_copurchase": q_densest_copurchase,
         "bfs_copurchase": q_bfs_copurchase,
@@ -5598,42 +5690,41 @@ def oracle_sql() -> dict[str, str]:
         "coreness_copurchase": f"""
             WITH RECURSIVE
             {_supplier_part_vid_graph(_COPURCHASE_SQL)},
-              kc(it, vid, alive, kcur, core) AS (
-                -- rising-threshold peel replay: when nothing dies at
-                -- the current threshold, every alive row adopts k+1;
-                -- a vertex dying at threshold k has coreness k-1
-                SELECT 0, vid, 1, 1, CAST(0 AS BIGINT) FROM v
-                UNION ALL
-                SELECT c.it + 1, c.vid,
-                       CASE WHEN c.alive = 1
-                             AND coalesce(m.d, 0) >= c.kcur
-                            THEN 1 ELSE 0 END,
-                       CASE WHEN (SELECT max(
-                                    CASE WHEN c2.alive = 1
-                                          AND coalesce(m2.d, 0) < c2.kcur
-                                         THEN 1 ELSE 0 END)
-                                  FROM kc c2
-                                  LEFT JOIN (SELECT u2.src AS vid,
-                                                    count(*) AS d
-                                             FROM und u2
-                                             JOIN kc a2
-                                               ON a2.vid = u2.dst
-                                              AND a2.alive = 1
-                                             GROUP BY 1) m2
-                                    ON m2.vid = c2.vid) = 1
-                            THEN c.kcur ELSE c.kcur + 1 END,
-                       CASE WHEN c.alive = 1
-                             AND coalesce(m.d, 0) < c.kcur
-                            THEN c.kcur - 1 ELSE c.core END
-                FROM kc c
-                LEFT JOIN (SELECT u.src AS vid, count(*) AS d
-                           FROM und u
-                           JOIN kc a ON a.vid = u.dst AND a.alive = 1
-                           GROUP BY 1) m ON m.vid = c.vid
-                WHERE (SELECT max(c3.alive) FROM kc c3) = 1
-              )
+            {_CORENESS_KC_SQL}
             SELECT vid, core AS coreness FROM kc
             WHERE it = (SELECT max(it) FROM kc)
+        """,
+        "vertex_features": f"""
+            WITH RECURSIVE
+            {_supplier_part_vid_graph(_COPURCHASE_SQL)},
+            {_CORENESS_KC_SQL},
+              cor AS MATERIALIZED (
+                SELECT vid, core AS coreness FROM kc
+                WHERE it = (SELECT max(it) FROM kc)),
+              degt AS MATERIALIZED (
+                SELECT src AS vid, CAST(count(*) AS BIGINT) AS degree
+                FROM und GROUP BY 1),
+              ce AS MATERIALIZED (
+                SELECT DISTINCT least(src, dst) AS src,
+                       greatest(src, dst) AS dst
+                FROM e WHERE src <> dst),
+              trit AS MATERIALIZED (
+                SELECT x.vid, CAST(count(*) AS BIGINT) AS triangles
+                FROM (
+                  SELECT unnest([t.a, t.b, t.c]) AS vid FROM (
+                    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                    FROM ce e1
+                    JOIN ce e2 ON e2.src = e1.dst
+                    JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst
+                  ) t
+                ) x GROUP BY 1)
+            SELECT c.vid,
+                   coalesce(d.degree, 0) AS degree,
+                   c.coreness,
+                   coalesce(tr.triangles, 0) AS triangles
+            FROM cor c
+            LEFT JOIN degt d ON d.vid = c.vid
+            LEFT JOIN trit tr ON tr.vid = c.vid
         """,
         "kcore_copurchase": f"""
             WITH RECURSIVE
