@@ -402,6 +402,7 @@ def link_churn(
 def host_mirror_scores(
     links: rd.Dataset,
     num_partitions: int | None = None,
+    broadcast_max: int = 5_000_000,
 ) -> rd.Dataset:
     """Mirror-site detection: Jaccard similarity of host OUTLINK target
     sets -> (host_a, host_b, inter, union_size, jaccard) for every
@@ -430,21 +431,52 @@ def host_mirror_scores(
     sizes = grouped_agg(
         hl, ["src_host"], {"n_out": ("dst_host", "count")}
     )
-    j = safe_join(
-        safe_join(
-            inter,
-            sizes.rename_columns({"src_host": "__ha", "n_out": "na"}),
+    # the per-host out-degree table is O(#hosts): broadcast it while
+    # it fits the standard guard (both attaches become one map over
+    # the co-citation pairs); two hash joins beyond
+    from parallel_pagerank_ray.util import count_rows_once
+
+    n_hosts, sizes = count_rows_once(sizes)
+    if n_hosts <= broadcast_max:
+        import pandas as _pd
+        import pyarrow as _pa
+        import ray as _ray
+
+        st = _pa.concat_tables(_ray.get(sizes.to_arrow_refs()))
+        hidx = _pd.Index(st.column("src_host").to_pylist())
+        sizes_ref = _ray.put(
+            (hidx, st.column("n_out").to_numpy().astype(np.int64))
+        )
+
+        def attach_sizes(df: "pd.DataFrame") -> "pd.DataFrame":
+            idx, nout = _ray.get(sizes_ref)
+            pa_ = idx.get_indexer(df["host_a"])
+            pb_ = idx.get_indexer(df["host_b"])
+            m = (pa_ >= 0) & (pb_ >= 0)  # inner-join semantics
+            out = df.loc[m, ["host_a", "host_b", "w"]].reset_index(
+                drop=True
+            )
+            out["na"] = nout[pa_[m]]
+            out["nb"] = nout[pb_[m]]
+            return out
+
+        j = inter.map_batches(attach_sizes, batch_format="pandas")
+    else:
+        j = safe_join(
+            safe_join(
+                inter,
+                sizes.rename_columns({"src_host": "__ha", "n_out": "na"}),
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("host_a",),
+                right_on=("__ha",),
+            ),
+            sizes.rename_columns({"src_host": "__hb", "n_out": "nb"}),
             join_type="inner",
             num_partitions=num_partitions,
-            on=("host_a",),
-            right_on=("__ha",),
-        ),
-        sizes.rename_columns({"src_host": "__hb", "n_out": "nb"}),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("host_b",),
-        right_on=("__hb",),
-    )
+            on=("host_b",),
+            right_on=("__hb",),
+        )
 
     def score(df: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd

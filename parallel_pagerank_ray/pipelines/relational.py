@@ -1545,15 +1545,10 @@ def volume_shipping(
         ["l_orderkey", "supp_nation", "l_year"],
         {"rev": ("rev", "sum")},
     )
-    j = safe_join(
-        per_order,
-        orders.select_columns(["o_orderkey", "o_custkey"]),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
-    # customer -> nationkey broadcast under the same guard contract
+    # customer -> nationkey broadcast under the same guard contract;
+    # the orders (orderkey -> custkey) map is O(SF) too — when both
+    # fit, the order join disappears into ONE map over the rollup
+    # (orderkey -> custkey -> cust_nation); hash joins beyond
     n_cust, cust = count_rows_once(
         customer.select_columns(["c_custkey", "c_nationkey"])
     )
@@ -1563,29 +1558,68 @@ def volume_shipping(
         cidx = pd.Index(ct.column("c_custkey").to_numpy())
         if not cidx.is_unique:
             cidx = None
-    if cidx is not None:
+    ords = orders.select_columns(["o_orderkey", "o_custkey"])
+    n_ord, ords = count_rows_once(ords)
+    oidx = None
+    if cidx is not None and n_ord <= broadcast_max:
+        ot = pa.concat_tables(ray.get(ords.to_arrow_refs()))
+        oidx = pd.Index(ot.column("o_orderkey").to_numpy())
+        if not oidx.is_unique:  # pragma: no cover - orderkey is a PK
+            oidx = None
+    if cidx is not None and oidx is not None:
         cref = ray.put((cidx, ct.column("c_nationkey").to_numpy()))
+        oref = ray.put((oidx, ot.column("o_custkey").to_numpy()))
 
-        def attach_cust(df: pd.DataFrame) -> pd.DataFrame:
+        def attach_cust_nation(df: pd.DataFrame) -> pd.DataFrame:
+            odx, ck = ray.get(oref)
             idx, v = ray.get(cref)
-            pos = idx.get_indexer(df["o_custkey"].to_numpy())
-            m = pos >= 0
-            out = df.loc[m, ["supp_nation", "l_year", "rev"]].reset_index(
+            opos = odx.get_indexer(df["l_orderkey"].to_numpy())
+            m1 = opos >= 0
+            custkey = ck[opos[m1]]
+            pos = idx.get_indexer(custkey)
+            m2 = pos >= 0
+            out = df.loc[m1, ["supp_nation", "l_year", "rev"]].reset_index(
                 drop=True
             )
-            out["cust_nation"] = v[pos[m]]
+            out = out.loc[m2].reset_index(drop=True)
+            out["cust_nation"] = v[pos[m2]]
             return out
 
-        labeled = j.map_batches(attach_cust, batch_format="pandas")
+        labeled = per_order.map_batches(
+            attach_cust_nation, batch_format="pandas"
+        )
     else:
-        labeled = safe_join(
-            j,
-            cust,
+        j = safe_join(
+            per_order,
+            ords,
             join_type="inner",
             num_partitions=num_partitions,
-            on=("o_custkey",),
-            right_on=("c_custkey",),
-        ).rename_columns({"c_nationkey": "cust_nation"})
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+        if cidx is not None:
+            cref = ray.put((cidx, ct.column("c_nationkey").to_numpy()))
+
+            def attach_cust(df: pd.DataFrame) -> pd.DataFrame:
+                idx, v = ray.get(cref)
+                pos = idx.get_indexer(df["o_custkey"].to_numpy())
+                m = pos >= 0
+                out = df.loc[
+                    m, ["supp_nation", "l_year", "rev"]
+                ].reset_index(drop=True)
+                out["cust_nation"] = v[pos[m]]
+                return out
+
+            labeled = j.map_batches(attach_cust, batch_format="pandas")
+        else:
+            labeled = safe_join(
+                j,
+                cust,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("o_custkey",),
+                right_on=("c_custkey",),
+            ).rename_columns({"c_nationkey": "cust_nation"})
     per_pair = grouped_agg(
         labeled,
         ["supp_nation", "cust_nation", "l_year"],

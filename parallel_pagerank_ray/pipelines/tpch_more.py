@@ -51,6 +51,7 @@ def shipping_priority(
     cutoff: str = "1996-06-01",
     k: int = 10,
     num_partitions: int | None = None,
+    broadcast_max: int = 5_000_000,
 ) -> rd.Dataset:
     """TPC-H Q3: revenue of not-yet-shipped orders for one market
     segment -> top-k orders by revenue.
@@ -89,19 +90,49 @@ def shipping_priority(
         )
 
     from parallel_pagerank_ray.stages.agg import grouped_agg
+    from parallel_pagerank_ray.util import count_rows_once
 
-    seg_orders = safe_join(
-        orders.select_columns(
-            ["o_orderkey", "o_custkey", "o_orderdate"]
-        ).map_batches(order_rows, batch_format="pyarrow"),
-        customer.select_columns(["c_custkey", "c_mktsegment"]).map_batches(
-            cust_keys, batch_format="pyarrow"
-        ),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-    )
+    cust_small = customer.select_columns(
+        ["c_custkey", "c_mktsegment"]
+    ).map_batches(cust_keys, batch_format="pyarrow")
+    window_orders = orders.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(order_rows, batch_format="pyarrow")
+    # the segment customer-key set and the date-windowed order table
+    # are both O(SF): broadcast each under the count_rows_once guard
+    # (semi-filter orders by custkey; attach date_us to the revenue
+    # rollup map-side) — hash joins only beyond the bound
+    import ray as _ray
+
+    n_cust, cust_small = count_rows_once(cust_small)
+    if n_cust <= broadcast_max:
+        ct = pa.concat_tables(_ray.get(cust_small.to_arrow_refs()))
+        ckeys = np.sort(ct.column("c_custkey").to_numpy())
+        ckeys_ref = _ray.put(ckeys)
+
+        def seg_filter(t: pa.Table) -> pa.Table:
+            ks = _ray.get(ckeys_ref)
+            ck = t.column("o_custkey").to_numpy()
+            pos = np.searchsorted(ks, ck)
+            hit = (
+                (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == ck)
+                if len(ks)
+                else np.zeros(len(ck), dtype=bool)
+            )
+            return t.filter(pa.array(hit))
+
+        seg_orders = window_orders.map_batches(
+            seg_filter, batch_format="pyarrow"
+        )
+    else:
+        seg_orders = safe_join(
+            window_orders,
+            cust_small,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
     per_order = grouped_agg(
         lineitem.select_columns(
             ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
@@ -109,14 +140,42 @@ def shipping_priority(
         ["l_orderkey"],
         {"revenue_units": ("rev", "sum")},
     )
-    j = safe_join(
-        per_order,
-        seg_orders.select_columns(["o_orderkey", "date_us"]),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
+    seg_small = seg_orders.select_columns(["o_orderkey", "date_us"])
+    n_seg, seg_small = count_rows_once(seg_small)
+    if n_seg <= broadcast_max:
+        st = pa.concat_tables(_ray.get(seg_small.to_arrow_refs()))
+        sidx = pd.Index(st.column("o_orderkey").to_numpy())
+        dates_ref = _ray.put(
+            (sidx, st.column("date_us").to_numpy().astype(np.int64))
+        )
+
+        def attach_date(t: pa.Table) -> pa.Table:
+            idx, du = _ray.get(dates_ref)
+            pos = idx.get_indexer(t.column("l_orderkey").to_numpy())
+            hit = pos >= 0  # inner-join semantics
+            return pa.table(
+                {
+                    "l_orderkey": pa.array(
+                        t.column("l_orderkey").to_numpy()[hit], pa.int64()
+                    ),
+                    "revenue_units": pa.array(
+                        t.column("revenue_units").to_numpy()[hit],
+                        pa.int64(),
+                    ),
+                    "date_us": pa.array(du[pos[hit]], pa.int64()),
+                }
+            )
+
+        j = per_order.map_batches(attach_date, batch_format="pyarrow")
+    else:
+        j = safe_join(
+            per_order,
+            seg_small,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
     out = j.sort(["revenue_units", "l_orderkey"], descending=[True, False]).limit(k)
 
     def project(df: pd.DataFrame) -> pd.DataFrame:
