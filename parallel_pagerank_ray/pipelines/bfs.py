@@ -38,6 +38,20 @@ from parallel_pagerank_ray.stages.csr_store import (
 )
 
 
+@ray.remote
+def _route_seed_block(block, part_size: int) -> dict:
+    """Split one (vid,) seed block into per-part plasma arrays — the
+    routed seeding path's producer (the _register_block idiom)."""
+    if block.num_rows == 0 or "vid" not in block.schema.names:
+        return {}
+    v = block.column("vid").to_numpy().astype(np.int64)
+    parts = v // part_size
+    out: dict[int, "ray.ObjectRef"] = {}
+    for p in np.unique(parts):
+        out[int(p)] = ray.put(np.ascontiguousarray(v[parts == p]))
+    return out
+
+
 @dataclass
 class BFSRun:
     distances: rd.Dataset  # (vid, dist) for REACHED vertices only
@@ -75,6 +89,18 @@ class _BFSShard:
         self.dist[local] = 0
         self.frontier = local
         return int(len(local))
+
+    def seed_refs(self, refs: list) -> int:
+        """Routed seeding: ``refs`` hold global source ids already
+        routed to THIS shard (one plasma array per producing block) —
+        the driver never materializes the seed set. Same semantics as
+        ``seed``."""
+        parts = [c for c in ray.get(list(refs)) if len(c)]
+        if not parts:
+            self.frontier = np.array([], dtype=np.int64)
+            return 0
+        src = np.unique(np.concatenate(parts))
+        return self.seed(src)
 
     def expand(self) -> list:
         """Candidate destinations of the local frontier, ROUTED by
@@ -185,13 +211,28 @@ class _BFSShard:
 
 
 def _run_bfs_rounds(
-    actors: list, P: int, seed_arr: np.ndarray, max_depth: int
+    actors: list,
+    P: int,
+    seed_arr: "np.ndarray | None",
+    max_depth: int,
+    seed_refs: "dict[int, list] | None" = None,
 ) -> tuple[int, list[dict]]:
     """Seed + expand/absorb rounds to fixpoint over an existing shard
     pool. Shared by single-sweep BFS and the per-seed closeness loop
     (which reuses the pool across seeds — the CSR build dominates, the
-    rounds are ~ms)."""
-    total = sum(ray.get([a.seed.remote(seed_arr) for a in actors]))
+    rounds are ~ms). ``seed_refs`` (part -> routed plasma refs) seeds
+    without the driver ever holding the source array."""
+    if seed_refs is not None:
+        total = sum(
+            ray.get(
+                [
+                    actors[p].seed_refs.remote(seed_refs.get(p, []))
+                    for p in range(P)
+                ]
+            )
+        )
+    else:
+        total = sum(ray.get([a.seed.remote(seed_arr) for a in actors]))
     it = 0
     history: list[dict] = [{"iter": 0, "reached": total}]
     while total and it < max_depth:
@@ -212,24 +253,44 @@ def _run_bfs_rounds(
 
 def bfs_distances_bsp(
     graph: Graph,
-    sources: list[int],
+    sources: "list[int] | None" = None,
     directed: bool = False,
     num_parts: int | None = None,
     max_depth: int = 10_000,
     store: EdgeShardStore | None = None,
+    sources_ds: "rd.Dataset | None" = None,
 ) -> BFSRun:
     """Hop distances from ``sources`` (closest source wins). The
     undirected mode (default) walks the symmetric closure WITHOUT a
     dedup shuffle — BFS is duplicate-invariant, so closure duplicates
     are harmless. A prebuilt ``store`` (holding the matching closure)
-    skips the closure + shard shuffle."""
+    skips the closure + shard shuffle.
+
+    ``sources_ds``: a (vid,) Dataset of seeds ROUTED per shard instead
+    of pulled to the driver — the seed path for source sets too large
+    to hold in one array (e.g. a giant SCC's members feeding the
+    bowtie sweeps). Mutually exclusive with ``sources``."""
     n = graph.n
-    if n == 0 or not sources:
+    if sources is not None and sources_ds is not None:
+        raise ValueError("pass sources OR sources_ds, not both")
+    if n == 0 or (sources_ds is None and not sources):
         return BFSRun(distances=rd.from_items([]), iterations=0)
-    src_arr = np.unique(np.asarray(sources, dtype=np.int64))
-    if src_arr.min() < 0 or src_arr.max() >= n:
-        # validate before any store build / actor spawn
-        raise ValueError(f"source vid out of range [0, {n})")
+    src_arr = None
+    if sources_ds is None:
+        src_arr = np.unique(np.asarray(sources, dtype=np.int64))
+        if src_arr.min() < 0 or src_arr.max() >= n:
+            # validate before any store build / actor spawn
+            raise ValueError(f"source vid out of range [0, {n})")
+    else:
+        from parallel_pagerank_ray.stages.agg import global_agg
+
+        m = global_agg(
+            sources_ds, {"lo": ("vid", "min"), "hi": ("vid", "max")}
+        )
+        if m["lo"] is None:
+            return BFSRun(distances=rd.from_items([]), iterations=0)
+        if int(m["lo"]) < 0 or int(m["hi"]) >= n:
+            raise ValueError(f"source vid out of range [0, {n})")
     if store is None:
         if num_parts is None:
             # frontier exchange is sparse (no dense per-part vectors):
@@ -254,7 +315,22 @@ def bfs_distances_bsp(
         )
         for p in range(P)
     ]
-    it, history = _run_bfs_rounds(actors, P, src_arr, max_depth)
+    if sources_ds is not None:
+        dicts = ray.get(
+            [
+                _route_seed_block.remote(b, store.part_size)
+                for b in sources_ds.to_arrow_refs()
+            ]
+        )
+        seed_refs: dict[int, list] = {}
+        for d in dicts:
+            for p, ref in d.items():
+                seed_refs.setdefault(p, []).append(ref)
+        it, history = _run_bfs_rounds(
+            actors, P, None, max_depth, seed_refs=seed_refs
+        )
+    else:
+        it, history = _run_bfs_rounds(actors, P, src_arr, max_depth)
     tables = [a.slice_table.remote() for a in actors]
     ray.wait(tables, num_returns=len(tables))
     for a in actors:

@@ -421,11 +421,10 @@ def bowtie_classes(
     None, the largest component wins (ties broken by max scc_id) via a
     bucketed count + bounded per-partition top-1 fold — no global sort.
 
-    Scale note: the core seed set is pulled to the driver as one int64
-    array before the two directed BFS sweeps (fine up to ~10^8 core
-    vertices); past that, seed the BFS shards from the assignment
-    shards directly (routed per-part, the same exchange idiom) rather
-    than through the driver.
+    Scale note: the core seed set is ROUTED to the BFS shards directly
+    from the assignment table (``bfs_distances_bsp(sources_ds=...)``,
+    one per-part plasma array per block) — the driver never holds the
+    core member list, so a giant SCC of any size seeds both sweeps.
     """
     from parallel_pagerank_ray.pipelines.bfs import bfs_distances_bsp
     from parallel_pagerank_ray.stages.agg import grouped_agg
@@ -444,14 +443,10 @@ def bowtie_classes(
     core = assignments.map_batches(
         lambda t, c=core_scc: t.filter(pc.equal(t.column("scc_id"), c)),
         batch_format="pyarrow",
-    ).select_columns(["vid"])
-    seeds = np.concatenate(
-        [b["vid"] for b in core.iter_batches(batch_format="numpy")]
-        or [np.array([], dtype=np.int64)]
-    ).astype(np.int64)
+    ).select_columns(["vid"]).materialize()
     fwd_run = bfs_distances_bsp(
         graph,
-        sources=list(seeds),
+        sources_ds=core,
         directed=True,
         num_parts=num_parts,
         store=fwd_store,
@@ -468,7 +463,7 @@ def bowtie_classes(
         rev_graph = Graph(n=n, edges=graph.edges, vertices=graph.vertices)
     bwd_run = bfs_distances_bsp(
         rev_graph,
-        sources=list(seeds),
+        sources_ds=core,
         directed=True,
         num_parts=num_parts,
         store=bwd_store,

@@ -867,3 +867,51 @@ def test_landmark_distances_edge_cases():
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_bfs_routed_seed_dataset_matches_list_seeding():
+    """sources_ds (per-shard routed seeding, no driver seed array)
+    must equal the sources=list path on the same graph."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.pipelines.bfs import bfs_distances_bsp
+    from parallel_pagerank_ray.sources.pages import powerlaw_edges
+
+    n = 300
+    e = powerlaw_edges(n, 5, seed=3)
+    g = Graph(
+        n=n,
+        edges=rd.from_arrow(
+            pa.table({"src": e[:, 0], "dst": e[:, 1]})
+        ).materialize(),
+    )
+    seeds = [0, 7, 131, 250]
+    a = (
+        bfs_distances_bsp(g, sources=seeds, num_parts=4)
+        .distances.to_pandas()
+        .sort_values("vid")
+        .reset_index(drop=True)
+    )
+    sds = rd.from_items([{"vid": s} for s in seeds])
+    g2 = Graph(
+        n=n,
+        edges=rd.from_arrow(
+            pa.table({"src": e[:, 0], "dst": e[:, 1]})
+        ).materialize(),
+    )
+    b = (
+        bfs_distances_bsp(g2, sources_ds=sds, num_parts=4)
+        .distances.to_pandas()
+        .sort_values("vid")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    # out-of-range dataset seeds are rejected before any actor spawn
+    import pytest
+
+    bad = rd.from_items([{"vid": n + 5}])
+    with pytest.raises(ValueError):
+        bfs_distances_bsp(g2, sources_ds=bad, num_parts=4)
+    with pytest.raises(ValueError):
+        bfs_distances_bsp(g2, sources=[0], sources_ds=sds)
