@@ -284,6 +284,9 @@ def bfs_distances_bsp(
     else:
         from parallel_pagerank_ray.stages.agg import global_agg
 
+        # one materialization: the validation scan and the per-part
+        # routing below must not each execute a lazy upstream chain
+        sources_ds = sources_ds.materialize()
         m = global_agg(
             sources_ds, {"lo": ("vid", "min"), "hi": ("vid", "max")}
         )
