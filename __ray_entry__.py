@@ -1308,6 +1308,23 @@ def q_modularity_moves_copurchase(sf_dir: str) -> rd.Dataset:
     return modularity_moves_bsp(g, rounds=3, edges_canonical=True).labels
 
 
+def q_lpa_refine_copurchase(sf_dir: str) -> rd.Dataset:
+    """Modularity-move refinement SEEDED from the canonical 3-round
+    LPA labeling (modularity_moves_bsp(init_labels=...)): the
+    coarse-seeding path that also compresses round-1 vote keys. Two
+    monotone move rounds over the co-purchase graph; value-exact vs
+    the chained unrolled-LPA + recursive-move replay in DuckDB."""
+    from parallel_pagerank_ray.pipelines.modularity_moves import (
+        modularity_moves_bsp,
+    )
+
+    g, labels = _labelprop_run(sf_dir)
+    init = labels.rename_columns({"label": "comm"})
+    return modularity_moves_bsp(
+        g, rounds=2, edges_canonical=True, init_labels=init
+    ).labels
+
+
 def q_vertex_features(sf_dir: str) -> rd.Dataset:
     """Graph-ML vertex feature table over the co-purchase graph: (vid,
     degree, coreness, triangles) for every vertex — the feature-
@@ -3522,12 +3539,16 @@ def q_distinct_parts_per_nation(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
-def _mod_moves_cte(name, src_cm, und, degs, mm, rounds, kexpr):
+def _mod_moves_cte(name, anchor, und, degs, mm, rounds, kexpr):
     """Recursive monotone-move CTE body (the modularity_moves replay),
-    parameterized over table names; kexpr: count(*) or sum(u.w)."""
+    parameterized over table names; kexpr: count(*) or sum(u.w);
+    ``anchor``: the initial (vid, comm) SELECT (None = singleton
+    communities from v)."""
+    if anchor is None:
+        anchor = "SELECT 0, vid, vid FROM v"
     return f"""
       {name}(it, vid, comm) AS (
-        SELECT 0, vid, vid FROM v
+        {anchor}
         UNION ALL
         SELECT c.it + 1, c.vid, coalesce(mv.newc, c.comm)
         FROM {name} c
@@ -3791,6 +3812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modularity_moves_copurchase": q_modularity_moves_copurchase,
         "modularity_moves_weighted": q_modularity_moves_weighted,
         "louvain_copurchase": q_louvain_copurchase,
+        "lpa_refine_copurchase": q_lpa_refine_copurchase,
         "vertex_features": q_vertex_features,
         "coreness_copurchase": q_coreness_copurchase,
         "densest_copurchase": q_densest_copurchase,
@@ -5831,6 +5853,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT vid, comm FROM cm WHERE it = 3
         """,
         "louvain_copurchase": _louvain2_sql(_COPURCHASE_SQL),
+        "lpa_refine_copurchase": f"""
+            WITH RECURSIVE
+            {_supplier_part_vid_graph(_COPURCHASE_SQL)},
+              l0 AS MATERIALIZED (SELECT vid, vid AS label FROM v),
+              l1 AS MATERIALIZED {_lpa_round_sql("l0")},
+              l2 AS MATERIALIZED {_lpa_round_sql("l1")},
+              l3 AS MATERIALIZED {_lpa_round_sql("l2")},
+              degs AS MATERIALIZED (
+                SELECT src AS vid, CAST(count(*) AS BIGINT) AS deg
+                FROM und GROUP BY 1),
+              mm AS MATERIALIZED (
+                SELECT CAST(count(*) // 2 AS BIGINT) AS m FROM und),
+            {_mod_moves_cte("cm", "SELECT 0, vid, label FROM l3",
+                            "und", "degs", "mm", 2, "count(*)")}
+            SELECT vid, comm FROM cm WHERE it = 2
+        """,
         "modularity_moves_weighted": f"""
             WITH RECURSIVE
               we AS MATERIALIZED (

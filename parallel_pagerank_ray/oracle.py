@@ -205,7 +205,10 @@ def kcore(n: int, edges: np.ndarray, k: int) -> np.ndarray:
 
 
 def modularity_moves(
-    n: int, edges: np.ndarray, rounds: int = 3
+    n: int,
+    edges: np.ndarray,
+    rounds: int = 3,
+    init: "np.ndarray | None" = None,
 ) -> np.ndarray:
     """Synchronous monotone Louvain-style moves (the
     pipelines/modularity_moves.py rule): per round every vertex v in
@@ -216,7 +219,11 @@ def modularity_moves(
     adj = _undirected_adj(n, edges)
     deg = np.array([len(x) for x in adj], dtype=np.int64)
     m = int(deg.sum()) // 2
-    comm = np.arange(n, dtype=np.int64)
+    comm = (
+        np.arange(n, dtype=np.int64)
+        if init is None
+        else np.asarray(init, dtype=np.int64).copy()
+    )
     for _ in range(rounds):
         tot = np.zeros(n, dtype=np.int64)
         np.add.at(tot, comm, deg)

@@ -60,6 +60,25 @@ from parallel_pagerank_ray.stages.csr_store import (
 )
 
 
+@ray.remote
+def _route_label_block(block, part_size: int) -> dict:
+    """Split one (vid, comm) labeling block into per-part plasma
+    arrays (the seed-routing idiom — the driver never holds the
+    labeling)."""
+    if block.num_rows == 0 or "vid" not in block.schema.names:
+        return {}
+    v = block.column("vid").to_numpy().astype(np.int64)
+    c = block.column("comm").to_numpy().astype(np.int64)
+    parts = v // part_size
+    out: dict[int, "ray.ObjectRef"] = {}
+    for p in np.unique(parts):
+        m = parts == p
+        out[int(p)] = ray.put(
+            (np.ascontiguousarray(v[m]), np.ascontiguousarray(c[m]))
+        )
+    return out
+
+
 @dataclass
 class ModularityMovesRun:
     labels: rd.Dataset  # (vid, comm)
@@ -114,6 +133,21 @@ class _ModShard:
 
     def deg_slice(self):
         return self.deg
+
+    def set_labels(self, refs: list) -> None:
+        """Adopt an initial community labeling (routed per-part
+        (vids, comms) arrays — the coarse-seeding path: vote keys in
+        round 1 start compressed instead of one-community-per-vertex)."""
+        for vids, comms in ray.get(list(refs)):
+            self.comm[vids - self.base] = comms
+
+    def tot_partial(self):
+        """Sparse (comm, deg-sum) partial over the local slice — the
+        driver's tot-vector init under a non-identity labeling."""
+        u, inv = np.unique(self.comm, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, self.deg)
+        return u, s
 
     def scatter(self) -> list:
         """[(dest_shard, ref((keys, cnts))), ...] — locally-combined
@@ -189,11 +223,18 @@ def modularity_moves_bsp(
     num_parts: int | None = None,
     edges_canonical: bool = False,
     edges_symmetric: bool = False,
+    init_labels: "rd.Dataset | None" = None,
 ) -> ModularityMovesRun:
     """``rounds`` synchronous monotone modularity-move rounds over the
     simple undirected closure; returns (vid, comm) for every vertex.
     ``edges_canonical=True`` certifies src < dst distinct no-self-loop
     input (skips the closure dedup shuffle).
+
+    ``init_labels``: an optional (vid, comm) Dataset seeding the
+    community state (comm ids must live in [0, n), e.g. an LPA or CC
+    labeling) — routed per shard, never materialized on the driver.
+    Coarse seeding also compresses round-1 vote keys, the dominant
+    cost when every vertex starts as its own community.
 
     ``edges_symmetric=True``: the input already holds every undirected
     edge in BOTH directions — the closure step is skipped. A ``w``
@@ -245,7 +286,28 @@ def modularity_moves_bsp(
             f"(12 * m * deg_max = {12 * m * deg_max}); this graph needs "
             "the float-gain variant"
         )
-    tot = deg.astype(np.int64).copy()  # init: singleton communities
+    if init_labels is not None:
+        dicts = ray.get(
+            [
+                _route_label_block.remote(b, store.part_size)
+                for b in init_labels.to_arrow_refs()
+            ]
+        )
+        label_refs: dict[int, list] = {}
+        for dd in dicts:
+            for p, ref in dd.items():
+                label_refs.setdefault(p, []).append(ref)
+        ray.get(
+            [
+                actors[p].set_labels.remote(label_refs.get(p, []))
+                for p in range(P)
+            ]
+        )
+        tot = np.zeros(n, dtype=np.int64)
+        for u, s in ray.get([a.tot_partial.remote() for a in actors]):
+            np.add.at(tot, u, s)
+    else:
+        tot = deg.astype(np.int64).copy()  # init: singleton communities
     it = 0
     history: list[dict] = []
     for _ in range(rounds):

@@ -206,3 +206,22 @@ def test_louvain_two_level_improves_over_one_level():
         return modularity(community_stats(_graph(e, n), labels).to_pandas())
 
     assert q_of(l2) >= q_of(l1) - 1e-12
+
+
+def test_init_labels_matches_oracle_init():
+    """init_labels seeding (routed per shard) must equal the oracle
+    run from the same initial labeling."""
+    from parallel_pagerank_ray.sources.pages import powerlaw_edges
+
+    n = 150
+    e = powerlaw_edges(n, 5, seed=21)
+    rng = np.random.default_rng(4)
+    init = rng.integers(0, n, n).astype(np.int64)
+    lab = rd.from_arrow(
+        pa.table({"vid": np.arange(n, dtype=np.int64), "comm": init})
+    )
+    g = _graph(e, n)
+    run = modularity_moves_bsp(g, rounds=2, init_labels=lab, num_parts=4)
+    got = run.labels.to_pandas().sort_values("vid")["comm"].to_numpy()
+    want = oracle.modularity_moves(n, e, rounds=2, init=init)
+    assert (got == want).all()
