@@ -389,6 +389,7 @@ def bench_queries() -> dict[str, float]:
         "modularity_moves_copurchase",
         "modularity_moves_weighted",
         "louvain_copurchase",
+        "lpa_refine_copurchase",
         "vertex_features",
         "jaccard_sparsify_copurchase",
         "bpe_merges",
