@@ -1308,6 +1308,33 @@ def q_modularity_moves_copurchase(sf_dir: str) -> rd.Dataset:
     return modularity_moves_bsp(g, rounds=3, edges_canonical=True).labels
 
 
+def q_trussness_copurchase(sf_dir: str) -> rd.Dataset:
+    """Full truss decomposition of the strong co-purchase graph
+    (pairs co-bought in >= 2 distinct orders): (src, dst, trussness)
+    for every canonical edge — one rising-threshold peeling pass on
+    the incremental BSP harness (`pipelines/ktruss.py::trussness_bsp`;
+    triangles enumerated once, each incidence charged once across ALL
+    thresholds). Value-exact vs the rising-threshold recursive-CTE
+    replay in DuckDB (47 synchronous iterations at sf0.001)."""
+    import pyarrow.compute as pc
+
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.ktruss import trussness_bsp
+
+    wg = _copurchase_weighted_graph(sf_dir)
+    strong = wg.edges.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t.column("w"), 2),
+                pc.less(t.column("src"), t.column("dst")),
+            )
+        ).select(["src", "dst"]),
+        batch_format="pyarrow",
+    )
+    g = Graph(n=wg.n, edges=strong.materialize())
+    return trussness_bsp(g, edges_canonical=True).edges
+
+
 def q_lpa_refine_copurchase(sf_dir: str) -> rd.Dataset:
     """Modularity-move refinement SEEDED from the canonical 3-round
     LPA labeling (modularity_moves_bsp(init_labels=...)): the
@@ -3813,6 +3840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modularity_moves_weighted": q_modularity_moves_weighted,
         "louvain_copurchase": q_louvain_copurchase,
         "lpa_refine_copurchase": q_lpa_refine_copurchase,
+        "trussness_copurchase": q_trussness_copurchase,
         "vertex_features": q_vertex_features,
         "coreness_copurchase": q_coreness_copurchase,
         "densest_copurchase": q_densest_copurchase,
@@ -6386,6 +6414,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_number() OVER (ORDER BY rank DESC, vid) AS pos,
                    vid
             FROM l2 ORDER BY rank DESC, vid LIMIT 20
+        """,
+        "trussness_copurchase": """
+            WITH RECURSIVE
+              sce AS MATERIALIZED (
+                SELECT a.l_partkey AS src, b.l_partkey AS dst
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+                HAVING count(DISTINCT a.l_orderkey) >= 2),
+              -- rising-threshold truss peel (the coreness idiom lifted
+              -- to edges): when nothing dies at kcur, every alive row
+              -- adopts kcur+1; an edge dying at threshold k has
+              -- trussness k-1 (triangle-free edges die at k=3 -> 2)
+              kt(it, s, d, alive, kcur, tn) AS (
+                SELECT 0, src, dst, 1, 3, CAST(2 AS BIGINT) FROM sce
+                UNION ALL
+                SELECT c.it + 1, c.s, c.d,
+                       CASE WHEN c.alive = 1
+                             AND coalesce(m.sup, 0) >= c.kcur - 2
+                            THEN 1 ELSE 0 END,
+                       CASE WHEN (SELECT max(
+                                    CASE WHEN c2.alive = 1
+                                          AND coalesce(m2.sup, 0)
+                                              < c2.kcur - 2
+                                         THEN 1 ELSE 0 END)
+                                  FROM kt c2
+                                  LEFT JOIN (SELECT t.s, t.d, count(*) AS sup FROM (
+                SELECT e1.s AS s, e1.d AS d
+                FROM kt e1 JOIN kt e2 ON e2.s = e1.d AND e2.alive = 1
+                JOIN kt e3 ON e3.s = e1.s AND e3.d = e2.d AND e3.alive = 1
+                WHERE e1.alive = 1
+                UNION ALL
+                SELECT e1.s, e2.d
+                FROM kt e1 JOIN kt e2 ON e2.s = e1.d AND e2.alive = 1
+                JOIN kt e3 ON e3.s = e1.s AND e3.d = e2.d AND e3.alive = 1
+                WHERE e1.alive = 1
+                UNION ALL
+                SELECT e1.d, e2.d
+                FROM kt e1 JOIN kt e2 ON e2.s = e1.d AND e2.alive = 1
+                JOIN kt e3 ON e3.s = e1.s AND e3.d = e2.d AND e3.alive = 1
+                WHERE e1.alive = 1
+              ) t GROUP BY 1, 2) m2
+                                    ON m2.s = c2.s AND m2.d = c2.d) = 1
+                            THEN c.kcur ELSE c.kcur + 1 END,
+                       CASE WHEN c.alive = 1
+                             AND coalesce(m.sup, 0) < c.kcur - 2
+                            THEN c.kcur - 1 ELSE c.tn END
+                FROM kt c
+                LEFT JOIN (SELECT t.s, t.d, count(*) AS sup FROM (
+                SELECT e1.s AS s, e1.d AS d
+                FROM kt e1 JOIN kt e2 ON e2.s = e1.d AND e2.alive = 1
+                JOIN kt e3 ON e3.s = e1.s AND e3.d = e2.d AND e3.alive = 1
+                WHERE e1.alive = 1
+                UNION ALL
+                SELECT e1.s, e2.d
+                FROM kt e1 JOIN kt e2 ON e2.s = e1.d AND e2.alive = 1
+                JOIN kt e3 ON e3.s = e1.s AND e3.d = e2.d AND e3.alive = 1
+                WHERE e1.alive = 1
+                UNION ALL
+                SELECT e1.d, e2.d
+                FROM kt e1 JOIN kt e2 ON e2.s = e1.d AND e2.alive = 1
+                JOIN kt e3 ON e3.s = e1.s AND e3.d = e2.d AND e3.alive = 1
+                WHERE e1.alive = 1
+              ) t GROUP BY 1, 2) m ON m.s = c.s AND m.d = c.d
+                WHERE (SELECT max(c3.alive) FROM kt c3) = 1
+              )
+            SELECT s AS src, d AS dst, tn AS trussness FROM kt
+            WHERE it = (SELECT max(it) FROM kt)
         """,
         "ktruss_copurchase": """
             WITH RECURSIVE

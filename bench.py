@@ -386,6 +386,7 @@ def bench_queries() -> dict[str, float]:
         "lm_buckets",
         "quality_classifier",
         "ktruss_deep_copurchase",
+        "trussness_copurchase",
         "modularity_moves_copurchase",
         "modularity_moves_weighted",
         "louvain_copurchase",

@@ -330,6 +330,40 @@ def louvain_two_level(
     return l2[l1]
 
 
+def trussness(n: int, edges: np.ndarray) -> np.ndarray:
+    """(src, dst, trussness) rows (canonical src < dst order) for the
+    simple undirected closure: trussness(e) = largest k with e in the
+    k-truss (triangle-free edges get 2). Rising-threshold synchronous
+    peel — reference semantics for pipelines/ktruss.py::trussness_bsp."""
+    e = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    e = e[e[:, 0] != e[:, 1]]
+    canon = (
+        np.unique(np.stack([e.min(axis=1), e.max(axis=1)], axis=1), axis=0)
+        if len(e)
+        else np.zeros((0, 2), dtype=np.int64)
+    )
+    alive = np.ones(len(canon), dtype=bool)
+    truss = np.full(len(canon), 2, dtype=np.int64)
+    k = 3
+    while alive.any():
+        adj: dict[int, set[int]] = {}
+        for i in np.nonzero(alive)[0]:
+            a, b = int(canon[i, 0]), int(canon[i, 1])
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = np.zeros(len(canon), dtype=np.int64)
+        for i in np.nonzero(alive)[0]:
+            a, b = int(canon[i, 0]), int(canon[i, 1])
+            sup[i] = len(adj[a] & adj[b])
+        doomed = alive & (sup < k - 2)
+        if doomed.any():
+            truss[doomed] = k - 1
+            alive[doomed] = False
+        else:
+            k += 1
+    return np.concatenate([canon, truss[:, None]], axis=1)
+
+
 def ktruss(n: int, edges: np.ndarray, k: int) -> np.ndarray:
     """Canonical (src < dst) edge array of the k-truss of the simple
     undirected closure: synchronously remove every edge closing fewer

@@ -301,6 +301,10 @@ class _KTrussShard:
         # rkey is present by construction — no equality re-check needed
         self.le = np.searchsorted(keys, rkey)
         np.add.at(self.support, self.le, 1)
+        # trussness bookkeeping (used by the rising-threshold driver;
+        # the fixed-k driver ignores it): edges dying while the
+        # threshold is k-2 have truss number k-1
+        self.truss = np.full(len(keys), 2, dtype=np.int64)
         self.talive = np.ones(len(rkey), dtype=bool)
         # per-slot sorted indexes: replicas hit by a killed edge key
         # are one searchsorted range per slot — each replica is found
@@ -313,7 +317,31 @@ class _KTrussShard:
     def initial_kill(self):
         doomed = np.nonzero(self.alive & (self.support < self.thr))[0]
         self.alive[doomed] = False
+        self.truss[doomed] = self.thr + 1
         return self.keys[doomed]
+
+    def raise_k(self, k: int):
+        """Adopt truss threshold k (support floor k-2); kill and
+        report local edges now below it — the rising-threshold driver
+        (trussness_bsp) calls this between peel fixpoints, mirroring
+        kcore's _CorenessShard.raise_k."""
+        self.thr = k - 2
+        return self.initial_kill()
+
+    def alive_count(self) -> int:
+        return int(self.alive.sum())
+
+    def truss_table(self, n: int):
+        import pyarrow as pa
+
+        nb = np.int64(n)
+        return pa.table(
+            {
+                "src": pa.array(self.keys // nb, pa.int64()),
+                "dst": pa.array(self.keys % nb, pa.int64()),
+                "trussness": pa.array(self.truss, pa.int64()),
+            }
+        )
 
     def _hits(self, killed: np.ndarray) -> np.ndarray:
         pos_parts = []
@@ -354,6 +382,7 @@ class _KTrussShard:
                     np.subtract.at(self.support, le[dec], 1)
         doomed = np.nonzero(self.alive & (self.support < self.thr))[0]
         self.alive[doomed] = False
+        self.truss[doomed] = self.thr + 1
         return self.keys[doomed]
 
     def slice_table(self, n: int):
@@ -556,3 +585,92 @@ def jaccard_sparsify(
         }
 
     return _dropz(j.map_batches(keep, batch_format="numpy"))
+
+
+def trussness_bsp(
+    graph: Graph,
+    num_parts: int | None = None,
+    edges_canonical: bool = False,
+) -> KTrussRun:
+    """Full truss decomposition: (src, dst, trussness) for every
+    canonical edge — trussness(e) = the largest k with e in the
+    k-truss (>= 2; triangle-free edges get exactly 2). One incremental
+    peeling pass with a RISING threshold on the ktruss_bsp shard
+    harness (the truss analogue of kcore's coreness_bsp): peel to the
+    fixpoint at k, then k += 1, until no edge survives. Triangles are
+    still enumerated ONCE and every (triangle, edge) incidence is
+    charged at most once across ALL thresholds — total work stays
+    O(T log T) + one O(E_p) scan per threshold step; the threshold
+    rises at most (max trussness) times.
+
+    The ``edges`` field of the returned run holds the full
+    (src, dst, trussness) table. Matches ``oracle.trussness``."""
+    n = graph.n
+    if n == 0:
+        return KTrussRun(edges=rd.from_items([]), iterations=0)
+    if edges_canonical:
+        canon = graph.edges
+    else:
+        canon = _simple_undirected(graph.edges).materialize()
+    if num_parts is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_parts = cap_num_parts(min(256, max(4, cpus)), n)
+    from parallel_pagerank_ray.pipelines.triangles import triangle_list
+
+    tri = triangle_list(Graph(n=n, edges=canon), edges_simple=True)
+    store = EdgeShardStore.build(
+        canon, n=n, num_parts=num_parts, sort_by=["src", "dst"]
+    )
+    rep_dicts = ray.get(
+        [
+            _register_replicas.remote(b, store.part_size, n)
+            for b in tri.to_arrow_refs()
+        ]
+    )
+    rep_refs: dict[int, list] = {}
+    for d in rep_dicts:
+        for p, ref in d.items():
+            rep_refs.setdefault(p, []).append(ref)
+    P = max(1, -(-n // store.part_size))
+    per_actor = per_actor_cpus(P)
+    actors = [
+        _KTrussShard.options(num_cpus=per_actor).remote(
+            p,
+            store.part_refs.get(p, []),
+            rep_refs.get(p, []),
+            n,
+            store.part_size,
+            3,  # starting threshold k=3 (k=2 keeps every edge)
+        )
+        for p in range(P)
+    ]
+    it = 0
+    k = 3
+    history: list[dict] = []
+    while True:
+        killed_parts = ray.get([a.raise_k.remote(k) for a in actors])
+        newly_killed = (
+            np.concatenate(killed_parts)
+            if killed_parts
+            else np.array([], dtype=np.int64)
+        )
+        history.append({"iter": it, "k": k, "killed": int(len(newly_killed))})
+        while len(newly_killed):
+            newly_killed.sort()
+            ref = ray.put(newly_killed)
+            parts = ray.get([a.peel.remote(ref) for a in actors])
+            newly_killed = np.concatenate(parts)
+            it += 1
+            history.append(
+                {"iter": it, "k": k, "killed": int(len(newly_killed))}
+            )
+        if sum(ray.get([a.alive_count.remote() for a in actors])) == 0:
+            break
+        k += 1
+    tables = [a.truss_table.remote(n) for a in actors]
+    ray.wait(tables, num_returns=len(tables))
+    for a in actors:
+        ray.kill(a)
+    return KTrussRun(
+        edges=rd.from_arrow_refs(tables), iterations=it, history=history
+    )

@@ -231,3 +231,58 @@ def test_jaccard_sparsify_rejects_nonpositive_tau():
 
     with pytest.raises(ValueError):
         jaccard_sparsify(g, tau_num=0, tau_den=4)
+
+
+def test_trussness_matches_oracle_partition_invariant():
+    from parallel_pagerank_ray import oracle
+    from parallel_pagerank_ray.pipelines.ktruss import trussness_bsp
+
+    rng = np.random.default_rng(29)
+    for trial in range(2):
+        n = int(rng.integers(15, 50))
+        m = int(rng.integers(10, 5 * n))
+        e = rng.integers(0, n, size=(m, 2)).astype(np.int64)
+        want = oracle.trussness(n, e)
+        for parts in (1, 4):
+            g = Graph(
+                n=n,
+                edges=rd.from_arrow(
+                    pa.table({"src": e[:, 0], "dst": e[:, 1]})
+                ).materialize(),
+            )
+            got = (
+                trussness_bsp(g, num_parts=parts)
+                .edges.to_pandas()
+                .sort_values(["src", "dst"])
+                .to_numpy()
+            )
+            assert got.shape == want.shape and (got == want).all(), (
+                trial,
+                parts,
+            )
+    # law: the k-truss is exactly the edges with trussness >= k
+    from parallel_pagerank_ray.pipelines.ktruss import ktruss_bsp
+
+    e = rng.integers(0, 30, size=(90, 2)).astype(np.int64)
+    g = Graph(
+        n=30,
+        edges=rd.from_arrow(
+            pa.table({"src": e[:, 0], "dst": e[:, 1]})
+        ).materialize(),
+    )
+    tn = (
+        trussness_bsp(g)
+        .edges.to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    for k in (3, 4):
+        g2 = Graph(
+            n=30,
+            edges=rd.from_arrow(
+                pa.table({"src": e[:, 0], "dst": e[:, 1]})
+            ).materialize(),
+        )
+        kt = _edges_of(ktruss_bsp(g2, k).edges)
+        law = tn[tn["trussness"] >= k]
+        assert kt == list(map(tuple, law[["src", "dst"]].to_numpy())), k
