@@ -3447,6 +3447,33 @@ def q_cheapest_supplier(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_market_share(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q8: per order year, the target nation's share of the ASIA
+    region's STANDARD-part market — three broadcast dimension sides +
+    one guarded (orderkey -> year) attach; lineitem scanned once,
+    collapsed to (year, flag) int64 partials
+    (pipelines/tpch_more.py::market_share). mkt_share is the single
+    float division of two exact int64s."""
+    import pyarrow.parquet as pq
+
+    from parallel_pagerank_ray.pipelines.relational import read_table
+    from parallel_pagerank_ray.pipelines.tpch_more import market_share
+
+    return market_share(
+        read_table(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ),
+        read_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        read_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        read_table(sf_dir, "part", ["p_partkey", "p_type"]),
+        pq.read_table(f"{sf_dir}/nation.parquet").to_pandas(),
+        pq.read_table(f"{sf_dir}/region.parquet").to_pandas(),
+    )
+
+
 def q_embedding_gram(sf_dir: str) -> rd.Dataset:
     """Gram-matrix sufficient statistic (pipelines/linalg.py) over the
     vec_id % 16 == 0 hash-sample of the embeddings table: (i, j, gram,
@@ -3879,6 +3906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "disjunctive_revenue": q_disjunctive_revenue,
         "waiting_suppliers": q_waiting_suppliers,
         "idle_customers": q_idle_customers,
+        "market_share": q_market_share,
         "cheapest_supplier": q_cheapest_supplier,
         "order_count_distribution": q_order_count_distribution,
         "volume_shipping": q_volume_shipping,
@@ -8099,6 +8127,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(m.pk // 2147483648 AS BIGINT) AS min_price_cents
             FROM mn m
             JOIN supplier s ON s.s_suppkey = m.pk % 2147483648
+        """,
+        "market_share": """
+            WITH li AS (
+              SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+                       AS o_year,
+                     CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                       AS rev,
+                     CASE WHEN s.s_nationkey = 7 THEN 1 ELSE 0 END AS fl
+              FROM lineitem l
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              JOIN nation n ON n.n_nationkey = c.c_nationkey
+              JOIN region r ON r.r_regionkey = n.n_regionkey
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN part p ON p.p_partkey = l.l_partkey
+              WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+                AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o.o_orderdate < TIMESTAMP '1998-01-01')
+            SELECT o_year,
+                   CAST(sum(rev * fl) AS BIGINT) AS nation_units,
+                   CAST(sum(rev) AS BIGINT) AS total_units,
+                   CAST(sum(rev * fl) AS BIGINT)
+                     / CAST(sum(rev) AS BIGINT) AS mkt_share
+            FROM li GROUP BY 1
         """,
         "embedding_gram": """
             WITH samp AS (

@@ -989,3 +989,207 @@ def cheapest_supplier_per_part(
     return j.select_columns(
         ["l_partkey", "s_suppkey", "s_name", "min_price_cents"]
     )
+
+
+def market_share(
+    lineitem: rd.Dataset,
+    orders: rd.Dataset,
+    customer: rd.Dataset,
+    supplier: rd.Dataset,
+    part: rd.Dataset,
+    nation: pd.DataFrame,
+    region: pd.DataFrame,
+    target_nation: int = 7,
+    region_name: str = "ASIA",
+    p_type: str = "STANDARD",
+    year_lo: int = 1996,
+    year_hi: int = 1997,
+    num_partitions: int | None = None,
+    broadcast_max: int = 5_000_000,
+) -> rd.Dataset:
+    """TPC-H Q8: the target nation's share of a region's market for one
+    part type, per order year. Output (o_year, nation_units,
+    total_units, mkt_share) where *_units = sum(price_cents *
+    (100 - disc_pct)) over lineitems of qualifying orders, split by
+    whether the SUPPLIER sits in ``target_nation``; mkt_share is the
+    single float division of the two exact int64s.
+
+    Scale shape: the three dimension sides (part-type keys, region
+    customer keys, supplier-nation flags) are O(dim) and broadcast
+    once via ``ray.put``; the one O(SF) intermediate — the
+    region+window (orderkey -> year) map — is broadcast only under
+    ``broadcast_max`` and otherwise hash-joined. lineitem is scanned
+    once, collapses to (year, flag) partials inside the scan, and the
+    final exchange is at most 2 x |years| rows.
+    """
+    if num_partitions is None:
+        num_partitions = _default_parts()
+    import ray as _ray
+
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+    from parallel_pagerank_ray.util import count_rows_once
+
+    lo = _ts_us(f"{year_lo}-01-01")
+    hi = _ts_us(f"{year_hi + 1}-01-01")
+    rkeys = region.loc[region["r_name"] == region_name, "r_regionkey"]
+    rkey = int(rkeys.iloc[0]) if len(rkeys) else -1
+    region_nations = set(
+        int(x)
+        for x in nation.loc[
+            nation["n_regionkey"] == rkey, "n_nationkey"
+        ].tolist()
+    )
+
+    # dimension broadcasts: part-type keys and supplier-nation flags
+    pt = pa.concat_tables(
+        _ray.get(
+            part.select_columns(["p_partkey", "p_type"])
+            .map_batches(
+                lambda t: t.filter(
+                    pc.equal(t.column("p_type"), pa.scalar(p_type))
+                ).select(["p_partkey"]),
+                batch_format="pyarrow",
+            )
+            .to_arrow_refs()
+        )
+    )
+    pkeys_ref = _ray.put(np.sort(pt.column("p_partkey").to_numpy()))
+    st = pa.concat_tables(
+        _ray.get(
+            supplier.select_columns(["s_suppkey", "s_nationkey"]).to_arrow_refs()
+        )
+    )
+    sidx = pd.Index(st.column("s_suppkey").to_numpy())
+    sflag = (
+        st.column("s_nationkey").to_numpy().astype(np.int64) == target_nation
+    ).astype(np.int64)
+    supp_ref = _ray.put((sidx, sflag))
+
+    # region customer keys (O(SF x segment) — dimension-grade, sorted set)
+    reg_arr = np.array(sorted(region_nations), dtype=np.int64)
+    reg_ref = _ray.put(reg_arr)
+
+    def cust_keys(t: pa.Table) -> pa.Table:
+        reg = _ray.get(reg_ref)
+        nk = t.column("c_nationkey").to_numpy().astype(np.int64)
+        return t.filter(pa.array(np.isin(nk, reg))).select(["c_custkey"])
+
+    ckeys = pa.concat_tables(
+        _ray.get(
+            customer.select_columns(["c_custkey", "c_nationkey"])
+            .map_batches(cust_keys, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+    )
+    ckeys_ref = _ray.put(np.sort(ckeys.column("c_custkey").to_numpy()))
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        d = pc.cast(t.column("o_orderdate"), pa.int64())
+        t = t.append_column("date_us", d)
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t.column("date_us"), pa.scalar(lo, pa.int64())),
+                pc.less(t.column("date_us"), pa.scalar(hi, pa.int64())),
+            )
+        )
+        ks = _ray.get(ckeys_ref)
+        ck = t.column("o_custkey").to_numpy()
+        pos = np.searchsorted(ks, ck)
+        hit = (
+            (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == ck)
+            if len(ks)
+            else np.zeros(len(ck), dtype=bool)
+        )
+        t = t.filter(pa.array(hit))
+        du = t.column("date_us").to_numpy()
+        # exact calendar year from the us timestamp (dates are midnight UTC)
+        year = (
+            du.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64)
+            + 1970
+        )
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_year": pa.array(year, pa.int64()),
+            }
+        )
+
+    window_orders = orders.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(order_rows, batch_format="pyarrow")
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        pk = _ray.get(pkeys_ref)
+        lp = t.column("l_partkey").to_numpy()
+        pos = np.searchsorted(pk, lp)
+        hit = (
+            (pos < len(pk)) & (pk[np.minimum(pos, len(pk) - 1)] == lp)
+            if len(pk)
+            else np.zeros(len(lp), dtype=bool)
+        )
+        t = t.filter(pa.array(hit))
+        price = _cents(t.column("l_extendedprice"))
+        disc = _cents(t.column("l_discount"))
+        rev = pc.multiply(price, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        idx, fl = _ray.get(supp_ref)
+        spos = idx.get_indexer(t.column("l_suppkey").to_numpy())
+        flag = np.where(spos >= 0, fl[np.maximum(spos, 0)], 0)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "rev": rev,
+                "rev_nation": pc.multiply(rev, pa.array(flag, pa.int64())),
+            }
+        )
+
+    li = lineitem.select_columns(
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_rows, batch_format="pyarrow")
+
+    n_ord, window_orders = count_rows_once(window_orders)
+    if n_ord <= broadcast_max:
+        ot = pa.concat_tables(_ray.get(window_orders.to_arrow_refs()))
+        oidx = pd.Index(ot.column("o_orderkey").to_numpy())
+        years_ref = _ray.put(
+            (oidx, ot.column("o_year").to_numpy().astype(np.int64))
+        )
+
+        def attach_year(t: pa.Table) -> pa.Table:
+            idx, yr = _ray.get(years_ref)
+            pos = idx.get_indexer(t.column("l_orderkey").to_numpy())
+            hit = pos >= 0
+            return pa.table(
+                {
+                    "o_year": pa.array(yr[pos[hit]], pa.int64()),
+                    "rev": t.column("rev").filter(pa.array(hit)),
+                    "rev_nation": t.column("rev_nation").filter(pa.array(hit)),
+                }
+            )
+
+        j = li.map_batches(attach_year, batch_format="pyarrow")
+    else:
+        j = safe_join(
+            li,
+            window_orders,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        ).select_columns(["o_year", "rev", "rev_nation"])
+
+    g = grouped_agg(
+        j,
+        ["o_year"],
+        {
+            "nation_units": ("rev_nation", "sum"),
+            "total_units": ("rev", "sum"),
+        },
+    )
+
+    def share(df: pd.DataFrame) -> pd.DataFrame:
+        df["mkt_share"] = df["nation_units"].astype(np.int64) / df[
+            "total_units"
+        ].astype(np.int64)
+        return df[["o_year", "nation_units", "total_units", "mkt_share"]]
+
+    return g.map_batches(share, batch_format="pandas").sort("o_year")

@@ -151,3 +151,161 @@ def test_promo_revenue_broadcast_and_join_paths_agree():
     # promo: 100000 cents * (100 - 10) = 9000000; total adds 50000*100
     assert int(fast["promo_units"][0]) == 100000 * 90
     assert int(fast["total_units"][0]) == 100000 * 90 + 50000 * 100
+
+
+def test_market_share_hand_graph():
+    # two years, one STANDARD part; nation-7 supplier takes half of 1996
+    # revenue and none of 1997
+    import pandas as pd
+
+    from parallel_pagerank_ray.pipelines.tpch_more import market_share
+
+    li = rd.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+                "l_partkey": pa.array([10, 10, 10, 20], pa.int64()),
+                "l_suppkey": pa.array([100, 200, 200, 100], pa.int64()),
+                "l_extendedprice": pa.array(
+                    [100.0, 100.0, 50.0, 77.0], pa.float64()
+                ),
+                "l_discount": pa.array([0.0, 0.0, 0.0, 0.0], pa.float64()),
+            }
+        )
+    )
+    orders = rd.from_arrow(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_custkey": pa.array([1, 1, 1], pa.int64()),
+                "o_orderdate": pa.array(
+                    [_ts("1996-05-01"), _ts("1997-05-01"), _ts("1996-06-01")],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+    )
+    cust = rd.from_arrow(
+        pa.table(
+            {
+                "c_custkey": pa.array([1], pa.int64()),
+                "c_nationkey": pa.array([2], pa.int32()),
+            }
+        )
+    )
+    supp = rd.from_arrow(
+        pa.table(
+            {
+                "s_suppkey": pa.array([100, 200], pa.int64()),
+                "s_nationkey": pa.array([7, 3], pa.int32()),
+            }
+        )
+    )
+    part = rd.from_arrow(
+        pa.table(
+            {
+                "p_partkey": pa.array([10, 20], pa.int64()),
+                "p_type": pa.array(["STANDARD", "PROMO"], pa.string()),
+            }
+        )
+    )
+    nation = pd.DataFrame({"n_nationkey": [2, 7], "n_regionkey": [2, 2]})
+    region = pd.DataFrame({"r_regionkey": [2], "r_name": ["ASIA"]})
+    out = market_share(
+        li, orders, cust, supp, part, nation, region
+    ).to_pandas()
+    # part 20 (PROMO) excluded entirely
+    assert out["o_year"].tolist() == [1996, 1997]
+    assert out["nation_units"].tolist() == [100_00 * 100, 0]
+    assert out["total_units"].tolist() == [200_00 * 100, 50_00 * 100]
+    assert out["mkt_share"].tolist() == [0.5, 0.0]
+
+
+def test_market_share_join_fallback_matches_broadcast():
+    # broadcast_max=0 forces the safe_join path; results must be identical
+    import pandas as pd
+
+    from parallel_pagerank_ray.pipelines.tpch_more import market_share
+
+    rng = np.random.default_rng(7)
+    n = 400
+    li = rd.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array(
+                    rng.integers(1, 60, n).astype(np.int64), pa.int64()
+                ),
+                "l_partkey": pa.array(
+                    rng.integers(1, 8, n).astype(np.int64), pa.int64()
+                ),
+                "l_suppkey": pa.array(
+                    rng.integers(1, 6, n).astype(np.int64), pa.int64()
+                ),
+                "l_extendedprice": pa.array(
+                    np.round(rng.uniform(1, 500, n), 2), pa.float64()
+                ),
+                "l_discount": pa.array(
+                    np.round(rng.integers(0, 10, n) / 100.0, 2), pa.float64()
+                ),
+            }
+        )
+    )
+    days = rng.integers(0, 1460, 60)
+    orders = rd.from_arrow(
+        pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(1, 61), pa.int64()),
+                "o_custkey": pa.array(
+                    rng.integers(1, 12, 60).astype(np.int64), pa.int64()
+                ),
+                "o_orderdate": pa.array(
+                    np.datetime64("1995-01-01", "us")
+                    + days.astype("timedelta64[D]").astype("timedelta64[us]"),
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+    )
+    cust = rd.from_arrow(
+        pa.table(
+            {
+                "c_custkey": pa.array(np.arange(1, 12), pa.int64()),
+                "c_nationkey": pa.array(
+                    (np.arange(1, 12) % 25).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+    )
+    supp = rd.from_arrow(
+        pa.table(
+            {
+                "s_suppkey": pa.array(np.arange(1, 6), pa.int64()),
+                "s_nationkey": pa.array(
+                    np.array([7, 3, 7, 1, 2], np.int32), pa.int32()
+                ),
+            }
+        )
+    )
+    part = rd.from_arrow(
+        pa.table(
+            {
+                "p_partkey": pa.array(np.arange(1, 8), pa.int64()),
+                "p_type": pa.array(
+                    ["STANDARD", "PROMO"] * 3 + ["STANDARD"], pa.string()
+                ),
+            }
+        )
+    )
+    nation = pd.DataFrame(
+        {"n_nationkey": np.arange(25), "n_regionkey": np.arange(25) % 5}
+    )
+    region = pd.DataFrame(
+        {"r_regionkey": np.arange(5), "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]}
+    )
+    a = market_share(li, orders, cust, supp, part, nation, region).to_pandas()
+    b = market_share(
+        li, orders, cust, supp, part, nation, region, broadcast_max=0
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
