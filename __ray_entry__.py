@@ -3092,6 +3092,19 @@ def q_events_running(sf_dir: str) -> rd.Dataset:
     return running_window(read_table(sf_dir, "events"))
 
 
+def q_peak_concurrency(sf_dir: str) -> rd.Dataset:
+    """Peak interval overlap per event type (+1/-1 boundary sweep with
+    a 300 s activity TTL): sorted-block segmented cumsums + a driver
+    carry fold — `pipelines/events.py::peak_concurrency`; int64-exact
+    (event_type, peak, peak_t_us)."""
+    from parallel_pagerank_ray.pipelines.events import peak_concurrency
+    from parallel_pagerank_ray.pipelines.relational import read_table
+
+    return peak_concurrency(
+        read_table(sf_dir, "events", ["ts", "event_type"])
+    )
+
+
 def q_retention_cohorts(sf_dir: str) -> rd.Dataset:
     """Cohort retention triangle over events: users by first-active
     day x active day — `pipelines/events.py::retention_cohorts`."""
@@ -3989,6 +4002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_docs": q_pack_docs,
         "balance_sources": q_balance_sources,
         "quota_mix": q_quota_mix,
+        "peak_concurrency": q_peak_concurrency,
         "retention_cohorts": q_retention_cohorts,
         "small_quantity_revenue": q_small_quantity_revenue,
         "pricing_summary": q_pricing_summary,
@@ -7906,6 +7920,28 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING)
+        """,
+        "peak_concurrency": """
+            WITH deltas AS (
+              SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS t,
+                     CAST(1 AS BIGINT) AS d FROM events
+              UNION ALL
+              SELECT event_type,
+                     CAST(epoch_us(ts) AS BIGINT) + 300000000,
+                     CAST(-1 AS BIGINT) FROM events),
+            run AS (
+              SELECT event_type, t,
+                     sum(d) OVER (PARTITION BY event_type
+                                  ORDER BY t, d
+                                  ROWS UNBOUNDED PRECEDING) AS c
+              FROM deltas),
+            mx AS (SELECT event_type, CAST(max(c) AS BIGINT) AS peak
+                   FROM run GROUP BY 1)
+            SELECT m.event_type, m.peak,
+                   CAST(min(r.t) AS BIGINT) AS peak_t_us
+            FROM run r
+            JOIN mx m ON r.event_type = m.event_type AND r.c = m.peak
+            GROUP BY 1, 2
         """,
         "retention_cohorts": """
             WITH ud AS (

@@ -553,3 +553,130 @@ def hll_users_by_type(events: rd.Dataset, m: int = 16) -> rd.Dataset:
         ["event_type", "r"],
         {"rho": ("rho", "max")},
     )
+
+
+def peak_concurrency(
+    events: rd.Dataset, ttl_seconds: int = 300
+) -> rd.Dataset:
+    """Peak interval overlap per event type — every event opens a
+    [ts, ts + ttl) activity interval; report, per event_type, the
+    maximum number of simultaneously-open intervals and the earliest
+    microsecond timestamp at which that peak is first attained.
+    Output (event_type, peak, peak_t_us), sorted by event_type.
+
+    Exactness: the classic +1/-1 boundary sweep over the total order
+    (event_type, t, d) with d = -1 (close) sorting BEFORE d = +1
+    (open) at equal t — end-exclusive intervals, so an interval ending
+    exactly when another starts never overlaps it. Every running count
+    is an int64 prefix sum over that total order, so the result is
+    bit-reproducible at any parallelism and DuckDB replays it with one
+    window function.
+
+    Scale shape: ONE range-sort of the 2x|events| boundary table; the
+    prefix sums are per-sorted-block segmented cumsums plus a driver
+    fold of #blocks x #types scalar carries (the only driver pull) —
+    no event_type ever needs to fit one worker, unlike a naive
+    groupby(event_type).map_groups scan.
+    """
+    import ray
+
+    ttl_us = int(ttl_seconds) * 1_000_000
+
+    def deltas(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        n = len(ts)
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    np.concatenate([et, et]), pa.string()
+                ),
+                "t": pa.array(
+                    np.concatenate([ts, ts + ttl_us]), pa.int64()
+                ),
+                "d": pa.array(
+                    np.concatenate(
+                        [np.ones(n, np.int64), np.full(n, -1, np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    boundary = (
+        events.select_columns(["ts", "event_type"])
+        .map_batches(deltas, batch_format="pyarrow")
+        .sort(["event_type", "t", "d"])
+        .materialize()
+    )
+    refs = boundary.to_arrow_refs()
+
+    @ray.remote
+    def block_sums(tbl: pa.Table):
+        if tbl.num_rows == 0:
+            return []
+        df = tbl.to_pandas()
+        g = df.groupby("event_type", sort=False)["d"].sum()
+        return list(zip(g.index.tolist(), g.to_numpy().tolist()))
+
+    @ray.remote
+    def block_peak(tbl: pa.Table, carry: dict):
+        if tbl.num_rows == 0:
+            return []
+        df = tbl.to_pandas()
+        run = df.groupby("event_type", sort=False)["d"].cumsum().to_numpy()
+        base = (
+            df["event_type"].map(lambda s: carry.get(s, 0)).to_numpy()
+        )
+        run = run + base
+        df["run"] = run
+        out = []
+        for et, g in df.groupby("event_type", sort=False):
+            r = g["run"].to_numpy()
+            peak = int(r.max())
+            first = int(g["t"].to_numpy()[int(np.argmax(r == peak))])
+            out.append((et, peak, first))
+        return out
+
+    sums = ray.get([block_sums.remote(r) for r in refs])
+    carries: list[dict] = []
+    acc: dict[str, int] = {}
+    live = []
+    for r, s in zip(refs, sums):
+        if not s:
+            continue
+        carries.append(dict(acc))
+        live.append(r)
+        for et, dsum in s:
+            acc[et] = acc.get(et, 0) + int(dsum)
+    peaks = ray.get(
+        [
+            block_peak.remote(r, ray.put(c) if len(c) > 64 else c)
+            for r, c in zip(live, carries)
+        ]
+    )
+    best: dict[str, tuple[int, int]] = {}
+    for block in peaks:
+        for et, peak, first in block:
+            cur = best.get(et)
+            if cur is None or peak > cur[0]:
+                best[et] = (peak, first)
+            # equal peak in a LATER block never improves: blocks are in
+            # (event_type, t) order, so the first block reaching the
+            # global max holds the earliest attaining timestamp
+    rows = sorted(best.items())
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "peak": pa.array(
+                    [r[1][0] for r in rows], pa.int64()
+                ),
+                "peak_t_us": pa.array(
+                    [r[1][1] for r in rows], pa.int64()
+                ),
+            }
+        )
+    )

@@ -1023,3 +1023,60 @@ def test_late_orders_by_priority_vs_duckdb(ddb):
     ).df()
     assert got["o_orderpriority"].tolist() == exp["o_orderpriority"].tolist()
     assert got["n_late_orders"].tolist() == exp["n"].tolist()
+
+
+def _ev_table(ts_us, types):
+    return pa.table(
+        {
+            "ts": pa.array(
+                np.asarray(ts_us, np.int64).astype("datetime64[us]"),
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array(list(types), pa.string()),
+        }
+    )
+
+
+def test_peak_concurrency_end_exclusive_tie():
+    from parallel_pagerank_ray.pipelines.events import peak_concurrency
+
+    s = 1_000_000  # 1 second in us
+    ttl = 300  # seconds
+    # B starts exactly when A ends -> never overlap (peak 1); C overlaps B
+    ts = [0, ttl * s, ttl * s + 5 * s]
+    out = peak_concurrency(
+        rd.from_arrow(_ev_table(ts, ["x", "x", "x"])), ttl_seconds=ttl
+    ).to_pandas()
+    assert out["peak"].tolist() == [2]
+    assert out["peak_t_us"].tolist() == [ttl * s + 5 * s]
+
+
+def test_peak_concurrency_multiblock_matches_bruteforce():
+    from parallel_pagerank_ray.pipelines.events import peak_concurrency
+
+    rng = np.random.default_rng(11)
+    n = 500
+    ts = np.sort(rng.integers(0, 3_000_000_000, n)).astype(np.int64)
+    rng.shuffle(ts)
+    types = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    ds = rd.from_arrow(_ev_table(ts, types)).repartition(7)
+    out = (
+        peak_concurrency(ds, ttl_seconds=60)
+        .to_pandas()
+        .set_index("event_type")
+    )
+    ttl_us = 60 * 1_000_000
+    for et in ["a", "b", "c"]:
+        t0 = np.sort(ts[types == et])
+        bounds = np.concatenate(
+            [
+                np.stack([t0, np.ones_like(t0)], axis=1),
+                np.stack([t0 + ttl_us, -np.ones_like(t0)], axis=1),
+            ]
+        )
+        order = np.lexsort((bounds[:, 1], bounds[:, 0]))
+        run = np.cumsum(bounds[order, 1])
+        peak = int(run.max())
+        first_t = int(bounds[order][np.argmax(run == peak), 0])
+        assert int(out.loc[et, "peak"]) == peak
+        assert int(out.loc[et, "peak_t_us"]) == first_t
