@@ -1150,6 +1150,26 @@ def q_four_cliques(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_four_cycles(sf_dir: str) -> pd.DataFrame:
+    """Exact 4-cycle count over the co-purchase graph via the
+    opposite-pair identity 2*C4 = sum C(cn(a,c), 2) — the co-citation
+    wedge kernel with the hub-guard contract
+    (pipelines/triangles.py::four_cycle_count); int64-exact."""
+    from parallel_pagerank_ray.pipelines.triangles import four_cycle_count
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    r = four_cycle_count(g, edges_simple=True)
+    return pd.DataFrame(
+        {
+            "four_cycles": np.array([r["four_cycles"]], dtype=np.int64),
+            "cycle_pairs": np.array([r["cycle_pairs"]], dtype=np.int64),
+            "dropped_centers": np.array(
+                [r["dropped_centers"]], dtype=np.int64
+            ),
+        }
+    )
+
+
 def q_partition_cut(sf_dir: str) -> rd.Dataset:
     """Edge-cut + per-partition gather load under hash vs range vertex
     partitioning at P=8 (pipelines/partition_stats.py) — the explicit
@@ -3869,6 +3889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "labelprop_weighted_copurchase": q_labelprop_weighted_copurchase,
         "triangles_copurchase": q_triangles_copurchase,
         "four_cliques": q_four_cliques,
+        "four_cycles": q_four_cycles,
         "partition_cut": q_partition_cut,
         "triangles_doulion": q_triangles_doulion,
         "clustering_coefficient": q_clustering_coefficient,
@@ -5684,6 +5705,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN c e1 ON e1.src = tri.w
             JOIN c e2 ON e2.src = tri.v AND e2.dst = e1.dst
             JOIN c e3 ON e3.src = tri.u AND e3.dst = e1.dst
+        """,
+        "four_cycles": f"""
+            WITH c AS MATERIALIZED ({_COPURCHASE_SQL}),
+            sym AS MATERIALIZED (
+              SELECT src, dst FROM c UNION ALL SELECT dst, src FROM c),
+            cn AS (
+              SELECT a.dst AS x, b.dst AS y,
+                     CAST(count(*) AS BIGINT) AS cn
+              FROM sym a JOIN sym b
+                ON a.src = b.src AND a.dst < b.dst
+              GROUP BY 1, 2)
+            SELECT CAST(coalesce(sum(cn * (cn - 1) // 2), 0) // 2
+                     AS BIGINT) AS four_cycles,
+                   CAST(coalesce(sum(cn * (cn - 1) // 2), 0)
+                     AS BIGINT) AS cycle_pairs,
+                   CAST(0 AS BIGINT) AS dropped_centers
+            FROM cn
         """,
         "partition_cut": f"""
             WITH c AS MATERIALIZED ({_COPURCHASE_SQL}),

@@ -648,3 +648,110 @@ def four_clique_count(
 
     parts = tris.map_batches(partial, batch_format="numpy").take_all()
     return int(sum(int(r["cnt"]) for r in parts))
+
+
+def four_cycle_count(
+    graph: Graph,
+    num_buckets: int | None = None,
+    max_center_degree: int | None = None,
+    edges_simple: bool = False,
+) -> dict[str, int]:
+    """Exact 4-cycle (quadrilateral, chords allowed) count over the
+    simple undirected closure, via the opposite-pair identity
+
+        2 * C4 = sum over vertex pairs a < c of C(cn(a, c), 2)
+
+    — every 4-cycle a-v-c-x is counted once from each of its two
+    opposite pairs ({a,c} and {v,x}), so the co-wedge pair total is
+    exactly twice the cycle count. Returns {"four_cycles",
+    "cycle_pairs", "dropped_centers"} (all int; four_cycles =
+    cycle_pairs // 2).
+
+    Scale shape: the wedge stage is the same co-citation kernel as
+    link prediction — bucket the symmetric closure by CENTER, all
+    pairs of each center's (distinct) neighbor list via the vectorized
+    in-group kernel, group size = center degree, guarded by
+    ``max_center_degree`` (centers above the cap emit no wedges and
+    are COUNTED in dropped_centers; the drop is a pure function of
+    degree, SQL-reproducible with one HAVING). With a cap in force the
+    reported count is the deterministic capped variant (floor of the
+    surviving pair total / 2) — exact when dropped_centers == 0.
+    """
+    from parallel_pagerank_ray.pipelines.graph_build import undirected_edges
+    from parallel_pagerank_ray.stages.agg import resolve_num_buckets
+
+    canon = graph.edges if edges_simple else _simple_undirected(graph.edges)
+    und = undirected_edges(canon, dedup=False).materialize()
+    if num_buckets is None:
+        num_buckets = resolve_num_buckets(und)
+
+    def bucketed(b: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        return {
+            "src": b["src"],
+            "dst": b["dst"],
+            "__b": (b["src"] % num_buckets).astype(np.int64),
+        }
+
+    def wedge_pairs(g) -> dict[str, np.ndarray]:
+        import pandas as pd
+
+        ctr = g["src"].to_numpy()
+        nbr = g["dst"].to_numpy()
+        a, b = _pairs_within_groups(
+            (ctr, nbr), nbr, max_group=max_center_degree
+        )
+        if not len(a):
+            return pd.DataFrame(
+                {
+                    "a": np.array([], dtype=np.int64),
+                    "b": np.array([], dtype=np.int64),
+                    "cn": np.array([], dtype=np.int64),
+                }
+            )
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        new = np.ones(len(a), dtype=bool)
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        idx = np.nonzero(new)[0]
+        cnt = np.diff(np.append(idx, len(a)))
+        return pd.DataFrame(
+            {"a": a[idx], "b": b[idx], "cn": cnt.astype(np.int64)}
+        )
+
+    cn = grouped_agg(
+        und.map_batches(bucketed, batch_format="numpy")
+        .groupby("__b")
+        .map_groups(wedge_pairs, batch_format="pandas"),
+        ["a", "b"],
+        {"cn": ("cn", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def pair_partial(b: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        c = b["cn"]
+        return {
+            "pp": np.array([int((c * (c - 1) // 2).sum())], dtype=np.int64)
+        }
+
+    parts = cn.map_batches(pair_partial, batch_format="numpy").take_all()
+    cycle_pairs = int(sum(r["pp"] for r in parts))
+
+    dropped = 0
+    if max_center_degree is not None:
+        deg = grouped_agg(
+            und, ["src"], {"deg": ("dst", "count")}, num_buckets=num_buckets
+        )
+        dparts = deg.map_batches(
+            lambda b: {
+                "d": np.array(
+                    [int((b["deg"] > max_center_degree).sum())], np.int64
+                )
+            },
+            batch_format="numpy",
+        ).take_all()
+        dropped = int(sum(r["d"] for r in dparts))
+    return {
+        "four_cycles": cycle_pairs // 2,
+        "cycle_pairs": cycle_pairs,
+        "dropped_centers": dropped,
+    }

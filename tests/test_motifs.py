@@ -95,3 +95,51 @@ def test_partition_cut_matches_numpy():
     # totals are scheme-invariant
     tot = got.groupby("scheme")["n_edges"].sum()
     assert tot["hash"] == tot["range"] == len(eg)
+
+
+def test_four_cycle_count_matches_trace_formula():
+    from parallel_pagerank_ray.pipelines.triangles import four_cycle_count
+
+    e = powerlaw_edges(60, 4, seed=9)
+    g = _graph(e)
+    r = four_cycle_count(g)
+    # independent oracle: closed 4-walks = tr(A^4) =
+    #   sum(deg^2) + sum(deg*(deg-1)) + 8 * C4
+    n = g.n
+    A = np.zeros((n, n), dtype=np.int64)
+    for s, d in e:
+        if s != d:
+            A[s, d] = 1
+            A[d, s] = 1
+    deg = A.sum(axis=1)
+    tr4 = int(np.trace(np.linalg.matrix_power(A, 4)))
+    q = (tr4 - int((deg**2).sum()) - int((deg * (deg - 1)).sum())) // 8
+    assert r["four_cycles"] == q
+    assert r["cycle_pairs"] == 2 * q
+    assert r["dropped_centers"] == 0
+
+
+def test_four_cycle_hub_cap_deterministic():
+    from parallel_pagerank_ray.pipelines.triangles import four_cycle_count
+
+    e = powerlaw_edges(60, 4, seed=9)
+    g = _graph(e)
+    cap = 6
+    r = four_cycle_count(g, max_center_degree=cap)
+    # numpy reproduction of the capped rule: centers with deg > cap
+    # emit no wedges
+    n = g.n
+    A = np.zeros((n, n), dtype=np.int64)
+    for s, d in e:
+        if s != d:
+            A[s, d] = 1
+            A[d, s] = 1
+    deg = A.sum(axis=1)
+    keep = deg <= cap
+    cn = (A[keep].T @ A[keep]).astype(np.int64)  # common capped centers
+    iu = np.triu_indices(n, k=1)
+    c = cn[iu]
+    pairs = int((c * (c - 1) // 2).sum())
+    assert r["cycle_pairs"] == pairs
+    assert r["four_cycles"] == pairs // 2
+    assert r["dropped_centers"] == int((~keep & (deg > 0)).sum())
