@@ -2184,6 +2184,18 @@ def q_tfidf_search(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bm25_search(sf_dir: str) -> pa.Table:
+    """Top-20 documents for the fixed 5-token query by INTEGER BM25
+    (k1=1.2, b=0.75 cleared of fractions and floor-quantized; integer
+    idf surrogate) — fully int64 ranking, SQL-replayed verbatim
+    (functions/textstats.py::bm25_search)."""
+    from parallel_pagerank_ray.functions.textstats import bm25_search
+
+    return bm25_search(
+        _documents(sf_dir, ["doc_id", "text"]), _TFIDF_QUERY, k=20
+    )
+
+
 def q_decontaminate(sf_dir: str) -> rd.Dataset:
     """Benchmark decontamination flags: n-gram (16-char) overlap of
     every document against a 2-doc 'benchmark set' (doc_id 0 and 1) —
@@ -3965,6 +3977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_candidates_capped": q_winnow_candidates_capped,
         "winnow_overflow": q_winnow_overflow,
         "tfidf_search": q_tfidf_search,
+        "bm25_search": q_bm25_search,
         "decontaminate": q_decontaminate,
         "dup_span_stats": q_dup_span_stats,
         "shingle_novelty": q_shingle_novelty,
@@ -7180,6 +7193,37 @@ def oracle_sql() -> dict[str, str]:
             sc AS (SELECT tf.doc_id,
                           sum(tf.tf * (1000000 // df.df)) AS score
                    FROM tf JOIN df USING (token) GROUP BY 1)
+            SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS pos,
+                   doc_id, CAST(score AS BIGINT) AS score
+            FROM sc ORDER BY score DESC, doc_id LIMIT 20
+        ''',
+        "bm25_search": f'''
+            WITH tok AS MATERIALIZED (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '{TOKEN_SQL}'))
+                       AS token
+              FROM documents),
+            dl AS MATERIALIZED (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+              FROM tok GROUP BY 1),
+            tot AS (SELECT CAST(sum(dl) AS BIGINT) AS dltot,
+                           CAST(count(*) AS BIGINT) AS n FROM dl),
+            tf AS MATERIALIZED (
+              SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              FROM tok
+              WHERE token IN ('hash', 'join', 'stream', 'window', 'sort')
+              GROUP BY 1, 2),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            sc AS (SELECT tf.doc_id,
+                          sum((1000000 // df.df) *
+                              ((88 * tf.tf * tot.dltot * 1000) //
+                               (40 * tf.tf * tot.dltot
+                                + 12 * (tot.dltot + 3 * dl.dl * tot.n))))
+                            AS score
+                   FROM tf
+                   JOIN df USING (token)
+                   JOIN dl ON dl.doc_id = tf.doc_id, tot
+                   GROUP BY 1)
             SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS pos,
                    doc_id, CAST(score AS BIGINT) AS score
             FROM sc ORDER BY score DESC, doc_id LIMIT 20

@@ -560,3 +560,141 @@ def vocab_growth(docs, bucket: int = 100):
             }
         )
     )
+
+
+def bm25_search(
+    docs,
+    query_tokens: list[str],
+    k: int = 20,
+    idf_scale: int = 1_000_000,
+    prec_scale: int = 1_000,
+):
+    """Top-k documents for a fixed query by INTEGER BM25 (k1 = 1.2,
+    b = 0.75): per query token t with document frequency df(t), doc d
+    with term frequency tf, token length dl, corpus totals DLTOT =
+    sum(dl) and N = #docs,
+
+        score(d) = sum_t (idf_scale // df(t)) *
+            ((88 * tf * DLTOT * prec_scale)
+             // (40 * tf * DLTOT + 12 * (DLTOT + 3 * dl * N)))
+
+    — the exact BM25 term ratio tf*(k1+1) / (tf + k1*((1-b) +
+    b*dl/avgdl)) cleared of fractions (x40*DLTOT), floor-quantized at
+    ``prec_scale``, with the same monotone integer-idf surrogate as
+    ``tfidf_search``. Everything is int64 floor arithmetic, so the
+    ranking is bit-reproducible at any parallelism and DuckDB replays
+    it verbatim. Returns (pos, doc_id, score), score DESC / doc_id ASC.
+
+    Overflow contract: 88 * tf * DLTOT * prec_scale must fit int64 —
+    at a 10^13-token corpus drop prec_scale to 1 (the ratio is already
+    parts-per-40*DLTOT exact); validated at runtime.
+
+    Scale shape: one corpus scan emits per-doc token lengths (pure
+    map — each doc is one row) and query-vocabulary tf partials; dl
+    attaches to the docs x |query| tf table by one bounded hash join;
+    df is a <= |query|-row driver fetch broadcast back as weights; one
+    bucketed per-doc sum, sort + limit. Corpus text never leaves the
+    first map.
+    """
+    import pyarrow as pa
+    import ray
+
+    from parallel_pagerank_ray.stages.agg import global_agg, grouped_agg
+    from parallel_pagerank_ray.util import drop_empty_blocks, safe_join
+
+    qset = sorted(set(query_tokens))
+
+    def scan(b: pd.DataFrame) -> pd.DataFrame:
+        doc = b["doc_id"].astype(np.int64).to_numpy()
+        toks = b["text"].astype(str).str.lower().str.findall(TOKEN_RE)
+        nt = toks.str.len().to_numpy()
+        tdoc = np.repeat(doc, nt)
+        flat = (
+            np.concatenate(toks.to_numpy())
+            if len(toks)
+            else np.array([], dtype=object)
+        )
+        df = pd.DataFrame({"doc_id": tdoc, "token": flat})
+        df = df[df["token"].isin(qset)]
+        out = (
+            df.groupby(["doc_id", "token"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        out["tf"] = out["tf"].astype(np.int64)
+        return out
+
+    def lengths(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].astype(str).str.lower().str.findall(TOKEN_RE)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype(np.int64).to_numpy(),
+                "dl": toks.str.len().to_numpy().astype(np.int64),
+            }
+        )
+
+    src = docs.select_columns(["doc_id", "text"]).materialize()
+    tf = grouped_agg(
+        drop_empty_blocks(src.map_batches(scan, batch_format="pandas")),
+        ["doc_id", "token"],
+        {"tf": ("tf", "sum")},
+        num_buckets=32,
+    ).materialize()
+    dl = src.map_batches(lengths, batch_format="pandas").materialize()
+    g = global_agg(dl, {"dltot": ("dl", "sum"), "n": ("dl", "count")})
+    dltot, n_docs = int(g["dltot"]), int(g["n"])
+    dft = grouped_agg(
+        tf, ["token"], {"df": ("doc_id", "count")}, num_buckets=8
+    ).to_pandas()
+    weights = {
+        t: idf_scale // int(c) for t, c in zip(dft["token"], dft["df"]) if c > 0
+    }
+    w_ref = ray.put(weights)
+    max_tf = int(global_agg(tf, {"m": ("tf", "max")})["m"] or 0) if n_docs else 0
+    if max_tf and 88 * max_tf * dltot > (2**63 - 1) // max(prec_scale, 1):
+        raise ValueError(
+            "bm25_search int64 overflow: reduce prec_scale "
+            f"(88 * {max_tf} * {dltot} * {prec_scale} > 2^63)"
+        )
+
+    tfl = safe_join(
+        tf,
+        dl,
+        join_type="inner",
+        num_partitions=8,
+        on=("doc_id",),
+    )
+
+    def score_partial(b: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(w_ref)
+        tfv = b["tf"].astype(np.int64).to_numpy()
+        dlv = b["dl"].astype(np.int64).to_numpy()
+        num = 88 * tfv * dltot * prec_scale
+        den = 40 * tfv * dltot + 12 * (dltot + 3 * dlv * n_docs)
+        ratio = num // den
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype(np.int64),
+                "score": b["token"].map(w).astype(np.int64).to_numpy()
+                * ratio,
+            }
+        )
+
+    scores = grouped_agg(
+        tfl.map_batches(score_partial, batch_format="pandas"),
+        ["doc_id"],
+        {"score": ("score", "sum")},
+        num_buckets=32,
+    )
+    top = (
+        scores.sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "pos": np.arange(1, len(top) + 1, dtype=np.int64),
+            "doc_id": top["doc_id"].to_numpy().astype(np.int64),
+            "score": top["score"].to_numpy().astype(np.int64),
+        }
+    )

@@ -567,3 +567,82 @@ def test_vocab_growth_curve():
     assert got["bucket_start"].tolist() == [0, 2, 4]
     assert got["n_new_tokens"].tolist() == [3, 2, 1]
     assert got["vocab_size"].tolist() == [3, 5, 6]
+
+
+def test_bm25_search_matches_integer_reference():
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.functions.textstats import bm25_search
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "hash join hash join stream",
+                "window sort window",
+                "the quick brown fox jumps over the lazy dog",
+                "hash",
+                "stream stream stream sort padding padding padding",
+                "join window hash sort stream",
+            ],
+        }
+    )
+    got = bm25_search(
+        rd.from_arrow(pa.Table.from_pandas(docs)).repartition(3),
+        ["hash", "join", "stream", "window", "sort"],
+        k=5,
+    ).to_pandas()
+
+    tok = re.compile(r"[A-Za-z0-9_]+")
+    q = {"hash", "join", "stream", "window", "sort"}
+    dl: dict = {}
+    tf: dict = {}
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        words = tok.findall(t.lower())
+        dl[d] = len(words)
+        for w in words:
+            if w in q:
+                tf[(d, w)] = tf.get((d, w), 0) + 1
+    df: dict = {}
+    for (_, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    dltot = sum(dl.values())
+    n = len(dl)
+    score: dict = {}
+    for (d, w), c in tf.items():
+        ratio = (88 * c * dltot * 1000) // (
+            40 * c * dltot + 12 * (dltot + 3 * dl[d] * n)
+        )
+        score[d] = score.get(d, 0) + (1_000_000 // df[w]) * ratio
+    want = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got["doc_id"].tolist() == [d for d, _ in want]
+    assert got["score"].tolist() == [s for _, s in want]
+    # BM25 law: doc 4's padding dilutes 'sort' relative to the same tf
+    # in a shorter doc — length normalization must be in effect
+    assert score[4] < score[0]
+
+
+def test_bm25_overflow_guard():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from parallel_pagerank_ray.functions.textstats import bm25_search
+
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(2, dtype=np.int64),
+         "text": ["hash " * 50, "join hash"]}
+    )
+    with pytest.raises(ValueError, match="overflow"):
+        bm25_search(
+            rd.from_arrow(pa.Table.from_pandas(docs)),
+            ["hash", "join"],
+            prec_scale=10**17,
+        )
