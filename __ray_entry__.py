@@ -1170,6 +1170,19 @@ def q_four_cycles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_linkpred_train(sf_dir: str) -> rd.Dataset:
+    """Supervised link-prediction training table over the co-purchase
+    graph: md5-held-out positive edges + hash-rejection-sampled
+    verified non-edges, fully deterministic
+    (pipelines/linkpred.py::linkpred_training_set)."""
+    from parallel_pagerank_ray.pipelines.linkpred import (
+        linkpred_training_set,
+    )
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return linkpred_training_set(g)
+
+
 def q_partition_cut(sf_dir: str) -> rd.Dataset:
     """Edge-cut + per-partition gather load under hash vs range vertex
     partitioning at P=8 (pipelines/partition_stats.py) — the explicit
@@ -3923,6 +3936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "closeness_copurchase": q_closeness_copurchase,
         "harmonic_copurchase": q_harmonic_copurchase,
         "link_prediction_copurchase": q_link_prediction_copurchase,
+        "linkpred_train": q_linkpred_train,
         "pseudo_diameter_copurchase": q_pseudo_diameter_copurchase,
         "pagerank_incremental_top20": q_pagerank_incremental_top20,
         "ktruss_copurchase": q_ktruss_copurchase,
@@ -5735,6 +5749,37 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS cycle_pairs,
                    CAST(0 AS BIGINT) AS dropped_centers
             FROM cn
+        """,
+        "linkpred_train": f"""
+            WITH c AS MATERIALIZED ({_COPURCHASE_SQL}),
+            nn AS (SELECT max(greatest(src, dst)) + 1 AS n FROM c),
+            pos AS MATERIALIZED (
+              SELECT src, dst FROM c
+              WHERE CAST(('0x' || substr(md5('lp|' || src || '|' || dst),
+                          1, 16)) AS UBIGINT) % 5 = 0),
+            att AS (
+              SELECT p.src AS s, p.dst AS d, t.j
+              FROM pos p, (SELECT unnest(range(1, 3)) AS j) t),
+            cand AS (
+              SELECT CAST(CAST(('0x' || substr(md5('lpn|' || s || '|' || d
+                             || '|' || j || '|a'), 1, 16)) AS UBIGINT)
+                          % CAST((SELECT n FROM nn) AS UBIGINT)
+                        AS BIGINT) AS u,
+                     CAST(CAST(('0x' || substr(md5('lpn|' || s || '|' || d
+                             || '|' || j || '|b'), 1, 16)) AS UBIGINT)
+                          % CAST((SELECT n FROM nn) AS UBIGINT)
+                        AS BIGINT) AS v
+              FROM att),
+            neg AS (
+              SELECT DISTINCT least(u, v) AS src, greatest(u, v) AS dst
+              FROM cand
+              WHERE u <> v
+                AND NOT EXISTS (SELECT 1 FROM c
+                                WHERE c.src = least(u, v)
+                                  AND c.dst = greatest(u, v)))
+            SELECT src, dst, CAST(1 AS BIGINT) AS label FROM pos
+            UNION ALL
+            SELECT src, dst, CAST(0 AS BIGINT) AS label FROM neg
         """,
         "partition_cut": f"""
             WITH c AS MATERIALIZED ({_COPURCHASE_SQL}),

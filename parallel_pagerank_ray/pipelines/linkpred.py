@@ -171,3 +171,129 @@ def link_prediction_topk(
         .sort(["cn", "src", "dst"], descending=[True, False, False])
         .limit(k)
     )
+
+
+def linkpred_training_set(
+    graph: Graph,
+    holdout_mod: int = 5,
+    neg_attempts: int = 2,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Deterministic link-prediction training table: (src, dst, label)
+    with label 1 = held-out positive edges, label 0 = hash-sampled
+    verified non-edges — the standard supervised edge-classification
+    dataset builder for graph-ML training.
+
+    Rules (all md5-keyed, so a SQL oracle replays them verbatim):
+      positives  canonical edges (src < dst) with
+                 md5_u64("lp|src|dst") % holdout_mod == 0
+      negatives  for each positive and attempt j in 1..neg_attempts,
+                 u = md5_u64("lpn|src|dst|j|a") % n,
+                 v = md5_u64("lpn|src|dst|j|b") % n with n = max
+                 endpoint + 1; canonicalized (min, max), self-pairs
+                 dropped, existing edges removed by anti-join,
+                 de-duplicated. Collision rejections mean the realized
+                 negative count is <= neg_attempts x positives — the
+                 standard rejection-sampling contract, deterministic
+                 given the graph.
+
+    Requires ``graph.edges`` in canonical simple form (src < dst,
+    distinct) — the same certificate as the triangle family.
+
+    Scale shape: positives are one stateless filter over the edge
+    scan; candidates are a bounded flat-map (neg_attempts x
+    positives); the only wide step is the packed-key anti-join against
+    the edge set (n < 3e9 for the packed key — the two-column
+    hash-join fallback in link_prediction_topk applies past it).
+    """
+    import pyarrow as pa
+
+    from parallel_pagerank_ray.functions.hashing import md5_u64
+    from parallel_pagerank_ray.pipelines.graph_build import dedup_edges
+    from parallel_pagerank_ray.stages.agg import global_agg
+
+    if num_buckets is None:
+        num_buckets = resolve_num_buckets(graph.edges)
+    edges = graph.edges.select_columns(["src", "dst"]).materialize()
+    mx = global_agg(
+        edges, {"ms": ("src", "max"), "md": ("dst", "max")}
+    )
+    if mx["ms"] is None:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "label": pa.array([], pa.int64()),
+                }
+            )
+        )
+    n = max(int(mx["ms"]), int(mx["md"])) + 1
+
+    def pos_filter(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            (
+                md5_u64(f"lp|{a}|{b}") % holdout_mod == 0
+                for a, b in zip(s, d)
+            ),
+            bool,
+            len(s),
+        )
+        return t.filter(pa.array(keep))
+
+    pos = edges.map_batches(pos_filter, batch_format="pyarrow").materialize()
+
+    def neg_cands(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        us, vs = [], []
+        for a, b in zip(s, d):
+            for j in range(1, neg_attempts + 1):
+                us.append(md5_u64(f"lpn|{a}|{b}|{j}|a") % n)
+                vs.append(md5_u64(f"lpn|{a}|{b}|{j}|b") % n)
+        u = np.asarray(us, dtype=np.int64)
+        v = np.asarray(vs, dtype=np.int64)
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
+        m = lo != hi
+        return pa.table(
+            {"src": pa.array(lo[m], pa.int64()),
+             "dst": pa.array(hi[m], pa.int64())}
+        )
+
+    cand = dedup_edges(
+        pos.map_batches(neg_cands, batch_format="pyarrow"),
+        num_buckets=num_buckets,
+    )
+
+    def pack(b: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        b["__key"] = b["src"] * np.int64(n) + b["dst"]
+        return b
+
+    if n > 3_000_000_000:  # pragma: no cover - packed key needs n < 3e9
+        raise ValueError(
+            "linkpred_training_set packed anti-join needs n < 3e9; "
+            "swap in the two-column hash-join fallback"
+        )
+    neg = anti_join(
+        cand.map_batches(pack, batch_format="numpy"),
+        edges.map_batches(pack, batch_format="numpy").select_columns(
+            ["__key"]
+        ),
+        on="__key",
+    ).select_columns(["src", "dst"])
+
+    def lab(const: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "label",
+                pa.array(np.full(t.num_rows, const, np.int64), pa.int64()),
+            )
+
+        return fn
+
+    return pos.map_batches(lab(1), batch_format="pyarrow").union(
+        neg.map_batches(lab(0), batch_format="pyarrow")
+    )

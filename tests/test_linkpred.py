@@ -95,3 +95,41 @@ def test_edge_reciprocity_empty_and_full():
     )
     row = edge_reciprocity(rd.from_arrow(empty)).to_pandas().iloc[0]
     assert row.tolist() == [0, 0, 0.0]
+
+
+def test_linkpred_training_set_laws():
+    """Positives are a subset of edges; negatives are verified
+    non-edges, canonical, distinct, and bounded by attempts x
+    positives; the split is deterministic."""
+    import pandas as pd
+
+    from parallel_pagerank_ray.functions.hashing import md5_u64
+    from parallel_pagerank_ray.pipelines.linkpred import (
+        linkpred_training_set,
+    )
+    from parallel_pagerank_ray.sources.pages import powerlaw_edges
+
+    e = np.unique(powerlaw_edges(80, 4, seed=5), axis=0)
+    lo = np.minimum(e[:, 0], e[:, 1])
+    hi = np.maximum(e[:, 0], e[:, 1])
+    m = lo != hi
+    canon = np.unique(np.stack([lo[m], hi[m]], axis=1), axis=0)
+    g, canon = _graph(canon)
+    out = linkpred_training_set(g).to_pandas()
+    edge_set = {(int(a), int(b)) for a, b in canon}
+    pos = out[out.label == 1]
+    neg = out[out.label == 0]
+    want_pos = {
+        (a, b) for a, b in edge_set if md5_u64(f"lp|{a}|{b}") % 5 == 0
+    }
+    assert {(int(r.src), int(r.dst)) for r in pos.itertuples()} == want_pos
+    negs = {(int(r.src), int(r.dst)) for r in neg.itertuples()}
+    assert len(negs) == len(neg)  # distinct
+    assert not (negs & edge_set)  # verified non-edges
+    assert all(a < b for a, b in negs)  # canonical
+    assert len(neg) <= 2 * len(pos)
+    # deterministic
+    out2 = linkpred_training_set(g).to_pandas()
+    a = out.sort_values(["label", "src", "dst"]).reset_index(drop=True)
+    b = out2.sort_values(["label", "src", "dst"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
