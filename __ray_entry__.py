@@ -1183,6 +1183,17 @@ def q_linkpred_train(sf_dir: str) -> rd.Dataset:
     return linkpred_training_set(g)
 
 
+def q_robustness_curve(sf_dir: str) -> rd.Dataset:
+    """Hub-ablation robustness curve over the co-purchase graph:
+    remove the top-k degree hubs (deg DESC, vid ASC total order),
+    re-run BSP connected components per leg
+    (pipelines/components.py::robustness_curve); int64-exact."""
+    from parallel_pagerank_ray.pipelines.components import robustness_curve
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return robustness_curve(g, ks=(0, 10, 100))
+
+
 def q_partition_cut(sf_dir: str) -> rd.Dataset:
     """Edge-cut + per-partition gather load under hash vs range vertex
     partitioning at P=8 (pipelines/partition_stats.py) — the explicit
@@ -3937,6 +3948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harmonic_copurchase": q_harmonic_copurchase,
         "link_prediction_copurchase": q_link_prediction_copurchase,
         "linkpred_train": q_linkpred_train,
+        "robustness_curve": q_robustness_curve,
         "pseudo_diameter_copurchase": q_pseudo_diameter_copurchase,
         "pagerank_incremental_top20": q_pagerank_incremental_top20,
         "ktruss_copurchase": q_ktruss_copurchase,
@@ -4066,6 +4078,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighbor_sample": q_neighbor_sample,
         "price_band_match": q_price_band_match,
     }
+
+
+def _robustness_leg_sql(k: int) -> str:
+    return f"""
+            WITH RECURSIVE
+            c AS MATERIALIZED ({_COPURCHASE_SQL}),
+            sym AS (SELECT src, dst FROM c
+                    UNION ALL SELECT dst, src FROM c),
+            degr AS (SELECT src AS vid, count(*) AS deg FROM sym
+                     GROUP BY 1),
+            hub AS (SELECT vid FROM (
+                      SELECT vid, row_number()
+                               OVER (ORDER BY deg DESC, vid) AS rn
+                      FROM degr) WHERE rn <= {k}),
+            fe AS MATERIALIZED (
+              SELECT src, dst FROM c
+              WHERE src NOT IN (SELECT vid FROM hub)
+                AND dst NOT IN (SELECT vid FROM hub)),
+            und AS (SELECT src, dst FROM fe
+                    UNION ALL SELECT dst, src FROM fe),
+            v(vid) AS (SELECT DISTINCT src FROM und),
+            cc(it, vid, comp, ch) AS (
+              SELECT 0, vid, vid, 1 FROM v
+              UNION ALL
+              SELECT c2.it + 1, c2.vid,
+                     least(c2.comp, coalesce(m.mn, c2.comp)),
+                     CASE WHEN least(c2.comp, coalesce(m.mn, c2.comp))
+                               <> c2.comp THEN 1 ELSE 0 END
+              FROM cc c2
+              LEFT JOIN (SELECT u.dst AS vid, min(c3.comp) AS mn
+                         FROM cc c3 JOIN und u ON u.src = c3.vid
+                         GROUP BY 1) m ON m.vid = c2.vid
+              WHERE (SELECT max(c4.ch) FROM cc c4) = 1
+            ),
+            lab AS (SELECT vid, comp FROM cc
+                    WHERE it = (SELECT max(it) FROM cc)),
+            sizes AS (SELECT comp, count(*) AS size FROM lab GROUP BY 1)
+            SELECT CAST({k} AS BIGINT) AS k_removed,
+                   CAST(coalesce((SELECT count(*) FROM v), 0)
+                     AS BIGINT) AS n_vertices,
+                   CAST(coalesce((SELECT count(*) FROM fe), 0)
+                     AS BIGINT) AS n_edges,
+                   CAST(coalesce((SELECT max(size) FROM sizes), 0)
+                     AS BIGINT) AS giant_size,
+                   CAST(coalesce((SELECT count(*) FROM sizes), 0)
+                     AS BIGINT) AS n_components
+    """
 
 
 def _pagerank_top20_sql(
@@ -5780,6 +5839,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, dst, CAST(1 AS BIGINT) AS label FROM pos
             UNION ALL
             SELECT src, dst, CAST(0 AS BIGINT) AS label FROM neg
+        """,
+        "robustness_curve": f"""
+            SELECT * FROM ({_robustness_leg_sql(0)})
+            UNION ALL SELECT * FROM ({_robustness_leg_sql(10)})
+            UNION ALL SELECT * FROM ({_robustness_leg_sql(100)})
         """,
         "partition_cut": f"""
             WITH c AS MATERIALIZED ({_COPURCHASE_SQL}),

@@ -368,3 +368,119 @@ def bipartite_components(
         )
 
     return out.map_batches(flag, batch_format="pyarrow")
+
+
+def robustness_curve(
+    graph: Graph,
+    ks: tuple[int, ...] = (0, 10, 100),
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Targeted-attack robustness: remove the top-k highest-degree
+    vertices (total order: degree DESC, vid ASC over the undirected
+    simple degree) and re-measure the surviving structure. One row per
+    k: (k_removed, n_vertices, n_edges, giant_size, n_components) —
+    vertices/components are over the ENDPOINTS of surviving edges
+    (a vertex that loses every edge leaves the measured graph), the
+    classic Albert-Jeong-Barabasi hub-ablation curve.
+
+    Requires ``graph.edges`` canonical simple (src < dst, distinct) —
+    the triangle-family certificate.
+
+    Scale shape: one degree aggregation; the hub set is a driver pull
+    BOUNDED by max(ks) rows (the caller's contract — ks are curve
+    sample points, not data-sized), broadcast once per leg; each leg
+    is one stateless edge filter + one BSP connected-components run,
+    so the whole curve costs |ks| CC runs and never materializes more
+    than the comp-size table.
+    """
+    import pyarrow as pa
+    import ray
+
+    from parallel_pagerank_ray.pipelines.components_actors import (
+        connected_components_bsp,
+    )
+    from parallel_pagerank_ray.stages.agg import global_agg, grouped_agg
+    from parallel_pagerank_ray.util import safe_join
+
+    if num_buckets is None:
+        from parallel_pagerank_ray.stages.agg import resolve_num_buckets
+
+        num_buckets = resolve_num_buckets(graph.edges)
+    edges = graph.edges.select_columns(["src", "dst"]).materialize()
+    deg = grouped_agg(
+        undirected_edges(edges, dedup=False),
+        ["src"],
+        {"deg": ("dst", "count")},
+        num_buckets=num_buckets,
+    )
+    kmax = max(ks) if ks else 0
+    hubs = (
+        deg.sort(["deg", "src"], descending=[True, False])
+        .limit(kmax)
+        .to_pandas()["src"]
+        .to_numpy()
+        .astype(np.int64)
+        if kmax
+        else np.array([], dtype=np.int64)
+    )
+    rows = []
+    for k in ks:
+        hubset = np.sort(hubs[:k])
+        ref = ray.put(hubset)
+
+        def drop_hubs(t: pa.Table) -> pa.Table:
+            hs = ray.get(ref)
+            if not len(hs):
+                return t
+            s = t.column("src").to_numpy(zero_copy_only=False)
+            d = t.column("dst").to_numpy(zero_copy_only=False)
+            keep = ~(np.isin(s, hs) | np.isin(d, hs))
+            return t.filter(pa.array(keep))
+
+        fe = edges.map_batches(drop_hubs, batch_format="pyarrow").materialize()
+        n_edges = fe.count()
+        if n_edges == 0:
+            rows.append((k, 0, 0, 0, 0))
+            continue
+        verts = grouped_agg(
+            undirected_edges(fe, dedup=False),
+            ["src"],
+            {"one": ("dst", "count")},
+            num_buckets=num_buckets,
+        ).select_columns(["src"]).rename_columns({"src": "vid"})
+        run = connected_components_bsp(Graph(n=graph.n, edges=fe))
+        sizes = grouped_agg(
+            safe_join(
+                verts,
+                run.components,
+                join_type="inner",
+                num_partitions=8,
+                on=("vid",),
+            ),
+            ["comp"],
+            {"size": ("vid", "count")},
+            num_buckets=num_buckets,
+        )
+        g = global_agg(
+            sizes,
+            {
+                "n_vertices": ("size", "sum"),
+                "giant": ("size", "max"),
+                "n_comp": ("size", "count"),
+            },
+        )
+        rows.append(
+            (k, int(g["n_vertices"]), n_edges, int(g["giant"]), int(g["n_comp"]))
+        )
+    cols = list(zip(*rows)) if rows else [[], [], [], [], []]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "k_removed": pa.array(list(cols[0]), pa.int64()),
+                "n_vertices": pa.array(list(cols[1]), pa.int64()),
+                "n_edges": pa.array(list(cols[2]), pa.int64()),
+                "giant_size": pa.array(list(cols[3]), pa.int64()),
+                "n_components": pa.array(list(cols[4]), pa.int64()),
+            }
+        )
+    )

@@ -372,3 +372,45 @@ def test_bipartite_components_fallback_path_agrees():
         slow[["comp", "n_vertices", "n_cover_comps"]]
     )
     assert (fast["bipartite"] == slow["bipartite"]).all()
+
+
+def test_robustness_curve_matches_bruteforce():
+    from parallel_pagerank_ray.pipelines.components import robustness_curve
+    from parallel_pagerank_ray.sources.pages import powerlaw_edges
+
+    e = powerlaw_edges(70, 4, seed=13)
+    lo = np.minimum(e[:, 0], e[:, 1])
+    hi = np.maximum(e[:, 0], e[:, 1])
+    m = lo != hi
+    canon = np.unique(np.stack([lo[m], hi[m]], axis=1), axis=0)
+    g = _graph(canon)
+    out = (
+        robustness_curve(g, ks=(0, 3, 8))
+        .to_pandas()
+        .set_index("k_removed")
+    )
+    # brute-force per leg: degree rank (deg DESC, vid ASC), drop, CC
+    deg = np.zeros(g.n, dtype=np.int64)
+    for a, b in canon:
+        deg[a] += 1
+        deg[b] += 1
+    order = np.lexsort((np.arange(g.n), -deg))
+    for k in (0, 3, 8):
+        hubs = set(order[:k][deg[order[:k]] > 0].tolist())
+        fe = [
+            (a, b)
+            for a, b in canon
+            if a not in hubs and b not in hubs
+        ]
+        verts = sorted({v for ed in fe for v in ed})
+        comp = oracle.connected_components(g.n, np.array(fe)) if fe else None
+        row = out.loc[k]
+        assert row["n_edges"] == len(fe)
+        assert row["n_vertices"] == len(verts)
+        if fe:
+            labels = comp[np.array(verts)]
+            _, counts = np.unique(labels, return_counts=True)
+            assert row["giant_size"] == counts.max()
+            assert row["n_components"] == len(counts)
+        else:
+            assert row["giant_size"] == 0 and row["n_components"] == 0
