@@ -1564,6 +1564,23 @@ def q_betweenness_copurchase(sf_dir: str) -> rd.Dataset:
     ).scores
 
 
+def q_edge_betweenness(sf_dir: str) -> rd.Dataset:
+    """Girvan-Newman edge betweenness from the same 3-seed panel over
+    the undirected co-purchase graph: (src, dst, ebtw) per canonical
+    edge, nonzero only. Value-exact by the same canonical-fold policy
+    as vertex betweenness — one contribution per (seed, DAG edge)
+    charged in seed order, direction folds combined as (fwd + rev)/2
+    (pipelines/centrality.py::edge_betweenness_bsp)."""
+    from parallel_pagerank_ray.pipelines.centrality import (
+        edge_betweenness_bsp,
+    )
+
+    g, store = _copurchase_und_store(sf_dir)
+    return edge_betweenness_bsp(
+        g, [0, 1, 2], edges_canonical=True, store=store
+    )
+
+
 def q_random_walks_copurchase(sf_dir: str) -> rd.Dataset:
     """Deterministic DeepWalk-style corpus: 4 hash-driven walks of 8
     steps from each of 3 seeds over the undirected co-purchase graph.
@@ -3965,6 +3982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks_weighted_copurchase": q_random_walks_weighted_copurchase,
         "spcount_copurchase": q_spcount_copurchase,
         "betweenness_copurchase": q_betweenness_copurchase,
+        "edge_betweenness": q_edge_betweenness,
         "local_clustering": q_local_clustering,
         "community_stats": q_community_stats,
         "community_graph": q_community_graph,
@@ -6455,6 +6473,76 @@ def oracle_sql() -> dict[str, str]:
                        / 2.0 AS btw
               FROM bwd WHERE vid <> s GROUP BY vid
             ) WHERE btw <> 0.0
+        """,
+        "edge_betweenness": f"""
+            WITH RECURSIVE
+            {_supplier_part_vid_graph(_COPURCHASE_SQL)},
+              walk(s, vid, d) AS (
+                SELECT t.s, t.s, 0 FROM (VALUES (0), (1), (2)) t(s)
+                UNION
+                SELECT w.s, u.dst, w.d + 1
+                FROM walk w JOIN und u ON u.src = w.vid
+                WHERE w.d < 8
+              ),
+              lvl AS MATERIALIZED (SELECT s, vid, min(d) AS d
+                                   FROM walk GROUP BY 1, 2),
+              sp(s, vid, d, sigma) AS (
+                SELECT t.s, t.s, 0, CAST(1 AS BIGINT)
+                FROM (VALUES (0), (1), (2)) t(s)
+                UNION ALL
+                SELECT w.s, l.vid, w.d + 1,
+                       CAST(sum(w.sigma) AS BIGINT)
+                FROM sp w
+                JOIN und u ON u.src = w.vid
+                JOIN lvl l ON l.s = w.s AND l.vid = u.dst
+                 AND l.d = w.d + 1
+                GROUP BY w.s, l.vid, w.d + 1
+              ),
+              spm AS MATERIALIZED (SELECT * FROM sp),
+              md AS MATERIALIZED (SELECT max(d) AS maxd FROM spm),
+              bwd(s, vid, d, sigma, delta) AS (
+                SELECT s, vid, d, sigma, CAST(0.0 AS DOUBLE)
+                FROM spm WHERE d = (SELECT maxd FROM md)
+                UNION ALL
+                SELECT n.s, n.vid, n.d, n.sigma,
+                       coalesce(CAST(n.sigma AS DOUBLE) * f.t, 0.0)
+                FROM spm n
+                LEFT JOIN (
+                  SELECT b.s, u.dst AS vid,
+                         list_reduce(
+                           list((1.0 + b.delta) / CAST(b.sigma AS DOUBLE)
+                                ORDER BY b.vid),
+                           (x, y) -> x + y) AS t
+                  FROM bwd b JOIN und u ON u.src = b.vid
+                  GROUP BY 1, 2
+                ) f ON f.s = n.s AND f.vid = n.vid
+                WHERE n.d = (SELECT max(b2.d) - 1 FROM bwd b2)
+              ),
+              bm AS MATERIALIZED (SELECT * FROM bwd),
+              -- per (seed, DAG edge) charge: receiver u one level below
+              -- sender w; contribution = sigma_u * ((1+delta_w)/sigma_w)
+              eb0 AS (
+                SELECT b.s, u.dst AS uu, b.vid AS ww,
+                       CAST(nu.sigma AS DOUBLE)
+                         * ((1.0 + b.delta) / CAST(b.sigma AS DOUBLE)) AS c
+                FROM bm b
+                JOIN und u ON u.src = b.vid
+                JOIN bm nu ON nu.s = b.s AND nu.vid = u.dst
+                          AND nu.d = b.d - 1
+              ),
+              pd AS (
+                SELECT least(uu, ww) AS src, greatest(uu, ww) AS dst,
+                       CASE WHEN uu < ww THEN 0 ELSE 1 END AS dir,
+                       list_reduce(list(c ORDER BY s), (x, y) -> x + y)
+                         AS v
+                FROM eb0 GROUP BY 1, 2, 3)
+            SELECT src, dst, ebtw FROM (
+              SELECT src, dst,
+                     (coalesce(max(CASE WHEN dir = 0 THEN v END), 0.0)
+                      + coalesce(max(CASE WHEN dir = 1 THEN v END), 0.0))
+                       / 2.0 AS ebtw
+              FROM pd GROUP BY 1, 2
+            ) WHERE ebtw <> 0.0
         """,
         "closeness_copurchase": f"""
             WITH RECURSIVE

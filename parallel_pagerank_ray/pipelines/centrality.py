@@ -714,3 +714,243 @@ def betweenness_bsp(
     for a in actors:
         ray.kill(a)
     return BetweennessRun(scores=rd.from_arrow_refs(tables), history=history)
+
+
+class _EdgeBrandesShardBase(_BrandesShardBase):
+    """Brandes shard that ALSO accumulates per-EDGE dependencies
+    (Girvan-Newman edge betweenness). The backward exchange carries the
+    sender id w alongside each term, the receiving owner u charges the
+    DAG edge (u, w) with sigma(u) * term — exactly one contribution per
+    (seed, directed edge), accumulated in seed order into the edge's
+    CSR slot, so every per-edge float64 sum is a strict left fold over
+    ascending seed index (the SQL-replayable order). The vertex deltas
+    are computed by the identical canonical fold as the base class, so
+    vertex betweenness from this shard is bit-identical to
+    ``_BrandesShardBase``.
+
+    Slot lookup packs (u, w) as u * n + w (requires n < 3e9 — the
+    linkpred packed-key contract); adjacency is re-sorted by (src, dst)
+    once in __init__ so the packed keys are globally sorted and the
+    lookup is one searchsorted. The re-sort is safe: both sweeps order
+    their emissions explicitly (np.unique / stable argsort by dst)."""
+
+    def __init__(self, part: int, part_refs: list, n: int, part_size: int) -> None:
+        super().__init__(part, part_refs, n, part_size)
+        if n > 3_000_000_000:  # pragma: no cover - packed slot key
+            raise ValueError("edge betweenness packed slots need n < 3e9")
+        self.n = n
+        if len(self.dst_sorted):
+            src_exp = np.repeat(
+                np.arange(self.size, dtype=np.int64),
+                np.diff(self.indptr),
+            )
+            order = np.lexsort((self.dst_sorted, src_exp))
+            self.dst_sorted = self.dst_sorted[order]
+            self._packed = (self.base + src_exp[order]) * np.int64(n) + self.dst_sorted
+        else:
+            self._packed = np.array([], dtype=np.int64)
+        self.ebtw = np.zeros(len(self.dst_sorted), dtype=np.float64)
+
+    def bwd_expand(self, d: int) -> list:
+        lo, hi = np.searchsorted(self._dist_sorted, [d, d + 1])
+        f, lens, dsts = self._gather_neighbors(self._by_dist[lo:hi])
+        if len(dsts) == 0:
+            return []
+        wids = self.base + np.repeat(f, lens)
+        terms = np.repeat(
+            (1.0 + self.delta[f]) / self.sigma[f].astype(np.float64), lens
+        )
+        order = np.argsort(dsts, kind="stable")
+        dsts, wids, terms = dsts[order], wids[order], terms[order]
+        owners = dsts // self.part_size
+        uniq = np.unique(owners)
+        bounds = np.searchsorted(owners, uniq, "left").tolist() + [len(dsts)]
+        return [
+            (
+                int(p),
+                ray.put(
+                    (
+                        dsts[bounds[i] : bounds[i + 1]],
+                        wids[bounds[i] : bounds[i + 1]],
+                        terms[bounds[i] : bounds[i + 1]],
+                    )
+                ),
+            )
+            for i, p in enumerate(uniq)
+        ]
+
+    def bwd_absorb(self, refs: list, d: int) -> int:
+        got = [c for c in ray.get(list(refs)) if len(c[0])]
+        if not got:
+            return 0
+        ids = np.concatenate([c[0] for c in got]) - self.base
+        wids = np.concatenate([c[1] for c in got])
+        terms = np.concatenate([c[2] for c in got])
+        order = np.argsort(ids, kind="stable")
+        ids, wids, terms = ids[order], wids[order], terms[order]
+        u, starts = np.unique(ids, return_index=True)
+        lens = np.diff(np.append(starts, len(ids)))
+        tsum = seq_group_sum(terms, starts, lens)
+        m = self.dist[u] == d - 1  # predecessor filter
+        sel = u[m]
+        self.delta[sel] += self.sigma[sel].astype(np.float64) * tsum[m]
+        # per-edge charge: one row per (seed, DAG edge) — slot add order
+        # within a seed touches distinct slots, across seeds it is the
+        # sequential seed loop, so each slot is a left fold over seeds
+        pred = self.dist[ids] == d - 1
+        if pred.any():
+            pu, pw, pt = ids[pred], wids[pred], terms[pred]
+            contrib = self.sigma[pu].astype(np.float64) * pt
+            slots = np.searchsorted(
+                self._packed, (self.base + pu) * np.int64(self.n) + pw
+            )
+            self.ebtw[slots] += contrib
+        return int(len(sel))
+
+    def edge_rows(self):
+        nz = np.nonzero(self.ebtw != 0.0)[0]
+        if not len(nz):
+            return pa.table(
+                {
+                    "u": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.float64()),
+                }
+            )
+        keys = self._packed[nz]
+        return pa.table(
+            {
+                "u": pa.array(keys // np.int64(self.n), pa.int64()),
+                "w": pa.array(keys % np.int64(self.n), pa.int64()),
+                "v": pa.array(self.ebtw[nz], pa.float64()),
+            }
+        )
+
+
+_EdgeBrandesShard = ray.remote(_EdgeBrandesShardBase)
+
+
+def edge_betweenness_bsp(
+    graph: Graph,
+    sources: list[int],
+    num_parts: int | None = None,
+    max_depth: int = 10_000,
+    edges_canonical: bool = False,
+    divide_pairs: bool = True,
+    store: EdgeShardStore | None = None,
+) -> "rd.Dataset":
+    """Girvan-Newman edge betweenness from a seed panel over the
+    undirected simple closure. Output one row per canonical edge with a
+    nonzero score: (src, dst, ebtw) with src < dst and
+
+        ebtw = (fold_fwd + fold_rev) / 2      (divide_pairs)
+
+    where fold_fwd / fold_rev are the strict seed-ordered left folds of
+    the per-seed contributions charged in the (src -> dst) /
+    (dst -> src) DAG direction — every float64 operation is a fixed
+    canonical order, so the result is bit-reproducible at any
+    partitioning and a DuckDB oracle replays it with list_reduce.
+
+    Same harness / cost as ``betweenness_bsp`` (one forward sigma sweep
+    + one backward dependency sweep per seed); the only extra wire data
+    is the 8-byte sender id per backward term.
+    """
+    import ray.data as rd
+
+    n = graph.n
+    if n == 0 or not sources:
+        return rd.from_items([])
+    src_list = [int(s) for s in sources]
+    if min(src_list) < 0 or max(src_list) >= n:
+        raise ValueError(f"source vid out of range [0, {n})")
+    if store is None:
+        if edges_canonical:
+            canon = graph.edges
+        else:
+            from parallel_pagerank_ray.pipelines.triangles import _simple_undirected
+
+            canon = _simple_undirected(graph.edges)
+        simple = undirected_edges(canon, dedup=False)
+        if num_parts is None:
+            ne = edge_count_hint(graph.edges)
+            if ne is None:
+                cpus = int(ray.cluster_resources().get("CPU", 8))
+                num_parts = cap_num_parts(min(256, max(4, cpus)), n)
+            else:
+                num_parts = sweep_num_parts(2 * ne)
+        store = EdgeShardStore.build(simple, n=n, num_parts=num_parts)
+    P = max(1, -(-n // store.part_size))
+    per_actor = per_actor_cpus(P)
+    actors = [
+        _EdgeBrandesShard.options(num_cpus=per_actor).remote(
+            p, store.part_refs.get(p, []), n, store.part_size
+        )
+        for p in range(P)
+    ]
+    for s in src_list:
+        total = sum(ray.get([a.seed.remote(s) for a in actors]))
+        it = 0
+        while total and it < max_depth:
+            it += 1
+            routed = ray.get([a.expand.remote() for a in actors])
+            inbox: list[list] = [[] for _ in range(P)]
+            for row in routed:
+                for p, ref in row:
+                    inbox[p].append(ref)
+            total = sum(
+                ray.get([actors[p].absorb.remote(inbox[p], it) for p in range(P)])
+            )
+        maxd = max(ray.get([a.bwd_init.remote() for a in actors]))
+        for d in range(maxd, 0, -1):
+            routed = ray.get([a.bwd_expand.remote(d) for a in actors])
+            inbox = [[] for _ in range(P)]
+            for row in routed:
+                for p, ref in row:
+                    inbox[p].append(ref)
+            ray.get([actors[p].bwd_absorb.remote(inbox[p], d) for p in range(P)])
+        ray.get([a.reset.remote() for a in actors])
+    tables = [a.edge_rows.remote() for a in actors]
+    ray.wait(tables, num_returns=len(tables))
+    for a in actors:
+        ray.kill(a)
+    directed = rd.from_arrow_refs(tables)
+
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+    from parallel_pagerank_ray.util import drop_empty_blocks
+
+    def canon_rows(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        fwd = u < w
+        return pa.table(
+            {
+                "src": pa.array(np.minimum(u, w), pa.int64()),
+                "dst": pa.array(np.maximum(u, w), pa.int64()),
+                "vf": pa.array(np.where(fwd, v, 0.0), pa.float64()),
+                "vr": pa.array(np.where(fwd, 0.0, v), pa.float64()),
+            }
+        )
+
+    per_edge = grouped_agg(
+        drop_empty_blocks(directed).map_batches(
+            canon_rows, batch_format="pyarrow"
+        ),
+        ["src", "dst"],
+        {"vf": ("vf", "sum"), "vr": ("vr", "sum")},
+    )
+
+    half = 2.0 if divide_pairs else 1.0
+
+    def finish(t: pa.Table) -> pa.Table:
+        vf = t.column("vf").to_numpy(zero_copy_only=False)
+        vr = t.column("vr").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": t.column("src"),
+                "dst": t.column("dst"),
+                "ebtw": pa.array((vf + vr) / half, pa.float64()),
+            }
+        )
+
+    return per_edge.map_batches(finish, batch_format="pyarrow")

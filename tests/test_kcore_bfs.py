@@ -915,3 +915,81 @@ def test_bfs_routed_seed_dataset_matches_list_seeding():
         bfs_distances_bsp(g2, sources_ds=bad, num_parts=4)
     with pytest.raises(ValueError):
         bfs_distances_bsp(g2, sources=[0], sources_ds=sds)
+
+
+def _eb_map(ds):
+    df = ds.to_pandas()
+    return {
+        (int(r.src), int(r.dst)): float(r.ebtw) for r in df.itertuples()
+    }
+
+
+def test_edge_betweenness_path_graph_closed_form():
+    from parallel_pagerank_ray.pipelines.centrality import (
+        edge_betweenness_bsp,
+    )
+
+    # path 0-1-2-3-4, full panel: edge (i, i+1) carries (i+1)*(n-1-i)
+    # pairs
+    e = [(i, i + 1) for i in range(4)]
+    g = _graph(e, blocks=1)
+    got = _eb_map(edge_betweenness_bsp(g, list(range(5)), num_parts=2))
+    want = {(0, 1): 4.0, (1, 2): 6.0, (2, 3): 6.0, (3, 4): 4.0}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k
+
+
+def test_edge_betweenness_brute_and_partition_invariance():
+    from parallel_pagerank_ray.pipelines.centrality import (
+        edge_betweenness_bsp,
+    )
+    from parallel_pagerank_ray.sources.pages import powerlaw_edges
+
+    e = powerlaw_edges(120, 3, seed=6)
+    g = _graph([tuple(r) for r in e])
+    srcs = [0, 3, 17]
+    a = _eb_map(edge_betweenness_bsp(g, srcs, num_parts=2))
+    b = _eb_map(edge_betweenness_bsp(g, srcs, num_parts=5))
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == b[k], k  # bit-identical across partitionings
+
+    # brute-force Brandes edge betweenness (float tolerance — the
+    # canonical-fold bitwise claim is covered by the SQL gate)
+    lo = np.minimum(e[:, 0], e[:, 1])
+    hi = np.maximum(e[:, 0], e[:, 1])
+    m = lo != hi
+    canon = {tuple(r) for r in np.stack([lo[m], hi[m]], axis=1).tolist()}
+    adj: dict = {}
+    for u, v in canon:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want: dict = {}
+    for s in srcs:
+        from collections import deque
+
+        dist = {s: 0}
+        sigma = {s: 1}
+        order = [s]
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in sorted(adj.get(v, ())):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                    order.append(w)
+                    sigma[w] = 0
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = {v: 0.0 for v in dist}
+        for w in reversed(order):
+            for u in sorted(adj.get(w, ())):
+                if u in dist and dist[u] == dist[w] - 1:
+                    c = sigma[u] * (1.0 + delta[w]) / sigma[w]
+                    key = (min(u, w), max(u, w))
+                    want[key] = want.get(key, 0.0) + c
+                    delta[u] += c
+    for k in set(want) | set(a):
+        assert abs(a.get(k, 0.0) - want.get(k, 0.0) / 2.0) < 1e-9, k
