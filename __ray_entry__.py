@@ -1194,6 +1194,16 @@ def q_robustness_curve(sf_dir: str) -> rd.Dataset:
     return robustness_curve(g, ks=(0, 10, 100))
 
 
+def q_percolation_curve(sf_dir: str) -> rd.Dataset:
+    """Bond-percolation curve over the co-purchase graph: md5-keyed
+    random edge deletion at 0/30/60 pct, BSP connected components per
+    leg (pipelines/components.py::percolation_curve); int64-exact."""
+    from parallel_pagerank_ray.pipelines.components import percolation_curve
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return percolation_curve(g, pcts=(0, 30, 60))
+
+
 def q_partition_cut(sf_dir: str) -> rd.Dataset:
     """Edge-cut + per-partition gather load under hash vs range vertex
     partitioning at P=8 (pipelines/partition_stats.py) — the explicit
@@ -3178,6 +3188,49 @@ def q_peak_concurrency(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_event_transitions(sf_dir: str) -> rd.Dataset:
+    """Per-user event-type transition counts (next-action Markov
+    statistic): one user-bucket shuffle, lexsort + shifted-compare
+    kernel (pipelines/events.py::event_transitions); int64-exact."""
+    from parallel_pagerank_ray.pipelines.events import event_transitions
+    from parallel_pagerank_ray.pipelines.relational import read_table
+
+    return event_transitions(read_table(sf_dir, "events"))
+
+
+def q_rrf_fusion(sf_dir: str) -> pa.Table:
+    """Reciprocal-rank fusion of the integer tf-idf and integer BM25
+    runs for the fixed 5-token query: rrf = sum(10^6 // (60 + pos)),
+    int64-exact (functions/textstats.py::rrf_fusion)."""
+    from parallel_pagerank_ray.functions.textstats import rrf_fusion
+
+    return rrf_fusion(
+        _documents(sf_dir, ["doc_id", "text"]), _TFIDF_QUERY, k=20
+    )
+
+
+def q_table_profile(sf_dir: str) -> rd.Dataset:
+    """Column-profile statistics over lineitem (n / nulls / exact
+    distinct / min / max / sum per numeric column, money in cents) —
+    per-batch partials + one (col, value) distinct shuffle
+    (pipelines/relational.py::profile_table); int64-exact."""
+    from parallel_pagerank_ray.pipelines.relational import (
+        profile_table,
+        read_table,
+    )
+
+    return profile_table(
+        read_table(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+             "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        ),
+        int_cols=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        cents_cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
 def q_retention_cohorts(sf_dir: str) -> rd.Dataset:
     """Cohort retention triangle over events: users by first-active
     day x active day — `pipelines/events.py::retention_cohorts`."""
@@ -3966,6 +4019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_prediction_copurchase": q_link_prediction_copurchase,
         "linkpred_train": q_linkpred_train,
         "robustness_curve": q_robustness_curve,
+        "percolation_curve": q_percolation_curve,
         "pseudo_diameter_copurchase": q_pseudo_diameter_copurchase,
         "pagerank_incremental_top20": q_pagerank_incremental_top20,
         "ktruss_copurchase": q_ktruss_copurchase,
@@ -4081,6 +4135,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "balance_sources": q_balance_sources,
         "quota_mix": q_quota_mix,
         "peak_concurrency": q_peak_concurrency,
+        "event_transitions": q_event_transitions,
+        "rrf_fusion": q_rrf_fusion,
+        "table_profile": q_table_profile,
         "retention_cohorts": q_retention_cohorts,
         "small_quantity_revenue": q_small_quantity_revenue,
         "pricing_summary": q_pricing_summary,
@@ -4134,6 +4191,45 @@ def _robustness_leg_sql(k: int) -> str:
                     WHERE it = (SELECT max(it) FROM cc)),
             sizes AS (SELECT comp, count(*) AS size FROM lab GROUP BY 1)
             SELECT CAST({k} AS BIGINT) AS k_removed,
+                   CAST(coalesce((SELECT count(*) FROM v), 0)
+                     AS BIGINT) AS n_vertices,
+                   CAST(coalesce((SELECT count(*) FROM fe), 0)
+                     AS BIGINT) AS n_edges,
+                   CAST(coalesce((SELECT max(size) FROM sizes), 0)
+                     AS BIGINT) AS giant_size,
+                   CAST(coalesce((SELECT count(*) FROM sizes), 0)
+                     AS BIGINT) AS n_components
+    """
+
+
+def _percolation_leg_sql(p: int) -> str:
+    return f"""
+            WITH RECURSIVE
+            c AS MATERIALIZED ({_COPURCHASE_SQL}),
+            fe AS MATERIALIZED (
+              SELECT src, dst FROM c
+              WHERE CAST(('0x' || substr(md5('pc|' || src || '|' || dst),
+                          1, 16)) AS UBIGINT) % 100 >= {p}),
+            und AS (SELECT src, dst FROM fe
+                    UNION ALL SELECT dst, src FROM fe),
+            v(vid) AS (SELECT DISTINCT src FROM und),
+            cc(it, vid, comp, ch) AS (
+              SELECT 0, vid, vid, 1 FROM v
+              UNION ALL
+              SELECT c2.it + 1, c2.vid,
+                     least(c2.comp, coalesce(m.mn, c2.comp)),
+                     CASE WHEN least(c2.comp, coalesce(m.mn, c2.comp))
+                               <> c2.comp THEN 1 ELSE 0 END
+              FROM cc c2
+              LEFT JOIN (SELECT u.dst AS vid, min(c3.comp) AS mn
+                         FROM cc c3 JOIN und u ON u.src = c3.vid
+                         GROUP BY 1) m ON m.vid = c2.vid
+              WHERE (SELECT max(c4.ch) FROM cc c4) = 1
+            ),
+            lab AS (SELECT vid, comp FROM cc
+                    WHERE it = (SELECT max(it) FROM cc)),
+            sizes AS (SELECT comp, count(*) AS size FROM lab GROUP BY 1)
+            SELECT CAST({p} AS BIGINT) AS pct_removed,
                    CAST(coalesce((SELECT count(*) FROM v), 0)
                      AS BIGINT) AS n_vertices,
                    CAST(coalesce((SELECT count(*) FROM fe), 0)
@@ -5863,6 +5959,11 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT * FROM ({_robustness_leg_sql(10)})
             UNION ALL SELECT * FROM ({_robustness_leg_sql(100)})
         """,
+        "percolation_curve": f"""
+            SELECT * FROM ({_percolation_leg_sql(0)})
+            UNION ALL SELECT * FROM ({_percolation_leg_sql(30)})
+            UNION ALL SELECT * FROM ({_percolation_leg_sql(60)})
+        """,
         "partition_cut": f"""
             WITH c AS MATERIALIZED ({_COPURCHASE_SQL}),
             p AS (SELECT greatest(1,
@@ -7425,6 +7526,53 @@ def oracle_sql() -> dict[str, str]:
                    doc_id, CAST(score AS BIGINT) AS score
             FROM sc ORDER BY score DESC, doc_id LIMIT 20
         ''',
+        "rrf_fusion": f'''
+            WITH tok AS MATERIALIZED (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '{TOKEN_SQL}'))
+                       AS token
+              FROM documents),
+            tf AS MATERIALIZED (
+              SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              FROM tok
+              WHERE token IN ('hash', 'join', 'stream', 'window', 'sort')
+              GROUP BY 1, 2),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            sc1 AS (SELECT tf.doc_id,
+                           sum(tf.tf * (1000000 // df.df)) AS score
+                    FROM tf JOIN df USING (token) GROUP BY 1),
+            r1 AS (SELECT doc_id, pos FROM (
+                     SELECT doc_id, row_number()
+                              OVER (ORDER BY score DESC, doc_id) AS pos
+                     FROM sc1) WHERE pos <= 50),
+            dl AS MATERIALIZED (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+              FROM tok GROUP BY 1),
+            tot AS (SELECT CAST(sum(dl) AS BIGINT) AS dltot,
+                           CAST(count(*) AS BIGINT) AS n FROM dl),
+            sc2 AS (SELECT tf.doc_id,
+                           sum((1000000 // df.df) *
+                               ((88 * tf.tf * tot.dltot * 1000) //
+                                (40 * tf.tf * tot.dltot
+                                 + 12 * (tot.dltot + 3 * dl.dl * tot.n))))
+                             AS score
+                    FROM tf
+                    JOIN df USING (token)
+                    JOIN dl ON dl.doc_id = tf.doc_id, tot
+                    GROUP BY 1),
+            r2 AS (SELECT doc_id, pos FROM (
+                     SELECT doc_id, row_number()
+                              OVER (ORDER BY score DESC, doc_id) AS pos
+                     FROM sc2) WHERE pos <= 50),
+            uni AS (SELECT doc_id, pos FROM r1
+                    UNION ALL SELECT doc_id, pos FROM r2),
+            f AS (SELECT doc_id,
+                         CAST(sum(1000000 // (60 + pos)) AS BIGINT) AS rrf
+                  FROM uni GROUP BY 1)
+            SELECT row_number() OVER (ORDER BY rrf DESC, doc_id) AS pos,
+                   doc_id, rrf
+            FROM f ORDER BY rrf DESC, doc_id LIMIT 20
+        ''',
         "dedup_keepers": f"""
             WITH RECURSIVE
               cand AS MATERIALIZED (
@@ -8200,6 +8348,17 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING)
         """,
+        "event_transitions": """
+            WITH seq AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                       AS prev_type
+              FROM events)
+            SELECT prev_type, event_type AS next_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        """,
         "peak_concurrency": """
             WITH deltas AS (
               SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS t,
@@ -8221,6 +8380,87 @@ def oracle_sql() -> dict[str, str]:
             FROM run r
             JOIN mx m ON r.event_type = m.event_type AND r.c = m.peak
             GROUP BY 1, 2
+        """,
+        "table_profile": """
+              SELECT 'l_orderkey' AS col_name,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_null,
+                     CAST(count(DISTINCT CAST(l_orderkey AS BIGINT)) AS BIGINT) AS n_distinct,
+                     CAST(coalesce(min(CAST(l_orderkey AS BIGINT)), 0) AS BIGINT) AS min_v,
+                     CAST(coalesce(max(CAST(l_orderkey AS BIGINT)), 0) AS BIGINT) AS max_v,
+                     CAST(coalesce(sum(CAST(l_orderkey AS BIGINT)), 0) AS BIGINT) AS sum_v
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_partkey' AS col_name,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_null,
+                     CAST(count(DISTINCT CAST(l_partkey AS BIGINT)) AS BIGINT) AS n_distinct,
+                     CAST(coalesce(min(CAST(l_partkey AS BIGINT)), 0) AS BIGINT) AS min_v,
+                     CAST(coalesce(max(CAST(l_partkey AS BIGINT)), 0) AS BIGINT) AS max_v,
+                     CAST(coalesce(sum(CAST(l_partkey AS BIGINT)), 0) AS BIGINT) AS sum_v
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_suppkey' AS col_name,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_null,
+                     CAST(count(DISTINCT CAST(l_suppkey AS BIGINT)) AS BIGINT) AS n_distinct,
+                     CAST(coalesce(min(CAST(l_suppkey AS BIGINT)), 0) AS BIGINT) AS min_v,
+                     CAST(coalesce(max(CAST(l_suppkey AS BIGINT)), 0) AS BIGINT) AS max_v,
+                     CAST(coalesce(sum(CAST(l_suppkey AS BIGINT)), 0) AS BIGINT) AS sum_v
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_linenumber' AS col_name,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_null,
+                     CAST(count(DISTINCT CAST(l_linenumber AS BIGINT)) AS BIGINT) AS n_distinct,
+                     CAST(coalesce(min(CAST(l_linenumber AS BIGINT)), 0) AS BIGINT) AS min_v,
+                     CAST(coalesce(max(CAST(l_linenumber AS BIGINT)), 0) AS BIGINT) AS max_v,
+                     CAST(coalesce(sum(CAST(l_linenumber AS BIGINT)), 0) AS BIGINT) AS sum_v
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_quantity' AS col_name,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_null,
+                     CAST(count(DISTINCT CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS n_distinct,
+                     CAST(coalesce(min(CAST(round(l_quantity * 100) AS BIGINT)), 0) AS BIGINT) AS min_v,
+                     CAST(coalesce(max(CAST(round(l_quantity * 100) AS BIGINT)), 0) AS BIGINT) AS max_v,
+                     CAST(coalesce(sum(CAST(round(l_quantity * 100) AS BIGINT)), 0) AS BIGINT) AS sum_v
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice' AS col_name,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_null,
+                     CAST(count(DISTINCT CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS n_distinct,
+                     CAST(coalesce(min(CAST(round(l_extendedprice * 100) AS BIGINT)), 0) AS BIGINT) AS min_v,
+                     CAST(coalesce(max(CAST(round(l_extendedprice * 100) AS BIGINT)), 0) AS BIGINT) AS max_v,
+                     CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0) AS BIGINT) AS sum_v
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_discount' AS col_name,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_null,
+                     CAST(count(DISTINCT CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS n_distinct,
+                     CAST(coalesce(min(CAST(round(l_discount * 100) AS BIGINT)), 0) AS BIGINT) AS min_v,
+                     CAST(coalesce(max(CAST(round(l_discount * 100) AS BIGINT)), 0) AS BIGINT) AS max_v,
+                     CAST(coalesce(sum(CAST(round(l_discount * 100) AS BIGINT)), 0) AS BIGINT) AS sum_v
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_tax' AS col_name,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_null,
+                     CAST(count(DISTINCT CAST(round(l_tax * 100) AS BIGINT)) AS BIGINT) AS n_distinct,
+                     CAST(coalesce(min(CAST(round(l_tax * 100) AS BIGINT)), 0) AS BIGINT) AS min_v,
+                     CAST(coalesce(max(CAST(round(l_tax * 100) AS BIGINT)), 0) AS BIGINT) AS max_v,
+                     CAST(coalesce(sum(CAST(round(l_tax * 100) AS BIGINT)), 0) AS BIGINT) AS sum_v
+              FROM lineitem
         """,
         "retention_cohorts": """
             WITH ud AS (

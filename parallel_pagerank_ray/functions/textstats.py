@@ -698,3 +698,48 @@ def bm25_search(
             "score": top["score"].to_numpy().astype(np.int64),
         }
     )
+
+
+def rrf_fusion(
+    docs,
+    query_tokens: list[str],
+    k: int = 20,
+    depth: int = 50,
+    rrf_k: int = 60,
+    rrf_scale: int = 1_000_000,
+):
+    """Reciprocal-rank fusion of the integer tf-idf and integer BM25
+    rankings for one query — the standard zero-tuning way to combine
+    retrieval runs (Cormack et al.):
+
+        rrf(d) = sum over runs r ranking d at pos_r of
+                 rrf_scale // (rrf_k + pos_r)
+
+    (floor division keeps the fused score int64-exact; documents
+    missing from a run contribute nothing). Returns the top-k fused
+    (pos, doc_id, rrf), rrf DESC / doc_id ASC.
+
+    Scale shape: both underlying runs are the bounded retrieval
+    pipelines (corpus text never leaves their first map); the fusion
+    itself touches only 2 x depth rows — driver-side by contract.
+    """
+    import pyarrow as pa
+
+    runs = [
+        tfidf_search(docs, query_tokens, k=depth).to_pandas(),
+        bm25_search(docs, query_tokens, k=depth).to_pandas(),
+    ]
+    fused: dict[int, int] = {}
+    for run in runs:
+        for pos, doc in zip(run["pos"], run["doc_id"]):
+            fused[int(doc)] = fused.get(int(doc), 0) + rrf_scale // (
+                rrf_k + int(pos)
+            )
+    top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.table(
+        {
+            "pos": np.arange(1, len(top) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in top], dtype=np.int64),
+            "rrf": np.array([s for _, s in top], dtype=np.int64),
+        }
+    )

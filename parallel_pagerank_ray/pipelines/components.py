@@ -484,3 +484,103 @@ def robustness_curve(
             }
         )
     )
+
+
+def percolation_curve(
+    graph: Graph,
+    pcts: tuple[int, ...] = (0, 30, 60),
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Random-failure percolation: delete each edge independently with
+    probability pct/100 (md5-keyed on the canonical pair, so the
+    "random" subset is deterministic and SQL-replayable) and re-measure
+    the surviving structure — the bond-percolation complement of the
+    targeted-attack ``robustness_curve``. One row per pct:
+    (pct_removed, n_vertices, n_edges, giant_size, n_components), with
+    vertices/components over surviving-edge endpoints.
+
+    Edge e = (src, dst) survives leg pct iff
+    md5_u64("pc|src|dst") % 100 >= pct.
+
+    Requires canonical simple edges. Scale shape: each leg is one
+    stateless edge filter + one BSP connected-components run — no
+    driver pull beyond the comp-size scalars.
+    """
+    import pyarrow as pa
+
+    from parallel_pagerank_ray.functions.hashing import md5_u64
+    from parallel_pagerank_ray.pipelines.components_actors import (
+        connected_components_bsp,
+    )
+    from parallel_pagerank_ray.stages.agg import global_agg, grouped_agg
+    from parallel_pagerank_ray.util import safe_join
+
+    if num_buckets is None:
+        from parallel_pagerank_ray.stages.agg import resolve_num_buckets
+
+        num_buckets = resolve_num_buckets(graph.edges)
+    edges = graph.edges.select_columns(["src", "dst"]).materialize()
+    rows = []
+    for pct in pcts:
+        def drop_edges(t: pa.Table, _p=int(pct)) -> pa.Table:
+            if _p <= 0:
+                return t
+            s = t.column("src").to_numpy(zero_copy_only=False)
+            d = t.column("dst").to_numpy(zero_copy_only=False)
+            keep = np.fromiter(
+                (
+                    md5_u64(f"pc|{a}|{b}") % 100 >= _p
+                    for a, b in zip(s, d)
+                ),
+                bool,
+                len(s),
+            )
+            return t.filter(pa.array(keep))
+
+        fe = edges.map_batches(drop_edges, batch_format="pyarrow").materialize()
+        n_edges = fe.count()
+        if n_edges == 0:
+            rows.append((int(pct), 0, 0, 0, 0))
+            continue
+        verts = grouped_agg(
+            undirected_edges(fe, dedup=False),
+            ["src"],
+            {"one": ("dst", "count")},
+            num_buckets=num_buckets,
+        ).select_columns(["src"]).rename_columns({"src": "vid"})
+        run = connected_components_bsp(Graph(n=graph.n, edges=fe))
+        sizes = grouped_agg(
+            safe_join(
+                verts,
+                run.components,
+                join_type="inner",
+                num_partitions=8,
+                on=("vid",),
+            ),
+            ["comp"],
+            {"size": ("vid", "count")},
+            num_buckets=num_buckets,
+        )
+        g = global_agg(
+            sizes,
+            {
+                "n_vertices": ("size", "sum"),
+                "giant": ("size", "max"),
+                "n_comp": ("size", "count"),
+            },
+        )
+        rows.append(
+            (int(pct), int(g["n_vertices"]), n_edges, int(g["giant"]), int(g["n_comp"]))
+        )
+    cols = list(zip(*rows)) if rows else [[], [], [], [], []]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "pct_removed": pa.array(list(cols[0]), pa.int64()),
+                "n_vertices": pa.array(list(cols[1]), pa.int64()),
+                "n_edges": pa.array(list(cols[2]), pa.int64()),
+                "giant_size": pa.array(list(cols[3]), pa.int64()),
+                "n_components": pa.array(list(cols[4]), pa.int64()),
+            }
+        )
+    )

@@ -680,3 +680,71 @@ def peak_concurrency(
             }
         )
     )
+
+
+def event_transitions(events: rd.Dataset) -> rd.Dataset:
+    """Per-user event-type transition counts — the next-action Markov
+    sufficient statistic behind session-based recommendation: for every
+    user's timeline ordered by the total order (ts, event_id), count
+    adjacent (prev_type, next_type) pairs globally. Output
+    (prev_type, next_type, n), n int64.
+
+    Scale shape: ONE hash shuffle keyed user_id % B co-locates each
+    user's events (the sessionize/running_window contract); the
+    per-bucket kernel is a lexsort + shifted-array compare over every
+    user in the bucket (no per-user Python), emitting per-bucket
+    (prev, next) count partials; a tiny |types|^2 combine finishes.
+    """
+    num_buckets = resolve_num_buckets(events)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": uid,
+                "event_id": df["event_id"].to_numpy(),
+                "ts": df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+                "event_type": df["event_type"].astype(str).to_numpy(),
+                "bucket": (uid % num_buckets).astype(np.int64),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (
+                g["event_id"].to_numpy(),
+                g["ts"].to_numpy(),
+                g["user_id"].to_numpy(),
+            )
+        )
+        uid = g["user_id"].to_numpy()[order]
+        et = g["event_type"].to_numpy()[order]
+        if len(uid) < 2:
+            return pd.DataFrame(
+                {
+                    "prev_type": pd.Series([], dtype=str),
+                    "next_type": pd.Series([], dtype=str),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        same = uid[1:] == uid[:-1]
+        out = (
+            pd.DataFrame(
+                {"prev_type": et[:-1][same], "next_type": et[1:][same]}
+            )
+            .groupby(["prev_type", "next_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return grouped_agg(
+        events.select_columns(["event_id", "user_id", "ts", "event_type"])
+        .map_batches(keyed, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas"),
+        ["prev_type", "next_type"],
+        {"n": ("n", "sum")},
+        num_buckets=8,
+    )

@@ -1913,3 +1913,138 @@ def skyline_orders(
             )
         )
     return out
+
+
+def profile_table(
+    ds: rd.Dataset,
+    int_cols: list[str],
+    cents_cols: list[str],
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Column-profile statistics (the df.describe() of the engine) for
+    a table's numeric columns: one row per column with
+    (col_name, n, n_null, n_distinct, min_v, max_v, sum_v) — all
+    int64-exact (``cents_cols`` are profiled in integer cents; a column
+    with no non-null values reports min_v = max_v = 0 by convention).
+
+    Scale shape: the scalar stats are per-batch partials folded by one
+    tiny |cols|-row combine; n_distinct is ONE (col, value)-pair
+    shuffle (the only wide step — the exact-distinct contract; swap in
+    the KMV sketch for an approximate profile without the shuffle).
+    """
+    import pyarrow as pa
+
+    from parallel_pagerank_ray.stages.agg import grouped_agg
+    from parallel_pagerank_ray.util import drop_empty_blocks, safe_join
+
+    if num_buckets is None:
+        from parallel_pagerank_ray.stages.agg import resolve_num_buckets
+
+        num_buckets = resolve_num_buckets(ds)
+    cols = list(int_cols) + list(cents_cols)
+    cents = set(cents_cols)
+    I64MAX = np.iinfo(np.int64).max
+    I64MIN = np.iinfo(np.int64).min
+
+    def canon_arrays(t: pa.Table):
+        for c in cols:
+            col = t.column(c)
+            valid = pc.is_valid(col)
+            if c in cents:
+                col = pc.cast(
+                    pc.round(pc.multiply(pc.cast(col, pa.float64()), 100.0)),
+                    pa.int64(),
+                )
+            else:
+                col = pc.cast(col, pa.int64())
+            yield c, col, valid
+
+    def partials(t: pa.Table) -> pa.Table:
+        names, ns, nulls, mins, maxs, sums = [], [], [], [], [], []
+        for c, col, valid in canon_arrays(t):
+            v = col.filter(valid)
+            names.append(c)
+            ns.append(t.num_rows)
+            nulls.append(t.num_rows - len(v))
+            a = v.to_numpy(zero_copy_only=False)
+            mins.append(int(a.min()) if len(a) else I64MAX)
+            maxs.append(int(a.max()) if len(a) else I64MIN)
+            sums.append(int(a.sum()) if len(a) else 0)
+        return pa.table(
+            {
+                "col_name": pa.array(names, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "n_null": pa.array(nulls, pa.int64()),
+                "min_v": pa.array(mins, pa.int64()),
+                "max_v": pa.array(maxs, pa.int64()),
+                "sum_v": pa.array(sums, pa.int64()),
+            }
+        )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        parts = []
+        for c, col, valid in canon_arrays(t):
+            v = col.filter(valid)
+            parts.append(
+                pa.table(
+                    {
+                        "col_name": pa.array([c] * len(v), pa.string()),
+                        "v": v,
+                    }
+                )
+            )
+        return pa.concat_tables(parts) if parts else pa.table(
+            {"col_name": pa.array([], pa.string()),
+             "v": pa.array([], pa.int64())}
+        )
+
+    src = ds.select_columns(cols).materialize()
+    stats = grouped_agg(
+        src.map_batches(partials, batch_format="pyarrow"),
+        ["col_name"],
+        {
+            "n": ("n", "sum"),
+            "n_null": ("n_null", "sum"),
+            "min_v": ("min_v", "min"),
+            "max_v": ("max_v", "max"),
+            "sum_v": ("sum_v", "sum"),
+        },
+        num_buckets=4,
+    )
+    dist = grouped_agg(
+        grouped_agg(
+            drop_empty_blocks(
+                src.map_batches(pairs, batch_format="pyarrow")
+            ),
+            ["col_name", "v"],
+            {"c": ("v", "count")},
+            num_buckets=num_buckets,
+        ),
+        ["col_name"],
+        {"n_distinct": ("v", "count")},
+        num_buckets=4,
+    )
+    out = safe_join(
+        stats,
+        dist,
+        join_type="left_outer",
+        num_partitions=4,
+        on=("col_name",),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        nd = df["n_distinct"].fillna(0).astype(np.int64)
+        all_null = (df["n"] - df["n_null"]) == 0
+        return pd.DataFrame(
+            {
+                "col_name": df["col_name"],
+                "n": df["n"].astype(np.int64),
+                "n_null": df["n_null"].astype(np.int64),
+                "n_distinct": nd,
+                "min_v": np.where(all_null, 0, df["min_v"]).astype(np.int64),
+                "max_v": np.where(all_null, 0, df["max_v"]).astype(np.int64),
+                "sum_v": df["sum_v"].astype(np.int64),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas").sort("col_name")

@@ -414,3 +414,37 @@ def test_robustness_curve_matches_bruteforce():
             assert row["n_components"] == len(counts)
         else:
             assert row["giant_size"] == 0 and row["n_components"] == 0
+
+
+def test_percolation_curve_matches_bruteforce():
+    from parallel_pagerank_ray.functions.hashing import md5_u64
+    from parallel_pagerank_ray.pipelines.components import percolation_curve
+    from parallel_pagerank_ray.sources.pages import powerlaw_edges
+
+    e = powerlaw_edges(60, 3, seed=21)
+    lo = np.minimum(e[:, 0], e[:, 1])
+    hi = np.maximum(e[:, 0], e[:, 1])
+    m = lo != hi
+    canon = np.unique(np.stack([lo[m], hi[m]], axis=1), axis=0)
+    g = _graph(canon)
+    out = (
+        percolation_curve(g, pcts=(0, 40))
+        .to_pandas()
+        .set_index("pct_removed")
+    )
+    for p in (0, 40):
+        fe = [
+            (a, b)
+            for a, b in canon
+            if md5_u64(f"pc|{a}|{b}") % 100 >= p
+        ]
+        verts = sorted({v for ed in fe for v in ed})
+        row = out.loc[p]
+        assert row["n_edges"] == len(fe)
+        assert row["n_vertices"] == len(verts)
+        if fe:
+            comp = oracle.connected_components(g.n, np.array(fe))
+            labels = comp[np.array(verts)]
+            _, counts = np.unique(labels, return_counts=True)
+            assert row["giant_size"] == counts.max()
+            assert row["n_components"] == len(counts)

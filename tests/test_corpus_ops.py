@@ -646,3 +646,47 @@ def test_bm25_overflow_guard():
             ["hash", "join"],
             prec_scale=10**17,
         )
+
+
+def test_rrf_fusion_matches_reference():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.functions.textstats import (
+        bm25_search,
+        rrf_fusion,
+        tfidf_search,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(8, dtype=np.int64),
+            "text": [
+                "hash join hash join stream",
+                "window sort window",
+                "no query tokens here at all",
+                "hash",
+                "stream stream stream sort pad pad pad",
+                "join window hash sort stream",
+                "sort sort sort",
+                "window window hash",
+            ],
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(docs)).repartition(3)
+    q = ["hash", "join", "stream", "window", "sort"]
+    got = rrf_fusion(ds, q, k=5, depth=6).to_pandas()
+    fused: dict = {}
+    for run in (
+        tfidf_search(ds, q, k=6).to_pandas(),
+        bm25_search(ds, q, k=6).to_pandas(),
+    ):
+        for pos, doc in zip(run["pos"], run["doc_id"]):
+            fused[int(doc)] = fused.get(int(doc), 0) + 1_000_000 // (
+                60 + int(pos)
+            )
+    want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got["doc_id"].tolist() == [d for d, _ in want]
+    assert got["rrf"].tolist() == [s for _, s in want]

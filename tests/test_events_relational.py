@@ -1080,3 +1080,84 @@ def test_peak_concurrency_multiblock_matches_bruteforce():
         first_t = int(bounds[order][np.argmax(run == peak), 0])
         assert int(out.loc[et, "peak"]) == peak
         assert int(out.loc[et, "peak_t_us"]) == first_t
+
+
+def test_event_transitions_matches_pandas():
+    from parallel_pagerank_ray.pipelines.events import event_transitions
+
+    rng = np.random.default_rng(3)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(0, 10_000, n), unit="s"
+            ).astype("datetime64[us]"),
+            "user_id": rng.integers(0, 20, n).astype(np.int64),
+            "event_type": np.array(["a", "b", "c", "d"])[
+                rng.integers(0, 4, n)
+            ],
+        }
+    )
+    got = (
+        event_transitions(
+            rd.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+        )
+        .to_pandas()
+        .sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True)
+    )
+    s = df.sort_values(["user_id", "ts", "event_id"])
+    prev = s.groupby("user_id")["event_type"].shift(1)
+    want = (
+        pd.DataFrame({"prev_type": prev, "next_type": s["event_type"]})
+        .dropna()
+        .groupby(["prev_type", "next_type"])
+        .size()
+        .reset_index(name="n")
+        .sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True)
+    )
+    assert got["prev_type"].tolist() == want["prev_type"].tolist()
+    assert got["next_type"].tolist() == want["next_type"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+
+
+def test_table_profile_matches_pandas():
+    from parallel_pagerank_ray.pipelines.relational import profile_table
+
+    df = pd.DataFrame(
+        {
+            "a": np.array([1, 2, 2, 7, -3], np.int64),
+            "b": [1.25, None, 0.5, 1.25, 2.0],
+        }
+    )
+    got = (
+        profile_table(
+            rd.from_arrow(pa.Table.from_pandas(df)).repartition(3),
+            int_cols=["a"],
+            cents_cols=["b"],
+        )
+        .to_pandas()
+        .set_index("col_name")
+    )
+    assert got.loc["a"].tolist() == [5, 0, 4, -3, 7, 9]
+    # b in cents: [125, null, 50, 125, 200]
+    assert got.loc["b"].tolist() == [5, 1, 3, 50, 200, 500]
+
+
+def test_table_profile_all_null_column():
+    from parallel_pagerank_ray.pipelines.relational import profile_table
+
+    df = pd.DataFrame({"a": np.array([4, 4], np.int64),
+                       "b": [None, None]})
+    got = (
+        profile_table(
+            rd.from_arrow(pa.Table.from_pandas(df)),
+            int_cols=["a"],
+            cents_cols=["b"],
+        )
+        .to_pandas()
+        .set_index("col_name")
+    )
+    assert got.loc["b"].tolist() == [2, 2, 0, 0, 0, 0]
