@@ -1,0 +1,322 @@
+"""Bridge (cut-edge) detection via the cycle-space XOR sketch.
+
+A bridge is an edge whose removal disconnects its component — the
+edge-connectivity primitive behind mirror detection, backbone
+extraction and 2-edge-connected decomposition. Sequential Tarjan DFS
+does not distribute; this uses the linear-sketch construction from the
+graph-streaming literature (Ahn-Guha-McGregor-style cycle space):
+
+  1. spanning forest F = the BFS tree from each component's minimum
+     vertex with the min-parent rule (parent(v) = smallest neighbor
+     one level closer to the root) — deterministic, SQL-replayable,
+     and SHALLOW: depth(F) <= graph eccentricity, so the subtree fold
+     below runs in O(log diameter) rounds (a Boruvka/DFS forest can be
+     a Theta(n)-deep path; the BFS tree never is);
+  2. every NON-tree edge gets a 62-bit label (md5 of the canonical
+     pair — fixed seed, so the "random" labels are deterministic and a
+     SQL oracle replays them);
+  3. a tree edge's accumulated label = XOR of the labels of the
+     non-tree edges whose tree path covers it, computed as the XOR of
+     per-vertex incident-label values over one side's subtree
+     (endpoints inside the subtree pair up and cancel); the subtree
+     fold routes every vertex's value to each of its ancestors via
+     duplicate-free binary lifting (jump pointers J_k(x) = 2^k-th
+     ancestor; ancestors in (2^k, 2^(k+1)] of x = ancestors within
+     2^k of J_k(x) — disjoint ranges, so no dedup shuffle per round);
+  4. bridge <=> accumulated label == 0. Non-tree edges are never
+     bridges; a covered tree edge XORs a nonempty set of independent
+     62-bit values, which is 0 with probability 2^-62 per edge
+     (Monte-Carlo one-sided, deterministic given the md5 seed — the
+     standard cycle-sketch guarantee; the SQL gate replays the exact
+     same labels, so the check is value-exact regardless).
+
+Scale shape: one BSP connected-components run (roots), one
+multi-source BSP BFS (levels), min-parent = one bucketed combine,
+non-tree split = one packed anti-join, values = one grouped XOR, the
+ancestor table = O(log diameter) joins totalling the tree's path
+decomposition (n x depth rows), one grouped XOR fold. No step holds a
+component on one worker; no driver pull beyond scalars.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from parallel_pagerank_ray.pipelines.graph_build import Graph, undirected_edges
+from parallel_pagerank_ray.stages.agg import grouped_agg, grouped_xor
+from parallel_pagerank_ray.util import anti_join, drop_empty_blocks, safe_join
+
+_LABEL_MOD = np.int64(1) << 62  # labels in [0, 2^62): int64-safe, SQL-safe
+
+
+def _edge_labels(t: pa.Table) -> pa.Table:
+    from parallel_pagerank_ray.functions.hashing import md5_u64
+
+    s = t.column("src").to_numpy(zero_copy_only=False)
+    d = t.column("dst").to_numpy(zero_copy_only=False)
+    lab = np.fromiter(
+        (md5_u64(f"br|{a}|{b}") % int(_LABEL_MOD) for a, b in zip(s, d)),
+        np.int64,
+        len(s),
+    )
+    return pa.table(
+        {
+            "src": t.column("src"),
+            "dst": t.column("dst"),
+            "lab": pa.array(lab, pa.int64()),
+        }
+    )
+
+
+def bridges(
+    graph: Graph,
+    num_buckets: int | None = None,
+    max_depth: int = 10_000,
+    broadcast_max: int = 5_000_000,
+) -> rd.Dataset:
+    """All bridges of the undirected simple graph as canonical
+    (src, dst) rows, src < dst. Requires ``graph.edges`` canonical
+    simple (src < dst, distinct, no self-loops) — the triangle-family
+    certificate. Deterministic (md5-seeded sketch; whp-exact, see
+    module docstring). Packed anti-join keys need n < 3e9.
+    """
+    from parallel_pagerank_ray.pipelines.bfs import bfs_distances_bsp
+    from parallel_pagerank_ray.pipelines.components_actors import (
+        connected_components_bsp,
+    )
+    from parallel_pagerank_ray.stages.agg import resolve_num_buckets
+
+    n = graph.n
+    empty = rd.from_arrow(
+        pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+    )
+    if n == 0:
+        return empty
+    if n > 3_000_000_000:  # pragma: no cover - packed key contract
+        raise ValueError("bridges packed anti-join needs n < 3e9")
+    if num_buckets is None:
+        num_buckets = resolve_num_buckets(graph.edges)
+    edges = graph.edges.select_columns(["src", "dst"]).materialize()
+    if edges.count() == 0:
+        return empty
+
+    # 1. roots = component minima; levels = multi-source BFS; the BFS
+    # tree with the min-parent rule is the spanning forest
+    comp = connected_components_bsp(graph).components
+    roots = grouped_agg(
+        comp.select_columns(["comp"]),
+        ["comp"],
+        {"c": ("comp", "count")},
+        num_buckets=num_buckets,
+    ).select_columns(["comp"]).rename_columns({"comp": "vid"})
+    dep = (
+        bfs_distances_bsp(graph, sources_ds=roots, max_depth=max_depth)
+        .distances.select_columns(["vid", "dist"])
+        .materialize()
+    )
+
+    fc = undirected_edges(edges, dedup=False)
+    j1 = safe_join(
+        fc,
+        dep.rename_columns({"vid": "__u", "dist": "du"}),
+        join_type="inner",
+        num_partitions=8,
+        on=("src",),
+        right_on=("__u",),
+    )
+    j2 = safe_join(
+        j1,
+        dep.rename_columns({"vid": "__v", "dist": "dv"}),
+        join_type="inner",
+        num_partitions=8,
+        on=("dst",),
+        right_on=("__v",),
+    )
+
+    def parent_cand(t: pa.Table) -> pa.Table:
+        du = t.column("du").to_numpy(zero_copy_only=False)
+        dv = t.column("dv").to_numpy(zero_copy_only=False)
+        m = du + 1 == dv  # src one level above dst
+        return pa.table(
+            {
+                "vid": t.column("dst").filter(pa.array(m)),
+                "parent": t.column("src").filter(pa.array(m)),
+                "depth": pa.array(dv[m], pa.int64()),
+            }
+        )
+
+    par = grouped_agg(
+        j2.map_batches(parent_cand, batch_format="pyarrow"),
+        ["vid"],
+        {"parent": ("parent", "min"), "depth": ("depth", "min")},
+        num_buckets=num_buckets,
+    ).materialize()
+
+    def forest_rows(t: pa.Table) -> pa.Table:
+        u = t.column("parent").to_numpy(zero_copy_only=False)
+        v = t.column("vid").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.minimum(u, v), pa.int64()),
+                "dst": pa.array(np.maximum(u, v), pa.int64()),
+            }
+        )
+
+    forest = par.map_batches(forest_rows, batch_format="pyarrow").materialize()
+
+    # 2. non-tree edges + labels
+    def pack(b: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        b["__key"] = b["src"] * np.int64(n) + b["dst"]
+        return b
+
+    nt = anti_join(
+        edges.map_batches(pack, batch_format="numpy"),
+        forest.map_batches(pack, batch_format="numpy").select_columns(
+            ["__key"]
+        ),
+        on="__key",
+    ).select_columns(["src", "dst"])
+    ntl = nt.map_batches(_edge_labels, batch_format="pyarrow")
+
+    # 3. per-vertex value = XOR of incident non-tree labels
+    def incident(t: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [
+                pa.table({"vid": t.column("src"), "lab": t.column("lab")}),
+                pa.table({"vid": t.column("dst"), "lab": t.column("lab")}),
+            ]
+        )
+
+    val = grouped_xor(
+        ntl.map_batches(incident, batch_format="pyarrow"),
+        "vid",
+        "lab",
+        num_buckets=num_buckets,
+    ).materialize()
+    if val.count() == 0:
+        # no non-tree edge anywhere: the graph IS its forest, every
+        # edge is a bridge (also sidesteps Dataset.join's schema-less
+        # empty-side failure mode)
+        return forest
+
+    # fast path: the fold state is (vid, parent, depth, val) — one row
+    # per non-root vertex. Under the broadcast bound, pull it once and
+    # run the bottom-up XOR in numpy (the msf broadcast-path idiom);
+    # the distributed lifting below computes the identical labels and
+    # is force-tested equal at bound 0
+    from parallel_pagerank_ray.util import count_rows_once
+
+    n_par, par = count_rows_once(par)
+    if n_par <= broadcast_max:
+        import ray as _ray
+
+        pt = pa.concat_tables(_ray.get(par.to_arrow_refs()))
+        vt = pa.concat_tables(_ray.get(val.to_arrow_refs()))
+        vids = pt.column("vid").to_numpy(zero_copy_only=False)
+        pars = pt.column("parent").to_numpy(zero_copy_only=False)
+        deps = pt.column("depth").to_numpy(zero_copy_only=False)
+        acc = np.zeros(n, dtype=np.int64)
+        acc[vt.column("vid").to_numpy(zero_copy_only=False)] = vt.column(
+            "lab"
+        ).to_numpy(zero_copy_only=False)
+        order = np.argsort(-deps, kind="stable")
+        vids, pars, deps = vids[order], pars[order], deps[order]
+        labels = np.empty(len(vids), dtype=np.int64)
+        lo = 0
+        while lo < len(vids):
+            hi = lo + int(np.searchsorted(-deps[lo:], -deps[lo], "right"))
+            labels[lo:hi] = acc[vids[lo:hi]]
+            np.bitwise_xor.at(acc, pars[lo:hi], acc[vids[lo:hi]])
+            lo = hi
+        m = labels == 0
+        if not m.any():
+            return empty
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(np.minimum(vids, pars)[m], pa.int64()),
+                    "dst": pa.array(np.maximum(vids, pars)[m], pa.int64()),
+                }
+            )
+        )
+
+    # 4. ancestor pairs via duplicate-free binary lifting: P = proper
+    # ancestors within 2^k steps, J = the exact-2^k jump pointer;
+    # ancestors in (2^k, 2^(k+1)] of x = ancestors within 2^k of
+    # J(x) — disjoint ranges, so the union needs no dedup shuffle
+    maxd_row = dep.max("dist") if dep.count() else None
+    maxd = int(maxd_row) if maxd_row is not None else 0
+    P = (
+        par.select_columns(["vid", "parent"])
+        .rename_columns({"vid": "x", "parent": "a"})
+        .materialize()
+    )
+    J = P  # exact-1 jump
+    horizon = 1
+    while horizon < maxd:
+        shifted = safe_join(
+            J,
+            P.rename_columns({"x": "__m", "a": "b"}),
+            join_type="inner",
+            num_partitions=8,
+            on=("a",),
+            right_on=("__m",),
+        ).select_columns(["x", "b"]).rename_columns({"b": "a"})
+        newJ = safe_join(
+            J,
+            J.rename_columns({"x": "__m", "a": "b"}),
+            join_type="inner",
+            num_partitions=8,
+            on=("a",),
+            right_on=("__m",),
+        ).select_columns(["x", "b"]).rename_columns({"b": "a"})
+        # shifted = ancestors of J(x) within 2^k = ancestors of x at
+        # distances (2^k, 2^(k+1)] — disjoint from P, union is dedup-free
+        P = P.union(shifted).materialize()
+        J = newJ.materialize()
+        horizon *= 2
+
+    # 5. label(edge above v) = val(v) XOR (XOR of val(x) over proper
+    # descendants x): route every x's val to each ancestor, fold
+    desc_vals = safe_join(
+        P,
+        val.rename_columns({"vid": "__v"}),
+        join_type="inner",
+        num_partitions=8,
+        on=("x",),
+        right_on=("__v",),
+    ).select_columns(["a", "lab"]).rename_columns({"a": "vid"})
+    sub = grouped_xor(
+        desc_vals.union(val),
+        "vid",
+        "lab",
+        num_buckets=num_buckets,
+    )
+    lab_edges = safe_join(
+        par,
+        sub.rename_columns({"vid": "__s", "lab": "sub"}),
+        join_type="left_outer",
+        num_partitions=8,
+        on=("vid",),
+        right_on=("__s",),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["parent"].astype(np.int64).to_numpy()
+        v = df["vid"].astype(np.int64).to_numpy()
+        lab = df["sub"].fillna(0).astype(np.int64).to_numpy()
+        m = lab == 0
+        return pd.DataFrame(
+            {
+                "src": np.minimum(u, v)[m],
+                "dst": np.maximum(u, v)[m],
+            }
+        )
+
+    out = lab_edges.map_batches(finish, batch_format="pandas")
+    return drop_empty_blocks(out)

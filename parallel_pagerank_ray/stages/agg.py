@@ -424,3 +424,48 @@ def exact_quantiles(
         pa.table({"q": pa.array(out_q, pa.float64()),
                   "value": pa.array(out_v, pa.int64())})
     )
+
+
+def grouped_xor(
+    ds: rd.Dataset,
+    key: str,
+    col: str,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Distributed per-key bitwise-XOR fold (int64) — XOR is
+    commutative/associative, so the result is order- and
+    partitioning-independent like the algebraic aggregates. Two-level:
+    per-batch reduceat partials, then the bucketed combine. Used by the
+    cycle-space bridge sketch.
+    """
+    if num_buckets is None:
+        num_buckets = resolve_num_buckets(ds)
+
+    def combine(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(k):
+            return pa.table(
+                {key: pa.array([], pa.int64()), col: pa.array([], pa.int64())}
+            )
+        order = np.argsort(k, kind="stable")
+        k, v = k[order], v[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        out = np.bitwise_xor.reduceat(v, starts)
+        return pa.table(
+            {key: pa.array(k[starts], pa.int64()),
+             col: pa.array(out, pa.int64())}
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        r = combine(t)
+        return r.append_column("__b", _bucket_arrow(r, [key], num_buckets))
+
+    def final(g: pa.Table) -> pa.Table:
+        return combine(g.drop_columns(["__b"]))
+
+    return drop_empty_blocks(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(final, batch_format="pyarrow")
+    )

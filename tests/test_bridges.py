@@ -1,0 +1,89 @@
+"""Cycle-space XOR bridge detection vs brute-force edge removal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from parallel_pagerank_ray.pipelines.bridges import bridges
+from parallel_pagerank_ray.pipelines.graph_build import Graph
+from parallel_pagerank_ray.sources.pages import powerlaw_edges
+
+
+def _canon(e):
+    lo = np.minimum(e[:, 0], e[:, 1])
+    hi = np.maximum(e[:, 0], e[:, 1])
+    m = lo != hi
+    return np.unique(np.stack([lo[m], hi[m]], axis=1), axis=0)
+
+
+def _graph(canon):
+    return Graph.from_int_edges(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(canon[:, 0], pa.int64()),
+                    "dst": pa.array(canon[:, 1], pa.int64()),
+                }
+            )
+        ),
+        dedup=False,
+    )
+
+
+def _brute_bridges(n, canon):
+    def ncc(edges):
+        p = list(range(n))
+
+        def find(x):
+            while p[x] != x:
+                p[x] = p[p[x]]
+                x = p[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                p[ra] = rb
+        return len({find(v) for v in range(n)})
+
+    base = ncc(canon)
+    out = set()
+    for i in range(len(canon)):
+        if ncc(np.delete(canon, i, axis=0)) > base:
+            out.add((int(canon[i, 0]), int(canon[i, 1])))
+    return out
+
+
+def _as_set(df):
+    return {(int(a), int(b)) for a, b in zip(df["src"], df["dst"])}
+
+
+def test_bridges_matches_bruteforce_sparse_powerlaw():
+    canon = _canon(powerlaw_edges(60, 2, seed=3))
+    g = _graph(canon)
+    got = _as_set(bridges(g).to_pandas())
+    assert got == _brute_bridges(g.n, canon)
+
+
+def test_bridges_distributed_fold_matches_fast_path():
+    canon = _canon(powerlaw_edges(60, 2, seed=3))
+    a = _as_set(bridges(_graph(canon)).to_pandas())
+    b = _as_set(bridges(_graph(canon), broadcast_max=0).to_pandas())
+    assert a == b
+
+
+def test_bridges_tree_every_edge():
+    # a pure tree has zero non-tree edges: every edge is a bridge
+    canon = np.array([(i, i + 1) for i in range(30)], dtype=np.int64)
+    got = _as_set(bridges(_graph(canon)).to_pandas())
+    assert got == {(i, i + 1) for i in range(30)}
+
+
+def test_bridges_cycle_none():
+    canon = np.array(
+        [(i, i + 1) for i in range(9)] + [(0, 9)], dtype=np.int64
+    )
+    got = bridges(_graph(canon)).to_pandas()
+    assert len(got) == 0
