@@ -320,3 +320,72 @@ def bridges(
 
     out = lab_edges.map_batches(finish, batch_format="pandas")
     return drop_empty_blocks(out)
+
+
+def two_edge_components(
+    graph: Graph,
+    num_buckets: int | None = None,
+    broadcast_max: int = 5_000_000,
+) -> rd.Dataset:
+    """2-edge-connected components: delete every bridge, then label the
+    remaining graph's connected components (the classic bridge-tree
+    construction's vertex side). Output (vid, comp2) for every endpoint
+    of the ORIGINAL edge set — comp2 = min vid of the 2ecc; a vertex
+    isolated by bridge removal is its own singleton class.
+
+    Same input contract and guarantees as ``bridges`` (canonical simple
+    edges; md5-seeded whp-exact sketch). Cost = one bridges() run + one
+    packed anti-join + one BSP connected-components run.
+    """
+    import pyarrow as pa
+
+    from parallel_pagerank_ray.pipelines.components_actors import (
+        connected_components_bsp,
+    )
+    from parallel_pagerank_ray.stages.agg import resolve_num_buckets
+
+    n = graph.n
+    if n == 0:
+        return rd.from_arrow(
+            pa.table(
+                {"vid": pa.array([], pa.int64()),
+                 "comp2": pa.array([], pa.int64())}
+            )
+        )
+    if num_buckets is None:
+        num_buckets = resolve_num_buckets(graph.edges)
+    edges = graph.edges.select_columns(["src", "dst"]).materialize()
+    br = bridges(
+        graph, num_buckets=num_buckets, broadcast_max=broadcast_max
+    ).materialize()
+
+    def pack(b: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        b["__key"] = b["src"] * np.int64(n) + b["dst"]
+        return b
+
+    if br.count():
+        kept = anti_join(
+            edges.map_batches(pack, batch_format="numpy"),
+            br.map_batches(pack, batch_format="numpy").select_columns(
+                ["__key"]
+            ),
+            on="__key",
+        ).select_columns(["src", "dst"]).materialize()
+    else:
+        kept = edges
+    comp = connected_components_bsp(Graph(n=n, edges=kept)).components
+    verts = grouped_agg(
+        undirected_edges(edges, dedup=False),
+        ["src"],
+        {"c": ("dst", "count")},
+        num_buckets=num_buckets,
+    ).select_columns(["src"]).rename_columns({"src": "vid"})
+    out = safe_join(
+        verts,
+        comp.rename_columns({"vid": "__v", "comp": "comp2"}),
+        join_type="inner",
+        num_partitions=8,
+        on=("vid",),
+        right_on=("__v",),
+    ).select_columns(["vid", "comp2"])
+    return drop_empty_blocks(out)

@@ -87,3 +87,38 @@ def test_bridges_cycle_none():
     )
     got = bridges(_graph(canon)).to_pandas()
     assert len(got) == 0
+
+
+def test_two_edge_components_matches_bruteforce():
+    from parallel_pagerank_ray.pipelines.bridges import two_edge_components
+
+    canon = _canon(powerlaw_edges(60, 2, seed=3))
+    g = _graph(canon)
+    br = _brute_bridges(g.n, canon)
+    kept = np.array(
+        [(a, b) for a, b in canon if (int(a), int(b)) not in br],
+        dtype=np.int64,
+    )
+    # brute 2ecc: CC over kept, restricted to original endpoints
+    p = list(range(g.n))
+
+    def find(x):
+        while p[x] != x:
+            p[x] = p[p[x]]
+            x = p[x]
+        return x
+
+    for a, b in kept:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            p[ra] = rb
+    # min-vid labels
+    mins: dict = {}
+    for v in range(g.n):
+        r = find(v)
+        mins[r] = min(mins.get(r, v), v)
+    verts = sorted({int(v) for e in canon for v in e})
+    want = {v: mins[find(v)] for v in verts}
+    got = two_edge_components(g).to_pandas()
+    gm = {int(r.vid): int(r.comp2) for r in got.itertuples()}
+    assert gm == want
