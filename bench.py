@@ -395,6 +395,19 @@ def bench_queries() -> dict[str, float]:
         "jaccard_sparsify_copurchase",
         "bpe_merges",
         "bpe_token_counts",
+        "market_share",
+        "peak_concurrency",
+        "event_transitions",
+        "four_cycles",
+        "bm25_search",
+        "rrf_fusion",
+        "linkpred_train",
+        "edge_betweenness",
+        "robustness_curve",
+        "percolation_curve",
+        "table_profile",
+        "bridges",
+        "two_edge_components",
     ]
     qs = E.queries()
     out: dict[str, float] = {}
