@@ -3287,6 +3287,29 @@ def q_table_profile(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_anomalous_hours(sf_dir: str) -> rd.Dataset:
+    """Traffic-anomaly hours (count deviates > 2 sigma from the mean)
+    via exact integer cross-multiplication — no float mean/std ever
+    exists (pipelines/events.py::anomalous_hours)."""
+    from parallel_pagerank_ray.pipelines.events import anomalous_hours
+    from parallel_pagerank_ray.pipelines.relational import read_table
+
+    return anomalous_hours(read_table(sf_dir, "events", ["ts"]))
+
+
+def q_joint_degree_matrix(sf_dir: str) -> rd.Dataset:
+    """Joint degree distribution of the co-purchase graph in
+    power-of-two bands (band = integer floor-log2 via power-boundary
+    searchsorted) — (band_lo, band_hi, n_edges)
+    (pipelines/graph_build.py::joint_degree_matrix)."""
+    from parallel_pagerank_ray.pipelines.graph_build import (
+        joint_degree_matrix,
+    )
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return joint_degree_matrix(g.edges)
+
+
 def q_retention_cohorts(sf_dir: str) -> rd.Dataset:
     """Cohort retention triangle over events: users by first-active
     day x active day — `pipelines/events.py::retention_cohorts`."""
@@ -4194,6 +4217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quota_mix": q_quota_mix,
         "peak_concurrency": q_peak_concurrency,
         "event_transitions": q_event_transitions,
+        "anomalous_hours": q_anomalous_hours,
+        "joint_degree_matrix": q_joint_degree_matrix,
         "rrf_fusion": q_rrf_fusion,
         "table_profile": q_table_profile,
         "retention_cohorts": q_retention_cohorts,
@@ -6212,6 +6237,25 @@ def oracle_sql() -> dict[str, str]:
               )
             SELECT vid, comp AS comp2 FROM cc2
             WHERE it = (SELECT max(it) FROM cc2)
+        """,
+        "joint_degree_matrix": f"""
+            WITH c AS MATERIALIZED ({_COPURCHASE_SQL}),
+            sym AS (SELECT src, dst FROM c
+                    UNION ALL SELECT dst, src FROM c),
+            degr AS (SELECT src AS vid,
+                            CAST(count(*) AS BIGINT) AS deg
+                     FROM sym GROUP BY 1),
+            bands AS (SELECT vid,
+                             CAST(length(printf('%b', deg)) - 1
+                               AS BIGINT) AS band
+                      FROM degr)
+            SELECT least(a.band, b.band) AS band_lo,
+                   greatest(a.band, b.band) AS band_hi,
+                   CAST(count(*) AS BIGINT) AS n_edges
+            FROM c
+            JOIN bands a ON a.vid = c.src
+            JOIN bands b ON b.vid = c.dst
+            GROUP BY 1, 2
         """,
         "partition_cut": f"""
             WITH c AS MATERIALIZED ({_COPURCHASE_SQL}),
@@ -8607,6 +8651,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT prev_type, event_type AS next_type,
                    CAST(count(*) AS BIGINT) AS n
             FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        """,
+        "anomalous_hours": """
+            WITH hourly AS (
+              SELECT (epoch_us(ts) // 3600000000) * 3600000000
+                       AS hour_us,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(cnt) AS BIGINT) AS s,
+                           CAST(sum(cnt * cnt) AS BIGINT) AS s2
+                    FROM hourly)
+            SELECT h.hour_us, h.cnt
+            FROM hourly h, tot t
+            WHERE (h.cnt * t.n - t.s) * (h.cnt * t.n - t.s)
+                  > 4 * (t.n * t.s2 - t.s * t.s)
         """,
         "peak_concurrency": """
             WITH deltas AS (

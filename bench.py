@@ -408,6 +408,8 @@ def bench_queries() -> dict[str, float]:
         "table_profile",
         "bridges",
         "two_edge_components",
+        "anomalous_hours",
+        "joint_degree_matrix",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

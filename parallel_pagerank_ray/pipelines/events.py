@@ -748,3 +748,72 @@ def event_transitions(events: rd.Dataset) -> rd.Dataset:
         {"n": ("n", "sum")},
         num_buckets=8,
     )
+
+
+def anomalous_hours(events: rd.Dataset, k_sigma: int = 2) -> rd.Dataset:
+    """Hours whose event count deviates from the corpus mean by more
+    than ``k_sigma`` standard deviations — the basic traffic-anomaly
+    screen, computed EXACTLY in integers (no float mean/std ever
+    exists):
+
+        flag(x)  <=>  (x*N - S)^2 * 1 > k^2 * (N*S2 - S^2) / N ...
+        cleared of denominators:  N * (x*N - S)^2 > k^2 * N * (N*S2 - S^2) / N
+        i.e.  (x*N - S)^2 > k^2 * (N*S2 - S^2)
+
+    with N = #hours, S = sum of counts, S2 = sum of squared counts
+    ((x - S/N)^2 > k^2 * (S2/N - (S/N)^2) cross-multiplied by N^2).
+    Output (hour_us, cnt) for flagged hours. int64 contract:
+    k^2 * N * S2 must fit (validated) — at web scale pre-aggregate per
+    shard, the sufficient statistic is three scalars.
+
+    Scale shape: one bucketed hourly combine + one 3-scalar global
+    fold + one stateless filter — no shuffle beyond the hourly counts.
+    """
+    hourly = grouped_agg(
+        events.select_columns(["ts"]).map_batches(
+            lambda t: pa.table(
+                {
+                    "hour_us": pc.multiply(
+                        pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                                  pa.scalar(3_600_000_000, pa.int64())),
+                        pa.scalar(3_600_000_000, pa.int64()),
+                    ),
+                    "one": pa.array(
+                        np.ones(t.num_rows, np.int64), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["hour_us"],
+        {"cnt": ("one", "sum")},
+    ).materialize()
+
+    from parallel_pagerank_ray.stages.agg import global_agg
+
+    def sq(t: pa.Table) -> pa.Table:
+        c = t.column("cnt")
+        return pa.table(
+            {"cnt": c, "cnt2": pc.multiply(c, c)}
+        )
+
+    g = global_agg(
+        hourly.map_batches(sq, batch_format="pyarrow"),
+        {"n": ("cnt", "count"), "s": ("cnt", "sum"), "s2": ("cnt2", "sum")},
+    )
+    n, s, s2 = int(g["n"] or 0), int(g["s"] or 0), int(g["s2"] or 0)
+    if n == 0:
+        return hourly.filter(expr="cnt < 0")  # empty, schema kept
+    if k_sigma * k_sigma * n * s2 > 2**62:
+        raise ValueError(
+            "anomalous_hours int64 overflow: pre-scale the counts"
+        )
+    thresh = k_sigma * k_sigma * (n * s2 - s * s)
+
+    def flag(t: pa.Table) -> pa.Table:
+        x = t.column("cnt").to_numpy(zero_copy_only=False)
+        dev = x * n - s
+        keep = dev * dev > thresh
+        return t.filter(pa.array(keep))
+
+    return hourly.map_batches(flag, batch_format="pyarrow")

@@ -717,3 +717,78 @@ def attribute_mixing(
         {"n": ("src_attr", "count")},
         num_buckets=num_buckets,
     )
+
+
+def joint_degree_matrix(
+    edges: rd.Dataset, num_buckets: int | None = None
+) -> rd.Dataset:
+    """Joint degree distribution of the undirected simple graph in
+    power-of-two bands: one row per unordered band pair with the edge
+    count — the assortativity profile a crawl-graph report leads with.
+    Output (band_lo, band_hi, n_edges), band = floor(log2(degree))
+    computed in INTEGER arithmetic (a power-boundary searchsorted, not
+    float log2 — libm rounding can't flip a boundary).
+
+    ``edges`` must be canonical simple (src < dst, distinct). Scale
+    shape: one degree combine, two degree attaches on the canonical
+    edge table, one tiny band-pair combine.
+    """
+    from parallel_pagerank_ray.stages.agg import grouped_agg, resolve_num_buckets
+    from parallel_pagerank_ray.util import safe_join
+
+    if num_buckets is None:
+        num_buckets = resolve_num_buckets(edges)
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    deg = grouped_agg(
+        undirected_edges(edges, dedup=False),
+        ["src"],
+        {"deg": ("dst", "count")},
+        num_buckets=num_buckets,
+    )
+    pows = np.int64(2) ** np.arange(62, dtype=np.int64)
+
+    def banded(t: pa.Table) -> pa.Table:
+        d = t.column("deg").to_numpy(zero_copy_only=False)
+        band = np.searchsorted(pows, d, side="right") - 1
+        return pa.table(
+            {
+                "vid": t.column("src"),
+                "band": pa.array(band.astype(np.int64), pa.int64()),
+            }
+        )
+
+    bands = deg.map_batches(banded, batch_format="pyarrow")
+    j1 = safe_join(
+        edges,
+        bands.rename_columns({"vid": "__u", "band": "ba"}),
+        join_type="inner",
+        num_partitions=8,
+        on=("src",),
+        right_on=("__u",),
+    )
+    j2 = safe_join(
+        j1,
+        bands.rename_columns({"vid": "__v", "band": "bb"}),
+        join_type="inner",
+        num_partitions=8,
+        on=("dst",),
+        right_on=("__v",),
+    )
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        a = t.column("ba").to_numpy(zero_copy_only=False)
+        b = t.column("bb").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "band_lo": pa.array(np.minimum(a, b), pa.int64()),
+                "band_hi": pa.array(np.maximum(a, b), pa.int64()),
+                "one": pa.array(np.ones(len(a), np.int64), pa.int64()),
+            }
+        )
+
+    return grouped_agg(
+        j2.map_batches(pair_rows, batch_format="pyarrow"),
+        ["band_lo", "band_hi"],
+        {"n_edges": ("one", "sum")},
+        num_buckets=8,
+    )

@@ -1161,3 +1161,29 @@ def test_table_profile_all_null_column():
         .set_index("col_name")
     )
     assert got.loc["b"].tolist() == [2, 2, 0, 0, 0, 0]
+
+
+def test_anomalous_hours_matches_pandas():
+    from parallel_pagerank_ray.pipelines.events import anomalous_hours
+
+    rng = np.random.default_rng(5)
+    n = 400
+    ts = rng.integers(0, 50 * 3600, n) * 1_000_000
+    ts[:30] = 7 * 3600 * 1_000_000 + rng.integers(0, 3600, 30) * 1_000_000
+    df = pd.DataFrame(
+        {"ts": pd.to_datetime(ts, unit="us").astype("datetime64[us]")}
+    )
+    got = (
+        anomalous_hours(
+            rd.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+        )
+        .to_pandas()
+        .sort_values("hour_us")
+        .reset_index(drop=True)
+    )
+    hours = (ts // 3_600_000_000) * 3_600_000_000
+    vc = pd.Series(hours).value_counts()
+    nn, s, s2 = len(vc), int(vc.sum()), int((vc**2).sum())
+    want = vc[(vc * nn - s) ** 2 > 4 * (nn * s2 - s * s)].sort_index()
+    assert got["hour_us"].tolist() == want.index.tolist()
+    assert got["cnt"].tolist() == want.tolist()

@@ -110,3 +110,47 @@ def test_attribute_mixing_matrix():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(slow, want, check_dtype=False)
+
+
+def test_joint_degree_matrix_matches_numpy():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.pipelines.graph_build import (
+        joint_degree_matrix,
+    )
+    from parallel_pagerank_ray.sources.pages import powerlaw_edges
+
+    e = powerlaw_edges(80, 4, seed=2)
+    lo = np.minimum(e[:, 0], e[:, 1])
+    hi = np.maximum(e[:, 0], e[:, 1])
+    m = lo != hi
+    canon = np.unique(np.stack([lo[m], hi[m]], axis=1), axis=0)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(canon[:, 0], pa.int64()),
+                "dst": pa.array(canon[:, 1], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    got = (
+        joint_degree_matrix(ds)
+        .to_pandas()
+        .sort_values(["band_lo", "band_hi"])
+        .reset_index(drop=True)
+    )
+    deg = np.zeros(canon.max() + 1, dtype=np.int64)
+    for a, b in canon:
+        deg[a] += 1
+        deg[b] += 1
+    band = np.int64(np.floor(np.log2(deg, where=deg > 0)))
+    want: dict = {}
+    for a, b in canon:
+        k = (min(band[a], band[b]), max(band[a], band[b]))
+        want[k] = want.get(k, 0) + 1
+    assert {
+        (int(r.band_lo), int(r.band_hi)): int(r.n_edges)
+        for r in got.itertuples()
+    } == want
