@@ -3287,6 +3287,19 @@ def q_table_profile(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_jaccard_set_join(sf_dir: str) -> rd.Dataset:
+    """Exact Jaccard >= 1/2 self-join over word-5-shingle sets with
+    df-ordered prefix filtering (PPJoin-style lossless candidate
+    pruning): (doc_a, doc_b, inter, size_a, size_b), all-integer —
+    candidates come only from each doc's rarest shingles, then exact
+    verification (pipelines/dedup.py::set_similarity_join)."""
+    from parallel_pagerank_ray.pipelines.dedup import set_similarity_join
+
+    return set_similarity_join(
+        _documents(sf_dir, ["doc_id", "text"]), k=5, tau_num=1, tau_den=2
+    )
+
+
 def q_anomalous_hours(sf_dir: str) -> rd.Dataset:
     """Traffic-anomaly hours (count deviates > 2 sigma from the mean)
     via exact integer cross-multiplication — no float mean/std ever
@@ -4235,6 +4248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": q_doc_repetition,
         "neighbor_sample": q_neighbor_sample,
         "price_band_match": q_price_band_match,
+        "jaccard_set_join": q_jaccard_set_join,
     }
 
 
@@ -9304,5 +9318,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON n.n_nationkey = c.c_nationkey
             JOIN region r ON r.r_regionkey = n.n_regionkey
             GROUP BY 1, 2
+        """,
+        # exact all-pairs replay of the prefix-filtered set-similarity
+        # join: same tokenizer (TOKEN_SQL), same word-5-shingles (strict
+        # left fold join), same integer threshold predicate. The engine's
+        # prefix filter is lossless, so the naive O(n^2) oracle and the
+        # candidate-pruned engine agree row-for-row.
+        "jaccard_set_join": f"""
+            WITH l AS (SELECT doc_id,
+                       regexp_extract_all(lower(text), '{TOKEN_SQL}') AS l
+                       FROM documents),
+             sh AS (SELECT DISTINCT doc_id,
+                    unnest([list_reduce(l[i:i+4], (a, b) -> a || ' ' || b)
+                            for i in range(1, len(l) - 3)]) AS shingle
+                    FROM l),
+             sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY 1),
+             inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                              count(*) AS inter
+                       FROM sh a JOIN sh b USING (shingle)
+                       WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+                   CAST(sa.s AS BIGINT) AS size_a,
+                   CAST(sb.s AS BIGINT) AS size_b
+            FROM inter
+            JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+            WHERE inter * 2 >= 1 * (sa.s + sb.s - inter)
         """,
     }

@@ -410,6 +410,7 @@ def bench_queries() -> dict[str, float]:
         "two_edge_components",
         "anomalous_hours",
         "joint_degree_matrix",
+        "jaccard_set_join",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -954,3 +954,331 @@ def shingle_novelty(docs: rd.Dataset, k: int = 5) -> rd.Dataset:
         )
 
     return j.map_batches(fin, batch_format="pandas")
+
+
+def _word_shingle_rows(docs: rd.Dataset, k: int) -> rd.Dataset:
+    """(doc_id, shingle) rows — DISTINCT lowercase word k-grams per doc.
+
+    Tokens are ``[A-Za-z0-9_]+`` runs (textstats.TOKEN_RE — the
+    SQL-reproducible tokenizer); a shingle is k consecutive tokens
+    joined by one space. Docs with fewer than k tokens emit nothing.
+    Stateless flat map; the regex compiles once per task closure.
+    """
+    import re
+
+    from parallel_pagerank_ray.functions.textstats import TOKEN_RE
+
+    token_re = re.compile(TOKEN_RE)
+
+    def stage(b: pd.DataFrame) -> pa.Table:
+        ids: list[int] = []
+        shs: list[str] = []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            toks = token_re.findall(str(text).lower())
+            ss = {
+                " ".join(toks[i : i + k])
+                for i in range(len(toks) - k + 1)
+            }
+            ids.extend([int(doc_id)] * len(ss))
+            shs.extend(ss)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "shingle": pa.array(shs, pa.string()),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        stage, batch_format="pandas"
+    )
+
+
+def set_similarity_join(
+    docs: rd.Dataset,
+    k: int = 5,
+    tau_num: int = 1,
+    tau_den: int = 2,
+    num_buckets: int | None = None,
+    max_group: int | None = None,
+    broadcast_max: int = 2_000_000,
+) -> rd.Dataset:
+    """EXACT Jaccard-threshold self-join over word-k-shingle sets with
+    df-ordered prefix filtering (the PPJoin family's lossless filter).
+
+    Output: (doc_a, doc_b, inter, size_a, size_b) for every doc pair
+    with Jaccard(A, B) = inter/union >= tau_num/tau_den, doc_a < doc_b —
+    all-integer, so the DuckDB all-pairs oracle matches hash-exact.
+    Unlike ``minhash_lsh_candidates`` (probabilistic recall) or
+    ``shingle_jaccard_pairs`` (caller-blocked), this is the exact
+    global join.
+
+    Scale shape (beyond-reference; the reference has no set-similarity
+    operator): a doc's CANDIDATE key set is only its prefix — the
+    p = s - ceil(tau*s) + 1 globally RAREST shingles under the total
+    order (df ASC, shingle ASC). Two sets with J >= tau must share a
+    prefix shingle (pigeonhole on the ceil(tau*s) suppressed suffix), so
+    the filter is lossless; prefix shingle groups are rare by
+    construction, so candidate generation never touches the boilerplate
+    head of the df distribution. Stages: one shingle flat-map, then
+    exactly THREE bucketed shuffles of small rows — (1) by shingle:
+    df attached as a per-group transform (no separate groupby + join),
+    (2) by doc: the per-doc prefix prune (vectorized cumcount mask),
+    (3) by shingle: in-bucket pair generation (pairs_within_groups,
+    same kernel as LSH; exact in-group shingle identity via factorize,
+    no hash folding) with the set sizes CARRIED on the pair rows so no
+    size-attach join ever runs — then exact verification = two joins +
+    one grouped count over candidate x shingle rows only. No O(n^2)
+    step; cost tracks candidate volume, which the length filter
+    (den*min_size >= num*max_size) additionally prunes.
+
+    Contract: run ``exact_dedup`` first at crawl scale — exact-duplicate
+    clusters legitimately produce quadratic output (every pair has
+    J = 1), so the pair count is a property of the data, not the
+    algorithm. ``max_group`` mirrors the LSH hub guard for the
+    candidate stage (prefix-shingle groups larger than the cap emit no
+    pairs; recall-affecting, telemetry via the returned drop being
+    observable in a df query — default None = exact).
+
+    ``broadcast_max``: when the RAW candidate-pair volume is under the
+    bound, verification runs driver-side in pandas on only the
+    candidate docs' shingle rows (semi-filtered by a broadcast doc-id
+    set — one streaming pass, no shuffle); past it, the distributed
+    path (distinct -> two joins -> grouped count) computes the
+    identical rows and is force-tested equal at bound 0.
+    """
+    from parallel_pagerank_ray.pipelines.graph_build import (
+        _default_join_partitions,
+    )
+    from parallel_pagerank_ray.util import safe_join
+
+    if not (0 < tau_num <= tau_den):
+        raise ValueError("need 0 < tau_num/tau_den <= 1")
+    nparts = _default_join_partitions()
+    tok = _word_shingle_rows(docs, k).materialize()
+    if num_buckets is None:
+        num_buckets = resolve_num_buckets(tok)
+
+    from parallel_pagerank_ray.stages.agg import bucket_of
+
+    # shuffle 1 (by shingle): every row of a shingle lands in one
+    # bucket, so df is a local per-group transform — no groupby + join
+    def sh_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame()
+        b = b.copy()
+        b["__b"] = bucket_of(b, ["shingle"], num_buckets)
+        return b
+
+    def with_df(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").copy()
+        g["df"] = (
+            g.groupby("shingle", sort=False)["doc_id"]
+            .transform("size")
+            .astype(np.int64)
+        )
+        return g
+
+    wd = (
+        tok.map_batches(sh_bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(with_df, batch_format="pandas")
+    )
+
+    # shuffle 2 (by doc): per-doc prefix = the p rarest shingles under
+    # the (df ASC, shingle ASC) total order
+    def doc_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame()
+        b = b.copy()
+        b["__b"] = bucket_of(b, ["doc_id"], num_buckets)
+        return b
+
+    def prefix(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["doc_id", "df", "shingle"], kind="stable"
+        ).reset_index(drop=True)
+        grp = g.groupby("doc_id", sort=False)
+        s = grp["shingle"].transform("size").to_numpy(np.int64)
+        pos = grp.cumcount().to_numpy(np.int64)
+        p = s - (tau_num * s + tau_den - 1) // tau_den + 1
+        keep = pos < p
+        out = g.loc[keep, ["doc_id", "shingle"]].copy()
+        out["s"] = s[keep]
+        return out
+
+    pre = (
+        wd.map_batches(doc_bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(prefix, batch_format="pandas")
+    )
+
+    # shuffle 3 (by shingle): pairs within each prefix-shingle group.
+    # In-group shingle identity via factorize (exact string grouping,
+    # no hash folding); ids ascend within a group, so pairs come out
+    # canonical doc_a < doc_b, and each side's set size rides along so
+    # the output needs no size-attach join.
+    def cand_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_a": np.array([], np.int64),
+                    "doc_b": np.array([], np.int64),
+                    "size_a": np.array([], np.int64),
+                    "size_b": np.array([], np.int64),
+                }
+            )
+        g = g.drop(columns="__b")
+        codes = pd.factorize(g["shingle"], sort=False)[0].astype(np.int64)
+        ids = g["doc_id"].to_numpy(np.int64)
+        ss = g["s"].to_numpy(np.int64)
+        a, b = pairs_within_groups((codes, ids), ids, max_group=max_group)
+        sa, sb = pairs_within_groups((codes, ids), ss, max_group=max_group)
+        # length filter: J >= tau needs min_size*den >= max_size*num
+        m = np.minimum(sa, sb) * tau_den >= np.maximum(sa, sb) * tau_num
+        return pd.DataFrame(
+            {"doc_a": a[m], "doc_b": b[m], "size_a": sa[m], "size_b": sb[m]}
+        )
+
+    raw = drop_empty_blocks(
+        pre.map_batches(sh_bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(cand_pairs, batch_format="pandas")
+    )
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "inter": pa.array([], pa.int64()),
+                "size_a": pa.array([], pa.int64()),
+                "size_b": pa.array([], pa.int64()),
+            }
+        )
+    )
+    from parallel_pagerank_ray.util import count_rows_once
+
+    n_raw, raw = count_rows_once(raw)
+    if n_raw == 0:
+        return empty
+
+    if n_raw <= broadcast_max:
+        # fast path: candidates fit the driver bound. Pull the pairs,
+        # semi-filter the shingle table to candidate docs with ONE
+        # broadcast streaming pass (no shuffle), verify with vectorized
+        # pandas merges — identical rows to the distributed tail below
+        # (force-tested at bound 0).
+        import ray as _ray
+
+        cdf = (
+            pa.concat_tables(
+                _ray.get(raw.to_arrow_refs()), promote_options="default"
+            )
+            .to_pandas()
+            .drop_duplicates(["doc_a", "doc_b"])
+        )
+        doc_ids = np.unique(
+            np.concatenate(
+                [cdf["doc_a"].to_numpy(np.int64), cdf["doc_b"].to_numpy(np.int64)]
+            )
+        )
+        ids_ref = _ray.put(doc_ids)
+
+        def semi(t: pa.Table) -> pa.Table:
+            import ray as _r
+
+            keep_ids = _r.get(ids_ref)
+            d = t.column("doc_id").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keep_ids, d)
+            ok = pos < len(keep_ids)
+            m = np.zeros(len(d), dtype=bool)
+            m[ok] = keep_ids[pos[ok]] == d[ok]
+            return t.filter(pa.array(m))
+
+        tdf = pa.concat_tables(
+            _ray.get(
+                tok.map_batches(semi, batch_format="pyarrow")
+                .materialize()
+                .to_arrow_refs()
+            ),
+            promote_options="default",
+        ).to_pandas()
+        m1 = cdf.merge(
+            tdf.rename(columns={"doc_id": "doc_a"}), on="doc_a"
+        )
+        m2 = m1.merge(
+            tdf.rename(columns={"doc_id": "doc_b"}), on=["doc_b", "shingle"]
+        )
+        grp = (
+            m2.groupby(["doc_a", "doc_b", "size_a", "size_b"], sort=False)
+            .size()
+            .reset_index(name="inter")
+        )
+        it = grp["inter"].to_numpy(np.int64)
+        sa = grp["size_a"].to_numpy(np.int64)
+        sb = grp["size_b"].to_numpy(np.int64)
+        mth = it * tau_den >= tau_num * (sa + sb - it)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array(
+                        grp["doc_a"].to_numpy(np.int64)[mth], pa.int64()
+                    ),
+                    "doc_b": pa.array(
+                        grp["doc_b"].to_numpy(np.int64)[mth], pa.int64()
+                    ),
+                    "inter": pa.array(it[mth], pa.int64()),
+                    "size_a": pa.array(sa[mth], pa.int64()),
+                    "size_b": pa.array(sb[mth], pa.int64()),
+                }
+            )
+        )
+
+    cands = distinct(
+        raw,
+        ["doc_a", "doc_b", "size_a", "size_b"],
+        num_buckets=num_buckets,
+    ).materialize()
+
+    # exact verify: |A ∩ B| = matched (candidate, shingle) rows; the
+    # carried sizes ride through both joins and the grouped count
+    ca = safe_join(
+        cands,
+        tok.rename_columns({"doc_id": "__a"}),
+        join_type="inner",
+        num_partitions=nparts,
+        on=("doc_a",),
+        right_on=("__a",),
+    )
+    matched = safe_join(
+        ca,
+        tok.rename_columns({"doc_id": "__d", "shingle": "__sh"}),
+        join_type="inner",
+        num_partitions=nparts,
+        on=("doc_b", "shingle"),
+        right_on=("__d", "__sh"),
+    )
+    inter = grouped_agg(
+        matched.select_columns(["doc_a", "doc_b", "size_a", "size_b"]),
+        ["doc_a", "doc_b", "size_a", "size_b"],
+        {"inter": ("doc_a", "count")},
+        num_buckets=num_buckets,
+    )
+
+    def thresh(t: pa.Table) -> pa.Table:
+        it = t.column("inter").to_numpy(zero_copy_only=False)
+        sa = t.column("size_a").to_numpy(zero_copy_only=False)
+        sb = t.column("size_b").to_numpy(zero_copy_only=False)
+        m = it * tau_den >= tau_num * (sa + sb - it)
+        return pa.table(
+            {
+                "doc_a": t.column("doc_a").filter(pa.array(m)),
+                "doc_b": t.column("doc_b").filter(pa.array(m)),
+                "inter": pa.array(it[m], pa.int64()),
+                "size_a": pa.array(sa[m], pa.int64()),
+                "size_b": pa.array(sb[m], pa.int64()),
+            }
+        )
+
+    out = inter.map_batches(thresh, batch_format="pyarrow")
+    return drop_empty_blocks(out)

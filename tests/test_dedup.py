@@ -394,3 +394,95 @@ def test_shingle_novelty_semantics():
     # doc2 windows: abcdX bcdXY cdXYZ dXYZW — none equal doc0's -> 4
     assert got["n_novel"].tolist() == [4, 0, 4]
     assert got.loc[0, "novelty"] == 1.0 and got.loc[1, "novelty"] == 0.0
+
+
+def _naive_set_join(texts, k, tau_num, tau_den):
+    """O(n^2) reference for set_similarity_join (word k-shingles)."""
+    import re
+
+    sets = []
+    for t in texts:
+        toks = re.findall(r"[A-Za-z0-9_]+", t.lower())
+        sets.append(
+            {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+        )
+    out = []
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i]) + len(sets[j]) - inter
+            if union and inter * tau_den >= tau_num * union:
+                out.append((i, j, inter, len(sets[i]), len(sets[j])))
+    return sorted(out)
+
+
+def _rows(ds):
+    df = ds.to_pandas()
+    return sorted(
+        zip(
+            df["doc_a"].astype(int),
+            df["doc_b"].astype(int),
+            df["inter"].astype(int),
+            df["size_a"].astype(int),
+            df["size_b"].astype(int),
+        )
+    )
+
+
+def test_set_similarity_join_exact(docs_ds):
+    """Prefix-filtered join == naive all-pairs (planted dups found)."""
+    texts = docs_ds.to_pandas().sort_values("doc_id")["text"].tolist()
+    exp = _naive_set_join(texts, 3, 1, 2)
+    got = _rows(dedup.set_similarity_join(docs_ds, k=3, tau_num=1, tau_den=2))
+    assert got == exp
+    # the planted exact dups (0,40,41) and near-dup (1,42) must appear
+    pairs = {(a, b) for a, b, *_ in got}
+    assert (0, 40) in pairs and (0, 41) in pairs and (40, 41) in pairs
+    assert (1, 42) in pairs
+
+
+def test_set_similarity_join_path_parity(docs_ds):
+    """Distributed tail (broadcast_max=0) == driver fast path."""
+    fast = _rows(dedup.set_similarity_join(docs_ds, k=3, tau_num=7, tau_den=10))
+    dist = _rows(
+        dedup.set_similarity_join(
+            docs_ds, k=3, tau_num=7, tau_den=10, broadcast_max=0
+        )
+    )
+    assert fast == dist
+
+
+def test_set_similarity_join_max_group_caps_hub():
+    """A boilerplate shingle shared by every doc emits no pairs when its
+    prefix group exceeds max_group; disjoint docs are unaffected."""
+    boiler = "alpha beta gamma delta epsilon"
+    texts = [f"{boiler} unique{i} tail{i} word{i} row{i} end{i}" for i in range(30)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(30), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+    uncapped = dedup.set_similarity_join(ds, k=5, tau_num=1, tau_den=12)
+    capped = dedup.set_similarity_join(
+        ds, k=5, tau_num=1, tau_den=12, max_group=5
+    )
+    # every pair shares exactly the boilerplate shingle; with the cap the
+    # shared-prefix group (size 30) is dropped, so no candidates survive
+    assert uncapped.count() == 30 * 29 // 2
+    assert capped.count() == 0
+
+
+def test_set_similarity_join_empty_and_tau_validation():
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+        )
+    )
+    assert dedup.set_similarity_join(ds).count() == 0
+    with pytest.raises(ValueError):
+        dedup.set_similarity_join(ds, tau_num=0)
+    with pytest.raises(ValueError):
+        dedup.set_similarity_join(ds, tau_num=3, tau_den=2)
