@@ -3300,6 +3300,18 @@ def q_jaccard_set_join(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_inter_event_gaps(sf_dir: str) -> rd.Dataset:
+    """Per-user inter-arrival stats (count/min/max/sum + discrete
+    median of gap microseconds) — the window-lag family in ONE
+    user-bucketed shuffle (pipelines/events.py::inter_event_gaps)."""
+    from parallel_pagerank_ray.pipelines.events import inter_event_gaps
+    from parallel_pagerank_ray.pipelines.relational import read_table
+
+    return inter_event_gaps(
+        read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+    )
+
+
 def q_anomalous_hours(sf_dir: str) -> rd.Dataset:
     """Traffic-anomaly hours (count deviates > 2 sigma from the mean)
     via exact integer cross-multiplication — no float mean/std ever
@@ -4249,6 +4261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighbor_sample": q_neighbor_sample,
         "price_band_match": q_price_band_match,
         "jaccard_set_join": q_jaccard_set_join,
+        "inter_event_gaps": q_inter_event_gaps,
     }
 
 
@@ -9344,5 +9357,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = doc_a
             JOIN sz sb ON sb.doc_id = doc_b
             WHERE inter * 2 >= 1 * (sa.s + sb.s - inter)
+        """,
+        # window-lag replay: gap = t - lag(t) over the same
+        # (user_id, ts, event_id) total order; quantile_disc matches
+        # the engine's ceil(n/2)-1 sorted-index rule
+        "inter_event_gaps": """
+            WITH g AS (
+              SELECT user_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS gap
+              FROM events),
+            gg AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL)
+            SELECT user_id,
+                   CAST(count(*) + 1 AS BIGINT) AS n_events,
+                   CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(min(gap) AS BIGINT) AS gap_min_us,
+                   CAST(max(gap) AS BIGINT) AS gap_max_us,
+                   CAST(sum(gap) AS BIGINT) AS gap_sum_us,
+                   CAST(quantile_disc(gap, 0.5) AS BIGINT) AS gap_p50_us
+            FROM gg GROUP BY 1
         """,
     }

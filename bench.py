@@ -411,6 +411,7 @@ def bench_queries() -> dict[str, float]:
         "anomalous_hours",
         "joint_degree_matrix",
         "jaccard_set_join",
+        "inter_event_gaps",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -817,3 +817,87 @@ def anomalous_hours(events: rd.Dataset, k_sigma: int = 2) -> rd.Dataset:
         return t.filter(pa.array(keep))
 
     return hourly.map_batches(flag, batch_format="pyarrow")
+
+
+def inter_event_gaps(events: rd.Dataset) -> rd.Dataset:
+    """Per-user inter-arrival statistics — the window-lag family
+    (``t - lag(t) OVER (PARTITION BY user_id ORDER BY ts, event_id)``)
+    folded to one row per user with >= 2 events:
+
+        (user_id, n_events, n_gaps, gap_min_us, gap_max_us,
+         gap_sum_us, gap_p50_us)
+
+    All integer microseconds (exact); gap_p50_us follows the repo's
+    quantile_disc rule — sorted-gap element at index ceil(0.5*n) - 1 —
+    so the DuckDB oracle matches hash-exact.
+
+    Scale shape: ONE hash shuffle keyed by user_id % B (same contract
+    as running_window / sessionize: one user's events fit a worker);
+    the per-bucket kernel is a single lexsort, one vectorized diff, and
+    C-implemented pandas groupby folds — no per-user Python. The median
+    needs no second shuffle: gaps are already co-located per user, so a
+    (user, gap) sort + cumcount index-pick inside the same kernel is
+    exact.
+    """
+    num_buckets = resolve_num_buckets(events)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": uid,
+                "ts": df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+                "bucket": (uid % num_buckets).astype(np.int64),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (g["event_id"].to_numpy(), g["ts"].to_numpy(), g["user_id"].to_numpy())
+        )
+        uid = g["user_id"].to_numpy()[order]
+        t = g["ts"].to_numpy()[order]
+        if len(uid) < 2:
+            return pd.DataFrame()
+        same = uid[1:] == uid[:-1]
+        gdf = pd.DataFrame(
+            {"user_id": uid[1:][same], "gap": (t[1:] - t[:-1])[same]}
+        )
+        if len(gdf) == 0:
+            return pd.DataFrame()
+        agg = (
+            gdf.groupby("user_id", sort=True)["gap"]
+            .agg(n_gaps="size", gap_min_us="min", gap_max_us="max", gap_sum_us="sum")
+            .reset_index()
+        )
+        # discrete median: per-user sorted gaps, element at ceil(n/2)-1
+        s = gdf.sort_values(["user_id", "gap"], kind="stable")
+        pos = s.groupby("user_id", sort=False).cumcount().to_numpy()
+        n = s.groupby("user_id", sort=False)["gap"].transform("size").to_numpy(np.int64)
+        med = s.loc[pos == (n + 1) // 2 - 1, ["user_id", "gap"]].rename(
+            columns={"gap": "gap_p50_us"}
+        )
+        out = agg.merge(med, on="user_id")
+        out["n_events"] = (out["n_gaps"] + 1).astype(np.int64)
+        for c in ("n_gaps", "gap_min_us", "gap_max_us", "gap_sum_us", "gap_p50_us"):
+            out[c] = out[c].astype(np.int64)
+        return out[
+            [
+                "user_id",
+                "n_events",
+                "n_gaps",
+                "gap_min_us",
+                "gap_max_us",
+                "gap_sum_us",
+                "gap_p50_us",
+            ]
+        ]
+
+    out = (
+        events.select_columns(["event_id", "user_id", "ts"])
+        .map_batches(keyed, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+    return drop_empty_blocks(out)

@@ -1187,3 +1187,61 @@ def test_anomalous_hours_matches_pandas():
     want = vc[(vc * nn - s) ** 2 > 4 * (nn * s2 - s * s)].sort_index()
     assert got["hour_us"].tolist() == want.index.tolist()
     assert got["cnt"].tolist() == want.tolist()
+
+
+def test_inter_event_gaps_matches_pandas():
+    from parallel_pagerank_ray.pipelines.events import inter_event_gaps
+
+    df = _events_df().reset_index(drop=True)
+    df["event_id"] = np.arange(len(df), dtype=np.int64)
+    got = (
+        inter_event_gaps(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if len(t) < 2:
+            continue
+        gaps = np.sort(np.diff(t))
+        rows.append(
+            (
+                int(uid),
+                len(t),
+                len(gaps),
+                int(gaps.min()),
+                int(gaps.max()),
+                int(gaps.sum()),
+                int(gaps[(len(gaps) + 1) // 2 - 1]),
+            )
+        )
+    exp = pd.DataFrame(
+        rows,
+        columns=[
+            "user_id", "n_events", "n_gaps", "gap_min_us",
+            "gap_max_us", "gap_sum_us", "gap_p50_us",
+        ],
+    )
+    pd.testing.assert_frame_equal(
+        got[exp.columns].astype("int64"), exp.astype("int64")
+    )
+
+
+def test_inter_event_gaps_single_event_users_excluded():
+    from parallel_pagerank_ray.pipelines.events import inter_event_gaps
+
+    df = pd.DataFrame(
+        {
+            "event_id": np.array([0, 1, 2], dtype=np.int64),
+            "user_id": np.array([1, 1, 2], dtype=np.int64),
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:00:05", "2024-01-01 00:00:00"]
+            ),
+        }
+    )
+    out = inter_event_gaps(rd.from_pandas(df)).to_pandas()
+    assert out["user_id"].tolist() == [1]
+    assert out["gap_sum_us"].tolist() == [5_000_000]
