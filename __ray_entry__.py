@@ -3312,6 +3312,43 @@ def q_inter_event_gaps(sf_dir: str) -> rd.Dataset:
     )
 
 
+def _format_roundtrip_checksum(sf_dir: str, fmt: str) -> rd.Dataset:
+    """documents -> partitioned JSONL/CSV under /tmp -> read back ->
+    per-source (n_rows, sum_chars, md5-XOR) fingerprint. The oracle
+    computes the same fingerprint from the parquet view directly, so a
+    green gate certifies the write->read cycle is lossless."""
+    import hashlib
+    import shutil
+
+    from parallel_pagerank_ray.sources import formats
+
+    docs = _documents(sf_dir, ["doc_id", "source", "text"])
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"/tmp/ppr_formats/{tag}/{fmt}"
+    shutil.rmtree(path, ignore_errors=True)
+    if fmt == "jsonl":
+        formats.write_jsonl(docs, path)
+        back = formats.read_jsonl(path)
+    else:
+        formats.write_csv(docs, path)
+        back = formats.read_csv(path)
+    return formats.table_checksum(back, "source", "text")
+
+
+def q_docs_jsonl_checksum(sf_dir: str) -> rd.Dataset:
+    """JSONL sink+source roundtrip fidelity (sources/formats.py):
+    partitioned newline-delimited JSON out, parallel read back,
+    order-insensitive per-source content fingerprint."""
+    return _format_roundtrip_checksum(sf_dir, "jsonl")
+
+
+def q_docs_csv_checksum(sf_dir: str) -> rd.Dataset:
+    """CSV sink+source roundtrip fidelity (sources/formats.py):
+    Arrow-quoted partitioned CSV out, parallel read back, same
+    fingerprint as the JSONL gate."""
+    return _format_roundtrip_checksum(sf_dir, "csv")
+
+
 def q_anomalous_hours(sf_dir: str) -> rd.Dataset:
     """Traffic-anomaly hours (count deviates > 2 sigma from the mean)
     via exact integer cross-multiplication — no float mean/std ever
@@ -4262,6 +4299,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_band_match": q_price_band_match,
         "jaccard_set_join": q_jaccard_set_join,
         "inter_event_gaps": q_inter_event_gaps,
+        "docs_jsonl_checksum": q_docs_jsonl_checksum,
+        "docs_csv_checksum": q_docs_csv_checksum,
     }
 
 
@@ -9377,5 +9416,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(gap) AS BIGINT) AS gap_sum_us,
                    CAST(quantile_disc(gap, 0.5) AS BIGINT) AS gap_p50_us
             FROM gg GROUP BY 1
+        """,
+        # roundtrip gates: the fingerprint is computed from the parquet
+        # view directly — matching the engine's write->read->checksum
+        # proves the format cycle lossless. Same md5-u64 fold as the
+        # engine (first 8 md5 bytes big-endian, mod 2^62).
+        "docs_jsonl_checksum": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+                   CAST(bit_xor(CAST(('0x' || substr(md5(text), 1, 16))
+                                     AS UBIGINT)
+                                % 4611686018427387904) AS BIGINT)
+                     AS text_hash_xor
+            FROM documents GROUP BY 1
+        """,
+        "docs_csv_checksum": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+                   CAST(bit_xor(CAST(('0x' || substr(md5(text), 1, 16))
+                                     AS UBIGINT)
+                                % 4611686018427387904) AS BIGINT)
+                     AS text_hash_xor
+            FROM documents GROUP BY 1
         """,
     }

@@ -412,6 +412,8 @@ def bench_queries() -> dict[str, float]:
         "joint_degree_matrix",
         "jaccard_set_join",
         "inter_event_gaps",
+        "docs_jsonl_checksum",
+        "docs_csv_checksum",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -1,0 +1,134 @@
+"""Row-format sources/sinks beyond Parquet: JSONL and CSV.
+
+The reference's ingest surface is whitespace edge-list text
+(/root/reference/pagerank_mpi/csr_graph.c:23-47) plus the Python
+tooling's CSV exports; a Ray-Data engine additionally needs the
+training-data interchange formats — newline-delimited JSON (the
+universal crawl/LLM-corpus format) and CSV — as first-class
+partitioned sources AND sinks.
+
+Both directions stream: ``Dataset.write_json`` / ``write_csv`` emit one
+file per block into a directory (resumable, never one giant file);
+``read_json`` / ``read_csv`` parallelize over files and use Arrow
+readers under the hood. ``table_checksum`` is the roundtrip fidelity
+probe: an order-insensitive per-group (count, char-sum, md5-XOR)
+fingerprint that any lossless write->read cycle must preserve, with the
+md5 fold chosen to be DuckDB-replayable
+(CAST('0x' || substr(md5(text), 1, 16) AS UBIGINT), hashing.md5_u64).
+
+CSV contract: delimiter-safe via Arrow quoting; embedded newlines in
+text columns are NOT supported by the default reader config — JSONL is
+the format for free-form text (the standard crawl-pipeline choice).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from parallel_pagerank_ray.functions.hashing import md5_u64
+from parallel_pagerank_ray.stages.agg import resolve_num_buckets
+from parallel_pagerank_ray.util import drop_empty_blocks
+
+_HASH_MOD = np.int64(1) << 62
+
+
+def write_jsonl(ds: rd.Dataset, path: str) -> None:
+    """Partitioned newline-delimited JSON under ``path`` (a dir)."""
+    ds.write_json(path)
+
+
+def read_jsonl(path: str) -> rd.Dataset:
+    """Read a JSONL file or directory of JSONL files."""
+    return rd.read_json(path)
+
+
+def write_csv(ds: rd.Dataset, path: str) -> None:
+    """Partitioned CSV (Arrow-quoted) under ``path`` (a dir)."""
+    ds.write_csv(path)
+
+
+def read_csv(path: str) -> rd.Dataset:
+    """Read a CSV file or directory of CSV files."""
+    return rd.read_csv(path)
+
+
+def table_checksum(
+    ds: rd.Dataset, group_col: str = "source", text_col: str = "text"
+) -> rd.Dataset:
+    """Order-insensitive per-group content fingerprint:
+    (group_col, n_rows, sum_chars, text_hash_xor) with
+    text_hash_xor = XOR over rows of md5_u64(text) % 2^62 (int64,
+    DuckDB-replayable). Map-side partial combine per batch, then one
+    tiny bucketed final fold — the shuffle moves one row per group per
+    batch regardless of row count.
+    """
+    num_buckets = resolve_num_buckets(ds)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame()
+        txt = df[text_col].astype(str)
+        h = np.fromiter(
+            (md5_u64(t) % int(_HASH_MOD) for t in txt), np.int64, len(df)
+        )
+        ln = txt.str.len().to_numpy(np.int64)
+        t = pd.DataFrame({group_col: df[group_col], "h": h, "ln": ln})
+        t = t.sort_values(group_col, kind="stable")
+        keys = t[group_col].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate(([True], keys[1:] != keys[:-1]))
+        )
+        out = pd.DataFrame(
+            {
+                group_col: keys[starts],
+                "n_rows": np.diff(
+                    np.concatenate((starts, [len(keys)]))
+                ).astype(np.int64),
+                "sum_chars": np.add.reduceat(
+                    t["ln"].to_numpy(), starts
+                ).astype(np.int64),
+                "text_hash_xor": np.bitwise_xor.reduceat(
+                    t["h"].to_numpy(), starts
+                ).astype(np.int64),
+            }
+        )
+        out["__b"] = (
+            np.fromiter(
+                (md5_u64("ck|" + str(x)) for x in out[group_col]),
+                np.uint64,
+                len(out),
+            )
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(group_col, kind="stable")
+        keys = g[group_col].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate(([True], keys[1:] != keys[:-1]))
+        )
+        return pd.DataFrame(
+            {
+                group_col: keys[starts],
+                "n_rows": np.add.reduceat(
+                    g["n_rows"].to_numpy(np.int64), starts
+                ).astype(np.int64),
+                "sum_chars": np.add.reduceat(
+                    g["sum_chars"].to_numpy(np.int64), starts
+                ).astype(np.int64),
+                "text_hash_xor": np.bitwise_xor.reduceat(
+                    g["text_hash_xor"].to_numpy(np.int64), starts
+                ).astype(np.int64),
+            }
+        )
+
+    out = (
+        ds.select_columns([group_col, text_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )
+    return drop_empty_blocks(out)

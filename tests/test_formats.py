@@ -1,0 +1,71 @@
+"""JSONL/CSV source+sink roundtrip fidelity (sources/formats.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from parallel_pagerank_ray.functions.hashing import md5_u64
+from parallel_pagerank_ray.sources import formats
+
+
+def _docs(n=200):
+    rng = np.random.default_rng(11)
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(3, 12)))
+        + (', with "quotes" and, commas' if i % 7 == 0 else "")
+        for i in range(n)
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "source": pa.array([f"s{i % 5}" for i in range(n)]),
+            "text": pa.array(texts),
+        }
+    )
+
+
+def _expected_checksum(t: pa.Table) -> pd.DataFrame:
+    df = t.to_pandas()
+    rows = []
+    for src, g in df.groupby("source"):
+        h = np.int64(0)
+        for x in g["text"]:
+            h ^= np.int64(md5_u64(x) % (1 << 62))
+        rows.append((src, len(g), int(g["text"].str.len().sum()), int(h)))
+    return pd.DataFrame(
+        rows, columns=["source", "n_rows", "sum_chars", "text_hash_xor"]
+    ).sort_values("source").reset_index(drop=True)
+
+
+def _got(ds) -> pd.DataFrame:
+    return (
+        formats.table_checksum(ds, "source", "text")
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
+
+def test_jsonl_roundtrip_checksum(tmp_path):
+    t = _docs()
+    formats.write_jsonl(rd.from_arrow(t), str(tmp_path / "j"))
+    back = formats.read_jsonl(str(tmp_path / "j"))
+    pd.testing.assert_frame_equal(_got(back), _expected_checksum(t))
+
+
+def test_csv_roundtrip_checksum(tmp_path):
+    t = _docs()
+    formats.write_csv(rd.from_arrow(t), str(tmp_path / "c"))
+    back = formats.read_csv(str(tmp_path / "c"))
+    pd.testing.assert_frame_equal(_got(back), _expected_checksum(t))
+
+
+def test_checksum_matches_direct(tmp_path):
+    t = _docs(50)
+    pd.testing.assert_frame_equal(
+        _got(rd.from_arrow(t)), _expected_checksum(t)
+    )
