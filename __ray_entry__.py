@@ -1260,6 +1260,94 @@ def q_two_edge_components(sf_dir: str) -> rd.Dataset:
     return two_edge_components(Graph(n=g.n, edges=thinned))
 
 
+_BICONN_CACHE: dict = {}
+
+
+def _thinned_copurchase_1pct(sf_dir: str):
+    """Co-purchase backbone md5-thinned to 1 pct — sparser than the
+    bridges gate's 3 pct so the cut-vertex structure is rich (many
+    tree-like fringes) and the per-vertex-deletion SQL oracle stays
+    affordable."""
+    import pyarrow as pa
+
+    from parallel_pagerank_ray.functions.hashing import md5_u64
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+
+    def thin(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            (md5_u64(f"th|{a}|{b}") % 100 < 1 for a, b in zip(s, d)),
+            bool,
+            len(s),
+        )
+        return t.filter(pa.array(keep))
+
+    thinned = g.edges.map_batches(thin, batch_format="pyarrow").materialize()
+    return Graph(n=g.n, edges=thinned)
+
+
+def q_articulation(sf_dir: str) -> rd.Dataset:
+    """Articulation (cut) vertices of the sparse co-purchase backbone
+    via Tarjan-Vishkin over the min-parent BFS forest: component-local
+    preorder intervals, low/high subtree folds, auxiliary-graph
+    connected components, block-mismatch fold
+    (pipelines/biconnectivity.py::articulation_points). Deterministic
+    and exact; the SQL oracle is fully independent (per-vertex deletion
+    + neighbourhood component count)."""
+    g, run = _biconn_run(sf_dir)
+    from parallel_pagerank_ray.pipelines.biconnectivity import (
+        articulation_points,
+    )
+
+    return articulation_points(g, run=run).sort("vid")
+
+
+def _biconn_run(sf_dir: str):
+    """Shared (graph, BiconnRun) for the two biconnectivity gates —
+    the decomposition runs once per sweep (the cached host-corpus
+    idiom)."""
+    got = _BICONN_CACHE.get(sf_dir)
+    if got is None:
+        from parallel_pagerank_ray.pipelines.biconnectivity import (
+            biconnectivity,
+        )
+
+        g = _thinned_copurchase_1pct(sf_dir)
+        got = (g, biconnectivity(g))
+        _BICONN_CACHE[sf_dir] = got
+    return got
+
+
+def q_biconn_summary(sf_dir: str) -> rd.Dataset:
+    """One-row biconnectivity summary of the sparse co-purchase
+    backbone: (n_blocks, n_articulation). Cross-checked through the
+    block-cut-tree identity — #blocks = #edge-bearing components +
+    sum over vertices of (pieces the vertex's deletion leaves its
+    neighbourhood in - 1) — which the deletion-based SQL oracle
+    computes without ever constructing blocks."""
+    import pyarrow as pa
+
+    from parallel_pagerank_ray.pipelines.biconnectivity import (
+        articulation_points,
+    )
+    from parallel_pagerank_ray.stages.agg import distinct
+
+    g, run = _biconn_run(sf_dir)
+    n_blocks = distinct(run.blocks.select_columns(["block"]), ["block"]).count()
+    n_art = articulation_points(g, run=run).count()
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_blocks": pa.array([n_blocks], pa.int64()),
+                "n_articulation": pa.array([n_art], pa.int64()),
+            }
+        )
+    )
+
+
 def q_partition_cut(sf_dir: str) -> rd.Dataset:
     """Edge-cut + per-partition gather load under hash vs range vertex
     partitioning at P=8 (pipelines/partition_stats.py) — the explicit
@@ -4163,6 +4251,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolation_curve": q_percolation_curve,
         "bridges": q_bridges,
         "two_edge_components": q_two_edge_components,
+        "articulation_copurchase": q_articulation,
+        "biconn_summary": q_biconn_summary,
         "pseudo_diameter_copurchase": q_pseudo_diameter_copurchase,
         "pagerank_incremental_top20": q_pagerank_incremental_top20,
         "ktruss_copurchase": q_ktruss_copurchase,
@@ -6303,6 +6393,90 @@ def oracle_sql() -> dict[str, str]:
               )
             SELECT vid, comp AS comp2 FROM cc2
             WHERE it = (SELECT max(it) FROM cc2)
+        """,
+        # Independent of the Tarjan-Vishkin construction: per-vertex
+        # deletion, one min-propagation instance per candidate vertex
+        # (delv = -1 is the no-deletion base instance), articulation
+        # <=> the vertex's neighbourhood lands in >= 2 components.
+        "articulation_copurchase": f"""
+            WITH RECURSIVE
+              c AS MATERIALIZED (
+                SELECT src, dst FROM ({_COPURCHASE_SQL})
+                WHERE CAST(('0x' || substr(md5('th|' || src || '|' || dst),
+                            1, 16)) AS UBIGINT) % 100 < 1),
+              und AS MATERIALIZED (SELECT src, dst FROM c
+                                   UNION ALL SELECT dst, src FROM c),
+              vv AS MATERIALIZED (SELECT DISTINCT src AS vid FROM und),
+              cand AS MATERIALIZED (
+                SELECT src AS vid FROM und GROUP BY 1 HAVING count(*) >= 2),
+              inst(it, delv, vid, comp, ch) AS (
+                SELECT 0, d.vid, u.vid, u.vid, 1
+                FROM cand d JOIN vv u ON u.vid <> d.vid
+                UNION ALL
+                SELECT i.it + 1, i.delv, i.vid,
+                       least(i.comp, coalesce(m.mn, i.comp)),
+                       CASE WHEN least(i.comp, coalesce(m.mn, i.comp))
+                                 <> i.comp THEN 1 ELSE 0 END
+                FROM inst i
+                LEFT JOIN (SELECT i2.delv, u.dst AS vid, min(i2.comp) AS mn
+                           FROM inst i2 JOIN und u ON u.src = i2.vid
+                           WHERE u.dst <> i2.delv
+                           GROUP BY 1, 2) m
+                       ON m.delv = i.delv AND m.vid = i.vid
+                WHERE (SELECT max(i3.ch) FROM inst i3) = 1
+              ),
+              fin AS MATERIALIZED (
+                SELECT delv, vid, comp FROM inst
+                WHERE it = (SELECT max(it) FROM inst)),
+              nb AS (
+                SELECT f.delv AS vid, count(DISTINCT f.comp) AS nc
+                FROM fin f JOIN und u ON u.src = f.delv AND u.dst = f.vid
+                GROUP BY 1)
+            SELECT vid FROM nb WHERE nc >= 2
+        """,
+        # Block-cut-tree identity, never constructing blocks:
+        # #blocks = #edge-bearing components + sum_v (pieces(v) - 1).
+        "biconn_summary": f"""
+            WITH RECURSIVE
+              c AS MATERIALIZED (
+                SELECT src, dst FROM ({_COPURCHASE_SQL})
+                WHERE CAST(('0x' || substr(md5('th|' || src || '|' || dst),
+                            1, 16)) AS UBIGINT) % 100 < 1),
+              und AS MATERIALIZED (SELECT src, dst FROM c
+                                   UNION ALL SELECT dst, src FROM c),
+              vv AS MATERIALIZED (SELECT DISTINCT src AS vid FROM und),
+              cand AS MATERIALIZED (
+                SELECT src AS vid FROM und GROUP BY 1 HAVING count(*) >= 2),
+              inst(it, delv, vid, comp, ch) AS (
+                SELECT 0, d.vid, u.vid, u.vid, 1
+                FROM (SELECT vid FROM cand
+                      UNION ALL SELECT CAST(-1 AS BIGINT)) d
+                JOIN vv u ON u.vid <> d.vid
+                UNION ALL
+                SELECT i.it + 1, i.delv, i.vid,
+                       least(i.comp, coalesce(m.mn, i.comp)),
+                       CASE WHEN least(i.comp, coalesce(m.mn, i.comp))
+                                 <> i.comp THEN 1 ELSE 0 END
+                FROM inst i
+                LEFT JOIN (SELECT i2.delv, u.dst AS vid, min(i2.comp) AS mn
+                           FROM inst i2 JOIN und u ON u.src = i2.vid
+                           WHERE u.dst <> i2.delv
+                           GROUP BY 1, 2) m
+                       ON m.delv = i.delv AND m.vid = i.vid
+                WHERE (SELECT max(i3.ch) FROM inst i3) = 1
+              ),
+              fin AS MATERIALIZED (
+                SELECT delv, vid, comp FROM inst
+                WHERE it = (SELECT max(it) FROM inst)),
+              nb AS (
+                SELECT f.delv AS vid, count(DISTINCT f.comp) AS nc
+                FROM fin f JOIN und u ON u.src = f.delv AND u.dst = f.vid
+                GROUP BY 1)
+            SELECT CAST((SELECT count(DISTINCT comp) FROM fin WHERE delv = -1)
+                        + (SELECT coalesce(sum(nc - 1), 0) FROM nb)
+                     AS BIGINT) AS n_blocks,
+                   CAST((SELECT count(*) FROM nb WHERE nc >= 2)
+                     AS BIGINT) AS n_articulation
         """,
         "joint_degree_matrix": f"""
             WITH c AS MATERIALIZED ({_COPURCHASE_SQL}),

@@ -71,42 +71,30 @@ def _edge_labels(t: pa.Table) -> pa.Table:
     )
 
 
-def bridges(
+def bfs_forest(
     graph: Graph,
-    num_buckets: int | None = None,
+    num_buckets: int,
     max_depth: int = 10_000,
-    broadcast_max: int = 5_000_000,
-) -> rd.Dataset:
-    """All bridges of the undirected simple graph as canonical
-    (src, dst) rows, src < dst. Requires ``graph.edges`` canonical
-    simple (src < dst, distinct, no self-loops) — the triangle-family
-    certificate. Deterministic (md5-seeded sketch; whp-exact, see
-    module docstring). Packed anti-join keys need n < 3e9.
+) -> tuple[rd.Dataset, rd.Dataset]:
+    """The deterministic min-parent BFS spanning forest shared by the
+    bridge sketch and Tarjan-Vishkin biconnectivity: roots = component
+    minima (one BSP connected-components run), levels = one multi-source
+    BSP BFS from the roots, parent(v) = the SMALLEST neighbor one level
+    closer to the root (one bucketed combine). Returns
+
+      par: (vid, parent, depth) for every NON-ROOT vertex incident to
+           an edge, materialized
+      dep: (vid, dist) BFS levels for every vertex in the edge set,
+           materialized
+
+    The forest is shallow (depth <= graph eccentricity) and fully
+    SQL-replayable — both downstream algorithms rely on each property.
     """
     from parallel_pagerank_ray.pipelines.bfs import bfs_distances_bsp
     from parallel_pagerank_ray.pipelines.components_actors import (
         connected_components_bsp,
     )
-    from parallel_pagerank_ray.stages.agg import resolve_num_buckets
 
-    n = graph.n
-    empty = rd.from_arrow(
-        pa.table(
-            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
-        )
-    )
-    if n == 0:
-        return empty
-    if n > 3_000_000_000:  # pragma: no cover - packed key contract
-        raise ValueError("bridges packed anti-join needs n < 3e9")
-    if num_buckets is None:
-        num_buckets = resolve_num_buckets(graph.edges)
-    edges = graph.edges.select_columns(["src", "dst"]).materialize()
-    if edges.count() == 0:
-        return empty
-
-    # 1. roots = component minima; levels = multi-source BFS; the BFS
-    # tree with the min-parent rule is the spanning forest
     comp = connected_components_bsp(graph).components
     roots = grouped_agg(
         comp.select_columns(["comp"]),
@@ -120,6 +108,7 @@ def bridges(
         .materialize()
     )
 
+    edges = graph.edges.select_columns(["src", "dst"])
     fc = undirected_edges(edges, dedup=False)
     j1 = safe_join(
         fc,
@@ -156,6 +145,11 @@ def bridges(
         {"parent": ("parent", "min"), "depth": ("depth", "min")},
         num_buckets=num_buckets,
     ).materialize()
+    return par, dep
+
+
+def forest_pairs(par: rd.Dataset) -> rd.Dataset:
+    """Canonical (src < dst) edge rows of the spanning forest."""
 
     def forest_rows(t: pa.Table) -> pa.Table:
         u = t.column("parent").to_numpy(zero_copy_only=False)
@@ -167,20 +161,65 @@ def bridges(
             }
         )
 
-    forest = par.map_batches(forest_rows, batch_format="pyarrow").materialize()
+    return par.map_batches(forest_rows, batch_format="pyarrow").materialize()
 
-    # 2. non-tree edges + labels
+
+def nontree_edges(
+    edges: rd.Dataset, forest: rd.Dataset, n: int
+) -> rd.Dataset:
+    """Edges of the canonical simple edge set NOT in the spanning
+    forest, via one packed anti-join (keys need n < 3e9)."""
+
     def pack(b: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         b["__key"] = b["src"] * np.int64(n) + b["dst"]
         return b
 
-    nt = anti_join(
+    return anti_join(
         edges.map_batches(pack, batch_format="numpy"),
         forest.map_batches(pack, batch_format="numpy").select_columns(
             ["__key"]
         ),
         on="__key",
     ).select_columns(["src", "dst"])
+
+
+def bridges(
+    graph: Graph,
+    num_buckets: int | None = None,
+    max_depth: int = 10_000,
+    broadcast_max: int = 5_000_000,
+) -> rd.Dataset:
+    """All bridges of the undirected simple graph as canonical
+    (src, dst) rows, src < dst. Requires ``graph.edges`` canonical
+    simple (src < dst, distinct, no self-loops) — the triangle-family
+    certificate. Deterministic (md5-seeded sketch; whp-exact, see
+    module docstring). Packed anti-join keys need n < 3e9.
+    """
+    from parallel_pagerank_ray.stages.agg import resolve_num_buckets
+
+    n = graph.n
+    empty = rd.from_arrow(
+        pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+    )
+    if n == 0:
+        return empty
+    if n > 3_000_000_000:  # pragma: no cover - packed key contract
+        raise ValueError("bridges packed anti-join needs n < 3e9")
+    if num_buckets is None:
+        num_buckets = resolve_num_buckets(graph.edges)
+    edges = graph.edges.select_columns(["src", "dst"]).materialize()
+    if edges.count() == 0:
+        return empty
+
+    # 1. roots = component minima; levels = multi-source BFS; the BFS
+    # tree with the min-parent rule is the spanning forest
+    par, dep = bfs_forest(graph, num_buckets, max_depth=max_depth)
+    forest = forest_pairs(par)
+
+    # 2. non-tree edges + labels
+    nt = nontree_edges(edges, forest, n)
     ntl = nt.map_batches(_edge_labels, batch_format="pyarrow")
 
     # 3. per-vertex value = XOR of incident non-tree labels
