@@ -3319,6 +3319,18 @@ def q_events_running(sf_dir: str) -> rd.Dataset:
     return running_window(read_table(sf_dir, "events"))
 
 
+def q_ema_users(sf_dir: str) -> rd.Dataset:
+    """Per-user integer EMA (alpha = 1/8) over the event timeline — the
+    recursive per-key scan running_window's associative cumsums can't
+    express; position-synchronous numpy sweep per user bucket
+    (`pipelines/events.py::ema_user_cents`). Floor-division int64 end
+    to end, replayed exactly by a recursive CTE."""
+    from parallel_pagerank_ray.pipelines.events import ema_user_cents
+    from parallel_pagerank_ray.pipelines.relational import read_table
+
+    return ema_user_cents(read_table(sf_dir, "events"), shift=3)
+
+
 def q_peak_concurrency(sf_dir: str) -> rd.Dataset:
     """Peak interval overlap per event type (+1/-1 boundary sweep with
     a 300 s activity TTL): sorted-block segmented cumsums + a driver
@@ -4348,6 +4360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "events_asof": q_events_asof,
         "events_running": q_events_running,
+        "ema_users": q_ema_users,
         "events_daily_pivot": q_events_daily_pivot,
         "pricing_rollup": q_pricing_rollup,
         "pricing_cube": q_pricing_cube,
@@ -8880,6 +8893,23 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING)
+        """,
+        "ema_users": """
+            WITH RECURSIVE ev AS (
+              SELECT event_id, user_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     CAST(row_number() OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                       AS BIGINT) AS rn
+              FROM events),
+            rec(user_id, rn, event_id, ema) AS (
+              SELECT user_id, rn, event_id, cents FROM ev WHERE rn = 1
+              UNION ALL
+              SELECT e.user_id, e.rn, e.event_id,
+                     CAST(floor((r.ema * 7 + e.cents) / 8.0) AS BIGINT)
+              FROM rec r
+              JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+            SELECT event_id, user_id, rn, ema AS ema_cents FROM rec
         """,
         "event_transitions": """
             WITH seq AS (

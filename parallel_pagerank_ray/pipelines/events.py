@@ -901,3 +901,101 @@ def inter_event_gaps(events: rd.Dataset) -> rd.Dataset:
         .map_groups(fold, batch_format="pandas")
     )
     return drop_empty_blocks(out)
+
+
+def ema_user_cents(events: rd.Dataset, shift: int = 3) -> rd.Dataset:
+    """Per-user exponential moving average of event value — the
+    classic RECURSIVE per-key scan (ema_t depends on ema_{t-1}), the
+    one window shape ``running_window``'s associative cumsums can't
+    express. Integer-exact by construction: alpha = 1/2**shift and
+
+        ema_1 = cents_1
+        ema_t = (ema_{t-1} * (2**shift - 1) + cents_t) // 2**shift
+
+    (floor division, int64), so every parallel run and a SQL
+    recursive CTE reproduce identical values — no float decay drift.
+    Output one row per event: (event_id, user_id, rn, ema_cents), rn
+    the 1-based position in the user's (ts, event_id) timeline.
+
+    Scale shape: ONE hash shuffle keyed by user_id % B co-locates each
+    user's events (the running_window contract); the in-bucket kernel
+    is a lexsort plus a POSITION-SYNCHRONOUS numpy sweep — iteration k
+    updates row k of EVERY user in the bucket at once (one gather, one
+    multiply-add-shift, one scatter), so the Python loop runs
+    max-events-per-user times, not rows times. Floor division by a
+    power of two is a right shift on the non-negative intermediate;
+    negative cents are handled by numpy floor_divide (still exact).
+    """
+    if shift < 1 or shift > 31:
+        raise ValueError("shift must be in [1, 31]")
+    num_buckets = resolve_num_buckets(events)
+    mul = np.int64((1 << shift) - 1)
+    den = np.int64(1 << shift)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": uid,
+                "ts": df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+                "cents": np.round(df["value"].to_numpy() * 100.0).astype(np.int64),
+                "bucket": (uid % num_buckets).astype(np.int64),
+            }
+        )
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": np.array([], dtype=np.int64),
+                    "user_id": np.array([], dtype=np.int64),
+                    "rn": np.array([], dtype=np.int64),
+                    "ema_cents": np.array([], dtype=np.int64),
+                }
+            )
+        order = np.lexsort(
+            (g["event_id"].to_numpy(), g["ts"].to_numpy(), g["user_id"].to_numpy())
+        )
+        uid = g["user_id"].to_numpy()[order]
+        cents = g["cents"].to_numpy()[order].astype(np.int64)
+        # rn-1 per row (users are contiguous runs after the lexsort)
+        new_run = np.concatenate(([True], uid[1:] != uid[:-1]))
+        run_id = np.cumsum(new_run) - 1
+        starts = np.flatnonzero(new_run)
+        pos = np.arange(len(uid)) - starts[run_id]
+        # position-synchronous: rows regrouped by pos; iteration k
+        # folds every user's k-th event against its (k-1)-th state
+        by_pos = np.lexsort((run_id, pos))
+        ema = np.empty(len(uid), dtype=np.int64)
+        state = np.empty(int(run_id[-1]) + 1 if len(uid) else 0, dtype=np.int64)
+        lo = 0
+        pos_sorted = pos[by_pos]
+        while lo < len(uid):
+            hi = lo + int(
+                np.searchsorted(pos_sorted[lo:], pos_sorted[lo], "right")
+            )
+            rows = by_pos[lo:hi]
+            users = run_id[rows]
+            if pos_sorted[lo] == 0:
+                state[users] = cents[rows]
+            else:
+                state[users] = (state[users] * mul + cents[rows]) // den
+            ema[rows] = state[users]
+            lo = hi
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy()[order],
+                "user_id": uid,
+                "rn": (pos + 1).astype(np.int64),
+                "ema_cents": ema,
+            }
+        )
+
+    out = (
+        events.select_columns(["event_id", "user_id", "ts", "value"])
+        .map_batches(keyed, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(sweep, batch_format="pandas")
+    )
+    return drop_empty_blocks(out)

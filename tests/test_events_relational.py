@@ -1245,3 +1245,54 @@ def test_inter_event_gaps_single_event_users_excluded():
     out = inter_event_gaps(rd.from_pandas(df)).to_pandas()
     assert out["user_id"].tolist() == [1]
     assert out["gap_sum_us"].tolist() == [5_000_000]
+
+
+def test_ema_user_cents_matches_sequential():
+    from parallel_pagerank_ray.pipelines.events import ema_user_cents
+
+    df = _events_df()
+    df["event_id"] = np.arange(len(df), dtype=np.int64)
+    got = (
+        ema_user_cents(rd.from_pandas(df), shift=3)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # sequential per-user reference: plain Python recursion
+    s = df.assign(
+        cents=np.round(df["value"].to_numpy() * 100).astype(np.int64)
+    ).sort_values(["user_id", "ts", "event_id"])
+    state: dict = {}
+    rows = []
+    for eid, uid, cents in zip(s["event_id"], s["user_id"], s["cents"]):
+        prev = state.get(uid)
+        cur = int(cents) if prev is None else (prev * 7 + int(cents)) // 8
+        state[uid] = cur
+        rows.append((eid, cur))
+    exp = (
+        pd.DataFrame(rows, columns=["event_id", "ema_cents"])
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(df)
+    assert (got["ema_cents"].to_numpy() == exp["ema_cents"].to_numpy()).all()
+
+
+def test_ema_user_cents_partition_invariance():
+    from parallel_pagerank_ray.pipelines.events import ema_user_cents
+
+    df = _events_df()
+    df["event_id"] = np.arange(len(df), dtype=np.int64)
+    a = (
+        ema_user_cents(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        ema_user_cents(rd.from_pandas(df).repartition(7))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
