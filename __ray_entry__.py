@@ -1263,6 +1263,35 @@ def q_two_edge_components(sf_dir: str) -> rd.Dataset:
 _BICONN_CACHE: dict = {}
 
 
+def q_dag_paths(sf_dir: str) -> rd.Dataset:
+    """Critical-path levels + modular source-path counts over the
+    low->high-oriented sparse co-purchase backbone (md5-thinned 3 pct,
+    acyclic by orientation): level-synchronous Kahn peeling, one
+    wavefront join + two bucketed combines per round
+    (pipelines/dag.py::dag_paths). Int64-exact; the SQL oracle
+    enumerates every path with a UNION ALL recursive CTE — a fully
+    independent formulation of both statistics."""
+    import pyarrow as pa
+
+    from parallel_pagerank_ray.functions.hashing import md5_u64
+    from parallel_pagerank_ray.pipelines.dag import dag_paths
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+
+    def thin(t: pa.Table) -> pa.Table:
+        srcs = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            (md5_u64(f"th|{a}|{b}") % 100 < 3 for a, b in zip(srcs, d)),
+            bool,
+            len(srcs),
+        )
+        return t.filter(pa.array(keep))
+
+    thinned = g.edges.map_batches(thin, batch_format="pyarrow").materialize()
+    return dag_paths(thinned)
+
+
 def _thinned_copurchase_1pct(sf_dir: str):
     """Co-purchase backbone md5-thinned to 1 pct — sparser than the
     bridges gate's 3 pct so the cut-vertex structure is rich (many
@@ -4264,6 +4293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bridges": q_bridges,
         "two_edge_components": q_two_edge_components,
         "articulation_copurchase": q_articulation,
+        "dag_paths_copurchase": q_dag_paths,
         "biconn_summary": q_biconn_summary,
         "pseudo_diameter_copurchase": q_pseudo_diameter_copurchase,
         "pagerank_incremental_top20": q_pagerank_incremental_top20,
@@ -6406,6 +6436,34 @@ def oracle_sql() -> dict[str, str]:
               )
             SELECT vid, comp AS comp2 FROM cc2
             WHERE it = (SELECT max(it) FROM cc2)
+        """,
+        # Independent of the Kahn-peel DP: every source path literally
+        # enumerated (UNION ALL keeps one row per path), then folded to
+        # max-depth / modular count per endpoint.
+        "dag_paths_copurchase": f"""
+            WITH RECURSIVE
+              c AS MATERIALIZED (
+                SELECT src, dst FROM ({_COPURCHASE_SQL})
+                WHERE CAST(('0x' || substr(md5('th|' || src || '|' || dst),
+                            1, 16)) AS UBIGINT) % 100 < 3),
+              -- NOTE: inside WITH RECURSIVE, DuckDB parses "A UNION B"
+              -- as a recursive base/step pair and skips the dedup, so
+              -- spell the distinct-union explicitly
+              vv AS MATERIALIZED (
+                SELECT DISTINCT vid FROM (
+                  SELECT src AS vid FROM c
+                  UNION ALL SELECT dst FROM c)),
+              srcs AS MATERIALIZED (
+                SELECT vid FROM vv
+                WHERE vid NOT IN (SELECT dst FROM c)),
+              walk(vid, d) AS (
+                SELECT vid, 0 FROM srcs
+                UNION ALL
+                SELECT e.dst, w.d + 1
+                FROM walk w JOIN c e ON e.src = w.vid)
+            SELECT vid, CAST(max(d) AS BIGINT) AS lp,
+                   CAST(count(*) % 2147483647 AS BIGINT) AS npaths_mod
+            FROM walk GROUP BY 1
         """,
         # Independent of the Tarjan-Vishkin construction: per-vertex
         # deletion, one min-propagation instance per candidate vertex
