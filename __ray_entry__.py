@@ -1263,6 +1263,19 @@ def q_two_edge_components(sf_dir: str) -> rd.Dataset:
 _BICONN_CACHE: dict = {}
 
 
+def q_triad_census(sf_dir: str) -> rd.Dataset:
+    """Directed triangle census (cyclic vs transitive) of the url-level
+    crawl link graph — per-mid-vertex wedge generation, broadcast
+    packed-key closure (pipelines/triangles.py::
+    directed_triangle_census). One int64-exact summary row."""
+    from parallel_pagerank_ray.pipelines.triangles import (
+        directed_triangle_census,
+    )
+
+    g = _pages_link_graph(sf_dir)
+    return directed_triangle_census(g.edges, n=g.n)
+
+
 def q_dag_paths(sf_dir: str) -> rd.Dataset:
     """Critical-path levels + modular source-path counts over the
     low->high-oriented sparse co-purchase backbone (md5-thinned 3 pct,
@@ -4294,6 +4307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "two_edge_components": q_two_edge_components,
         "articulation_copurchase": q_articulation,
         "dag_paths_copurchase": q_dag_paths,
+        "triad_census_links": q_triad_census,
         "biconn_summary": q_biconn_summary,
         "pseudo_diameter_copurchase": q_pseudo_diameter_copurchase,
         "pagerank_incremental_top20": q_pagerank_incremental_top20,
@@ -6436,6 +6450,24 @@ def oracle_sql() -> dict[str, str]:
               )
             SELECT vid, comp AS comp2 FROM cc2
             WHERE it = (SELECT max(it) FROM cc2)
+        """,
+        "triad_census_links": """
+            WITH e AS MATERIALIZED (
+              SELECT DISTINCT doc_id AS src,
+                     CAST((doc_id * 7 + k.range + 1)
+                          % (SELECT count(*) FROM documents) AS BIGINT)
+                       AS dst
+              FROM documents, range(3) k),
+            e2 AS MATERIALIZED (SELECT * FROM e WHERE src <> dst)
+            SELECT
+              CAST((SELECT count(*) FROM e2 a
+                    JOIN e2 b ON b.src = a.dst
+                    JOIN e2 c ON c.src = b.dst AND c.dst = a.src) / 3
+                AS BIGINT) AS n_cyclic,
+              CAST((SELECT count(*) FROM e2 a
+                    JOIN e2 b ON b.src = a.dst AND b.dst <> a.src
+                    JOIN e2 c ON c.src = a.src AND c.dst = b.dst)
+                AS BIGINT) AS n_transitive
         """,
         # Independent of the Kahn-peel DP: every source path literally
         # enumerated (UNION ALL keeps one row per path), then folded to

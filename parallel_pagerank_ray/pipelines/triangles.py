@@ -755,3 +755,187 @@ def four_cycle_count(
         "cycle_pairs": cycle_pairs,
         "dropped_centers": dropped,
     }
+
+
+def directed_triangle_census(
+    edges: rd.Dataset,
+    n: int,
+    num_buckets: int | None = None,
+    broadcast_max_edges: int = 50_000_000,
+) -> rd.Dataset:
+    """Directed triangle census of a simple digraph: one row
+    (n_cyclic, n_transitive) — cyclic = a->b->c->a (each counted once;
+    the wedge pass sees it 3x, divided out), transitive = wedges
+    a->b->c closed by the shortcut a->c (each such triangle has exactly
+    one shortcut, so counted once). Self-loops are dropped; duplicate
+    edges must already be deduplicated (link_edges contract).
+
+    Scale shape: wedges are generated per MID vertex — one bucketed
+    shuffle of (mid, neighbor, dir) rows, then an in-list x out-list
+    cross product per mid inside the bucket kernel (cost = sum of
+    in-deg x out-deg, the directed wedge count; split hub mids
+    upstream if a vertex's product is pathological). Closure testing
+    follows the triangle_count idiom: under ``broadcast_max_edges``
+    the packed edge-key array ships once via ray.put and each kernel
+    counts matches with a searchsorted (no wedge shuffle at all);
+    above it, wedge and edge rows union into ONE bucketed combine
+    keyed on the pair. Both paths are exact and force-tested equal.
+    """
+    from parallel_pagerank_ray.stages.agg import resolve_num_buckets
+
+    if num_buckets is None:
+        num_buckets = resolve_num_buckets(edges)
+    nb = np.int64(n)
+
+    def clean(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        m = s != d
+        return pa.table(
+            {
+                "src": pa.array(s[m], pa.int64()),
+                "dst": pa.array(d[m], pa.int64()),
+            }
+        )
+
+    e = edges.select_columns(["src", "dst"]).map_batches(
+        clean, batch_format="pyarrow"
+    ).materialize()
+    one_row = lambda cyc, trans: rd.from_arrow(  # noqa: E731
+        pa.table(
+            {
+                "n_cyclic": pa.array([int(cyc)], pa.int64()),
+                "n_transitive": pa.array([int(trans)], pa.int64()),
+            }
+        )
+    )
+    n_edges = e.count()
+    if n_edges == 0:
+        return one_row(0, 0)
+
+    def mid_rows(b: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        s, d = b["src"], b["dst"]
+        return {
+            "mid": np.concatenate([d, s]),
+            "nbr": np.concatenate([s, d]),
+            "dir": np.concatenate(
+                [np.zeros(len(s), np.int64), np.ones(len(s), np.int64)]
+            ),
+            "bucket": np.concatenate([d, s]) % np.int64(num_buckets),
+        }
+
+    routed = e.map_batches(mid_rows, batch_format="numpy")
+
+    if n < (1 << 31) and n_edges <= broadcast_max_edges:
+        import ray as _ray
+
+        key_parts = [
+            (blk.column("src").to_numpy(zero_copy_only=False) * nb
+             + blk.column("dst").to_numpy(zero_copy_only=False))
+            for blk in _ray.get(e.to_arrow_refs())
+        ]
+        keys_ref = _ray.put(np.sort(np.concatenate(key_parts)))
+
+        def census(g: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+            keys = _ray.get(keys_ref)
+            order = np.lexsort((g["nbr"], g["dir"], g["mid"]))
+            mid = g["mid"][order]
+            nbr = g["nbr"][order]
+            dr = g["dir"][order]
+            runs = np.concatenate(([True], mid[1:] != mid[:-1]))
+            starts = np.flatnonzero(runs)
+            ends = np.concatenate((starts[1:], [len(mid)]))
+            cyc = trans = 0
+            for lo, hi in zip(starts, ends):
+                split = lo + int(np.searchsorted(dr[lo:hi], 1))
+                ins = nbr[lo:split]
+                outs = nbr[split:hi]
+                if len(ins) == 0 or len(outs) == 0:
+                    continue
+                a = np.repeat(ins, len(outs))
+                c = np.tile(outs, len(ins))
+                keep = a != c
+                a, c = a[keep], c[keep]
+                for key, acc in ((a * nb + c, "t"), (c * nb + a, "y")):
+                    pos = np.searchsorted(keys, key)
+                    valid = pos < len(keys)
+                    hits = np.zeros(len(key), dtype=bool)
+                    hits[valid] = keys[pos[valid]] == key[valid]
+                    if acc == "t":
+                        trans += int(hits.sum())
+                    else:
+                        cyc += int(hits.sum())
+            return {
+                "cyc": np.array([cyc], np.int64),
+                "trans": np.array([trans], np.int64),
+            }
+
+        parts = (
+            routed.groupby("bucket")
+            .map_groups(census, batch_format="numpy")
+            .take_all()
+        )
+        cyc = sum(int(r["cyc"]) for r in parts)
+        trans = sum(int(r["trans"]) for r in parts)
+        return one_row(cyc // 3, trans)
+
+    # shuffle fallback: wedge pairs + forward/reverse edge marks into
+    # one bucketed combine keyed on the ordered pair
+    def wedge_pairs(g: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        order = np.lexsort((g["nbr"], g["dir"], g["mid"]))
+        mid = g["mid"][order]
+        nbr = g["nbr"][order]
+        dr = g["dir"][order]
+        runs = np.concatenate(([True], mid[1:] != mid[:-1]))
+        starts = np.flatnonzero(runs)
+        ends = np.concatenate((starts[1:], [len(mid)]))
+        aa, cc = [], []
+        for lo, hi in zip(starts, ends):
+            split = lo + int(np.searchsorted(dr[lo:hi], 1))
+            ins = nbr[lo:split]
+            outs = nbr[split:hi]
+            if len(ins) == 0 or len(outs) == 0:
+                continue
+            a = np.repeat(ins, len(outs))
+            c = np.tile(outs, len(ins))
+            keep = a != c
+            aa.append(a[keep])
+            cc.append(c[keep])
+        ea = np.array([], dtype=np.int64)
+        a = np.concatenate(aa) if aa else ea
+        c = np.concatenate(cc) if cc else ea
+        z = np.zeros(len(a), dtype=np.int64)
+        return {"x": a, "y": c, "w": z + 1, "fwd": z, "rev": z}
+
+    wedge_ds = drop_empty_blocks(
+        routed.groupby("bucket").map_groups(wedge_pairs, batch_format="numpy")
+    )
+
+    def edge_marks(b: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        s, d = b["src"], b["dst"]
+        z = np.zeros(len(s), dtype=np.int64)
+        return {
+            "x": np.concatenate([s, d]),
+            "y": np.concatenate([d, s]),
+            "w": np.concatenate([z, z]),
+            "fwd": np.concatenate([z + 1, z]),
+            "rev": np.concatenate([z, z + 1]),
+        }
+
+    per_pair = grouped_agg(
+        wedge_ds.union(e.map_batches(edge_marks, batch_format="numpy")),
+        ["x", "y"],
+        {"w": ("w", "sum"), "fwd": ("fwd", "sum"), "rev": ("rev", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def fold(b: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        return {
+            "cyc": np.array([int((b["w"] * (b["rev"] > 0)).sum())], np.int64),
+            "trans": np.array([int((b["w"] * (b["fwd"] > 0)).sum())], np.int64),
+        }
+
+    parts = per_pair.map_batches(fold, batch_format="numpy").take_all()
+    cyc = sum(int(r["cyc"]) for r in parts)
+    trans = sum(int(r["trans"]) for r in parts)
+    return one_row(cyc // 3, trans)

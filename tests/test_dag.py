@@ -96,3 +96,41 @@ def test_dag_paths_rejects_cycle(ray_session):
         dag_paths(_ds(e)).to_pandas()
     with pytest.raises(ValueError, match="not acyclic"):
         dag_paths(_ds(e), broadcast_max=0).to_pandas()
+
+
+def _brute_census(e):
+    es = {(int(a), int(b)) for a, b in e}
+    verts = sorted({v for p in es for v in p})
+    cyc = trans = 0
+    import itertools
+
+    for a, b, c in itertools.combinations(verts, 3):
+        for x, y, z in itertools.permutations((a, b, c)):
+            # cyclic orbit counted once per rotation class: fix x = min
+            if x == min(x, y, z) and (x, y) in es and (y, z) in es and (z, x) in es:
+                cyc += 1
+        for x, y, z in itertools.permutations((a, b, c)):
+            if (x, y) in es and (y, z) in es and (x, z) in es:
+                trans += 1
+    return cyc, trans
+
+
+def test_directed_census_matches_brute(ray_session):
+    from parallel_pagerank_ray.pipelines.triangles import (
+        directed_triangle_census,
+    )
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        n = 25
+        e = rng.integers(0, n, size=(160, 2)).astype(np.int64)
+        e = np.unique(e[e[:, 0] != e[:, 1]], axis=0)
+        exp = _brute_census(e)
+        for bme in (50_000_000, 0):
+            got = directed_triangle_census(
+                _ds(e), n=n, broadcast_max_edges=bme
+            ).to_pandas()
+            assert (
+                int(got["n_cyclic"][0]),
+                int(got["n_transitive"][0]),
+            ) == exp, (trial, bme)
