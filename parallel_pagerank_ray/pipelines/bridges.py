@@ -75,6 +75,7 @@ def bfs_forest(
     graph: Graph,
     num_buckets: int,
     max_depth: int = 10_000,
+    broadcast_max: int = 5_000_000,
 ) -> tuple[rd.Dataset, rd.Dataset]:
     """The deterministic min-parent BFS spanning forest shared by the
     bridge sketch and Tarjan-Vishkin biconnectivity: roots = component
@@ -110,37 +111,74 @@ def bfs_forest(
 
     edges = graph.edges.select_columns(["src", "dst"])
     fc = undirected_edges(edges, dedup=False)
-    j1 = safe_join(
-        fc,
-        dep.rename_columns({"vid": "__u", "dist": "du"}),
-        join_type="inner",
-        num_partitions=8,
-        on=("src",),
-        right_on=("__u",),
-    )
-    j2 = safe_join(
-        j1,
-        dep.rename_columns({"vid": "__v", "dist": "dv"}),
-        join_type="inner",
-        num_partitions=8,
-        on=("dst",),
-        right_on=("__v",),
-    )
 
-    def parent_cand(t: pa.Table) -> pa.Table:
-        du = t.column("du").to_numpy(zero_copy_only=False)
-        dv = t.column("dv").to_numpy(zero_copy_only=False)
-        m = du + 1 == dv  # src one level above dst
-        return pa.table(
-            {
-                "vid": t.column("dst").filter(pa.array(m)),
-                "parent": t.column("src").filter(pa.array(m)),
-                "depth": pa.array(dv[m], pa.int64()),
-            }
+    # attach BFS levels to both endpoints. Fast path: the dist vector
+    # is O(#vertices-in-edges) — broadcast it once via ray.put and test
+    # both endpoints in ONE stateless map instead of two hash-shuffle
+    # joins of the closure (the dominant cost of the sparse gates).
+    from parallel_pagerank_ray.util import count_rows_once
+
+    n_dep, dep = count_rows_once(dep)
+    if n_dep <= broadcast_max and graph.n <= 50_000_000:
+        import ray as _ray
+
+        dt = pa.concat_tables(_ray.get(dep.to_arrow_refs()))
+        dist = np.full(graph.n, np.int64(-1), dtype=np.int64)
+        dist[dt.column("vid").to_numpy(zero_copy_only=False)] = dt.column(
+            "dist"
+        ).to_numpy(zero_copy_only=False)
+        dref = _ray.put(dist)
+
+        def parent_cand_bcast(t: pa.Table) -> pa.Table:
+            dv_all = _ray.get(dref)
+            s = t.column("src").to_numpy(zero_copy_only=False)
+            d = t.column("dst").to_numpy(zero_copy_only=False)
+            du = dv_all[s]
+            dv = dv_all[d]
+            m = (du >= 0) & (du + 1 == dv)  # src one level above dst
+            return pa.table(
+                {
+                    "vid": pa.array(d[m], pa.int64()),
+                    "parent": pa.array(s[m], pa.int64()),
+                    "depth": pa.array(dv[m], pa.int64()),
+                }
+            )
+
+        cand = fc.map_batches(parent_cand_bcast, batch_format="pyarrow")
+    else:
+        j1 = safe_join(
+            fc,
+            dep.rename_columns({"vid": "__u", "dist": "du"}),
+            join_type="inner",
+            num_partitions=8,
+            on=("src",),
+            right_on=("__u",),
+        )
+        j2 = safe_join(
+            j1,
+            dep.rename_columns({"vid": "__v", "dist": "dv"}),
+            join_type="inner",
+            num_partitions=8,
+            on=("dst",),
+            right_on=("__v",),
         )
 
+        def parent_cand(t: pa.Table) -> pa.Table:
+            du = t.column("du").to_numpy(zero_copy_only=False)
+            dv = t.column("dv").to_numpy(zero_copy_only=False)
+            m = du + 1 == dv  # src one level above dst
+            return pa.table(
+                {
+                    "vid": t.column("dst").filter(pa.array(m)),
+                    "parent": t.column("src").filter(pa.array(m)),
+                    "depth": pa.array(dv[m], pa.int64()),
+                }
+            )
+
+        cand = j2.map_batches(parent_cand, batch_format="pyarrow")
+
     par = grouped_agg(
-        j2.map_batches(parent_cand, batch_format="pyarrow"),
+        cand,
         ["vid"],
         {"parent": ("parent", "min"), "depth": ("depth", "min")},
         num_buckets=num_buckets,

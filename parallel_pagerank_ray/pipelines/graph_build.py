@@ -757,7 +757,54 @@ def joint_degree_matrix(
             }
         )
 
-    bands = deg.map_batches(banded, batch_format="pyarrow")
+    bands = deg.map_batches(banded, batch_format="pyarrow").materialize()
+
+    # broadcast the band vector when it fits (one plasma copy, indexed
+    # zero-copy per task) — replaces TWO hash-shuffle attaches of the
+    # full edge table with one stateless map; join path = fallback
+    from parallel_pagerank_ray.util import count_rows_once
+
+    n_bands, bands = count_rows_once(bands)
+    if n_bands <= 32_000_000:
+        import ray as _ray
+
+        bt = pa.concat_tables(_ray.get(bands.to_arrow_refs()))
+        vids = bt.column("vid").to_numpy(zero_copy_only=False)
+        n = int(vids.max()) + 1 if len(vids) else 0
+        if n > (256 << 20):  # sparse 64-bit ids: dense int8 vector too big
+            n = -1
+    else:
+        n = -1
+    if n >= 0:
+        import ray as _ray
+
+        vec = np.full(n, -1, dtype=np.int8)
+        vec[vids] = bt.column("band").to_numpy(zero_copy_only=False)
+        ref = _ray.put(vec)
+
+        def pair_rows_bcast(t: pa.Table) -> pa.Table:
+            v = _ray.get(ref)
+            a = v[t.column("src").to_numpy(zero_copy_only=False)].astype(
+                np.int64
+            )
+            b = v[t.column("dst").to_numpy(zero_copy_only=False)].astype(
+                np.int64
+            )
+            return pa.table(
+                {
+                    "band_lo": pa.array(np.minimum(a, b), pa.int64()),
+                    "band_hi": pa.array(np.maximum(a, b), pa.int64()),
+                    "one": pa.array(np.ones(len(a), np.int64), pa.int64()),
+                }
+            )
+
+        return grouped_agg(
+            edges.map_batches(pair_rows_bcast, batch_format="pyarrow"),
+            ["band_lo", "band_hi"],
+            {"n_edges": ("one", "sum")},
+            num_buckets=8,
+        )
+
     j1 = safe_join(
         edges,
         bands.rename_columns({"vid": "__u", "band": "ba"}),

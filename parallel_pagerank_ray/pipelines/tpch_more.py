@@ -925,6 +925,7 @@ def cheapest_supplier_per_part(
     lineitem: rd.Dataset,
     supplier: rd.Dataset,
     num_partitions: int | None = None,
+    broadcast_max: int = 5_000_000,
 ) -> rd.Dataset:
     """TPC-H Q2's shape without a partsupp table: for every part, the
     supplier offering the MINIMUM observed price (min l_extendedprice
@@ -979,9 +980,50 @@ def cheapest_supplier_per_part(
             }
         )
 
+    # the supplier dimension is tiny at every TPC-H scale (100 rows/SF)
+    # — broadcast it once via ray.put instead of hash-shuffling the
+    # whole argmin result; the join path stays as the unbounded fallback
+    from parallel_pagerank_ray.util import count_rows_once
+
+    sup = supplier.select_columns(["s_suppkey", "s_name"])
+    n_sup, sup = count_rows_once(sup)
+    if n_sup <= broadcast_max:
+        import ray as _ray
+
+        st = pa.concat_tables(_ray.get(sup.to_arrow_refs()))
+        name_of = dict(
+            zip(
+                st.column("s_suppkey").to_numpy(zero_copy_only=False),
+                st.column("s_name").to_pylist(),
+            )
+        )
+        ref = _ray.put(name_of)
+
+        def attach(t: pa.Table) -> pa.Table:
+            names = _ray.get(ref)
+            p = t.column("min_pack").to_numpy(zero_copy_only=False)
+            supp = p % SHIFT
+            keep = np.fromiter(
+                (s in names for s in supp), bool, len(supp)
+            )
+            return pa.table(
+                {
+                    "l_partkey": t.column("l_partkey").filter(pa.array(keep)),
+                    "s_suppkey": pa.array(supp[keep], pa.int64()),
+                    "s_name": pa.array(
+                        [names[s] for s in supp[keep]], pa.string()
+                    ),
+                    "min_price_cents": pa.array(
+                        (p // SHIFT)[keep], pa.int64()
+                    ),
+                }
+            )
+
+        return mins.map_batches(attach, batch_format="pyarrow")
+
     j = safe_join(
         mins.map_batches(unpack, batch_format="pyarrow"),
-        supplier.select_columns(["s_suppkey", "s_name"]),
+        sup,
         join_type="inner",
         num_partitions=num_partitions,
         on=("s_suppkey",),
