@@ -414,6 +414,11 @@ def bench_queries() -> dict[str, float]:
         "inter_event_gaps",
         "docs_jsonl_checksum",
         "docs_csv_checksum",
+        "articulation_copurchase",
+        "biconn_summary",
+        "dag_paths_copurchase",
+        "triad_census_links",
+        "ema_users",
     ]
     qs = E.queries()
     out: dict[str, float] = {}
