@@ -1263,6 +1263,19 @@ def q_two_edge_components(sf_dir: str) -> rd.Dataset:
 _BICONN_CACHE: dict = {}
 
 
+def q_eigencentrality(sf_dir: str) -> rd.Dataset:
+    """Eigenvector centrality of the co-purchase graph: 12 integer-
+    renormalized power iterations (x = (A x) * 10^6 // max; floor
+    division), bit-identical at any parallelism and replayed by a
+    recursive CTE (pipelines/eigen.py::eigenvector_centrality)."""
+    from parallel_pagerank_ray.pipelines.eigen import (
+        eigenvector_centrality,
+    )
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return eigenvector_centrality(g.edges, n=g.n, iterations=12)
+
+
 def q_triad_census(sf_dir: str) -> rd.Dataset:
     """Directed triangle census (cyclic vs transitive) of the url-level
     crawl link graph — per-mid-vertex wedge generation, broadcast
@@ -4308,6 +4321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "articulation_copurchase": q_articulation,
         "dag_paths_copurchase": q_dag_paths,
         "triad_census_links": q_triad_census,
+        "eigencentrality_copurchase": q_eigencentrality,
         "biconn_summary": q_biconn_summary,
         "pseudo_diameter_copurchase": q_pseudo_diameter_copurchase,
         "pagerank_incremental_top20": q_pagerank_incremental_top20,
@@ -6450,6 +6464,24 @@ def oracle_sql() -> dict[str, str]:
               )
             SELECT vid, comp AS comp2 FROM cc2
             WHERE it = (SELECT max(it) FROM cc2)
+        """,
+        "eigencentrality_copurchase": f"""
+            WITH RECURSIVE
+              c AS MATERIALIZED (SELECT src, dst FROM ({_COPURCHASE_SQL})),
+              und AS MATERIALIZED (SELECT src, dst FROM c
+                                   UNION ALL SELECT dst, src FROM c),
+              vv AS MATERIALIZED (SELECT DISTINCT src AS vid FROM und),
+              x(it, vid, v) AS (
+                SELECT 0, vid, CAST(1 AS BIGINT) FROM vv
+                UNION ALL
+                SELECT q.it + 1, q.vid,
+                       CAST(q.y * 1000000 // (max(q.y) OVER ()) AS BIGINT)
+                FROM (SELECT x.it AS it, u.dst AS vid, sum(x.v) AS y
+                      FROM x JOIN und u ON u.src = x.vid
+                      GROUP BY 1, 2) q
+                WHERE q.it < 12
+              )
+            SELECT vid, v AS score FROM x WHERE it = 12
         """,
         "triad_census_links": """
             WITH e AS MATERIALIZED (

@@ -419,6 +419,7 @@ def bench_queries() -> dict[str, float]:
         "dag_paths_copurchase",
         "triad_census_links",
         "ema_users",
+        "eigencentrality_copurchase",
     ]
     qs = E.queries()
     out: dict[str, float] = {}
