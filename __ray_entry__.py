@@ -3374,6 +3374,21 @@ def q_events_running(sf_dir: str) -> rd.Dataset:
     return running_window(read_table(sf_dir, "events"))
 
 
+def q_order_quartiles(sf_dir: str) -> rd.Dataset:
+    """NTILE(4) of each customer's orders by total price — one
+    customer-bucket shuffle + closed-form vectorized bucket arithmetic
+    (pipelines/relational.py::order_quartiles); exact NTILE remainder
+    rule, ints end to end."""
+    from parallel_pagerank_ray.pipelines.relational import (
+        order_quartiles,
+        read_table,
+    )
+
+    return order_quartiles(
+        read_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    )
+
+
 def q_ema_users(sf_dir: str) -> rd.Dataset:
     """Per-user integer EMA (alpha = 1/8) over the event timeline — the
     recursive per-key scan running_window's associative cumsums can't
@@ -4419,6 +4434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": q_events_asof,
         "events_running": q_events_running,
         "ema_users": q_ema_users,
+        "order_quartiles": q_order_quartiles,
         "events_daily_pivot": q_events_daily_pivot,
         "pricing_rollup": q_pricing_rollup,
         "pricing_cube": q_pricing_cube,
@@ -9015,6 +9031,14 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING)
+        """,
+        "order_quartiles": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(ntile(4) OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                                 o_orderkey) AS BIGINT) AS quartile
+            FROM orders
         """,
         "ema_users": """
             WITH RECURSIVE ev AS (

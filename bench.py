@@ -420,6 +420,7 @@ def bench_queries() -> dict[str, float]:
         "triad_census_links",
         "ema_users",
         "eigencentrality_copurchase",
+        "order_quartiles",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -2048,3 +2048,77 @@ def profile_table(
         )
 
     return out.map_batches(finish, batch_format="pandas").sort("col_name")
+
+
+def order_quartiles(orders: rd.Dataset) -> rd.Dataset:
+    """NTILE(4) of each customer's orders by total price — the
+    equal-height bucketing window function (the one member of the SQL
+    window family running_window/lag/pivot don't cover). Output one
+    row per order: (o_orderkey, o_custkey, quartile), quartile in 1..4
+    following the standard NTILE rule exactly: with cnt orders, the
+    first cnt % 4 buckets hold ceil(cnt/4) rows, the rest floor(cnt/4),
+    assigned in (o_totalprice, o_orderkey) order — integer-exact and
+    deterministic (price compared in cents).
+
+    Scale shape: ONE hash shuffle keyed by o_custkey % B; the
+    in-bucket kernel is a lexsort plus closed-form vectorized bucket
+    arithmetic over every customer at once (no per-customer Python).
+    """
+    from parallel_pagerank_ray.stages.agg import resolve_num_buckets
+
+    num_buckets = resolve_num_buckets(orders)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        cust = df["o_custkey"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy().astype(np.int64),
+                "o_custkey": cust,
+                "cents": np.round(
+                    df["o_totalprice"].to_numpy() * 100.0
+                ).astype(np.int64),
+                "bucket": cust % np.int64(num_buckets),
+            }
+        )
+
+    def ntile4(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (
+                g["o_orderkey"].to_numpy(),
+                g["cents"].to_numpy(),
+                g["o_custkey"].to_numpy(),
+            )
+        )
+        cust = g["o_custkey"].to_numpy()[order]
+        okey = g["o_orderkey"].to_numpy()[order]
+        new = np.concatenate(([True], cust[1:] != cust[:-1]))
+        run_id = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(cust)))[run_id]
+        pos = np.arange(len(cust)) - starts[run_id]
+        big = cnt // 4 + 1          # size of the first cnt%4 buckets
+        nbig = cnt % 4
+        cut = nbig * big            # rows covered by the big buckets
+        small = np.maximum(cnt // 4, 1)
+        q = np.where(
+            pos < cut,
+            pos // big,
+            nbig + (pos - cut) // small,
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": okey,
+                "o_custkey": cust,
+                "quartile": (q + 1).astype(np.int64),
+            }
+        )
+
+    out = (
+        orders.select_columns(["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(keyed, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(ntile4, batch_format="pandas")
+    )
+    from parallel_pagerank_ray.util import drop_empty_blocks
+
+    return drop_empty_blocks(out)

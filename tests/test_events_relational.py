@@ -1296,3 +1296,38 @@ def test_ema_user_cents_partition_invariance():
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_order_quartiles_ntile_rule():
+    from parallel_pagerank_ray.pipelines.relational import order_quartiles
+
+    rng = np.random.default_rng(3)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype=np.int64),
+            "o_custkey": rng.integers(0, 37, n).astype(np.int64),
+            "o_totalprice": np.round(rng.random(n) * 1000, 2),
+        }
+    )
+    got = (
+        order_quartiles(rd.from_pandas(df).repartition(5))
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    # reference: exact NTILE rule per customer
+    s = df.assign(
+        cents=np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    ).sort_values(["o_custkey", "cents", "o_orderkey"])
+    exp = {}
+    for _, grp in s.groupby("o_custkey", sort=False):
+        cnt = len(grp)
+        big, nbig = cnt // 4 + 1, cnt % 4
+        for pos, okey in enumerate(grp["o_orderkey"]):
+            if pos < nbig * big:
+                exp[okey] = pos // big + 1
+            else:
+                exp[okey] = nbig + (pos - nbig * big) // max(cnt // 4, 1) + 1
+    assert len(got) == n
+    assert all(exp[k] == q for k, q in zip(got["o_orderkey"], got["quartile"]))
