@@ -1318,6 +1318,35 @@ def q_dag_paths(sf_dir: str) -> rd.Dataset:
     return dag_paths(thinned)
 
 
+def q_two_edge_cuts(sf_dir: str) -> rd.Dataset:
+    """Minimal 2-edge cutsets of the sparse co-purchase backbone (same
+    3 pct thin as the bridges gate) via the cycle-space signature
+    cut-class rule: sig(e) == sig(f) != 0
+    (pipelines/bridges.py::two_edge_cuts). whp-exact with the same
+    deterministic md5 seed the SQL oracle replays; classes larger than
+    10k edges emit no pairs (HAVING-reproduced hub rule)."""
+    import pyarrow as pa
+
+    from parallel_pagerank_ray.functions.hashing import md5_u64
+    from parallel_pagerank_ray.pipelines.bridges import two_edge_cuts
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+
+    def thin(t: pa.Table) -> pa.Table:
+        srcs = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            (md5_u64(f"th|{a}|{b}") % 100 < 3 for a, b in zip(srcs, d)),
+            bool,
+            len(srcs),
+        )
+        return t.filter(pa.array(keep))
+
+    thinned = g.edges.map_batches(thin, batch_format="pyarrow").materialize()
+    return two_edge_cuts(Graph(n=g.n, edges=thinned), max_class=10_000)
+
+
 def _thinned_copurchase_1pct(sf_dir: str):
     """Co-purchase backbone md5-thinned to 1 pct — sparser than the
     bridges gate's 3 pct so the cut-vertex structure is rich (many
@@ -4333,6 +4362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolation_curve": q_percolation_curve,
         "bridges": q_bridges,
         "two_edge_components": q_two_edge_components,
+        "two_edge_cuts": q_two_edge_cuts,
         "articulation_copurchase": q_articulation,
         "dag_paths_copurchase": q_dag_paths,
         "triad_census_links": q_triad_census,
@@ -6373,6 +6403,102 @@ def oracle_sql() -> dict[str, str]:
             SELECT least(vid, parent) AS src,
                    greatest(vid, parent) AS dst
             FROM elab WHERE lab = 0
+        """,
+        "two_edge_cuts": f"""
+            WITH RECURSIVE
+              c AS MATERIALIZED (
+                SELECT src, dst FROM ({_COPURCHASE_SQL})
+                WHERE CAST(('0x' || substr(md5('th|' || src || '|' || dst),
+                            1, 16)) AS UBIGINT) % 100 < 3),
+              und AS MATERIALIZED (SELECT src, dst FROM c
+                                   UNION ALL SELECT dst, src FROM c),
+              vv AS MATERIALIZED (SELECT DISTINCT src AS vid FROM und),
+              cc(it, vid, comp, ch) AS (
+                SELECT 0, vid, vid, 1 FROM vv
+                UNION ALL
+                SELECT c2.it + 1, c2.vid,
+                       least(c2.comp, coalesce(m.mn, c2.comp)),
+                       CASE WHEN least(c2.comp, coalesce(m.mn, c2.comp))
+                                 <> c2.comp THEN 1 ELSE 0 END
+                FROM cc c2
+                LEFT JOIN (SELECT u.dst AS vid, min(c3.comp) AS mn
+                           FROM cc c3 JOIN und u ON u.src = c3.vid
+                           GROUP BY 1) m ON m.vid = c2.vid
+                WHERE (SELECT max(c4.ch) FROM cc c4) = 1
+              ),
+              lab2 AS MATERIALIZED (SELECT vid, comp FROM cc
+                      WHERE it = (SELECT max(it) FROM cc)),
+              roots AS (SELECT DISTINCT comp AS vid FROM lab2),
+              -- multi-source BFS levels (min-depth; components are
+              -- disjoint so each vertex sees only its own root). The
+              -- depth cap bounds the SQL row space only — it must sit
+              -- ABOVE the thinned graph's eccentricity or rows go
+              -- missing and the gate fails loudly
+              walkb(vid, d) AS (
+                SELECT vid, 0 FROM roots
+                UNION
+                SELECT u.dst, w.d + 1
+                FROM walkb w JOIN und u ON u.src = w.vid
+                WHERE w.d < 128
+              ),
+              dmin AS MATERIALIZED (
+                SELECT vid, CAST(min(d) AS BIGINT) AS d
+                FROM walkb GROUP BY 1),
+              -- BFS-tree forest: parent = MIN neighbor one level up
+              par2 AS MATERIALIZED (
+                SELECT u.dst AS vid, min(u.src) AS parent
+                FROM und u
+                JOIN dmin a ON a.vid = u.src
+                JOIN dmin b ON b.vid = u.dst
+                WHERE a.d + 1 = b.d
+                GROUP BY 1),
+              forest AS MATERIALIZED (
+                SELECT least(vid, parent) AS src,
+                       greatest(vid, parent) AS dst
+                FROM par2),
+              nt AS MATERIALIZED (
+                SELECT c.src, c.dst FROM c
+                WHERE NOT EXISTS (SELECT 1 FROM forest f
+                                  WHERE f.src = c.src AND f.dst = c.dst)),
+              ntl AS MATERIALIZED (
+                SELECT src, dst,
+                       CAST(CAST(('0x' || substr(
+                              md5('br|' || src || '|' || dst), 1, 16))
+                            AS UBIGINT)
+                            % CAST(4611686018427387904 AS UBIGINT)
+                         AS BIGINT) AS lab
+                FROM nt),
+              val AS MATERIALIZED (
+                SELECT vid, bit_xor(lab) AS lab FROM (
+                  SELECT src AS vid, lab FROM ntl
+                  UNION ALL SELECT dst, lab FROM ntl) GROUP BY 1),
+              desc_(anc, vid) AS (
+                SELECT vid, vid FROM vv
+                UNION ALL
+                SELECT d.anc, p.vid
+                FROM desc_ d JOIN par2 p ON p.parent = d.vid),
+              elab AS (
+                SELECT p.vid, p.parent,
+                       coalesce(bit_xor(v.lab), 0) AS lab
+                FROM par2 p
+                LEFT JOIN desc_ dd ON dd.anc = p.vid
+                LEFT JOIN val v ON v.vid = dd.vid
+                GROUP BY 1, 2)
+            , sigs AS MATERIALIZED (
+                SELECT least(vid, parent) AS src,
+                       greatest(vid, parent) AS dst, lab
+                FROM elab WHERE lab <> 0
+                UNION ALL
+                SELECT src, dst, lab FROM ntl),
+              okc AS (SELECT lab FROM sigs GROUP BY 1
+                      HAVING count(*) <= 10000)
+            SELECT a.src AS src1, a.dst AS dst1,
+                   b.src AS src2, b.dst AS dst2
+            FROM sigs a
+            JOIN sigs b ON b.lab = a.lab
+                       AND (a.src < b.src
+                            OR (a.src = b.src AND a.dst < b.dst))
+            JOIN okc o ON o.lab = a.lab
         """,
         "two_edge_components": f"""
             WITH RECURSIVE

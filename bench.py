@@ -421,6 +421,7 @@ def bench_queries() -> dict[str, float]:
         "ema_users",
         "eigencentrality_copurchase",
         "order_quartiles",
+        "two_edge_cuts",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

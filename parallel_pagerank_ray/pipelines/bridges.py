@@ -221,24 +221,35 @@ def nontree_edges(
     ).select_columns(["src", "dst"])
 
 
-def bridges(
+def edge_cut_sigs(
     graph: Graph,
     num_buckets: int | None = None,
     max_depth: int = 10_000,
     broadcast_max: int = 5_000_000,
 ) -> rd.Dataset:
-    """All bridges of the undirected simple graph as canonical
-    (src, dst) rows, src < dst. Requires ``graph.edges`` canonical
-    simple (src < dst, distinct, no self-loops) — the triangle-family
-    certificate. Deterministic (md5-seeded sketch; whp-exact, see
-    module docstring). Packed anti-join keys need n < 3e9.
+    """Cycle-space signature of EVERY edge: (src, dst, sig, is_tree).
+    A non-tree edge's sig is its own 62-bit md5 label; a tree edge's
+    sig is the XOR of the labels of the non-tree edges covering it.
+    Downstream (whp-exact, same guarantee as the module docstring):
+
+      sig == 0 and is_tree       <=> the edge is a BRIDGE (1-cut)
+      sig(e) == sig(f) != 0      <=> {e, f} is a minimal 2-edge cut
+                                     (the classic cut-class property of
+                                     the cycle-space sketch)
+
+    Same input contract as ``bridges`` (canonical simple edges).
     """
     from parallel_pagerank_ray.stages.agg import resolve_num_buckets
 
     n = graph.n
     empty = rd.from_arrow(
         pa.table(
-            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            {
+                "src": pa.array([], pa.int64()),
+                "dst": pa.array([], pa.int64()),
+                "sig": pa.array([], pa.int64()),
+                "is_tree": pa.array([], pa.int64()),
+            }
         )
     )
     if n == 0:
@@ -275,11 +286,34 @@ def bridges(
         "lab",
         num_buckets=num_buckets,
     ).materialize()
+    def tree_sig0(t: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(len(t), np.int64))
+        return pa.table(
+            {
+                "src": t.column("src"),
+                "dst": t.column("dst"),
+                "sig": z,
+                "is_tree": pa.array(np.ones(len(t), np.int64)),
+            }
+        )
+
     if val.count() == 0:
         # no non-tree edge anywhere: the graph IS its forest, every
         # edge is a bridge (also sidesteps Dataset.join's schema-less
         # empty-side failure mode)
-        return forest
+        return forest.map_batches(tree_sig0, batch_format="pyarrow")
+
+    def nt_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t.column("src"),
+                "dst": t.column("dst"),
+                "sig": t.column("lab"),
+                "is_tree": pa.array(np.zeros(len(t), np.int64)),
+            }
+        )
+
+    nt_sigs = ntl.map_batches(nt_rows, batch_format="pyarrow")
 
     # fast path: the fold state is (vid, parent, depth, val) — one row
     # per non-root vertex. Under the broadcast bound, pull it once and
@@ -310,17 +344,19 @@ def bridges(
             labels[lo:hi] = acc[vids[lo:hi]]
             np.bitwise_xor.at(acc, pars[lo:hi], acc[vids[lo:hi]])
             lo = hi
-        m = labels == 0
-        if not m.any():
-            return empty
-        return rd.from_arrow(
+        tree = rd.from_arrow(
             pa.table(
                 {
-                    "src": pa.array(np.minimum(vids, pars)[m], pa.int64()),
-                    "dst": pa.array(np.maximum(vids, pars)[m], pa.int64()),
+                    "src": pa.array(np.minimum(vids, pars), pa.int64()),
+                    "dst": pa.array(np.maximum(vids, pars), pa.int64()),
+                    "sig": pa.array(labels, pa.int64()),
+                    "is_tree": pa.array(
+                        np.ones(len(vids), np.int64), pa.int64()
+                    ),
                 }
             )
         )
+        return tree.union(nt_sigs)
 
     # 4. ancestor pairs via duplicate-free binary lifting: P = proper
     # ancestors within 2^k steps, J = the exact-2^k jump pointer;
@@ -387,15 +423,138 @@ def bridges(
         u = df["parent"].astype(np.int64).to_numpy()
         v = df["vid"].astype(np.int64).to_numpy()
         lab = df["sub"].fillna(0).astype(np.int64).to_numpy()
-        m = lab == 0
         return pd.DataFrame(
             {
-                "src": np.minimum(u, v)[m],
-                "dst": np.maximum(u, v)[m],
+                "src": np.minimum(u, v),
+                "dst": np.maximum(u, v),
+                "sig": lab,
+                "is_tree": np.ones(len(u), np.int64),
             }
         )
 
     out = lab_edges.map_batches(finish, batch_format="pandas")
+    return drop_empty_blocks(out).union(nt_sigs)
+
+
+def bridges(
+    graph: Graph,
+    num_buckets: int | None = None,
+    max_depth: int = 10_000,
+    broadcast_max: int = 5_000_000,
+) -> rd.Dataset:
+    """All bridges of the undirected simple graph as canonical
+    (src, dst) rows, src < dst. Requires ``graph.edges`` canonical
+    simple (src < dst, distinct, no self-loops) — the triangle-family
+    certificate. Deterministic (md5-seeded sketch; whp-exact, see
+    module docstring). Packed anti-join keys need n < 3e9.
+    """
+    sigs = edge_cut_sigs(
+        graph,
+        num_buckets=num_buckets,
+        max_depth=max_depth,
+        broadcast_max=broadcast_max,
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.and_(
+            pc.equal(t.column("sig"), pa.scalar(0, pa.int64())),
+            pc.equal(t.column("is_tree"), pa.scalar(1, pa.int64())),
+        )
+        f = t.filter(m)
+        return pa.table({"src": f.column("src"), "dst": f.column("dst")})
+
+    return drop_empty_blocks(sigs.map_batches(pick, batch_format="pyarrow"))
+
+
+def two_edge_cuts(
+    graph: Graph,
+    num_buckets: int | None = None,
+    max_depth: int = 10_000,
+    broadcast_max: int = 5_000_000,
+    max_class: int = 10_000,
+) -> rd.Dataset:
+    """All minimal 2-edge cutsets {e, f} (removing both disconnects a
+    component; neither is a bridge alone), whp-exact via the classic
+    cut-class property of the cycle-space sketch: two edges form a
+    2-cut iff their signatures are EQUAL and nonzero. Output one row
+    per unordered pair, canonical packed order:
+    (src1, dst1, src2, dst2).
+
+    Scale shape: one ``edge_cut_sigs`` run, then ONE bucketed shuffle
+    keyed on the signature and a vectorized all-pairs kernel per
+    signature class. A class of k edges (a k-edge bond chain, e.g. one
+    long induced cycle) yields C(k, 2) pairs; classes larger than
+    ``max_class`` emit no pairs (the LSH hub-guard rule — deterministic
+    function of class size, reproduced by the SQL oracle's HAVING).
+    """
+    from parallel_pagerank_ray.stages.agg import (
+        grouped_agg,
+        pairs_within_groups,
+        resolve_num_buckets,
+    )
+
+    if num_buckets is None:
+        num_buckets = resolve_num_buckets(graph.edges)
+    n = graph.n
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "src1": pa.array([], pa.int64()),
+                "dst1": pa.array([], pa.int64()),
+                "src2": pa.array([], pa.int64()),
+                "dst2": pa.array([], pa.int64()),
+            }
+        )
+    )
+    if n == 0:
+        return empty
+    sigs = edge_cut_sigs(
+        graph,
+        num_buckets=num_buckets,
+        max_depth=max_depth,
+        broadcast_max=broadcast_max,
+    )
+    nb = np.int64(n)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        sg = t.column("sig").to_numpy(zero_copy_only=False)
+        m = sg != 0
+        s_ = t.column("src").to_numpy(zero_copy_only=False)[m]
+        d_ = t.column("dst").to_numpy(zero_copy_only=False)[m]
+        sg = sg[m]
+        return pa.table(
+            {
+                "sig": pa.array(sg, pa.int64()),
+                "packed": pa.array(s_ * nb + d_, pa.int64()),
+                "bucket": pa.array(sg % np.int64(num_buckets), pa.int64()),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a, b = pairs_within_groups(
+            (
+                g["sig"].to_numpy().astype(np.int64),
+                g["packed"].to_numpy().astype(np.int64),
+            ),
+            g["packed"].to_numpy().astype(np.int64),
+            max_group=max_class,
+        )
+        return pd.DataFrame(
+            {
+                "src1": a // nb,
+                "dst1": a % nb,
+                "src2": b // nb,
+                "dst2": b % nb,
+            }
+        )
+
+    out = (
+        sigs.map_batches(keyed, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )
     return drop_empty_blocks(out)
 
 

@@ -122,3 +122,64 @@ def test_two_edge_components_matches_bruteforce():
     got = two_edge_components(g).to_pandas()
     gm = {int(r.vid): int(r.comp2) for r in got.itertuples()}
     assert gm == want
+
+
+def _brute_2cuts(n, canon):
+    import itertools
+
+    def ncc(edges):
+        p = list(range(n))
+
+        def find(x):
+            while p[x] != x:
+                p[x] = p[p[x]]
+                x = p[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                p[ra] = rb
+        return len({find(v) for v in range(n)})
+
+    base = ncc(canon)
+    es = [tuple(e) for e in canon.tolist()]
+    br = {e for i, e in enumerate(es) if ncc(np.delete(canon, i, 0)) > base}
+    out = set()
+    for (i, e), (j, f) in itertools.combinations(enumerate(es), 2):
+        if e in br or f in br:
+            continue
+        if ncc(np.delete(canon, [i, j], 0)) > base:
+            out.add(tuple(sorted([e, f])))
+    return out
+
+
+def test_two_edge_cuts_matches_bruteforce():
+    from parallel_pagerank_ray.pipelines.bridges import two_edge_cuts
+
+    canon = _canon(powerlaw_edges(50, 2, seed=5))
+    g = _graph(canon)
+    df = two_edge_cuts(g).to_pandas()
+    got = {
+        tuple(
+            sorted(
+                [(int(r.src1), int(r.dst1)), (int(r.src2), int(r.dst2))]
+            )
+        )
+        for r in df.itertuples()
+    }
+    assert got == _brute_2cuts(g.n, canon)
+
+
+def test_two_edge_cuts_class_cap_drops_long_cycles():
+    from parallel_pagerank_ray.pipelines.bridges import two_edge_cuts
+
+    # a single 12-cycle: one signature class of 12 edges -> C(12,2)=66
+    # pairs uncapped, 0 with max_class below 12
+    canon = np.array(
+        [(i, i + 1) for i in range(11)] + [(0, 11)], dtype=np.int64
+    )
+    g = _graph(_canon(canon))
+    assert len(two_edge_cuts(g).to_pandas()) == 66
+    capped = two_edge_cuts(g, max_class=11).to_pandas()
+    assert len(capped) == 0
