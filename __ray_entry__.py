@@ -3418,6 +3418,22 @@ def q_order_quartiles(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_coverage_select(sf_dir: str) -> rd.Dataset:
+    """Greedy max-coverage corpus selection (submodular data curation):
+    the 6 docs that together cover the most distinct 8-gram shingle
+    hashes, one marginal-gain pass + bucketed combine + per-block
+    argmax per pick (pipelines/coverage.py::coverage_select). Int64
+    trajectory, replayed pick-by-pick by the unrolled SQL oracle."""
+    from parallel_pagerank_ray.pipelines.coverage import coverage_select
+    from parallel_pagerank_ray.pipelines.relational import read_table
+
+    return coverage_select(
+        read_table(sf_dir, "documents", ["doc_id", "text"]),
+        k=6,
+        shingle_k=8,
+    )
+
+
 def q_ema_users(sf_dir: str) -> rd.Dataset:
     """Per-user integer EMA (alpha = 1/8) over the event timeline — the
     recursive per-key scan running_window's associative cumsums can't
@@ -4465,6 +4481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running": q_events_running,
         "ema_users": q_ema_users,
         "order_quartiles": q_order_quartiles,
+        "coverage_select": q_coverage_select,
         "events_daily_pivot": q_events_daily_pivot,
         "pricing_rollup": q_pricing_rollup,
         "pricing_cube": q_pricing_cube,
@@ -4962,6 +4979,56 @@ def _pii_sql(redact: bool = False) -> str:
            + length(regexp_extract_all(text, '{PHONE}'))) > 0 AS has_pii
         FROM pii
         """
+
+
+def _coverage_sql(k: int = 6, shingle_k: int = 8) -> str:
+    """DuckDB mirror of pipelines.coverage.coverage_select: the greedy
+    trajectory UNROLLED pick by pick (SQL recursion can't reference the
+    recursive table twice, so each round is its own CTE pair: g_i =
+    marginal gains against the hashes of all prior winners, p_i = the
+    (gain DESC, doc_id) argmax)."""
+    from parallel_pagerank_ray.functions import hashing as H
+
+    p_, R = int(H.P31), int(H.SHINGLE_R)
+    horner = "CAST(ascii(substr(text, x, 1)) AS BIGINT)"
+    for i in range(1, shingle_k):
+        horner = (
+            f"(({horner}) * {R} + ascii(substr(text, x + {i}, 1))) % {p_}"
+        )
+    parts = [
+        f"""WITH sh AS MATERIALIZED (
+          SELECT DISTINCT doc_id, h FROM (
+            SELECT doc_id,
+                   unnest([({horner})
+                           for x in range(
+                             1, greatest(length(text) - {shingle_k - 2}, 2))])
+                     AS h
+            FROM documents))"""
+    ]
+    sel: list[str] = []
+    for i in range(1, k + 1):
+        if i == 1:
+            cond = ""
+        else:
+            winners = " UNION ALL ".join(
+                f"SELECT doc_id FROM p{j}" for j in range(1, i)
+            )
+            cond = (
+                f" WHERE s.h NOT IN (SELECT h FROM sh"
+                f" WHERE doc_id IN ({winners}))"
+            )
+        parts.append(
+            f"""g{i} AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS gain
+                 FROM sh s{cond} GROUP BY 1)"""
+        )
+        parts.append(
+            f"""p{i} AS (SELECT doc_id, gain FROM g{i}
+                 ORDER BY gain DESC, doc_id LIMIT 1)"""
+        )
+        sel.append(
+            f"SELECT CAST({i} AS BIGINT) AS rank, doc_id, gain FROM p{i}"
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sel)
 
 
 def _dup_span_sql(k: int = 20) -> str:
@@ -8432,6 +8499,7 @@ def oracle_sql() -> dict[str, str]:
             FROM totals t LEFT JOIN novel n ON n.doc_id = t.doc_id
         """,
         "dup_span_stats": _dup_span_sql(k=20),
+        "coverage_select": _coverage_sql(k=6, shingle_k=8),
         "phrase_search": """
             SELECT doc_id,
                    CAST((length(text) - length(replace(text, 'order', '')))

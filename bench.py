@@ -422,6 +422,7 @@ def bench_queries() -> dict[str, float]:
         "eigencentrality_copurchase",
         "order_quartiles",
         "two_edge_cuts",
+        "coverage_select",
     ]
     qs = E.queries()
     out: dict[str, float] = {}
