@@ -1318,6 +1318,38 @@ def q_dag_paths(sf_dir: str) -> rd.Dataset:
     return dag_paths(thinned)
 
 
+def q_lca(sf_dir: str) -> rd.Dataset:
+    """Batch LCA / tree-distance queries on the co-purchase BFS forest:
+    100 md5-derived vertex pairs through the broadcast vectorized
+    pointer walk (pipelines/lca.py::tree_lca); cross-component and
+    absent vertices resolve to -1. Value-exact vs an ancestor-closure
+    oracle over the replayed forest."""
+    import pyarrow as pa
+
+    from parallel_pagerank_ray.functions.hashing import md5_u64
+    from parallel_pagerank_ray.pipelines.lca import tree_lca
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    n = g.n
+    qid = np.arange(100, dtype=np.int64)
+    a = np.fromiter(
+        (md5_u64(f"lcaA|{i}") % n for i in qid), np.int64, len(qid)
+    )
+    b = np.fromiter(
+        (md5_u64(f"lcaB|{i}") % n for i in qid), np.int64, len(qid)
+    )
+    queries = rd.from_arrow(
+        pa.table(
+            {
+                "qid": pa.array(qid, pa.int64()),
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+            }
+        )
+    )
+    return tree_lca(g, queries)
+
+
 def q_two_edge_cuts(sf_dir: str) -> rd.Dataset:
     """Minimal 2-edge cutsets of the sparse co-purchase backbone (same
     3 pct thin as the bridges gate) via the cycle-space signature
@@ -4379,6 +4411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bridges": q_bridges,
         "two_edge_components": q_two_edge_components,
         "two_edge_cuts": q_two_edge_cuts,
+        "lca_copurchase": q_lca,
         "articulation_copurchase": q_articulation,
         "dag_paths_copurchase": q_dag_paths,
         "triad_census_links": q_triad_census,
@@ -6470,6 +6503,84 @@ def oracle_sql() -> dict[str, str]:
             SELECT least(vid, parent) AS src,
                    greatest(vid, parent) AS dst
             FROM elab WHERE lab = 0
+        """,
+        "lca_copurchase": f"""
+            WITH RECURSIVE
+              c AS MATERIALIZED (SELECT src, dst FROM ({_COPURCHASE_SQL})),
+              und AS MATERIALIZED (SELECT src, dst FROM c
+                                   UNION ALL SELECT dst, src FROM c),
+              vv AS MATERIALIZED (SELECT DISTINCT src AS vid FROM und),
+              nn AS MATERIALIZED (
+                SELECT max(greatest(src, dst)) + 1 AS n FROM c),
+              cc(it, vid, comp, ch) AS (
+                SELECT 0, vid, vid, 1 FROM vv
+                UNION ALL
+                SELECT c2.it + 1, c2.vid,
+                       least(c2.comp, coalesce(m.mn, c2.comp)),
+                       CASE WHEN least(c2.comp, coalesce(m.mn, c2.comp))
+                                 <> c2.comp THEN 1 ELSE 0 END
+                FROM cc c2
+                LEFT JOIN (SELECT u.dst AS vid, min(c3.comp) AS mn
+                           FROM cc c3 JOIN und u ON u.src = c3.vid
+                           GROUP BY 1) m ON m.vid = c2.vid
+                WHERE (SELECT max(c4.ch) FROM cc c4) = 1
+              ),
+              lab2 AS MATERIALIZED (SELECT vid, comp FROM cc
+                      WHERE it = (SELECT max(it) FROM cc)),
+              roots AS (SELECT DISTINCT comp AS vid FROM lab2),
+              walkb(vid, d) AS (
+                SELECT vid, 0 FROM roots
+                UNION
+                SELECT u.dst, w.d + 1
+                FROM walkb w JOIN und u ON u.src = w.vid
+                WHERE w.d < 128
+              ),
+              dmin AS MATERIALIZED (
+                SELECT vid, CAST(min(d) AS BIGINT) AS d
+                FROM walkb GROUP BY 1),
+              par2 AS MATERIALIZED (
+                SELECT u.dst AS vid, min(u.src) AS parent
+                FROM und u
+                JOIN dmin a2 ON a2.vid = u.src
+                JOIN dmin b2 ON b2.vid = u.dst
+                WHERE a2.d + 1 = b2.d
+                GROUP BY 1),
+              anc(x, a) AS (
+                SELECT vid, vid FROM vv
+                UNION ALL
+                SELECT an.x, p.parent
+                FROM anc an JOIN par2 p ON p.vid = an.a
+              ),
+              q AS MATERIALIZED (
+                SELECT CAST(i.range AS BIGINT) AS qid,
+                       CAST(CAST(('0x' || substr(md5('lcaA|' || i.range),
+                                  1, 16)) AS UBIGINT)
+                            % (SELECT n FROM nn) AS BIGINT) AS a,
+                       CAST(CAST(('0x' || substr(md5('lcaB|' || i.range),
+                                  1, 16)) AS UBIGINT)
+                            % (SELECT n FROM nn) AS BIGINT) AS b
+                FROM range(100) i),
+              hits AS (
+                SELECT q.qid, da.a AS anc_v, dd.d AS anc_d
+                FROM q
+                JOIN anc da ON da.x = q.a
+                JOIN anc db ON db.x = q.b AND db.a = da.a
+                JOIN dmin dd ON dd.vid = da.a),
+              best AS (
+                -- common ancestors form a chain: the max-depth one
+                -- is unique, no tie rule needed
+                SELECT qid, max_by(anc_v, anc_d) AS lca,
+                       max(anc_d) AS dl
+                FROM hits GROUP BY 1)
+            SELECT q.qid, q.a, q.b,
+                   CAST(coalesce(best.lca, -1) AS BIGINT) AS lca,
+                   CAST(CASE WHEN best.lca IS NULL THEN -1
+                        ELSE ea.d + eb.d - 2 * best.dl END AS BIGINT)
+                     AS dist
+            FROM q
+            LEFT JOIN best ON best.qid = q.qid
+            LEFT JOIN dmin ea ON ea.vid = q.a
+            LEFT JOIN dmin eb ON eb.vid = q.b
         """,
         "two_edge_cuts": f"""
             WITH RECURSIVE

@@ -423,6 +423,7 @@ def bench_queries() -> dict[str, float]:
         "order_quartiles",
         "two_edge_cuts",
         "coverage_select",
+        "lca_copurchase",
     ]
     qs = E.queries()
     out: dict[str, float] = {}
