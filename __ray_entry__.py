@@ -3450,6 +3450,18 @@ def q_order_quartiles(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_edit1_customers(sf_dir: str) -> rd.Dataset:
+    """Edit-distance-1 self-join over customer names (entity-resolution
+    fuzzy key matching): FastSS deletion-neighborhood blocking + exact
+    vectorized hamming / one-gap verify
+    (pipelines/fuzzy.py::edit1_join). Value-exact vs DuckDB's
+    levenshtein over the same blocked candidates."""
+    from parallel_pagerank_ray.pipelines.fuzzy import edit1_join
+    from parallel_pagerank_ray.pipelines.relational import read_table
+
+    return edit1_join(read_table(sf_dir, "customer", ["c_name"]), "c_name")
+
+
 def q_coverage_select(sf_dir: str) -> rd.Dataset:
     """Greedy max-coverage corpus selection (submodular data curation):
     the 6 docs that together cover the most distinct 8-gram shingle
@@ -4515,6 +4527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ema_users": q_ema_users,
         "order_quartiles": q_order_quartiles,
         "coverage_select": q_coverage_select,
+        "edit1_customers": q_edit1_customers,
         "events_daily_pivot": q_events_daily_pivot,
         "pricing_rollup": q_pricing_rollup,
         "pricing_cube": q_pricing_cube,
@@ -8610,6 +8623,20 @@ def oracle_sql() -> dict[str, str]:
             FROM totals t LEFT JOIN novel n ON n.doc_id = t.doc_id
         """,
         "dup_span_stats": _dup_span_sql(k=20),
+        "edit1_customers": """
+            WITH toks AS MATERIALIZED (
+              SELECT DISTINCT c_name AS s FROM customer),
+            keys AS MATERIALIZED (
+              SELECT s, s AS key FROM toks
+              UNION ALL
+              SELECT s, substr(s, 1, x.range - 1)
+                        || substr(s, x.range + 1, 1000) AS key
+              FROM toks, range(1, 1001) x WHERE x.range <= length(s)),
+            cand AS (
+              SELECT DISTINCT a.s AS s1, b.s AS s2
+              FROM keys a JOIN keys b ON a.key = b.key AND a.s < b.s)
+            SELECT s1, s2 FROM cand WHERE levenshtein(s1, s2) <= 1
+        """,
         "coverage_select": _coverage_sql(k=6, shingle_k=8),
         "phrase_search": """
             SELECT doc_id,

@@ -424,6 +424,7 @@ def bench_queries() -> dict[str, float]:
         "two_edge_cuts",
         "coverage_select",
         "lca_copurchase",
+        "edit1_customers",
     ]
     qs = E.queries()
     out: dict[str, float] = {}
