@@ -3435,6 +3435,17 @@ def q_events_running(sf_dir: str) -> rd.Dataset:
     return running_window(read_table(sf_dir, "events"))
 
 
+def q_session_overlaps(sf_dir: str) -> rd.Dataset:
+    """Interval-overlap self-join over gap-based user sessions: per
+    user pair, the number of temporally overlapping session pairs —
+    time-cell blocking with an exactly-once later-start assignment
+    (pipelines/events.py::session_overlaps). Exact integer counts."""
+    from parallel_pagerank_ray.pipelines.events import session_overlaps
+    from parallel_pagerank_ray.pipelines.relational import read_table
+
+    return session_overlaps(read_table(sf_dir, "events"))
+
+
 def q_order_quartiles(sf_dir: str) -> rd.Dataset:
     """NTILE(4) of each customer's orders by total price — one
     customer-bucket shuffle + closed-form vectorized bucket arithmetic
@@ -4526,6 +4537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running": q_events_running,
         "ema_users": q_ema_users,
         "order_quartiles": q_order_quartiles,
+        "session_overlaps": q_session_overlaps,
         "coverage_select": q_coverage_select,
         "edit1_customers": q_edit1_customers,
         "events_daily_pivot": q_events_daily_pivot,
@@ -9363,6 +9375,30 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING)
+        """,
+        "session_overlaps": """
+            WITH ev AS MATERIALIZED (
+              SELECT user_id, epoch_us(ts) AS t FROM events),
+            mk AS (
+              SELECT user_id, t,
+                     CASE WHEN t - lag(t) OVER (PARTITION BY user_id
+                                                ORDER BY t)
+                               > 1800000000 THEN 1 ELSE 0 END AS brk
+              FROM ev),
+            sess AS (
+              SELECT user_id,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                                    ROWS UNBOUNDED PRECEDING) AS sid,
+                     t
+              FROM mk),
+            iv AS MATERIALIZED (
+              SELECT user_id, sid, min(t) AS s, max(t) AS e
+              FROM sess GROUP BY 1, 2)
+            SELECT a.user_id AS user1, b.user_id AS user2,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM iv a JOIN iv b
+              ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+            GROUP BY 1, 2
         """,
         "order_quartiles": """
             SELECT o_orderkey, o_custkey,

@@ -425,6 +425,7 @@ def bench_queries() -> dict[str, float]:
         "coverage_select",
         "lca_copurchase",
         "edit1_customers",
+        "session_overlaps",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

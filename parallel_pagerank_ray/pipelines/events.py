@@ -999,3 +999,141 @@ def ema_user_cents(events: rd.Dataset, shift: int = 3) -> rd.Dataset:
         .map_groups(sweep, batch_format="pandas")
     )
     return drop_empty_blocks(out)
+
+
+def session_intervals(
+    events: rd.Dataset, gap_minutes: int = 30
+) -> rd.Dataset:
+    """Gap-based session INTERVALS per user: (user_id, s_start, s_end)
+    in epoch microseconds — the interval form of ``sessionize`` (same
+    gap rule, same user-bucket shuffle; one extra segment min/max)."""
+    gap_us = np.int64(gap_minutes * 60 * 1_000_000)
+    num_buckets = resolve_num_buckets(events)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "ts": df["ts"],
+                "bucket": df["user_id"].to_numpy() % num_buckets,
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        brk = new_user | np.concatenate(([True], np.diff(ts) > gap_us))
+        sid = np.cumsum(brk) - 1
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate((starts[1:], [len(ts)])) - 1
+        return pd.DataFrame(
+            {
+                "user_id": uid[starts],
+                "s_start": ts[starts],
+                "s_end": ts[ends],
+            }
+        )
+
+    out = (
+        events.select_columns(["user_id", "ts"])
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return drop_empty_blocks(out)
+
+
+def session_overlaps(
+    events: rd.Dataset,
+    gap_minutes: int = 30,
+    cell_minutes: int = 60,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Interval-OVERLAP self-join over per-user sessions: for every
+    user pair (user1 < user2), the number of session pairs that
+    overlap in time — the co-presence statistic (as-of and range joins
+    exist elsewhere; this is the missing interval-join shape). Exact
+    integer counts.
+
+    Scale shape: sessions derive from one user-bucket shuffle; every
+    interval then emits one row per ``cell_minutes`` time cell it
+    covers, and ONE cell-keyed bucket shuffle co-locates co-temporal
+    intervals. The per-cell kernel is the all-pairs bucket kernel;
+    a pair is COUNTED exactly once, in the cell where the later
+    interval starts (both provably cover it). Cell width trades
+    replication (long sessions span more cells) against cell
+    population (peak-hour cells hold more intervals) — the standard
+    interval-join blocking. Sessions of one user are disjoint by
+    construction, so all overlapping pairs are cross-user.
+    """
+    from parallel_pagerank_ray.stages.agg import pairs_within_groups
+
+    if num_buckets is None:
+        num_buckets = resolve_num_buckets(events)
+    cell_us = np.int64(cell_minutes * 60 * 1_000_000)
+    iv = session_intervals(events, gap_minutes=gap_minutes)
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        s = df["s_start"].to_numpy().astype(np.int64)
+        e = df["s_end"].to_numpy().astype(np.int64)
+        c0 = s // cell_us
+        nc = (e // cell_us - c0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(uid)), nc)
+        off = np.arange(len(idx)) - np.repeat(
+            np.concatenate(([0], np.cumsum(nc)[:-1])), nc
+        )
+        cell = c0[idx] + off
+        return pd.DataFrame(
+            {
+                "cell": cell,
+                "user_id": uid[idx],
+                "s_start": s[idx],
+                "s_end": e[idx],
+                "bucket": cell % np.int64(num_buckets),
+            }
+        )
+
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        cell = g["cell"].to_numpy().astype(np.int64)
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        s = g["s_start"].to_numpy().astype(np.int64)
+        e = g["s_end"].to_numpy().astype(np.int64)
+        local = np.arange(len(cell))
+        a, b = pairs_within_groups((cell, local), local)
+        if len(a) == 0:
+            return pd.DataFrame(
+                {
+                    "user1": np.array([], np.int64),
+                    "user2": np.array([], np.int64),
+                    "n": np.array([], np.int64),
+                }
+            )
+        keep = (
+            (uid[a] != uid[b])
+            & (s[a] <= e[b])
+            & (s[b] <= e[a])
+            # exactly-once rule: count in the later start's cell
+            & (np.maximum(s[a], s[b]) // cell_us == cell[a])
+        )
+        a, b = a[keep], b[keep]
+        u1 = np.minimum(uid[a], uid[b])
+        u2 = np.maximum(uid[a], uid[b])
+        part = pd.DataFrame({"user1": u1, "user2": u2})
+        out = part.groupby(["user1", "user2"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    counts = (
+        iv.map_batches(cells, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pair_counts, batch_format="pandas")
+    )
+    return grouped_agg(
+        drop_empty_blocks(counts),
+        ["user1", "user2"],
+        {"n_pairs": ("n", "sum")},
+        num_buckets=num_buckets,
+    )

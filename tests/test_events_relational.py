@@ -1331,3 +1331,42 @@ def test_order_quartiles_ntile_rule():
                 exp[okey] = nbig + (pos - nbig * big) // max(cnt // 4, 1) + 1
     assert len(got) == n
     assert all(exp[k] == q for k, q in zip(got["o_orderkey"], got["quartile"]))
+
+
+def test_session_overlaps_matches_bruteforce():
+    from parallel_pagerank_ray.pipelines.events import session_overlaps
+
+    df = _events_df()
+    got = (
+        session_overlaps(rd.from_pandas(df).repartition(4), cell_minutes=45)
+        .to_pandas()
+        .sort_values(["user1", "user2"])
+        .reset_index(drop=True)
+    )
+    # brute force: derive sessions sequentially, test all pairs
+    gap = np.int64(30 * 60 * 1_000_000)
+    iv = []
+    s = df.sort_values(["user_id", "ts"])
+    for uid, grp in s.groupby("user_id"):
+        ts = grp["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        start = ts[0]
+        prev = ts[0]
+        for t in ts[1:]:
+            if t - prev > gap:
+                iv.append((uid, start, prev))
+                start = t
+            prev = t
+        iv.append((uid, start, prev))
+    import collections
+
+    exp = collections.Counter()
+    for i in range(len(iv)):
+        for j in range(i + 1, len(iv)):
+            (u1, s1, e1), (u2, s2, e2) = iv[i], iv[j]
+            if u1 != u2 and s1 <= e2 and s2 <= e1:
+                exp[(min(u1, u2), max(u1, u2))] += 1
+    gotc = {
+        (int(a), int(b)): int(n)
+        for a, b, n in zip(got["user1"], got["user2"], got["n_pairs"])
+    }
+    assert gotc == dict(exp)
