@@ -1318,6 +1318,17 @@ def q_dag_paths(sf_dir: str) -> rd.Dataset:
     return dag_paths(thinned)
 
 
+def q_component_wl_classes(sf_dir: str) -> rd.Dataset:
+    """Isomorphism-class fingerprints of the sparse co-purchase
+    backbone's components: (n_vertices, fp, n_components), fp = the
+    order-free multiset hash of 3-round 1-WL colors — the
+    structure-dedup primitive for repeated templated subgraphs
+    (pipelines/wl.py::component_wl_classes). Value-exact."""
+    from parallel_pagerank_ray.pipelines.wl import component_wl_classes
+
+    return component_wl_classes(_thinned_copurchase_1pct(sf_dir), rounds=3)
+
+
 def q_lca(sf_dir: str) -> rd.Dataset:
     """Batch LCA / tree-distance queries on the co-purchase BFS forest:
     100 md5-derived vertex pairs through the broadcast vectorized
@@ -4435,6 +4446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "two_edge_components": q_two_edge_components,
         "two_edge_cuts": q_two_edge_cuts,
         "lca_copurchase": q_lca,
+        "component_wl_classes": q_component_wl_classes,
         "articulation_copurchase": q_articulation,
         "dag_paths_copurchase": q_dag_paths,
         "triad_census_links": q_triad_census,
@@ -6528,6 +6540,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT least(vid, parent) AS src,
                    greatest(vid, parent) AS dst
             FROM elab WHERE lab = 0
+        """,
+        "component_wl_classes": f"""
+            WITH RECURSIVE
+            {_supplier_part_vid_graph(
+                f"SELECT src, dst FROM ({_COPURCHASE_SQL}) "
+                "WHERE CAST(('0x' || substr(md5('th|' || src || '|' || dst),"
+                " 1, 16)) AS UBIGINT) % 100 < 1"
+            )},
+            {_WL_REFINE_SQL},
+              vv AS MATERIALIZED (SELECT DISTINCT src AS vid FROM und),
+              cc(it, vid, comp, ch) AS (
+                SELECT 0, vid, vid, 1 FROM vv
+                UNION ALL
+                SELECT c2.it + 1, c2.vid,
+                       least(c2.comp, coalesce(m.mn, c2.comp)),
+                       CASE WHEN least(c2.comp, coalesce(m.mn, c2.comp))
+                                 <> c2.comp THEN 1 ELSE 0 END
+                FROM cc c2
+                LEFT JOIN (SELECT u.dst AS vid, min(c3.comp) AS mn
+                           FROM cc c3 JOIN und u ON u.src = c3.vid
+                           GROUP BY 1) m ON m.vid = c2.vid
+                WHERE (SELECT max(c4.ch) FROM cc c4) = 1
+              ),
+              lab AS MATERIALIZED (SELECT vid, comp FROM cc
+                     WHERE it = (SELECT max(it) FROM cc)),
+              per AS (
+                SELECT l.comp,
+                       CAST(count(*) AS BIGINT) AS n_vertices,
+                       CAST(sum((((w.c * 1000003 + 12345) % 2147483647)
+                            * ((w.c * 999983 + 54321) % 2147483647))
+                            % 2147483647) % 2147483647 AS BIGINT) AS fp
+                FROM lab l
+                JOIN wl w ON w.vid = l.vid AND w.it = 3
+                GROUP BY 1)
+            SELECT n_vertices, fp,
+                   CAST(count(*) AS BIGINT) AS n_components
+            FROM per GROUP BY 1, 2
         """,
         "lca_copurchase": f"""
             WITH RECURSIVE

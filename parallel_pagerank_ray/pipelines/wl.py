@@ -268,3 +268,93 @@ def wl_class_sizes(run: WLRun) -> rd.Dataset:
         batch_format="pyarrow",
     )
     return grouped_agg(counted, ["color"], {"cnt": ("one", "sum")})
+
+
+def component_wl_classes(
+    graph: Graph,
+    rounds: int = 3,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Isomorphism-class fingerprints of the graph's connected
+    components: (n_vertices, fp, n_components) — fp = the order-free
+    mod-2^31-1 multiset hash (sum of ``wl_g`` over member colors) of
+    the component's round-``rounds`` 1-WL colors. Components with the
+    same (size, fp) are 1-WL-indistinguishable — the structure-dedup
+    primitive for spotting repeated templated subgraphs (boilerplate
+    nav cliques, mirrored site trees). 1-WL is the standard sound
+    filter: different fingerprints PROVE non-isomorphism; equal
+    fingerprints are a candidate class (exact for trees and almost all
+    graphs).
+
+    Scale shape: one BSP connected-components run + one WL refinement
+    (both existing primitives), one vid-keyed join, one bucketed
+    per-component combine, one tiny class count. Deterministic and
+    SQL-replayable end to end.
+    """
+    import pyarrow as pa
+
+    from parallel_pagerank_ray.pipelines.components_actors import (
+        connected_components_bsp,
+    )
+    from parallel_pagerank_ray.stages.agg import grouped_agg, resolve_num_buckets
+    from parallel_pagerank_ray.util import drop_empty_blocks, safe_join
+
+    if num_buckets is None:
+        num_buckets = resolve_num_buckets(graph.edges)
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "n_vertices": pa.array([], pa.int64()),
+                "fp": pa.array([], pa.int64()),
+                "n_components": pa.array([], pa.int64()),
+            }
+        )
+    )
+    if graph.n == 0 or graph.edges.count() == 0:
+        return empty
+    comp = connected_components_bsp(graph).components
+    colors = wl_refine(graph, rounds=rounds).colors
+    j = safe_join(
+        comp,
+        colors.rename_columns({"vid": "__v"}),
+        join_type="inner",
+        num_partitions=8,
+        on=("vid",),
+        right_on=("__v",),
+    )
+
+    def hashed(t: pa.Table) -> pa.Table:
+        c = t.column("color").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "comp": t.column("comp"),
+                "g": pa.array(wl_g(c), pa.int64()),
+                "one": pa.array(np.ones(len(c), np.int64), pa.int64()),
+            }
+        )
+
+    per_comp = grouped_agg(
+        j.map_batches(hashed, batch_format="pyarrow"),
+        ["comp"],
+        {"fp": ("g", "sum"), "n_vertices": ("one", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        fp = t.column("fp").to_numpy(zero_copy_only=False) % np.int64(P31)
+        return pa.table(
+            {
+                "n_vertices": t.column("n_vertices"),
+                "fp": pa.array(fp, pa.int64()),
+                "one": pa.array(np.ones(len(fp), np.int64), pa.int64()),
+            }
+        )
+
+    return drop_empty_blocks(
+        grouped_agg(
+            per_comp.map_batches(finish, batch_format="pyarrow"),
+            ["n_vertices", "fp"],
+            {"n_components": ("one", "sum")},
+            num_buckets=num_buckets,
+        )
+    )
