@@ -426,6 +426,7 @@ def bench_queries() -> dict[str, float]:
         "lca_copurchase",
         "edit1_customers",
         "session_overlaps",
+        "component_wl_classes",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

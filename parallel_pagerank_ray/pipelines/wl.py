@@ -313,6 +313,23 @@ def component_wl_classes(
     if graph.n == 0 or graph.edges.count() == 0:
         return empty
     comp = connected_components_bsp(graph).components
+    # restrict to edge-bearing vertices: the BSP components table (and
+    # the WL color table) cover every vid 0..n-1, but an isolated
+    # vertex is not a component of the EDGE graph this fingerprints
+    verts = grouped_agg(
+        undirected_edges(graph.edges, dedup=False).select_columns(["src"]),
+        ["src"],
+        {"c": ("src", "count")},
+        num_buckets=num_buckets,
+    ).select_columns(["src"]).rename_columns({"src": "__e"})
+    comp = safe_join(
+        comp,
+        verts,
+        join_type="inner",
+        num_partitions=8,
+        on=("vid",),
+        right_on=("__e",),
+    ).select_columns(["vid", "comp"])
     colors = wl_refine(graph, rounds=rounds).colors
     j = safe_join(
         comp,

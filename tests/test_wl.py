@@ -115,3 +115,40 @@ def test_rich_club_join_fallback_identical():
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_component_wl_classes_groups_isomorphic_components(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.wl import component_wl_classes
+
+    # three disjoint triangles + two disjoint 4-paths + one star(4):
+    # classes: {triangle x3}, {path4 x2}, {star x1}
+    e = []
+    for base in (0, 10, 20):
+        e += [(base, base + 1), (base + 1, base + 2), (base, base + 2)]
+    for base in (30, 40):
+        e += [(base, base + 1), (base + 1, base + 2), (base + 2, base + 3)]
+    e += [(50, 51), (50, 52), (50, 53), (50, 54)]
+    arr = np.array(e, dtype=np.int64)
+    g = Graph.from_int_edges(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(arr[:, 0], pa.int64()),
+                    "dst": pa.array(arr[:, 1], pa.int64()),
+                }
+            )
+        ),
+        dedup=False,
+    )
+    got = component_wl_classes(g).to_pandas()
+    by = {
+        (int(nv), int(nc))
+        for nv, nc in zip(got["n_vertices"], got["n_components"])
+    }
+    assert by == {(3, 3), (4, 2), (5, 1)}
+    assert len(got) == 3  # distinct fingerprints never merge classes
