@@ -2363,6 +2363,21 @@ def q_split_corpus(sf_dir: str) -> rd.Dataset:
     return split_corpus(_documents(sf_dir, ["doc_id"]), "doc_id")
 
 
+def q_split_by_source(sf_dir: str) -> rd.Dataset:
+    """GROUP-aware train/val/test split (80/10/10) keyed on the
+    document's SOURCE: every doc of one source lands in the same split
+    — the leakage-safe split for grouped corpora (near-duplicate pages
+    of one site must not straddle train/test). Same md5 carve as
+    split_corpus, keyed on the group."""
+    from parallel_pagerank_ray.functions.sampling import split_corpus
+
+    return split_corpus(
+        _documents(sf_dir, ["doc_id", "source"]),
+        "source",
+        splits=(("train", 80), ("val", 10), ("test", 10)),
+    )
+
+
 def q_stratified_sample(sf_dir: str) -> rd.Dataset:
     """Per-source rebalancing: different deterministic sample rates per
     source (the curated/boilerplate downsampling primitive)."""
@@ -4497,6 +4512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_by_flag": q_price_quantiles_by_flag,
         "sample_docs": q_sample_docs,
         "split_corpus": q_split_corpus,
+        "split_by_source": q_split_by_source,
         "stratified_sample": q_stratified_sample,
         "quality_filter": q_quality_filter,
         "top_docs_per_source": q_top_docs_per_source,
@@ -8433,6 +8449,16 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id,
                          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
                                               1, 8))
+                              AS UBIGINT) % 100 AS b
+                  FROM documents)
+        """,
+        "split_by_source": """
+            SELECT doc_id, source,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, source,
+                         CAST(('0x' || substr(md5(source), 1, 8))
                               AS UBIGINT) % 100 AS b
                   FROM documents)
         """,

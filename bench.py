@@ -427,6 +427,7 @@ def bench_queries() -> dict[str, float]:
         "edit1_customers",
         "session_overlaps",
         "component_wl_classes",
+        "split_by_source",
     ]
     qs = E.queries()
     out: dict[str, float] = {}
