@@ -3625,6 +3625,9 @@ def _format_roundtrip_checksum(sf_dir: str, fmt: str) -> rd.Dataset:
     if fmt == "jsonl":
         formats.write_jsonl(docs, path)
         back = formats.read_jsonl(path)
+    elif fmt == "ipc":
+        formats.write_ipc(docs, path)
+        back = formats.read_ipc(path)
     else:
         formats.write_csv(docs, path)
         back = formats.read_csv(path)
@@ -3643,6 +3646,14 @@ def q_docs_csv_checksum(sf_dir: str) -> rd.Dataset:
     Arrow-quoted partitioned CSV out, parallel read back, same
     fingerprint as the JSONL gate."""
     return _format_roundtrip_checksum(sf_dir, "csv")
+
+
+def q_docs_ipc_checksum(sf_dir: str) -> rd.Dataset:
+    """Arrow IPC (Feather v2) sink+source roundtrip fidelity
+    (sources/formats.py::write_ipc/read_ipc): content-named partitioned
+    .arrow files out, parallel zero-parse read back, same fingerprint
+    as the JSONL/CSV gates."""
+    return _format_roundtrip_checksum(sf_dir, "ipc")
 
 
 def q_anomalous_hours(sf_dir: str) -> rd.Dataset:
@@ -4611,6 +4622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inter_event_gaps": q_inter_event_gaps,
         "docs_jsonl_checksum": q_docs_jsonl_checksum,
         "docs_csv_checksum": q_docs_csv_checksum,
+        "docs_ipc_checksum": q_docs_ipc_checksum,
     }
 
 
@@ -10215,6 +10227,16 @@ def oracle_sql() -> dict[str, str]:
         # proves the format cycle lossless. Same md5-u64 fold as the
         # engine (first 8 md5 bytes big-endian, mod 2^62).
         "docs_jsonl_checksum": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+                   CAST(bit_xor(CAST(('0x' || substr(md5(text), 1, 16))
+                                     AS UBIGINT)
+                                % 4611686018427387904) AS BIGINT)
+                     AS text_hash_xor
+            FROM documents GROUP BY 1
+        """,
+        "docs_ipc_checksum": """
             SELECT source,
                    CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(sum(length(text)) AS BIGINT) AS sum_chars,

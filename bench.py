@@ -428,6 +428,7 @@ def bench_queries() -> dict[str, float]:
         "session_overlaps",
         "component_wl_classes",
         "split_by_source",
+        "docs_ipc_checksum",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -69,3 +69,26 @@ def test_checksum_matches_direct(tmp_path):
     pd.testing.assert_frame_equal(
         _got(rd.from_arrow(t)), _expected_checksum(t)
     )
+
+
+def test_ipc_roundtrip_preserves_rows(ray_session, tmp_path):
+    import pandas as pd
+
+    from parallel_pagerank_ray.sources.formats import read_ipc, write_ipc
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(37, dtype=np.int64),
+            "source": [f"s{i % 3}" for i in range(37)],
+            "text": [f"line {i}\nwith newline\tand tab" for i in range(37)],
+        }
+    )
+    path = str(tmp_path / "ipc")
+    write_ipc(rd.from_pandas(df).repartition(5), path)
+    back = (
+        read_ipc(path)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert back.equals(df.sort_values("doc_id").reset_index(drop=True))
