@@ -254,6 +254,40 @@ def cmd_run(args) -> int:
             "iterations": run.iterations, "secs": round(time.time() - t0, 3),
         }
         _write_result(run.scores, args.workdir, "hits", metrics)
+    elif args.algo == "articulation":
+        from parallel_pagerank_ray.pipelines.biconnectivity import (
+            articulation_points,
+            biconnectivity,
+        )
+        from parallel_pagerank_ray.pipelines.graph_build import Graph
+        from parallel_pagerank_ray.pipelines.triangles import (
+            _simple_undirected,
+        )
+
+        g = Graph(n=g.n, edges=_simple_undirected(g.edges).materialize())
+        brun = biconnectivity(g)
+        ap = articulation_points(g, run=brun).materialize()
+        metrics = {
+            "algo": "articulation",
+            "n_articulation": ap.count(),
+            "secs": round(time.time() - t0, 3),
+        }
+        _write_result(ap, args.workdir, "articulation", metrics)
+    elif args.algo == "bridges":
+        from parallel_pagerank_ray.pipelines.bridges import bridges
+        from parallel_pagerank_ray.pipelines.graph_build import Graph
+        from parallel_pagerank_ray.pipelines.triangles import (
+            _simple_undirected,
+        )
+
+        g = Graph(n=g.n, edges=_simple_undirected(g.edges).materialize())
+        br = bridges(g).materialize()
+        metrics = {
+            "algo": "bridges",
+            "n_bridges": br.count(),
+            "secs": round(time.time() - t0, 3),
+        }
+        _write_result(br, args.workdir, "bridges", metrics)
     else:  # pragma: no cover
         raise SystemExit(f"unknown algo {args.algo}")
     print(json.dumps({k: metrics[k] for k in metrics if k != "history"}))
@@ -360,7 +394,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "pagerank", "components", "labelprop", "triangles",
             "kcore", "bfs", "sssp", "hits", "closeness", "spcount",
-            "betweenness", "walks",
+            "betweenness", "walks", "articulation", "bridges",
         ],
     )
     add_io(run)

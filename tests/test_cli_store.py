@@ -480,3 +480,87 @@ def test_reference_report_tiers():
     dense = reference_report({**base, "num_nodes": 50, "density": 0.6})
     kinds = {r["kind"] for r in dense["recommendations"]}
     assert "density" in kinds
+
+
+def test_cli_run_articulation_bridges(tmp_path, graphs):
+    import pyarrow.parquet as pq
+
+    from parallel_pagerank_ray import cli
+
+    # two triangles joined by a bridge: articulation {2, 3}, bridge (2,3)
+    e = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (3, 5)]
+    edge_file = tmp_path / "biconn.txt"
+    edge_file.write_text("\n".join(f"{u} {v}" for u, v in e) + "\n")
+
+    # brute articulation oracle on the simple undirected closure
+    canon = {(min(a, b), max(a, b)) for a, b in e if a != b}
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in canon:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def ncomp(skip):
+        seen = {skip}
+        c = 0
+        for v in sorted(adj):
+            if v in seen:
+                continue
+            c += 1
+            st = [v]
+            seen.add(v)
+            while st:
+                x = st.pop()
+                for y in adj[x]:
+                    if y not in seen:
+                        seen.add(y)
+                        st.append(y)
+        return c
+
+    base = ncomp(-1)
+    exp_art = sorted(v for v in adj if ncomp(v) > base)
+
+    wd = str(tmp_path / "ap")
+    assert cli.cmd_run(
+        cli_args(algo="articulation", edges=str(edge_file), workdir=wd)
+    ) == 0
+    got = sorted(pq.read_table(wd + "/articulation").to_pandas()["vid"])
+    assert got == exp_art
+
+    exp_br = {
+        ed for ed in canon
+        if _ncomp_without(adj, canon, ed) > base
+    }
+    wd = str(tmp_path / "br")
+    assert cli.cmd_run(
+        cli_args(algo="bridges", edges=str(edge_file), workdir=wd)
+    ) == 0
+    df = pq.read_table(wd + "/bridges").to_pandas()
+    assert {(int(a), int(b)) for a, b in zip(df["src"], df["dst"])} == exp_br
+
+
+def _ncomp_without(adj, canon, drop):
+    import collections
+
+    a2 = collections.defaultdict(set)
+    for a, b in canon:
+        if (a, b) == drop:
+            continue
+        a2[a].add(b)
+        a2[b].add(a)
+    seen = set()
+    c = 0
+    for v in sorted(adj):
+        if v in seen:
+            continue
+        c += 1
+        st = [v]
+        seen.add(v)
+        while st:
+            x = st.pop()
+            for y in a2.get(x, ()):
+                if y not in seen:
+                    seen.add(y)
+                    st.append(y)
+    return c
