@@ -70,3 +70,23 @@ def test_approximates_float_eigenvector(ray_session):
     g[got.vid.to_numpy()] = got.score.to_numpy() / 1_000_000.0
     keep = v > 1e-9
     assert np.max(np.abs(g[keep] - v[keep])) < 5e-3
+
+
+def test_overflow_guard_raises(ray_session):
+    import pytest
+
+    e = _canon(powerlaw_edges(30, 3, seed=1))
+    with pytest.raises(OverflowError, match="headroom"):
+        eigenvector_centrality(
+            _ds(e), n=int(e.max()) + 1, iterations=2, scale=1 << 31
+        )
+
+
+def test_dense_state_guard_raises(ray_session):
+    import pytest
+
+    e = _canon(powerlaw_edges(30, 3, seed=1))
+    with pytest.raises(ValueError, match="broadcast_max"):
+        eigenvector_centrality(
+            _ds(e), n=int(e.max()) + 1, iterations=2, broadcast_max=3
+        )

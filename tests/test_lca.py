@@ -114,3 +114,21 @@ def test_lca_matches_sequential_forest(ray_session):
         assert (int(lc), int(di)) == _lca_oracle(
             parent, depth, int(qa), int(qb)
         ), (qa, qb)
+
+
+def test_lca_forest_guard_raises(ray_session):
+    import pytest
+
+    canon = _canon(powerlaw_edges(40, 2, seed=3))
+    g = _graph(canon)
+    q = rd.from_arrow(
+        pa.table(
+            {
+                "qid": pa.array([0], pa.int64()),
+                "a": pa.array([0], pa.int64()),
+                "b": pa.array([1], pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="broadcast_max"):
+        tree_lca(g, q, broadcast_max=1)
