@@ -2790,6 +2790,16 @@ def q_dedup_minhash_lsh(sf_dir: str) -> rd.Dataset:
     return minhash_lsh_candidates(_documents(sf_dir, ["doc_id", "text"]))
 
 
+def q_contrastive_pairs(sf_dir: str) -> rd.Dataset:
+    """Contrastive training table: MinHash-LSH near-dup candidates as
+    positives + md5 rejection-sampled verified non-candidates as
+    negatives (pipelines/dedup.py::contrastive_pairs) — the
+    embedding-trainer dataset builder. Deterministic end to end."""
+    from parallel_pagerank_ray.pipelines.dedup import contrastive_pairs
+
+    return contrastive_pairs(_documents(sf_dir, ["doc_id", "text"]))
+
+
 def q_dedup_minhash_lsh_capped(sf_dir: str) -> rd.Dataset:
     """minhash_lsh_candidates with the hub-skew guard engaged
     (max_bucket=2): LSH buckets holding more than 2 docs emit no pairs.
@@ -4551,6 +4561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": q_quality_classifier,
         "dedup_shingle_jaccard": q_dedup_shingle_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "contrastive_pairs": q_contrastive_pairs,
         "dedup_minhash_lsh_capped": q_dedup_minhash_lsh_capped,
         "lsh_bucket_overflow": q_lsh_bucket_overflow,
         "dedup_keepers": q_dedup_keepers,
@@ -8889,6 +8900,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embed_docs": _embed_docs_sql(dim=8),
         "dedup_minhash_lsh": _minhash_lsh_sql(),
+        "contrastive_pairs": f"""
+            WITH pos AS MATERIALIZED ({_minhash_lsh_sql()}),
+            nn AS MATERIALIZED (
+              SELECT max(doc_id) + 1 AS n FROM documents),
+            negc AS MATERIALIZED (
+              SELECT DISTINCT least(u, v) AS doc_a, greatest(u, v) AS doc_b
+              FROM (
+                SELECT CAST(CAST(('0x' || substr(md5('cp|a|' || p.doc_a
+                              || '|' || p.doc_b || '|' || j.range), 1, 16))
+                            AS UBIGINT) % (SELECT n FROM nn) AS BIGINT) AS u,
+                       CAST(CAST(('0x' || substr(md5('cp|b|' || p.doc_a
+                              || '|' || p.doc_b || '|' || j.range), 1, 16))
+                            AS UBIGINT) % (SELECT n FROM nn) AS BIGINT) AS v
+                FROM pos p, range(1, 3) j)
+              WHERE u <> v),
+            neg AS (
+              SELECT n.doc_a, n.doc_b FROM negc n
+              WHERE NOT EXISTS (SELECT 1 FROM pos p
+                                WHERE p.doc_a = n.doc_a
+                                  AND p.doc_b = n.doc_b))
+            SELECT doc_a, doc_b, CAST(1 AS BIGINT) AS label FROM pos
+            UNION ALL
+            SELECT doc_a, doc_b, CAST(0 AS BIGINT) AS label FROM neg
+        """,
         "dedup_minhash_lsh_capped": _minhash_lsh_sql(max_bucket=2),
         "lsh_bucket_overflow": _minhash_lsh_sql(max_bucket=2, overflow=True),
         "dedup_simhash": _simhash_sql(max_hamming=3),

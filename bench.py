@@ -429,6 +429,7 @@ def bench_queries() -> dict[str, float]:
         "component_wl_classes",
         "split_by_source",
         "docs_ipc_checksum",
+        "contrastive_pairs",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

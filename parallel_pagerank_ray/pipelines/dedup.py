@@ -1282,3 +1282,117 @@ def set_similarity_join(
 
     out = inter.map_batches(thresh, batch_format="pyarrow")
     return drop_empty_blocks(out)
+
+
+def contrastive_pairs(
+    docs: rd.Dataset,
+    neg_attempts: int = 2,
+    salt: str = "cp",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Deterministic contrastive training table over the corpus:
+    (doc_a, doc_b, label) with label 1 = MinHash-LSH near-duplicate
+    candidate pairs (the positives an embedding/reranker trainer mines
+    from a crawl) and label 0 = hash-sampled verified NON-candidate
+    pairs — the text analogue of ``linkpred_training_set``.
+
+    Rules (all md5/mod-p keyed, replayed verbatim by the SQL oracle):
+      positives  ``minhash_lsh_candidates(docs)`` (doc_a < doc_b)
+      negatives  per positive and attempt j in 1..neg_attempts,
+                 u = md5_u64(f"{salt}|a|doc_a|doc_b|j") % n_docs,
+                 v = md5_u64(f"{salt}|b|doc_a|doc_b|j") % n_docs,
+                 canonicalized, self-pairs dropped, candidate pairs
+                 removed by packed anti-join, deduplicated — realized
+                 count <= neg_attempts x positives (the standard
+                 rejection-sampling contract).
+
+    Requires dense doc_ids in [0, n_docs) (the corpus contract).
+    Scale shape: positives = the LSH pipeline (banded, hub-cappable);
+    negatives = a bounded flat-map + ONE packed anti-join; doc text
+    never moves beyond the LSH signature stage.
+    """
+    from parallel_pagerank_ray.functions.hashing import md5_u64
+    from parallel_pagerank_ray.stages.agg import distinct, global_agg
+    from parallel_pagerank_ray.util import anti_join
+
+    if num_buckets is None:
+        num_buckets = resolve_num_buckets(docs)
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "label": pa.array([], pa.int64()),
+            }
+        )
+    )
+    mx = global_agg(docs.select_columns(["doc_id"]), {"m": ("doc_id", "max")})
+    if mx["m"] is None:
+        return empty
+    n_docs = int(mx["m"]) + 1
+    pos = minhash_lsh_candidates(docs).materialize()
+    if pos.count() == 0:
+        return empty
+
+    def pos_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": t.column("doc_a"),
+                "doc_b": t.column("doc_b"),
+                "label": pa.array(
+                    np.ones(t.num_rows, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def neg_candidates(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        us, vs = [], []
+        for x, y in zip(a, b):
+            for j in range(1, neg_attempts + 1):
+                us.append(md5_u64(f"{salt}|a|{x}|{y}|{j}") % n_docs)
+                vs.append(md5_u64(f"{salt}|b|{x}|{y}|{j}") % n_docs)
+        u = np.array(us, dtype=np.int64)
+        v = np.array(vs, dtype=np.int64)
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
+        m = lo != hi
+        return pa.table(
+            {
+                "doc_a": pa.array(lo[m], pa.int64()),
+                "doc_b": pa.array(hi[m], pa.int64()),
+            }
+        )
+
+    def pack(bt: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        bt["__key"] = bt["doc_a"] * np.int64(n_docs) + bt["doc_b"]
+        return bt
+
+    negs = distinct(
+        anti_join(
+            pos.map_batches(neg_candidates, batch_format="pyarrow")
+            .map_batches(pack, batch_format="numpy"),
+            pos.map_batches(pack, batch_format="numpy").select_columns(
+                ["__key"]
+            ),
+            on="__key",
+        ).select_columns(["doc_a", "doc_b"]),
+        ["doc_a", "doc_b"],
+        num_buckets=num_buckets,
+    )
+
+    def neg_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": t.column("doc_a"),
+                "doc_b": t.column("doc_b"),
+                "label": pa.array(
+                    np.zeros(t.num_rows, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return pos.map_batches(pos_rows, batch_format="pyarrow").union(
+        drop_empty_blocks(negs.map_batches(neg_rows, batch_format="pyarrow"))
+    )

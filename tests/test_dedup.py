@@ -486,3 +486,46 @@ def test_set_similarity_join_empty_and_tau_validation():
         dedup.set_similarity_join(ds, tau_num=0)
     with pytest.raises(ValueError):
         dedup.set_similarity_join(ds, tau_num=3, tau_den=2)
+
+
+def test_contrastive_pairs_structure(ray_session):
+    import pandas as pd
+
+    from parallel_pagerank_ray.pipelines.dedup import (
+        contrastive_pairs,
+        minhash_lsh_candidates,
+    )
+
+    # near-dup docs: pairs of nearly identical texts + unique fillers
+    texts = []
+    for i in range(8):
+        base = f"the quick brown fox jumps over dog number {i} " * 4
+        texts.append(base)
+        texts.append(base + "tail")
+    for i in range(30):
+        texts.append(f"completely unique document {i} " * 5 + str(i * 7))
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": np.arange(len(texts), dtype=np.int64),
+                "text": texts,
+            }
+        )
+    ).repartition(3)
+    out = contrastive_pairs(docs).to_pandas()
+    pos = out[out.label == 1]
+    neg = out[out.label == 0]
+    cand = minhash_lsh_candidates(docs).to_pandas()
+    cand_set = {(a, b) for a, b in zip(cand.doc_a, cand.doc_b)}
+    assert {(a, b) for a, b in zip(pos.doc_a, pos.doc_b)} == cand_set
+    assert len(pos) > 0
+    # negatives: canonical, non-self, verified NOT candidates, bounded
+    assert len(neg) <= 2 * len(pos)
+    assert (neg.doc_a < neg.doc_b).all()
+    assert not any(
+        (a, b) in cand_set for a, b in zip(neg.doc_a, neg.doc_b)
+    )
+    # determinism across partitionings
+    out2 = contrastive_pairs(docs.repartition(7)).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["doc_a", "doc_b", "label"]].to_numpy()))  # noqa: E731
+    assert key(out) == key(out2)
