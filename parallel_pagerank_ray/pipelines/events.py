@@ -1049,7 +1049,7 @@ def session_intervals(
 def session_overlaps(
     events: rd.Dataset,
     gap_minutes: int = 30,
-    cell_minutes: int = 60,
+    cell_minutes: int | None = None,
     num_buckets: int | None = None,
 ) -> rd.Dataset:
     """Interval-OVERLAP self-join over per-user sessions: for every
@@ -1069,12 +1069,35 @@ def session_overlaps(
     interval-join blocking. Sessions of one user are disjoint by
     construction, so all overlapping pairs are cross-user.
     """
-    from parallel_pagerank_ray.stages.agg import pairs_within_groups
+    from parallel_pagerank_ray.stages.agg import global_agg, pairs_within_groups
 
     if num_buckets is None:
         num_buckets = resolve_num_buckets(events)
-    cell_us = np.int64(cell_minutes * 60 * 1_000_000)
-    iv = session_intervals(events, gap_minutes=gap_minutes)
+    iv = session_intervals(events, gap_minutes=gap_minutes).materialize()
+    if cell_minutes is None:
+        # auto width = the MEAN interval length (deterministic integer
+        # division; the output is cell-invariant, the width only trades
+        # replication vs cell population), clamped to [1 min, 7 days]
+        agg = global_agg(
+            iv.map_batches(
+                lambda t: pa.table(
+                    {
+                        "d": pc.subtract(
+                            t.column("s_end"), t.column("s_start")
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            {"sum_d": ("d", "sum"), "n": ("d", "count")},
+        )
+        n_iv = int(agg["n"] or 0)
+        mean_us = (int(agg["sum_d"]) // n_iv) if n_iv else 0
+        cell_us = np.int64(
+            min(max(mean_us, 60 * 1_000_000), 7 * 86_400 * 1_000_000)
+        )
+    else:
+        cell_us = np.int64(cell_minutes * 60 * 1_000_000)
 
     def cells(df: pd.DataFrame) -> pd.DataFrame:
         uid = df["user_id"].to_numpy().astype(np.int64)
