@@ -991,28 +991,34 @@ def cheapest_supplier_per_part(
         import ray as _ray
 
         st = pa.concat_tables(_ray.get(sup.to_arrow_refs()))
-        name_of = dict(
-            zip(
-                st.column("s_suppkey").to_numpy(zero_copy_only=False),
-                st.column("s_name").to_pylist(),
-            )
-        )
-        ref = _ray.put(name_of)
+        keys = st.column("s_suppkey").to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        # sorted key array + aligned name array: membership and lookup
+        # are one np.searchsorted + one Arrow take per batch — no
+        # per-row Python dict probes (ADVICE r4)
+        skeys = keys[order].astype(np.int64)
+        snames = st.column("s_name").take(pa.array(order))
+        ref = _ray.put((skeys, snames))
 
         def attach(t: pa.Table) -> pa.Table:
-            names = _ray.get(ref)
+            skeys, snames = _ray.get(ref)
             p = t.column("min_pack").to_numpy(zero_copy_only=False)
             supp = p % SHIFT
-            keep = np.fromiter(
-                (s in names for s in supp), bool, len(supp)
-            )
+            if len(skeys) == 0:
+                pos_c = np.zeros(len(supp), np.int64)
+                keep = np.zeros(len(supp), bool)
+            else:
+                pos_c = np.minimum(
+                    np.searchsorted(skeys, supp), len(skeys) - 1
+                )
+                keep = skeys[pos_c] == supp
             return pa.table(
                 {
-                    "l_partkey": t.column("l_partkey").filter(pa.array(keep)),
-                    "s_suppkey": pa.array(supp[keep], pa.int64()),
-                    "s_name": pa.array(
-                        [names[s] for s in supp[keep]], pa.string()
+                    "l_partkey": t.column("l_partkey").filter(
+                        pa.array(keep)
                     ),
+                    "s_suppkey": pa.array(supp[keep], pa.int64()),
+                    "s_name": snames.take(pa.array(pos_c[keep])),
                     "min_price_cents": pa.array(
                         (p // SHIFT)[keep], pa.int64()
                     ),

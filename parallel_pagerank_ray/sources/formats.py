@@ -137,12 +137,19 @@ def table_checksum(
 def write_ipc(ds: rd.Dataset, path: str) -> None:
     """Partitioned Arrow IPC (Feather v2 container) under ``path`` —
     the zero-parse interchange sink (Ray 2.49 has no native IPC sink;
-    this one streams: each block serializes itself to one .arrow file
-    from inside the task, nothing funnels through the driver). File
-    names are the content md5, so a re-run overwrites identical bytes
-    (idempotent, resumable) and never wall-clock-dependent."""
+    this one streams: each block serializes itself to one
+    content-addressed ``part-<md5>.arrow`` file from inside the task,
+    so a re-run overwrites identical bytes and is never
+    wall-clock-dependent). Byte-identical blocks share one file on
+    disk; a ``manifest.json`` written by the driver records every
+    block's file WITH multiplicity, so ``read_ipc`` reconstructs the
+    exact row multiset, and stale ``.arrow`` files left by a prior
+    write of different data are deleted (only the tiny one-row-per-
+    block path table ever reaches the driver)."""
     import hashlib
+    import json
     import os
+    from collections import Counter
 
     import pyarrow as pa
 
@@ -150,39 +157,78 @@ def write_ipc(ds: rd.Dataset, path: str) -> None:
 
     def dump(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({"path": pa.array([], pa.string())})
+            return pa.table({"name": pa.array([], pa.string())})
         sink = pa.BufferOutputStream()
         with pa.ipc.new_file(sink, t.schema) as w:
             w.write_table(t)
         buf = sink.getvalue()
-        name = hashlib.md5(buf.to_pybytes()).hexdigest() + ".arrow"
+        name = "part-" + hashlib.md5(buf.to_pybytes()).hexdigest() + ".arrow"
         fn = os.path.join(path, name)
         with open(fn, "wb") as f:
             f.write(buf.to_pybytes())
-        return pa.table({"path": pa.array([fn], pa.string())})
+        return pa.table({"name": pa.array([name], pa.string())})
 
-    ds.map_batches(dump, batch_format="pyarrow").materialize()
+    names = [
+        r["name"]
+        for r in ds.map_batches(dump, batch_format="pyarrow").take_all()
+    ]
+    counts = Counter(names)
+    for fn in os.listdir(path):
+        if fn.endswith(".arrow") and fn not in counts:
+            os.remove(os.path.join(path, fn))
+    manifest = {
+        "files": [
+            {"name": n, "count": c} for n, c in sorted(counts.items())
+        ]
+    }
+    tmp = os.path.join(path, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, "manifest.json"))
 
 
 def read_ipc(path: str) -> rd.Dataset:
     """Read a directory of Arrow IPC files written by ``write_ipc``:
-    parallel over files (one binary read task per file), decoded
-    zero-copy inside the map."""
+    parallel over the manifest-listed files (one binary read task per
+    file), decoded zero-copy inside the map and repeated per the
+    manifest multiplicity (byte-identical blocks share a file on
+    disk). Falls back to a plain glob for directories without a
+    manifest; an empty directory reads as an empty dataset instead of
+    raising."""
     import glob as _glob
+    import json
+    import os
 
     import pyarrow as pa
 
-    files = sorted(_glob.glob(f"{path}/*.arrow"))
+    mf = os.path.join(path, "manifest.json")
+    if os.path.exists(mf):
+        with open(mf) as f:
+            spec = json.load(f)["files"]
+        counts = {
+            os.path.abspath(os.path.join(path, e["name"])): int(e["count"])
+            for e in spec
+        }
+    else:
+        counts = {
+            os.path.abspath(f): 1
+            for f in sorted(_glob.glob(f"{path}/*.arrow"))
+        }
+    if not counts:
+        return rd.from_arrow(pa.table({}))
+    files = sorted(counts)
 
     def decode(t: pa.Table) -> pa.Table:
-        parts = [
-            pa.ipc.open_file(pa.BufferReader(b)).read_all()
-            for b in t.column("bytes").to_pylist()
-        ]
+        parts = []
+        for fn, b in zip(
+            t.column("path").to_pylist(), t.column("bytes").to_pylist()
+        ):
+            tab = pa.ipc.open_file(pa.BufferReader(b)).read_all()
+            parts.extend([tab] * counts.get(os.path.abspath(fn), 1))
         return pa.concat_tables(parts) if parts else pa.table({})
 
     return drop_empty_blocks(
-        rd.read_binary_files(files).map_batches(
+        rd.read_binary_files(files, include_paths=True).map_batches(
             decode, batch_format="pyarrow"
         )
     )

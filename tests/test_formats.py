@@ -92,3 +92,46 @@ def test_ipc_roundtrip_preserves_rows(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert back.equals(df.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_ipc_duplicate_blocks_not_collapsed(ray_session, tmp_path):
+    """Byte-identical blocks share one file on disk but the manifest
+    multiplicity restores every row (ADVICE r4: content-only naming
+    silently dropped duplicate blocks)."""
+    from parallel_pagerank_ray.sources.formats import read_ipc, write_ipc
+
+    one = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+    ds = rd.from_arrow([one, one, one])  # three identical blocks
+    path = str(tmp_path / "dup")
+    write_ipc(ds, path)
+    back = read_ipc(path).to_pandas()
+    assert len(back) == 9
+    assert sorted(back["x"]) == [1, 1, 1, 2, 2, 2, 3, 3, 3]
+
+
+def test_ipc_rewrite_clears_stale_files(ray_session, tmp_path):
+    """Re-writing different data into the same directory must not leak
+    the previous run's blocks into a subsequent read."""
+    from parallel_pagerank_ray.sources.formats import read_ipc, write_ipc
+
+    path = str(tmp_path / "rw")
+    write_ipc(
+        rd.from_arrow(pa.table({"x": pa.array(range(100), pa.int64())}))
+        .repartition(4),
+        path,
+    )
+    write_ipc(
+        rd.from_arrow(pa.table({"x": pa.array([7, 8], pa.int64())})), path
+    )
+    back = read_ipc(path).to_pandas()
+    assert sorted(back["x"]) == [7, 8]
+
+
+def test_ipc_empty_roundtrip(ray_session, tmp_path):
+    from parallel_pagerank_ray.sources.formats import read_ipc, write_ipc
+
+    path = str(tmp_path / "empty")
+    write_ipc(
+        rd.from_arrow(pa.table({"x": pa.array([], pa.int64())})), path
+    )
+    assert read_ipc(path).count() == 0
