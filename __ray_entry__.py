@@ -4408,7 +4408,251 @@ def entry() -> Any:
     return joined.select_columns(["url", "rank"])
 
 
+# Driver-gate rotation (VERDICT r4 item 1): the round driver samples the
+# FIRST 50 entries of queries() in dict order, so this priority list puts
+# never-driver-checked registry entries first, then entries by how long
+# ago they were last driver-checked (r01 before r03 before r04; within a
+# group the registry literal order is kept). queries() reorders its
+# literal by this list, so successive rounds rotate hard verification
+# across the whole 224-entry registry instead of re-checking the same
+# 50. Entries missing from the list (future additions) keep literal
+# order at the front of the unchecked tail.
+_DRIVER_PRIORITY: list[str] = [
+    "jaccard_sparsify_copurchase",
+    "modularity_moves_copurchase",
+    "modularity_moves_weighted",
+    "louvain_copurchase",
+    "lpa_refine_copurchase",
+    "trussness_copurchase",
+    "vertex_features",
+    "coreness_copurchase",
+    "densest_copurchase",
+    "landmark_distances",
+    "shortest_path_trace",
+    "harmonic_copurchase",
+    "link_prediction_copurchase",
+    "linkpred_train",
+    "robustness_curve",
+    "percolation_curve",
+    "bridges",
+    "two_edge_components",
+    "two_edge_cuts",
+    "lca_copurchase",
+    "component_wl_classes",
+    "articulation_copurchase",
+    "dag_paths_copurchase",
+    "triad_census_links",
+    "eigencentrality_copurchase",
+    "biconn_summary",
+    "pseudo_diameter_copurchase",
+    "pagerank_incremental_top20",
+    "ktruss_copurchase",
+    "mis_copurchase",
+    "coloring_copurchase",
+    "matching_copurchase",
+    "coarsen_copurchase",
+    "rich_club",
+    "wl_colors",
+    "wl_class_sizes",
+    "katz_pages",
+    "node2vec_copurchase",
+    "edge_betweenness",
+    "community_graph",
+    "embedding_gram",
+    "skyline_orders",
+    "shipping_priority",
+    "forecast_revenue",
+    "promo_revenue",
+    "top_supplier_quarter",
+    "disjunctive_revenue",
+    "waiting_suppliers",
+    "idle_customers",
+    "market_share",
+    "cheapest_supplier",
+    "order_count_distribution",
+    "volume_shipping",
+    "returned_item_revenue",
+    "msf_copurchase",
+    "price_quantiles_by_flag",
+    "split_corpus",
+    "split_by_source",
+    "doc_fingerprints",
+    "winnow_candidates",
+    "winnow_candidates_capped",
+    "winnow_overflow",
+    "tfidf_search",
+    "bm25_search",
+    "decontaminate",
+    "dup_span_stats",
+    "shingle_novelty",
+    "phrase_search",
+    "pii_scan",
+    "pii_redact",
+    "clean_corpus",
+    "top_bigrams",
+    "bpe_merges",
+    "bpe_token_counts",
+    "vocab_growth",
+    "dsir_weights",
+    "lm_buckets",
+    "quality_classifier",
+    "contrastive_pairs",
+    "dedup_minhash_lsh_capped",
+    "lsh_bucket_overflow",
+    "dedup_keepers",
+    "embed_docs",
+    "sample_frames",
+    "knn_ivf",
+    "knn_lsh_full_probe",
+    "knn_ivf_full_probe",
+    "funnel_users",
+    "hll_users_by_type",
+    "events_hourly_users",
+    "events_topk_users",
+    "events_asof",
+    "events_running",
+    "ema_users",
+    "order_quartiles",
+    "session_overlaps",
+    "coverage_select",
+    "edit1_customers",
+    "events_daily_pivot",
+    "pricing_rollup",
+    "pricing_cube",
+    "parts_intersect_except",
+    "condensation_hosts",
+    "kmeans_embeddings",
+    "cluster_balanced_sample",
+    "semantic_dedup",
+    "line_filter",
+    "neighborhood_exact",
+    "neighborhood_hll",
+    "salsa_supplier_part",
+    "effective_diameter",
+    "ppr_push_copurchase",
+    "sweep_cut_copurchase",
+    "frequent_triples",
+    "pack_docs",
+    "balance_sources",
+    "quota_mix",
+    "peak_concurrency",
+    "event_transitions",
+    "anomalous_hours",
+    "joint_degree_matrix",
+    "rrf_fusion",
+    "table_profile",
+    "retention_cohorts",
+    "small_quantity_revenue",
+    "lineitem_checksum",
+    "late_orders_by_priority",
+    "quantity_moments",
+    "large_volume_orders",
+    "revenue_by_nation",
+    "butterfly_stats",
+    "butterflies_per_part",
+    "doc_repetition",
+    "neighbor_sample",
+    "price_band_match",
+    "jaccard_set_join",
+    "inter_event_gaps",
+    "docs_jsonl_checksum",
+    "docs_csv_checksum",
+    "docs_ipc_checksum",
+    "dedup_shingle_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "payload_meta",
+    "decode_image_fake",
+    "knn_cosine",
+    "knn_lsh",
+    "embedding_near_dup",
+    "events_hourly",
+    "events_hopping",
+    "sessionize",
+    "pricing_summary",
+    "top_customers",
+    "bfs_copurchase",
+    "closeness_copurchase",
+    "random_walks_copurchase",
+    "random_walks_weighted_copurchase",
+    "spcount_copurchase",
+    "betweenness_copurchase",
+    "local_clustering",
+    "community_stats",
+    "distinct_parts_per_nation",
+    "sssp_weighted_copurchase",
+    "degree_assortativity",
+    "degree_histogram",
+    "top_tokens",
+    "distinct_orders_kmv",
+    "price_quantiles",
+    "sample_docs",
+    "stratified_sample",
+    "quality_filter",
+    "top_docs_per_source",
+    "text_stats",
+    "dedup_exact",
+    "pages_extract_text",
+    "pages_links",
+    "pages_anchors",
+    "anchor_stats",
+    "host_edges",
+    "link_churn_hosts",
+    "host_crawl_stats",
+    "crawl_frontier",
+    "lang_mixing",
+    "host_cocitation",
+    "host_mirror_scores",
+    "pagerank_hosts_top10",
+    "scc_hosts",
+    "bowtie_hosts",
+    "host_reciprocity",
+    "spam_mass_hosts",
+    "simrank_hosts",
+    "canonical_urls",
+    "resolve_redirects",
+    "chunk_docs",
+    "bloom_membership",
+    "postings_top_tokens",
+    "countmin_top_tokens",
+    "cooccurrence_top_tokens",
+    "link_edges",
+    "temporal_reach",
+    "temporal_latest",
+    "pagerank_pages_top20",
+    "edges_supplier_part",
+    "out_degrees",
+    "dangling_vertices",
+    "graph_stats",
+    "pagerank_supplier_part_top20",
+    "pagerank_personalized_top20",
+    "pagerank_weighted_top20",
+    "components_copurchase",
+    "components_incremental",
+    "component_size_histogram",
+    "bipartite_components",
+    "labelprop_copurchase",
+    "labelprop_weighted_copurchase",
+    "triangles_copurchase",
+    "four_cliques",
+    "four_cycles",
+    "partition_cut",
+    "triangles_doulion",
+    "clustering_coefficient",
+    "hits_supplier_part",
+    "kcore_copurchase",
+    "ktruss_deep_copurchase",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    base = _queries_literal()
+    ordered = {k: base[k] for k in _DRIVER_PRIORITY if k in base}
+    ordered.update((k, v) for k, v in base.items() if k not in ordered)
+    return ordered
+
+
+def _queries_literal() -> dict[str, Callable[[str], Any]]:
     return {
         "pages_extract_text": q_pages_extract_text,
         "pages_links": q_pages_links,
