@@ -79,17 +79,24 @@ from parallel_pagerank_ray.pipelines.graph_build import Graph
 from parallel_pagerank_ray.stages.agg import grouped_agg, resolve_num_buckets
 from parallel_pagerank_ray.util import drop_empty_blocks, safe_join
 
+INT64_MAX_B = np.iinfo(np.int64).max
+
 
 @dataclass
 class BiconnRun:
     """blocks: (vid, block) — block id of tree edge (parent(vid), vid)
     for every non-root vertex; block = min member vid of its G''
-    component. par: the forest rows. nt: non-tree edges. n: |V|."""
+    component. par: the forest rows. nt: non-tree edges. n: |V|.
+    local: dense numpy arrays stashed by the driver-local fast path
+    (``is_child``, ``parent``, ``block`` over [0, n)) so the
+    articulation / edge-block folds skip their joins on small
+    graphs; None when a distributed path produced the run."""
 
     blocks: rd.Dataset
     par: rd.Dataset
     nt: rd.Dataset
     n: int
+    local: dict | None = None
 
 
 def _empty(cols: dict[str, pa.DataType]) -> rd.Dataset:
@@ -192,11 +199,112 @@ def _base_minmax(
     )
 
 
+def _cc_min_label(src: np.ndarray, dst: np.ndarray, n: int) -> np.ndarray:
+    """Dense min-label connected components (comp = min member vid) via
+    propagation + pointer jumping; vertices with no incident edge keep
+    comp = self."""
+    comp = np.arange(n, dtype=np.int64)
+    if len(src) == 0:
+        return comp
+    s = np.concatenate([src, dst])
+    d = np.concatenate([dst, src])
+    while True:
+        new = comp.copy()
+        np.minimum.at(new, d, comp[s])
+        while True:
+            nn = new[new]
+            if np.array_equal(nn, new):
+                break
+            new = nn
+        if np.array_equal(new, comp):
+            break
+        comp = new
+    return comp
+
+
+def _biconn_local(
+    es: np.ndarray, ed: np.ndarray, n: int, max_depth: int
+) -> BiconnRun:
+    """Driver-local Tarjan-Vishkin (same construction as the module
+    docstring, all dense numpy): BFS forest, preorder intervals,
+    low/high folds, auxiliary-graph CC. Exact and identical to the
+    distributed paths — parity-tested in test_biconnectivity. The
+    dense arrays are stashed on the run so the articulation and
+    edge-block folds are driver-local too."""
+    from parallel_pagerank_ray.pipelines.bridges import _bfs_forest_local
+
+    childs, parents, depths, _dist = _bfs_forest_local(
+        es, ed, n, max_depth=max_depth
+    )
+    # forest pair keys (canonical) -> non-tree split
+    nbig = np.int64(n)
+    fkey = np.minimum(childs, parents) * nbig + np.maximum(childs, parents)
+    ekey = es * nbig + ed
+    is_tree = np.isin(ekey, fkey)
+    nts, ntd = es[~is_tree], ed[~is_tree]
+    # sweeps over the (depth, parent, vid)-sorted tree arrays
+    order = np.lexsort((childs, parents, depths))
+    vid, parent, depth = childs[order], parents[order], depths[order]
+    pre, nd = _pre_nd_fast(vid, parent, depth, n)
+    base_min = pre.copy()
+    base_max = pre.copy()
+    if len(nts):
+        np.minimum.at(base_min, nts, pre[ntd])
+        np.minimum.at(base_min, ntd, pre[nts])
+        np.maximum.at(base_max, nts, pre[ntd])
+        np.maximum.at(base_max, ntd, pre[nts])
+    low, high = _lowhigh_fast(vid, parent, depth, base_min, base_max)
+    is_child = np.zeros(n, dtype=bool)
+    is_child[vid] = True
+    m = is_child[parent] & (
+        (low[vid] < pre[parent])
+        | (high[vid] > pre[parent] + nd[parent] - 1)
+    )
+    gs = np.concatenate([nts, np.minimum(vid, parent)[m]])
+    gd = np.concatenate([ntd, np.maximum(vid, parent)[m]])
+    comp = _cc_min_label(gs, gd, n)
+    block = comp  # isolated-in-G'' vertices keep comp = self
+    blocks_tbl = pa.table(
+        {
+            "vid": pa.array(childs, pa.int64()),
+            "block": pa.array(block[childs], pa.int64()),
+        }
+    )
+    par_tbl = pa.table(
+        {
+            "vid": pa.array(childs, pa.int64()),
+            "parent": pa.array(parents, pa.int64()),
+            "depth": pa.array(depths, pa.int64()),
+        }
+    )
+    nt_tbl = pa.table(
+        {
+            "src": pa.array(nts, pa.int64()),
+            "dst": pa.array(ntd, pa.int64()),
+        }
+    )
+    return BiconnRun(
+        blocks=rd.from_arrow(blocks_tbl),
+        par=rd.from_arrow(par_tbl),
+        nt=rd.from_arrow(nt_tbl),
+        n=n,
+        local={
+            "is_child": is_child,
+            "parent": parents,
+            "childs": childs,
+            "block": block,
+            "nts": nts,
+            "ntd": ntd,
+        },
+    )
+
+
 def biconnectivity(
     graph: Graph,
     num_buckets: int | None = None,
     max_depth: int = 10_000,
     broadcast_max: int = 5_000_000,
+    local_max_edges: int = 2_000_000,
 ) -> BiconnRun:
     """Tarjan-Vishkin over the min-parent BFS forest (module
     docstring). Requires ``graph.edges`` canonical simple (src < dst,
@@ -215,7 +323,8 @@ def biconnectivity(
     if num_buckets is None:
         num_buckets = resolve_num_buckets(graph.edges)
     edges = graph.edges.select_columns(["src", "dst"]).materialize()
-    if edges.count() == 0:
+    ne = edges.count()
+    if ne == 0:
         return BiconnRun(
             blocks=empty_blocks,
             par=_empty(
@@ -223,6 +332,16 @@ def biconnectivity(
             ),
             nt=empty_edges,
             n=n,
+        )
+    if ne <= local_max_edges and n <= 20_000_000:
+        import ray as _ray
+
+        et = pa.concat_tables(_ray.get(edges.to_arrow_refs()))
+        return _biconn_local(
+            et.column("src").to_numpy(zero_copy_only=False),
+            et.column("dst").to_numpy(zero_copy_only=False),
+            n,
+            max_depth,
         )
 
     par, _dep = bfs_forest(graph, num_buckets, max_depth=max_depth)
@@ -642,6 +761,7 @@ def articulation_points(
     num_buckets: int | None = None,
     max_depth: int = 10_000,
     broadcast_max: int = 5_000_000,
+    local_max_edges: int = 2_000_000,
     run: BiconnRun | None = None,
 ) -> rd.Dataset:
     """All cut vertices of the undirected simple graph, as (vid,) rows.
@@ -659,7 +779,28 @@ def articulation_points(
             num_buckets=num_buckets,
             max_depth=max_depth,
             broadcast_max=broadcast_max,
+            local_max_edges=local_max_edges,
         )
+    if run.local is not None:
+        loc = run.local
+        childs, block = loc["childs"], loc["block"]
+        if len(childs) == 0:
+            return _empty({"vid": pa.int64()})
+        parents = loc["parent"]
+        n = run.n
+        bmin = np.full(n, INT64_MAX_B, dtype=np.int64)
+        bmax = np.full(n, -1, dtype=np.int64)
+        np.minimum.at(bmin, parents, block[childs])
+        np.maximum.at(bmax, parents, block[childs])
+        pu = np.unique(parents)
+        root = ~loc["is_child"][pu]
+        own = block[pu]
+        m = np.where(
+            root,
+            bmin[pu] != bmax[pu],
+            (bmin[pu] != own) | (bmax[pu] != own),
+        )
+        return rd.from_arrow(pa.table({"vid": pa.array(pu[m], pa.int64())}))
     if run.par.count() == 0:
         return _empty({"vid": pa.int64()})
     child_blocks = safe_join(
@@ -703,6 +844,7 @@ def biconnected_edge_blocks(
     num_buckets: int | None = None,
     max_depth: int = 10_000,
     broadcast_max: int = 5_000_000,
+    local_max_edges: int = 2_000_000,
     run: BiconnRun | None = None,
 ) -> rd.Dataset:
     """Every canonical edge tagged with its block id:
@@ -717,6 +859,37 @@ def biconnected_edge_blocks(
             num_buckets=num_buckets,
             max_depth=max_depth,
             broadcast_max=broadcast_max,
+            local_max_edges=local_max_edges,
+        )
+    if run.local is not None:
+        loc = run.local
+        childs, parents, block = loc["childs"], loc["parent"], loc["block"]
+        if len(childs) == 0:
+            return _empty(
+                {"src": pa.int64(), "dst": pa.int64(), "block": pa.int64()}
+            )
+        nts, ntd = loc["nts"], loc["ntd"]
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(
+                        np.concatenate(
+                            [np.minimum(childs, parents), nts]
+                        ),
+                        pa.int64(),
+                    ),
+                    "dst": pa.array(
+                        np.concatenate(
+                            [np.maximum(childs, parents), ntd]
+                        ),
+                        pa.int64(),
+                    ),
+                    "block": pa.array(
+                        np.concatenate([block[childs], block[nts]]),
+                        pa.int64(),
+                    ),
+                }
+            )
         )
     if run.par.count() == 0:
         return _empty(

@@ -71,11 +71,73 @@ def _edge_labels(t: pa.Table) -> pa.Table:
     )
 
 
+def _bfs_forest_local(
+    src: np.ndarray, dst: np.ndarray, n: int, max_depth: int = 10_000
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Driver-local min-parent BFS forest — bit-identical semantics to
+    the BSP path below (roots = component minima, levels = multi-source
+    BFS, parent = smallest neighbor one level closer), all vectorized
+    numpy. Returns (child_vids, parents, depths, dist) where dist is
+    dense over [0, n) (isolated vertices are their own roots at 0, as
+    the BSP engine reports them). Used under ``local_max_edges``: at
+    web scale the thinned backbone graphs this family runs on are tiny
+    relative to the corpus, and six BSP actor pools cost more than the
+    whole computation."""
+    s = np.concatenate([src, dst])
+    d = np.concatenate([dst, src])
+    order = np.lexsort((d, s))
+    s, d = s[order], d[order]
+    indptr = np.searchsorted(s, np.arange(n + 1, dtype=np.int64))
+    # components: min-label propagation + pointer jumping to fixpoint
+    comp = np.arange(n, dtype=np.int64)
+    while True:
+        new = comp.copy()
+        np.minimum.at(new, d, comp[s])
+        while True:
+            nn = new[new]
+            if np.array_equal(nn, new):
+                break
+            new = nn
+        if np.array_equal(new, comp):
+            break
+        comp = new
+    roots = np.unique(comp)
+    dist = np.full(n, -1, dtype=np.int64)
+    dist[roots] = 0
+    frontier = roots
+    depth = 0
+    while len(frontier) and depth < max_depth:
+        depth += 1
+        lo = indptr[frontier]
+        lens = indptr[frontier + 1] - lo
+        m = lens > 0
+        lo, lens = lo[m], lens[m]
+        if not len(lo):
+            break
+        csum = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos = (
+            np.arange(int(lens.sum()))
+            - np.repeat(csum, lens)
+            + np.repeat(lo, lens)
+        )
+        nbrs = np.unique(d[pos])
+        fresh = nbrs[dist[nbrs] < 0]
+        dist[fresh] = depth
+        frontier = fresh
+    cand = (dist[s] >= 0) & (dist[s] + 1 == dist[d])
+    cs, cd = s[cand], d[cand]
+    parent = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(parent, cd, cs)
+    childs = np.unique(cd)
+    return childs, parent[childs], dist[childs], dist
+
+
 def bfs_forest(
     graph: Graph,
     num_buckets: int,
     max_depth: int = 10_000,
     broadcast_max: int = 5_000_000,
+    local_max_edges: int = 2_000_000,
 ) -> tuple[rd.Dataset, rd.Dataset]:
     """The deterministic min-parent BFS spanning forest shared by the
     bridge sketch and Tarjan-Vishkin biconnectivity: roots = component
@@ -95,6 +157,47 @@ def bfs_forest(
     from parallel_pagerank_ray.pipelines.components_actors import (
         connected_components_bsp,
     )
+    from parallel_pagerank_ray.stages.csr_store import edge_count_hint
+
+    ne = edge_count_hint(graph.edges)
+    if (
+        ne is not None
+        and ne <= local_max_edges
+        and 0 < graph.n <= 20_000_000
+    ):
+        import ray as _ray
+
+        et = pa.concat_tables(
+            _ray.get(
+                graph.edges.select_columns(["src", "dst"]).to_arrow_refs()
+            )
+        )
+        childs, parents, depths, dist = _bfs_forest_local(
+            et.column("src").to_numpy(zero_copy_only=False),
+            et.column("dst").to_numpy(zero_copy_only=False),
+            graph.n,
+            max_depth=max_depth,
+        )
+        par = rd.from_arrow(
+            pa.table(
+                {
+                    "vid": pa.array(childs, pa.int64()),
+                    "parent": pa.array(parents, pa.int64()),
+                    "depth": pa.array(depths, pa.int64()),
+                }
+            )
+        ).materialize()
+        dep = rd.from_arrow(
+            pa.table(
+                {
+                    "vid": pa.array(
+                        np.arange(graph.n, dtype=np.int64), pa.int64()
+                    ),
+                    "dist": pa.array(dist, pa.int64()),
+                }
+            )
+        ).materialize()
+        return par, dep
 
     comp = connected_components_bsp(graph).components
     roots = grouped_agg(

@@ -104,8 +104,10 @@ def _dfs_oracle(canon):
     return sorted(arts), set(blocks)
 
 
-def _got(g, broadcast_max=5_000_000):
-    run = biconnectivity(g, broadcast_max=broadcast_max)
+def _got(g, broadcast_max=5_000_000, local_max_edges=2_000_000):
+    run = biconnectivity(
+        g, broadcast_max=broadcast_max, local_max_edges=local_max_edges
+    )
     ap = articulation_points(g, run=run).to_pandas()
     arts = sorted(ap["vid"]) if "vid" in ap.columns else []
     eb = biconnected_edge_blocks(g, run=run).to_pandas()
@@ -152,9 +154,16 @@ def test_powerlaw_graphs_match_dfs_oracle(ray_session):
 
 
 def test_distributed_ladder_matches_fast_path(ray_session):
+    """All three paths agree: driver-local (default at this size),
+    broadcast-sweep (local forced off), and the distributed BSP ladder
+    (both bounds forced to 0)."""
     canon = _canon(powerlaw_edges(60, 2, seed=3))
     g = _graph(canon)
-    assert _got(g, broadcast_max=0) == _got(g)
+    local = _got(g)
+    bcast = _got(g, local_max_edges=0)
+    ladder = _got(g, broadcast_max=0, local_max_edges=0)
+    assert bcast == local
+    assert ladder == local
 
 
 def test_block_count_identity(ray_session):
