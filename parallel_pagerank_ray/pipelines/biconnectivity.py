@@ -344,8 +344,22 @@ def biconnectivity(
             max_depth,
         )
 
+    import os as _os
+    import time as _time
+
+    _dbg = bool(_os.environ.get("PPR_BICONN_DEBUG"))
+    _t = _time.time()
+
+    def _tick(label: str) -> None:
+        nonlocal _t
+        if _dbg:
+            print(f"[biconn] {label}: {_time.time() - _t:.1f}s", flush=True)
+        _t = _time.time()
+
     par, _dep = bfs_forest(graph, num_buckets, max_depth=max_depth)
+    _tick("bfs_forest")
     nt = nontree_edges(edges, forest_pairs(par), n).materialize()
+    _tick("nontree")
 
     from parallel_pagerank_ray.util import count_rows_once
 
@@ -388,73 +402,13 @@ def biconnectivity(
         )
         gpp = nt if len(rule2) == 0 else nt.union(rd.from_arrow(rule2))
     else:
-        par_m, pre_ds, nd_ds, low_ds, high_ds = _sweeps_distributed(
-            par, nt, num_buckets
-        )
-        par = par_m
-        # rule 2 assembled by joins keyed on child (w) and parent (v)
-        w_side = safe_join(
-            safe_join(
-                par,
-                low_ds.rename_columns({"vid": "__l", "low": "low"}),
-                join_type="inner",
-                num_partitions=8,
-                on=("vid",),
-                right_on=("__l",),
-            ),
-            high_ds.rename_columns({"vid": "__h", "high": "high"}),
-            join_type="inner",
-            num_partitions=8,
-            on=("vid",),
-            right_on=("__h",),
-        )
-        v_info = safe_join(
-            safe_join(
-                # v non-root <=> v itself has a par row
-                par.select_columns(["vid"]).rename_columns({"vid": "pv"}),
-                pre_ds.rename_columns({"vid": "__p", "pre": "ppre"}),
-                join_type="inner",
-                num_partitions=8,
-                on=("pv",),
-                right_on=("__p",),
-            ),
-            nd_ds.rename_columns({"vid": "__n", "nd": "pnd"}),
-            join_type="inner",
-            num_partitions=8,
-            on=("pv",),
-            right_on=("__n",),
-        )
-        joined = safe_join(
-            w_side,
-            v_info,
-            join_type="inner",
-            num_partitions=8,
-            on=("parent",),
-            right_on=("pv",),
-        )
-
-        def rule2_rows(t: pa.Table) -> pa.Table:
-            w = t.column("vid").to_numpy(zero_copy_only=False)
-            v = t.column("parent").to_numpy(zero_copy_only=False)
-            lo = t.column("low").to_numpy(zero_copy_only=False)
-            hi = t.column("high").to_numpy(zero_copy_only=False)
-            pv = t.column("ppre").to_numpy(zero_copy_only=False)
-            nv = t.column("pnd").to_numpy(zero_copy_only=False)
-            m = (lo < pv) | (hi > pv + nv - 1)
-            return pa.table(
-                {
-                    "src": pa.array(np.minimum(w, v)[m], pa.int64()),
-                    "dst": pa.array(np.maximum(w, v)[m], pa.int64()),
-                }
-            )
-
-        gpp = nt.union(
-            drop_empty_blocks(
-                joined.map_batches(rule2_rows, batch_format="pyarrow")
-            )
-        )
+        par = par.materialize()
+        rule2_ds = _sweeps_bsp(par, nt, n)
+        gpp = nt.union(rule2_ds)
+    _tick("sweeps+rule2")
 
     gpp = drop_empty_blocks(gpp).materialize()
+    _tick("gpp materialize")
     if gpp.count() == 0:
         # forest-only graph: every tree edge is its own singleton block
         blocks = par.select_columns(["vid"]).map_batches(
@@ -464,6 +418,7 @@ def biconnectivity(
         ).materialize()
         return BiconnRun(blocks=blocks, par=par, nt=nt, n=n)
     comp = connected_components_bsp(Graph(n=n, edges=gpp)).components
+    _tick("gpp CC")
     blocks = safe_join(
         par.select_columns(["vid"]),
         comp.rename_columns({"vid": "__c", "comp": "block"}),
@@ -480,280 +435,351 @@ def biconnectivity(
         )
 
     blocks = blocks.map_batches(fill, batch_format="pyarrow").materialize()
+    _tick("blocks join")
     return BiconnRun(blocks=blocks, par=par, nt=nt, n=n)
 
 
-def _sweeps_distributed(
-    par: rd.Dataset, nt: rd.Dataset, num_buckets: int
-) -> tuple[rd.Dataset, rd.Dataset, rd.Dataset, rd.Dataset, rd.Dataset]:
-    """Level-synchronous tree sweeps over Datasets (the fallback above
-    ``broadcast_max``): bottom-up nd, top-down pre, bottom-up low/high.
-    O(depth) rounds; each round moves only two adjacent BFS levels.
-    Returns (par materialized, pre, nd, low, high) Datasets keyed by
-    vid; pre additionally covers the roots (pre = 0)."""
-    par = par.materialize()
-    maxd_val = par.max("depth")
-    maxd = int(maxd_val) if maxd_val is not None else 0
+import ray as _ray_mod
 
-    def level(ds: rd.Dataset, d: int) -> rd.Dataset:
-        return ds.filter(expr=f"depth == {d}").materialize()
 
-    lev = {d: level(par, d) for d in range(1, maxd + 1)}
+@_ray_mod.remote
+def _route_par_block(block, part_size: int):
+    """Split one (vid, parent, depth) forest block two ways: by vid
+    owner (child-side state) and by parent owner (children index) —
+    the _register_block idiom; one plasma put per (block, part)."""
+    import ray
+
+    if block.num_rows == 0 or "vid" not in block.schema.names:
+        return {}, {}
+    vid = block.column("vid").to_numpy(zero_copy_only=False)
+    parent = block.column("parent").to_numpy(zero_copy_only=False)
+    depth = block.column("depth").to_numpy(zero_copy_only=False)
+    by_vid: dict[int, "ray.ObjectRef"] = {}
+    parts = vid // part_size
+    for p in np.unique(parts):
+        m = parts == p
+        by_vid[int(p)] = ray.put(
+            (
+                np.ascontiguousarray(vid[m]),
+                np.ascontiguousarray(parent[m]),
+                np.ascontiguousarray(depth[m]),
+            )
+        )
+    by_parent: dict[int, "ray.ObjectRef"] = {}
+    parts = parent // part_size
+    for p in np.unique(parts):
+        m = parts == p
+        by_parent[int(p)] = ray.put(
+            (
+                np.ascontiguousarray(parent[m]),
+                np.ascontiguousarray(vid[m]),
+            )
+        )
+    return by_vid, by_parent
+
+
+@_ray_mod.remote
+def _route_nt_block(block, part_size: int):
+    """Split one non-tree (src, dst) block into provider pairs
+    (w_owner gets (w, u) for BOTH orientations): after the pre sweep
+    each shard emits pre[w] to owner(u) — one exchange of O(2|nt|)."""
+    import ray
+
+    if block.num_rows == 0 or "src" not in block.schema.names:
+        return {}
+    s = block.column("src").to_numpy(zero_copy_only=False)
+    d = block.column("dst").to_numpy(zero_copy_only=False)
+    w = np.concatenate([s, d])
+    u = np.concatenate([d, s])
+    parts = w // part_size
+    out: dict[int, "ray.ObjectRef"] = {}
+    for p in np.unique(parts):
+        m = parts == p
+        out[int(p)] = ray.put(
+            (np.ascontiguousarray(w[m]), np.ascontiguousarray(u[m]))
+        )
+    return out
+
+
+@_ray_mod.remote
+class _TreeSweepShard:
+    """One vertex-range shard of the BSP tree-sweep engine (the kcore /
+    components_actors harness shape): dense per-range state, routed
+    per-level exchanges. Each of the three sweeps moves every forest
+    vertex exactly once across all its rounds — O(n) total wire, no
+    per-level joins (replaces the join-per-level Dataset ladder that
+    measured 312 s at 10M/100M)."""
+
+    def __init__(
+        self,
+        part: int,
+        n: int,
+        part_size: int,
+        par_vid_refs: list,
+        par_parent_refs: list,
+        nt_refs: list,
+    ) -> None:
+        self.n = n
+        self.part_size = part_size
+        self.base = part * part_size
+        self.size = max(0, min(part_size, n - self.base))
+        size = self.size
+        self.parent_g = np.full(size, -1, dtype=np.int64)
+        self.depth = np.full(size, -1, dtype=np.int64)
+        if par_vid_refs:
+            chunks = _ray_mod.get(par_vid_refs)
+            vid = np.concatenate([c[0] for c in chunks]) - self.base
+            par = np.concatenate([c[1] for c in chunks])
+            dep = np.concatenate([c[2] for c in chunks])
+            self.parent_g[vid] = par
+            self.depth[vid] = dep
+        self.is_child = self.depth >= 0
+        # children index: (p_loc, child_vid) sorted; aligned slots for
+        # the child's nd / low / high filled during the bottom-up sweeps
+        if par_parent_refs:
+            chunks = _ray_mod.get(par_parent_refs)
+            ploc = np.concatenate([c[0] for c in chunks]) - self.base
+            cvid = np.concatenate([c[1] for c in chunks])
+            order = np.lexsort((cvid, ploc))
+            self.ip_ploc = ploc[order]
+            self.ip_cvid = cvid[order]
+        else:
+            self.ip_ploc = np.array([], dtype=np.int64)
+            self.ip_cvid = np.array([], dtype=np.int64)
+        self.ck = self.ip_ploc * np.int64(n + 1) + self.ip_cvid
+        self.child_nd = np.ones(len(self.ck), dtype=np.int64)
+        self.child_low = np.zeros(len(self.ck), dtype=np.int64)
+        self.child_high = np.zeros(len(self.ck), dtype=np.int64)
+        # roots: appear as a parent, never as a child -> depth 0
+        if len(self.ip_ploc):
+            is_parent = np.zeros(size, dtype=bool)
+            is_parent[self.ip_ploc] = True
+            root = is_parent & ~self.is_child
+            self.depth[root] = 0
+        self.nd = np.ones(size, dtype=np.int64)
+        self.pre = np.zeros(size, dtype=np.int64)
+        self.low = np.zeros(size, dtype=np.int64)
+        self.high = np.zeros(size, dtype=np.int64)
+        if nt_refs:
+            chunks = _ray_mod.get(nt_refs)
+            self.nt_w = np.concatenate([c[0] for c in chunks]) - self.base
+            self.nt_u = np.concatenate([c[1] for c in chunks])
+        else:
+            self.nt_w = np.array([], dtype=np.int64)
+            self.nt_u = np.array([], dtype=np.int64)
+
+    def max_depth(self) -> int:
+        return int(self.depth.max()) if self.size else -1
+
+    def _route(self, targets: np.ndarray, *cols: np.ndarray) -> list:
+        """Group rows by owner shard of ``targets``; one plasma put per
+        owner: [(owner_part, ref((targets, *cols))), ...]."""
+        if not len(targets):
+            return []
+        owners = targets // self.part_size
+        order = np.argsort(owners, kind="stable")
+        owners = owners[order]
+        arrs = [targets[order]] + [c[order] for c in cols]
+        uniq, starts = np.unique(owners, return_index=True)
+        bounds = starts.tolist() + [len(owners)]
+        return [
+            (
+                int(p),
+                _ray_mod.put(
+                    tuple(a[bounds[i] : bounds[i + 1]] for a in arrs)
+                ),
+            )
+            for i, p in enumerate(uniq)
+        ]
+
+    def _record(self, pl: np.ndarray, cv: np.ndarray, slot: np.ndarray,
+                vals: np.ndarray) -> None:
+        pos = np.searchsorted(self.ck, pl * np.int64(self.n + 1) + cv)
+        slot[pos] = vals
 
     # ---- bottom-up nd ----
-    nd_lev: dict[int, rd.Dataset] = {}
-    child_sum: rd.Dataset | None = None
-    for d in range(maxd, 0, -1):
-        cur = lev[d].select_columns(["vid", "parent"])
-        if child_sum is None:
-            base = cur.map_batches(
-                lambda t: t.append_column(
-                    "nd", pa.array(np.ones(len(t), dtype=np.int64))
-                ),
-                batch_format="pyarrow",
-            )
-        else:
-            j = safe_join(
-                cur,
-                child_sum.rename_columns({"parent": "__p", "s": "s"}),
-                join_type="left_outer",
-                num_partitions=8,
-                on=("vid",),
-                right_on=("__p",),
-            )
-
-            def add_nd(t: pa.Table) -> pa.Table:
-                s = pc.coalesce(t.column("s"), pa.scalar(0, pa.int64()))
-                return pa.table(
-                    {
-                        "vid": t.column("vid"),
-                        "parent": t.column("parent"),
-                        "nd": pc.add(s, pa.scalar(1, pa.int64())),
-                    }
-                )
-
-            base = j.map_batches(add_nd, batch_format="pyarrow")
-        nd_lev[d] = base.materialize()
-        child_sum = grouped_agg(
-            nd_lev[d].select_columns(["parent", "nd"]),
-            ["parent"],
-            {"s": ("nd", "sum")},
-            num_buckets=num_buckets,
-        ).materialize()
-    nd_ds = (
-        rd.from_arrow(
-            pa.table({"vid": pa.array([], pa.int64()),
-                      "nd": pa.array([], pa.int64())})
-        )
-        if not nd_lev
-        else _union_all(
-            [v.select_columns(["vid", "nd"]) for v in nd_lev.values()]
-        )
-    )
-
-    # ---- top-down pre (component-local; roots = 0) ----
-    roots = (
-        grouped_agg(
-            par.select_columns(["parent"]),
-            ["parent"],
-            {"c": ("parent", "count")},
-            num_buckets=num_buckets,
-        )
-        .select_columns(["parent"])
-        .rename_columns({"parent": "vid"})
-    )
-    root_par_vids = par.select_columns(["vid"])
-    from parallel_pagerank_ray.util import anti_join
-
-    root_only = anti_join(roots, root_par_vids, on="vid")
-    pre_lev: dict[int, rd.Dataset] = {
-        0: root_only.map_batches(
-            lambda t: t.append_column(
-                "pre", pa.array(np.zeros(len(t), dtype=np.int64))
-            ),
-            batch_format="pyarrow",
-        ).materialize()
-    }
-    pre_all = [pre_lev[0]]
-    for d in range(1, maxd + 1):
-        parents = pre_lev[d - 1]
-        cur = nd_lev[d]  # (vid, parent, nd)
-        j = safe_join(
-            cur,
-            parents.rename_columns({"vid": "__pp", "pre": "ppre"}),
-            join_type="inner",
-            num_partitions=8,
-            on=("parent",),
-            right_on=("__pp",),
+    def nd_emit(self, d: int) -> list:
+        idx = np.nonzero(self.is_child & (self.depth == d))[0]
+        return self._route(
+            self.parent_g[idx], self.base + idx, self.nd[idx]
         )
 
-        def keyed(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["__b"] = (
-                df["parent"].to_numpy().astype(np.int64) % num_buckets
-            )
-            return df
+    def nd_absorb(self, refs: list) -> None:
+        for pg, cv, ndv in _ray_mod.get(list(refs)):
+            pl = pg - self.base
+            np.add.at(self.nd, pl, ndv)
+            self._record(pl, cv, self.child_nd, ndv)
 
-        def cumpre(g: pd.DataFrame) -> pd.DataFrame:
-            order = np.lexsort(
-                (g["vid"].to_numpy(), g["parent"].to_numpy())
-            )
-            s = g.iloc[order]
-            ndv = s["nd"].to_numpy().astype(np.int64)
-            grp = s.groupby("parent", sort=False)
-            sib = grp["nd"].cumsum().to_numpy().astype(np.int64) - ndv
-            return pd.DataFrame(
-                {
-                    "vid": s["vid"].to_numpy(),
-                    "pre": s["ppre"].to_numpy().astype(np.int64) + 1 + sib,
-                }
-            )
+    # ---- top-down pre (component-local preorder; roots = 0) ----
+    def pre_emit(self, d: int) -> list:
+        if not len(self.ck):
+            return []
+        sel = np.nonzero(self.depth[self.ip_ploc] == d)[0]
+        if not len(sel):
+            return []
+        p = self.ip_ploc[sel]
+        v = self.ip_cvid[sel]
+        ndv = self.child_nd[sel]
+        sib = np.concatenate(([0], np.cumsum(ndv)[:-1]))
+        first = np.concatenate(([True], p[1:] != p[:-1]))
+        start = np.where(first, sib, 0)
+        np.maximum.accumulate(start, out=start)
+        pre_c = self.pre[p] + 1 + (sib - start)
+        return self._route(v, pre_c)
 
-        pre_lev[d] = (
-            j.map_batches(keyed, batch_format="pandas")
-            .groupby("__b")
-            .map_groups(cumpre, batch_format="pandas")
-            # rename_columns downstream needs Arrow blocks, not the
-            # pandas blocks map_groups emits
-            .map_batches(lambda t: t, batch_format="pyarrow")
-            .materialize()
-        )
-        pre_all.append(pre_lev[d])
-    pre_ds = _union_all(pre_all).materialize()
+    def pre_absorb(self, refs: list) -> None:
+        for cv, pv in _ray_mod.get(list(refs)):
+            self.pre[cv - self.base] = pv
 
     # ---- base = min/max(pre(self), pre(non-tree neighbors)) ----
-    if nt.count() == 0:
-        base = pre_ds.map_batches(
-            lambda t: pa.table(
-                {
-                    "vid": t.column("vid"),
-                    "bmin": t.column("pre"),
-                    "bmax": t.column("pre"),
-                }
-            ),
-            batch_format="pyarrow",
-        ).materialize()
-        return _finish_sweeps(par, pre_ds, nd_ds, base, lev, maxd, num_buckets)
-    nt_min = grouped_agg(
-        _union_all(
-            [
-                safe_join(
-                    nt.select_columns(["src", "dst"]),
-                    pre_ds.rename_columns({"vid": "__v", "pre": "p"}),
-                    join_type="inner",
-                    num_partitions=8,
-                    on=("dst",),
-                    right_on=("__v",),
-                ).select_columns(["src", "p"]).rename_columns({"src": "vid"}),
-                safe_join(
-                    nt.select_columns(["src", "dst"]),
-                    pre_ds.rename_columns({"vid": "__v", "pre": "p"}),
-                    join_type="inner",
-                    num_partitions=8,
-                    on=("src",),
-                    right_on=("__v",),
-                ).select_columns(["dst", "p"]).rename_columns({"dst": "vid"}),
-            ]
-        ),
-        ["vid"],
-        {"bmin": ("p", "min"), "bmax": ("p", "max")},
-        num_buckets=num_buckets,
-    )
-    base = safe_join(
-        pre_ds,
-        nt_min.rename_columns({"vid": "__v"}),
-        join_type="left_outer",
-        num_partitions=8,
-        on=("vid",),
-        right_on=("__v",),
-    )
+    def base_init(self) -> None:
+        self.low = self.pre.copy()
+        self.high = self.pre.copy()
 
-    def base_rows(t: pa.Table) -> pa.Table:
-        p = t.column("pre")
+    def base_emit(self) -> list:
+        return self._route(self.nt_u, self.pre[self.nt_w])
+
+    def base_absorb(self, refs: list) -> None:
+        for u, pv in _ray_mod.get(list(refs)):
+            ul = u - self.base
+            np.minimum.at(self.low, ul, pv)
+            np.maximum.at(self.high, ul, pv)
+
+    # ---- bottom-up low/high fold ----
+    def lh_emit(self, d: int) -> list:
+        idx = np.nonzero(self.is_child & (self.depth == d))[0]
+        return self._route(
+            self.parent_g[idx],
+            self.base + idx,
+            self.low[idx],
+            self.high[idx],
+        )
+
+    def lh_absorb(self, refs: list) -> None:
+        for pg, cv, lo, hi in _ray_mod.get(list(refs)):
+            pl = pg - self.base
+            np.minimum.at(self.low, pl, lo)
+            np.maximum.at(self.high, pl, hi)
+            self._record(pl, cv, self.child_low, lo)
+            self._record(pl, cv, self.child_high, hi)
+
+    # ---- rule 2, evaluated shard-locally (no joins) ----
+    def rule2_table(self):
+        if not len(self.ck):
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                }
+            )
+        pl = self.ip_ploc
+        esc = self.is_child[pl] & (
+            (self.child_low < self.pre[pl])
+            | (self.child_high > self.pre[pl] + self.nd[pl] - 1)
+        )
+        v = self.base + pl[esc]
+        c = self.ip_cvid[esc]
         return pa.table(
             {
-                "vid": t.column("vid"),
-                "bmin": pc.min_element_wise(p, pc.coalesce(t.column("bmin"), p)),
-                "bmax": pc.max_element_wise(p, pc.coalesce(t.column("bmax"), p)),
+                "src": pa.array(np.minimum(v, c), pa.int64()),
+                "dst": pa.array(np.maximum(v, c), pa.int64()),
             }
         )
 
-    base = base.map_batches(base_rows, batch_format="pyarrow").materialize()
-    return _finish_sweeps(par, pre_ds, nd_ds, base, lev, maxd, num_buckets)
 
+def _sweeps_bsp(par: rd.Dataset, nt: rd.Dataset, n: int) -> rd.Dataset:
+    """Run the three Tarjan-Vishkin tree sweeps on the BSP shard engine
+    and return the rule-2 edge Dataset. ``par`` and ``nt`` must be
+    materialized; their blocks are routed into the shards via plasma
+    (the driver never holds the forest)."""
+    from parallel_pagerank_ray.stages.csr_store import (
+        cap_num_parts,
+        per_actor_cpus,
+    )
 
-def _finish_sweeps(
-    par: rd.Dataset,
-    pre_ds: rd.Dataset,
-    nd_ds: rd.Dataset,
-    base: rd.Dataset,
-    lev: dict,
-    maxd: int,
-    num_buckets: int,
-):
-    # ---- bottom-up low/high fold of base over subtrees ----
-    low_lev: dict[int, rd.Dataset] = {}
-    child_fold: rd.Dataset | None = None
-    for d in range(maxd, 0, -1):
-        cur = safe_join(
-            lev[d].select_columns(["vid", "parent"]),
-            base.rename_columns({"vid": "__v"}),
-            join_type="inner",
-            num_partitions=8,
-            on=("vid",),
-            right_on=("__v",),
+    cpus = int(_ray_mod.cluster_resources().get("CPU", 8))
+    num_parts = cap_num_parts(min(256, max(4, cpus)), n)
+    part_size = max(1, -(-n // num_parts))
+    P = max(1, -(-n // part_size))
+
+    routed_par = _ray_mod.get(
+        [
+            _route_par_block.remote(b, part_size)
+            for b in par.to_arrow_refs()
+        ]
+    )
+    routed_nt = _ray_mod.get(
+        [_route_nt_block.remote(b, part_size) for b in nt.to_arrow_refs()]
+    )
+    par_vid: dict[int, list] = {}
+    par_parent: dict[int, list] = {}
+    for by_vid, by_par in routed_par:
+        for p, r in by_vid.items():
+            par_vid.setdefault(p, []).append(r)
+        for p, r in by_par.items():
+            par_parent.setdefault(p, []).append(r)
+    nt_by: dict[int, list] = {}
+    for d in routed_nt:
+        for p, r in d.items():
+            nt_by.setdefault(p, []).append(r)
+
+    per_actor = per_actor_cpus(P)
+    actors = [
+        _TreeSweepShard.options(num_cpus=per_actor).remote(
+            p,
+            n,
+            part_size,
+            par_vid.get(p, []),
+            par_parent.get(p, []),
+            nt_by.get(p, []),
         )
-        if child_fold is not None:
-            cur = safe_join(
-                cur,
-                child_fold.rename_columns(
-                    {"parent": "__p", "cmin": "cmin", "cmax": "cmax"}
-                ),
-                join_type="left_outer",
-                num_partitions=8,
-                on=("vid",),
-                right_on=("__p",),
+        for p in range(P)
+    ]
+    try:
+        maxd = max(_ray_mod.get([a.max_depth.remote() for a in actors]))
+
+        def exchange(emits: list) -> list:
+            inbox: list[list] = [[] for _ in range(P)]
+            for row in emits:
+                for p, ref in row:
+                    inbox[p].append(ref)
+            return inbox
+
+        for d in range(maxd, 0, -1):
+            inbox = exchange(
+                _ray_mod.get([a.nd_emit.remote(d) for a in actors])
             )
-
-            def folded(t: pa.Table) -> pa.Table:
-                bmin = t.column("bmin")
-                bmax = t.column("bmax")
-                return pa.table(
-                    {
-                        "vid": t.column("vid"),
-                        "parent": t.column("parent"),
-                        "low": pc.min_element_wise(
-                            bmin, pc.coalesce(t.column("cmin"), bmin)
-                        ),
-                        "high": pc.max_element_wise(
-                            bmax, pc.coalesce(t.column("cmax"), bmax)
-                        ),
-                    }
-                )
-
-            cur = cur.map_batches(folded, batch_format="pyarrow")
-        else:
-            cur = cur.rename_columns({"bmin": "low", "bmax": "high"})
-        low_lev[d] = cur.materialize()
-        child_fold = grouped_agg(
-            low_lev[d].select_columns(["parent", "low", "high"]),
-            ["parent"],
-            {"cmin": ("low", "min"), "cmax": ("high", "max")},
-            num_buckets=num_buckets,
-        ).materialize()
-    lowhigh = _union_all(
-        [v.select_columns(["vid", "low", "high"]) for v in low_lev.values()]
-    ).materialize()
-    low_ds = lowhigh.select_columns(["vid", "low"])
-    high_ds = lowhigh.select_columns(["vid", "high"])
-    return par, pre_ds, nd_ds, low_ds, high_ds
-
-
-def _union_all(parts: list[rd.Dataset]) -> rd.Dataset:
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.union(p)
-    return out
+            _ray_mod.get(
+                [actors[p].nd_absorb.remote(inbox[p]) for p in range(P)]
+            )
+        for d in range(0, maxd):
+            inbox = exchange(
+                _ray_mod.get([a.pre_emit.remote(d) for a in actors])
+            )
+            _ray_mod.get(
+                [actors[p].pre_absorb.remote(inbox[p]) for p in range(P)]
+            )
+        _ray_mod.get([a.base_init.remote() for a in actors])
+        inbox = exchange(
+            _ray_mod.get([a.base_emit.remote() for a in actors])
+        )
+        _ray_mod.get(
+            [actors[p].base_absorb.remote(inbox[p]) for p in range(P)]
+        )
+        for d in range(maxd, 0, -1):
+            inbox = exchange(
+                _ray_mod.get([a.lh_emit.remote(d) for a in actors])
+            )
+            _ray_mod.get(
+                [actors[p].lh_absorb.remote(inbox[p]) for p in range(P)]
+            )
+        tables = [a.rule2_table.remote() for a in actors]
+        _ray_mod.wait(tables, num_returns=len(tables))
+        out = rd.from_arrow_refs(tables).materialize()
+    finally:
+        for a in actors:
+            _ray_mod.kill(a)
+    return drop_empty_blocks(out)
 
 
 def articulation_points(

@@ -136,7 +136,7 @@ def bfs_forest(
     graph: Graph,
     num_buckets: int,
     max_depth: int = 10_000,
-    broadcast_max: int = 5_000_000,
+    broadcast_max: int = 20_000_000,
     local_max_edges: int = 2_000_000,
 ) -> tuple[rd.Dataset, rd.Dataset]:
     """The deterministic min-parent BFS spanning forest shared by the
@@ -321,6 +321,10 @@ def nontree_edges(
             ["__key"]
         ),
         on="__key",
+        # the forest key set is 8 B/vertex — broadcastable far beyond
+        # the generic blocklist default (one plasma copy per node,
+        # searchsorted per batch beats a 2x100M-row hash anti-join)
+        broadcast_max=20_000_000,
     ).select_columns(["src", "dst"])
 
 

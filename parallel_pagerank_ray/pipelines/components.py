@@ -370,10 +370,43 @@ def bipartite_components(
     return out.map_batches(flag, batch_format="pyarrow")
 
 
+def _curve_legs_local(
+    s: np.ndarray, d: np.ndarray, n: int, legs: list
+) -> list:
+    """Driver-local curve evaluation shared by robustness_curve and
+    percolation_curve under their local_max_edges bound: each leg is a
+    numpy edge mask + min-label CC + endpoint/component fold — the
+    per-leg BSP actor pools cost more than the whole computation on the
+    thinned backbone graphs these gates run on. ``legs`` is a list of
+    (label, keep_mask); returns the (label, n_vertices, n_edges,
+    giant, n_comp) rows, identical to the distributed path
+    (parity-tested)."""
+    from parallel_pagerank_ray.pipelines.biconnectivity import (
+        _cc_min_label,
+    )
+
+    rows = []
+    for label, keep in legs:
+        fs, fd = s[keep], d[keep]
+        ne = len(fs)
+        if ne == 0:
+            rows.append((label, 0, 0, 0, 0))
+            continue
+        comp = _cc_min_label(fs, fd, n)
+        verts = np.unique(np.concatenate([fs, fd]))
+        cv = comp[verts]
+        _, sizes = np.unique(cv, return_counts=True)
+        rows.append(
+            (label, len(verts), ne, int(sizes.max()), len(sizes))
+        )
+    return rows
+
+
 def robustness_curve(
     graph: Graph,
     ks: tuple[int, ...] = (0, 10, 100),
     num_buckets: int | None = None,
+    local_max_edges: int = 2_000_000,
 ) -> rd.Dataset:
     """Targeted-attack robustness: remove the top-k highest-degree
     vertices (total order: degree DESC, vid ASC over the undirected
@@ -407,6 +440,35 @@ def robustness_curve(
 
         num_buckets = resolve_num_buckets(graph.edges)
     edges = graph.edges.select_columns(["src", "dst"]).materialize()
+    if edges.count() <= local_max_edges and graph.n <= 20_000_000:
+        et = pa.concat_tables(ray.get(edges.to_arrow_refs()))
+        s = et.column("src").to_numpy(zero_copy_only=False)
+        d = et.column("dst").to_numpy(zero_copy_only=False)
+        degv = np.bincount(
+            np.concatenate([s, d]), minlength=graph.n
+        ).astype(np.int64)
+        # total order: degree DESC, vid ASC
+        order = np.lexsort((np.arange(graph.n), -degv))
+        kmax_l = max(ks) if ks else 0
+        hubs_l = order[:kmax_l]
+        legs = []
+        for k in ks:
+            hm = np.zeros(graph.n, dtype=bool)
+            hm[hubs_l[:k]] = True
+            legs.append((int(k), ~(hm[s] | hm[d])))
+        rows = _curve_legs_local(s, d, graph.n, legs)
+        cols = list(zip(*rows)) if rows else [[], [], [], [], []]
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "k_removed": pa.array(list(cols[0]), pa.int64()),
+                    "n_vertices": pa.array(list(cols[1]), pa.int64()),
+                    "n_edges": pa.array(list(cols[2]), pa.int64()),
+                    "giant_size": pa.array(list(cols[3]), pa.int64()),
+                    "n_components": pa.array(list(cols[4]), pa.int64()),
+                }
+            )
+        )
     deg = grouped_agg(
         undirected_edges(edges, dedup=False),
         ["src"],
@@ -490,6 +552,7 @@ def percolation_curve(
     graph: Graph,
     pcts: tuple[int, ...] = (0, 30, 60),
     num_buckets: int | None = None,
+    local_max_edges: int = 2_000_000,
 ) -> rd.Dataset:
     """Random-failure percolation: delete each edge independently with
     probability pct/100 (md5-keyed on the canonical pair, so the
@@ -520,6 +583,45 @@ def percolation_curve(
 
         num_buckets = resolve_num_buckets(graph.edges)
     edges = graph.edges.select_columns(["src", "dst"]).materialize()
+    if edges.count() <= local_max_edges and graph.n <= 20_000_000:
+        import ray as _ray
+
+        # the md5 leg key is computed ONCE, distributed (it is the
+        # only per-row Python cost); the legs themselves are numpy
+        def add_key(t: pa.Table) -> pa.Table:
+            s = t.column("src").to_numpy(zero_copy_only=False)
+            d = t.column("dst").to_numpy(zero_copy_only=False)
+            key = np.fromiter(
+                (md5_u64(f"pc|{a}|{b}") % 100 for a, b in zip(s, d)),
+                np.int64,
+                len(s),
+            )
+            return t.append_column("__k", pa.array(key, pa.int64()))
+
+        et = pa.concat_tables(
+            _ray.get(
+                edges.map_batches(
+                    add_key, batch_format="pyarrow"
+                ).to_arrow_refs()
+            )
+        )
+        s = et.column("src").to_numpy(zero_copy_only=False)
+        d = et.column("dst").to_numpy(zero_copy_only=False)
+        key = et.column("__k").to_numpy(zero_copy_only=False)
+        legs = [(int(p), key >= int(p)) for p in pcts]
+        rows = _curve_legs_local(s, d, graph.n, legs)
+        cols = list(zip(*rows)) if rows else [[], [], [], [], []]
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "pct_removed": pa.array(list(cols[0]), pa.int64()),
+                    "n_vertices": pa.array(list(cols[1]), pa.int64()),
+                    "n_edges": pa.array(list(cols[2]), pa.int64()),
+                    "giant_size": pa.array(list(cols[3]), pa.int64()),
+                    "n_components": pa.array(list(cols[4]), pa.int64()),
+                }
+            )
+        )
     rows = []
     for pct in pcts:
         def drop_edges(t: pa.Table, _p=int(pct)) -> pa.Table:

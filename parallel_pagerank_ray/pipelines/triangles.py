@@ -650,11 +650,139 @@ def four_clique_count(
     return int(sum(int(r["cnt"]) for r in parts))
 
 
+import ray as _ray_tri
+
+
+@_ray_tri.remote
+def _c4_producer(csr, lo: int, hi: int, n: int, span: int, Q: int,
+                 max_center_degree: "int | None"):
+    """Wedge-pair keys (a*n+b packed) for centers [lo, hi), partitioned
+    by key range — one plasma put per reducer. ``csr`` = (indptr, dst)
+    read zero-copy. Degree-class batching keeps generation fully
+    vectorized (one 2-D gather per distinct degree)."""
+    indptr, d2 = csr
+    deg = np.diff(indptr[lo : hi + 1])
+    keys = []
+    dropped = 0
+    for k in np.unique(deg):
+        if k < 2:
+            continue
+        if max_center_degree is not None and k > max_center_degree:
+            dropped += int((deg == k).sum())
+            continue
+        centers = np.nonzero(deg == k)[0] + lo
+        iu, ju = np.triu_indices(int(k), 1)
+        mat = d2[indptr[centers][:, None] + np.arange(int(k))[None, :]]
+        keys.append(
+            mat[:, iu].ravel() * np.int64(n) + mat[:, ju].ravel()
+        )
+    if not keys:
+        return [], dropped
+    key = np.concatenate(keys)
+    del keys
+    order = np.argsort(key // span, kind="stable")
+    key = key[order]
+    qb = key // span
+    uniq, starts = np.unique(qb, return_index=True)
+    bounds = starts.tolist() + [len(key)]
+    return [
+        (int(q), _ray_tri.put(key[bounds[i] : bounds[i + 1]]))
+        for i, q in enumerate(uniq)
+    ], dropped
+
+
+@_ray_tri.remote
+def _c4_reducer(refs: list, q: int, span: int) -> tuple[int, int]:
+    """Sum C(multiplicity, 2) over the pair keys in range
+    [q*span, (q+1)*span) via one dense int32 bincount — the global
+    pair-count merge without a Dataset shuffle. Returns
+    (cycle_pair_partial, wedge_count_partial)."""
+    chunks = [c for c in _ray_tri.get(list(refs)) if len(c)]
+    if not chunks:
+        return 0, 0
+    key = np.concatenate(chunks) - np.int64(q) * span
+    del chunks
+    total = len(key)
+    cnt = np.bincount(key, minlength=span)
+    sq = int(np.dot(cnt, cnt))
+    return (sq - total) // 2, total
+
+
+def _four_cycle_fast(
+    und: rd.Dataset, n: int, max_center_degree: "int | None"
+) -> "dict[str, int] | None":
+    """Raw-task C4 kernel for mid-size graphs (n <= 40k, closure
+    <= 30M rows): the pair-count merge runs as P producer tasks
+    (degree-class-batched wedge generation, key-range partition) into
+    Q reducer tasks (dense bincount per key range) — one routed plasma
+    exchange instead of the 100M-row grouped_agg shuffle (measured
+    9.7 s of the 13.9 s gate wall at sf0.1). Exact, identical to the
+    Dataset path (parity-tested); returns None when out of bounds so
+    the caller falls through."""
+    from parallel_pagerank_ray.stages.csr_store import edge_count_hint
+
+    if n == 0 or n > 40_000:
+        return None
+    ne = edge_count_hint(und)
+    if ne is None or ne > 30_000_000:
+        return None
+    et = pa.concat_tables(
+        _ray_tri.get(und.select_columns(["src", "dst"]).to_arrow_refs())
+    )
+    s2 = et.column("src").to_numpy(zero_copy_only=False)
+    d2 = et.column("dst").to_numpy(zero_copy_only=False)
+    order = np.lexsort((d2, s2))
+    s2, d2 = s2[order], d2[order]
+    indptr = np.searchsorted(s2, np.arange(n + 1, dtype=np.int64))
+    deg = np.diff(indptr)
+    wedges = (deg * (deg - 1) // 2)
+    csr_ref = _ray_tri.put((indptr, np.ascontiguousarray(d2)))
+    cpus = int(_ray_tri.cluster_resources().get("CPU", 8))
+    P = Q = max(2, min(32, cpus))
+    span = -(-(n * n) // Q)
+    # center ranges balanced by wedge count, not vertex count (skew)
+    cum = np.concatenate(([0], np.cumsum(wedges)))
+    cuts = np.searchsorted(
+        cum, np.linspace(0, cum[-1], P + 1), side="left"
+    )
+    cuts[0], cuts[-1] = 0, n
+    produced = _ray_tri.get(
+        [
+            _c4_producer.remote(
+                csr_ref, int(cuts[i]), int(cuts[i + 1]), n, span, Q,
+                max_center_degree,
+            )
+            for i in range(P)
+            if cuts[i] < cuts[i + 1]
+        ]
+    )
+    inbox: list[list] = [[] for _ in range(Q)]
+    dropped = 0
+    for routed, drop in produced:
+        dropped += drop
+        for q, ref in routed:
+            inbox[q].append(ref)
+    parts = _ray_tri.get(
+        [
+            _c4_reducer.remote(inbox[q], q, span)
+            for q in range(Q)
+            if inbox[q]
+        ]
+    )
+    cycle_pairs = int(sum(p[0] for p in parts))
+    return {
+        "four_cycles": cycle_pairs // 2,
+        "cycle_pairs": cycle_pairs,
+        "dropped_centers": int(dropped),
+    }
+
+
 def four_cycle_count(
     graph: Graph,
     num_buckets: int | None = None,
     max_center_degree: int | None = None,
     edges_simple: bool = False,
+    fast: bool = True,
 ) -> dict[str, int]:
     """Exact 4-cycle (quadrilateral, chords allowed) count over the
     simple undirected closure, via the opposite-pair identity
@@ -682,6 +810,10 @@ def four_cycle_count(
 
     canon = graph.edges if edges_simple else _simple_undirected(graph.edges)
     und = undirected_edges(canon, dedup=False).materialize()
+    if fast:
+        got = _four_cycle_fast(und, graph.n, max_center_degree)
+        if got is not None:
+            return got
     if num_buckets is None:
         num_buckets = resolve_num_buckets(und)
 

@@ -86,9 +86,17 @@ def anti_join(
         key_ref = ray.put(arr)
 
         def drop(t: pa.Table) -> pa.Table:
+            # block is pre-sorted at broadcast: membership is one
+            # searchsorted per batch (np.isin would re-sort the whole
+            # key array inside every task)
             block = ray.get(key_ref)
             vals = t.column(on).to_numpy()
-            return t.filter(pa.array(~np.isin(vals, block)))
+            if len(block) == 0:
+                return t
+            pos = np.minimum(
+                np.searchsorted(block, vals), len(block) - 1
+            )
+            return t.filter(pa.array(block[pos] != vals))
 
         return left.map_batches(drop, batch_format="pyarrow")
 

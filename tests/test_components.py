@@ -1,6 +1,7 @@
 """CC / LPA / triangles vs oracles — exact matches (SURVEY.md §5c)."""
 
 import numpy as np
+import pandas as pd
 
 from parallel_pagerank_ray import oracle
 from parallel_pagerank_ray.pipelines.components import connected_components
@@ -448,3 +449,27 @@ def test_percolation_curve_matches_bruteforce():
             _, counts = np.unique(labels, return_counts=True)
             assert row["giant_size"] == counts.max()
             assert row["n_components"] == len(counts)
+
+
+def test_curve_local_path_matches_distributed(ray_session):
+    """The driver-local curve evaluator and the per-leg BSP CC path
+    produce identical rows (local forced off via local_max_edges=0)."""
+    from parallel_pagerank_ray.pipelines.components import (
+        percolation_curve,
+        robustness_curve,
+    )
+    from parallel_pagerank_ray.sources.pages import powerlaw_edges
+
+    e = powerlaw_edges(90, 3, seed=5)
+    lo = np.minimum(e[:, 0], e[:, 1])
+    hi = np.maximum(e[:, 0], e[:, 1])
+    m = lo != hi
+    canon = np.unique(np.stack([lo[m], hi[m]], axis=1), axis=0)
+    g = _graph(canon)
+    for fn, kw in (
+        (robustness_curve, {"ks": (0, 2, 7)}),
+        (percolation_curve, {"pcts": (0, 25, 70)}),
+    ):
+        a = fn(g, **kw).to_pandas()
+        b = fn(g, local_max_edges=0, **kw).to_pandas()
+        pd.testing.assert_frame_equal(a, b)

@@ -143,3 +143,32 @@ def test_four_cycle_hub_cap_deterministic():
     assert r["cycle_pairs"] == pairs
     assert r["four_cycles"] == pairs // 2
     assert r["dropped_centers"] == int((~keep & (deg > 0)).sum())
+
+
+def test_four_cycle_fast_kernel_matches_dataset_path(ray_session):
+    """The raw-task pair-count kernel and the Dataset shuffle path are
+    the same exact count (with and without the hub cap)."""
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.triangles import four_cycle_count
+    from parallel_pagerank_ray.sources.pages import powerlaw_edges
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    e = powerlaw_edges(300, 4, seed=9)
+    lo = np.minimum(e[:, 0], e[:, 1])
+    hi = np.maximum(e[:, 0], e[:, 1])
+    m = lo != hi
+    canon = np.unique(np.stack([lo[m], hi[m]], axis=1), axis=0)
+    g = Graph.from_int_edges(
+        rd.from_arrow(
+            pa.table({"src": canon[:, 0], "dst": canon[:, 1]})
+        ),
+        dedup=False,
+    )
+    for cap in (None, 6):
+        a = four_cycle_count(g, max_center_degree=cap, edges_simple=True)
+        b = four_cycle_count(
+            g, max_center_degree=cap, edges_simple=True, fast=False
+        )
+        assert a == b
