@@ -3509,6 +3509,19 @@ def q_edit1_customers(sf_dir: str) -> rd.Dataset:
     return edit1_join(read_table(sf_dir, "customer", ["c_name"]), "c_name")
 
 
+def q_edit2_customers(sf_dir: str) -> rd.Dataset:
+    """Edit-distance-<=2 self-join over customer names — the
+    two-deletion FastSS extension (VERDICT r4 item 5): deduplicated
+    up-to-2-deletion neighborhoods as blocking keys, exact vectorized
+    banded-DP (band 5) Levenshtein verify
+    (pipelines/fuzzy.py::edit2_join). Value-exact vs DuckDB's
+    levenshtein over the SQL-replayed two-deletion blocking."""
+    from parallel_pagerank_ray.pipelines.fuzzy import edit2_join
+    from parallel_pagerank_ray.pipelines.relational import read_table
+
+    return edit2_join(read_table(sf_dir, "customer", ["c_name"]), "c_name")
+
+
 def q_coverage_select(sf_dir: str) -> rd.Dataset:
     """Greedy max-coverage corpus selection (submodular data curation):
     the 6 docs that together cover the most distinct 8-gram shingle
@@ -4418,6 +4431,7 @@ def entry() -> Any:
 # 50. Entries missing from the list (future additions) keep literal
 # order at the front of the unchecked tail.
 _DRIVER_PRIORITY: list[str] = [
+    "edit2_customers",
     "jaccard_sparsify_copurchase",
     "modularity_moves_copurchase",
     "modularity_moves_weighted",
@@ -4834,6 +4848,7 @@ def _queries_literal() -> dict[str, Callable[[str], Any]]:
         "session_overlaps": q_session_overlaps,
         "coverage_select": q_coverage_select,
         "edit1_customers": q_edit1_customers,
+        "edit2_customers": q_edit2_customers,
         "events_daily_pivot": q_events_daily_pivot,
         "pricing_rollup": q_pricing_rollup,
         "pricing_cube": q_pricing_cube,
@@ -8977,6 +8992,27 @@ def oracle_sql() -> dict[str, str]:
             FROM totals t LEFT JOIN novel n ON n.doc_id = t.doc_id
         """,
         "dup_span_stats": _dup_span_sql(k=20),
+        "edit2_customers": """
+            WITH toks AS MATERIALIZED (
+              SELECT DISTINCT c_name AS s FROM customer),
+            d1 AS MATERIALIZED (
+              SELECT s, s AS key FROM toks
+              UNION ALL
+              SELECT s, substr(s, 1, x.range - 1)
+                        || substr(s, x.range + 1, 1000) AS key
+              FROM toks, range(1, 1001) x WHERE x.range <= length(s)),
+            keys AS MATERIALIZED (
+              SELECT DISTINCT s, key FROM (
+                SELECT s, key FROM d1
+                UNION ALL
+                SELECT s, substr(key, 1, x.range - 1)
+                          || substr(key, x.range + 1, 1000) AS key
+                FROM d1, range(1, 1001) x WHERE x.range <= length(key))),
+            cand AS (
+              SELECT DISTINCT a.s AS s1, b.s AS s2
+              FROM keys a JOIN keys b ON a.key = b.key AND a.s < b.s)
+            SELECT s1, s2 FROM cand WHERE levenshtein(s1, s2) <= 2
+        """,
         "edit1_customers": """
             WITH toks AS MATERIALIZED (
               SELECT DISTINCT c_name AS s FROM customer),
