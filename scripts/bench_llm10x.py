@@ -1,0 +1,132 @@
+"""Standing 10x-corpus legs for the LLM-data pipelines (VERDICT r4
+item 6): fuzzy dedup end-to-end (MinHash-LSH candidates -> candidate
+graph CC -> keepers) and DSIR importance weights, on a 50k-document
+deterministic corpus (10x the sf0.1 documents table; same vocabulary
+family + seeded near-dup injection so LSH has real work). Prints one
+JSON line with walls, row counts, and the np.sort host probe (the
+BASELINE C3 host-variance control).
+
+Usage: PYTHONPATH=/root/repo python scripts/bench_llm10x.py [n_docs]
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import ray
+
+ray.init(
+    address="local",
+    num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+    include_dashboard=False,
+    logging_level="ERROR",
+)
+import logging
+
+logging.getLogger("ray.data").setLevel(logging.ERROR)
+from ray.data import DataContext
+
+DataContext.get_current().enable_progress_bars = False
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+
+def host_probe() -> float:
+    x = np.random.default_rng(0).integers(0, 1 << 62, 50_000_000)
+    t0 = time.time()
+    np.sort(x)
+    return round(time.time() - t0, 2)
+
+
+WORDS = (
+    "key agg row scan slow fast table value part hash merge batch spark "
+    "the line sort window join shuffle block rank node edge graph token "
+    "stream filter map group count index store actor plasma object"
+).split()
+
+
+def gen_corpus(n_docs: int, path: str) -> None:
+    rng = np.random.default_rng(42)
+    texts = []
+    langs = []
+    for i in range(n_docs):
+        if i >= 10 and rng.random() < 0.1:
+            # near-duplicate of an earlier doc: 1-2 word substitutions
+            base = texts[int(rng.integers(0, i))].split()
+            for _ in range(int(rng.integers(1, 3))):
+                base[int(rng.integers(0, len(base)))] = str(
+                    rng.choice(WORDS)
+                )
+            texts.append(" ".join(base))
+        else:
+            texts.append(
+                " ".join(rng.choice(WORDS, size=int(rng.integers(20, 40))))
+            )
+        langs.append("en" if rng.random() < 0.5 else "xx")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n_docs), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(langs),
+            }
+        ),
+        path,
+    )
+
+
+n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+path = "/tmp/ppr_llm10x/documents.parquet"
+os.makedirs(os.path.dirname(path), exist_ok=True)
+probe0 = host_probe()
+t0 = time.time()
+gen_corpus(n_docs, path)
+gen_s = time.time() - t0
+
+from parallel_pagerank_ray.functions.dsir import dsir_affinity
+from parallel_pagerank_ray.pipelines.dedup import (
+    dedup_keepers,
+    minhash_lsh_candidates,
+)
+
+docs = rd.read_parquet(path, columns=["doc_id", "text"]).materialize()
+t0 = time.time()
+cands = minhash_lsh_candidates(docs)
+keepers = dedup_keepers(docs, cands).materialize()
+n_keep_rows = keepers.count()
+n_collapsed = n_keep_rows - keepers.filter(
+    expr="doc_id == keeper"
+).count()
+dedup_s = time.time() - t0
+
+docs_l = rd.read_parquet(path, columns=["doc_id", "text", "lang"]).materialize()
+t0 = time.time()
+target = docs_l.filter(expr="lang == 'en'").select_columns(
+    ["doc_id", "text"]
+)
+w = dsir_affinity(
+    docs_l.select_columns(["doc_id", "text"]), target
+).materialize()
+n_w = w.count()
+dsir_s = time.time() - t0
+probe1 = host_probe()
+
+print(
+    json.dumps(
+        {
+            "n_docs": n_docs,
+            "gen_sec": round(gen_s, 1),
+            "dedup_keepers_sec": round(dedup_s, 1),
+            "dedup_rows": int(n_keep_rows),
+            "dedup_collapsed": int(n_collapsed),
+            "dsir_weights_sec": round(dsir_s, 1),
+            "dsir_rows": int(n_w),
+            "host_probe_sort50M_sec": [probe0, probe1],
+        }
+    )
+)
+ray.shutdown()

@@ -11,6 +11,7 @@ bit-reproducible arithmetic).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -87,6 +88,7 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    summary: dict[str, dict] = {}
 
     import ray
 
@@ -117,10 +119,15 @@ def main() -> int:
         except Exception as ex:
             print(f"FAIL {name}: ray side raised {type(ex).__name__}: {ex}")
             failures += 1
+            summary[name] = {"match": False, "err": f"{type(ex).__name__}: {ex}"[:200]}
             continue
         t_ray = time.time() - t0
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(ray_df)} rows, {t_ray:.1f}s)")
+            summary[name] = {
+                "rows": len(ray_df), "match": "rows-only",
+                "ray_secs": round(t_ray, 2),
+            }
             continue
         t1 = time.time()
         try:
@@ -128,17 +135,44 @@ def main() -> int:
         except Exception as ex:
             print(f"FAIL {name}: oracle SQL raised {type(ex).__name__}: {ex}")
             failures += 1
+            summary[name] = {"match": False, "err": f"oracle {type(ex).__name__}: {ex}"[:200]}
             continue
         t_sql = time.time() - t1
         problems = compare(name, ray_df, sql_df)
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             failures += 1
+            summary[name] = {
+                "rows": len(ray_df), "match": False,
+                "ray_secs": round(t_ray, 2), "sql_secs": round(t_sql, 2),
+                "err": "; ".join(problems)[:200],
+            }
         else:
             print(
                 f"ok   {name}: {len(ray_df)} rows match "
                 f"(ray {t_ray:.1f}s, sql {t_sql:.1f}s)"
             )
+            summary[name] = {
+                "rows": len(ray_df), "match": True,
+                "ray_secs": round(t_ray, 2), "sql_secs": round(t_sql, 2),
+            }
+    out = os.environ.get("SWEEP_SUMMARY_OUT")
+    if out and not only:
+        import json
+
+        with open(out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(summary),
+                    "n_green": sum(
+                        1 for v in summary.values() if v.get("match")
+                    ),
+                    "queries": summary,
+                },
+                f, indent=1,
+            )
+        print(f"summary written: {out}")
     ray.shutdown()
     return 1 if failures else 0
 
