@@ -236,6 +236,28 @@ def bench_scale10m() -> dict:
     }
 
 
+def bench_llm10x() -> dict:
+    """Standing 10x-corpus LLM-pipeline leg (VERDICT r4 item 6):
+    dedup_keepers (MinHash-LSH -> candidate-graph CC -> keepers) and
+    dsir_weights over a 50k-document deterministic corpus — 10x the
+    sf0.1 documents table, with seeded near-dup injection so LSH has
+    real work. Skip with BENCH_LLM10X=0; scripts/bench_llm10x.py runs
+    the same leg standalone (incl. a 500k/100x variant)."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                      "scripts", "bench_llm10x.py")],
+        capture_output=True, text=True,
+        env={**os.environ, "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))},
+        timeout=900,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    return {"error": (out.stderr or out.stdout)[-500:]}
+
+
 def bench_queries() -> dict[str, float]:
     """Wall time of the non-headline pipelines over $GRAFT_SF_DIR."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -425,6 +447,7 @@ def bench_queries() -> dict[str, float]:
         "coverage_select",
         "lca_copurchase",
         "edit1_customers",
+        "edit2_customers",
         "session_overlaps",
         "component_wl_classes",
         "split_by_source",
@@ -466,6 +489,11 @@ def run_once(include_queries: bool = True) -> dict:
         ray.shutdown()
         _init_ray()
         scale10m = bench_scale10m()
+    llm10x = None
+    if os.environ.get("BENCH_LLM10X", "1") != "0":
+        ray.shutdown()  # subprocess owns its own Ray session
+        llm10x = bench_llm10x()
+        _init_ray()
     total = time.time() - t0
     import ray
 
@@ -478,6 +506,7 @@ def run_once(include_queries: bool = True) -> dict:
         "num_cpus": NUM_CPUS,
         "pagerank": pr,
         "scale_10m": scale10m,
+        "llm_10x": llm10x,
     }
     ray.shutdown()
     return result
