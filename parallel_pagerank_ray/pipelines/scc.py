@@ -278,6 +278,42 @@ def _exchange(actors, P, expand_calls):
     return inbox
 
 
+def _scc_local(
+    src: np.ndarray, dst: np.ndarray, n: int, max_outer: int
+) -> tuple[np.ndarray, int]:
+    """Driver-local color/sweep SCC — the same Orzan/Multistep
+    construction as the BSP engine (forward max-label coloring to
+    fixpoint, in-color backward sweep from each root, peel, repeat),
+    all dense numpy. scc_id = max member vid, identical to the BSP
+    labels at any parallelism. Used on small directed graphs (host
+    webgraphs) where the two shard-store builds + actor pools dwarf
+    the computation. Returns (scc array over [0, n), outer_rounds)."""
+    scc = np.full(n, -1, dtype=np.int64)
+    active_v = np.ones(n, dtype=bool)
+    outer = 0
+    while active_v.any() and outer < max_outer:
+        outer += 1
+        ae = active_v[src] & active_v[dst]
+        s, d = src[ae], dst[ae]
+        color = np.where(active_v, np.arange(n, dtype=np.int64), -1)
+        while True:
+            before = color.copy()
+            np.maximum.at(color, d, color[s])
+            if np.array_equal(color, before):
+                break
+        reached = active_v & (color == np.arange(n))  # roots
+        while True:
+            m = reached[d] & (color[s] == color[d]) & ~reached[s]
+            if not m.any():
+                break
+            reached[s[m]] = True
+        newly = active_v & reached
+        scc[newly] = color[newly]
+        active_v &= ~newly
+    scc[scc < 0] = np.arange(n, dtype=np.int64)[scc < 0]  # max_outer cap
+    return scc, outer
+
+
 def scc_bsp(
     graph: Graph,
     num_parts: int | None = None,
@@ -286,6 +322,7 @@ def scc_bsp(
     max_outer: int = 100_000,
     fwd_store: EdgeShardStore | None = None,
     bwd_store: EdgeShardStore | None = None,
+    local_max_edges: int = 500_000,
 ) -> SCCRun:
     """Exact SCC ids (max member vid) for every vid in [0, n).
 
@@ -312,8 +349,42 @@ def scc_bsp(
             outer_rounds=0,
         )
     edges = graph.edges.select_columns(["src", "dst"])
+    ne = edge_count_hint(edges)
+    if ne is None and fwd_store is None:
+        # the BSP path sorts/materializes anyway (store build), so
+        # materializing here to learn the size costs nothing extra and
+        # lets small graphs take the local path
+        edges = edges.materialize()
+        ne = edges.count()
+    if (
+        fwd_store is None
+        and bwd_store is None
+        and ne is not None
+        and ne <= local_max_edges
+        and n <= 2_000_000
+    ):
+        et = pa.concat_tables(ray.get(edges.to_arrow_refs()))
+        scc, outer = _scc_local(
+            et.column("src").to_numpy(zero_copy_only=False),
+            et.column("dst").to_numpy(zero_copy_only=False),
+            n,
+            max_outer,
+        )
+        return SCCRun(
+            assignments=rd.from_arrow(
+                pa.table(
+                    {
+                        "vid": pa.array(
+                            np.arange(n, dtype=np.int64), pa.int64()
+                        ),
+                        "scc_id": pa.array(scc, pa.int64()),
+                    }
+                )
+            ).materialize(),
+            iterations=outer,
+            outer_rounds=outer,
+        )
     if num_parts is None:
-        ne = edge_count_hint(edges)
         if ne is None:
             cpus = int(ray.cluster_resources().get("CPU", 8))
             num_parts = cap_num_parts(min(256, max(4, cpus)), n)
@@ -411,6 +482,7 @@ def bowtie_classes(
     num_parts: int | None = None,
     fwd_store: EdgeShardStore | None = None,
     bwd_store: EdgeShardStore | None = None,
+    local_max_edges: int = 500_000,
 ) -> rd.Dataset:
     """Bowtie decomposition (Broder WWW'00): (vid, cls) with cls in
     {CORE, IN, OUT, OTHER}.  CORE = the giant SCC; IN = reaches the
@@ -430,6 +502,61 @@ def bowtie_classes(
     from parallel_pagerank_ray.stages.agg import grouped_agg
 
     n = graph.n
+    ne = edge_count_hint(graph.edges)
+    if ne is None and fwd_store is None:
+        graph = Graph(
+            n=n, edges=graph.edges.materialize(), vertices=graph.vertices
+        )
+        ne = graph.edges.count()
+    if (
+        fwd_store is None
+        and bwd_store is None
+        and ne is not None
+        and ne <= local_max_edges
+        and n <= 2_000_000
+    ):
+        # driver-local classifier (same construction, dense numpy) —
+        # host webgraphs are tiny; two BSP BFS pools + three joins
+        # dwarf the computation. Parity-forced in tests.
+        et = pa.concat_tables(
+            ray.get(
+                graph.edges.select_columns(["src", "dst"]).to_arrow_refs()
+            )
+        )
+        s = et.column("src").to_numpy(zero_copy_only=False)
+        d = et.column("dst").to_numpy(zero_copy_only=False)
+        at = pa.concat_tables(ray.get(assignments.to_arrow_refs()))
+        vid_a = at.column("vid").to_numpy(zero_copy_only=False)
+        scc_a = at.column("scc_id").to_numpy(zero_copy_only=False)
+        scc = np.full(n, -1, dtype=np.int64)
+        scc[vid_a] = scc_a
+        if core_scc is None:
+            ids, counts = np.unique(scc_a, return_counts=True)
+            core_scc = max(zip(counts.tolist(), ids.tolist()))[1]
+        core_m = scc == core_scc
+
+        def reach(se: np.ndarray, de: np.ndarray, seed: np.ndarray):
+            r = seed.copy()
+            while True:
+                m = r[se] & ~r[de]
+                if not m.any():
+                    return r
+                r[de[m]] = True
+
+        fwdr = reach(s, d, core_m)
+        bwdr = reach(d, s, core_m)
+        cls = np.full(n, "OTHER", dtype=object)
+        cls[fwdr] = "OUT"
+        cls[bwdr] = "IN"
+        cls[core_m] = "CORE"
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "vid": pa.array(vid_a, pa.int64()),
+                    "cls": pa.array(cls[vid_a].tolist(), pa.string()),
+                }
+            )
+        )
     sizes = grouped_agg(assignments, ["scc_id"], {"sz": ("vid", "count")})
     if core_scc is None:
         best = (-1, -1)

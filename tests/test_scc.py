@@ -114,3 +114,37 @@ def test_scc_long_chain_trim_cap():
     g = _graph(n, [(i, i + 1) for i in range(n - 1)])
     got = _run(g, max_trim_rounds=3)
     assert got.tolist() == list(range(n))  # all singletons
+
+
+def test_scc_local_path_matches_bsp(ray_session):
+    """Driver-local color/sweep SCC == BSP engine (local forced off)
+    and the Kosaraju oracle on a random digraph."""
+    rng = np.random.default_rng(23)
+    n = 120
+    e = rng.integers(0, n, size=(500, 2))
+    g = _graph(n, e.tolist())
+    local = _run(g)  # small -> local path
+    bsp = _run(g, local_max_edges=0)
+    want = oracle.strongly_connected_components(n, e.astype(np.int64))
+    assert np.array_equal(local, bsp)
+    assert np.array_equal(local, want)
+
+
+def test_bowtie_local_path_matches_bsp(ray_session):
+    rng = np.random.default_rng(29)
+    n = 80
+    e = rng.integers(0, n, size=(220, 2))
+    g = _graph(n, e.tolist())
+    run = scc_bsp(g)
+
+    def rows(**kw):
+        return (
+            bowtie_classes(g, run.assignments, **kw)
+            .to_pandas()
+            .sort_values("vid")
+            .reset_index(drop=True)
+        )
+
+    a = rows()
+    b = rows(local_max_edges=0)
+    assert a.equals(b)
