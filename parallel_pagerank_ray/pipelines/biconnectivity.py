@@ -334,9 +334,9 @@ def biconnectivity(
             n=n,
         )
     if ne <= local_max_edges and n <= 20_000_000:
-        import ray as _ray
+        from parallel_pagerank_ray.util import pull_table
 
-        et = pa.concat_tables(_ray.get(edges.to_arrow_refs()))
+        et = pull_table(edges, ["src", "dst"])
         return _biconn_local(
             et.column("src").to_numpy(zero_copy_only=False),
             et.column("dst").to_numpy(zero_copy_only=False),

@@ -165,13 +165,9 @@ def bfs_forest(
         and ne <= local_max_edges
         and 0 < graph.n <= 20_000_000
     ):
-        import ray as _ray
+        from parallel_pagerank_ray.util import pull_table
 
-        et = pa.concat_tables(
-            _ray.get(
-                graph.edges.select_columns(["src", "dst"]).to_arrow_refs()
-            )
-        )
+        et = pull_table(graph.edges, ["src", "dst"])
         childs, parents, depths, dist = _bfs_forest_local(
             et.column("src").to_numpy(zero_copy_only=False),
             et.column("dst").to_numpy(zero_copy_only=False),

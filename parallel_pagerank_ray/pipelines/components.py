@@ -441,7 +441,9 @@ def robustness_curve(
         num_buckets = resolve_num_buckets(graph.edges)
     edges = graph.edges.select_columns(["src", "dst"]).materialize()
     if edges.count() <= local_max_edges and graph.n <= 20_000_000:
-        et = pa.concat_tables(ray.get(edges.to_arrow_refs()))
+        from parallel_pagerank_ray.util import pull_table
+
+        et = pull_table(edges, ["src", "dst"])
         s = et.column("src").to_numpy(zero_copy_only=False)
         d = et.column("dst").to_numpy(zero_copy_only=False)
         degv = np.bincount(
@@ -598,12 +600,11 @@ def percolation_curve(
             )
             return t.append_column("__k", pa.array(key, pa.int64()))
 
-        et = pa.concat_tables(
-            _ray.get(
-                edges.map_batches(
-                    add_key, batch_format="pyarrow"
-                ).to_arrow_refs()
-            )
+        from parallel_pagerank_ray.util import pull_table
+
+        et = pull_table(
+            edges.map_batches(add_key, batch_format="pyarrow"),
+            ["src", "dst", "__k"],
         )
         s = et.column("src").to_numpy(zero_copy_only=False)
         d = et.column("dst").to_numpy(zero_copy_only=False)

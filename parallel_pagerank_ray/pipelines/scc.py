@@ -363,7 +363,9 @@ def scc_bsp(
         and ne <= local_max_edges
         and n <= 2_000_000
     ):
-        et = pa.concat_tables(ray.get(edges.to_arrow_refs()))
+        from parallel_pagerank_ray.util import pull_table
+
+        et = pull_table(edges, ["src", "dst"])
         scc, outer = _scc_local(
             et.column("src").to_numpy(zero_copy_only=False),
             et.column("dst").to_numpy(zero_copy_only=False),
@@ -518,14 +520,12 @@ def bowtie_classes(
         # driver-local classifier (same construction, dense numpy) —
         # host webgraphs are tiny; two BSP BFS pools + three joins
         # dwarf the computation. Parity-forced in tests.
-        et = pa.concat_tables(
-            ray.get(
-                graph.edges.select_columns(["src", "dst"]).to_arrow_refs()
-            )
-        )
+        from parallel_pagerank_ray.util import pull_table
+
+        et = pull_table(graph.edges, ["src", "dst"])
         s = et.column("src").to_numpy(zero_copy_only=False)
         d = et.column("dst").to_numpy(zero_copy_only=False)
-        at = pa.concat_tables(ray.get(assignments.to_arrow_refs()))
+        at = pull_table(assignments, ["vid", "scc_id"])
         vid_a = at.column("vid").to_numpy(zero_copy_only=False)
         scc_a = at.column("scc_id").to_numpy(zero_copy_only=False)
         scc = np.full(n, -1, dtype=np.int64)

@@ -31,6 +31,23 @@ def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
     return rd.from_arrow_refs(refs)
 
 
+def pull_table(ds: rd.Dataset, cols: list[str]):
+    """Driver pull of a SMALL dataset as one Arrow table of exactly
+    ``cols`` (callers guard size first). Empty blocks out of join
+    chains can carry stale pre-projection schemas (the
+    safe_join/drop_empty_blocks failure mode), so each block is
+    re-projected before the concat; an all-empty dataset returns an
+    empty table with the right columns."""
+    import pyarrow as pa
+
+    blocks = [
+        t.select(cols) for t in ray.get(ds.to_arrow_refs()) if t.num_rows
+    ]
+    if blocks:
+        return pa.concat_tables(blocks)
+    return pa.table({c: pa.array([], pa.int64()) for c in cols})
+
+
 def count_rows_once(ds: rd.Dataset) -> tuple[int, rd.Dataset]:
     """(row_count, dataset) without executing a lazy chain twice.
 
