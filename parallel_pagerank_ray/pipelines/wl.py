@@ -75,6 +75,7 @@ def wl_refine(
     rounds: int = 3,
     num_partitions: int | None = None,
     broadcast_max: int = 50_000_000,
+    local_max_edges: int = 2_000_000,
 ) -> WLRun:
     """1-WL refinement colors after ``rounds`` synchronous rounds over
     the deduplicated undirected simple closure of ``graph.edges``.
@@ -106,6 +107,39 @@ def wl_refine(
         num_partitions = _default_join_partitions()
 
     und = undirected_edges(graph.edges, dedup=True).materialize()
+    if und.count() <= local_max_edges and n <= 20_000_000:
+        # driver-local rounds (identical mod-p arithmetic, parity-forced
+        # in tests): per-round Ray shuffles dominate on the small
+        # backbone graphs this runs on
+        from parallel_pagerank_ray.util import pull_table
+
+        import pyarrow as pa
+
+        et = pull_table(und, ["src", "dst"])
+        s = et.column("src").to_numpy(zero_copy_only=False)
+        d = et.column("dst").to_numpy(zero_copy_only=False)
+        colors = np.zeros(n, dtype=np.int64)
+        np.add.at(colors, s, 1)  # color_0 = closure degree
+        history = []
+        for r in range(1, rounds + 1):
+            raw = np.zeros(n, dtype=np.int64)
+            np.add.at(raw, s, wl_g(colors[d]))
+            colors = (wl_h(colors) + (raw % P31)) % P31
+            history.append({"round": r})
+        return WLRun(
+            colors=rd.from_arrow(
+                pa.table(
+                    {
+                        "vid": pa.array(
+                            np.arange(n, dtype=np.int64), pa.int64()
+                        ),
+                        "color": pa.array(colors, pa.int64()),
+                    }
+                )
+            ),
+            rounds=rounds,
+            history=history,
+        )
     if n <= broadcast_max:
         return _wl_refine_broadcast(und, n, rounds)
 
@@ -312,6 +346,53 @@ def component_wl_classes(
     )
     if graph.n == 0 or graph.edges.count() == 0:
         return empty
+    if graph.edges.count() <= 500_000 and graph.n <= 2_000_000:
+        # driver-local fold: CC labels + WL colors + per-component
+        # (size, fp) in dense numpy — identical arithmetic to the
+        # join/combine path below (parity-forced in tests)
+        from parallel_pagerank_ray.pipelines.biconnectivity import (
+            _cc_min_label,
+        )
+        from parallel_pagerank_ray.util import pull_table
+
+        n = graph.n
+        et = pull_table(
+            graph.edges.select_columns(["src", "dst"]).materialize(),
+            ["src", "dst"],
+        )
+        s = et.column("src").to_numpy(zero_copy_only=False)
+        d = et.column("dst").to_numpy(zero_copy_only=False)
+        comp_arr = _cc_min_label(s, d, n)
+        ct = pull_table(
+            wl_refine(graph, rounds=rounds).colors.materialize(),
+            ["vid", "color"],
+        )
+        colors_arr = np.zeros(n, dtype=np.int64)
+        colors_arr[ct.column("vid").to_numpy(zero_copy_only=False)] = (
+            ct.column("color").to_numpy(zero_copy_only=False)
+        )
+        verts = np.unique(np.concatenate([s, d]))
+        cv = comp_arr[verts]
+        gvals = wl_g(colors_arr[verts])
+        raw = np.zeros(n, dtype=np.int64)
+        np.add.at(raw, cv, gvals)
+        cnt = np.bincount(cv, minlength=n)
+        mask = cnt > 0
+        fp = raw[mask] % np.int64(P31)
+        nv = cnt[mask].astype(np.int64)
+        pairs = np.stack([nv, fp], axis=1)
+        uniq, counts = np.unique(pairs, axis=0, return_counts=True)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "n_vertices": pa.array(uniq[:, 0], pa.int64()),
+                    "fp": pa.array(uniq[:, 1], pa.int64()),
+                    "n_components": pa.array(
+                        counts.astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+        )
     comp = connected_components_bsp(graph).components
     # restrict to edge-bearing vertices: the BSP components table (and
     # the WL color table) cover every vid 0..n-1, but an isolated

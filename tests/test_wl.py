@@ -152,3 +152,43 @@ def test_component_wl_classes_groups_isomorphic_components(ray_session):
     }
     assert by == {(3, 3), (4, 2), (5, 1)}
     assert len(got) == 3  # distinct fingerprints never merge classes
+
+
+def test_wl_refine_three_paths_agree(ray_session):
+    """Driver-local rounds == broadcast path == join path (forced via
+    the bounds) on a random graph."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.wl import wl_refine
+
+    rng = np.random.default_rng(31)
+    e = rng.integers(0, 60, size=(150, 2))
+    m = e[:, 0] != e[:, 1]
+    g = Graph(
+        n=60,
+        edges=rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(e[m, 0], pa.int64()),
+                    "dst": pa.array(e[m, 1], pa.int64()),
+                }
+            )
+        ).materialize(),
+    )
+
+    def colors(**kw):
+        return (
+            wl_refine(g, rounds=3, **kw)
+            .colors.to_pandas()
+            .sort_values("vid")["color"]
+            .to_numpy()
+        )
+
+    local = colors()
+    bcast = colors(local_max_edges=0)
+    joinp = colors(local_max_edges=0, broadcast_max=0)
+    assert np.array_equal(local, bcast)
+    assert np.array_equal(local, joinp)
