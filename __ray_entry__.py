@@ -2839,6 +2839,45 @@ def q_dedup_keepers(sf_dir: str) -> rd.Dataset:
     return dedup_keepers(docs, minhash_lsh_candidates(docs))
 
 
+def q_paragraph_dedup(sf_dir: str) -> rd.Dataset:
+    """C4-style cross-document paragraph dedup over deterministic
+    multi-paragraph composites (the raw synthetic docs are single-line
+    and pairwise-unique, so the gate builds composites with real
+    duplicate structure: gid = doc_id // 5, a shared boilerplate
+    paragraph first, the group's texts in doc_id order, and doc 0's
+    text appended to every 3rd composite). Every distinct paragraph
+    keeps only its globally-first (doc_id, pos) occurrence; documents
+    reassemble in order (pipelines/dedup.py::paragraph_dedup).
+    Value-exact vs the SQL replay of the same construction."""
+    from parallel_pagerank_ray.pipelines.dedup import paragraph_dedup
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    t0 = docs.filter(expr="doc_id == 0").take(1)[0]["text"]
+    boiler = "nav home about contact search login"
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["gid"] = df["doc_id"].to_numpy().astype(np.int64) // 5
+        df["__b"] = df["gid"] % 16
+        return df
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for gid, grp in g.sort_values("doc_id").groupby("gid", sort=True):
+            paras = [boiler] + grp["text"].astype(str).tolist()
+            if gid % 3 == 0:
+                paras.append(t0)
+            rows.append((int(gid), "\n".join(paras)))
+        return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    comp = (
+        docs.map_batches(bucketed, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(build, batch_format="pandas")
+    )
+    return paragraph_dedup(comp)
+
+
 def q_dedup_simhash(sf_dir: str) -> rd.Dataset:
     from parallel_pagerank_ray.pipelines.dedup import simhash_candidates
 
@@ -4431,6 +4470,7 @@ def entry() -> Any:
 # 50. Entries missing from the list (future additions) keep literal
 # order at the front of the unchecked tail.
 _DRIVER_PRIORITY: list[str] = [
+    "paragraph_dedup",
     "edit2_customers",
     "jaccard_sparsify_copurchase",
     "modularity_moves_copurchase",
@@ -4824,6 +4864,7 @@ def _queries_literal() -> dict[str, Callable[[str], Any]]:
         "lsh_bucket_overflow": q_lsh_bucket_overflow,
         "dedup_keepers": q_dedup_keepers,
         "dedup_simhash": q_dedup_simhash,
+        "paragraph_dedup": q_paragraph_dedup,
         "embed_docs": q_embed_docs,
         "payload_meta": q_payload_meta,
         "sample_frames": q_sample_frames,
@@ -8992,6 +9033,39 @@ def oracle_sql() -> dict[str, str]:
             FROM totals t LEFT JOIN novel n ON n.doc_id = t.doc_id
         """,
         "dup_span_stats": _dup_span_sql(k=20),
+        "paragraph_dedup": """
+            WITH d AS MATERIALIZED (
+              SELECT doc_id, text FROM documents),
+            comp AS MATERIALIZED (
+              SELECT doc_id // 5 AS doc_id,
+                     'nav home about contact search login' || chr(10) ||
+                     string_agg(text, chr(10) ORDER BY doc_id) ||
+                     CASE WHEN (doc_id // 5) % 3 = 0
+                          THEN chr(10) ||
+                               (SELECT text FROM d WHERE d.doc_id = 0)
+                          ELSE '' END AS text
+              FROM d GROUP BY doc_id // 5),
+            occ AS MATERIALIZED (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS para,
+                     generate_subscripts(string_split(text, chr(10)), 1)
+                       - 1 AS pos
+              FROM comp),
+            win AS (
+              SELECT para, min(doc_id * 1000000 + pos) AS wpk
+              FROM occ GROUP BY 1),
+            keep AS (
+              SELECT o.doc_id, o.pos, o.para
+              FROM occ o JOIN win w
+                ON w.para = o.para
+               AND o.doc_id * 1000000 + o.pos = w.wpk),
+            agg AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10) ORDER BY pos) AS text
+              FROM keep GROUP BY 1)
+            SELECT c.doc_id, coalesce(a.text, '') AS text
+            FROM comp c LEFT JOIN agg a ON a.doc_id = c.doc_id
+        """,
         "edit2_customers": """
             WITH toks AS MATERIALIZED (
               SELECT DISTINCT c_name AS s FROM customer),

@@ -1396,3 +1396,140 @@ def contrastive_pairs(
     return pos.map_batches(pos_rows, batch_format="pyarrow").union(
         drop_empty_blocks(negs.map_batches(neg_rows, batch_format="pyarrow"))
     )
+
+
+def paragraph_dedup(
+    docs: rd.Dataset,
+    sep: str = "\n",
+    num_buckets: int | None = None,
+    max_pos: int = 1_000_000,
+    broadcast_max: int = 50_000_000,
+) -> rd.Dataset:
+    """C4-style exact cross-document paragraph dedup (Raffel et al.
+    2020 deduplicate repeated spans corpus-wide; this is the paragraph
+    variant): every distinct paragraph keeps only its globally-FIRST
+    occurrence — min (doc_id, position) — and each document is
+    reassembled from its surviving paragraphs in original order
+    (possibly to the empty string). The classic boilerplate-stripping
+    pass of a crawl pipeline: navigation chrome / repeated legal
+    footers collapse to one occurrence.
+
+    Scale shape: one vectorized flat-map split (doc_id, pos, para),
+    one bucketed min combine keyed by the paragraph string (winner
+    pk = doc_id * max_pos + pos), winner-pk set broadcast (8 B per
+    distinct paragraph, one plasma copy) + searchsorted membership
+    per batch, one doc-bucketed reassembly; above ``broadcast_max``
+    distinct paragraphs the winner set hash-joins back instead.
+    Deterministic and SQL-replayable (string_split +
+    generate_subscripts + min-over-pk replay the same construction).
+    """
+    import ray
+
+    from parallel_pagerank_ray.util import safe_join
+
+    if num_buckets is None:
+        num_buckets = resolve_num_buckets(docs)
+    mp = np.int64(max_pos)
+
+    def split_rows(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df["text"].astype(str).str.split(sep)
+        lens = parts.str.len().to_numpy().astype(np.int64)
+        if lens.size and int(lens.max()) >= max_pos:
+            raise ValueError(
+                f"paragraph_dedup needs < {max_pos} paragraphs per doc"
+            )
+        doc = np.repeat(df["doc_id"].to_numpy().astype(np.int64), lens)
+        total = int(lens.sum())
+        csum = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos = np.arange(total, dtype=np.int64) - np.repeat(csum, lens)
+        para = np.concatenate(parts.to_numpy()) if total else np.array([], object)
+        return pd.DataFrame(
+            {"doc_id": doc, "pos": pos, "para": para, "pk": doc * mp + pos}
+        )
+
+    occ = docs.select_columns(["doc_id", "text"]).map_batches(
+        split_rows, batch_format="pandas"
+    ).materialize()
+    winners = grouped_agg(
+        occ.select_columns(["para", "pk"]),
+        ["para"],
+        {"wpk": ("pk", "min")},
+        num_buckets=num_buckets,
+    ).materialize()
+    n_win = winners.count()
+    if n_win <= broadcast_max:
+        from parallel_pagerank_ray.util import pull_table
+
+        wpks = np.sort(
+            pull_table(winners, ["wpk"]).column("wpk").to_numpy(
+                zero_copy_only=False
+            )
+        )
+        ref = ray.put(wpks)
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            w = ray.get(ref)
+            pk = df["pk"].to_numpy()
+            if not len(w):
+                return df.iloc[0:0]
+            p = np.minimum(np.searchsorted(w, pk), len(w) - 1)
+            return df[w[p] == pk]
+
+        kept = occ.map_batches(keep, batch_format="pandas")
+    else:  # pragma: no cover - exercised via shrunken bound in tests
+        j = safe_join(
+            occ,
+            winners.rename_columns({"para": "__p"}),
+            join_type="inner",
+            num_partitions=8,
+            on=("para",),
+            right_on=("__p",),
+        )
+        kept = j.filter(expr="pk == wpk").select_columns(
+            ["doc_id", "pos", "para"]
+        )
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["doc_id", "pos", "para"]].copy()
+        df["__b"] = df["doc_id"].to_numpy().astype(np.int64) % num_buckets
+        return df
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (g["pos"].to_numpy(), g["doc_id"].to_numpy())
+        )
+        s = g.iloc[order]
+        out = s.groupby("doc_id", sort=True)["para"].agg(sep.join)
+        return pd.DataFrame(
+            {"doc_id": out.index.to_numpy(np.int64), "text": out.to_numpy()}
+        )
+
+    assembled = (
+        kept.map_batches(bucketed, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(assemble, batch_format="pandas")
+        # rename_columns downstream needs Arrow blocks, not the pandas
+        # blocks map_groups emits
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+    # docs whose every paragraph was stripped reassemble to ''
+    out = safe_join(
+        docs.select_columns(["doc_id"]),
+        assembled.rename_columns({"doc_id": "__d"}),
+        join_type="left_outer",
+        num_partitions=8,
+        on=("doc_id",),
+        right_on=("__d",),
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text": pc.coalesce(t.column("text"), pa.scalar("")),
+            }
+        )
+
+    return drop_empty_blocks(out.map_batches(fill, batch_format="pyarrow"))

@@ -529,3 +529,41 @@ def test_contrastive_pairs_structure(ray_session):
     out2 = contrastive_pairs(docs.repartition(7)).to_pandas()
     key = lambda df: sorted(map(tuple, df[["doc_a", "doc_b", "label"]].to_numpy()))  # noqa: E731
     assert key(out) == key(out2)
+
+
+def test_paragraph_dedup_matches_bruteforce(ray_session):
+    """paragraph_dedup == first-occurrence-wins brute force, including
+    a doc stripped to the empty string; broadcast and join-fallback
+    paths agree (forced via broadcast_max=0)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from parallel_pagerank_ray.pipelines.dedup import paragraph_dedup
+
+    docs = [
+        (0, "boiler\nalpha\nbeta"),
+        (1, "boiler\ngamma\nalpha"),
+        (2, "boiler"),          # strips to ''
+        (3, "delta\nboiler\ndelta"),
+        (4, "epsilon"),
+    ]
+    seen: set[str] = set()
+    want = {}
+    for did, text in docs:
+        kept = []
+        for p in text.split("\n"):
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        want[did] = "\n".join(kept)
+    ds = rd.from_items(
+        [{"doc_id": d, "text": t} for d, t in docs]
+    ).repartition(3)
+    for kw in ({}, {"broadcast_max": 0}):
+        got = (
+            paragraph_dedup(ds, **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert dict(zip(got["doc_id"], got["text"])) == want
