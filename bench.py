@@ -312,6 +312,7 @@ def bench_queries() -> dict[str, float]:
         "dedup_keepers",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "paragraph_dedup",
         "knn_cosine",
         "knn_ivf",
         "embedding_near_dup",
