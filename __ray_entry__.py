@@ -453,12 +453,40 @@ def _host_graph_pr(sf_dir: str):
 
     got = _HOST_GRAPH_CACHE.get(sf_dir)
     if got is None:
+        from parallel_pagerank_ray.stages.csr_store import (
+            cap_num_parts,
+            EdgeShardStore,
+        )
+
         _, links = _host_pages_links(sf_dir)
         g = host_graph(links, drop_self=True)
-        base = pagerank_bsp(g, d=0.85, tol=1e-3, max_iters=100)
-        got = (g, base)
+        # ONE shard store serves the base run AND every downstream
+        # pagerank_bsp on this graph (TrustRank): identical partition
+        # layout -> identical accumulation order -> bit-identical runs,
+        # and the Dataset sort + materialize is paid once per process
+        import ray as _ray
+
+        import math as _math
+
+        # EXACTLY pagerank_bsp's own default num_parts formula, so the
+        # shared store has the same partition layout (and therefore the
+        # same accumulation order) as an internally-built one
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+        num_parts = cap_num_parts(
+            min(256, max(4, cpus // 4, _math.ceil(g.n / 4_000_000))), g.n
+        )
+        store = EdgeShardStore.build(g.edges, n=g.n, num_parts=num_parts)
+        base = pagerank_bsp(g, d=0.85, tol=1e-3, max_iters=100, store=store)
+        got = (g, base, store)
         _HOST_GRAPH_CACHE[sf_dir] = got
-    return got
+    return got[0], got[1]
+
+
+def _host_graph_store(sf_dir: str):
+    """The cached EdgeShardStore built by _host_graph_pr (same layout
+    as the base run — required for bit-identical reruns)."""
+    _host_graph_pr(sf_dir)
+    return _HOST_GRAPH_CACHE[sf_dir][2]
 
 
 def q_pagerank_hosts_top10(sf_dir: str) -> pd.DataFrame:
@@ -605,7 +633,14 @@ def q_spam_mass_hosts(sf_dir: str) -> pd.DataFrame:
     )
     e = np.zeros(g.n, dtype=np.float64)
     e[seeds_df["vid"].to_numpy()] = 1.0 / len(seeds_df)
-    tr = pagerank_bsp(g, d=0.85, tol=1e-3, max_iters=100, personalization=e)
+    tr = pagerank_bsp(
+        g,
+        d=0.85,
+        tol=1e-3,
+        max_iters=100,
+        personalization=e,
+        store=_host_graph_store(sf_dir),
+    )
 
     joined = safe_join(
         base.ranks.select_columns(["vid", "rank"]),
