@@ -1218,6 +1218,19 @@ def q_linkpred_train(sf_dir: str) -> rd.Dataset:
     return linkpred_training_set(g)
 
 
+def q_linkpred_auc(sf_dir: str) -> rd.Dataset:
+    """Exact ROC-AUC of the common-neighbor link-prediction scorer on
+    the held-out split (pipelines/linkpred.py::linkpred_auc): pairs
+    scored over the RESIDUAL graph (held-out positives removed),
+    concordant2 = 2*#(pos>neg) + #ties from the integer (score, label)
+    histogram, auc = one float division of exact int64s. One row
+    (n_pos, n_neg, concordant2, auc); fully SQL-replayable."""
+    from parallel_pagerank_ray.pipelines.linkpred import linkpred_auc
+
+    g = _copurchase_graph(sf_dir, dedup=True)
+    return linkpred_auc(g)
+
+
 def q_robustness_curve(sf_dir: str) -> rd.Dataset:
     """Hub-ablation robustness curve over the co-purchase graph:
     remove the top-k degree hubs (deg DESC, vid ASC total order),
@@ -4505,6 +4518,7 @@ def entry() -> Any:
 # 50. Entries missing from the list (future additions) keep literal
 # order at the front of the unchecked tail.
 _DRIVER_PRIORITY: list[str] = [
+    "linkpred_auc",
     "paragraph_dedup",
     "edit2_customers",
     "jaccard_sparsify_copurchase",
@@ -4809,6 +4823,7 @@ def _queries_literal() -> dict[str, Callable[[str], Any]]:
         "harmonic_copurchase": q_harmonic_copurchase,
         "link_prediction_copurchase": q_link_prediction_copurchase,
         "linkpred_train": q_linkpred_train,
+        "linkpred_auc": q_linkpred_auc,
         "robustness_curve": q_robustness_curve,
         "percolation_curve": q_percolation_curve,
         "bridges": q_bridges,
@@ -6789,6 +6804,72 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS cycle_pairs,
                    CAST(0 AS BIGINT) AS dropped_centers
             FROM cn
+        """,
+        "linkpred_auc": f"""
+            WITH c AS MATERIALIZED ({_COPURCHASE_SQL}),
+            nn AS (SELECT max(greatest(src, dst)) + 1 AS n FROM c),
+            pos AS MATERIALIZED (
+              SELECT src, dst FROM c
+              WHERE CAST(('0x' || substr(md5('lp|' || src || '|' || dst),
+                          1, 16)) AS UBIGINT) % 5 = 0),
+            att AS (
+              SELECT p.src AS s, p.dst AS d, t.j
+              FROM pos p, (SELECT unnest(range(1, 3)) AS j) t),
+            cand AS (
+              SELECT CAST(CAST(('0x' || substr(md5('lpn|' || s || '|' || d
+                             || '|' || j || '|a'), 1, 16)) AS UBIGINT)
+                          % CAST((SELECT n FROM nn) AS UBIGINT)
+                        AS BIGINT) AS u,
+                     CAST(CAST(('0x' || substr(md5('lpn|' || s || '|' || d
+                             || '|' || j || '|b'), 1, 16)) AS UBIGINT)
+                          % CAST((SELECT n FROM nn) AS UBIGINT)
+                        AS BIGINT) AS v
+              FROM att),
+            neg AS (
+              SELECT DISTINCT least(u, v) AS src, greatest(u, v) AS dst
+              FROM cand
+              WHERE u <> v
+                AND NOT EXISTS (SELECT 1 FROM c
+                                WHERE c.src = least(u, v)
+                                  AND c.dst = greatest(u, v))),
+            train AS MATERIALIZED (
+              SELECT src, dst, 1 AS label FROM pos
+              UNION ALL
+              SELECT src, dst, 0 AS label FROM neg),
+            resid AS MATERIALIZED (
+              SELECT src, dst FROM c
+              WHERE CAST(('0x' || substr(md5('lp|' || src || '|' || dst),
+                          1, 16)) AS UBIGINT) % 5 <> 0),
+            und AS MATERIALIZED (
+              SELECT src, dst FROM resid
+              UNION ALL SELECT dst, src FROM resid),
+            sc0 AS MATERIALIZED (
+              SELECT t.src, t.dst, count(u2.src) AS score
+              FROM train t
+              JOIN und u1 ON u1.src = t.src
+              JOIN und u2 ON u2.src = t.dst AND u2.dst = u1.dst
+              GROUP BY 1, 2),
+            sc AS (
+              SELECT t.label, coalesce(s.score, 0) AS score
+              FROM train t
+              LEFT JOIN sc0 s ON s.src = t.src AND s.dst = t.dst),
+            g AS (
+              SELECT score,
+                     sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS p,
+                     sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS ng
+              FROM sc GROUP BY 1),
+            w AS (
+              SELECT score, p, ng,
+                     coalesce(sum(ng) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS nb
+              FROM g)
+            SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+                   CAST(sum(ng) AS BIGINT) AS n_neg,
+                   CAST(sum(p * (2 * nb + ng)) AS BIGINT) AS concordant2,
+                   CAST(sum(p * (2 * nb + ng)) AS DOUBLE)
+                     / CAST(2 * sum(p) * sum(ng) AS DOUBLE) AS auc
+            FROM w
         """,
         "linkpred_train": f"""
             WITH c AS MATERIALIZED ({_COPURCHASE_SQL}),

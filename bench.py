@@ -425,6 +425,7 @@ def bench_queries() -> dict[str, float]:
         "bm25_search",
         "rrf_fusion",
         "linkpred_train",
+        "linkpred_auc",
         "edge_betweenness",
         "robustness_curve",
         "percolation_curve",

@@ -133,3 +133,70 @@ def test_linkpred_training_set_laws():
     a = out.sort_values(["label", "src", "dst"]).reset_index(drop=True)
     b = out2.sort_values(["label", "src", "dst"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_linkpred_auc_matches_bruteforce_and_join_path(ray_session):
+    """linkpred_auc == the O(pos*neg) pairwise AUC definition on a
+    small graph, and the join-path scorer (forced via broadcast_max=0)
+    produces the identical row."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.functions.hashing import md5_u64
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.linkpred import (
+        linkpred_auc,
+        linkpred_training_set,
+    )
+    from parallel_pagerank_ray.sources.pages import powerlaw_edges
+
+    e = powerlaw_edges(120, 4, seed=21)
+    lo = np.minimum(e[:, 0], e[:, 1])
+    hi = np.maximum(e[:, 0], e[:, 1])
+    m = lo != hi
+    canon = np.unique(np.stack([lo[m], hi[m]], axis=1), axis=0)
+    g = Graph(
+        n=120,
+        edges=rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(canon[:, 0], pa.int64()),
+                    "dst": pa.array(canon[:, 1], pa.int64()),
+                }
+            )
+        ).materialize(),
+    )
+    got = linkpred_auc(g).to_pandas().iloc[0]
+    got_join = (
+        linkpred_auc(g, broadcast_max=0).to_pandas().iloc[0]
+    )
+    assert got.equals(got_join)
+
+    # brute force: residual adjacency sets + pairwise comparisons
+    resid = {
+        (a, b)
+        for a, b in map(tuple, canon)
+        if md5_u64(f"lp|{a}|{b}") % 5 != 0
+    }
+    adj: dict[int, set] = {}
+    for a, b in resid:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    train = linkpred_training_set(g).to_pandas()
+    scores = [
+        (
+            len(adj.get(int(r.src), set()) & adj.get(int(r.dst), set())),
+            int(r.label),
+        )
+        for r in train.itertuples()
+    ]
+    pos = [s for s, l in scores if l == 1]
+    neg = [s for s, l in scores if l == 0]
+    conc2 = sum(
+        2 * (p > q) + (p == q) for p in pos for q in neg
+    )
+    assert int(got["n_pos"]) == len(pos)
+    assert int(got["n_neg"]) == len(neg)
+    assert int(got["concordant2"]) == conc2
+    assert got["auc"] == conc2 / float(2 * len(pos) * len(neg))
