@@ -113,6 +113,37 @@ w = dsir_affinity(
 ).materialize()
 n_w = w.count()
 dsir_s = time.time() - t0
+
+from parallel_pagerank_ray.pipelines.dedup import paragraph_dedup
+
+# composite 5-doc paragraphs (the paragraph_dedup gate's construction)
+t0 = time.time()
+import pandas as pd
+
+
+def build(g: "pd.DataFrame") -> "pd.DataFrame":
+    rows = []
+    for gid, grp in g.sort_values("doc_id").groupby("gid", sort=True):
+        rows.append(
+            (int(gid), "\n".join(["boiler nav"] + grp["text"].tolist()))
+        )
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def bucketed(df: "pd.DataFrame") -> "pd.DataFrame":
+    df = df.copy()
+    df["gid"] = df["doc_id"] // 5
+    df["__b"] = df["gid"] % 32
+    return df
+
+
+comp = (
+    docs.map_batches(bucketed, batch_format="pandas")
+    .groupby("__b")
+    .map_groups(build, batch_format="pandas")
+)
+pd_rows = paragraph_dedup(comp).materialize().count()
+para_s = time.time() - t0
 probe1 = host_probe()
 
 print(
@@ -125,6 +156,8 @@ print(
             "dedup_collapsed": int(n_collapsed),
             "dsir_weights_sec": round(dsir_s, 1),
             "dsir_rows": int(n_w),
+            "paragraph_dedup_sec": round(para_s, 1),
+            "paragraph_docs": int(pd_rows),
             "host_probe_sort50M_sec": [probe0, probe1],
         }
     )
