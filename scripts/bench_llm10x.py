@@ -144,6 +144,46 @@ comp = (
 )
 pd_rows = paragraph_dedup(comp).materialize().count()
 para_s = time.time() - t0
+
+# ANN at 10x: 500k synthetic embeddings (64-dim, deterministic), 100
+# queries; brute cosine top-10 vs IVF (nprobe/n_cells pruned scan) +
+# recall of the pruned path
+import pyarrow as pa
+import ray.data as rd
+
+from parallel_pagerank_ray.pipelines.similarity import knn_brute, knn_ivf
+
+n_vec = 10 * n_docs
+rng = np.random.default_rng(7)
+centers = rng.normal(size=(32, 64))
+assign = rng.integers(0, 32, n_vec)
+mat = (centers[assign] + 0.3 * rng.normal(size=(n_vec, 64))).astype(
+    np.float32
+)
+emb_path = "/tmp/ppr_llm10x/embeddings.parquet"
+pq.write_table(
+    pa.table(
+        {
+            "vec_id": pa.array(range(n_vec), pa.int64()),
+            "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+        }
+    ),
+    emb_path,
+)
+embs = rd.read_parquet(emb_path).materialize()
+q_ids = np.arange(100, dtype=np.int64)
+q_mat = mat[:100].astype(np.float64)
+t0 = time.time()
+brute = knn_brute(embs, (q_ids, q_mat), k=10).materialize()
+brute_s = time.time() - t0
+t0 = time.time()
+ivf = knn_ivf(embs, (q_ids, q_mat), k=10, n_cells=64, nprobe=4).materialize()
+ivf_s = time.time() - t0
+bp = brute.to_pandas()
+ip = ivf.to_pandas()
+bset = set(map(tuple, bp[["query_id", "neighbor_id"]].to_numpy()))
+iset = set(map(tuple, ip[["query_id", "neighbor_id"]].to_numpy()))
+recall = len(bset & iset) / max(1, len(bset))
 probe1 = host_probe()
 
 print(
@@ -158,6 +198,10 @@ print(
             "dsir_rows": int(n_w),
             "paragraph_dedup_sec": round(para_s, 1),
             "paragraph_docs": int(pd_rows),
+            "ann_n_vectors": int(n_vec),
+            "knn_brute_sec": round(brute_s, 1),
+            "knn_ivf_sec": round(ivf_s, 1),
+            "ivf_recall_at10": round(recall, 3),
             "host_probe_sort50M_sec": [probe0, probe1],
         }
     )
