@@ -654,7 +654,7 @@ import ray as _ray_tri
 
 
 @_ray_tri.remote
-def _c4_producer(csr, lo: int, hi: int, n: int, span: int, Q: int,
+def _c4_producer(csr, lo: int, hi: int, n: int, span: int,
                  max_center_degree: "int | None"):
     """Wedge-pair keys (a*n+b packed) for centers [lo, hi), partitioned
     by key range — one plasma put per reducer. ``csr`` = (indptr, dst)
@@ -749,7 +749,7 @@ def _four_cycle_fast(
     produced = _ray_tri.get(
         [
             _c4_producer.remote(
-                csr_ref, int(cuts[i]), int(cuts[i + 1]), n, span, Q,
+                csr_ref, int(cuts[i]), int(cuts[i + 1]), n, span,
                 max_center_degree,
             )
             for i in range(P)
