@@ -378,6 +378,28 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_report(args) -> int:
+    """Self-contained HTML analysis report (the headless equivalent of
+    the reference's Streamlit dashboard): graph characteristics +
+    engine recommendation + PageRank convergence / top-k / rank
+    distribution, all inline SVG in ONE file under --workdir."""
+    from parallel_pagerank_ray.functions.report import write_report_html
+    from parallel_pagerank_ray.pipelines.pagerank_actors import pagerank_bsp
+
+    g = _load_graph(args)
+    run = pagerank_bsp(
+        g, d=args.damping, tol=args.tol, max_iters=args.max_iters
+    )
+    path = write_report_html(
+        g,
+        run,
+        os.path.join(args.workdir, "report.html"),
+        top_k=args.topk,
+    )
+    print(json.dumps({"report": path, "iterations": run.iterations}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="parallel_pagerank_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -447,6 +469,14 @@ def main(argv: list[str] | None = None) -> int:
     analyze = sub.add_parser("analyze")
     add_io(analyze)
     analyze.set_defaults(fn=cmd_analyze)
+
+    report = sub.add_parser("report")
+    add_io(report)
+    report.add_argument("--tol", type=float, default=1e-6)
+    report.add_argument("--damping", type=float, default=0.85)
+    report.add_argument("--max-iters", type=int, default=1000)
+    report.add_argument("--topk", type=int, default=20)
+    report.set_defaults(fn=cmd_report)
 
     args = p.parse_args(argv)
 

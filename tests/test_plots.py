@@ -66,3 +66,43 @@ def test_cli_plot_renders_run_artifacts(tmp_path, ray_session):
     assert cli.main(["plot", "--workdir", wd]) == 0
     for name in ("convergence.svg", "topk.svg", "rank_histogram.svg"):
         assert os.path.exists(os.path.join(wd, name)), name
+
+
+def test_report_html_self_contained(ray_session, tmp_path):
+    """write_report_html assembles the dashboard-parity analytics into
+    one self-contained HTML file: summary, characteristics,
+    recommendation, top-k table, and three inline SVGs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallel_pagerank_ray.functions.report import write_report_html
+    from parallel_pagerank_ray.pipelines.graph_build import Graph
+    from parallel_pagerank_ray.pipelines.pagerank_actors import pagerank_bsp
+    from parallel_pagerank_ray.sources.pages import powerlaw_edges
+
+    e = powerlaw_edges(80, 3, seed=5)
+    g = Graph.from_int_edges(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(e[:, 0], pa.int64()),
+                    "dst": pa.array(e[:, 1], pa.int64()),
+                }
+            )
+        )
+    )
+    run = pagerank_bsp(g, tol=1e-4, max_iters=50)
+    path = write_report_html(g, run, str(tmp_path / "report.html"), top_k=5)
+    html_text = open(path, encoding="utf-8").read()
+    for needle in (
+        "Run summary",
+        "Graph characteristics",
+        "Engine recommendation",
+        "Top ranks",
+        "PageRank convergence",
+        "Rank distribution",
+    ):
+        assert needle in html_text
+    assert html_text.count("<svg") >= 2  # convergence + topk + histogram
+    assert "</html>" in html_text
