@@ -319,3 +319,77 @@ def test_winnow_coverage_guarantee():
         ps = set(pos.tolist())
         for i in range(n - w + 1):
             assert any(j in ps for j in range(i, i + w)), (i, w)
+
+
+def _brute_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(
+                prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)
+            )
+        prev = cur
+    return prev[-1]
+
+
+ASCII_WORD = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.tuples(ASCII_WORD, ASCII_WORD), min_size=1, max_size=20))
+def test_lev_band2_matches_brute_dp(pairs):
+    """The vectorized 5-band Levenshtein<=2 kernel agrees with the full
+    DP on arbitrary ascii pairs, per (len, len) class — including
+    transpositions, double indels, and the empty string."""
+    from parallel_pagerank_ray.pipelines.fuzzy import (
+        _lev_band2,
+        _pack_matrix,
+    )
+
+    s1 = np.array([a for a, _ in pairs], dtype=object)
+    s2 = np.array([b for _, b in pairs], dtype=object)
+    for la, lb in {(len(a), len(b)) for a, b in pairs}:
+        if abs(la - lb) > 2:
+            continue
+        idx = [
+            i
+            for i, (a, b) in enumerate(pairs)
+            if len(a) == la and len(b) == lb
+        ]
+        got = _lev_band2(
+            _pack_matrix(s1[idx], la), _pack_matrix(s2[idx], lb)
+        )
+        want = np.array(
+            [_brute_lev(s1[i], s2[i]) <= 2 for i in idx]
+        )
+        assert np.array_equal(got, want)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(2, 40),
+    st.lists(st.tuples(st.integers(0, 39), st.integers(0, 39)), max_size=120),
+    st.integers(0, 2**31 - 1),
+)
+def test_scc_local_matches_kosaraju(n, edges, seed):
+    """_scc_local (color/sweep) == the Kosaraju oracle on arbitrary
+    digraphs including self loops and duplicates."""
+    from parallel_pagerank_ray import oracle
+    from parallel_pagerank_ray.pipelines.scc import _scc_local
+
+    e = np.array(
+        [(a % n, b % n) for a, b in edges], dtype=np.int64
+    ).reshape(-1, 2)
+    got, _ = _scc_local(
+        e[:, 0] if len(e) else np.array([], dtype=np.int64),
+        e[:, 1] if len(e) else np.array([], dtype=np.int64),
+        n,
+        max_outer=100_000,
+    )
+    want = oracle.strongly_connected_components(n, e)
+    assert np.array_equal(got, want)
