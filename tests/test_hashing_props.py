@@ -393,3 +393,26 @@ def test_scc_local_matches_kosaraju(n, edges, seed):
     )
     want = oracle.strongly_connected_components(n, e)
     assert np.array_equal(got, want)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(1, 40),
+    st.lists(st.tuples(st.integers(0, 39), st.integers(0, 39)), max_size=120),
+)
+def test_cc_min_label_matches_oracle(n, edges):
+    """_cc_min_label (min propagation + pointer jumping) == the
+    union-find oracle on arbitrary undirected graphs."""
+    from parallel_pagerank_ray import oracle
+    from parallel_pagerank_ray.pipelines.biconnectivity import _cc_min_label
+
+    e = np.array(
+        [(a % n, b % n) for a, b in edges], dtype=np.int64
+    ).reshape(-1, 2)
+    got = _cc_min_label(
+        e[:, 0] if len(e) else np.array([], dtype=np.int64),
+        e[:, 1] if len(e) else np.array([], dtype=np.int64),
+        n,
+    )
+    want = oracle.connected_components(n, e)
+    assert np.array_equal(got, want)
